@@ -1,0 +1,504 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables._
+
+/** Relational operator inventory (SURVEY.md §2.2), expressed Spark-first:
+  * declarative DataFrame plans so Catalyst gets pushdown / pruning / join
+  * selection / partial aggregation for free. The reference engine exposes none
+  * of these natively — every one is a client-side `map`/`reduce` pattern over
+  * the fixed pipeline (reference `MapReduceClient.h:55-65`); here each is the
+  * built-in Spark operator.
+  *
+  * Oracle-parity conventions (SURVEY.md §7 risk 3):
+  *  - deterministic ORDER BY on a unique key set in BOTH engines;
+  *  - identical column aliases in both engines (driver sorts columns by name);
+  *  - float aggregates wrapped in round(_, 2..6) on both sides;
+  *  - timestamps pinned UTC in both engines.
+  */
+object Relational {
+
+  /** Flagship: the reference's own sample query — character frequency count
+    * (reference `Sample Client/SampleClient.cpp:32-66`) — over documents.text.
+    * scan → explode → filter → group-agg: the full reference pipeline in one
+    * declarative plan (SURVEY.md §7 M0).
+    */
+  def charCount(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(explode(split(col("text"), "")).as("c"))
+      .filter(length(col("c")) > 0)
+      .groupBy("c")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("c")
+
+  /** Filter + projection; predicate and column pruning reach the parquet scan. */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** TPC-H Q1 shape: multi-function grouped aggregation (partial+final hash agg —
+    * the combiner the reference lacks, SURVEY.md §2.2 "Aggregations").
+    */
+  def aggQ1(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Star join: customer ⋈ orders ⋈ lineitem with broadcast dims nation+region
+    * (TPC-H Q5 shape). Fact-fact joins shuffle on their keys; the two dims are
+    * tiny and explicitly broadcast — no shuffle for them at any scale.
+    */
+  def joinStar(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val o = orders(spark, dir)
+    val l = lineitem(spark, dir)
+    val n = nation(spark, dir)
+    val r = region(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(r("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Broadcast hash join against the small part dimension. */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .join(broadcast(part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("p_brand")
+
+  /** Left-semi join: customers having at least one high-value order (EXISTS). */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = orders(spark, dir).filter(col("o_totalprice") > 150000.0)
+    customer(spark, dir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join: customers with no orders at all (NOT EXISTS). */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left-outer join: per-customer order count incl. zero + spend. */
+  def joinOuter(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("spend"))
+      .orderBy("c_custkey")
+
+  /** Top-K: ORDER BY + LIMIT → TakeOrderedAndProject (no global sort at scale). */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** Distinct over a projection. */
+  def distinctFlags(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Exact count-distinct per group. */
+  def countDistinctOrders(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+           countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy("l_returnflag")
+
+  /** Approximate count-distinct (HLL++). No SQL oracle — approx result is
+    * engine-specific; driver records rows-only check.
+    */
+  def approxCountDistinct(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy("l_returnflag")
+
+  /** UNION (distinct) of two key sets. */
+  def setUnion(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .union(supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+
+  /** INTERSECT of two key sets. */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .intersect(supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** EXCEPT of two key sets. */
+  def setExcept(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .except(supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** UNION ALL (bag semantics) — full-row sort keeps the sequence deterministic. */
+  def setUnionAll(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir).select(col("c_nationkey").as("nationkey"), lit("c").as("src"))
+      .union(supplier(spark, dir).select(col("s_nationkey").as("nationkey"), lit("s").as("src")))
+      .orderBy("nationkey", "src")
+
+  /** Window ranking: top-3 orders per customer (row_number over partition). */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+      .orderBy("o_custkey", "rnk")
+  }
+
+  /** Window moving frame: 3-row moving quantity sum per supplier
+    * (l_quantity is integral-valued → exact float parity).
+    */
+  def windowMoving(spark: SparkSession, dir: String): DataFrame = {
+    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy("l_suppkey").orderBy(order: _*).rowsBetween(-2, 0)
+    lineitem(spark, dir)
+      .withColumn("mv_qty", sum("l_quantity").over(w))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "mv_qty")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** Window lag/lead: previous/next ship quantity per supplier. */
+  def windowLagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    lineitem(spark, dir)
+      .withColumn("prev_qty", lag("l_quantity", 1).over(w))
+      .withColumn("next_qty", lead("l_quantity", 1).over(w))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "prev_qty", "next_qty")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** ROLLUP subtotals (reference clients would run multiple jobs — SURVEY §2.2). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** CUBE over two dimensions. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Scalar string functions (the expression language the reference lacks —
+    * all scalar work lives in client map code, SURVEY §2.2).
+    */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_up"),
+        lower(col("c_mktsegment")).as("seg_lo"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 5).as("name_pfx"),
+        concat_ws("|", col("c_name"), col("c_mktsegment")).as("name_seg"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"))
+      .orderBy("c_custkey")
+
+  /** Date bucketing + date part extraction. */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("month")
+
+  /** Date part projection (year/month/day/quarter). */
+  def dateParts(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"))
+      .orderBy("o_orderkey")
+
+  /** Math scalar functions; transcendentals rounded for cross-engine parity. */
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_extendedprice") - 30000.0).as("absdev"),
+        round(col("l_extendedprice"), 0).as("price_r"),
+        floor(col("l_quantity") / 10.0).cast("long").as("qty_bucket"),
+        round(sqrt(col("l_extendedprice")), 6).as("price_sqrt"),
+        round(log(col("l_extendedprice")), 6).as("price_ln"),
+        round(pow(col("l_discount"), 2), 8).as("disc_sq"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** JSON extraction on events.props (a JSON-encoded string column). */
+  def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+              get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+           min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** CASE WHEN bucketing + conditional aggregation. */
+  def caseWhen(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(
+        when(col("o_totalprice") < 50000.0, "small")
+          .when(col("o_totalprice") < 150000.0, "medium")
+          .otherwise("large").as("bucket"),
+        col("o_orderstatus"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"))
+      .orderBy("bucket")
+
+  /** Theta/range join: lineitems shipped within 30 days after their order date
+    * (non-equi conjunct on top of the equi key — range-join shape).
+    */
+  def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val l = lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey") &&
+              l("l_shipdate") <= date_add(o("o_orderdate"), 30))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_fast_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Grouping sets via SQL (finer than cube/rollup). */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(1) AS n
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_char_count"      -> charCount _,
+    "q02_filter_project"  -> filterProject _,
+    "q03_agg_q1"          -> aggQ1 _,
+    "q04_join_star"       -> joinStar _,
+    "q05_join_broadcast"  -> joinBroadcast _,
+    "q06_join_semi"       -> joinSemi _,
+    "q07_join_anti"       -> joinAnti _,
+    "q08_join_outer"      -> joinOuter _,
+    "q09_topk"            -> topK _,
+    "q10_distinct"        -> distinctFlags _,
+    "q11_count_distinct"  -> countDistinctOrders _,
+    "q12_union"           -> setUnion _,
+    "q13_intersect"       -> setIntersect _,
+    "q14_except"          -> setExcept _,
+    "q15_union_all"       -> setUnionAll _,
+    "q16_window_rank"     -> windowRank _,
+    "q17_window_moving"   -> windowMoving _,
+    "q18_window_lag_lead" -> windowLagLead _,
+    "q19_rollup"          -> rollupAgg _,
+    "q20_cube"            -> cubeAgg _,
+    "q21_string_funcs"    -> stringFuncs _,
+    "q22_date_trunc"      -> dateFuncs _,
+    "q23_date_parts"      -> dateParts _,
+    "q24_math_funcs"      -> mathFuncs _,
+    "q25_json_funcs"      -> jsonFuncs _,
+    "q26_case_when"       -> caseWhen _,
+    "q27_join_range"      -> joinRange _,
+    "q28_grouping_sets"   -> groupingSets _,
+    "x01_approx_count_distinct" -> approxCountDistinct _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_char_count" ->
+      """SELECT c, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, '')) AS c FROM documents)
+        |WHERE length(c) > 0 GROUP BY c ORDER BY c""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_agg_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(1) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q04_join_star" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(1) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q05_join_broadcast" ->
+      """SELECT p_brand, count(1) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q06_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_join_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |       round(coalesce(sum(o_totalprice), 0.0), 2) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q09_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q10_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q11_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+        |       count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q12_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q13_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q14_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q15_union_all" ->
+      """SELECT nationkey, src FROM (
+        |  SELECT c_nationkey AS nationkey, 'c' AS src FROM customer
+        |  UNION ALL SELECT s_nationkey, 's' FROM supplier)
+        |ORDER BY nationkey, src""".stripMargin,
+    "q16_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "q17_window_moving" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv_qty
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q18_window_lag_lead" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  lag(l_quantity, 1) OVER w AS prev_qty,
+        |  lead(l_quantity, 1) OVER w AS next_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q19_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(1) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q20_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(1) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q21_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS name_up, lower(c_mktsegment) AS seg_lo,
+        |       length(c_name) AS name_len, substr(c_name, 1, 5) AS name_pfx,
+        |       concat_ws('|', c_name, c_mktsegment) AS name_seg,
+        |       regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q22_date_trunc" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |       count(1) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "q23_date_parts" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr,
+        |       CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |       CAST(month(o_orderdate) AS INT) AS mo,
+        |       CAST(day(o_orderdate) AS INT) AS dom
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q24_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_extendedprice - 30000.0) AS absdev,
+        |  round(l_extendedprice, 0) AS price_r,
+        |  CAST(floor(l_quantity / 10.0) AS BIGINT) AS qty_bucket,
+        |  round(sqrt(l_extendedprice), 6) AS price_sqrt,
+        |  round(ln(l_extendedprice), 6) AS price_ln,
+        |  round(pow(l_discount, 2), 8) AS disc_sq
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q25_json_funcs" ->
+      """SELECT event_type, count(1) AS n, sum(k) AS sum_k,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |WHERE k IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q26_case_when" ->
+      """SELECT CASE WHEN o_totalprice < 50000.0 THEN 'small'
+        |            WHEN o_totalprice < 150000.0 THEN 'medium'
+        |            ELSE 'large' END AS bucket,
+        |       count(1) AS n,
+        |       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q27_join_range" ->
+      """SELECT o_orderpriority, count(1) AS n_fast_items
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey
+        | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q28_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(1) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+  )
+}
