@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Sanity invariants over the sf0.001 tables for every registered query —
+  * the exact value check is the driver's DuckDB oracle (tools/check.py locally).
+  */
+class RelationalSpec extends SparkSpec {
+
+  test("every registered query runs and (except anti/except shapes) returns rows") {
+    // q07/q14 are anti-join/EXCEPT over generated data where every customer
+    // has orders and all nationkeys overlap → legitimately 0 rows at tiny SF.
+    val mayBeEmpty = Set("q07_join_anti", "q14_except")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n >= 0, s"$name failed")
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every oracle key has a matching query key") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("rollup grand-total row equals full row count") {
+    val rows = Relational.rollupAgg(spark, sfDir).collect()
+    val total = rows.find(r => r.isNullAt(0) && r.isNullAt(1)).get
+    assert(total.getAs[Long]("n") == 6000L) // lineitem rows at sf0.001
+  }
+
+  test("char count totals equal total characters in documents") {
+    val cc = Relational.charCount(spark, sfDir).collect()
+    val totalChars = cc.map(_.getAs[Long]("cnt")).sum
+    val expected = graft.tables.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text"))))
+      .collect()(0).getLong(0)
+    assert(totalChars == expected)
+  }
+
+  test("semi ∪ anti partitions customer exactly") {
+    val semi = Relational.joinSemi(spark, sfDir).count()
+    val anti = Relational.joinAnti(spark, sfDir).count()
+    val withOrder = graft.tables.Tables.orders(spark, sfDir)
+      .select("o_custkey").distinct().count()
+    val all = graft.tables.Tables.customer(spark, sfDir).count()
+    assert(anti == all - withOrder)
+    assert(semi <= withOrder)
+  }
+}
