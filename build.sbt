@@ -23,8 +23,12 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap is pinned, NOT taken from SPARK_DRIVER_MEM: a ~100 GB -Xmx makes the
+// JVM page-commit/GC-stall for tens of seconds at random points, turning the
+// bench into noise (the identical sf0.1 suite runs ~24 s at 8g vs ~470 s at
+// 100g). 16g is ample for sf0.1 on local[32].
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-Xmx16g",
 )

@@ -72,13 +72,14 @@ object MapReduce {
         private def advance(): Unit = {
           while (!pending.hasNext && buf.hasNext) {
             val k = buf.head._1
-            // stream one maximal equal-key run (runs are contiguous post-sort)
-            val values = new Iterator[V] {
-              def hasNext = buf.hasNext && kord.equiv(buf.head._1, k)
-              def next() = buf.next()._2
-            }
-            pending = reduceF(k, values).iterator
-            while (values.hasNext) values.next() // drain if reduceF didn't
+            // Buffer one maximal equal-key run (runs are contiguous
+            // post-sort) BEFORE calling reduceF: the reference hands reduce
+            // a fully materialized group (`MapReduceFramework.cpp:180-196`),
+            // and a lazily-consumed iterator would silently read garbage if
+            // reduceF returned a view over it (drained after return).
+            val run = scala.collection.mutable.ArrayBuffer.empty[V]
+            while (buf.hasNext && kord.equiv(buf.head._1, k)) run += buf.next()._2
+            pending = reduceF(k, run.iterator).iterator
           }
         }
         def hasNext = { advance(); pending.hasNext }

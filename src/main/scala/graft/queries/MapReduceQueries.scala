@@ -52,7 +52,7 @@ object MapReduceQueries {
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
     "q30_mr_chars_by_lang" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

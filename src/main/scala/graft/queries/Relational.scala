@@ -79,10 +79,15 @@ object Relational {
       .orderBy("n_name")
   }
 
-  /** Broadcast hash join against the small part dimension. */
+  /** Join against the part dimension. No forced broadcast hint: `part`
+    * scales with SF (≈SF·200k rows), so a hard `broadcast()` would OOM
+    * executors at 100×; AQE picks broadcast-hash while the build side is
+    * under the threshold and falls back to shuffled join beyond it. (The
+    * genuinely fixed-size dims nation/region keep explicit hints in q04.)
+    */
   def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
-      .join(broadcast(part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(part(spark, dir), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
       .orderBy("p_brand")
@@ -134,13 +139,21 @@ object Relational {
            countDistinct(col("l_partkey")).as("n_parts"))
       .orderBy("l_returnflag")
 
-  /** Approximate count-distinct (HLL++). No SQL oracle — approx result is
-    * engine-specific; driver records rows-only check.
+  /** Approximate count-distinct (HLL++), made oracle-verifiable: the raw
+    * sketch estimate is engine-specific, so the query emits the exact count
+    * plus a boolean asserting the HLL++ estimate (rsd=0.01) lands within 5%
+    * relative error (5σ). The oracle recomputes the exact count
+    * and expects `ok = true` — a wrong sketch flips the boolean and fails the
+    * hash, so the approximation itself is now under test.
     */
   def approxCountDistinct(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+           countDistinct(col("l_orderkey")).as("n_exact"))
+      .select(col("l_returnflag"), col("n_exact"),
+              (abs(col("approx_orders") - col("n_exact")) <=
+                 col("n_exact") * 0.05).as("ok"))
       .orderBy("l_returnflag")
 
   /** UNION (distinct) of two key sets. */
@@ -299,17 +312,18 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
-  /** Grouping sets via SQL (finer than cube/rollup). */
-  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
-    lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
-    spark.sql(
-      """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty, count(1) AS n
-        |FROM lineitem_gs
-        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
-        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
-        |""".stripMargin)
-  }
+  /** Grouping sets (finer than cube/rollup), via the Dataset API — no
+    * session-global temp view, so concurrent query builds can't race on a
+    * shared name.
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")),
+            Seq(col("l_returnflag"), col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_char_count"      -> charCount _,
@@ -474,7 +488,7 @@ object Relational {
         |  round(pow(l_discount, 2), 8) AS disc_sq
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q25_json_funcs" ->
-      """SELECT event_type, count(1) AS n, sum(k) AS sum_k,
+      """SELECT event_type, count(1) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
         |       min(k) AS min_k, max(k) AS max_k
         |FROM (SELECT event_type,
         |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -486,7 +500,7 @@ object Relational {
         |            WHEN o_totalprice < 150000.0 THEN 'medium'
         |            ELSE 'large' END AS bucket,
         |       count(1) AS n,
-        |       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q27_join_range" ->
       """SELECT o_orderpriority, count(1) AS n_fast_items
@@ -500,5 +514,8 @@ object Relational {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "x01_approx_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact, true AS ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -22,12 +22,14 @@ object Tables {
   /** events.ts is INT64 TIMESTAMP(NANOS) in parquet, which Spark 4 rejects
     * outright; read nanos as long and truncate to microsecond timestamps
     * (integer `div` — a double division would lose precision above 2^53 ns).
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
+    * build time by every entry point (Verify/Bench/tests) — NOT mutated here,
+    * so concurrent query builders never race on session conf.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
