@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables._
+
+/** Join kinds beyond the core equi/semi/anti/left-outer set (SURVEY.md §2.2
+  * join table): right outer, full outer, pure non-equi nested-loop, and as-of.
+  * The reference can only express the repartition equi-join pattern (tag +
+  * shuffle on key, `PAPERS.md` VLDB'12); everything here is Spark-native.
+  */
+object Joins {
+
+  /** Right-outer: every nation, with supplier stats where present.
+    * Catalyst plans this as a left-outer with sides swapped; the small outer
+    * side broadcasts under AQE.
+    */
+  def joinRight(spark: SparkSession, dir: String): DataFrame =
+    supplier(spark, dir)
+      .join(nation(spark, dir), col("s_nationkey") === col("n_nationkey"), "right_outer")
+      .groupBy("n_nationkey", "n_name")
+      .agg(count(col("s_suppkey")).as("n_sup"),
+           round(coalesce(sum("s_acctbal"), lit(0.0)), 2).as("bal"))
+      .orderBy("n_nationkey")
+
+  /** Full-outer: per-nation customer counts ⟗ per-nation supplier counts.
+    * Both sides are pre-aggregated (small), keys coalesced for determinism.
+    */
+  def joinFull(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir).groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = supplier(spark, dir).groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_sup"))
+    c.join(s, col("ck") === col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+              coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+              coalesce(col("n_sup"), lit(0L)).as("n_sup"))
+      .orderBy("nationkey")
+  }
+
+  /** Pure theta join (no equi conjunct) → BroadcastNestedLoopJoin. The
+    * build side is a filtered, genuinely small set (rich suppliers), so the
+    * broadcast stays bounded at any SF; the probe side streams. A theta join
+    * with an unbounded build side would be a cartesian blow-up at 100 TB —
+    * that shape is intentionally not offered.
+    */
+  def joinThetaNl(spark: SparkSession, dir: String): DataFrame = {
+    val richSup = supplier(spark, dir).filter(col("s_acctbal") > 9000.0)
+      .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    val c = customer(spark, dir)
+    richSup.join(c, col("s_acctbal") < col("c_acctbal") &&
+                    col("s_nationkey") =!= col("c_nationkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("n_richer_cust"))
+      .orderBy("s_suppkey")
+  }
+
+  /** As-of join via the union+window trick (SURVEY.md §2.2): for each
+    * odd-key order, the customer's most recent even-key order at-or-before
+    * its date. No built-in as-of in Spark — tag both sides, sort within
+    * customer by (date, side), and `last(_, ignoreNulls)` over an unbounded
+    * preceding frame carries the latest build-side row forward. One shuffle
+    * on the key, codegen'd window — no custom plan node needed.
+    *
+    * The build side is pre-deduplicated to one row per (custkey, date)
+    * (max orderkey) so the match is deterministic on both engines.
+    */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val probe = o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_custkey").as("custkey"), col("o_orderdate").as("ts"),
+              col("o_orderkey").as("a_key"), lit(null).cast("long").as("b_key"),
+              lit(null).cast("timestamp").as("b_date"), lit(1).as("side"))
+    val build = o.filter(col("o_orderkey") % 2 === 0)
+      .groupBy(col("o_custkey").as("custkey"), col("o_orderdate").as("ts"))
+      .agg(max("o_orderkey").as("b_key"))
+      .select(col("custkey"), col("ts"), lit(null).cast("long").as("a_key"),
+              col("b_key"), col("ts").as("b_date"), lit(0).as("side"))
+    val w = Window.partitionBy("custkey")
+      .orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probe.unionByName(build)
+      .withColumn("asof_key", last(col("b_key"), ignoreNulls = true).over(w))
+      .withColumn("asof_date", last(col("b_date"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("a_key"), col("custkey"), col("ts").as("a_date"),
+              col("asof_key"), col("asof_date"))
+      .orderBy("a_key")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_join_right"    -> joinRight _,
+    "q32_join_full"     -> joinFull _,
+    "q33_join_theta_nl" -> joinThetaNl _,
+    "q34_join_asof"     -> joinAsof _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q31_join_right" ->
+      """SELECT n_nationkey, n_name, count(s_suppkey) AS n_sup,
+        |       round(coalesce(sum(s_acctbal), 0.0), 2) AS bal
+        |FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+    "q32_join_full" ->
+      """SELECT coalesce(ck, sk) AS nationkey,
+        |       coalesce(n_cust, 0) AS n_cust, coalesce(n_sup, 0) AS n_sup
+        |FROM (SELECT c_nationkey AS ck, count(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS sk, count(*) AS n_sup FROM supplier GROUP BY 1) s
+        |  ON ck = sk
+        |ORDER BY nationkey""".stripMargin,
+    "q33_join_theta_nl" ->
+      """SELECT s_suppkey, s_name, count(1) AS n_richer_cust
+        |FROM (SELECT * FROM supplier WHERE s_acctbal > 9000.0) s
+        |JOIN customer c ON s.s_acctbal < c.c_acctbal AND s.s_nationkey <> c.c_nationkey
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
+    "q34_join_asof" ->
+      """SELECT a.o_orderkey AS a_key, a.o_custkey AS custkey,
+        |       a.o_orderdate AS a_date, b.b_key AS asof_key, b.ts AS asof_date
+        |FROM (SELECT * FROM orders WHERE o_orderkey % 2 = 1) a
+        |ASOF LEFT JOIN (SELECT o_custkey AS custkey, o_orderdate AS ts,
+        |                       max(o_orderkey) AS b_key
+        |                FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1, 2) b
+        |  ON a.o_custkey = b.custkey AND a.o_orderdate >= b.ts
+        |ORDER BY a_key""".stripMargin,
+  )
+}
