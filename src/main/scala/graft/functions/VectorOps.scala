@@ -1,0 +1,19 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType(DoubleType)` columns, built from codegen'd
+  * array HOFs (`zip_with`/`aggregate`) — no UDFs, so whole-stage codegen and
+  * Catalyst rewrites stay intact. Sums run in array order, which keeps the
+  * floating-point result bit-identical to a sequential oracle evaluation.
+  */
+object VectorOps {
+  /** Σ aᵢ·bᵢ */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity; callers cast inputs to array<double> first. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+}

@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.tables.Tables._
+
+/** Deduplication pillar over `documents` (and `embeddings` for the
+  * vector-space variant): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup. The reference engine has none of this; each is
+  * built as a banded/bucketed Spark plan — candidate generation always goes
+  * through a key-partitioned join (shingle, LSH band, or SimHash chunk),
+  * never an all-pairs cross join, so the shapes survive 100 TB. The one
+  * deliberate exception is the brute-force cosine baseline (q39), kept as
+  * the correctness yardstick for the LSH scale path in Similarity.scala.
+  */
+object Dedup {
+
+  private val P = 2147483647L // 2^31 − 1 (Mersenne prime), modulus for minhash
+
+  /** 64 hash fns h_j(x) = (a_j·x + b_j) mod P with fixed seeds: minhash
+    * signatures must be identical across partitions, executors, and runs.
+    */
+  private val seeds: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(64)(((math.abs(rnd.nextLong()) % (P - 1)) + 1L,
+                    math.abs(rnd.nextLong()) % P))
+  }
+
+  /** doc_id + its distinct word-trigram shingle set (the dedup unit: this
+    * corpus draws from a tiny shared vocabulary, so unigram sets saturate —
+    * trigram sequences are discriminative).
+    */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(0, size(w)-3), " +
+             "i -> concat_ws(' ', w[i], w[i+1], w[i+2])))").as("sh"))
+
+  /** Exact dedup: group on md5(text), keep min doc_id as representative.
+    * Hashing first means the shuffle carries a 32-byte digest instead of the
+    * full document — the plan that still works when documents are megabytes.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+
+  /** Exact n-gram Jaccard near-dup via an inverted shingle index: self-join
+    * on shingle (shuffle partitioned by shingle — the banded MapReduce
+    * shape), count common shingles per pair, Jaccard from set sizes.
+    * Ubiquitous shingles (df > 100) are dropped from the index — the
+    * standard stop-shingle cap that bounds per-key join fan-out at scale;
+    * Jaccard is over the rare-shingle sets, identically in the oracle.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100).select("s")
+    val idx = sh.join(rare, "s")
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = idx.as("a")
+      .join(idx.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.toDF("id_a", "na"), "id_a")
+      .join(sizes.toDF("id_b", "nb"), "id_b")
+      .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= 0.6)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash + LSH near-dup, the 100 TB-shaped plan: 64-fn minhash
+    * signature per doc (one agg over exploded shingles), banded b=32 × r=2
+    * (candidate-capture ≥ 1−(1−J²)³² — a J=0.6 pair is missed with
+    * p≈6·10⁻⁷), bucket-join on band key, then exact-Jaccard verification of
+    * candidates only. Output = verified pairs with J ≥ 0.6, which the
+    * brute-force oracle reproduces because banding at these parameters
+    * captures every qualifying pair in practice.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val shSets = shingled(spark, dir)
+    val ex = shSets.select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h", pmod(xxhash64(col("s")), lit(P)))
+    val mhAggs = (0 until 64).map(j =>
+      min(pmod(col("h") * seeds(j)._1 + seeds(j)._2, lit(P))).as(s"mh$j"))
+    val mh = ex.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    val bands = mh.select(col("doc_id"),
+        explode(array((0 until 32).map(g =>
+          concat_ws(":", lit(g), col(s"mh${2 * g}"), col(s"mh${2 * g + 1}"))): _*)).as("band"))
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(shSets.toDF("id_a", "sh_a"), "id_a")
+      .join(shSets.toDF("id_b", "sh_b"), "id_b")
+      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jac", col("c") / (size(col("sh_a")) + size(col("sh_b")) - col("c")))
+      .filter(col("jac") >= 0.6)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-dup: 64-bit signature (sign of per-bit ±1 votes over
+    * shingle hashes), pigeonhole-banded into 4 × 16-bit chunks — a pair
+    * within Hamming distance 3 MUST agree on at least one chunk, so the
+    * chunk-bucket join loses nothing. Output = pairs with Hamming ≤ 3.
+    * No SQL oracle (the signature depends on Spark's xxhash64); the driver
+    * records rows-only and DedupSpec pins exact-dup pairs at distance 0.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingled(spark, dir).select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+    val voteAggs = (0 until 64).map(k =>
+      sum(when(expr(s"shiftrightunsigned(h, $k) % 2") === 1, 1).otherwise(-1)).as(s"v$k"))
+    val votes = ex.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+    val bits = votes.select(col("doc_id"),
+      array((0 until 64).map(k => when(col(s"v$k") > 0, 1).otherwise(0)): _*).as("bits"))
+    val chunks = bits.select(col("doc_id"), col("bits"),
+      explode(array((0 until 4).map(c => concat_ws(":", lit(c),
+        expr(s"array_join(transform(slice(bits, ${c * 16 + 1}, 16), x -> cast(x as string)), '')"))): _*))
+        .as("chunk"))
+    val cand = chunks.as("a")
+      .join(chunks.as("b"), col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+              col("a.bits").as("bits_a"), col("b.bits").as("bits_b"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        expr("aggregate(zip_with(bits_a, bits_b, (x, y) -> CASE WHEN x = y THEN 0 ELSE 1 END), 0, (acc, v) -> acc + v)"))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-dup, brute force — the documented correctness
+    * baseline (quadratic; the sub-quadratic scale path is the LSH variant in
+    * Similarity.scala). Pairs with cosine ≥ 0.4.
+    */
+  def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cs", VectorOps.cosine(col("a.v"), col("b.v")))
+      .filter(col("cs") >= 0.4)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+              round(col("cs"), 4).as("cs"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_dedup_exact"            -> dedupExact _,
+    "q36_dedup_ngram_jaccard"    -> ngramJaccard _,
+    "q37_dedup_minhash_lsh"      -> minhashLsh _,
+    "q38_dedup_simhash"          -> simhash _,
+    "q39_dedup_embedding_cosine" -> embeddingCosine _,
+  )
+
+  private val shingleCte =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w)-1),
+      |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q35_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "q36_dedup_ngram_jaccard" -> (shingleCte +
+      """,
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+        |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY 1),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |           FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jac
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin),
+    "q37_dedup_minhash_lsh" -> (shingleCte +
+      """,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jac
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin),
+    "q39_dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |          * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cs
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |  / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+  )
+}

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{CentroidAggregator, VectorOps}
+import graft.tables.Tables._
+
+/** Similarity-search pillar over `embeddings` (ArrayType(FloatType), dim 64):
+  * brute-force cosine top-k as the correctness baseline, random-hyperplane
+  * LSH bucketing as the sub-quadratic scale path, and a typed-Aggregator
+  * centroid. All vector math is codegen'd array HOFs (VectorOps) — no UDFs.
+  *
+  * The LSH hyperplanes are fixed decimal literals embedded in BOTH the Spark
+  * plan and the DuckDB oracle SQL, so even the approximate path is
+  * hash-verified end-to-end (both engines evaluate the identical banding).
+  */
+object Similarity {
+
+  /** 16 random hyperplanes × 64 dims as decimal strings: parsing the same
+    * literal on both engines yields bit-identical doubles.
+    */
+  private val planes: Array[Array[String]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(16)(Array.fill(64)(f"${rnd.nextGaussian()}%.6f"))
+  }
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Brute-force cosine top-5 for probe vectors (vec_id < 10). The probe set
+    * is bounded by construction → broadcast; the corpus side streams, so the
+    * only shuffle is the per-probe window. (At extreme scale the window
+    * becomes a bounded-heap typed aggregation; the plan shape is otherwise
+    * scan-shaped.)
+    */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val probes = e.filter(col("vec_id") < 10).toDF("probe_id", "pv")
+    val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("vec_id"))
+    e.join(broadcast(probes), col("probe_id") =!= col("vec_id"))
+      .withColumn("cs", VectorOps.cosine(col("pv"), col("v")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), round(col("cs"), 4).as("cs"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** ANN via random-hyperplane LSH: 16 sign bits per vector, banded 4 × 4
+    * bits; probe and corpus rows meet only inside shared band buckets
+    * (groupable join on the band key — never all-pairs), candidates are then
+    * exactly re-scored and top-5 ranked. Approximate by design: recall is
+    * 1−∏(1−p⁴) per band with p = 1−θ/π; the oracle mirrors the banding
+    * literally, so correctness of the *computation* is still exact.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+      .withColumn("planes", typedlit(planes.map(_.map(_.toDouble).toSeq).toSeq))
+      .withColumn("bits", expr(
+        "transform(planes, p -> CASE WHEN aggregate(zip_with(v, p, (x, y) -> x * y), 0D, (acc, s) -> acc + s) > 0 THEN 1 ELSE 0 END)"))
+    val bands = e.select(col("vec_id"),
+      explode(array((0 until 4).map(g => concat_ws(":", lit(g),
+        expr(s"array_join(transform(slice(bits, ${g * 4 + 1}, 4), x -> cast(x as string)), '')"))): _*))
+        .as("band"))
+    val candIds = bands.as("p")
+      .join(bands.as("c"), col("p.band") === col("c.band") &&
+                           col("p.vec_id") < 10 && col("c.vec_id") =!= col("p.vec_id"))
+      .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("vec_id"))
+      .distinct()
+    val vecs = corpus(spark, dir)
+    val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("vec_id"))
+    candIds
+      .join(vecs.toDF("probe_id", "pv"), "probe_id")
+      .join(vecs.toDF("vec_id", "cv"), "vec_id")
+      .withColumn("cs", VectorOps.cosine(col("pv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), round(col("cs"), 4).as("cs"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** Per-label centroid via the typed `Aggregator` (partial-aggregated:
+    * only (sum, count) crosses the shuffle), exploded to (label, pos, val)
+    * rows for engine-independent comparison.
+    */
+  def labelCentroid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = embeddings(spark, dir)
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .as[(Int, Seq[Double])]
+    ds.groupByKey(_._1)
+      .agg(CentroidAggregator.centroid[(Int, Seq[Double])](_._2)
+        .toColumn.name("centroid"))
+      .toDF("label", "centroid")
+      .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "cval")))
+      .select(col("label"), col("pos"), round(col("cval"), 4).as("cval"))
+      .orderBy("label", "pos")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_similarity_topk"     -> cosineTopK _,
+    "q41_similarity_ann_lsh"  -> annLsh _,
+    "q42_label_centroid"      -> labelCentroid _,
+  )
+
+  private def duckCos(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  private val planesSql: String =
+    planes.map(_.mkString("[", ", ", "]")).mkString("[", ",\n  ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "q40_similarity_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+         |scored AS (SELECT probe_id, vec_id, ${duckCos("pv", "v")} AS cs
+         |           FROM probes JOIN e ON vec_id <> probe_id)
+         |SELECT probe_id, rnk, vec_id, round(cs, 4) AS cs
+         |FROM (SELECT probe_id, vec_id, cs,
+         |             row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, vec_id) AS rnk
+         |      FROM scored)
+         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+    "q41_similarity_ann_lsh" ->
+      s"""WITH planes(pl) AS (SELECT $planesSql),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bits AS (SELECT vec_id, list_transform(pl, p ->
+         |           CASE WHEN list_dot_product(v, p) > 0 THEN 1 ELSE 0 END) AS b
+         |         FROM e, planes),
+         |bands AS (SELECT vec_id, unnest(list_transform(range(0, 4), g ->
+         |            CAST(g AS VARCHAR) || ':' ||
+         |            array_to_string(list_transform(list_slice(b, g*4+1, g*4+4),
+         |                            x -> CAST(x AS VARCHAR)), ''))) AS band
+         |          FROM bits),
+         |cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS vec_id
+         |         FROM bands p JOIN bands c
+         |           ON p.band = c.band AND p.vec_id < 10 AND c.vec_id <> p.vec_id),
+         |scored AS (SELECT probe_id, cand.vec_id, ${duckCos("pe.v", "ce.v")} AS cs
+         |           FROM cand JOIN e pe ON pe.vec_id = probe_id
+         |                     JOIN e ce ON ce.vec_id = cand.vec_id)
+         |SELECT probe_id, rnk, vec_id, round(cs, 4) AS cs
+         |FROM (SELECT probe_id, vec_id, cs,
+         |             row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, vec_id) AS rnk
+         |      FROM scored)
+         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+    "q42_label_centroid" ->
+      """SELECT label, i - 1 AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS cval
+        |FROM embeddings, generate_series(1, 64) t(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+  )
+}

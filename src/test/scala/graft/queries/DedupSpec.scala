@@ -1,0 +1,41 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Cross-variant dedup invariants on sf0.001 — the oracle gate proves each
+  * query against DuckDB; these pin the relationships BETWEEN the variants.
+  */
+class DedupSpec extends SparkSpec {
+
+  test("minhash+LSH finds exactly the pairs exact n-gram Jaccard finds (J≥0.6, rare-shingle cap unbinding at tiny SF)") {
+    val exact = Dedup.ngramJaccard(spark, sfDir).select("id_a", "id_b").collect().toSet
+    val lsh = Dedup.minhashLsh(spark, sfDir).select("id_a", "id_b").collect().toSet
+    assert(lsh == exact, s"LSH=${lsh.size} exact=${exact.size}")
+  }
+
+  test("simhash pairs (Hamming ≤ 3) are precise: every one is a true near-dup (J ≥ 0.6)") {
+    // Recall has no hard bound (a J≈0.95 pair may land at Hamming 4+), but
+    // precision at this tight radius should be total on this corpus.
+    val sim = Dedup.simhash(spark, sfDir).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.nonEmpty, "expected planted near-dups to land within Hamming 3")
+    val trueDups = Dedup.ngramJaccard(spark, sfDir).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.subsetOf(trueDups),
+      s"simhash pairs that are not J≥0.6 near-dups: ${sim.diff(trueDups)}")
+  }
+
+  test("exact dedup partitions all docs: sum(n_copies) = row count") {
+    val total = Dedup.dedupExact(spark, sfDir)
+      .agg(sum("n_copies")).collect()(0).getLong(0)
+    val docs = graft.tables.Tables.documents(spark, sfDir).count()
+    assert(total == docs)
+  }
+
+  test("embedding-cosine near-dup is symmetric-free (id_a < id_b) and bounded") {
+    val rows = Dedup.embeddingCosine(spark, sfDir).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0))
+  }
+}
