@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables._
+
+/** Text-analysis pillar over `documents.text`: token statistics, TF-IDF,
+  * top-terms-per-language, character-n-gram language ID, quality scoring,
+  * and rolling-hash fingerprinting. Everything is built-in string/array
+  * functions and HOFs inside whole-stage codegen — the per-row work
+  * pipelines inside the scan stage, and the only shuffles are the group-bys,
+  * which is the shape that holds at 100 TB.
+  */
+object TextAnalysis {
+
+  /** doc_id (+lang) with the lowercased non-empty token array. */
+  private def tokenized(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(col("doc_id"), col("lang"),
+      expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+
+  /** Per-document token statistics (counting + length profile). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        round(expr("aggregate(transform(toks, t -> length(t)), 0, (a, v) -> a + v)")
+          .cast("double") / size(col("toks")), 4).as("avg_len"))
+      .orderBy("doc_id")
+
+  /** TF-IDF: tf per (doc, term), df per term, idf = ln(N/df); top-3 terms
+    * per document (docs < 50 to bound output; df/idf computed over the FULL
+    * corpus first). Two group-bys + one broadcast of the scalar doc count —
+    * no driver-side collect.
+    */
+  def tfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokenized(spark, dir).select(col("doc_id"), explode(col("toks")).as("word"))
+    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
+    tf.join(dfreq, "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .filter(col("doc_id") < 50)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("word"), round(col("tfidf"), 6).as("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Top-10 terms per language by frequency (window rank after group-agg). */
+  def topTermsPerLang(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("word"))
+    tokenized(spark, dir)
+      .select(col("lang"), explode(col("toks")).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select("lang", "rnk", "word", "cnt")
+      .orderBy("lang", "rnk")
+  }
+
+  // Character-trigram marker profiles for the language-ID heuristic. (This
+  // synthetic corpus shares one vocabulary across langs, so predictions
+  // skew 'en' — the operator is what's under test, and the oracle applies
+  // the identical profiles.)
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "ing", " a ", "ow ", "er "),
+    "de" -> Seq("der", "ein", "sch", "ung", "cht"),
+    "es" -> Seq("que", "los", "ión", "ent", "ado"),
+    "fr" -> Seq("les", "ent", "que", "eur", "ais"),
+  )
+
+  /** N-gram-heuristic language ID: count of profile trigrams present in the
+    * document's character-trigram stream per language; argmax with a fixed
+    * precedence tiebreak, 'und' when nothing matches.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scores = langProfiles.map { case (l, tris) =>
+      val arr = tris.map(t => s"'${t}'").mkString("array(", ", ", ")")
+      expr(s"size(filter(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)), t -> array_contains($arr, t)))")
+        .as(s"s_$l")
+    }
+    val pred = langProfiles.foldRight(lit("und")) { case ((l, _), e) =>
+      val others = langProfiles.map(_._1).filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      when(col(s"s_$l") > 0 && others, lit(l)).otherwise(e)
+    }
+    documents(spark, dir)
+      .select(col("doc_id") +: col("lang").as("true_lang") +: scores: _*)
+      .withColumn("pred_lang", pred)
+      .select("doc_id", "true_lang", "pred_lang", "s_en", "s_de", "s_es", "s_fr")
+      .orderBy("doc_id")
+  }
+
+  private val stopwords = Seq("the", "a", "is", "of", "and")
+
+  /** Quality scoring from length / punctuation / stopword ratios. The score
+    * is pure rational arithmetic (no transcendentals) and deliberately NOT
+    * rounded: identical IEEE ops in identical order give bit-equal doubles
+    * on both engines, whereas round() diverges on exact .xxxx5 halves
+    * (decimal-string HALF_UP vs binary-double rounding).
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    tokenized(spark, dir)
+      .join(documents(spark, dir).select("doc_id", "text"), "doc_id")
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_punct",
+        length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(toks, x -> array_contains($stopArr, x)))").cast("double")
+          / col("n_tokens"))
+      .withColumn("score",
+        lit(0.5) * col("stop_ratio")
+          + lit(0.5) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
+      .withColumn("bucket",
+        when(col("score") >= 0.5, "high").when(col("score") >= 0.25, "mid").otherwise("low"))
+      .select("doc_id", "n_tokens", "n_punct", "stop_ratio", "score", "bucket")
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: polynomial rolling hash (base 31, mod 1e9+7) over
+    * the normalized character stream — an order-sensitive exact fingerprint
+    * (vs. the order-insensitive md5 set digest in Dedup). Integer-only, so
+    * engine-independent.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("norm", regexp_replace(lower(col("text")), "[^a-z ]", ""))
+      .select(col("doc_id"),
+        expr("aggregate(transform(split(norm, ''), c -> cast(ascii(c) as bigint)), " +
+             "cast(0 as bigint), (h, c) -> pmod(h * 31 + c, 1000000007))").as("fp"))
+      .orderBy("doc_id")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_token_stats"        -> tokenStats _,
+    "q44_tf_idf"             -> tfIdf _,
+    "q45_top_terms_per_lang" -> topTermsPerLang _,
+    "q46_lang_id"            -> langId _,
+    "q47_quality_score"      -> qualityScore _,
+    "q48_fingerprint"        -> fingerprint _,
+  )
+
+  private val duckToks =
+    "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "q43_token_stats" ->
+      s"""SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         |       CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+         |       round(list_aggregate(list_transform(toks, t -> len(t)), 'sum') * 1.0
+         |             / len(toks), 4) AS avg_len
+         |FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "q44_tf_idf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, word, tf * ln(n_docs * 1.0 / df) AS tfidf
+         |           FROM tf JOIN dfreq USING (word) CROSS JOIN n
+         |           WHERE doc_id < 50)
+         |SELECT doc_id, rnk, word, round(tfidf, 6) AS tfidf
+         |FROM (SELECT doc_id, word, tfidf,
+         |             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rnk
+         |      FROM scored)
+         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q45_top_terms_per_lang" ->
+      s"""WITH toks AS (SELECT lang, unnest($duckToks) AS word FROM documents),
+         |cnts AS (SELECT lang, word, count(*) AS cnt FROM toks GROUP BY 1, 2)
+         |SELECT lang, rnk, word, cnt
+         |FROM (SELECT lang, word, cnt,
+         |             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rnk
+         |      FROM cnts)
+         |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+    "q46_lang_id" -> {
+      val scoreCols = langProfiles.map { case (l, tris) =>
+        val arr = tris.map(t => s"'$t'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(list_transform(range(1, len(text) - 1), i -> substr(text, i, 3)), t -> list_contains($arr, t))) AS INT) AS s_$l"
+      }.mkString(",\n       ")
+      val pred = langProfiles.reverse.foldLeft("'und'") { case (e, (l, _)) =>
+        val others = langProfiles.map(_._1).filter(_ != l)
+          .map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"CASE WHEN s_$l > 0 AND $others THEN '$l' ELSE $e END"
+      }
+      s"""SELECT doc_id, true_lang, $pred AS pred_lang, s_en, s_de, s_es, s_fr
+         |FROM (SELECT doc_id, lang AS true_lang,
+         |       $scoreCols
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q47_quality_score" -> {
+      val stopArr = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $duckToks AS toks FROM documents),
+         |scored AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS INT) AS n_tokens,
+         |         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS n_punct,
+         |         CAST(len(list_filter(toks, x -> list_contains($stopArr, x))) AS DOUBLE)
+         |           / len(toks) AS stop_ratio,
+         |         0.5 * (CAST(len(list_filter(toks, x -> list_contains($stopArr, x))) AS DOUBLE)
+         |           / len(toks))
+         |           + 0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS score
+         |  FROM base)
+         |SELECT doc_id, n_tokens, n_punct, stop_ratio, score,
+         |       CASE WHEN score >= 0.5 THEN 'high'
+         |            WHEN score >= 0.25 THEN 'mid' ELSE 'low' END AS bucket
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    "q48_fingerprint" ->
+      """SELECT doc_id,
+        |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |              list_transform(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ''),
+        |                             c -> CAST(ascii(c) AS BIGINT))),
+        |              (h, c) -> (h * 31 + c) % 1000000007) AS BIGINT) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
