@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.tables.Tables._
+
+/** Batch twins of the Structured Streaming surface (streaming/EventStreams):
+  * the SAME transformation functions applied to the bounded `events` table,
+  * so the oracle gate proves the logic that the streaming tests then drive
+  * through MemoryStream. Window starts are epoch-aligned in both engines
+  * (Spark `window()` and DuckDB `date_trunc`/`time_bucket`).
+  */
+object EventAnalytics {
+
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.tumblingByType(events(spark, dir))
+      .orderBy("w_start", "event_type")
+
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.slidingByType(events(spark, dir))
+      .orderBy("w_start", "event_type")
+
+  def session(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.sessionByUser(events(spark, dir))
+      .orderBy("user_id", "s_start")
+
+  def sessionStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[EventStreams.Event]
+    EventStreams.sessionizeStateful(ds).toDF()
+      .orderBy("user_id", "s_start")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_stream_tumbling"  -> tumbling _,
+    "q50_stream_sliding"   -> sliding _,
+    "q51_stream_session"   -> session _,
+    "q52_stream_sessionize_stateful" -> sessionStateful _,
+  )
+
+  // Session oracle: gap >= 30 min starts a new session (Spark merges session
+  // windows only on strict overlap, so an event at exactly start+gap is a
+  // NEW session); session end = last event + gap.
+  private val sessionOracle =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |lagged AS (SELECT user_id, ts, value,
+      |             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                       >= INTERVAL 30 MINUTE
+      |                  THEN 1 ELSE 0 END AS new_s
+      |           FROM e),
+      |sess AS (SELECT user_id, ts, value,
+      |           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                            ROWS UNBOUNDED PRECEDING) AS sid
+      |         FROM lagged)
+      |SELECT user_id, min(ts) AS s_start,
+      |       max(ts) + INTERVAL 30 MINUTE AS s_end,
+      |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, s_start""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q49_stream_tumbling" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+        |       date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS w_end,
+        |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""".stripMargin,
+    "q50_stream_sliding" ->
+      """SELECT w_start, event_type, count(*) AS n
+        |FROM (SELECT unnest([time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+        |                     time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+        |                       - INTERVAL 30 MINUTE]) AS w_start,
+        |             event_type
+        |      FROM events)
+        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "q51_stream_session" -> sessionOracle,
+    "q52_stream_sessionize_stateful" -> sessionOracle,
+  )
+}

