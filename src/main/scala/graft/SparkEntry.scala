@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ MapReduceQueries.all ++ Joins.all ++ Dedup.all ++
-      Similarity.all ++ TextAnalysis.all ++ EventAnalytics.all
+      Similarity.all ++ TextAnalysis.all ++ EventAnalytics.all ++
+      graft.multimodal.Multimodal.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ MapReduceQueries.oracles ++ Joins.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ TextAnalysis.oracles ++ EventAnalytics.oracles
+      Similarity.oracles ++ TextAnalysis.oracles ++ EventAnalytics.oracles ++
+      graft.multimodal.Multimodal.oracles
 }

@@ -286,6 +286,21 @@ object Relational {
            min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** Map functions over a MapType parsed from the JSON props string:
+    * from_json → map_keys / size / element_at (SURVEY §2.2 "Map functions").
+    */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_id"),
+              from_json(col("props"), org.apache.spark.sql.types.MapType(
+                org.apache.spark.sql.types.StringType,
+                org.apache.spark.sql.types.StringType)).as("m"))
+      .select(col("event_id"),
+              size(col("m")).as("n_keys"),
+              array_join(array_sort(map_keys(col("m"))), ",").as("keys"),
+              element_at(col("m"), "k").cast("long").as("k_val"))
+      .orderBy("event_id")
+
   /** CASE WHEN bucketing + conditional aggregation. */
   def caseWhen(spark: SparkSession, dir: String): DataFrame =
     orders(spark, dir)
@@ -354,6 +369,7 @@ object Relational {
     "q26_case_when"       -> caseWhen _,
     "q27_join_range"      -> joinRange _,
     "q28_grouping_sets"   -> groupingSets _,
+    "q53_map_funcs"       -> mapFuncs _,
     "x01_approx_count_distinct" -> approxCountDistinct _,
   )
 
@@ -514,6 +530,11 @@ object Relational {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q53_map_funcs" ->
+      """SELECT event_id, CAST(len(json_keys(props)) AS INT) AS n_keys,
+        |       array_to_string(list_sort(json_keys(props)), ',') AS keys,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
     "x01_approx_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact, true AS ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

@@ -32,4 +32,17 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  // ---- additional source formats (SURVEY §2.2 "File formats") ----
+  // Schema is always explicit: schema inference re-reads the data (a full
+  // extra pass at 100 TB) and can silently drift between runs.
+
+  def csv(s: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.schema(schema).option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]").csv(path)
+
+  def json(s: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.schema(schema).json(path)
+
+  def orc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
 }
