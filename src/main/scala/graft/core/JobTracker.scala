@@ -54,9 +54,9 @@ object JobTracker {
 
   private final class Listener(group: String) extends SparkListener {
     val state = new AtomicReference[JobState](JobState(UNDEFINED, 0f))
-    // stageId -> (isResultStage, totalTasks, completedTasks)
+    // stageId -> (isResultStage, totalTasks, completedTasks, startedTasks)
     private val stages = scala.collection.concurrent.TrieMap
-      .empty[Int, (Boolean, Int, Int)]
+      .empty[Int, (Boolean, Int, Int, Int)]
     private val myStages = scala.collection.concurrent.TrieMap.empty[Int, Boolean]
     @volatile private var done = false
 
@@ -75,8 +75,17 @@ object JobTracker {
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
       myStages.get(e.stageId).foreach { isResult =>
         stages.updateWith(e.stageId) {
-          case Some((r, t, c)) => Some((r, t, c + 1))
-          case None            => Some((isResult, 0, 1))
+          case Some((r, t, c, s)) => Some((r, t, c + 1, s))
+          case None               => Some((isResult, 0, 1, 0))
+        }
+        refresh()
+      }
+
+    override def onTaskStart(e: SparkListenerTaskStart): Unit =
+      myStages.get(e.stageId).foreach { isResult =>
+        stages.updateWith(e.stageId) {
+          case Some((r, t, c, s)) => Some((r, t, c, s + 1))
+          case None               => Some((isResult, 0, 0, 1))
         }
         refresh()
       }
@@ -84,8 +93,8 @@ object JobTracker {
     override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
       myStages.get(e.stageInfo.stageId).foreach { isResult =>
         stages.updateWith(e.stageInfo.stageId) {
-          case Some((r, _, c)) => Some((r, e.stageInfo.numTasks, c))
-          case None            => Some((isResult, e.stageInfo.numTasks, 0))
+          case Some((r, _, c, s)) => Some((r, e.stageInfo.numTasks, c, s))
+          case None               => Some((isResult, e.stageInfo.numTasks, 0, 0))
         }
         refresh()
       }
@@ -95,18 +104,21 @@ object JobTracker {
     private def refresh(): Unit = {
       val snap = stages.readOnlySnapshot().values.toSeq
       val (reduceStages, mapStages) = snap.partition(_._1)
-      def pct(ss: Seq[(Boolean, Int, Int)]): Float = {
+      def pct(ss: Seq[(Boolean, Int, Int, Int)], f: ((Boolean, Int, Int, Int)) => Int): Float = {
         val total = ss.map(_._2).sum
-        val compl = ss.map(_._3).sum
-        if (total <= 0) 0f else math.min(100f, compl.toFloat / total * 100f)
+        val n = ss.map(f).sum
+        if (total <= 0) 0f else math.min(100f, n.toFloat / total * 100f)
       }
       val next =
         if (done) JobState(REDUCE, 100f)
         else if (reduceStages.exists(_._3 > 0))
-          JobState(REDUCE, pct(reduceStages))
-        else if (mapStages.nonEmpty && pct(mapStages) >= 100f)
-          JobState(SHUFFLE, 0f)
-        else if (mapStages.nonEmpty) JobState(MAP, pct(mapStages))
+          JobState(REDUCE, pct(reduceStages, _._3))
+        else if (mapStages.nonEmpty && pct(mapStages, _._3) >= 100f)
+          // Within-shuffle progress ≙ the reference's pairs-grouped counter
+          // (`MapReduceFramework.cpp:192,205`): a reduce task's shuffle fetch
+          // begins at task start, so started/total approximates grouping %.
+          JobState(SHUFFLE, pct(reduceStages, _._4))
+        else if (mapStages.nonEmpty) JobState(MAP, pct(mapStages, _._3))
         else JobState(UNDEFINED, 0f)
       state.set(next)
     }

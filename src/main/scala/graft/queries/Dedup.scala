@@ -109,32 +109,32 @@ object Dedup {
   }
 
   /** SimHash near-dup: 64-bit signature (sign of per-bit ±1 votes over
-    * shingle hashes), pigeonhole-banded into 4 × 16-bit chunks — a pair
-    * within Hamming distance 3 MUST agree on at least one chunk, so the
-    * chunk-bucket join loses nothing. Output = pairs with Hamming ≤ 3.
-    * No SQL oracle (the signature depends on Spark's xxhash64); the driver
-    * records rows-only and DedupSpec pins exact-dup pairs at distance 0.
+    * shingle hashes) packed into ONE long — the candidate join then carries
+    * an 8-byte key instead of a 64-int array, and Hamming distance is a
+    * single `bit_count(sig_a ^ sig_b)`. Pigeonhole-banded into 4 × 16-bit
+    * chunks: a pair within Hamming distance 3 MUST agree on at least one
+    * chunk, so the chunk-bucket join loses nothing. Output = pairs with
+    * Hamming ≤ 3. No SQL oracle (the signature depends on Spark's
+    * xxhash64); the driver records rows-only and DedupSpec pins precision.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val ex = shingled(spark, dir).select(col("doc_id"), explode(col("sh")).as("s"))
       .withColumn("h", xxhash64(col("s")))
     val voteAggs = (0 until 64).map(k =>
       sum(when(expr(s"shiftrightunsigned(h, $k) % 2") === 1, 1).otherwise(-1)).as(s"v$k"))
-    val votes = ex.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
-    val bits = votes.select(col("doc_id"),
-      array((0 until 64).map(k => when(col(s"v$k") > 0, 1).otherwise(0)): _*).as("bits"))
-    val chunks = bits.select(col("doc_id"), col("bits"),
+    val sig = ex.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(k => when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+    val chunks = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(c => concat_ws(":", lit(c),
-        expr(s"array_join(transform(slice(bits, ${c * 16 + 1}, 16), x -> cast(x as string)), '')"))): _*))
-        .as("chunk"))
-    val cand = chunks.as("a")
+        shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)))): _*)).as("chunk"))
+    chunks.as("a")
       .join(chunks.as("b"), col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-              col("a.bits").as("bits_a"), col("b.bits").as("bits_b"))
+              col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()
-    cand
-      .withColumn("hamming",
-        expr("aggregate(zip_with(bits_a, bits_b, (x, y) -> CASE WHEN x = y THEN 0 ELSE 1 END), 0, (acc, v) -> acc + v)"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= 3)
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
@@ -145,10 +145,14 @@ object Dedup {
     * Similarity.scala). Pairs with cosine ≥ 0.4.
     */
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    // Precompute ||v|| once per vector: each of the O(n²) pairs then costs
+    // ONE dot product instead of three. sqrt-once-then-multiply is the same
+    // IEEE value as the oracle's inline sqrt(dot)·sqrt(dot).
     val e = embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(VectorOps.dot(col("v"), col("v"))))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cs", VectorOps.cosine(col("a.v"), col("b.v")))
+      .withColumn("cs", VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cs") >= 0.4)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
               round(col("cs"), 4).as("cs"))

@@ -25,9 +25,13 @@ object Similarity {
     Array.fill(16)(Array.fill(64)(f"${rnd.nextGaussian()}%.6f"))
   }
 
+  /** vec_id, v (double), nrm = ||v|| — norm precomputed once per vector so
+    * every scored pair costs a single dot product.
+    */
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(VectorOps.dot(col("v"), col("v"))))
 
   /** Brute-force cosine top-5 for probe vectors (vec_id < 10). The probe set
     * is bounded by construction → broadcast; the corpus side streams, so the
@@ -37,10 +41,10 @@ object Similarity {
     */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
-    val probes = e.filter(col("vec_id") < 10).toDF("probe_id", "pv")
+    val probes = e.filter(col("vec_id") < 10).toDF("probe_id", "pv", "pnrm")
     val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("vec_id"))
     e.join(broadcast(probes), col("probe_id") =!= col("vec_id"))
-      .withColumn("cs", VectorOps.cosine(col("pv"), col("v")))
+      .withColumn("cs", VectorOps.dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("probe_id"), col("rnk"), col("vec_id"), round(col("cs"), 4).as("cs"))
@@ -71,9 +75,9 @@ object Similarity {
     val vecs = corpus(spark, dir)
     val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("vec_id"))
     candIds
-      .join(vecs.toDF("probe_id", "pv"), "probe_id")
-      .join(vecs.toDF("vec_id", "cv"), "vec_id")
-      .withColumn("cs", VectorOps.cosine(col("pv"), col("cv")))
+      .join(vecs.toDF("probe_id", "pv", "pnrm"), "probe_id")
+      .join(vecs.toDF("vec_id", "cv", "cnrm"), "vec_id")
+      .withColumn("cs", VectorOps.dot(col("pv"), col("cv")) / (col("pnrm") * col("cnrm")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("probe_id"), col("rnk"), col("vec_id"), round(col("cs"), 4).as("cs"))
