@@ -40,13 +40,14 @@ object Joins {
   }
 
   /** Pure theta join (no equi conjunct) → BroadcastNestedLoopJoin. The
-    * build side is a filtered, genuinely small set (rich suppliers), so the
-    * broadcast stays bounded at any SF; the probe side streams. A theta join
-    * with an unbounded build side would be a cartesian blow-up at 100 TB —
-    * that shape is intentionally not offered.
+    * build side is the top-10 suppliers by balance (TakeOrderedAndProject),
+    * so the broadcast is bounded BY CONSTRUCTION at any SF; the probe side
+    * streams. A theta join with an unbounded build side would be a
+    * cartesian blow-up at 100 TB — that shape is intentionally not offered.
     */
   def joinThetaNl(spark: SparkSession, dir: String): DataFrame = {
-    val richSup = supplier(spark, dir).filter(col("s_acctbal") > 9000.0)
+    val richSup = supplier(spark, dir)
+      .orderBy(col("s_acctbal").desc, col("s_suppkey")).limit(10)
       .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
     val c = customer(spark, dir)
     richSup.join(c, col("s_acctbal") < col("c_acctbal") &&
@@ -111,7 +112,7 @@ object Joins {
         |ORDER BY nationkey""".stripMargin,
     "q33_join_theta_nl" ->
       """SELECT s_suppkey, s_name, count(1) AS n_richer_cust
-        |FROM (SELECT * FROM supplier WHERE s_acctbal > 9000.0) s
+        |FROM (SELECT * FROM supplier ORDER BY s_acctbal DESC, s_suppkey LIMIT 10) s
         |JOIN customer c ON s.s_acctbal < c.c_acctbal AND s.s_nationkey <> c.c_nationkey
         |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
     "q34_join_asof" ->
