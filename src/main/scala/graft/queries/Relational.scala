@@ -301,6 +301,21 @@ object Relational {
               element_at(col("m"), "k").cast("long").as("k_val"))
       .orderBy("event_id")
 
+  /** Skew-safe two-phase (salted) aggregation: `events.user_id` has a tiny
+    * key cardinality (hot keys at scale), so a single groupBy concentrates
+    * each key's traffic on one task. Salting spreads each key across 16
+    * partial aggregates, then the final agg combines 16 small rows per key.
+    * Identical result to a plain groupBy — the oracle IS the plain groupBy.
+    */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy("user_id", "salt")
+      .agg(count(lit(1)).as("pn"), sum("value").as("psum"))
+      .groupBy("user_id")
+      .agg(sum("pn").as("n"), round(sum("psum"), 2).as("sum_value"))
+      .orderBy("user_id")
+
   /** CASE WHEN bucketing + conditional aggregation. */
   def caseWhen(spark: SparkSession, dir: String): DataFrame =
     orders(spark, dir)
@@ -370,6 +385,7 @@ object Relational {
     "q27_join_range"      -> joinRange _,
     "q28_grouping_sets"   -> groupingSets _,
     "q53_map_funcs"       -> mapFuncs _,
+    "q55_salted_agg"      -> saltedAgg _,
     "x01_approx_count_distinct" -> approxCountDistinct _,
   )
 
@@ -535,6 +551,9 @@ object Relational {
         |       array_to_string(list_sort(json_keys(props)), ',') AS keys,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+    "q55_salted_agg" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "x01_approx_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact, true AS ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
