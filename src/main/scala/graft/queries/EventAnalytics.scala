@@ -34,11 +34,27 @@ object EventAnalytics {
       .orderBy("user_id", "s_start")
   }
 
+  /** Batch twin of the stream-stream interval join: clicks → same-user
+    * purchases within the next hour, aggregated per user.
+    */
+  def clickPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    EventStreams.clickToPurchase(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"))
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+           countDistinct(col("c_id")).as("n_clicks_converted"),
+           round(sum("p_value"), 2).as("purchase_value"))
+      .orderBy("user_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_stream_tumbling"  -> tumbling _,
     "q50_stream_sliding"   -> sliding _,
     "q51_stream_session"   -> session _,
     "q52_stream_sessionize_stateful" -> sessionStateful _,
+    "q58_stream_interval_join" -> clickPurchase _,
   )
 
   // Session oracle: gap >= 30 min starts a new session (Spark merges session
@@ -78,5 +94,16 @@ object EventAnalytics {
         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     "q51_stream_session" -> sessionOracle,
     "q52_stream_sessionize_stateful" -> sessionOracle,
+    "q58_stream_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |                  CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT c.user_id, count(*) AS n_pairs,
+        |       count(DISTINCT c.event_id) AS n_clicks_converted,
+        |       round(sum(p.value), 2) AS purchase_value
+        |FROM (SELECT * FROM e WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
   )
 }

@@ -175,6 +175,20 @@ object Relational {
       .except(supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
       .orderBy("nationkey")
 
+  /** INTERSECT ALL (bag semantics — multiplicity = min of the two sides). */
+  def setIntersectAll(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .intersectAll(supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+      .groupBy("nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("nationkey")
+
+  /** EXCEPT ALL (bag semantics — multiplicity = left minus right, floored). */
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .exceptAll(supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+      .groupBy("nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("nationkey")
+
   /** UNION ALL (bag semantics) — full-row sort keeps the sequence deterministic. */
   def setUnionAll(spark: SparkSession, dir: String): DataFrame =
     customer(spark, dir).select(col("c_nationkey").as("nationkey"), lit("c").as("src"))
@@ -386,6 +400,8 @@ object Relational {
     "q28_grouping_sets"   -> groupingSets _,
     "q53_map_funcs"       -> mapFuncs _,
     "q55_salted_agg"      -> saltedAgg _,
+    "q56_intersect_all"   -> setIntersectAll _,
+    "q57_except_all"      -> setExceptAll _,
     "x01_approx_count_distinct" -> approxCountDistinct _,
   )
 
@@ -554,6 +570,16 @@ object Relational {
     "q55_salted_agg" ->
       """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q56_intersect_all" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q57_except_all" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
     "x01_approx_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact, true AS ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

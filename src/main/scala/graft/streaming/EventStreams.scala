@@ -65,6 +65,22 @@ object EventStreams {
   def tumblingWithWatermark(events: DataFrame, delay: String): DataFrame =
     tumblingByType(events.withWatermark("ts", delay))
 
+  /** Stream-stream interval join: for each click, the same user's purchases
+    * within the following hour. In streaming, BOTH sides carry watermarks
+    * and the time-bound condition lets Spark expire join state — the only
+    * shape under which unbounded stream-stream joins hold memory-stable.
+    * In batch it is a plain range join on (user, time interval).
+    */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+                          col("event_id").as("c_id"))
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+                             col("event_id").as("p_id"), col("value").as("p_value"))
+    c.join(p, col("c_user") === col("p_user") &&
+              col("p_ts") >= col("c_ts") &&
+              col("p_ts") < col("c_ts") + expr("INTERVAL 1 HOUR"))
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class Session(user_id: Long, s_start: Timestamp, s_end: Timestamp,
                            n_events: Long, sum_value: Double)

@@ -69,6 +69,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join with watermarks equals the batch range join") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, "click", 0.0),
+      (1L, ts("2024-01-01 12:00:00"), 101L, "click", 0.0),
+      (2L, ts("2024-01-01 10:00:00"), 102L, "click", 0.0))
+    val purchases = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 200L, "purchase", 9.99), // joins click 100
+      (1L, ts("2024-01-01 12:59:00"), 201L, "purchase", 5.00), // joins click 101
+      (2L, ts("2024-01-01 13:00:00"), 202L, "purchase", 7.00), // outside any window
+      // advancers so both watermarks move past every join window
+      // (distinct users so the advancers cannot join each other):
+      (8L, ts("2024-01-01 20:00:00"), 298L, "purchase", 0.0))
+    val clickAdvancer = (9L, ts("2024-01-01 20:00:00"), 299L, "click", 0.0)
+    val cols = Seq("user_id", "ts", "event_id", "event_type", "value")
+
+    val msC = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val msP = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = EventStreams.clickToPurchase(
+        msC.toDF().toDF(cols: _*).withWatermark("ts", "10 minutes"),
+        msP.toDF().toDF(cols: _*).withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("t_ssj").outputMode("append").start()
+    try {
+      ms2Feed(msC, clicks :+ clickAdvancer); ms2Feed(msP, purchases)
+      q.processAllAvailable()
+      val streamed = spark.table("t_ssj")
+        .select("c_id", "p_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = EventStreams.clickToPurchase(
+          (clicks :+ clickAdvancer).toDF(cols: _*),
+          purchases.toDF(cols: _*))
+        .select("c_id", "p_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(batch == Set((100L, 200L), (101L, 201L)))
+    } finally q.stop()
+  }
+
+  private def ms2Feed(ms: MemoryStream[(Long, Timestamp, Long, String, Double)],
+                      rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
+    ms.addData(rows)
+
   test("flatMapGroupsWithState sessionization: stream across micro-batches equals batch session_window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
