@@ -84,6 +84,39 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
+  /** ANN via IVF (inverted-file) bucketing — the second scale path: the
+    * corpus is assigned to its nearest of 16 fixed centroids (here: the
+    * vectors with vec_id < 16, deterministic across engines; production
+    * would train k-means once offline), each probe searches only its
+    * nprobe=4 nearest centroid buckets. Assignment is one broadcast pass
+    * over the corpus; search touches ~nprobe/16 of the data.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val cents = e.filter(col("vec_id") < 16).toDF("cent_id", "cv", "cnrm")
+    val simToCent = e.crossJoin(broadcast(cents))
+      .withColumn("csim", VectorOps.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    val assign = simToCent.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
+    val probeBuckets = simToCent.filter(col("vec_id") < 10)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= 4).select(col("vec_id").as("probe_id"), col("cent_id"))
+    val candIds = probeBuckets.join(assign, "cent_id")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id").distinct()
+    val vecs = corpus(spark, dir)
+    val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("vec_id"))
+    candIds
+      .join(vecs.toDF("probe_id", "pv", "pnrm"), "probe_id")
+      .join(vecs.toDF("vec_id", "cv2", "cnrm2"), "vec_id")
+      .withColumn("cs", VectorOps.dot(col("pv"), col("cv2")) / (col("pnrm") * col("cnrm2")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), round(col("cs"), 4).as("cs"))
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Per-label centroid via the typed `Aggregator` (partial-aggregated:
     * only (sum, count) crosses the shuffle), exploded to (label, pos, val)
     * rows for engine-independent comparison.
@@ -106,6 +139,7 @@ object Similarity {
     "q40_similarity_topk"     -> cosineTopK _,
     "q41_similarity_ann_lsh"  -> annLsh _,
     "q42_label_centroid"      -> labelCentroid _,
+    "q59_similarity_ann_ivf"  -> annIvf _,
   )
 
   private def duckCos(a: String, b: String): String =
@@ -151,5 +185,34 @@ object Similarity {
       """SELECT label, i - 1 AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS cval
         |FROM embeddings, generate_series(1, 64) t(i)
         |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+    "q59_similarity_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |sims AS (SELECT n.vec_id, cent_id,
+        |                list_dot_product(v, cv) / (nrm * cnrm) AS csim
+        |         FROM n CROSS JOIN cents),
+        |assign AS (SELECT vec_id, cent_id
+        |           FROM (SELECT vec_id, cent_id, row_number() OVER
+        |                   (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+        |                 FROM sims)
+        |           WHERE rn = 1),
+        |pb AS (SELECT vec_id AS probe_id, cent_id
+        |       FROM (SELECT vec_id, cent_id, row_number() OVER
+        |               (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+        |             FROM sims WHERE vec_id < 10)
+        |       WHERE rn <= 4),
+        |cand AS (SELECT DISTINCT probe_id, a.vec_id
+        |         FROM pb JOIN assign a USING (cent_id)
+        |         WHERE a.vec_id <> probe_id),
+        |scored AS (SELECT probe_id, cand.vec_id,
+        |                  list_dot_product(p.v, c.v) / (p.nrm * c.nrm) AS cs
+        |           FROM cand JOIN n p ON p.vec_id = probe_id
+        |                     JOIN n c ON c.vec_id = cand.vec_id)
+        |SELECT probe_id, rnk, vec_id, round(cs, 4) AS cs
+        |FROM (SELECT probe_id, vec_id, cs,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, vec_id) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
   )
 }
