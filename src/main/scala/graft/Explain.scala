@@ -17,6 +17,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.matches(nameFilter))
       .foreach { case (name, fn) =>

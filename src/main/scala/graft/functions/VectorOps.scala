@@ -3,14 +3,23 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `ArrayType(DoubleType)` columns, built from codegen'd
-  * array HOFs (`zip_with`/`aggregate`) — no UDFs, so whole-stage codegen and
-  * Catalyst rewrites stay intact. Sums run in array order, which keeps the
-  * floating-point result bit-identical to a sequential oracle evaluation.
+/** Vector math over `ArrayType(DoubleType)` columns — no UDFs, so
+  * whole-stage codegen and Catalyst rewrites stay intact. Sums run in array
+  * order, which keeps the floating-point result bit-identical to a
+  * sequential oracle evaluation.
   */
 object VectorOps {
-  /** Σ aᵢ·bᵢ */
+  /** Σ aᵢ·bᵢ via the native codegen'd `DotProduct` expression (requires
+    * `GraftFunctions.register(spark)` at session setup). Bit-equal to
+    * `dotHof` — same multiply-add order.
+    */
   def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  /** HOF formulation of Σ aᵢ·bᵢ — registration-free fallback and the
+    * reference implementation DotProductSpec pins the native one against.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** Cosine similarity; callers cast inputs to array<double> first. */

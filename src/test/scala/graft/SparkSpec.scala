@@ -21,6 +21,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(s)
     s
   }
 }
