@@ -59,19 +59,27 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // Shingles are hashed to 64-bit keys up front: every downstream
-    // shuffle/join/agg then moves 8-byte longs instead of ~20-char strings.
+    // shuffle/agg then moves 8-byte longs instead of ~20-char strings.
     // (Collision risk over the distinct-shingle population is ~2⁻⁴⁵ —
     // far below the float-rounding noise floor the oracle already accepts.)
+    //
+    // Pair generation is ONE groupBy(shingle) into sorted doc-id buckets,
+    // with in-bucket pairs emitted by an array HOF — no self-join, so the
+    // shingle pipeline isn't recomputed per join side, and the df cap
+    // (bucket ≤ 100) bounds the per-key fan-out exactly as before.
     val sh = shingled(spark, dir)
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("s64"))
-    val rare = sh.groupBy("s64").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 100).select("s64")
-    val idx = sh.join(rare, "s64")
-    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = idx.as("a")
-      .join(idx.as("b"), col("a.s64") === col("b.s64") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val buckets = sh.groupBy("s64").agg(sort_array(collect_set("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= 100)
+    val sizes = buckets.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = buckets.filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ids)-2), " +
+        "i -> transform(slice(ids, i+2, size(ids)-i-1), y -> struct(ids[i] AS id_a, y AS id_b))))"))
+        .as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("c"))
     common
       .join(sizes.toDF("id_a", "na"), "id_a")
