@@ -315,6 +315,29 @@ object Relational {
               element_at(col("m"), "k").cast("long").as("k_val"))
       .orderBy("event_id")
 
+  /** PIVOT: long→wide reshaping with explicit pivot values (explicit so the
+    * output schema is static — value discovery would need an extra pass and
+    * a nondeterministic column order at scale).
+    */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum("l_quantity"), 2))
+      .orderBy("l_returnflag")
+
+  /** UNPIVOT (melt): wide→long, the inverse reshaping, on a projection of
+    * per-row measures.
+    */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount")),
+        "measure", "mval")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
   /** Skew-safe two-phase (salted) aggregation: `events.user_id` has a tiny
     * key cardinality (hot keys at scale), so a single groupBy concentrates
     * each key's traffic on one task. Salting spreads each key across 16
@@ -402,6 +425,8 @@ object Relational {
     "q55_salted_agg"      -> saltedAgg _,
     "q56_intersect_all"   -> setIntersectAll _,
     "q57_except_all"      -> setExceptAll _,
+    "q60_pivot"           -> pivotAgg _,
+    "q61_unpivot"         -> unpivotMeasures _,
     "x01_approx_count_distinct" -> approxCountDistinct _,
   )
 
@@ -580,6 +605,17 @@ object Relational {
         |  SELECT c_nationkey AS nationkey FROM customer
         |  EXCEPT ALL SELECT s_nationkey FROM supplier)
         |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q60_pivot" ->
+      """SELECT l_returnflag,
+        |       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
+        |       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q61_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, mval FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS mval FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "x01_approx_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact, true AS ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
