@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * sequential oracle evaluation.
   */
 object VectorOps {
-  /** Σ aᵢ·bᵢ via the native codegen'd `DotProduct` expression (requires
-    * `GraftFunctions.register(spark)` at session setup). Bit-equal to
-    * `dotHof` — same multiply-add order.
+  /** Σ aᵢ·bᵢ via the native codegen'd `DotProduct` expression, wrapped
+    * directly into a Column — works on any session, registered or not
+    * (`GraftFunctions.register` additionally exposes it to SQL as
+    * `graft_dot`). Bit-equal to `dotHof` — same multiply-add order.
     */
-  def dot(a: Column, b: Column): Column =
-    call_function("graft_dot", a, b)
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.classic.GraftColumnBridge
+    GraftColumnBridge.column(
+      DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
 
   /** HOF formulation of Σ aᵢ·bᵢ — registration-free fallback and the
     * reference implementation DotProductSpec pins the native one against.
