@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+
+/** Corpus-construction operators a training-data pipeline needs on top of
+  * the analysis pillars: deterministic sampling (uniform and stratified) and
+  * the end-to-end clean-corpus composition (dedup → quality filter → mix
+  * stats). Sampling is hash-based, NOT rand()-based: `md5(key)` makes the
+  * sample a pure function of the data, so it is reproducible across runs,
+  * engines, partitionings, and cluster sizes — `df.sample()`'s per-partition
+  * RNG changes membership whenever the partitioning changes, which is
+  * exactly what a 100 TB re-run can't afford. Comparing on the hex prefix
+  * keeps the predicate engine-portable (no hex→int conversion) and it
+  * pushes down to the scan like any other filter.
+  */
+object Corpus {
+
+  /** Uniform ~16% sample: md5 of the key, keep hex-prefix < 0x29 (41/256).
+    * Deterministic: the same doc_ids are selected at any SF and any
+    * parallelism.
+    */
+  def sampleHash(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < lit("29"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  // Per-stratum hex-prefix thresholds: en 50% ('80'=128/256), de 25%
+  // ('40'=64/256), everything else ~10% ('1a'=26/256) — the "mix languages
+  // at different rates" knob of corpus construction.
+  private def strataThreshold = when(col("lang") === "en", lit("80"))
+    .when(col("lang") === "de", lit("40"))
+    .otherwise(lit("1a"))
+
+  /** Stratified deterministic sample: per-language rates, reported as
+    * total vs sampled counts per stratum. One scan, no join — the stratum
+    * threshold is a CASE expression, and the sample decision is the same
+    * md5-prefix predicate as `sampleHash`, evaluated as a conditional
+    * aggregate so totals and samples come from a single pass.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("sampled",
+        substring(md5(col("doc_id").cast("string")), 1, 2) < strataThreshold)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+           count(when(col("sampled"), 1)).as("n_sampled"))
+      .orderBy("lang")
+
+  /** End-to-end clean-corpus pipeline — the composition every LLM data run
+    * executes: exact-dedup (keep min doc_id per md5(text) group) → quality
+    * gate (same score as q47, keep ≥ 0.25) → per-language mix report.
+    * Aggregates are chosen order-independent (counts, integer sums, min/max
+    * of per-row doubles) so the result is bit-equal at any partitioning —
+    * avg(double) would be summation-order-dependent.
+    */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = "array('the', 'a', 'is', 'of', 'and')"
+    val keep = documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    documents(spark, dir)
+      .join(keep, "doc_id")
+      .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("score",
+        lit(0.5) * (expr(s"size(filter(toks, x -> array_contains($stopArr, x)))")
+            .cast("double") / col("n_tokens"))
+          + lit(0.5) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
+      .filter(col("score") >= 0.25)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tokens").as("n_tokens_sum"),
+           min("score").as("min_score"),
+           max("score").as("max_score"))
+      .orderBy("lang")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_sample_hash"       -> sampleHash _,
+    "q64_sample_stratified" -> sampleStratified _,
+    "q67_clean_corpus"      -> cleanCorpus _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q63_sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+        |ORDER BY doc_id""".stripMargin,
+    "q64_sample_stratified" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |         CASE WHEN lang = 'en' THEN '80'
+        |              WHEN lang = 'de' THEN '40' ELSE '1a' END) AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q67_clean_corpus" ->
+      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |scored AS (
+        |  SELECT d.lang, CAST(len(toks) AS INT) AS n_tokens,
+        |         0.5 * (CAST(len(list_filter(toks, x -> list_contains(['the', 'a', 'is', 'of', 'and'], x))) AS DOUBLE)
+        |             / len(toks))
+        |           + 0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS score
+        |  FROM (SELECT doc_id, lang,
+        |               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |        FROM documents) d
+        |  JOIN keep USING (doc_id))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_sum,
+        |       min(score) AS min_score, max(score) AS max_score
+        |FROM scored WHERE score >= 0.25
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+  )
+}

@@ -135,8 +135,41 @@ object TextAnalysis {
              "cast(0 as bigint), (h, c) -> pmod(h * 31 + c, 1000000007))").as("fp"))
       .orderBy("doc_id")
 
+  /** Document-length distribution per language: exact interpolated
+    * percentiles (p25/p50/p90) plus the approximate-percentile sketch with a
+    * bounded-error acceptance flag — the same verifiability pattern as x01:
+    * the oracle checks the exact values, and `p50_ok` proves the sketch
+    * (mergeable, constant memory — the one that runs at 100 TB where exact
+    * percentile's full sort-per-group does not) lands within 10% of truth.
+    */
+  def tokenPercentiles(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(col("lang"), size(col("toks")).as("n"))
+      .groupBy("lang")
+      .agg(percentile(col("n"), array(lit(0.25), lit(0.5), lit(0.9))).as("ps"),
+           percentile_approx(col("n"), lit(0.5), lit(10000)).as("ap50"))
+      .select(col("lang"),
+        round(col("ps").getItem(0), 4).as("p25"),
+        round(col("ps").getItem(1), 4).as("p50"),
+        round(col("ps").getItem(2), 4).as("p90"),
+        (abs(col("ap50") - col("ps").getItem(1)) / col("ps").getItem(1) <= 0.1).as("p50_ok"))
+      .orderBy("lang")
+
+  /** Token-count histogram: fixed-width buckets of 20 tokens; per bucket the
+    * doc count and the observed range. One scan + one small agg — the shape
+    * to eyeball a corpus's length profile before choosing packing lengths.
+    */
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(floor(size(col("toks")) / 20).as("bucket"), size(col("toks")).as("n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), min("n").as("min_n"), max("n").as("max_n"))
+      .orderBy("bucket")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_token_stats"        -> tokenStats _,
+    "q65_token_percentiles"  -> tokenPercentiles _,
+    "q66_token_histogram"    -> tokenHistogram _,
     "q44_tf_idf"             -> tfIdf _,
     "q45_top_terms_per_lang" -> topTermsPerLang _,
     "q46_lang_id"            -> langId _,
@@ -155,6 +188,20 @@ object TextAnalysis {
          |             / len(toks), 4) AS avg_len
          |FROM (SELECT doc_id, $duckToks AS toks FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "q65_token_percentiles" ->
+      s"""SELECT lang,
+         |       round(quantile_cont(n, 0.25), 4) AS p25,
+         |       round(quantile_cont(n, 0.5), 4) AS p50,
+         |       round(quantile_cont(n, 0.9), 4) AS p90,
+         |       true AS p50_ok
+         |FROM (SELECT lang, CAST(len($duckToks) AS INT) AS n FROM documents)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q66_token_histogram" ->
+      s"""SELECT CAST(floor(n / 20) AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       min(n) AS min_n, max(n) AS max_n
+         |FROM (SELECT CAST(len($duckToks) AS INT) AS n FROM documents)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q44_tf_idf" ->
       s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS word FROM documents),
          |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
