@@ -49,8 +49,21 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** Batch twin of the ingestion dedup (`EventStreams.dedupEvents`): drop
+    * event_id duplicates, then the per-type profile. In batch the dedup is
+    * plain `dropDuplicates` — `dropDuplicatesWithinWatermark` is the
+    * streaming-only variant with bounded state, driven in StreamingSpec.
+    */
+  def dedupIngest(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_stream_tumbling"  -> tumbling _,
+    "q68_stream_dedup"     -> dedupIngest _,
     "q50_stream_sliding"   -> sliding _,
     "q51_stream_session"   -> session _,
     "q52_stream_sessionize_stateful" -> sessionStateful _,
@@ -92,6 +105,10 @@ object EventAnalytics {
         |             event_type
         |      FROM events)
         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "q68_stream_dedup" ->
+      """SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q51_stream_session" -> sessionOracle,
     "q52_stream_sessionize_stateful" -> sessionOracle,
     "q58_stream_interval_join" ->

@@ -81,6 +81,19 @@ object EventStreams {
               col("p_ts") < col("c_ts") + expr("INTERVAL 1 HOUR"))
   }
 
+  /** Ingestion dedup — at-least-once delivery (replayed files, retried
+    * producers) made exactly-once: duplicates of an `event_id` arriving
+    * within the watermark horizon are dropped, and state for ids older than
+    * the watermark is evicted, so state size is bounded by the delay × event
+    * rate rather than the stream's lifetime — the only dedup shape that
+    * survives an unbounded stream. Batch twin: plain `dropDuplicates`
+    * (q68 in EventAnalytics); duplicate-dropping itself is proven in
+    * StreamingSpec with planted dups.
+    */
+  def dedupEvents(events: DataFrame, delay: String): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class Session(user_id: Long, s_start: Timestamp, s_end: Timestamp,
                            n_events: Long, sum_value: Double)

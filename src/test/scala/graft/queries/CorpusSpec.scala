@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction invariants on sf0.001. The oracle gate proves value
+  * equality against DuckDB; these pin the properties that make the operators
+  * safe at scale: partitioning-independence of the hash sample, stratum
+  * bounds, and percentile ordering.
+  */
+class CorpusSpec extends SparkSpec {
+
+  test("hash sample is a pure function of the data: identical under repartition") {
+    val base = Corpus.sampleHash(spark, sfDir).collect().map(_.getLong(0)).toSet
+    // Same predicate applied after an adversarial repartition: rand()-based
+    // sample() would change membership here; md5-prefix must not.
+    val docs = graft.tables.Tables.documents(spark, sfDir).repartition(13)
+    val re = docs
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < lit("29"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(base == re)
+  }
+
+  test("stratified sample respects per-stratum bounds and approximate rates") {
+    val rows = Corpus.sampleStratified(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, total, sampled) =>
+      assert(sampled <= total, s"$lang sampled > total")
+      val rate = if (lang == "en") 128.0 / 256 else if (lang == "de") 64.0 / 256 else 26.0 / 256
+      // md5 prefixes are uniform; at sf0.001 strata are small (~20 docs), so
+      // allow a wide binomial tolerance — this guards inverted thresholds,
+      // not exact rates.
+      assert(math.abs(sampled.toDouble / total - rate) < 0.35,
+        s"$lang rate ${sampled.toDouble / total} far from $rate")
+    }
+  }
+
+  test("clean corpus never exceeds the deduped document count") {
+    val cleaned = Corpus.cleanCorpus(spark, sfDir)
+      .agg(sum("n_docs")).collect()(0).getLong(0)
+    val deduped = Dedup.dedupExact(spark, sfDir).count()
+    assert(cleaned <= deduped)
+    assert(cleaned > 0)
+  }
+
+  test("token percentiles are ordered and the approx sketch passes its bound") {
+    val rows = TextAnalysis.tokenPercentiles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p25, p50, p90) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p25 <= p50 && p50 <= p90, s"unordered percentiles: $p25 $p50 $p90")
+      assert(r.getBoolean(4), s"approx p50 outside 10% of exact for ${r.getString(0)}")
+    }
+  }
+
+  test("histogram buckets partition all documents exactly once") {
+    val hist = TextAnalysis.tokenHistogram(spark, sfDir).collect()
+    val total = hist.map(_.getLong(1)).sum
+    val docs = graft.tables.Tables.documents(spark, sfDir).count()
+    assert(total == docs)
+    hist.foreach { r =>
+      val (b, mn, mx) = (r.getLong(0), r.getInt(2), r.getInt(3))
+      assert(mn >= b * 20 && mx < (b + 1) * 20, s"bucket $b range [$mn,$mx] out of bounds")
+    }
+  }
+}

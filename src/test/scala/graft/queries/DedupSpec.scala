@@ -54,4 +54,27 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(r => r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0))
   }
+
+  test("cluster formation is a valid CC labeling of the near-dup pair graph") {
+    val labels = Dedup.dedupCluster(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.ngramJaccard(spark, sfDir).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty && labels.nonEmpty)
+    // Consistency: both endpoints of every edge carry the same label.
+    assert(pairs.forall { case (a, b) => labels(a) == labels(b) },
+      "edge endpoints in different clusters")
+    // Minimality: each label is the smallest doc_id in its cluster.
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid == members.keys.min, s"cluster $cid label is not its min member")
+    }
+    // Separation: docs in different components get different labels — check
+    // via union-find over the edges as an independent reference.
+    val parent = scala.collection.mutable.Map(labels.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val expected = labels.keys.groupBy(find)
+    assert(expected.values.map(_.toSet).toSet == labels.keys.groupBy(labels).values.map(_.toSet).toSet,
+      "cluster membership differs from union-find reference")
+  }
 }

@@ -110,6 +110,33 @@ class StreamingSpec extends SparkSpec {
                       rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
     ms.addData(rows)
 
+  test("dropDuplicatesWithinWatermark: replayed event_ids are emitted exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cols = Seq("user_id", "ts", "event_id", "event_type", "value")
+    val ms = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = EventStreams.dedupEvents(ms.toDF().toDF(cols: _*), "30 minutes")
+      .writeStream.format("memory").queryName("t_dedup").outputMode("append").start()
+    try {
+      // batch 1: two events, one delivered twice inside the same batch
+      ms.addData(Seq(
+        (1L, ts("2024-01-01 10:00:00"), 100L, "click", 1.0),
+        (1L, ts("2024-01-01 10:00:00"), 100L, "click", 1.0),
+        (2L, ts("2024-01-01 10:05:00"), 101L, "view", 2.0)))
+      q.processAllAvailable()
+      // batch 2: id 100 replayed again (still within the watermark horizon)
+      // plus one genuinely new event — only the new one may emerge.
+      ms.addData(Seq(
+        (1L, ts("2024-01-01 10:01:00"), 100L, "click", 1.0),
+        (3L, ts("2024-01-01 10:10:00"), 102L, "purchase", 3.0)))
+      q.processAllAvailable()
+      val ids = spark.table("t_dedup").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(100L, 101L, 102L),
+        s"expected each id exactly once, got $ids")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization: stream across micro-batches equals batch session_window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
