@@ -257,27 +257,34 @@ object Relational {
       .orderBy("o_custkey", "rnk")
   }
 
+  // (l_orderkey, l_linenumber) is NOT unique in this synthetic lineitem
+  // (~2% dup pairs), so sequence-sensitive window functions (moving frames,
+  // lag/lead) MUST break ties all the way to a unique key — otherwise the
+  // neighbor values depend on which engine/partitioning won the tie, and a
+  // result that happens to match today flakes under any replan. The 4-tuple
+  // below is verified unique at every test SF.
+  private val liRowOrder = Seq(col("l_shipdate"), col("l_orderkey"),
+    col("l_linenumber"), col("l_partkey"), col("l_extendedprice"))
+
   /** Window moving frame: 3-row moving quantity sum per supplier
     * (l_quantity is integral-valued → exact float parity).
     */
   def windowMoving(spark: SparkSession, dir: String): DataFrame = {
-    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-    val w = Window.partitionBy("l_suppkey").orderBy(order: _*).rowsBetween(-2, 0)
+    val w = Window.partitionBy("l_suppkey").orderBy(liRowOrder: _*).rowsBetween(-2, 0)
     lineitem(spark, dir)
       .withColumn("mv_qty", sum("l_quantity").over(w))
+      .orderBy(col("l_suppkey") +: liRowOrder.tail: _*)
       .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "mv_qty")
-      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
   }
 
   /** Window lag/lead: previous/next ship quantity per supplier. */
   def windowLagLead(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("l_suppkey")
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy("l_suppkey").orderBy(liRowOrder: _*)
     lineitem(spark, dir)
       .withColumn("prev_qty", lag("l_quantity", 1).over(w))
       .withColumn("next_qty", lead("l_quantity", 1).over(w))
+      .orderBy(col("l_suppkey") +: liRowOrder.tail: _*)
       .select("l_suppkey", "l_orderkey", "l_linenumber", "prev_qty", "next_qty")
-      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
   }
 
   /** ROLLUP subtotals (reference clients would run multiple jobs — SURVEY §2.2). */
@@ -565,19 +572,24 @@ object Relational {
         |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
         |  FROM orders)
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    // Window order + output order tie-broken to a verified-unique 4-tuple —
+    // (l_orderkey, l_linenumber) alone has dup pairs in this data, and
+    // sequence-sensitive frames must not depend on tie luck.
     "q17_window_moving" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
         |  sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv_qty
-        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin,
     "q18_window_lag_lead" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  lag(l_quantity, 1) OVER w AS prev_qty,
         |  lead(l_quantity, 1) OVER w AS next_qty
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin,
     "q19_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty, count(1) AS n
