@@ -33,6 +33,13 @@ object Dedup {
     */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
+      // The test corpus arrives as ONE parquet row group → one input
+      // partition, which would serialize all the per-doc string work onto a
+      // single core. Redistribute by doc_id first: the shuffle moves only
+      // the raw text (cheap), and every downstream map-side stage then runs
+      // at full parallelism. On a real multi-file corpus this is a no-op
+      // cost-wise — the explode/groupBy shuffles dominate.
+      .repartition(col("doc_id"))
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),

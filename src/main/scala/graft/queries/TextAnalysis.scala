@@ -14,10 +14,15 @@ import graft.tables.Tables._
   */
 object TextAnalysis {
 
-  /** doc_id (+lang) with the lowercased non-empty token array. */
+  /** doc_id (+lang) with the lowercased non-empty token array.
+    * Repartitioned by doc_id first: the test corpus is one parquet row group
+    * → one input partition, which would pin all tokenization to one core
+    * (same rationale as Dedup.shingled).
+    */
   private def tokenized(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir).select(col("doc_id"), col("lang"),
-      expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+    documents(spark, dir).repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
 
   /** Per-document token statistics (counting + length profile). */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
