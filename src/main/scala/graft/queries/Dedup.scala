@@ -170,6 +170,9 @@ object Dedup {
     // ONE dot product instead of three. sqrt-once-then-multiply is the same
     // IEEE value as the oracle's inline sqrt(dot)·sqrt(dot).
     val e = embeddings(spark, dir)
+      // Redistribute the single-row-group input: the O(n²) scoring's
+      // parallelism follows the streamed side's partitioning.
+      .repartition(col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(VectorOps.dot(col("v"), col("v"))))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))

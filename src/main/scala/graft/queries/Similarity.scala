@@ -30,6 +30,10 @@ object Similarity {
     */
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir)
+      // One parquet row group → one input partition: redistribute before the
+      // per-row vector math (bits, dot products) so it runs at full
+      // parallelism; per-row work only, so float results are unaffected.
+      .repartition(col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(VectorOps.dot(col("v"), col("v"))))
 
