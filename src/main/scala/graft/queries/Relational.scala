@@ -207,6 +207,26 @@ object Relational {
          |  GROUP BY l_orderkey, o_orderdate, o_orderpriority)
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
 
+  /** Statistical aggregates: dispersion (stddev/variance), association
+    * (covariance/correlation), and the regr_* linear-fit family — all
+    * partial-aggregated single-pass moments (sum, sum², sum·xy cross the
+    * shuffle, not rows), so the plan is the same map-side-combine shape as
+    * any group-agg at 100 TB. Rounded to 4 decimals: both engines use
+    * numerically-stable single-pass updates whose tiny order-dependent tails
+    * sit far below 1e-4.
+    */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+           round(var_samp(col("l_extendedprice")), 4).as("var_price"),
+           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qp"),
+           round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+           round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+           round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept"),
+           regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      .orderBy("l_returnflag")
+
   /** UNION (distinct) of two key sets. */
   def setUnion(spark: SparkSession, dir: String): DataFrame =
     customer(spark, dir).select(col("c_nationkey").as("nationkey"))
@@ -487,6 +507,7 @@ object Relational {
     "q61_unpivot"         -> unpivotMeasures _,
     "q69_hll_sketch"      -> hllSketch _,
     "q70_sql_tpch_q3"     -> sqlTpchQ3 _,
+    "q71_stats_agg"       -> statsAgg _,
     "x01_approx_count_distinct" -> approxCountDistinct _,
   )
 
@@ -698,6 +719,16 @@ object Relational {
         |    AND l_shipdate > TIMESTAMP '1995-03-15'
         |  GROUP BY l_orderkey, o_orderdate, o_orderpriority)
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q71_stats_agg" ->
+      """SELECT l_returnflag,
+        |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |       round(var_samp(l_extendedprice), 4) AS var_price,
+        |       round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp,
+        |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "x01_approx_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact, true AS ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
