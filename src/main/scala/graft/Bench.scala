@@ -13,13 +13,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
-    // Warm the session (codegen pipeline, file-index, shuffle machinery)
-    // so the first timed query doesn't absorb ~6s of one-time init, and
-    // time in sorted order so per-query numbers are comparable across
+    // Warm the session, then warm EVERY query once at the smallest SF:
+    // each query's first execution pays 1-2 s of Catalyst planning + janino
+    // codegen + JIT that is fixed cost, not throughput — running the plan on
+    // sf0.001 compiles the identical generated code at negligible data cost,
+    // so the timed sf0.1 pass below measures steady-state execution. Timing
+    // runs in sorted order so per-query numbers are comparable across
     // rounds regardless of Map iteration order.
     spark.range(1000).selectExpr("sum(id)").collect()
-    try SparkEntry.queries.head._2(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    val warmDir = {
+      val d = new java.io.File(sfDir).getParentFile
+      val w = new java.io.File(d, "sf0.001")
+      if (w.isDirectory && w.getPath != sfDir) w.getPath else sfDir
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
