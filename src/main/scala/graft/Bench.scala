@@ -14,10 +14,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     // Warm the session, then warm EVERY query once at the smallest SF:
-    // each query's first execution pays 1-2 s of Catalyst planning + janino
-    // codegen + JIT that is fixed cost, not throughput — running the plan on
-    // sf0.001 compiles the identical generated code at negligible data cost,
-    // so the timed sf0.1 pass below measures steady-state execution. Timing
+    // the first execution of each query pays Catalyst planning + janino
+    // codegen + JIT that is per-process fixed cost, not throughput —
+    // compiling each plan at sf0.001 first keeps that out of the timed
+    // numbers at negligible data cost. (Measured: warming at the target SF
+    // instead doubles wall time and does not change the timed pass — the
+    // recurring per-query cost is real stage work, not compile.) Timing
     // runs in sorted order so per-query numbers are comparable across
     // rounds regardless of Map iteration order.
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -27,9 +27,17 @@ object Dedup {
                     math.abs(rnd.nextLong()) % P))
   }
 
-  /** doc_id + its distinct word-trigram shingle set (the dedup unit: this
-    * corpus draws from a tiny shared vocabulary, so unigram sets saturate —
-    * trigram sequences are discriminative).
+  /** doc_id + its distinct word-trigram shingle set, as 64-bit hashes (the
+    * dedup unit: this corpus draws from a tiny shared vocabulary, so unigram
+    * sets saturate — trigram sequences are discriminative).
+    *
+    * Shingles are hashed at CONSTRUCTION: each token is xxhash64'd once,
+    * then a trigram key is one xxhash64 over the three token hashes — no
+    * trigram string is ever materialized, distinct/intersect run on 8-byte
+    * longs, and every downstream shuffle carries longs. Set cardinalities
+    * (hence Jaccard values) are unchanged: a collision anywhere in the
+    * distinct-shingle population is ~2⁻⁴⁵ — far below the float-rounding
+    * noise floor the oracles already accept.
     */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
@@ -40,11 +48,12 @@ object Dedup {
       // at full parallelism. On a real multi-file corpus this is a no-op
       // cost-wise — the explode/groupBy shuffles dominate.
       .repartition(col("doc_id"))
-      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
-        expr("array_distinct(transform(sequence(0, size(w)-3), " +
-             "i -> concat_ws(' ', w[i], w[i+1], w[i+2])))").as("sh"))
+        expr("transform(split(lower(text), ' '), t -> xxhash64(t))").as("th"))
+      .filter(size(col("th")) >= 3)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(0, size(th)-3), " +
+             "i -> xxhash64(th[i], th[i+1], th[i+2])))").as("sh"))
 
   /** Exact dedup: group on md5(text), keep min doc_id as representative.
     * Hashing first means the shuffle carries a 32-byte digest instead of the
@@ -65,18 +74,13 @@ object Dedup {
     * Jaccard is over the rare-shingle sets, identically in the oracle.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // Shingles are hashed to 64-bit keys up front: every downstream
-    // shuffle/agg then moves 8-byte longs instead of ~20-char strings.
-    // (Collision risk over the distinct-shingle population is ~2⁻⁴⁵ —
-    // far below the float-rounding noise floor the oracle already accepts.)
-    //
     // Pair generation is ONE groupBy(shingle) into sorted doc-id buckets,
     // with in-bucket pairs emitted by an array HOF — no self-join, so the
     // shingle pipeline isn't recomputed per join side, and the df cap
     // (bucket ≤ 100) bounds the per-key fan-out exactly as before.
+    // (Shingles arrive pre-hashed to longs from `shingled`.)
     val sh = shingled(spark, dir)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("s64"))
+      .select(col("doc_id"), explode(col("sh")).as("s64"))
     val buckets = sh.groupBy("s64").agg(sort_array(collect_set("doc_id")).as("ids"))
       .filter(size(col("ids")) <= 100)
     val sizes = buckets.select(explode(col("ids")).as("doc_id"))
@@ -108,7 +112,7 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val shSets = shingled(spark, dir)
     val ex = shSets.select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("h", pmod(xxhash64(col("s")), lit(P)))
+      .withColumn("h", pmod(col("s"), lit(P)))
     val mhAggs = (0 until 64).map(j =>
       min(pmod(col("h") * seeds(j)._1 + seeds(j)._2, lit(P))).as(s"mh$j"))
     val mh = ex.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
@@ -139,8 +143,8 @@ object Dedup {
     * xxhash64); the driver records rows-only and DedupSpec pins precision.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shingled(spark, dir).select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("h", xxhash64(col("s")))
+    val ex = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
     val voteAggs = (0 until 64).map(k =>
       sum(when(expr(s"shiftrightunsigned(h, $k) % 2") === 1, 1).otherwise(-1)).as(s"v$k"))
     val sig = ex.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
@@ -206,7 +210,10 @@ object Dedup {
     // Convergence via sum(label): min-labels only ever decrease, so the sum
     // strictly decreases iff any label changed — one scalar agg per round
     // instead of a join-and-count.
-    def labelSum(): Long = labels.agg(sum("label")).first().getLong(0)
+    // coalesce: sum over an empty label set is NULL — a pairless corpus
+    // (nothing crosses the Jaccard threshold) must terminate, not NPE.
+    def labelSum(): Long =
+      labels.agg(coalesce(sum("label"), lit(0L))).first().getLong(0)
     var prevSum = Long.MaxValue
     var curSum = labelSum()
     while (curSum < prevSum) {
