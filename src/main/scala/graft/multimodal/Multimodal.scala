@@ -57,25 +57,85 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Resize planning: aspect-preserving fit into a 224×224 box, computed as
+    * pure integer arithmetic over the decoded dimensions (engine-exact; a
+    * real pipeline would hand (new_w, new_h) to the codec's scaler). Runs as
+    * codegen'd column expressions on the feature schema — after decode,
+    * multimodal work IS relational work.
+    */
+  def resizePlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .mapPartitions(decodeBatch)
+      .toDF()
+      .withColumn("long_side", greatest(col("width"), col("height")))
+      .select(col("doc_id"), col("width"), col("height"),
+        expr("CAST(width * 224 DIV long_side AS INT)").as("new_w"),
+        expr("CAST(height * 224 DIV long_side AS INT)").as("new_h"))
+      .orderBy("doc_id")
+  }
+
+  /** Frame sampling for video-shaped media: the payload "is" a clip with a
+    * deterministic synthetic frame count; emit every k-th frame index so
+    * each clip yields ≤ 8 frames — the 1→N generator (explode) shape a real
+    * frame sampler has, with the decode stub standing in for the codec.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .mapPartitions(decodeBatch)
+      .toDF()
+      .withColumn("n_frames", (col("checksum") % 300 + 1).cast("int"))
+      .withColumn("step", greatest(expr("CAST(n_frames DIV 8 AS INT)"), lit(1)))
+      .select(col("doc_id"), col("n_frames"),
+        explode(expr("sequence(0, n_frames - 1, step)")).as("frame_idx"))
+      .select("doc_id", "frame_idx", "n_frames")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_multimodal_features" -> features _,
+    "q72_multimodal_resize"   -> resizePlan _,
+    "q73_multimodal_frames"   -> frameSample _,
   )
 
   // The stub decode is closed-form over the bytes (ASCII corpus → byte value
   // = ascii code), so DuckDB can replay it exactly.
+  private val checksumCte =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                list_transform(string_split(text, ''),
+      |                               c -> CAST(ascii(c) AS BIGINT))),
+      |                (h, c) -> (h * 31 + c) % 1000000007) AS BIGINT) AS checksum
+      |  FROM documents)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q54_multimodal_features" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |                list_transform(string_split(text, ''),
-        |                               c -> CAST(ascii(c) AS BIGINT))),
-        |                (h, c) -> (h * 31 + c) % 1000000007) AS BIGINT) AS checksum
-        |  FROM documents)
+    "q54_multimodal_features" -> (checksumCte +
+      """
         |SELECT doc_id, n_bytes, checksum,
         |       CAST(1 + checksum % 640 AS INT) AS width,
         |       CAST(1 + checksum % 480 AS INT) AS height
-        |FROM f ORDER BY doc_id""".stripMargin,
+        |FROM f ORDER BY doc_id""".stripMargin),
+    "q72_multimodal_resize" -> (checksumCte +
+      """,
+        |dims AS (SELECT doc_id,
+        |                CAST(1 + checksum % 640 AS INT) AS width,
+        |                CAST(1 + checksum % 480 AS INT) AS height
+        |         FROM f)
+        |SELECT doc_id, width, height,
+        |       CAST(width * 224 // greatest(width, height) AS INT) AS new_w,
+        |       CAST(height * 224 // greatest(width, height) AS INT) AS new_h
+        |FROM dims ORDER BY doc_id""".stripMargin),
+    "q73_multimodal_frames" -> (checksumCte +
+      """,
+        |clips AS (SELECT doc_id, CAST(checksum % 300 + 1 AS INT) AS n_frames FROM f),
+        |stepped AS (SELECT doc_id, n_frames,
+        |                   greatest(CAST(n_frames // 8 AS INT), 1) AS step
+        |            FROM clips)
+        |SELECT doc_id, CAST(unnest(range(0, n_frames, step)) AS INT) AS frame_idx,
+        |       n_frames
+        |FROM stepped ORDER BY doc_id, frame_idx""".stripMargin),
   )
 }
