@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded-state top-K typed `Aggregator` — the extreme-scale alternative to
+  * `row_number().over(Window)` for per-group top-K: a window must sort every
+  * row of a group (and a hot group's rows all land in one task), while this
+  * aggregator carries at most K entries per group through partial
+  * aggregation, so memory is O(K) per group per task and partials merge
+  * associatively on the map side. Candidates are compared by (score DESC,
+  * id ASC) — a total order, so the result is deterministic and independent
+  * of partitioning/merge order.
+  *
+  * State is a sorted List capped at K: for the K ≤ ~100 regime this beats a
+  * heap on constant factors and keeps the buffer encoder a plain product.
+  */
+object TopKAggregator {
+
+  case class Scored(id: Long, score: Double)
+
+  private def better(a: Scored, b: Scored): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  /** Insert keeping the list sorted best-first, truncated at k. */
+  private def insert(k: Int)(b: List[Scored], s: Scored): List[Scored] = {
+    val (hi, lo) = b.span(better(_, s))
+    val merged = hi ::: s :: lo
+    if (merged.length > k) merged.take(k) else merged
+  }
+
+  /** Top-k of `get(row)` per group, best-first. */
+  def topK[I](k: Int)(get: I => Scored): Aggregator[I, List[Scored], List[Scored]] =
+    new Aggregator[I, List[Scored], List[Scored]] {
+      def zero: List[Scored] = Nil
+      def reduce(b: List[Scored], row: I): List[Scored] = insert(k)(b, get(row))
+      def merge(a: List[Scored], b: List[Scored]): List[Scored] =
+        b.foldLeft(a)(insert(k))
+      def finish(b: List[Scored]): List[Scored] = b
+      def bufferEncoder: Encoder[List[Scored]] = ExpressionEncoder[List[Scored]]()
+      def outputEncoder: Encoder[List[Scored]] = ExpressionEncoder[List[Scored]]()
+    }
+}

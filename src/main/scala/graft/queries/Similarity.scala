@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.{CentroidAggregator, VectorOps}
+import graft.functions.{CentroidAggregator, TopKAggregator, VectorOps}
 import graft.tables.Tables._
 
 /** Similarity-search pillar over `embeddings` (ArrayType(FloatType), dim 64):
@@ -51,6 +51,34 @@ object Similarity {
       .withColumn("cs", VectorOps.dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), round(col("cs"), 4).as("cs"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** Brute-force cosine top-5 via the bounded-state `TopKAggregator` — the
+    * SAME semantics as `cosineTopK` (one shared oracle proves both), but the
+    * per-probe ranking is a typed aggregation carrying at most 5 entries
+    * through partial aggregation instead of a window sort over every scored
+    * row. This is the plan that survives a hot probe at 100 TB: the window
+    * variant funnels all of a probe's rows into one task and sorts them; the
+    * aggregator's partials are merged associatively map-side, O(K) state.
+    */
+  def cosineTopKAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = corpus(spark, dir)
+    val probes = e.filter(col("vec_id") < 10).toDF("probe_id", "pv", "pnrm")
+    val scored = e.join(broadcast(probes), col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"),
+        col("vec_id"),
+        (VectorOps.dot(col("pv"), col("v")) / (col("pnrm") * col("nrm"))).as("cs"))
+      .as[(Long, Long, Double)]
+    scored.groupByKey(_._1)
+      .agg(TopKAggregator.topK[(Long, Long, Double)](5)(r =>
+        TopKAggregator.Scored(r._2, r._3)).toColumn.name("top"))
+      .flatMap { case (probeId, top) =>
+        top.zipWithIndex.map { case (s, i) => (probeId, i + 1, s.id, s.score) }
+      }
+      .toDF("probe_id", "rnk", "vec_id", "cs")
       .select(col("probe_id"), col("rnk"), col("vec_id"), round(col("cs"), 4).as("cs"))
       .orderBy("probe_id", "rnk")
   }
@@ -144,6 +172,7 @@ object Similarity {
     "q41_similarity_ann_lsh"  -> annLsh _,
     "q42_label_centroid"      -> labelCentroid _,
     "q59_similarity_ann_ivf"  -> annIvf _,
+    "q74_similarity_topk_agg" -> cosineTopKAgg _,
   )
 
   private def duckCos(a: String, b: String): String =
@@ -153,6 +182,18 @@ object Similarity {
     planes.map(_.mkString("[", ", ", "]")).mkString("[", ",\n  ", "]")
 
   val oracles: Map[String, String] = Map(
+    // q74 computes the identical result through the bounded-state typed
+    // aggregator — one oracle text proves both implementations.
+    "q74_similarity_topk_agg" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+         |scored AS (SELECT probe_id, vec_id, ${duckCos("pv", "v")} AS cs
+         |           FROM probes JOIN e ON vec_id <> probe_id)
+         |SELECT probe_id, rnk, vec_id, round(cs, 4) AS cs
+         |FROM (SELECT probe_id, vec_id, cs,
+         |             row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, vec_id) AS rnk
+         |      FROM scored)
+         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
     "q40_similarity_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
