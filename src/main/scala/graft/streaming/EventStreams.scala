@@ -17,14 +17,17 @@ import java.sql.Timestamp
 object EventStreams {
 
   /** Unbounded file-source twin of `Tables.events` (same schema + nanos→µs
-    * conversion). `maxFilesPerTrigger=1` keeps micro-batches bounded.
+    * conversion). `path` is a DIRECTORY of event parquet part-files — the
+    * deployment shape (a landing directory that producers append files to;
+    * Spark's streaming file source rejects a bare file path).
+    * `maxFilesPerTrigger=1` keeps micro-batches bounded.
     */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = graft.tables.Tables.table(spark, dir, "events").schema
+  def readEventStream(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(s"$dir/events.parquet")
+      .parquet(path)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

@@ -137,6 +137,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream through a checkpointed parquet sink equals batch") {
+    // Drives the real unbounded path: readEventStream (parquet file source,
+    // nanos→µs conversion) → windowed agg → parquet sink with a checkpoint —
+    // the deployment shape, not MemoryStream. Complete-mode aggregates can't
+    // write to files, so the stream runs in append mode with a watermark and
+    // the comparison covers the windows the watermark has closed.
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    // Stage the fixture as a landing DIRECTORY (the streaming file source
+    // rejects a bare file path).
+    val landing = java.nio.file.Files.createTempDirectory("graft_events_dir")
+    java.nio.file.Files.createSymbolicLink(
+      landing.resolve("part-0.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val src = EventStreams.readEventStream(spark, landing.toString)
+    val q = EventStreams.tumblingWithWatermark(src, "0 seconds")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+    val batch = EventStreams.tumblingByType(
+      graft.tables.Tables.events(spark, sfDir))
+    // With a zero watermark delay every window before the max event time is
+    // closed and flushed; only the final (open) window may be missing.
+    val maxStart = batch.agg(max("w_start")).collect()(0).getTimestamp(0)
+    val closedBatch = batch.filter(col("w_start") < maxStart)
+      .collect().map(_.toSeq).toSet
+    val closedStream = streamed.filter(col("w_start") < maxStart)
+      .collect().map(_.toSeq).toSet
+    assert(closedStream == closedBatch,
+      s"stream=${closedStream.size} batch=${closedBatch.size}")
+    assert(closedBatch.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization: stream across micro-batches equals batch session_window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
