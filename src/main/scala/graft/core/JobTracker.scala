@@ -44,12 +44,14 @@ object JobTracker {
       */
     def waitForJob(): T = Await.result(future, Duration.Inf)
 
-    /** ≡ `closeJobHandle` (`MapReduceFramework.cpp:404-414`): wait + release. */
-    def close(): T = {
-      val r = waitForJob()
-      spark.sparkContext.removeSparkListener(listener)
-      r
-    }
+    /** ≡ `closeJobHandle` (`MapReduceFramework.cpp:404-414`): wait + release.
+      * The listener is released even when the job failed — user-code errors
+      * (reference Y3: the C++ framework exits the process; we surface them
+      * as the wait's exception) must not leak a SparkListener per failure.
+      */
+    def close(): T =
+      try waitForJob()
+      finally spark.sparkContext.removeSparkListener(listener)
   }
 
   private final class Listener(group: String) extends SparkListener {

@@ -56,4 +56,27 @@ class JobTrackerSpec extends SparkSpec {
     handle.close()
     assert(pcts.zip(pcts.drop(1)).forall { case (a, b) => a <= b })
   }
+  test("Y3: user-code failure surfaces as the wait's exception; close still releases") {
+    val ds = spark.range(0, 1000).map(i => (i % 10, 1L))
+    val handle = JobTracker.start(spark) {
+      ds.groupByKey(_._1).mapGroups { (k, it) =>
+        if (k == 3) throw new IllegalStateException("user reduce blew up")
+        (k, it.size)
+      }.collect().length
+    }
+    val err = intercept[Exception] { handle.close() }
+    // Spark wraps user exceptions in SparkException chains; the root cause
+    // must be OUR failure, not a framework artifact.
+    def causes(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(causes(err).exists(_.getMessage != null)
+      && causes(err).exists(c => String.valueOf(c.getMessage).contains("user reduce blew up")),
+      s"unexpected failure chain: ${causes(err).map(_.toString)}")
+    // close released the listener even though the job failed: the session
+    // keeps working and a fresh job tracks from a clean state.
+    val ok = JobTracker.start(spark) {
+      ds.groupByKey(_._1).mapGroups((k, it) => (k, it.size)).collect().length
+    }
+    assert(ok.close() == 10)
+  }
 }
