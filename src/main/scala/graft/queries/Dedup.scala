@@ -83,33 +83,48 @@ object Dedup {
     * standard stop-shingle cap that bounds per-key join fan-out at scale;
     * Jaccard is over the rare-shingle sets, identically in the oracle.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // Pair generation is ONE groupBy(shingle) into sorted doc-id buckets,
-    // with in-bucket pairs emitted by an array HOF — no self-join, so the
-    // shingle pipeline isn't recomputed per join side, and the df cap
-    // (bucket ≤ 100) bounds the per-key fan-out exactly as before.
-    // (Shingles arrive pre-hashed to longs from `shingled`.)
-    val sh = shingled(spark, dir)
-      .select(col("doc_id"), explode(col("sh")).as("s64"))
-    val buckets = sh.groupBy("s64").agg(sort_array(collect_set("doc_id")).as("ids"))
-      .filter(size(col("ids")) <= 100)
-    val sizes = buckets.select(explode(col("ids")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = buckets.filter(size(col("ids")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(sequence(0, size(ids)-2), " +
-        "i -> transform(slice(ids, i+2, size(ids)-i-1), y -> struct(ids[i] AS id_a, y AS id_b))))"))
-        .as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.toDF("id_a", "na"), "id_a")
-      .join(sizes.toDF("id_b", "nb"), "id_b")
-      .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
-      .filter(col("jac") >= 0.6)
+  // The verified near-dup pair table (J ≥ 0.6) is itself a shared pipeline
+  // artifact: the reporting query (q36) and cluster formation (q62) both
+  // consume it, so like the shingle index it is materialized once per
+  // (session, corpus).
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** (id_a, id_b, jac) with exact Jaccard ≥ 0.6, id_a < id_b, unrounded.
+    * Pair generation is ONE groupBy(shingle) into sorted doc-id buckets,
+    * with in-bucket pairs emitted by an array HOF — no self-join, so the
+    * shingle pipeline isn't recomputed per join side, and the df cap
+    * (bucket ≤ 100) bounds the per-key fan-out.
+    * (Shingles arrive pre-hashed to longs from `shingled`.)
+    */
+  private def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    pairCache.getOrElseUpdate((spark, dir), {
+      val sh = shingled(spark, dir)
+        .select(col("doc_id"), explode(col("sh")).as("s64"))
+      val buckets = sh.groupBy("s64").agg(sort_array(collect_set("doc_id")).as("ids"))
+        .filter(size(col("ids")) <= 100)
+      val sizes = buckets.select(explode(col("ids")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val common = buckets.filter(size(col("ids")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(0, size(ids)-2), " +
+          "i -> transform(slice(ids, i+2, size(ids)-i-1), y -> struct(ids[i] AS id_a, y AS id_b))))"))
+          .as("p"))
+        .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.toDF("id_a", "na"), "id_a")
+        .join(sizes.toDF("id_b", "nb"), "id_b")
+        .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+        .filter(col("jac") >= 0.6)
+        .select(col("id_a"), col("id_b"), col("jac"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(spark, dir)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
       .orderBy("id_a", "id_b")
-  }
 
   /** MinHash + LSH near-dup, the 100 TB-shaped plan: 64-fn minhash
     * signature per doc (one agg over exploded shingles), banded b=32 × r=2
@@ -212,7 +227,7 @@ object Dedup {
     * MapReduce and Beyond", SoCC'14) — same join shape, O(log n) rounds.
     */
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select("id_a", "id_b")
+    val pairs = nearDupPairs(spark, dir).select("id_a", "id_b")
     val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").persist()
     var labels = edges.select(col("src").as("id")).distinct()
