@@ -207,6 +207,34 @@ object Relational {
          |  GROUP BY l_orderkey, o_orderdate, o_orderpriority)
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
 
+  /** Correlated EXISTS subquery — Catalyst decorrelates it into a left-semi
+    * join (shuffle on the correlation key), the plan a hand-written semi
+    * join gets; the SQL front-end surface is what's under test.
+    */
+  def existsSubquery(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT c_custkey, c_name
+         |FROM parquet.`$dir/customer.parquet` c
+         |WHERE EXISTS (
+         |  SELECT 1 FROM parquet.`$dir/orders.parquet` o
+         |  WHERE o.o_custkey = c.c_custkey
+         |    AND o.o_totalprice > 400000
+         |    AND o.o_orderdate >= TIMESTAMP '1997-01-01')
+         |ORDER BY c_custkey""".stripMargin)
+
+  /** Scalar subquery in a predicate — planned as a one-row broadcast into
+    * the filter. The threshold uses max (order-independent, engine-exact),
+    * not a float sum whose partial-aggregation order would differ between
+    * engines at the comparison boundary.
+    */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM parquet.`$dir/orders.parquet`
+         |WHERE o_totalprice > 0.97 * (
+         |  SELECT max(o_totalprice) FROM parquet.`$dir/orders.parquet`)
+         |ORDER BY o_orderkey""".stripMargin)
+
   /** Statistical aggregates: dispersion (stddev/variance), association
     * (covariance/correlation), and the regr_* linear-fit family — all
     * partial-aggregated single-pass moments (sum, sum², sum·xy cross the
@@ -508,6 +536,8 @@ object Relational {
     "q69_hll_sketch"      -> hllSketch _,
     "q70_sql_tpch_q3"     -> sqlTpchQ3 _,
     "q71_stats_agg"       -> statsAgg _,
+    "q75_exists_subquery" -> existsSubquery _,
+    "q76_scalar_subquery" -> scalarSubquery _,
     "x01_approx_count_distinct" -> approxCountDistinct _,
   )
 
@@ -729,6 +759,20 @@ object Relational {
         |       round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
         |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q75_exists_subquery" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_totalprice > 400000
+        |    AND o.o_orderdate >= TIMESTAMP '1997-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q76_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > 0.97 * (SELECT max(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "x01_approx_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact, true AS ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
