@@ -47,6 +47,19 @@ object Dedup {
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Unpersist and drop every cached index belonging to `spark` (all corpora).
+    * Call when a corpus pass is over — e.g. Bench evicts the warm-phase
+    * entries before the timed run so sf0.001 indexes don't pin executor
+    * storage while sf0.1 executes, and long-lived sessions don't accumulate
+    * per-corpus tables forever.
+    */
+  def evictCaches(spark: SparkSession): Unit =
+    Seq(shingleCache, pairCache).foreach { cache =>
+      cache.keys.filter(_._1 eq spark).foreach { k =>
+        cache.remove(k).foreach(_.unpersist(blocking = false))
+      }
+    }
+
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate((spark, dir),
       documents(spark, dir)

@@ -49,17 +49,26 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
-  /** Batch twin of the ingestion dedup (`EventStreams.dedupEvents`): drop
-    * event_id duplicates, then the per-type profile. In batch the dedup is
-    * plain `dropDuplicates` — `dropDuplicatesWithinWatermark` is the
-    * streaming-only variant with bounded state, driven in StreamingSpec.
+  /** Batch twin of the ingestion dedup (`EventStreams.dedupEvents`): one
+    * survivor per event_id, then the per-type profile. The survivor is
+    * chosen DETERMINISTICALLY (earliest ts, then event_type/value as total
+    * tiebreaks) — `dropDuplicates`' arbitrary pick would make the result
+    * partitioning-dependent the moment real duplicates exist, and the
+    * streaming variant's first-arrival semantics can't be replayed in
+    * batch anyway. `dropDuplicatesWithinWatermark` (bounded state,
+    * first-arrival wins) is the streaming side, driven in StreamingSpec.
     */
-  def dedupIngest(spark: SparkSession, dir: String): DataFrame =
+  def dedupIngest(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_id")
+      .orderBy(col("ts"), col("event_type"), col("value"))
     events(spark, dir)
-      .dropDuplicates("event_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .orderBy("event_type")
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_stream_tumbling"  -> tumbling _,
@@ -106,9 +115,16 @@ object EventAnalytics {
         |      FROM events)
         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     "q68_stream_dedup" ->
-      """SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n,
+      """WITH survivors AS (
+        |  SELECT * FROM (
+        |    SELECT event_type, value,
+        |           row_number() OVER (PARTITION BY event_id
+        |             ORDER BY CAST(ts AS TIMESTAMP), event_type, value) AS rn
+        |    FROM events)
+        |  WHERE rn = 1)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM survivors GROUP BY 1 ORDER BY 1""".stripMargin,
     "q51_stream_session" -> sessionOracle,
     "q52_stream_sessionize_stateful" -> sessionOracle,
     "q58_stream_interval_join" ->
