@@ -57,19 +57,15 @@ object Corpus {
     * avg(double) would be summation-order-dependent.
     */
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val stopArr = "array('the', 'a', 'is', 'of', 'and')"
-    val keep = documents(spark, dir)
-      .groupBy(md5(col("text")).as("text_md5"))
-      .agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
+    // Both stages reuse their pillar's canonical definition: the keep-set is
+    // Dedup's exact-dedup representative, the gate is TextAnalysis' quality
+    // score (one stopword list, one formula — they cannot desynchronize).
+    val keep = Dedup.exactDedupGroups(spark, dir).select("doc_id")
     documents(spark, dir)
       .join(keep, "doc_id")
       .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
       .withColumn("n_tokens", size(col("toks")))
-      .withColumn("score",
-        lit(0.5) * (expr(s"size(filter(toks, x -> array_contains($stopArr, x)))")
-            .cast("double") / col("n_tokens"))
-          + lit(0.5) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
+      .withColumn("score", TextAnalysis.scoreCol(TextAnalysis.stopRatioCol))
       .filter(col("score") >= 0.25)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
@@ -97,12 +93,10 @@ object Corpus {
         |              WHEN lang = 'de' THEN '40' ELSE '1a' END) AS BIGINT) AS n_sampled
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q67_clean_corpus" ->
-      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
         |scored AS (
         |  SELECT d.lang, CAST(len(toks) AS INT) AS n_tokens,
-        |         0.5 * (CAST(len(list_filter(toks, x -> list_contains(['the', 'a', 'is', 'of', 'and'], x))) AS DOUBLE)
-        |             / len(toks))
-        |           + 0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS score
+        |         ${TextAnalysis.scoreSql} AS score
         |  FROM (SELECT doc_id, lang,
         |               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
         |        FROM documents) d

@@ -82,10 +82,16 @@ object Dedup {
     * Hashing first means the shuffle carries a 32-byte digest instead of the
     * full document — the plan that still works when documents are megabytes.
     */
-  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+  /** One row per distinct md5(text): representative (min doc_id) + copy
+    * count. Shared with the clean-corpus pipeline's keep-set (Corpus q67).
+    */
+  private[queries] def exactDedupGroups(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    exactDedupGroups(spark, dir)
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
 

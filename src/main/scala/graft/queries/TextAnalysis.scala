@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.tables.Tables._
@@ -85,7 +85,12 @@ object TextAnalysis {
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val scores = langProfiles.map { case (l, tris) =>
       val arr = tris.map(t => s"'${t}'").mkString("array(", ", ", ")")
-      expr(s"size(filter(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)), t -> array_contains($arr, t)))")
+      // Guard texts shorter than one trigram: Spark's sequence(1, len-2)
+      // REVERSES when len < 3 (it steps downward, e.g. sequence(1,-1) =
+      // [1,0,-1]) and would score junk substrings where the oracle's
+      // range() is simply empty.
+      expr(s"IF(length(text) < 3, 0, " +
+           s"size(filter(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)), t -> array_contains($arr, t))))")
         .as(s"s_$l")
     }
     val pred = langProfiles.foldRight(lit("und")) { case ((l, _), e) =>
@@ -100,32 +105,48 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  private val stopwords = Seq("the", "a", "is", "of", "and")
+  // The quality-score definition is shared with the clean-corpus pipeline
+  // (Corpus q67): ONE stopword list and ONE score formula, on both the Spark
+  // and the oracle side, so the two queries cannot silently desynchronize.
+  private[queries] val stopwords = Seq("the", "a", "is", "of", "and")
+  private val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+
+  /** stopword ratio over a column literally named `toks`. */
+  private[queries] def stopRatioCol: Column =
+    expr(s"size(filter(toks, x -> array_contains($stopArr, x)))").cast("double") /
+      size(col("toks"))
+
+  /** 0.5·stop_ratio + 0.5·min(n_tokens/100, 1), over `toks`. Pure rational
+    * arithmetic — bit-equal across engines when ops run in this order.
+    */
+  private[queries] def scoreCol(stopRatio: Column): Column =
+    lit(0.5) * stopRatio +
+      lit(0.5) * least(size(col("toks")).cast("double") / 100.0, lit(1.0))
+
+  /** The identical formula as DuckDB SQL, over a list column named `toks`. */
+  private[queries] def scoreSql: String = {
+    val arr = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"0.5 * (CAST(len(list_filter(toks, x -> list_contains($arr, x))) AS DOUBLE) / len(toks))" +
+      " + 0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)"
+  }
 
   /** Quality scoring from length / punctuation / stopword ratios. The score
-    * is pure rational arithmetic (no transcendentals) and deliberately NOT
-    * rounded: identical IEEE ops in identical order give bit-equal doubles
-    * on both engines, whereas round() diverges on exact .xxxx5 halves
-    * (decimal-string HALF_UP vs binary-double rounding).
+    * is deliberately NOT rounded: identical IEEE ops in identical order give
+    * bit-equal doubles on both engines, whereas round() diverges on exact
+    * .xxxx5 halves (decimal-string HALF_UP vs binary-double rounding).
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
     tokenized(spark, dir)
       .join(documents(spark, dir).select("doc_id", "text"), "doc_id")
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_punct",
         length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
-      .withColumn("stop_ratio",
-        expr(s"size(filter(toks, x -> array_contains($stopArr, x)))").cast("double")
-          / col("n_tokens"))
-      .withColumn("score",
-        lit(0.5) * col("stop_ratio")
-          + lit(0.5) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
+      .withColumn("stop_ratio", stopRatioCol)
+      .withColumn("score", scoreCol(col("stop_ratio")))
       .withColumn("bucket",
         when(col("score") >= 0.5, "high").when(col("score") >= 0.25, "mid").otherwise("low"))
       .select("doc_id", "n_tokens", "n_punct", "stop_ratio", "score", "bucket")
       .orderBy("doc_id")
-  }
 
   /** Document fingerprint: polynomial rolling hash (base 31, mod 1e9+7) over
     * the normalized character stream — an order-sensitive exact fingerprint
@@ -254,9 +275,7 @@ object TextAnalysis {
          |         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS n_punct,
          |         CAST(len(list_filter(toks, x -> list_contains($stopArr, x))) AS DOUBLE)
          |           / len(toks) AS stop_ratio,
-         |         0.5 * (CAST(len(list_filter(toks, x -> list_contains($stopArr, x))) AS DOUBLE)
-         |           / len(toks))
-         |           + 0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS score
+         |         $scoreSql AS score
          |  FROM base)
          |SELECT doc_id, n_tokens, n_punct, stop_ratio, score,
          |       CASE WHEN score >= 0.5 THEN 'high'

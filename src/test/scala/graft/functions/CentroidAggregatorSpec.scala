@@ -33,15 +33,4 @@ class CentroidAggregatorSpec extends SparkSpec {
     }
   }
 
-  test("runSorted supports a reducer returning a lazy view (regression: run buffered before reduceF)") {
-    import spark.implicits._
-    val ds = Seq(("a", 3L), ("a", 1L), ("b", 2L), ("a", 2L)).toDS()
-    val out = graft.core.MapReduce.runSorted(ds)(
-      r => Iterator((r._1, r._2)))(
-      // lazy view over the values iterator — only safe if the run is
-      // materialized before reduceF returns control
-      (k, vs) => vs.map(v => (k, v)))
-      .collect().sorted
-    assert(out.toSeq == Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 2L)))
-  }
 }
