@@ -207,6 +207,25 @@ object Relational {
          |  GROUP BY l_orderkey, o_orderdate, o_orderpriority)
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
 
+  /** Distribution-style analytic functions — the window classes q16–q18
+    * don't cover: quartile assignment (ntile), relative standing
+    * (percent_rank, cume_dist), and positional access (nth_value). Ordering
+    * tie-broken to the verified-unique lineitem 4-tuple like q17/q18 —
+    * every one of these is sequence-sensitive.
+    */
+  def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey").orderBy(liRowOrder: _*)
+    lineitem(spark, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("second_qty",
+        nth_value(col("l_quantity"), 2).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("l_suppkey") +: liRowOrder.tail: _*)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "quartile", "pr", "cd", "second_qty")
+  }
+
   /** Correlated EXISTS subquery — Catalyst decorrelates it into a left-semi
     * join (shuffle on the correlation key), the plan a hand-written semi
     * join gets; the SQL front-end surface is what's under test.
@@ -538,6 +557,7 @@ object Relational {
     "q71_stats_agg"       -> statsAgg _,
     "q75_exists_subquery" -> existsSubquery _,
     "q76_scalar_subquery" -> scalarSubquery _,
+    "q77_window_distribution" -> windowDistribution _,
     "x01_approx_count_distinct" -> approxCountDistinct _,
   )
 
@@ -773,6 +793,18 @@ object Relational {
         |FROM orders
         |WHERE o_totalprice > 0.97 * (SELECT max(o_totalprice) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "q77_window_distribution" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(l_quantity, 2) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin,
     "x01_approx_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact, true AS ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
