@@ -20,8 +20,14 @@ object TopKAggregator {
 
   case class Scored(id: Long, score: Double)
 
-  private def better(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  // java.lang.Double.compare, not > / ==: primitive comparisons are not a
+  // total order for NaN (both directions false), which would make NaN-scored
+  // entries land in arrival order and the result partitioning-dependent.
+  // Double.compare sorts NaN greatest — matching Spark's window sort.
+  private def better(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   /** Insert keeping the list sorted best-first, truncated at k. */
   private def insert(k: Int)(b: List[Scored], s: Scored): List[Scored] = {

@@ -86,7 +86,9 @@ object Multimodal {
       .mapPartitions(decodeBatch)
       .toDF()
       .withColumn("n_frames", (col("checksum") % 300 + 1).cast("int"))
-      .withColumn("step", greatest(expr("CAST(n_frames DIV 8 AS INT)"), lit(1)))
+      // ceil(n/8): floor would emit up to 15 frames for n in [9, 15],
+      // breaking the ≤ 8 bound that is the point of the sampler.
+      .withColumn("step", greatest(expr("CAST((n_frames + 7) DIV 8 AS INT)"), lit(1)))
       .select(col("doc_id"), col("n_frames"),
         explode(expr("sequence(0, n_frames - 1, step)")).as("frame_idx"))
       .select("doc_id", "frame_idx", "n_frames")
@@ -132,7 +134,7 @@ object Multimodal {
       """,
         |clips AS (SELECT doc_id, CAST(checksum % 300 + 1 AS INT) AS n_frames FROM f),
         |stepped AS (SELECT doc_id, n_frames,
-        |                   greatest(CAST(n_frames // 8 AS INT), 1) AS step
+        |                   greatest(CAST((n_frames + 7) // 8 AS INT), 1) AS step
         |            FROM clips)
         |SELECT doc_id, CAST(unnest(range(0, n_frames, step)) AS INT) AS frame_idx,
         |       n_frames

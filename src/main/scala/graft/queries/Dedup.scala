@@ -60,8 +60,11 @@ object Dedup {
       }
     }
 
+  // builds are guarded: TrieMap.getOrElseUpdate may evaluate the by-name
+  // builder in two racing threads, and the loser's persisted DataFrame
+  // would be unreachable by evictCaches forever.
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate((spark, dir),
+    shingleCache.synchronized { shingleCache.getOrElseUpdate((spark, dir),
       documents(spark, dir)
         // The test corpus arrives as ONE parquet row group → one input
         // partition, which would serialize all the per-doc string work onto a
@@ -76,7 +79,7 @@ object Dedup {
         .select(col("doc_id"),
           expr("array_distinct(transform(sequence(0, size(th)-3), " +
                "i -> xxhash64(th[i], th[i+1], th[i+2])))").as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)) }
 
   /** Exact dedup: group on md5(text), keep min doc_id as representative.
     * Hashing first means the shuffle carries a 32-byte digest instead of the
@@ -117,7 +120,7 @@ object Dedup {
     * (Shingles arrive pre-hashed to longs from `shingled`.)
     */
   private def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
-    pairCache.getOrElseUpdate((spark, dir), {
+    pairCache.synchronized { pairCache.getOrElseUpdate((spark, dir), {
       val sh = shingled(spark, dir)
         .select(col("doc_id"), explode(col("sh")).as("s64"))
       val buckets = sh.groupBy("s64").agg(sort_array(collect_set("doc_id")).as("ids"))
@@ -138,7 +141,7 @@ object Dedup {
         .filter(col("jac") >= 0.6)
         .select(col("id_a"), col("id_b"), col("jac"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }) }
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     nearDupPairs(spark, dir)

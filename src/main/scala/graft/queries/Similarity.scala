@@ -37,18 +37,27 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(VectorOps.dot(col("v"), col("v"))))
 
+  /** (probe_id, vec_id, cs) for every probe (vec_id < 10) × corpus vector —
+    * ONE definition of the probe set, broadcast anti-self join, and cosine
+    * expression, shared by the window (q40) and bounded-heap (q74) rankers
+    * so the two formulations cannot drift apart silently.
+    */
+  private def scoredPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val probes = e.filter(col("vec_id") < 10).toDF("probe_id", "pv", "pnrm")
+    e.join(broadcast(probes), col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (VectorOps.dot(col("pv"), col("v")) / (col("pnrm") * col("nrm"))).as("cs"))
+  }
+
   /** Brute-force cosine top-5 for probe vectors (vec_id < 10). The probe set
     * is bounded by construction → broadcast; the corpus side streams, so the
     * only shuffle is the per-probe window. (At extreme scale the window
-    * becomes a bounded-heap typed aggregation; the plan shape is otherwise
-    * scan-shaped.)
+    * becomes the bounded-heap typed aggregation — q74, same result.)
     */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = corpus(spark, dir)
-    val probes = e.filter(col("vec_id") < 10).toDF("probe_id", "pv", "pnrm")
     val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("vec_id"))
-    e.join(broadcast(probes), col("probe_id") =!= col("vec_id"))
-      .withColumn("cs", VectorOps.dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")))
+    scoredPairs(spark, dir)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("probe_id"), col("rnk"), col("vec_id"), round(col("cs"), 4).as("cs"))
@@ -65,13 +74,7 @@ object Similarity {
     */
   def cosineTopKAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = corpus(spark, dir)
-    val probes = e.filter(col("vec_id") < 10).toDF("probe_id", "pv", "pnrm")
-    val scored = e.join(broadcast(probes), col("probe_id") =!= col("vec_id"))
-      .select(col("probe_id"),
-        col("vec_id"),
-        (VectorOps.dot(col("pv"), col("v")) / (col("pnrm") * col("nrm"))).as("cs"))
-      .as[(Long, Long, Double)]
+    val scored = scoredPairs(spark, dir).as[(Long, Long, Double)]
     scored.groupByKey(_._1)
       .agg(TopKAggregator.topK[(Long, Long, Double)](5)(r =>
         TopKAggregator.Scored(r._2, r._3)).toColumn.name("top"))
