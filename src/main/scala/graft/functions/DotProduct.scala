@@ -65,7 +65,12 @@ case class DotProduct(left: Expression, right: Expression)
   * never from inside a query builder (no conf/catalog mutation there).
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    // Scalar-UDF surface, SQL-callable (queries use StringDistance.dl
+    // directly — registration-free, like VectorOps.dot).
+    spark.udf.register("graft_dl",
+      (a: String, b: String) => StringDistance.damerauLevenshtein(a, b).toLong)
+  }
 }

@@ -286,8 +286,32 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy near-dup scoring via edit distance — the engine's scalar-UDF
+    * surface (SURVEY.md §2.2 UDF row; the reference's `map` is arbitrary
+    * per-row client code, `MapReduceClient.h:57-59`). Candidates come from a
+    * key-partitioned equi-join on a blocking key (here: adjacent doc ids),
+    * never all-pairs; the UDF then scores each candidate's 48-char head with
+    * true Damerau–Levenshtein. At corpus scale the blocking key would be an
+    * LSH band/cluster id from the pipelines above — the join + per-pair-UDF
+    * shape is identical, and UDF cost stays proportional to candidates, not
+    * n². (Policy note: a UDF is a codegen barrier — it's used here because
+    * transposition-aware edit distance has no `functions._` composition.)
+    */
+  def fuzzyEdit(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 48).as("head"))
+    val a = d.select(col("doc_id").as("id_a"), col("head").as("head_a"))
+    val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+                     col("head").as("head_b"))
+    a.join(b, Seq("id_a"))
+      .select(col("id_a"), col("id_b"),
+              graft.functions.StringDistance.dl(col("head_a"), col("head_b")).as("dl_dist"))
+      .orderBy("id_a")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_dedup_exact"            -> dedupExact _,
+    "q78_dedup_fuzzy"            -> fuzzyEdit _,
     "q36_dedup_ngram_jaccard"    -> ngramJaccard _,
     "q37_dedup_minhash_lsh"      -> minhashLsh _,
     "q38_dedup_simhash"          -> simhash _,
@@ -307,6 +331,12 @@ object Dedup {
     "q35_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "q78_dedup_fuzzy" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       damerau_levenshtein(substring(a.text, 1, 48),
+        |                           substring(b.text, 1, 48)) AS dl_dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
     "q36_dedup_ngram_jaccard" -> (shingleCte +
       """,
         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
