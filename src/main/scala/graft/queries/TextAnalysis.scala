@@ -192,8 +192,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), min("n").as("min_n"), max("n").as("max_n"))
       .orderBy("bucket")
 
+  /** GPT-2-style pre-tokenizer alternation: contraction suffixes, then
+    * space-prefixed letter runs / digit runs / punctuation runs, then
+    * whitespace runs. Deliberately lookahead-free so the IDENTICAL pattern
+    * runs under both Java regex (Spark) and RE2 (the DuckDB oracle) —
+    * RE2 has no lookahead, and leftmost-first alternation agrees between
+    * the two engines.
+    */
+  private val bpeIshPattern =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** Token counting two ways (brief: "whitespace + a BPE-ish regex"):
+    * per-document whitespace token count vs BPE-ish pre-token count. The
+    * regex runs codegen'd (`RegExpExtractAll` is a native expression, not a
+    * UDF); one narrow scan + per-row work, no shuffle except the final sort.
+    */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).repartition(col("doc_id"))
+      .select(col("doc_id"),
+        expr("size(filter(split(text, ' '), x -> x <> ''))").as("n_ws"),
+        size(regexp_extract_all(col("text"), lit(bpeIshPattern), lit(0)))
+          .as("n_bpe"))
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_token_stats"        -> tokenStats _,
+    "q79_token_counts"       -> tokenCounts _,
     "q65_token_percentiles"  -> tokenPercentiles _,
     "q66_token_histogram"    -> tokenHistogram _,
     "q44_tf_idf"             -> tfIdf _,
@@ -206,7 +230,17 @@ object TextAnalysis {
   private val duckToks =
     "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
+  // Same pattern as bpeIshPattern with SQL-doubled apostrophes; DuckDB
+  // standard strings pass backslashes through verbatim, so \s stays \s.
+  private val duckBpeIsh =
+    "''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
   val oracles: Map[String, String] = Map(
+    "q79_token_counts" ->
+      s"""SELECT doc_id,
+         |       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_ws,
+         |       CAST(len(regexp_extract_all(text, '$duckBpeIsh')) AS INT) AS n_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q43_token_stats" ->
       s"""SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
          |       CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
