@@ -170,8 +170,27 @@ object Similarity {
       .orderBy("label", "pos")
   }
 
+  /** L2-normalize + symmetric int8 quantization — the embedding-prep step a
+    * training pipeline runs before shipping vectors to an index or a model.
+    * After dividing by the L2 norm every component is in [-1, 1], so
+    * `floor(x·127 + 0.5)` (round-half-up spelled with floor: floor is exact
+    * on doubles in BOTH engines, unlike round(), whose half-tie rule
+    * differs) lands in [-127, 127]. Emits the quantized vector plus scalar
+    * summaries. Pure per-row array HOFs — codegen'd, no shuffle except the
+    * final sort; at 100 TB this is a map-only pass.
+    */
+  def quantize(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .withColumn("q",
+        expr("transform(v, x -> CAST(floor(x / nrm * 127.0 + 0.5) AS BIGINT))"))
+      .select(col("vec_id"), col("q"),
+        array_min(col("q")).as("qmin"), array_max(col("q")).as("qmax"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("qsum"))
+      .orderBy("vec_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_similarity_topk"     -> cosineTopK _,
+    "q80_embed_quantize"      -> quantize _,
     "q41_similarity_ann_lsh"  -> annLsh _,
     "q42_label_centroid"      -> labelCentroid _,
     "q59_similarity_ann_ivf"  -> annIvf _,
@@ -185,6 +204,17 @@ object Similarity {
     planes.map(_.mkString("[", ", ", "]")).mkString("[", ",\n  ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q80_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |qv AS (SELECT vec_id,
+        |              list_transform(v, x -> CAST(floor(x / nrm * 127.0 + 0.5) AS BIGINT)) AS q
+        |       FROM n)
+        |SELECT vec_id, q,
+        |       list_aggregate(q, 'min') AS qmin,
+        |       list_aggregate(q, 'max') AS qmax,
+        |       CAST(list_aggregate(q, 'sum') AS BIGINT) AS qsum
+        |FROM qv ORDER BY vec_id""".stripMargin,
     // q74 computes the identical result through the bounded-state typed
     // aggregator — one oracle text proves both implementations.
     "q74_similarity_topk_agg" ->

@@ -215,9 +215,26 @@ object TextAnalysis {
           .as("n_bpe"))
       .orderBy("doc_id")
 
+  /** Adjacent-duplicate token collapse — classic boilerplate/stutter
+    * normalization ("the the", "a a") a corpus-cleaning pipeline applies
+    * before dedup. Indexed filter HOF (Spark lambda index is 0-based, the
+    * DuckDB oracle's is 1-based — both spell "keep if first or differs from
+    * previous"); emits before/after counts + md5 of the normalized text so
+    * the oracle verifies the full reconstructed string, not just counts.
+    * Map-only at scale.
+    */
+  def collapseAdjacent(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .withColumn("kept", expr("filter(toks, (t, i) -> i = 0 OR t <> toks[i-1])"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_before"), size(col("kept")).as("n_after"),
+        md5(concat_ws(" ", col("kept"))).as("h"))
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_token_stats"        -> tokenStats _,
     "q79_token_counts"       -> tokenCounts _,
+    "q81_collapse_adjacent"  -> collapseAdjacent _,
     "q65_token_percentiles"  -> tokenPercentiles _,
     "q66_token_histogram"    -> tokenHistogram _,
     "q44_tf_idf"             -> tfIdf _,
@@ -241,6 +258,15 @@ object TextAnalysis {
          |       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_ws,
          |       CAST(len(regexp_extract_all(text, '$duckBpeIsh')) AS INT) AS n_bpe
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q81_collapse_adjacent" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |k AS (SELECT doc_id, toks,
+         |             list_filter(toks, (x, i) -> i = 1 OR x <> toks[i-1]) AS kept
+         |      FROM t)
+         |SELECT doc_id, CAST(len(toks) AS INT) AS n_before,
+         |       CAST(len(kept) AS INT) AS n_after,
+         |       md5(array_to_string(kept, ' ')) AS h
+         |FROM k ORDER BY doc_id""".stripMargin,
     "q43_token_stats" ->
       s"""SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
          |       CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
