@@ -90,14 +90,47 @@ object Joins {
       .orderBy("a_key")
   }
 
+  /** Manually salted equi-join — the skew survival kit for when BOTH sides
+    * are too big to broadcast and one join key is hot (AQE's skew-join split
+    * is the first-line tool, but it only fires on post-shuffle partition
+    * stats; salting also covers keys that explode later, e.g. after a UDF).
+    * Shape: the probe side gets a deterministic per-row salt in [0, S); the
+    * other side is replicated S ways via `explode(sequence(...))`; the join
+    * key becomes (key, salt), spreading each hot key over S reducers. The
+    * oracle is the UNSALTED join + aggregate — proving salted ≡ plain.
+    * S=8 here; at 100 TB pick S ≈ hot-key-rows / target-partition-rows.
+    */
+  def joinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 8
+    val l = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        pmod(hash(col("l_partkey"), col("l_linenumber")), lit(salts)).as("salt"))
+    val o = orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        explode(sequence(lit(0), lit(salts - 1))).as("salt"))
+    l.join(o, col("l_orderkey") === col("o_orderkey") && l("salt") === o("salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+             .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_join_right"    -> joinRight _,
+    "q82_join_salted"   -> joinSalted _,
     "q32_join_full"     -> joinFull _,
     "q33_join_theta_nl" -> joinThetaNl _,
     "q34_join_asof"     -> joinAsof _,
   )
 
   val oracles: Map[String, String] = Map(
+    // Unsalted formulation: salting must be result-invariant.
+    "q82_join_salted" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q31_join_right" ->
       """SELECT n_nationkey, n_name, count(s_suppkey) AS n_sup,
         |       round(coalesce(sum(s_acctbal), 0.0), 2) AS bal
