@@ -231,10 +231,28 @@ object TextAnalysis {
         md5(concat_ws(" ", col("kept"))).as("h"))
       .orderBy("doc_id")
 
+  /** Frequent-items sketch: `approx_top_k` (DataSketches ItemsSketch under
+    * the hood — mergeable, bounded memory, one pass; the heavy-hitters
+    * companion to the HLL distinct-count sketches of q69). The sketch is
+    * EXACT whenever distinct items ≤ ~0.75·maxItemsTracked (the corpus
+    * vocabulary is far below 10000 at any SF), which is what makes an exact
+    * DuckDB group-by oracle valid here; at true heavy-hitter scale the same
+    * plan degrades gracefully to ε-approximate counts in fixed memory
+    * instead of a vocabulary-sized hash per reducer.
+    */
+  def approxTopTerms(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(explode(col("toks")).as("word"))
+      .agg(expr("approx_top_k(word, 500, 10000)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("word"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_token_stats"        -> tokenStats _,
     "q79_token_counts"       -> tokenCounts _,
     "q81_collapse_adjacent"  -> collapseAdjacent _,
+    "q83_approx_top_terms"   -> approxTopTerms _,
     "q65_token_percentiles"  -> tokenPercentiles _,
     "q66_token_histogram"    -> tokenHistogram _,
     "q44_tf_idf"             -> tfIdf _,
@@ -258,6 +276,11 @@ object TextAnalysis {
          |       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_ws,
          |       CAST(len(regexp_extract_all(text, '$duckBpeIsh')) AS INT) AS n_bpe
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // Exact oracle is valid because vocab ≪ sketch capacity (see Scaladoc).
+    "q83_approx_top_terms" ->
+      s"""SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |FROM (SELECT unnest($duckToks) AS word FROM documents)
+         |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
     "q81_collapse_adjacent" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |k AS (SELECT doc_id, toks,
