@@ -181,32 +181,52 @@ object Dedup {
   }
 
   /** SimHash near-dup: 64-bit signature (sign of per-bit ±1 votes over
-    * shingle hashes) packed into ONE long — the candidate join then carries
-    * an 8-byte key instead of a 64-int array, and Hamming distance is a
-    * single `bit_count(sig_a ^ sig_b)`. Pigeonhole-banded into 4 × 16-bit
-    * chunks: a pair within Hamming distance 3 MUST agree on at least one
-    * chunk, so the chunk-bucket join loses nothing. Output = pairs with
-    * Hamming ≤ 3. No SQL oracle (the signature depends on Spark's
-    * xxhash64); the driver records rows-only and DedupSpec pins precision.
+    * shingle hashes) packed into two 32-bit halves — the candidate join then
+    * carries 16 bytes instead of a 64-int array, and Hamming distance is
+    * `bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)`. Pigeonhole-banded
+    * into 4 × 16-bit chunks: a pair within Hamming distance 3 MUST agree on
+    * at least one chunk, so the chunk-bucket join loses nothing. Output =
+    * pairs with Hamming ≤ 3.
+    *
+    * Shingle bits come from md5 (hex digit k/4, bit k%4) rather than
+    * xxhash64: md5 is the one hash both engines evaluate identically, which
+    * is what makes this query oracle-checkable end-to-end (the r1–r4 builds
+    * used xxhash64 and could only be rows-only-checked). Two 32-bit halves
+    * instead of one packed long because bit 63 would need 2⁶³ — an int64
+    * overflow in the oracle's arithmetic; each half stays < 2³².
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shingled(spark, dir)
-      .select(col("doc_id"), explode(col("sh")).as("h"))
-    val voteAggs = (0 until 64).map(k =>
-      sum(when(expr(s"shiftrightunsigned(h, $k) % 2") === 1, 1).otherwise(-1)).as(s"v$k"))
-    val sig = ex.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(k => when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
-          .reduce(_ + _).as("sig"))
-    val chunks = sig.select(col("doc_id"), col("sig"),
-      explode(array((0 until 4).map(c => concat_ws(":", lit(c),
-        shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)))): _*)).as("chunk"))
+    val ex = documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))).as("s"))
+      .withColumn("m", md5(col("s")))
+    val voteAggs = (0 until 64).map { k =>
+      sum(expr(s"2 * ((instr('0123456789abcdef', substring(m, ${k / 4 + 1}, 1)) - 1) " +
+               s"div ${1 << (k % 4)} % 2) - 1")).as(s"v$k")
+    }
+    val votes = ex.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+    def half(lowBit: Int): Column =
+      (0 until 32).map(k => when(col(s"v${lowBit + k}") > 0, lit(1L << k)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    val sig = votes.select(col("doc_id"), half(0).as("lo"), half(32).as("hi"))
+    val chunks = sig.select(col("doc_id"), col("lo"), col("hi"),
+      explode(array(
+        concat_ws(":", lit(0), col("lo").bitwiseAND(lit(0xFFFFL))),
+        concat_ws(":", lit(1), shiftrightunsigned(col("lo"), 16).bitwiseAND(lit(0xFFFFL))),
+        concat_ws(":", lit(2), col("hi").bitwiseAND(lit(0xFFFFL))),
+        concat_ws(":", lit(3), shiftrightunsigned(col("hi"), 16).bitwiseAND(lit(0xFFFFL))))).as("chunk"))
     chunks.as("a")
       .join(chunks.as("b"), col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-              col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+              col("a.lo").as("lo_a"), col("a.hi").as("hi_a"),
+              col("b.lo").as("lo_b"), col("b.hi").as("hi_b"))
       .distinct()
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .withColumn("hamming",
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+         bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("bigint"))
       .filter(col("hamming") <= 3)
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
@@ -327,7 +347,42 @@ object Dedup {
       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
       |  WHERE len(w) >= 3)""".stripMargin
 
+  /** DuckDB mirror of `simhash`: identical md5-digit votes, identical
+    * two-half packing, identical chunk banding — generated so the 64 vote
+    * expressions cannot drift from the Spark side's loop.
+    */
+  private val simhashOracle: String = {
+    val votes = (0 until 64).map { k =>
+      s"sum(2 * ((strpos('0123456789abcdef', substr(m, ${k / 4 + 1}, 1)) - 1) " +
+      s"// ${1 << (k % 4)} % 2) - 1) AS v$k"
+    }.mkString(",\n       ")
+    def half(lowBit: Int) = (0 until 32).map { k =>
+      s"(CASE WHEN v${lowBit + k} > 0 THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    shingleCte +
+      s""",
+         |m AS (SELECT doc_id, md5(s) AS m FROM sh),
+         |v AS (SELECT doc_id,
+         |       $votes
+         |      FROM m GROUP BY doc_id),
+         |sig AS (SELECT doc_id, ${half(0)} AS lo, ${half(32)} AS hi FROM v),
+         |chunks AS (SELECT doc_id, lo, hi, unnest([
+         |  '0:' || CAST(lo & 65535 AS VARCHAR),
+         |  '1:' || CAST((lo >> 16) & 65535 AS VARCHAR),
+         |  '2:' || CAST(hi & 65535 AS VARCHAR),
+         |  '3:' || CAST((hi >> 16) & 65535 AS VARCHAR)]) AS chunk FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |                a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b
+         |         FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |       CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q38_dedup_simhash" -> simhashOracle,
     "q35_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,

@@ -178,12 +178,18 @@ object Similarity {
     * differs) lands in [-127, 127]. Emits the quantized vector plus scalar
     * summaries. Pure per-row array HOFs — codegen'd, no shuffle except the
     * final sort; at 100 TB this is a map-only pass.
+    *
+    * The vector itself is emitted as a comma-joined string: the driver's
+    * compare hashes scalar cells (array cells are unhashable on its pandas
+    * path — CORRECTNESS_r04 q80), and a canonical string is an
+    * engine-portable encoding of the same 64 values.
     */
   def quantize(spark: SparkSession, dir: String): DataFrame =
     corpus(spark, dir)
       .withColumn("q",
         expr("transform(v, x -> CAST(floor(x / nrm * 127.0 + 0.5) AS BIGINT))"))
-      .select(col("vec_id"), col("q"),
+      .select(col("vec_id"),
+        expr("array_join(transform(q, x -> CAST(x AS STRING)), ',')").as("q_str"),
         array_min(col("q")).as("qmin"), array_max(col("q")).as("qmax"),
         expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("qsum"))
       .orderBy("vec_id")
@@ -210,9 +216,10 @@ object Similarity {
         |qv AS (SELECT vec_id,
         |              list_transform(v, x -> CAST(floor(x / nrm * 127.0 + 0.5) AS BIGINT)) AS q
         |       FROM n)
-        |SELECT vec_id, q,
-        |       list_aggregate(q, 'min') AS qmin,
-        |       list_aggregate(q, 'max') AS qmax,
+        |SELECT vec_id,
+        |       array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',') AS q_str,
+        |       CAST(list_aggregate(q, 'min') AS BIGINT) AS qmin,
+        |       CAST(list_aggregate(q, 'max') AS BIGINT) AS qmax,
         |       CAST(list_aggregate(q, 'sum') AS BIGINT) AS qsum
         |FROM qv ORDER BY vec_id""".stripMargin,
     // q74 computes the identical result through the bounded-state typed
