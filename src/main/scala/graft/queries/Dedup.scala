@@ -195,13 +195,22 @@ object Dedup {
     * instead of one packed long because bit 63 would need 2⁶³ — an int64
     * overflow in the oracle's arithmetic; each half stays < 2³².
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val ex = documents(spark, dir)
+  /** (doc_id, s): the distinct word-trigram shingles as STRINGS — the
+    * engine-portable twin of `shingled` (whose shingles are xxhash64 longs),
+    * used by every query whose oracle must re-derive the same shingle set in
+    * DuckDB (simhash, decontamination). Production would hash these to longs
+    * immediately; string keys are the price of cross-engine verifiability.
+    */
+  private[queries] def shingleStrings(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))).as("s"))
+
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingleStrings(spark, dir)
       .withColumn("m", md5(col("s")))
     val voteAggs = (0 until 64).map { k =>
       sum(expr(s"2 * ((instr('0123456789abcdef', substring(m, ${k / 4 + 1}, 1)) - 1) " +
@@ -339,7 +348,7 @@ object Dedup {
     "q62_dedup_cluster"          -> dedupCluster _,
   )
 
-  private val shingleCte =
+  private[queries] val shingleCte =
     """WITH sh AS (
       |  SELECT DISTINCT doc_id,
       |         unnest(list_transform(range(1, len(w)-1),

@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables._
+
+/** Training-data pipeline operators beyond dedup/similarity/text-analysis:
+  * benchmark decontamination, PII redaction, chunk-level (paragraph) dedup,
+  * within-document repetition scoring, and sequence packing. The reference
+  * engine has none of this (it is the north-star extension surface of the
+  * brief); every query is a banded/windowed Spark plan with a DuckDB oracle.
+  *
+  * The corpus is synthetic word soup (TESTDATA.md), so queries that need
+  * structure the data lacks (PII strings) synthesize it deterministically
+  * from existing columns INSIDE the query — both engines run the identical
+  * construction, so the oracle still proves the operator end-to-end.
+  */
+object Pipeline {
+
+  /** Benchmark decontamination: flag training docs (doc_id ≥ 20) sharing ≥ 5
+    * distinct word-trigrams with the "evaluation set" (doc_id < 20) — the
+    * n-gram-overlap test every LLM data pipeline runs before training. The
+    * candidate generation is a single equi-join partitioned by shingle (the
+    * banded MapReduce shape, same index as the near-dup family) — never
+    * doc × benchmark all-pairs. The benchmark shingle set is bounded (eval
+    * suites are small) so at scale it broadcasts; here AQE decides.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleStrings(spark, dir)
+    val bench = sh.filter(col("doc_id") < 20).select("s").distinct()
+    sh.filter(col("doc_id") >= 20)
+      .join(bench, "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= 5)
+      .orderBy("doc_id")
+  }
+
+  // Synthesized-dirty text: email for doc_id % 3 != 0, phone for even
+  // doc_id. Built identically in the oracle so redaction counts vary.
+  private val emailRe = "[a-z0-9._-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "555-[0-9]{4}"
+
+  /** PII redaction: regex-scrub emails and phone numbers, reporting per-doc
+    * hit counts and the md5 of the cleaned text. Map-only (no shuffle except
+    * the final sort) — at 100 TB this is a pure scan-transform pass.
+    * Patterns stay in the RE2-safe subset (no backrefs/lookaround) so Java
+    * and RE2 regex engines agree.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("dirty", concat(
+        col("text"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@mail-"), col("source"), lit(".com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("dirty"), lit(emailRe), lit(0))).cast("bigint").as("n_email"),
+        size(regexp_extract_all(col("dirty"), lit(phoneRe), lit(0))).cast("bigint").as("n_phone"),
+        md5(regexp_replace(regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
+                           phoneRe, "<PHONE>")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  /** (doc_id, idx, chunk): consecutive 10-token chunks per document — the
+    * "paragraph" unit of the chunk-dedup pass (the corpus has no natural
+    * paragraph breaks, so the chunking is positional, as sequence-packing
+    * pipelines do anyway).
+    */
+  private def chunks(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, (size(w)-1) div 10), i -> concat_ws(' ', slice(w, i*10+1, 10)))"))
+        .as(Seq("idx", "chunk")))
+
+  /** Chunk-level exact dedup (CCNet-style line dedup): across the whole
+    * corpus, each distinct chunk survives only at its first occurrence in
+    * (doc_id, idx) order; every other copy is dropped. One groupBy(chunk)
+    * elects the keeper, one join back marks survivors — both shuffles are
+    * partitioned by chunk content, so the plan is the exact-dedup shape at
+    * paragraph granularity. Output: per-doc original/kept chunk counts plus
+    * the md5 of the kept text (order-preserving reconstruction).
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunks(spark, dir)
+    // keeper = min over the corpus of (doc_id*1000 + idx): docs are < 1000
+    // chunks (99 tokens → ≤ 10), so the packed key preserves (doc_id, idx)
+    // lexicographic order in one BIGINT — portable min() in both engines.
+    val keep = ch.groupBy("chunk").agg(min(col("doc_id") * 1000 + col("idx")).as("kpos"))
+    val kept = ch.join(keep, "chunk")
+      .filter(col("doc_id") * 1000 + col("idx") === col("kpos"))
+    val total = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val keptAgg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("k"),
+      md5(concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(idx, chunk))), x -> x.chunk)"))).as("kept_md5"))
+    total.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("k"), lit(0L)).as("n_kept"), col("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Within-document repetition scoring (a Gopher-style quality signal):
+    * duplicate-trigram fraction and the hottest trigram's count per doc.
+    * rep_ratio is emitted as a raw double — identical IEEE op order on both
+    * engines gives bit-equal results, where round() half-tie rules differ.
+    * Two local aggregations, both keyed by doc_id → single shuffle.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("s"))
+      .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_tri"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("max_rep"))
+      .select(col("doc_id"), col("n_tri"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tri").cast("double"))
+          .as("rep_ratio"),
+        col("max_rep"))
+      .orderBy("doc_id")
+
+  /** Sequence packing: concat-and-chop documents into fixed 512-token
+    * training bins per language (docs in doc_id order; a doc's bin is its
+    * exclusive running token total div 512 — the deterministic variant of
+    * greedy packing that LLM pretraining uses when documents are simply
+    * concatenated and split). One window + one groupBy, both partitioned by
+    * lang; at scale the window parallelizes across languages/shards.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).cast("bigint").as("tok"))
+      .withColumn("cum", coalesce(sum("tok").over(w), lit(0L)))
+      .withColumn("bin", expr("cum div 512"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("tok_total"))
+      .orderBy("lang", "bin")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_decontaminate"  -> decontaminate _,
+    "q85_pii_redact"     -> piiRedact _,
+    "q86_chunk_dedup"    -> chunkDedup _,
+    "q87_repetition"     -> repetition _,
+    "q88_pack_sequences" -> packSequences _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q84_decontaminate" -> (Dedup.shingleCte +
+      """,
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |FROM sh JOIN bench USING (s)
+        |WHERE doc_id >= 20
+        |GROUP BY doc_id HAVING count(*) >= 5
+        |ORDER BY doc_id""".stripMargin),
+    "q85_pii_redact" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         text ||
+         |         CASE WHEN doc_id % 3 <> 0
+         |              THEN ' contact user' || doc_id || '@mail-' || source || '.com'
+         |              ELSE '' END ||
+         |         CASE WHEN doc_id % 2 = 0
+         |              THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |              ELSE '' END AS dirty
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(dirty, '$emailRe')) AS BIGINT) AS n_email,
+         |       CAST(len(regexp_extract_all(dirty, '$phoneRe')) AS BIGINT) AS n_phone,
+         |       md5(regexp_replace(regexp_replace(dirty, '$emailRe', '<EMAIL>', 'g'),
+         |                          '$phoneRe', '<PHONE>', 'g')) AS clean_md5
+         |FROM d ORDER BY doc_id""".stripMargin,
+    "q86_chunk_dedup" ->
+      """WITH ch AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS idx,
+        |         array_to_string(w[(i-1)*10+1 : (i-1)*10+10], ' ') AS chunk
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |       LATERAL (SELECT unnest(range(1, (len(w)-1)//10 + 2)) AS i)),
+        |keep AS (SELECT chunk, min(doc_id*1000 + idx) AS kpos FROM ch GROUP BY chunk),
+        |kept AS (SELECT ch.* FROM ch JOIN keep USING (chunk)
+        |         WHERE doc_id*1000 + idx = kpos),
+        |total AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id),
+        |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |              md5(string_agg(chunk, ' ' ORDER BY idx)) AS kept_md5
+        |       FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(t.n_chunks AS BIGINT) AS n_chunks,
+        |       coalesce(ka.n_kept, 0) AS n_kept, ka.kept_md5
+        |FROM total t LEFT JOIN ka ON ka.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "q87_repetition" ->
+      """WITH tri AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |cnt AS (SELECT doc_id, s, count(*) AS c FROM tri GROUP BY doc_id, s)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri,
+        |       CAST(count(*) AS BIGINT) AS n_distinct,
+        |       1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio,
+        |       CAST(max(c) AS BIGINT) AS max_rep
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q88_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |b AS (SELECT lang, tok,
+        |             coalesce(sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS bin
+        |      FROM t)
+        |SELECT lang, CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(tok) AS BIGINT) AS tok_total
+        |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+  )
+}

@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants relating the training-data pipeline ops to first principles on
+  * sf0.001 — the oracle gate proves exact values; these pin the semantics.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("chunk dedup conserves chunks: sum(n_kept) = distinct chunks, kept ≤ total per doc") {
+    val out = Pipeline.chunkDedup(spark, sfDir).collect()
+    assert(out.forall(r => r.getLong(2) <= r.getLong(1)))
+    val keptSum = out.map(_.getLong(2)).sum
+    val distinctChunks = graft.tables.Tables.documents(spark, sfDir)
+      .select(explode(expr(
+        "transform(sequence(0, (size(split(lower(text), ' '))-1) div 10), " +
+        "i -> concat_ws(' ', slice(split(lower(text), ' '), i*10+1, 10)))")).as("c"))
+      .distinct().count()
+    assert(keptSum == distinctChunks, s"kept=$keptSum distinct=$distinctChunks")
+  }
+
+  test("decontamination flags every exact copy of a benchmark doc") {
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        size(split(col("text"), " ")).as("n"))
+    val bench = docs.filter(col("doc_id") < 20).select(col("h")).distinct()
+    // exact copies with ≥ 7 tokens have ≥ 5 trigrams, all shared → must flag
+    val copies = docs.filter(col("doc_id") >= 20 && col("n") >= 7)
+      .join(bench, "h").select("doc_id").collect().map(_.getLong(0)).toSet
+    val flagged = Pipeline.decontaminate(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(copies.subsetOf(flagged),
+      s"unflagged benchmark copies: ${copies.diff(flagged)}")
+  }
+
+  test("PII redaction counts follow the synthesis rule and the clean text has no hits") {
+    val rows = Pipeline.piiRedact(spark, sfDir).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == (if (id % 3 != 0) 1 else 0), s"doc $id email count")
+      assert(r.getLong(2) == (if (id % 2 == 0) 1 else 0), s"doc $id phone count")
+    }
+  }
+
+  test("sequence packing conserves docs and tokens per language") {
+    val packed = Pipeline.packSequences(spark, sfDir)
+      .groupBy("lang").agg(sum("n_docs").as("d"), sum("tok_total").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val truth = graft.tables.Tables.documents(spark, sfDir)
+      .groupBy("lang").agg(count(lit(1)).as("d"),
+        sum(size(split(col("text"), " "))).as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(packed == truth)
+  }
+
+  test("repetition ratio is 1 - distinct/total and bounded in [0, 1)") {
+    Pipeline.repetition(spark, sfDir).collect().foreach { r =>
+      val (t, d, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(d <= t && ratio >= 0.0 && ratio < 1.0)
+      assert(math.abs(ratio - (1.0 - d.toDouble / t.toDouble)) == 0.0)
+    }
+  }
+}
