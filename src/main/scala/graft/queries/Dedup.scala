@@ -210,11 +210,15 @@ object Dedup {
         "transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))).as("s"))
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    // Parse each md5's first 16 hex digits ONCE into an int array; the 64
+    // vote aggregates then index into it (4 bits per digit) instead of each
+    // re-running substring+instr — 16 string ops per shingle, not 64.
     val ex = shingleStrings(spark, dir)
       .withColumn("m", md5(col("s")))
+      .withColumn("d", expr(
+        "transform(sequence(1, 16), p -> instr('0123456789abcdef', substring(m, p, 1)) - 1)"))
     val voteAggs = (0 until 64).map { k =>
-      sum(expr(s"2 * ((instr('0123456789abcdef', substring(m, ${k / 4 + 1}, 1)) - 1) " +
-               s"div ${1 << (k % 4)} % 2) - 1")).as(s"v$k")
+      sum(expr(s"2 * (d[${k / 4}] div ${1 << (k % 4)} % 2) - 1")).as(s"v$k")
     }
     val votes = ex.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
     def half(lowBit: Int): Column =
@@ -362,15 +366,17 @@ object Dedup {
     */
   private val simhashOracle: String = {
     val votes = (0 until 64).map { k =>
-      s"sum(2 * ((strpos('0123456789abcdef', substr(m, ${k / 4 + 1}, 1)) - 1) " +
-      s"// ${1 << (k % 4)} % 2) - 1) AS v$k"
+      s"sum(2 * (d[${k / 4 + 1}] // ${1 << (k % 4)} % 2) - 1) AS v$k"
     }.mkString(",\n       ")
     def half(lowBit: Int) = (0 until 32).map { k =>
       s"(CASE WHEN v${lowBit + k} > 0 THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
     shingleCte +
       s""",
-         |m AS (SELECT doc_id, md5(s) AS m FROM sh),
+         |m AS (SELECT doc_id,
+         |        list_transform(range(1, 17),
+         |          p -> strpos('0123456789abcdef', substr(m, p, 1)) - 1) AS d
+         |      FROM (SELECT doc_id, md5(s) AS m FROM sh)),
          |v AS (SELECT doc_id,
          |       $votes
          |      FROM m GROUP BY doc_id),
