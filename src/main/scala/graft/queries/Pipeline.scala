@@ -147,7 +147,74 @@ object Pipeline {
       .orderBy("lang", "bin")
   }
 
+  /** Generated bit-interleave of two 16-bit keys — the Morton (z-order)
+    * curve value, spelled with div/mod so the identical expression runs on
+    * both engines. 32-bit result in a BIGINT.
+    */
+  private def zExpr(x: String, y: String, intDiv: String): String =
+    (0 until 16).map { k =>
+      s"(($x div ${1L << k} % 2) * ${1L << (2 * k)} + " +
+      s"($y div ${1L << k} % 2) * ${1L << (2 * k + 1)})"
+    }.mkString(" + ").replace(" div ", s" $intDiv ")
+
+  /** Z-order layout clustering — the storage-layout op behind data skipping
+    * at 100 TB: interleave the bits of two scan dimensions (part, supplier)
+    * into a Morton key and bucket rows by a fixed 8-bit z-prefix (≡ range
+    * partitioning on the curve, but data-independent, so NO global sort —
+    * every row maps to its bucket map-side). Per-bucket min/max of both
+    * dims is exactly the file-footer metadata a reader would prune with;
+    * tight ranges = the clustering works.
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir).select("l_partkey", "l_suppkey")
+    // Quantize each dim to the 16-bit z-domain by its own min/max — what a
+    // real z-order write does, and what keeps every z-prefix bucket
+    // populated at any SF. The stats row is one broadcast scalar.
+    val stats = li.agg(
+      min("l_partkey").as("pk_lo"), max("l_partkey").as("pk_hi"),
+      min("l_suppkey").as("sk_lo"), max("l_suppkey").as("sk_hi"))
+    val z = zExpr("x", "y", "div")
+    li.crossJoin(broadcast(stats))
+      .withColumn("x", expr("(l_partkey - pk_lo) * 65536 div (pk_hi - pk_lo + 1)"))
+      .withColumn("y", expr("(l_suppkey - sk_lo) * 65536 div (sk_hi - sk_lo + 1)"))
+      .select(col("l_partkey"), col("l_suppkey"), expr(z).cast("bigint").as("zval"))
+      .withColumn("file_id", expr("zval div 16777216"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"),
+        min("l_suppkey").as("sk_min"), max("l_suppkey").as("sk_max"))
+      .orderBy("file_id")
+  }
+
+  /** Vocabulary coverage — tokenizer-prep analysis: per language, the size
+    * of the smallest frequency-ranked word prefix covering ≥ 95% of token
+    * occurrences. One groupBy(lang, word) + one per-lang window cumsum; the
+    * 95% test stays in integer arithmetic (cum·100 < 95·total) so there is
+    * no float threshold to disagree on. At scale the window partitions by
+    * lang — bounded cardinality, and the per-lang word list is the already-
+    * aggregated frequency table, not the corpus.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val freq = documents(spark, dir)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+    val wTot = Window.partitionBy("lang")
+    val wCum = Window.partitionBy("lang").orderBy(col("freq").desc, col("word"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    freq
+      .withColumn("total", sum("freq").over(wTot))
+      .withColumn("cum_excl", coalesce(sum("freq").over(wCum), lit(0L)))
+      .filter(col("cum_excl") * 100 < col("total") * 95)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("vocab_size"),
+        sum("freq").as("covered_tokens"),
+        max("total").as("total_tokens"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_zorder_layout"  -> zorderLayout _,
+    "q90_vocab_coverage" -> vocabCoverage _,
     "q84_decontaminate"  -> decontaminate _,
     "q85_pii_redact"     -> piiRedact _,
     "q86_chunk_dedup"    -> chunkDedup _,
@@ -156,6 +223,40 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "q89_zorder_layout" ->
+      s"""WITH st AS (
+         |  SELECT min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
+         |         min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi
+         |  FROM lineitem),
+         |q AS (
+         |  SELECT l_partkey, l_suppkey,
+         |         (l_partkey - pk_lo) * 65536 // (pk_hi - pk_lo + 1) AS x,
+         |         (l_suppkey - sk_lo) * 65536 // (sk_hi - sk_lo + 1) AS y
+         |  FROM lineitem CROSS JOIN st),
+         |z AS (
+         |  SELECT l_partkey, l_suppkey,
+         |         CAST(${zExpr("x", "y", "//")} AS BIGINT) AS zval
+         |  FROM q)
+         |SELECT zval // 16777216 AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+         |       min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+         |       min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+         |FROM z GROUP BY file_id ORDER BY file_id""".stripMargin,
+    "q90_vocab_coverage" ->
+      """WITH freq AS (
+        |  SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+        |  FROM documents),
+        |f AS (SELECT lang, word, count(*) AS freq FROM freq GROUP BY lang, word),
+        |c AS (SELECT lang, word, freq,
+        |             sum(freq) OVER (PARTITION BY lang) AS total,
+        |             coalesce(sum(freq) OVER (PARTITION BY lang
+        |               ORDER BY freq DESC, word
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+        |      FROM f)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS vocab_size,
+        |       CAST(sum(freq) AS BIGINT) AS covered_tokens,
+        |       CAST(max(total) AS BIGINT) AS total_tokens
+        |FROM c WHERE cum_excl * 100 < total * 95
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q84_decontaminate" -> (Dedup.shingleCte +
       """,
         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20)

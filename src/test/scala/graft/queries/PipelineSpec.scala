@@ -54,6 +54,29 @@ class PipelineSpec extends SparkSpec {
     assert(packed == truth)
   }
 
+  test("z-order layout conserves rows and clusters both dims (tight per-file ranges)") {
+    val out = Pipeline.zorderLayout(spark, sfDir).collect()
+    val li = graft.tables.Tables.lineitem(spark, sfDir)
+    assert(out.map(_.getLong(1)).sum == li.count())
+    val (pkLo, pkHi) = { val r = li.agg(min("l_partkey"), max("l_partkey")).collect()(0)
+                         (r.getLong(0), r.getLong(1)) }
+    // With an 8-bit z-prefix (4 bits/dim), each bucket covers ~1/16 of each
+    // quantized dim; allow 2x for quantization edges on the raw values.
+    val maxSpan = out.map(r => r.getLong(3) - r.getLong(2)).max
+    assert(maxSpan <= (pkHi - pkLo) / 8,
+      s"per-file partkey span $maxSpan too wide vs global ${pkHi - pkLo}")
+  }
+
+  test("vocab coverage reaches 95% of tokens with a vocab no larger than the distinct words") {
+    val out = Pipeline.vocabCoverage(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (v, cov, tot) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cov * 100 >= tot * 95, s"lang ${r.getString(0)} under-covered")
+      assert(cov <= tot && v >= 1)
+    }
+  }
+
   test("repetition ratio is 1 - distinct/total and bounded in [0, 1)") {
     Pipeline.repetition(spark, sfDir).collect().foreach { r =>
       val (t, d, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
