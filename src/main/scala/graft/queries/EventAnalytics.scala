@@ -70,7 +70,24 @@ object EventAnalytics {
       .orderBy("event_type")
   }
 
+  /** Semi-structured props via Spark 4's native VARIANT type: `props` is
+    * parsed ONCE into a variant and the field is extracted with
+    * `variant_get` (typed, binary-encoded) instead of re-parsing the JSON
+    * string per field — the scan-friendly path for schemaless event
+    * payloads at 100 TB. The oracle extracts the same path with DuckDB's
+    * JSON functions; values are integers, so typing is exact.
+    */
+  def variantProps(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
+           min("k").as("k_min"), max("k").as("k_max"))
+      .orderBy("event_type")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_variant_json"     -> variantProps _,
     "q49_stream_tumbling"  -> tumbling _,
     "q68_stream_dedup"     -> dedupIngest _,
     "q50_stream_sliding"   -> sliding _,
@@ -101,6 +118,12 @@ object EventAnalytics {
       |ORDER BY user_id, s_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q91_variant_json" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+        |       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q49_stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
         |       date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS w_end,

@@ -207,6 +207,26 @@ object Relational {
          |  GROUP BY l_orderkey, o_orderdate, o_orderpriority)
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
 
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`): generate the monthly
+    * calendar spine across the order history and gap-fill order counts —
+    * zero-filling missing months is the classic spine op the DataFrame API
+    * can't express without a driver-side loop or sequence() literals. The
+    * spine is 80 rows, so the recursion cost is nil and the join
+    * broadcasts; at scale the heavy side (orders) still aggregates
+    * partially before the spine join.
+    */
+  def recursiveSpine(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""WITH RECURSIVE months(m) AS (
+         |  SELECT DATE '1995-01-01'
+         |  UNION ALL SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+         |  WHERE m < DATE '2001-08-01'
+         |)
+         |SELECT m, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+         |FROM months LEFT JOIN parquet.`$dir/orders.parquet`
+         |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+         |GROUP BY m ORDER BY m""".stripMargin)
+
   /** Distribution-style analytic functions — the window classes q16–q18
     * don't cover: quartile assignment (ntile), relative standing
     * (percent_rank, cume_dist), and positional access (nth_value). Ordering
@@ -554,6 +574,7 @@ object Relational {
     "q61_unpivot"         -> unpivotMeasures _,
     "q69_hll_sketch"      -> hllSketch _,
     "q70_sql_tpch_q3"     -> sqlTpchQ3 _,
+    "q92_recursive_cte"   -> recursiveSpine _,
     "q71_stats_agg"       -> statsAgg _,
     "q75_exists_subquery" -> existsSubquery _,
     "q76_scalar_subquery" -> scalarSubquery _,
@@ -756,6 +777,16 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact, true AS ok,
         |       true AS merged_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q92_recursive_cte" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+        |  WHERE m < DATE '2001-08-01'
+        |)
+        |SELECT m, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        |FROM months LEFT JOIN orders
+        |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        |GROUP BY m ORDER BY m""".stripMargin,
     "q70_sql_tpch_q3" ->
       """SELECT l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
         |  SELECT l_orderkey,
