@@ -210,15 +210,16 @@ object Dedup {
         "transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))).as("s"))
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    // Parse each md5's first 16 hex digits ONCE into an int array; the 64
-    // vote aggregates then index into it (4 bits per digit) instead of each
-    // re-running substring+instr — 16 string ops per shingle, not 64.
+    // Parse each md5's first 16 hex digits ONCE into 16 scalar columns; the
+    // 64 vote aggregates then read those (4 bits per digit) instead of each
+    // re-running substring+instr — 16 string ops per shingle, not 64, and
+    // no per-row array allocation (stays in whole-stage codegen registers).
     val ex = shingleStrings(spark, dir)
       .withColumn("m", md5(col("s")))
-      .withColumn("d", expr(
-        "transform(sequence(1, 16), p -> instr('0123456789abcdef', substring(m, p, 1)) - 1)"))
+      .select(col("doc_id") +: (0 until 16).map(p => expr(
+        s"instr('0123456789abcdef', substring(m, ${p + 1}, 1)) - 1").as(s"d$p")): _*)
     val voteAggs = (0 until 64).map { k =>
-      sum(expr(s"2 * (d[${k / 4}] div ${1 << (k % 4)} % 2) - 1")).as(s"v$k")
+      sum(expr(s"2 * (d${k / 4} div ${1 << (k % 4)} % 2) - 1")).as(s"v$k")
     }
     val votes = ex.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
     def half(lowBit: Int): Column =
