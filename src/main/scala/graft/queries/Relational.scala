@@ -211,9 +211,10 @@ object Relational {
     * calendar spine across the order history and gap-fill order counts —
     * zero-filling missing months is the classic spine op the DataFrame API
     * can't express without a driver-side loop or sequence() literals. The
-    * spine is 80 rows, so the recursion cost is nil and the join
-    * broadcasts; at scale the heavy side (orders) still aggregates
-    * partially before the spine join.
+    * spine is 80 rows, so the recursion cost is nil; orders is aggregated
+    * to per-month counts BEFORE the spine join, so the join's big side is
+    * one row per month regardless of SF (joining raw orders would tempt
+    * AQE into broadcasting a table that scales).
     */
   def recursiveSpine(spark: SparkSession, dir: String): DataFrame =
     spark.sql(
@@ -221,11 +222,15 @@ object Relational {
          |  SELECT DATE '1995-01-01'
          |  UNION ALL SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
          |  WHERE m < DATE '2001-08-01'
+         |),
+         |agg AS (
+         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+         |         count(*) AS n
+         |  FROM parquet.`$dir/orders.parquet` GROUP BY 1
          |)
-         |SELECT m, CAST(count(o_orderkey) AS BIGINT) AS n_orders
-         |FROM months LEFT JOIN parquet.`$dir/orders.parquet`
-         |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
-         |GROUP BY m ORDER BY m""".stripMargin)
+         |SELECT m, CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+         |FROM months LEFT JOIN agg ON mo = m
+         |ORDER BY m""".stripMargin)
 
   /** Distribution-style analytic functions — the window classes q16–q18
     * don't cover: quartile assignment (ntile), relative standing
@@ -782,11 +787,15 @@ object Relational {
         |  SELECT DATE '1995-01-01'
         |  UNION ALL SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
         |  WHERE m < DATE '2001-08-01'
+        |),
+        |agg AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1
         |)
-        |SELECT m, CAST(count(o_orderkey) AS BIGINT) AS n_orders
-        |FROM months LEFT JOIN orders
-        |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
-        |GROUP BY m ORDER BY m""".stripMargin,
+        |SELECT m, CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+        |FROM months LEFT JOIN agg ON mo = m
+        |ORDER BY m""".stripMargin,
     "q70_sql_tpch_q3" ->
       """SELECT l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
         |  SELECT l_orderkey,
