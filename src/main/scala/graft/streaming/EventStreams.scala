@@ -97,6 +97,29 @@ object EventStreams {
               col("p_ts") < col("c_ts") + expr("INTERVAL 1 HOUR"))
   }
 
+  /** Stream-static enrichment: join the unbounded event stream to a static
+    * (bounded) dimension. The static side is broadcast and re-planned per
+    * micro-batch — no streaming state at all, so this holds at any event
+    * rate; the dim just has to stay broadcast-sized (it's a dimension
+    * table — it does). In batch the same code is a plain broadcast join.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"))
+      .withColumn("weighted_value", round(col("value") * col("weight"), 2))
+
+  /** Inline data-quality metrics via `observe`: row count, value sum, and
+    * null-props count ride the existing job (no second pass over the data —
+    * the accumulators update as rows flow), surfaced per micro-batch in
+    * `StreamingQueryProgress.observedMetrics` (batch: via
+    * `QueryExecutionListener`). The monitoring surface a production
+    * ingestion pipeline alarms on.
+    */
+  def withQualityMetrics(events: DataFrame): DataFrame =
+    events.observe("quality",
+      count(lit(1)).as("rows"),
+      round(sum("value"), 2).as("value_sum"),
+      sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"))
+
   /** Ingestion dedup — at-least-once delivery (replayed files, retried
     * producers) made exactly-once: duplicates of an `event_id` arriving
     * within the watermark horizon are dropped, and state for ids older than

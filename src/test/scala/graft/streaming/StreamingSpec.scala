@@ -69,6 +69,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment equals the batch join and keeps no state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq(("click", 2.0), ("view", 0.5)).toDF("event_type", "weight")
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val df = ms.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.enrichWithDim(df, dim)
+      .writeStream.format("memory").queryName("t_enrich").outputMode("append").start()
+    try {
+      ms.addData(rows.take(3)); q.processAllAvailable()
+      ms.addData(rows.drop(3)); q.processAllAvailable()
+      val streamed = spark.table("t_enrich")
+        .orderBy("ts").select("ts", "event_type", "value", "weighted_value").collect()
+      val batch = EventStreams.enrichWithDim(rows.toDF("ts", "event_type", "value"), dim)
+        .orderBy("ts").select("ts", "event_type", "value", "weighted_value").collect()
+      assert(streamed.toSeq == batch.toSeq)
+      // enrichment is stateless: the progress reports no state rows
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
+  test("observe() metrics ride the stream: per-batch quality counters sum to the input") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val df = ms.toDF().toDF("ts", "event_type", "value")
+      .withColumn("props", when(col("value") > 3.0, lit(null: String)).otherwise(lit("{}")))
+    val q = EventStreams.withQualityMetrics(df)
+      .writeStream.format("memory").queryName("t_observe").outputMode("append").start()
+    try {
+      ms.addData(rows.take(3)); q.processAllAvailable()
+      ms.addData(rows.drop(3)); q.processAllAvailable()
+      val metrics = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("quality")))
+      assert(metrics.nonEmpty, "no observed metrics surfaced")
+      assert(metrics.map(_.getAs[Long]("rows")).sum == rows.size)
+      assert(math.abs(metrics.map(_.getAs[Double]("value_sum")).sum -
+                      rows.map(_._3).sum) < 1e-9)
+      assert(metrics.map(_.getAs[Long]("null_props")).sum ==
+             rows.count(_._3 > 3.0))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join with watermarks equals the batch range join") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
