@@ -119,7 +119,7 @@ object Dedup {
     * (bucket ≤ 100) bounds the per-key fan-out.
     * (Shingles arrive pre-hashed to longs from `shingled`.)
     */
-  private def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
     pairCache.synchronized { pairCache.getOrElseUpdate((spark, dir), {
       val sh = shingled(spark, dir)
         .select(col("doc_id"), explode(col("sh")).as("s64"))
@@ -320,6 +320,26 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Triangle counting over the near-dup pair graph — the graph-analytics
+    * step after pair generation: triangle density separates genuine
+    * duplicate clusters (near-cliques) from chance collisions (sparse).
+    * Canonical two-join enumeration over ordered edges (a<b<c, so each
+    * triangle counts once), both joins keyed by a single vertex — the
+    * standard distributed shape (shuffle by join vertex; at scale one adds
+    * degree-ordering to bound skew). Output: per-doc triangle counts.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = nearDupPairs(spark, dir).select("id_a", "id_b")
+    val t = e.as("e1")
+      .join(e.as("e2"), col("e1.id_b") === col("e2.id_a"))
+      .join(e.as("e3"), col("e3.id_a") === col("e1.id_a") &&
+                        col("e3.id_b") === col("e2.id_b"))
+      .select(col("e1.id_a").as("a"), col("e1.id_b").as("b"), col("e2.id_b").as("c"))
+    t.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
   /** Fuzzy near-dup scoring via edit distance — the engine's scalar-UDF
     * surface (SURVEY.md §2.2 UDF row; the reference's `map` is arbitrary
     * per-row client code, `MapReduceClient.h:57-59`). Candidates come from a
@@ -349,6 +369,7 @@ object Dedup {
     "q36_dedup_ngram_jaccard"    -> ngramJaccard _,
     "q37_dedup_minhash_lsh"      -> minhashLsh _,
     "q38_dedup_simhash"          -> simhash _,
+    "q93_dedup_triangles"        -> triangles _,
     "q39_dedup_embedding_cosine" -> embeddingCosine _,
     "q62_dedup_cluster"          -> dedupCluster _,
   )
@@ -397,8 +418,33 @@ object Dedup {
          |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Pair CTE shared by the triangle oracle: identical to q36's verified
+    * pair generation (rare-shingle inverted index, J ≥ 0.6).
+    */
+  private val pairsCte = shingleCte +
+    """,
+      |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+      |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY 1),
+      |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |           FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b FROM common
+      |          JOIN sizes sa ON sa.doc_id = id_a
+      |          JOIN sizes sb ON sb.doc_id = id_b
+      |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q38_dedup_simhash" -> simhashOracle,
+    "q93_dedup_triangles" -> (pairsCte +
+      """,
+        |tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        |        FROM pairs e1
+        |        JOIN pairs e2 ON e2.id_a = e1.id_b
+        |        JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "q35_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,

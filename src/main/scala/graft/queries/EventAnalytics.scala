@@ -86,7 +86,35 @@ object EventAnalytics {
            min("k").as("k_min"), max("k").as("k_max"))
       .orderBy("event_type")
 
+  /** Funnel analysis — staged sequential aggregation: the first view per
+    * user, the first click AT/after that view, the first purchase at/after
+    * that click; `stage` is the depth reached (1–3). Three grouped mins and
+    * two joins, all keyed by user_id — one shuffle key end-to-end, so the
+    * stages co-partition and at scale this is a single exchange plus
+    * map-side work. The classic event-product query the windowed/session
+    * surfaces don't cover.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select("user_id", "event_type", "ts")
+    def firstAtOrAfter(df: DataFrame, typ: String, lower: DataFrame, lcol: String): DataFrame =
+      df.filter(col("event_type") === typ)
+        .join(lower, Seq("user_id"))
+        .filter(col("ts") >= col(lcol))
+        .groupBy("user_id").agg(min("ts").as(s"t_$typ"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = firstAtOrAfter(e, "click", v, "t_view")
+    val p = firstAtOrAfter(e, "purchase", c, "t_click")
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+                + when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"),
+        col("t_view"), col("t_click"), col("t_purchase"))
+      .orderBy("user_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_funnel"           -> funnel _,
     "q91_variant_json"     -> variantProps _,
     "q49_stream_tumbling"  -> tumbling _,
     "q68_stream_dedup"     -> dedupIngest _,
@@ -118,6 +146,23 @@ object EventAnalytics {
       |ORDER BY user_id, s_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q94_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t_view
+        |      WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM e JOIN c ON e.user_id = c.user_id AND e.ts >= c.t_click
+        |      WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT v.user_id,
+        |       CAST(1 + (CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |              + (CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS stage,
+        |       v.t_view, c.t_click, p.t_purchase
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |       LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin,
     "q91_variant_json" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
