@@ -72,5 +72,12 @@ object GraftFunctions {
     // directly — registration-free, like VectorOps.dot).
     spark.udf.register("graft_dl",
       (a: String, b: String) => StringDistance.damerauLevenshtein(a, b).toLong)
+    // Planner strategy for the native operators (graft.plans). Idempotent
+    // fallback for sessions not built with
+    // spark.sql.extensions=graft.plans.GraftExtensions (Verify/Bench set
+    // that config; the shared test session lands here).
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.TopKPerKeyStrategy
   }
 }

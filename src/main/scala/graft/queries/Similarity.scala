@@ -194,8 +194,23 @@ object Similarity {
         expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("qsum"))
       .orderBy("vec_id")
 
+  /** Same result as q40/q74, through the native `TopKPerKeyExec`
+    * (graft.plans): per-partition bounded heaps before the exchange, so the
+    * shuffle carries ≤ k rows per (key, input partition) instead of every
+    * scored pair. Third spelling of one semantics — window (q40), typed
+    * aggregator (q74), custom physical operator (q95) — all proven by the
+    * same oracle text.
+    */
+  def cosineTopKNative(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.GraftOps.topKPerKey(
+      scoredPairs(spark, dir),
+      Seq("probe_id"), Seq(col("cs").desc, col("vec_id").asc), 5)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), round(col("cs"), 4).as("cs"))
+      .orderBy("probe_id", "rnk")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_similarity_topk"     -> cosineTopK _,
+    "q95_similarity_topk_native" -> cosineTopKNative _,
     "q80_embed_quantize"      -> quantize _,
     "q41_similarity_ann_lsh"  -> annLsh _,
     "q42_label_centroid"      -> labelCentroid _,
@@ -208,6 +223,17 @@ object Similarity {
 
   private val planesSql: String =
     planes.map(_.mkString("[", ", ", "]")).mkString("[", ",\n  ", "]")
+
+  private val bruteTopKOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+       |scored AS (SELECT probe_id, vec_id, ${duckCos("pv", "v")} AS cs
+       |           FROM probes JOIN e ON vec_id <> probe_id)
+       |SELECT probe_id, rnk, vec_id, round(cs, 4) AS cs
+       |FROM (SELECT probe_id, vec_id, cs,
+       |             row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, vec_id) AS rnk
+       |      FROM scored)
+       |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q80_embed_quantize" ->
@@ -222,28 +248,11 @@ object Similarity {
         |       CAST(list_aggregate(q, 'max') AS BIGINT) AS qmax,
         |       CAST(list_aggregate(q, 'sum') AS BIGINT) AS qsum
         |FROM qv ORDER BY vec_id""".stripMargin,
-    // q74 computes the identical result through the bounded-state typed
-    // aggregator — one oracle text proves both implementations.
-    "q74_similarity_topk_agg" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
-         |scored AS (SELECT probe_id, vec_id, ${duckCos("pv", "v")} AS cs
-         |           FROM probes JOIN e ON vec_id <> probe_id)
-         |SELECT probe_id, rnk, vec_id, round(cs, 4) AS cs
-         |FROM (SELECT probe_id, vec_id, cs,
-         |             row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, vec_id) AS rnk
-         |      FROM scored)
-         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
-    "q40_similarity_topk" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
-         |scored AS (SELECT probe_id, vec_id, ${duckCos("pv", "v")} AS cs
-         |           FROM probes JOIN e ON vec_id <> probe_id)
-         |SELECT probe_id, rnk, vec_id, round(cs, 4) AS cs
-         |FROM (SELECT probe_id, vec_id, cs,
-         |             row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, vec_id) AS rnk
-         |      FROM scored)
-         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+    // q40 (window), q74 (typed aggregator), and q95 (native TopKPerKeyExec)
+    // compute the identical result — ONE oracle text proves all three.
+    "q40_similarity_topk" -> bruteTopKOracle,
+    "q74_similarity_topk_agg" -> bruteTopKOracle,
+    "q95_similarity_topk_native" -> bruteTopKOracle,
     "q41_similarity_ann_lsh" ->
       s"""WITH planes(pl) AS (SELECT $planesSql),
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
