@@ -47,18 +47,33 @@ object Dedup {
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  // Per-doc signature tables (minhash, simhash): one short row per document,
+  // consumed on BOTH sides of their band/chunk self-join — materialized so
+  // the signature pipeline runs once per corpus, not once per join side.
+  private val sigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def materializedSig(spark: SparkSession, dir: String, name: String)
+                             (build: => DataFrame): DataFrame =
+    sigCache.synchronized { sigCache.getOrElseUpdate((spark, dir, name),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)) }
+
   /** Unpersist and drop every cached index belonging to `spark` (all corpora).
     * Call when a corpus pass is over — e.g. Bench evicts the warm-phase
     * entries before the timed run so sf0.001 indexes don't pin executor
     * storage while sf0.1 executes, and long-lived sessions don't accumulate
     * per-corpus tables forever.
     */
-  def evictCaches(spark: SparkSession): Unit =
+  def evictCaches(spark: SparkSession): Unit = {
     Seq(shingleCache, pairCache).foreach { cache =>
       cache.keys.filter(_._1 eq spark).foreach { k =>
         cache.remove(k).foreach(_.unpersist(blocking = false))
       }
     }
+    sigCache.keys.filter(_._1 eq spark).foreach { k =>
+      sigCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
 
   // builds are guarded: TrieMap.getOrElseUpdate may evaluate the by-name
   // builder in two racing threads, and the loser's persisted DataFrame
@@ -158,11 +173,18 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val shSets = shingled(spark, dir)
-    val ex = shSets.select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("h", pmod(col("s"), lit(P)))
-    val mhAggs = (0 until 64).map(j =>
-      min(pmod(col("h") * seeds(j)._1 + seeds(j)._2, lit(P))).as(s"mh$j"))
-    val mh = ex.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    // Signatures per doc via array HOFs over the (already doc-local) shingle
+    // array — NO explode, NO groupBy: minhash is embarrassingly parallel, so
+    // at any scale the signature pass is map-only. h = s mod P is hoisted
+    // once per element; each h·a+b stays < 2⁶² (both factors < 2³¹).
+    // Materialized because the band self-join consumes it on both sides.
+    val mh = materializedSig(spark, dir, "minhash") {
+      val mhCols = (0 until 64).map(j => expr(
+        s"array_min(transform(hs, x -> pmod(x * ${seeds(j)._1}L + ${seeds(j)._2}L, ${P}L)))")
+        .as(s"mh$j"))
+      shSets.withColumn("hs", expr(s"transform(sh, s -> pmod(s, ${P}L))"))
+        .select(col("doc_id") +: mhCols: _*)
+    }
     val bands = mh.select(col("doc_id"),
         explode(array((0 until 32).map(g =>
           concat_ws(":", lit(g), col(s"mh${2 * g}"), col(s"mh${2 * g + 1}"))): _*)).as("band"))
@@ -225,7 +247,11 @@ object Dedup {
     def half(lowBit: Int): Column =
       (0 until 32).map(k => when(col(s"v${lowBit + k}") > 0, lit(1L << k)).otherwise(lit(0L)))
         .reduce(_ + _)
-    val sig = votes.select(col("doc_id"), half(0).as("lo"), half(32).as("hi"))
+    // Materialized: 16 bytes per doc, consumed by both chunk-join sides —
+    // without it the whole shingle+md5+vote pipeline runs twice.
+    val sig = materializedSig(spark, dir, "simhash") {
+      votes.select(col("doc_id"), half(0).as("lo"), half(32).as("hi"))
+    }
     val chunks = sig.select(col("doc_id"), col("lo"), col("hi"),
       explode(array(
         concat_ws(":", lit(0), col("lo").bitwiseAND(lit(0xFFFFL))),
