@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+
+/** Sink surface (SURVEY §2.1 S2 beyond collect-to-driver): partitioned
+  * parquet, bucketed tables, ORC, CSV — each as a write→read-back→aggregate
+  * roundtrip whose oracle runs the same aggregate on the SOURCE table, so a
+  * hash match proves the sink lost/changed nothing.
+  *
+  * Roundtrip aggregates stick to counts and integer sums: a float sum's
+  * value depends on partition order, which a write→read cycle is free to
+  * change. Output dirs live under java.io.tmpdir, keyed by the corpus dir
+  * so sf0.001 warmup and sf0.1 timed runs never collide.
+  */
+object Sinks {
+
+  private def tmpOut(dir: String, name: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${name}_${java.lang.Integer.toHexString(dir.hashCode)}").getPath
+
+  /** Partitioned parquet sink: orders partitioned by order year, read back
+    * through one partition (pruning: only year=1995 files are touched —
+    * the layout a 100 TB fact table ships with).
+    */
+  def sinkPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpOut(dir, "part")
+    orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("o_year") === 1995)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), sum("o_custkey").as("sum_cust"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Bucketed-table sink + co-located join: customer and a per-customer
+    * order rollup, both written bucketed (and sorted) on the customer key,
+    * then joined. With both sides bucketed identically the sort-merge join
+    * needs NO shuffle exchange — the layout that turns the biggest join of
+    * a 100 TB pipeline into a map-side merge (asserted in SinksSpec).
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sfx = java.lang.Integer.toHexString(dir.hashCode)
+    val (tc, to) = (s"g_cust_b_$sfx", s"g_ord_b_$sfx")
+    spark.sql(s"DROP TABLE IF EXISTS $tc")
+    spark.sql(s"DROP TABLE IF EXISTS $to")
+    customer(spark, dir).select("c_custkey", "c_mktsegment")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", tmpOut(dir, "bkt_cust")).mode("overwrite").saveAsTable(tc)
+    orders(spark, dir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_ord"))
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", tmpOut(dir, "bkt_ord")).mode("overwrite").saveAsTable(to)
+    spark.table(tc)
+      .join(spark.table(to), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), sum("n_ord").as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** ORC sink roundtrip over documents. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpOut(dir, "orc")
+    documents(spark, dir).write.mode("overwrite").orc(out)
+    orc(spark, out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  /** CSV sink roundtrip over nation (schema-explicit read back — inference
+    * would cost a second full pass at scale).
+    */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpOut(dir, "csv")
+    val src = nation(spark, dir)
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    csv(spark, out, src.schema)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_nations"), min("n_name").as("first_name"))
+      .orderBy("n_regionkey")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_sink_partitioned" -> sinkPartitioned _,
+    "q97_bucketed_join"    -> bucketedJoin _,
+    "q98_orc_roundtrip"    -> orcRoundtrip _,
+    "q99_csv_roundtrip"    -> csvRoundtrip _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q96_sink_partitioned" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q97_bucketed_join" ->
+      """WITH co AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+        |            FROM orders GROUP BY o_custkey)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+        |       CAST(sum(n_ord) AS BIGINT) AS n_orders
+        |FROM customer JOIN co ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q98_orc_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q99_csv_roundtrip" ->
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+        |       min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+  )
+}
