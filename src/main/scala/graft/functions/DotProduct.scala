@@ -79,5 +79,7 @@ object GraftFunctions {
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    if (!exp.extraOptimizations.contains(graft.plans.TopKWindowRewrite))
+      exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.TopKWindowRewrite
   }
 }

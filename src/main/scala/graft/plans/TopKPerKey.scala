@@ -148,8 +148,10 @@ object TopKPerKeyStrategy extends SparkStrategy {
   * registration path for graft's planner strategy.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => TopKWindowRewrite)
+  }
 }
 
 /** User-facing surface for the custom operators. */
