@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 import java.sql.Timestamp
 
 /** Structured-Streaming surface over `events` (SURVEY.md §2.2 "Streaming").
@@ -198,5 +198,40 @@ object EventStreams {
           closed.iterator ++ Iterator(open)
         }
       }
+  }
+
+  /** Spark 4 `transformWithState` sessionization — the arbitrary-state
+    * successor to `flatMapGroupsWithState`: typed state primitives on the
+    * state store (a `ListState` of open-session events here; the API also
+    * offers ValueState/MapState, per-key timers, and TTL). Emission contract
+    * matches `sessionizeStateful` — closed sessions plus the current open
+    * session each batch, latest row per (user, s_start) wins — so the same
+    * StreamingSpec assertion proves stream ≡ batch twin. Streaming runs
+    * require the RocksDB state store provider (asserted in the spec);
+    * state stays bounded by the open session per user.
+    */
+  final class SessionProcessor extends StatefulProcessor[Long, Event, Session] {
+    @transient private var evs: ListState[(Timestamp, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      evs = getHandle.getListState("evs",
+        Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaDouble), TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[Session] = {
+      val prior = if (evs.exists()) evs.get().toList else Nil
+      val all = prior ++ rows.map(e => (e.ts, e.value)).toList
+      val sessions = toSessions(uid, all)
+      if (sessions.isEmpty) Iterator.empty
+      else {
+        val open = sessions.last
+        evs.put(all.filter(_._1.getTime >= open.s_start.getTime).toArray)
+        sessions.iterator
+      }
+    }
+  }
+
+  def sessionizeTws(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor, TimeMode.None(), OutputMode.Append())
   }
 }

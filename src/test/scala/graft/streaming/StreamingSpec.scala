@@ -251,4 +251,43 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
     } finally q.stop()
   }
+
+  test("transformWithState sessionization (RocksDB state store) equals the window twin") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val evs = Seq(
+      EventStreams.Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+      EventStreams.Event(1L, ts("2024-01-01 10:10:00"), 2.0),
+      EventStreams.Event(1L, ts("2024-01-01 11:00:00"), 3.0),
+      EventStreams.Event(2L, ts("2024-01-01 10:00:00"), 4.0),
+      EventStreams.Event(1L, ts("2024-01-01 11:20:00"), 5.0),
+      EventStreams.Event(2L, ts("2024-01-01 12:00:00"), 6.0),
+    )
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionizeTws(ms.toDS())
+      .writeStream.format("memory").queryName("t_tws").outputMode("append").start()
+    try {
+      ms.addData(evs.take(4)); q.processAllAvailable()
+      ms.addData(evs.drop(4)); q.processAllAvailable()
+      val streamed = spark.table("t_tws").collect()
+        .map(r => ((r.getLong(0), r.getTimestamp(1)),
+                   (r.getTimestamp(2), r.getLong(3), r.getDouble(4))))
+        .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).maxBy(_._2)) }
+      val batch = EventStreams.sessionByUser(evs.toDS().toDF())
+        .collect()
+        .map(r => ((r.getLong(0), r.getTimestamp(1)),
+                   (r.getTimestamp(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+      assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
