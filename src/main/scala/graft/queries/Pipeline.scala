@@ -212,6 +212,59 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Domain-mixing weights: per-source share of the corpus and the sampling
+    * weight that rebalances to a uniform target mix (weight = target share /
+    * current share — the number a data loader multiplies into its sampling
+    * probability). Two tiny aggregates + a 1-row broadcast; the shares are
+    * single IEEE divisions of exact counts, so both engines produce
+    * bit-identical doubles.
+    */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val totals = bySource.agg(sum("n_docs").as("total"), count(lit(1)).as("k"))
+    bySource.crossJoin(broadcast(totals))
+      .withColumn("share", col("n_docs").cast("double") / col("total").cast("double"))
+      .withColumn("weight",
+        (lit(1.0) / col("k").cast("double")) / col("share"))
+      .select("source", "n_docs", "share", "weight")
+      .orderBy("source")
+  }
+
+  /** Unigram log-probability quality score (the cheap stand-in for a KenLM
+    * perplexity gate): corpus unigram distribution in one pass, then each
+    * doc scores avg(−ln p(token)) over its tokens. The per-token join is on
+    * the exploded token stream — keyed, partial-aggregated, and the
+    * frequency table broadcasts while vocab is bounded; at open-vocab scale
+    * it degrades to a shuffle join on the word key, still never a cross
+    * join. Docs < 50 keep the output bounded. Sum order is pinned by
+    * aggregating ln-probs in token order via sort_array collection? — no:
+    * the score is sum of doubles; to stay engine-deterministic the sum runs
+    * over a sorted array built per doc (collect_list→sort_array→aggregate),
+    * NOT a float groupBy sum whose order the shuffle would choose.
+    */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("word"))
+    val freq = toks.groupBy("word").agg(count(lit(1)).as("wf"))
+    val totals = freq.agg(sum("wf").as("wtotal"))
+    toks.filter(col("doc_id") < 50)
+      .join(broadcast(freq), "word")
+      .crossJoin(broadcast(totals))
+      .withColumn("lp",
+        -log(col("wf").cast("double") / col("wtotal").cast("double")))
+      // deterministic float reduction: collect per-doc ln-probs, sort the
+      // array, THEN fold — identical order in DuckDB's oracle
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sort_array(collect_list("lp")).as("lps"))
+      .withColumn("avg_nll", round(
+        expr("aggregate(lps, 0D, (a, x) -> a + x)") / col("n_tokens").cast("double"), 6))
+      .select("doc_id", "n_tokens", "avg_nll")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_zorder_layout"  -> zorderLayout _,
     "q90_vocab_coverage" -> vocabCoverage _,
@@ -220,6 +273,8 @@ object Pipeline {
     "q86_chunk_dedup"    -> chunkDedup _,
     "q87_repetition"     -> repetition _,
     "q88_pack_sequences" -> packSequences _,
+    "q100_mix_weights"     -> mixWeights _,
+    "q101_unigram_logprob" -> unigramLogprob _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -322,5 +377,32 @@ object Pipeline {
         |SELECT lang, CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(tok) AS BIGINT) AS tok_total
         |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "q100_mix_weights" ->
+      """WITH d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+        |             CAST(count(*) AS BIGINT) AS k FROM d)
+        |SELECT source, n_docs,
+        |       CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |       (1.0 / CAST(k AS DOUBLE)) /
+        |         (CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) AS weight
+        |FROM d, t ORDER BY source""".stripMargin,
+    "q101_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |                                    x -> x <> '')) AS word
+        |  FROM documents),
+        |freq AS (SELECT word, CAST(count(*) AS BIGINT) AS wf FROM toks GROUP BY word),
+        |t AS (SELECT CAST(sum(wf) AS BIGINT) AS wtotal FROM freq),
+        |lp AS (SELECT doc_id,
+        |              -ln(CAST(wf AS DOUBLE) / CAST(wtotal AS DOUBLE)) AS lp
+        |       FROM toks JOIN freq USING (word) CROSS JOIN t
+        |       WHERE doc_id < 50),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |               list_sort(list(lp)) AS lps
+        |        FROM lp GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |       round(list_aggregate(lps, 'sum') / CAST(n_tokens AS DOUBLE), 6) AS avg_nll
+        |FROM agg ORDER BY doc_id""".stripMargin,
   )
 }
