@@ -84,4 +84,30 @@ class PipelineSpec extends SparkSpec {
       assert(math.abs(ratio - (1.0 - d.toDouble / t.toDouble)) == 0.0)
     }
   }
+
+  test("mix weights: shares sum to 1 and weight x share = 1/k exactly") {
+    val rows = Pipeline.mixWeights(spark, sfDir).collect()
+    val k = rows.length.toDouble
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) * r.getDouble(2) - 1.0 / k) < 1e-12,
+        s"weight*share != 1/k for ${r.getString(0)}")
+    }
+  }
+
+  test("unigram log-prob scores are within the information-theoretic bounds") {
+    val toks = graft.tables.Tables.documents(spark, sfDir)
+      .select(explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("w"))
+    val total = toks.count().toDouble
+    val maxFreq = toks.groupBy("w").count()
+      .agg(max("count")).collect()(0).getLong(0).toDouble
+    val (lo, hi) = (-math.log(maxFreq / total), math.log(total))
+    val rows = Pipeline.unigramLogprob(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nll = r.getDouble(2)
+      assert(nll >= lo - 1e-6 && nll <= hi + 1e-6,
+        s"doc ${r.getLong(0)}: avg_nll=$nll outside [$lo, $hi]")
+    }
+  }
 }
