@@ -50,6 +50,32 @@ class TopKPerKeySpec extends SparkSpec {
     assert(exchanges >= 1, s"expected the key exchange in:\n$plan")
   }
 
+  test("property: equals sort-take per key for arbitrary data and partitioning") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val genRows = Gen.listOf(for {
+      k <- Gen.choose(0, 5); s <- Gen.choose(-100, 100); id <- Gen.choose(0L, 50L)
+    } yield (k, s, id))
+    val prop = Prop.forAll(genRows, Gen.choose(1, 7), Gen.choose(1, 6)) {
+      (rows, k, parts) =>
+        val df = rows.toDF("k", "s", "id").repartition(parts)
+        val got = GraftOps.topKPerKey(df, Seq("k"),
+            Seq(col("s").desc, col("id").asc, col("k").asc), k)
+          .select("k", "s", "id", "rnk")
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+        // ties beyond (s desc, id asc, k asc) can't exist within a key-group
+        // only if (s, id) repeats — dedupe the expectation the same way the
+        // operator sees it: rank over a stable total order
+        val expected = rows.groupBy(_._1).flatMap { case (key, grp) =>
+          grp.sortBy(t => (-t._2, t._3, t._1)).take(k).zipWithIndex
+            .map { case ((kk, s, id), i) => (kk, s, id, i + 1) }
+        }.toSet
+        got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("unknown column names fail fast") {
     intercept[IllegalArgumentException] {
       GraftOps.topKPerKey(sample, Seq("nope"), Seq(col("s").asc), 1)
