@@ -19,8 +19,10 @@ import org.apache.spark.sql.types.IntegerType
   * BY s) <= k`: a full shuffle of EVERY scored row followed by a per-key
   * sort — the k-winners and the millions of losers all cross the wire. This
   * operator keeps a bounded heap of k rows per key on each input partition
-  * (classic partial aggregation, reference semantics = the reference's
-  * sort+shuffle+reduce pipeline specialized to a bounded reducer), so only
+  * (classic partial aggregation; in reference terms, the sort+shuffle+
+  * grouped-reduce pipeline — sort `MapReduceFramework.cpp:198-208`, reduce
+  * `MapReduceFramework.cpp:245-266` — specialized to a bounded reducer that
+  * also runs map-side), so only
   * ≤ k·keys rows per partition reach the exchange. At 100 TB with k=5 that
   * is the difference between shuffling the corpus and shuffling the answer.
   *
