@@ -234,4 +234,57 @@ object EventStreams {
     events.groupByKey(_.user_id)
       .transformWithState(new SessionProcessor, TimeMode.None(), OutputMode.Append())
   }
+
+  /** Timer-closed sessionization — the exactly-once-emission contract the
+    * emit-every-batch processors can't give: sessions separated by a full
+    * gap inside the data close immediately; the trailing open session stays
+    * in a `ValueState` with an EVENT-TIME timer at its would-be close
+    * (s_end = last event + gap). When the watermark passes it, the timer
+    * fires, `handleExpiredTimer` emits the session once and clears state.
+    * Each session row appears exactly once in the output stream — the shape
+    * a downstream incremental sink wants. Timers are re-registered (old one
+    * deleted) whenever a new event extends the open session; a session is
+    * only emitted from the timer whose expiry matches its close.
+    */
+  final class SessionTimerProcessor extends StatefulProcessor[Long, Event, Session] {
+    @transient private var open: ListState[(Timestamp, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getListState("open",
+        Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaDouble), TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[Session] = {
+      val prior = if (open.exists()) open.get().toList else Nil
+      val all = prior ++ rows.map(e => (e.ts, e.value)).toList
+      val sessions = toSessions(uid, all)
+      if (sessions.isEmpty) Iterator.empty
+      else {
+        val last = sessions.last
+        open.put(all.filter(_._1.getTime >= last.s_start.getTime).toArray)
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(last.s_end.getTime)
+        sessions.init.iterator // gap-complete sessions close now, exactly once
+      }
+    }
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Session] = {
+      val evs = if (open.exists()) open.get().toList else Nil
+      toSessions(uid, evs) match {
+        case s :: Nil if s.s_end.getTime == expired.getExpiryTimeInMs =>
+          open.clear()
+          Iterator(s)
+        case _ => Iterator.empty // superseded timer: session was extended
+      }
+    }
+  }
+
+  /** `sessionizeTimerClosed` requires an event-time watermark on the input
+    * (TimeMode.EventTime drives the timers off it).
+    */
+  def sessionizeTimerClosed(events: Dataset[Event], delay: String): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", delay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor, TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -290,4 +290,47 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("timer-closed sessionization emits each session exactly once as the watermark passes") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionizeTimerClosed(ms.toDS(), "0 seconds")
+      .writeStream.format("memory").queryName("t_timer").outputMode("append").start()
+    try {
+      // batch 1: user 1 has two sessions in-data (gap >= 30min closes the
+      // first immediately); the second stays open behind its timer
+      ms.addData(Seq(
+        EventStreams.Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+        EventStreams.Event(1L, ts("2024-01-01 10:10:00"), 2.0),
+        EventStreams.Event(1L, ts("2024-01-01 11:00:00"), 3.0)))
+      q.processAllAvailable()
+      val afterB1 = spark.table("t_timer").collect().map(_.getTimestamp(1)).toSeq
+      assert(afterB1 == Seq(ts("2024-01-01 10:00:00")),
+        s"only the gap-complete session may close in batch 1, got $afterB1")
+      // batch 2: a far-future event advances the watermark beyond the open
+      // session's close (11:00 + 30min) → its timer fires, exactly one row
+      ms.addData(Seq(EventStreams.Event(2L, ts("2024-01-02 00:00:00"), 9.0)))
+      q.processAllAvailable()
+      // one more empty-ish advance so timers registered in batch 2 can fire
+      ms.addData(Seq(EventStreams.Event(2L, ts("2024-01-03 00:00:00"), 1.0)))
+      q.processAllAvailable()
+      val rows = spark.table("t_timer")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSeq
+      assert(rows.count(_ == ((1L, ts("2024-01-01 10:00:00"), 2L))) == 1)
+      assert(rows.count(_ == ((1L, ts("2024-01-01 11:00:00"), 1L))) == 1,
+        s"open session must close exactly once via its timer, got ${rows.mkString(", ")}")
+      // nothing is emitted twice
+      assert(rows.distinct.size == rows.size, s"duplicate emissions: $rows")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
