@@ -75,13 +75,36 @@ object Corpus {
       .orderBy("lang")
   }
 
+  /** Per-group bounded sampling — N deterministic examples per language,
+    * through the native TopKPerKey operator: order by md5(doc_id) (the
+    * engine-portable "random" key, as in q63) and keep the first 3 per
+    * lang. The bounded-heap plan means a language with a billion docs costs
+    * the same shuffle as one with a thousand — no per-lang sort.
+    */
+  def sampleTopNPerLang(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.GraftOps.topKPerKey(
+      documents(spark, dir)
+        .select(col("lang"), col("doc_id"),
+          md5(col("doc_id").cast("string")).as("h")),
+      Seq("lang"), Seq(col("h").asc, col("doc_id").asc), 3)
+      .select("lang", "rnk", "doc_id")
+      .orderBy("lang", "rnk")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_sample_hash"       -> sampleHash _,
     "q64_sample_stratified" -> sampleStratified _,
     "q67_clean_corpus"      -> cleanCorpus _,
+    "q103_sample_topn_per_group" -> sampleTopNPerLang _,
   )
 
   val oracles: Map[String, String] = Map(
+    "q103_sample_topn_per_group" ->
+      """SELECT lang, rnk, doc_id
+        |FROM (SELECT lang, doc_id, row_number() OVER (
+        |        PARTITION BY lang
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |      FROM documents)
+        |WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin,
     "q63_sample_hash" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'

@@ -265,7 +265,32 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Overlapping sliding-window chunking — RAG/embedding prep (window 64
+    * tokens, stride 32; q86's chunks are the disjoint special case). Start
+    * count is exact integer arithmetic: 1 + ceil((n-64)/32) windows for
+    * n > 64, else 1 — the last window may be short; `slice` clamps the tail
+    * identically in both engines. Map-only (explode inside the scan stage),
+    * so at 100 TB this is a pass over the corpus with no shuffle except the
+    * final ORDER BY.
+    */
+  def chunkSliding(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        posexplode(expr(
+          "transform(sequence(0, CASE WHEN size(toks) > 64 THEN (size(toks) - 64 + 31) div 32 ELSE 0 END), " +
+          "i -> slice(toks, i*32 + 1, 64))")).as(Seq("chunk_idx", "ctoks")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ctoks")).as("chunk_tokens"),
+        md5(concat_ws(" ", col("ctoks"))).as("chunk_md5"))
+      .filter(col("doc_id") < 50)
+      .orderBy("doc_id", "chunk_idx")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_chunk_sliding" -> chunkSliding _,
     "q89_zorder_layout"  -> zorderLayout _,
     "q90_vocab_coverage" -> vocabCoverage _,
     "q84_decontaminate"  -> decontaminate _,
@@ -377,6 +402,20 @@ object Pipeline {
         |SELECT lang, CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(tok) AS BIGINT) AS tok_total
         |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "q102_chunk_sliding" ->
+      """WITH d AS (SELECT doc_id,
+        |                  list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |           FROM documents
+        |           WHERE len(list_filter(string_split(lower(text), ' '), x -> x <> '')) > 0),
+        |w AS (SELECT doc_id, i AS chunk_idx,
+        |             toks[i*32 + 1 : i*32 + 64] AS ctoks
+        |      FROM d, unnest(range(0, CASE WHEN len(toks) > 64
+        |                                   THEN (len(toks) - 64 + 31) // 32
+        |                                   ELSE 0 END + 1)) t(i))
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |       CAST(len(ctoks) AS INT) AS chunk_tokens,
+        |       md5(array_to_string(ctoks, ' ')) AS chunk_md5
+        |FROM w WHERE doc_id < 50 ORDER BY doc_id, chunk_idx""".stripMargin,
     "q100_mix_weights" ->
       """WITH d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
         |           FROM documents GROUP BY source),
