@@ -542,6 +542,81 @@ object Relational {
       .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** TPC-H Q5 (local-supplier volume) through the SQL front-end: a 6-table
+    * join where customer and supplier must sit in the SAME nation — the
+    * classic shape where join ORDER matters. region/nation are fixed-size →
+    * AQE broadcasts them; the c_nationkey = s_nationkey conjunct rides the
+    * orders⋈lineitem⋈supplier equi-joins instead of forcing a separate
+    * exchange. Revenue rounded inside the subquery (engine-portable ordering,
+    * as q70).
+    */
+  def sqlTpchQ5(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT n_name, revenue FROM (
+         |  SELECT n_name,
+         |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         |  FROM parquet.`$dir/customer.parquet` c
+         |  JOIN parquet.`$dir/orders.parquet` o ON c_custkey = o_custkey
+         |  JOIN parquet.`$dir/lineitem.parquet` l ON l_orderkey = o_orderkey
+         |  JOIN parquet.`$dir/supplier.parquet` s ON l_suppkey = s_suppkey
+         |                                        AND c_nationkey = s_nationkey
+         |  JOIN parquet.`$dir/nation.parquet` n ON s_nationkey = n_nationkey
+         |  JOIN parquet.`$dir/region.parquet` r ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'ASIA'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate < TIMESTAMP '1997-01-01'
+         |  GROUP BY n_name)
+         |ORDER BY revenue DESC, n_name""".stripMargin)
+
+  /** TPC-H Q10 (returned-item reporting): fact-side filters (quarter window,
+    * returnflag) cut lineitem/orders BEFORE the customer join, then a
+    * grouped top-20. The LIMIT's revenue cutoff is decided on rounded values
+    * with c_custkey as the total tiebreak, so both engines pick the same 20.
+    */
+  def sqlTpchQ10(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
+         |  SELECT c_custkey, c_name,
+         |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         |         c_acctbal, n_name
+         |  FROM parquet.`$dir/customer.parquet` c
+         |  JOIN parquet.`$dir/orders.parquet` o ON c_custkey = o_custkey
+         |  JOIN parquet.`$dir/lineitem.parquet` l ON l_orderkey = o_orderkey
+         |  JOIN parquet.`$dir/nation.parquet` n ON c_nationkey = n_nationkey
+         |  WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+         |    AND o_orderdate < TIMESTAMP '1996-01-01'
+         |    AND l_returnflag = 'R'
+         |  GROUP BY c_custkey, c_name, c_acctbal, n_name)
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+
+  /** Frequency sketch (count-min) heavy hitters, verified like x01/q69:
+    * exact per-key counts are the oracle; the sketch estimates must satisfy
+    * CMS's one-sided guarantee (est ≥ exact, est ≤ exact + ε·N w.h.p.) or
+    * the `ok` booleans flip and fail the hash. The sketch aggregates
+    * map-side into W×D counters per partition and merges associatively —
+    * at 100 TB the frequency table never shuffles raw keys, only
+    * constant-size sketches. The estimate UDF runs post-aggregation on one
+    * row per distinct key (5 here), never on the fact table.
+    */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    // Constant-size driver state by design (that is the point of a sketch);
+    // same builder-side action pattern as the q62 convergence loop.
+    val row = ev.agg(
+        expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk"),
+        count(lit(1)).as("n")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("sk")))
+    val bound = (row.getAs[Long]("n") * 0.001).toLong
+    val est = udf((s: String) => cms.estimateCount(s))
+    ev.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+      .withColumn("e", est(col("event_type")))
+      .select(col("event_type"), col("n_exact"),
+        (col("e") >= col("n_exact") &&
+         col("e") <= col("n_exact") + bound).as("ok"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_char_count"      -> charCount _,
     "q02_filter_project"  -> filterProject _,
@@ -579,6 +654,9 @@ object Relational {
     "q61_unpivot"         -> unpivotMeasures _,
     "q69_hll_sketch"      -> hllSketch _,
     "q70_sql_tpch_q3"     -> sqlTpchQ3 _,
+    "q104_sql_tpch_q5"    -> sqlTpchQ5 _,
+    "q105_sql_tpch_q10"   -> sqlTpchQ10 _,
+    "q106_cms_heavy_hitters" -> cmsHeavyHitters _,
     "q92_recursive_cte"   -> recursiveSpine _,
     "q71_stats_agg"       -> statsAgg _,
     "q75_exists_subquery" -> existsSubquery _,
@@ -796,6 +874,38 @@ object Relational {
         |SELECT m, CAST(coalesce(n, 0) AS BIGINT) AS n_orders
         |FROM months LEFT JOIN agg ON mo = m
         |ORDER BY m""".stripMargin,
+    "q104_sql_tpch_q5" ->
+      """SELECT n_name, revenue FROM (
+        |  SELECT n_name,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM customer c
+        |  JOIN orders o ON c_custkey = o_custkey
+        |  JOIN lineitem l ON l_orderkey = o_orderkey
+        |  JOIN supplier s ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation n ON s_nationkey = n_nationkey
+        |  JOIN region r ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY n_name)
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q105_sql_tpch_q10" ->
+      """SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
+        |  SELECT c_custkey, c_name,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |         c_acctbal, n_name
+        |  FROM customer c
+        |  JOIN orders o ON c_custkey = o_custkey
+        |  JOIN lineitem l ON l_orderkey = o_orderkey
+        |  JOIN nation n ON c_nationkey = n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01'
+        |    AND l_returnflag = 'R'
+        |  GROUP BY c_custkey, c_name, c_acctbal, n_name)
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q106_cms_heavy_hitters" ->
+      """SELECT event_type, count(*) AS n_exact, true AS ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q70_sql_tpch_q3" ->
       """SELECT l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
         |  SELECT l_orderkey,
