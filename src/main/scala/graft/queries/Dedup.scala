@@ -366,6 +366,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** PageRank over the near-dup graph — authority scoring of documents by
+    * how centrally they sit in their duplicate neighborhood (the canonical
+    * iterative-graph workload after pair generation; used in practice to
+    * pick the survivor of a dup cluster by "most connected" instead of
+    * min-id). Three damped iterations (d = 0.85), unrolled identically in
+    * the DuckDB oracle so every float op has a mirror. Each iteration is
+    * one join-groupBy keyed by the edge's source — the same single-shuffle
+    * shape as the q62 label loop, lineage truncated per round with
+    * `localCheckpoint`. The symmetrized edge set has no sinks (every node
+    * has out-degree ≥ 1 by construction), so no dangling-mass correction
+    * term is needed — total mass stays 1 and DedupSpec asserts it.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairs(spark, dir).select("id_a", "id_b")
+    val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").persist()
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val n = nodes.count().toDouble // one driver scalar, as the q62 loop
+    val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("pr")).localCheckpoint()
+    for (_ <- 1 to 3) {
+      val contrib = edges.join(ranks, edges("src") === ranks("id"))
+        .join(deg, "src")
+        .groupBy(col("dst").as("nid")).agg(sum(col("pr") / col("deg")).as("s"))
+      ranks = nodes.join(contrib, nodes("id") === contrib("nid"), "left")
+        .select(col("id"),
+          (lit(0.15 / n) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
+        .localCheckpoint()
+    }
+    edges.unpersist()
+    ranks.select(col("id").as("doc_id"), round(col("pr"), 6).as("pr"))
+      .orderBy("doc_id")
+  }
+
   /** Fuzzy near-dup scoring via edit distance — the engine's scalar-UDF
     * surface (SURVEY.md §2.2 UDF row; the reference's `map` is arbitrary
     * per-row client code, `MapReduceClient.h:57-59`). Candidates come from a
@@ -396,6 +430,7 @@ object Dedup {
     "q37_dedup_minhash_lsh"      -> minhashLsh _,
     "q38_dedup_simhash"          -> simhash _,
     "q93_dedup_triangles"        -> triangles _,
+    "q107_pagerank"              -> pagerank _,
     "q39_dedup_embedding_cosine" -> embeddingCosine _,
     "q62_dedup_cluster"          -> dedupCluster _,
   )
@@ -460,7 +495,37 @@ object Dedup {
       |          JOIN sizes sb ON sb.doc_id = id_b
       |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6)""".stripMargin
 
+  /** DuckDB mirror of `pagerank`: same pair CTE, same symmetrized edges,
+    * and the three damped iterations unrolled — every arithmetic step is
+    * spelled with explicit DOUBLE casts so both engines run the identical
+    * float ops (DuckDB's bare 0.15/0.85 literals are DECIMAL).
+    */
+  private val pagerankOracle: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (SELECT nd.id,
+         |      CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+         |      + CAST(0.85 AS DOUBLE) * coalesce(c.s, CAST(0 AS DOUBLE)) AS pr
+         |    FROM nodes nd LEFT JOIN (
+         |      SELECT e.dst AS id, sum(r.pr / d.deg) AS s
+         |      FROM edges e JOIN $prev r ON r.id = e.src
+         |                   JOIN deg d ON d.src = e.src
+         |      GROUP BY e.dst) c ON c.id = nd.id)""".stripMargin
+    pairsCte +
+      s""",
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM nodes),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT id AS doc_id, round(pr, 6) AS pr FROM r3 ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q107_pagerank" -> pagerankOracle,
     "q38_dedup_simhash" -> simhashOracle,
     "q93_dedup_triangles" -> (pairsCte +
       """,

@@ -55,6 +55,16 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0))
   }
 
+  test("pagerank conserves probability mass and respects the uniform floor") {
+    val pr = Dedup.pagerank(spark, sfDir).collect().map(_.getDouble(1))
+    assert(pr.nonEmpty)
+    // No sinks (symmetrized edges) → total mass stays 1 across iterations.
+    assert(math.abs(pr.sum - 1.0) < 1e-4, s"mass=${pr.sum}")
+    // Every node keeps at least the damping floor (1-d)/N.
+    val floor = 0.15 / pr.length
+    assert(pr.forall(_ >= floor - 1e-9))
+  }
+
   test("cluster formation is a valid CC labeling of the near-dup pair graph") {
     val labels = Dedup.dedupCluster(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
