@@ -208,7 +208,29 @@ object Similarity {
       .select(col("probe_id"), col("rnk"), col("vec_id"), round(col("cs"), 4).as("cs"))
       .orderBy("probe_id", "rnk")
 
+  /** Recall@5 of the LSH ANN path against the brute-force ground truth —
+    * the evaluation loop every ANN deployment runs before trusting an
+    * index. Both sides are whole engine queries (q40's exact ranking, q41's
+    * banded candidates); the join is per-(probe, neighbor), so at scale
+    * this costs one broadcast of the probe-bounded truth set, never a
+    * corpus-sized shuffle. Integers end-to-end (hit counts), so the oracle
+    * hash is exact — no float tolerance games.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = cosineTopK(spark, dir).select(col("probe_id"), col("vec_id"))
+    val approx = annLsh(spark, dir).select(col("probe_id"), col("vec_id"))
+    val hits = brute.join(approx, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+    brute.select("probe_id").distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / 5.0, 2).as("recall"))
+      .orderBy("probe_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_ann_recall"         -> annRecall _,
     "q40_similarity_topk"     -> cosineTopK _,
     "q95_similarity_topk_native" -> cosineTopKNative _,
     "q80_embed_quantize"      -> quantize _,
@@ -235,7 +257,50 @@ object Similarity {
        |      FROM scored)
        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
 
+  /** DuckDB mirror of `annRecall`: the q40 brute CTEs and the q41 LSH CTEs
+    * side by side, intersected per probe. */
+  private val annRecallOracle: String =
+    s"""WITH planes(pl) AS (SELECT $planesSql),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bits AS (SELECT vec_id, list_transform(pl, p ->
+       |           CASE WHEN list_dot_product(v, p) > 0 THEN 1 ELSE 0 END) AS b
+       |         FROM e, planes),
+       |bands AS (SELECT vec_id, unnest(list_transform(range(0, 4), g ->
+       |            CAST(g AS VARCHAR) || ':' ||
+       |            array_to_string(list_transform(list_slice(b, g*4+1, g*4+4),
+       |                            x -> CAST(x AS VARCHAR)), ''))) AS band
+       |          FROM bits),
+       |cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS vec_id
+       |         FROM bands p JOIN bands c
+       |           ON p.band = c.band AND p.vec_id < 10 AND c.vec_id <> p.vec_id),
+       |lsh_scored AS (SELECT probe_id, cand.vec_id, ${duckCos("pe.v", "ce.v")} AS cs
+       |               FROM cand JOIN e pe ON pe.vec_id = probe_id
+       |                         JOIN e ce ON ce.vec_id = cand.vec_id),
+       |lsh_top AS (SELECT probe_id, vec_id
+       |            FROM (SELECT probe_id, vec_id,
+       |                    row_number() OVER (PARTITION BY probe_id
+       |                      ORDER BY cs DESC, vec_id) AS rnk
+       |                  FROM lsh_scored) WHERE rnk <= 5),
+       |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+       |b_scored AS (SELECT probe_id, vec_id, ${duckCos("pv", "v")} AS cs
+       |             FROM probes JOIN e ON vec_id <> probe_id),
+       |b_top AS (SELECT probe_id, vec_id
+       |          FROM (SELECT probe_id, vec_id,
+       |                  row_number() OVER (PARTITION BY probe_id
+       |                    ORDER BY cs DESC, vec_id) AS rnk
+       |                FROM b_scored) WHERE rnk <= 5),
+       |hits AS (SELECT b.probe_id, CAST(count(*) AS BIGINT) AS n_hit
+       |         FROM b_top b JOIN lsh_top l
+       |           ON l.probe_id = b.probe_id AND l.vec_id = b.vec_id
+       |         GROUP BY b.probe_id)
+       |SELECT p.probe_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5.0, 2) AS recall
+       |FROM (SELECT DISTINCT probe_id FROM b_top) p
+       |LEFT JOIN hits h USING (probe_id)
+       |ORDER BY probe_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q108_ann_recall" -> annRecallOracle,
     "q80_embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),

@@ -47,6 +47,12 @@ class DedupSpec extends SparkSpec {
     val recall = (brute intersect ann).size.toDouble / brute.size
     assert(recall >= 0.3, f"ANN recall collapsed: $recall%.2f")
     assert(ann.size <= brute.size, "ANN returned more than top-5 per probe")
+    // The oracle-checked evaluation query (q108) must agree with this
+    // independently computed intersection.
+    val viaQuery = Similarity.annRecall(spark, sfDir)
+      .agg(sum("n_hit")).collect()(0).getLong(0)
+    assert(viaQuery == (brute intersect ann).size.toLong,
+      s"q108 counted $viaQuery hits, set intersection has ${(brute intersect ann).size}")
   }
 
   test("embedding-cosine near-dup is symmetric-free (id_a < id_b) and bounded") {
