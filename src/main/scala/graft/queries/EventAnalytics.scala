@@ -113,7 +113,28 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** Changelog (CDC) compaction — latest-wins state per (user_id,
+    * event_type): the ingestion op that turns an append-only event log into
+    * current state before a training snapshot. One window keyed by the
+    * state key; ties broken by event_id so the survivor is deterministic
+    * under replay and repartitioning. At scale this is a single hash
+    * exchange on the state key, and with the log bucketed by user_id it is
+    * exchange-free — same layout argument as q97.
+    */
+  def cdcCompact(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts").as("last_ts"), round(col("value"), 2).as("value"))
+      .orderBy("user_id", "event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_cdc_compact"     -> cdcCompact _,
     "q94_funnel"           -> funnel _,
     "q91_variant_json"     -> variantProps _,
     "q49_stream_tumbling"  -> tumbling _,
@@ -146,6 +167,15 @@ object EventAnalytics {
       |ORDER BY user_id, s_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q109_cdc_compact" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |                  CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+        |SELECT user_id, event_type, event_id, ts AS last_ts,
+        |       round(value, 2) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                  ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM e)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "q94_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |v AS (SELECT user_id, min(ts) AS t_view FROM e

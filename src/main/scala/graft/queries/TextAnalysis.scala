@@ -248,7 +248,39 @@ object TextAnalysis {
       .select(col("e.item").as("word"), col("e.count").as("cnt"))
       .orderBy(col("cnt").desc, col("word"))
 
+  /** Bigram collocations scored by pointwise mutual information — the
+    * phrase-mining pass (Mikolov-style word2phrase) a corpus pipeline runs
+    * before tokenizer training. Bigrams come from an indexed-transform HOF
+    * (map-side, codegen'd, no explode-and-self-join); the two count tables
+    * shuffle on their own keys and the scalar totals broadcast. The PMI
+    * expression is spelled with the identical division/multiplication order
+    * in both engines, so the doubles are bit-equal before round(4).
+    */
+  def pmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokenized(spark, dir)
+    val bi = t.select(explode(expr(
+        "transform(slice(toks, 1, size(toks)-1), (w, i) -> struct(w AS w1, toks[i+1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val nb = bc.agg(sum("c").cast("double").as("nb"))
+    val uc = t.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val nu = uc.agg(sum("cu").cast("double").as("nu"))
+    bc.filter(col("c") >= 20)
+      .join(uc.toDF("w1", "ca"), "w1")
+      .join(uc.toDF("w2", "cb"), "w2")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .withColumn("pmi",
+        log((col("c").cast("double") / col("nb")) /
+            ((col("ca").cast("double") / col("nu")) *
+             (col("cb").cast("double") / col("nu")))))
+      .select(col("w1"), col("w2"), col("c").as("n_pair"),
+              round(col("pmi"), 4).as("pmi"))
+      .orderBy("w1", "w2")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_pmi_bigrams"       -> pmiBigrams _,
     "q43_token_stats"        -> tokenStats _,
     "q79_token_counts"       -> tokenCounts _,
     "q81_collapse_adjacent"  -> collapseAdjacent _,
@@ -271,6 +303,23 @@ object TextAnalysis {
     "''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
 
   val oracles: Map[String, String] = Map(
+    "q110_pmi_bigrams" ->
+      s"""WITH t AS (SELECT $duckToks AS toks FROM documents),
+         |bi AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |                     i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+         |       FROM t),
+         |bc AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c FROM bi GROUP BY 1, 2),
+         |nb AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM bc),
+         |uni AS (SELECT unnest(toks) AS w FROM t),
+         |uc AS (SELECT w, count(*) AS cu FROM uni GROUP BY w),
+         |nu AS (SELECT CAST(sum(cu) AS DOUBLE) AS n FROM uc)
+         |SELECT bc.w1, bc.w2, CAST(bc.c AS BIGINT) AS n_pair,
+         |       round(ln((CAST(bc.c AS DOUBLE) / (SELECT n FROM nb)) /
+         |                ((CAST(a.cu AS DOUBLE) / (SELECT n FROM nu)) *
+         |                 (CAST(b.cu AS DOUBLE) / (SELECT n FROM nu)))), 4) AS pmi
+         |FROM bc JOIN uc a ON a.w = bc.w1 JOIN uc b ON b.w = bc.w2
+         |WHERE bc.c >= 20
+         |ORDER BY w1, w2""".stripMargin,
     "q79_token_counts" ->
       s"""SELECT doc_id,
          |       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_ws,
