@@ -542,6 +542,26 @@ object Relational {
       .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Value-based RANGE window frame (vs q17's positional ROWS frame): per
+    * customer, the trailing-30-day order count and spend at each order.
+    * The frame bound is over the ORDER BY *value* (epoch day), so peers and
+    * gaps behave calendar-correctly — the op behind rolling-retention and
+    * velocity features. Same distribution as any window: one exchange on
+    * the partition key, per-partition sort, single pass with a sliding
+    * frame.
+    */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("ts_day"))
+      .rangeBetween(-30L, 0L)
+    orders(spark, dir)
+      .withColumn("ts_day",
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .withColumn("sum_30d", round(sum("o_totalprice").over(w), 2))
+      .select(col("o_orderkey"), col("o_custkey"), col("n_30d"), col("sum_30d"))
+      .orderBy("o_orderkey")
+  }
+
   /** TPC-H Q5 (local-supplier volume) through the SQL front-end: a 6-table
     * join where customer and supplier must sit in the SAME nation — the
     * classic shape where join ORDER matters. region/nation are fixed-size →
@@ -655,6 +675,7 @@ object Relational {
     "q69_hll_sketch"      -> hllSketch _,
     "q70_sql_tpch_q3"     -> sqlTpchQ3 _,
     "q104_sql_tpch_q5"    -> sqlTpchQ5 _,
+    "q111_window_range_frame" -> windowRangeFrame _,
     "q105_sql_tpch_q10"   -> sqlTpchQ10 _,
     "q106_cms_heavy_hitters" -> cmsHeavyHitters _,
     "q92_recursive_cte"   -> recursiveSpine _,
@@ -906,6 +927,16 @@ object Relational {
     "q106_cms_heavy_hitters" ->
       """SELECT event_type, count(*) AS n_exact, true AS ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q111_window_range_frame" ->
+      """SELECT o_orderkey, o_custkey, n_30d, sum_30d FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |         count(*) OVER w AS n_30d,
+        |         round(sum(o_totalprice) OVER w, 2) AS sum_30d
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW))
+        |ORDER BY o_orderkey""".stripMargin,
     "q70_sql_tpch_q3" ->
       """SELECT l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
         |  SELECT l_orderkey,
