@@ -113,6 +113,23 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** Batch twin of the LEFT OUTER stream-stream interval join
+    * (`EventStreams.clickToPurchaseOuter`): per-user conversion report
+    * where unconverted clicks — the rows only the outer join can see —
+    * are counted from the NULL purchase side.
+    */
+  def clickConversion(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    EventStreams.clickToPurchaseOuter(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"))
+      .groupBy(col("c_user").as("user_id"))
+      .agg(countDistinct(col("c_id")).as("n_clicks"),
+           countDistinct(when(col("p_id").isNotNull, col("c_id"))).as("n_converted"),
+           count(when(col("p_id").isNull, 1)).as("n_unconverted"))
+      .orderBy("user_id")
+  }
+
   /** Changelog (CDC) compaction — latest-wins state per (user_id,
     * event_type): the ingestion op that turns an append-only event log into
     * current state before a training snapshot. One window keyed by the
@@ -135,6 +152,7 @@ object EventAnalytics {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_cdc_compact"     -> cdcCompact _,
+    "q112_stream_interval_join_outer" -> clickConversion _,
     "q94_funnel"           -> funnel _,
     "q91_variant_json"     -> variantProps _,
     "q49_stream_tumbling"  -> tumbling _,
@@ -167,6 +185,19 @@ object EventAnalytics {
       |ORDER BY user_id, s_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q112_stream_interval_join_outer" ->
+      """WITH c AS (SELECT user_id, event_id AS c_id, CAST(ts AS TIMESTAMP) AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.user_id, c.c_id, p.p_id
+        |      FROM c LEFT JOIN p ON p.user_id = c.user_id
+        |        AND p.p_ts >= c.c_ts AND p.p_ts < c.c_ts + INTERVAL 1 HOUR)
+        |SELECT user_id,
+        |       CAST(count(DISTINCT c_id) AS BIGINT) AS n_clicks,
+        |       CAST(count(DISTINCT CASE WHEN p_id IS NOT NULL THEN c_id END) AS BIGINT) AS n_converted,
+        |       CAST(count(CASE WHEN p_id IS NULL THEN 1 END) AS BIGINT) AS n_unconverted
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q109_cdc_compact" ->
       """WITH e AS (SELECT user_id, event_type, event_id,
         |                  CAST(ts AS TIMESTAMP) AS ts, value FROM events)

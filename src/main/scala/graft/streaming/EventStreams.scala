@@ -97,6 +97,25 @@ object EventStreams {
               col("p_ts") < col("c_ts") + expr("INTERVAL 1 HOUR"))
   }
 
+  /** Left-outer stream-stream interval join: every click, with its same-user
+    * purchases in the following hour — clicks that never convert surface
+    * with NULL purchase columns. In streaming this is the semantics the
+    * inner variant can't give: the NULL row is emitted only once the
+    * purchase-side watermark passes c_ts + 1h (the click can provably never
+    * match), which is exactly the state-cleanup bound, so per-key state
+    * stays O(interval) on both sides. In batch the same code is a plain
+    * left outer range join.
+    */
+  def clickToPurchaseOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+                          col("event_id").as("c_id"))
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+                             col("event_id").as("p_id"), col("value").as("p_value"))
+    c.join(p, col("c_user") === col("p_user") &&
+              col("p_ts") >= col("c_ts") &&
+              col("p_ts") < col("c_ts") + expr("INTERVAL 1 HOUR"), "left_outer")
+  }
+
   /** Stream-static enrichment: join the unbounded event stream to a static
     * (bounded) dimension. The static side is broadcast and re-planned per
     * micro-batch — no streaming state at all, so this holds at any event

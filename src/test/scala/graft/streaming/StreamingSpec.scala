@@ -149,6 +149,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits NULL rows for unconverted clicks once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, "click", 0.0), // converts
+      (2L, ts("2024-01-01 10:00:00"), 102L, "click", 0.0)) // never converts
+    val purchases = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 200L, "purchase", 9.99),
+      // advancer on a distinct user pushes both watermarks past every
+      // click's c_ts + 1h, forcing the outer side to emit its NULL row:
+      (8L, ts("2024-01-01 20:00:00"), 298L, "purchase", 0.0))
+    val clickAdvancer = (9L, ts("2024-01-01 20:00:00"), 299L, "click", 0.0)
+    val cols = Seq("user_id", "ts", "event_id", "event_type", "value")
+
+    val msC = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val msP = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = EventStreams.clickToPurchaseOuter(
+        msC.toDF().toDF(cols: _*).withWatermark("ts", "10 minutes"),
+        msP.toDF().toDF(cols: _*).withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("t_ssj_outer").outputMode("append").start()
+    try {
+      ms2Feed(msC, clicks :+ clickAdvancer); ms2Feed(msP, purchases)
+      q.processAllAvailable()
+      // A second purchase-side batch moves the watermark commit forward so
+      // outstanding outer state is flushed deterministically.
+      ms2Feed(msP, Seq((8L, ts("2024-01-01 22:00:00"), 310L, "purchase", 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("t_ssj_outer")
+        .select("c_id", "p_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(streamed.contains((100L, 200L)), s"matched pair missing: $streamed")
+      assert(streamed.contains((102L, -1L)),
+        s"unconverted click 102 should surface with NULL purchase: $streamed")
+      // Batch twin agrees on the real clicks. (The advancer click is
+      // excluded: its own NULL row exists in batch but can't flush in
+      // streaming — the watermark never passes ITS window; that asymmetry
+      // is inherent to outer-join state cleanup, not a bug.)
+      val batch = EventStreams.clickToPurchaseOuter(
+          (clicks :+ clickAdvancer).toDF(cols: _*), purchases.toDF(cols: _*))
+        .select("c_id", "p_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(streamed.filter(_._1 <= 102L) == batch.filter(_._1 <= 102L),
+        s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   private def ms2Feed(ms: MemoryStream[(Long, Timestamp, Long, String, Double)],
                       rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
     ms.addData(rows)
