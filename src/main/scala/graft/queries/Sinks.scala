@@ -84,7 +84,26 @@ object Sinks {
       .orderBy("n_regionkey")
   }
 
+  /** JSON-lines sink roundtrip over events: timestamps survive via an
+    * explicit ISO format and the schema-pinned read back (inference over
+    * JSON is both a second pass and lossy on int-vs-double). Props is
+    * itself a JSON string — the write escapes it, the read restores it —
+    * so the md5-of-min check also proves nested-quote fidelity.
+    */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpOut(dir, "json")
+    val src = events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("props"))
+    src.write.mode("overwrite").json(out)
+    json(spark, out, src.schema)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("user_id").as("sum_user"),
+           md5(min(col("props"))).as("min_props_md5"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_json_roundtrip"  -> jsonRoundtrip _,
     "q96_sink_partitioned" -> sinkPartitioned _,
     "q97_bucketed_join"    -> bucketedJoin _,
     "q98_orc_roundtrip"    -> orcRoundtrip _,
@@ -92,6 +111,11 @@ object Sinks {
   )
 
   val oracles: Map[String, String] = Map(
+    "q113_json_roundtrip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |       md5(min(props)) AS min_props_md5
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q96_sink_partitioned" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust
