@@ -45,4 +45,31 @@ class PushdownSpec extends SparkSpec {
     val plan = planOf(q)
     assert("partial_sum".r.findAllIn(plan).nonEmpty, plan)
   }
+
+  test("TPC-H Q5: the date filter reaches the orders scan and the join is broadcast-only at this SF") {
+    val plan = planOf(graft.queries.Relational.sqlTpchQ5(spark, sfDir))
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      "at sf0.001 every Q5 join side fits the broadcast threshold; SMJ means a hint/threshold regressed")
+  }
+
+  // AQE's toString prints the final plan AND echoes the initial plan —
+  // count operators in the final section only.
+  private def finalSection(plan: String): String =
+    plan.split("== Initial Plan ==")(0)
+
+  test("CDC compaction costs exactly one hash exchange, on the state key") {
+    val plan = finalSection(planOf(graft.queries.EventAnalytics.cdcCompact(spark, sfDir)))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange (user_id, event_type), got $exchanges:\n$plan")
+    assert(plan.contains("hashpartitioning(user_id"), plan)
+  }
+
+  test("trailing-30-day window compiles to a value-based RANGE frame, one exchange") {
+    val plan = finalSection(planOf(graft.queries.Relational.windowRangeFrame(spark, sfDir)))
+    assert(plan.contains("specifiedwindowframe(RangeFrame, -30, currentrow$())"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange on o_custkey, got $exchanges")
+  }
 }
