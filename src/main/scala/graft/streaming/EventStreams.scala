@@ -81,6 +81,28 @@ object EventStreams {
   def tumblingWithWatermark(events: DataFrame, delay: String): DataFrame =
     tumblingByType(events.withWatermark("ts", delay))
 
+  /** `foreachBatch` serving sink: each micro-batch of UPDATED tumbling
+    * aggregates is merged into a parquet "serving table" via dynamic
+    * partition overwrite, partitioned by (w_start, event_type) — the
+    * aggregate's own key — so every updated row REPLACES its partition
+    * whole. That makes the sink idempotent: replaying a micro-batch (after
+    * a crash between sink commit and checkpoint commit, Structured
+    * Streaming's at-least-once window) rewrites the same partitions with
+    * the same content instead of duplicating rows — the standard
+    * exactly-once recipe for file sinks that can't transact. At scale each
+    * micro-batch touches only the partitions it updated; the table serves
+    * point lookups without reading the stream's history.
+    */
+  def serveTumblingCounts(outDir: String): (DataFrame, Long) => Unit = {
+    // Returned as the (batch, id) => Unit function so tests and production
+    // wire-up share it: .writeStream.outputMode("update").foreachBatch(f).
+    (batch: DataFrame, batchId: Long) =>
+      batch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("w_start", "event_type")
+        .parquet(outDir)
+  }
+
   /** Stream-stream interval join: for each click, the same user's purchases
     * within the following hour. In streaming, BOTH sides carry watermarks
     * and the time-bound condition lets Spark expire join state — the only

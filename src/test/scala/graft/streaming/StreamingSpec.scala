@@ -195,6 +195,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch serving sink: cross-batch updates overwrite their partitions idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_serve").toString
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val df = ms.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.tumblingWithWatermark(df, "10 minutes")
+      .writeStream.outputMode("update")
+      .foreachBatch(EventStreams.serveTumblingCounts(out))
+      .start()
+    try {
+      // Batch 1 writes (10:00, click) n=1; batch 2 UPDATES the same window
+      // (n=2) plus a new one — the updated row must replace its partition,
+      // not append next to the stale value.
+      ms.addData(Seq((ts("2024-01-01 10:05:00"), "click", 1.0)))
+      q.processAllAvailable()
+      ms.addData(Seq((ts("2024-01-01 10:40:00"), "click", 3.0),
+                     (ts("2024-01-01 11:10:00"), "view", 4.0)))
+      q.processAllAvailable()
+      val served = spark.read.parquet(out)
+        .select("w_start", "event_type", "n")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(served == Set(
+        (ts("2024-01-01 10:00:00"), "click", 2L),
+        (ts("2024-01-01 11:00:00"), "view", 1L)),
+        s"serving table diverged: $served")
+    } finally {
+      q.stop()
+    }
+  }
+
   private def ms2Feed(ms: MemoryStream[(Long, Timestamp, Long, String, Double)],
                       rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
     ms.addData(rows)
