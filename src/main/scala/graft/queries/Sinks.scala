@@ -102,7 +102,35 @@ object Sinks {
       .orderBy("event_type")
   }
 
+  /** Incremental aggregate refresh — the materialized-view maintenance
+    * pattern: the historical partition's aggregate is computed once and
+    * STORED (here: orders before 1999 → parquet); a refresh touches only
+    * the delta (1999+) and merges the two with the aggregates' own combine
+    * functions (count/sum are algebraic — partials merge exactly). The
+    * oracle aggregates the full source table, so the hash match proves
+    * merge(stored, delta) ≡ recompute(everything) — at 100 TB the
+    * difference between a nightly full scan and reading one day's
+    * partition plus a tiny summary table.
+    */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpOut(dir, "histagg")
+    val o = orders(spark, dir)
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    o.filter(col("o_orderdate") < cutoff)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("s"))
+      .write.mode("overwrite").parquet(out)
+    val delta = o.filter(col("o_orderdate") >= cutoff)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("s"))
+    spark.read.parquet(out).unionByName(delta)
+      .groupBy("o_orderpriority")
+      .agg(sum("n").as("n_orders"), sum("s").as("sum_cust"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_incremental_agg" -> incrementalAgg _,
     "q113_json_roundtrip"  -> jsonRoundtrip _,
     "q96_sink_partitioned" -> sinkPartitioned _,
     "q97_bucketed_join"    -> bucketedJoin _,
@@ -111,6 +139,10 @@ object Sinks {
   )
 
   val oracles: Map[String, String] = Map(
+    "q114_incremental_agg" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q113_json_roundtrip" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(user_id) AS BIGINT) AS sum_user,
