@@ -289,7 +289,43 @@ object Pipeline {
       .filter(col("doc_id") < 50)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Cross-document repeated-substring detection (the ExactSubstr shape of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022): every 16-token window (stride 1) is hashed; a
+    * span is duplicated iff its hash occurs in ≥ 2 DISTINCT documents
+    * (within-doc repeats are q87's job). Output: per-doc duplicated-span
+    * fraction — the signal used to cut boilerplate and licence blocks.
+    * Shape: map-side window hashing (one md5 per token position), one
+    * groupBy(hash) for the global span census, and a join back that keys
+    * on the hash — the census is pre-filtered to duplicated hashes only,
+    * so the probe side carries the small side of a heavy-tailed
+    * distribution, not the whole census. No suffix array needed: fixed
+    * windows + hashing give the same ≥window-length guarantee
+    * distributively.
+    */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val win = 16
+    val spans = documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+      .filter(size(col("toks")) >= win)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $win), " +
+        s"i -> md5(concat_ws(' ', slice(toks, i + 1, $win))))")).as("h"))
+    val dup = spans.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select(col("h"), lit(1L).as("isdup"))
+    spans.join(dup, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+           sum(coalesce(col("isdup"), lit(0L))).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_substring_dedup" -> substringDedup _,
     "q102_chunk_sliding" -> chunkSliding _,
     "q89_zorder_layout"  -> zorderLayout _,
     "q90_vocab_coverage" -> vocabCoverage _,
@@ -303,6 +339,19 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "q115_substring_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |           FROM documents),
+        |w AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 15),
+        |        i -> md5(array_to_string(list_slice(toks, i + 1, i + 16), ' ')))) AS h
+        |      FROM t WHERE len(toks) >= 16),
+        |dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(count(d.h) AS BIGINT) AS n_dup_spans,
+        |       round(CAST(count(d.h) AS DOUBLE) / count(*), 4) AS dup_frac
+        |FROM w LEFT JOIN dup d ON w.h = d.h
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q89_zorder_layout" ->
       s"""WITH st AS (
          |  SELECT min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
