@@ -229,7 +229,34 @@ object Similarity {
       .orderBy("probe_id")
   }
 
+  /** Product-quantization codes — the compression step under
+    * billion-vector ANN indexes (Jégou et al., PQ, TPAMI 2011): each
+    * 64-dim vector splits into 8 blocks of 8 dims; each block is coded as
+    * the id of its nearest sub-centroid (16 per block, deterministically
+    * fixed as the blocks of vec_id < 16 — the q59 convention; production
+    * trains them offline). The codebook is broadcast (16×8 tiny rows); the
+    * corpus streams through block explode → broadcast join → argmin, so at
+    * 100 TB the coding pass is map-side only. Squared-L2 is an ordered
+    * HOF fold, spelled identically in the oracle.
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val blocks = corpus(spark, dir).select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 7), b -> slice(v, b*8 + 1, 8))")).as(Seq("block", "vb")))
+    val cents = blocks.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code"), col("block"), col("vb").as("cb"))
+    val w = Window.partitionBy("vec_id", "block").orderBy(col("dist"), col("code"))
+    blocks.filter(col("vec_id") < 200)
+      .join(broadcast(cents), Seq("block"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(vb, cb, (x, y) -> (x - y) * (x - y)), 0D, (a, s) -> a + s)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("block"), col("code"), round(col("dist"), 6).as("dist"))
+      .orderBy("vec_id", "block")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_pq_codes"           -> pqCodes _,
     "q108_ann_recall"         -> annRecall _,
     "q40_similarity_topk"     -> cosineTopK _,
     "q95_similarity_topk_native" -> cosineTopKNative _,
@@ -300,6 +327,19 @@ object Similarity {
        |ORDER BY probe_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q116_pq_codes" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |blocks AS (SELECT vec_id, b AS block, list_slice(v, b*8 + 1, b*8 + 8) AS vb
+        |           FROM e, range(0, 8) t(b)),
+        |cents AS (SELECT vec_id AS code, block, vb AS cb FROM blocks WHERE vec_id < 16),
+        |d AS (SELECT bl.vec_id, bl.block, c.code,
+        |        list_sum(list_transform(range(1, 9),
+        |          i -> (vb[i] - cb[i]) * (vb[i] - cb[i]))) AS dist
+        |      FROM blocks bl JOIN cents c USING (block) WHERE bl.vec_id < 200)
+        |SELECT vec_id, block, code, round(dist, 6) AS dist
+        |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, block
+        |        ORDER BY dist, code) AS rn FROM d)
+        |WHERE rn = 1 ORDER BY vec_id, block""".stripMargin,
     "q108_ann_recall" -> annRecallOracle,
     "q80_embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
