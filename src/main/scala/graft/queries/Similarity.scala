@@ -255,7 +255,51 @@ object Similarity {
       .orderBy("vec_id", "block")
   }
 
+  /** PQ asymmetric-distance search (ADC) over the q116 codes — how a
+    * billion-vector index actually answers queries: each probe precomputes
+    * an 8×16 table of block-distances to every sub-centroid, and a
+    * candidate's approximate distance is the sum of 8 TABLE LOOKUPS (its
+    * codes), never a full 64-dim computation. Here: corpus codes (map-side
+    * argmin, as q116) ⋈ broadcast probe tables on (block, code), then the
+    * 8 per-block terms land in separate conditional-sum columns so the
+    * final addition runs in FIXED block order — a groupBy sum's
+    * merge order is partition-dependent, which would let two engines (or
+    * two runs) disagree in the last ulp and flip rankings. Top-5 smallest
+    * ADC per probe.
+    */
+  def pqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val blocks = corpus(spark, dir).select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 7), b -> slice(v, b*8 + 1, 8))")).as(Seq("block", "vb")))
+    val cents = blocks.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code"), col("block"), col("vb").as("cb"))
+    val sqdist = expr(
+      "aggregate(zip_with(vb, cb, (x, y) -> (x - y) * (x - y)), 0D, (a, s) -> a + s)")
+    val wCode = Window.partitionBy("vec_id", "block").orderBy(col("dist"), col("code"))
+    val codes = blocks.join(broadcast(cents), Seq("block"))
+      .withColumn("dist", sqdist)
+      .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("block"), col("code"))
+    val ptab = blocks.filter(col("vec_id") < 10)
+      .toDF("probe_id", "block", "vb")
+      .join(broadcast(cents), Seq("block"))
+      .withColumn("t", sqdist)
+      .select(col("probe_id"), col("block"), col("code"), col("t"))
+    val perBlock = (0 to 7).map(b =>
+      sum(when(col("block") === b, col("t"))).as(s"b$b"))
+    val adc = (1 to 7).foldLeft(col("b0")) { (acc, b) => acc + col(s"b$b") }
+    val wTop = Window.partitionBy("probe_id").orderBy(col("adc"), col("vec_id"))
+    codes.join(broadcast(ptab), Seq("block", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy("probe_id", "vec_id")
+      .agg(perBlock.head, perBlock.tail: _*)
+      .withColumn("adc", adc)
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), round(col("adc"), 4).as("adc"))
+      .orderBy("probe_id", "rnk")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_pq_adc"             -> pqAdc _,
     "q116_pq_codes"           -> pqCodes _,
     "q108_ann_recall"         -> annRecall _,
     "q40_similarity_topk"     -> cosineTopK _,
@@ -326,7 +370,41 @@ object Similarity {
        |LEFT JOIN hits h USING (probe_id)
        |ORDER BY probe_id""".stripMargin
 
+  /** DuckDB mirror of `pqAdc`: the q116 block/centroid/distance CTEs over
+    * the full corpus, codes + probe tables, conditional per-block sums,
+    * fixed-order addition. */
+  private val pqAdcOracle: String = {
+    val condSums = (0 to 7).map(b =>
+      s"sum(CASE WHEN cd.block = $b THEN t END) AS b$b").mkString(",\n        ")
+    val addChain = (0 to 7).map(b => s"b$b").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |blocks AS (SELECT vec_id, b AS block, list_slice(v, b*8 + 1, b*8 + 8) AS vb
+       |           FROM e, range(0, 8) t(b)),
+       |cents AS (SELECT vec_id AS code, block, vb AS cb FROM blocks WHERE vec_id < 16),
+       |d AS (SELECT bl.vec_id, bl.block, c.code,
+       |        list_sum(list_transform(range(1, 9),
+       |          i -> (vb[i] - cb[i]) * (vb[i] - cb[i]))) AS dist
+       |      FROM blocks bl JOIN cents c USING (block)),
+       |codes AS (SELECT vec_id, block, code
+       |          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, block
+       |                  ORDER BY dist, code) AS rn FROM d) WHERE rn = 1),
+       |ptab AS (SELECT vec_id AS probe_id, block, code, dist AS t
+       |         FROM d WHERE vec_id < 10),
+       |j AS (SELECT p.probe_id, cd.vec_id,
+       |        $condSums
+       |      FROM codes cd JOIN ptab p ON p.block = cd.block AND p.code = cd.code
+       |      WHERE cd.vec_id <> p.probe_id
+       |      GROUP BY p.probe_id, cd.vec_id),
+       |s AS (SELECT probe_id, vec_id, $addChain AS adc FROM j)
+       |SELECT probe_id, rnk, vec_id, round(adc, 4) AS adc
+       |FROM (SELECT probe_id, vec_id, adc,
+       |        row_number() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS rnk
+       |      FROM s)
+       |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q117_pq_adc" -> pqAdcOracle,
     "q116_pq_codes" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |blocks AS (SELECT vec_id, b AS block, list_slice(v, b*8 + 1, b*8 + 8) AS vb
