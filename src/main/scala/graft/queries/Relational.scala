@@ -562,6 +562,39 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** TPC-H Q1 (pricing summary) through the SQL front-end — the canonical
+    * scan-heavy aggregate: one pass over lineitem, partial+final hash agg,
+    * zero joins. The count/avg columns are exact; the float sums are
+    * rounded on both sides.
+    */
+  def sqlTpchQ1(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |       round(sum(l_quantity), 2) AS sum_qty,
+         |       round(sum(l_extendedprice), 2) AS sum_base_price,
+         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         |       round(avg(l_quantity), 4) AS avg_qty,
+         |       round(avg(l_extendedprice), 4) AS avg_price,
+         |       round(avg(l_discount), 4) AS avg_disc,
+         |       count(*) AS count_order
+         |FROM parquet.`$dir/lineitem.parquet`
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  /** TPC-H Q6 (forecast revenue change): the pushdown showcase — all three
+    * predicates reach the parquet scan, and the whole query is a single
+    * map-side fold with one scalar result.
+    */
+  def sqlTpchQ6(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+         |FROM parquet.`$dir/lineitem.parquet`
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin)
+
   /** TPC-H Q5 (local-supplier volume) through the SQL front-end: a 6-table
     * join where customer and supplier must sit in the SAME nation — the
     * classic shape where join ORDER matters. region/nation are fixed-size →
@@ -675,6 +708,8 @@ object Relational {
     "q69_hll_sketch"      -> hllSketch _,
     "q70_sql_tpch_q3"     -> sqlTpchQ3 _,
     "q104_sql_tpch_q5"    -> sqlTpchQ5 _,
+    "q118_sql_tpch_q1"    -> sqlTpchQ1 _,
+    "q119_sql_tpch_q6"    -> sqlTpchQ6 _,
     "q111_window_range_frame" -> windowRangeFrame _,
     "q105_sql_tpch_q10"   -> sqlTpchQ10 _,
     "q106_cms_heavy_hitters" -> cmsHeavyHitters _,
@@ -895,6 +930,26 @@ object Relational {
         |SELECT m, CAST(coalesce(n, 0) AS BIGINT) AS n_orders
         |FROM months LEFT JOIN agg ON mo = m
         |ORDER BY m""".stripMargin,
+    "q118_sql_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q119_sql_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "q104_sql_tpch_q5" ->
       """SELECT n_name, revenue FROM (
         |  SELECT n_name,
