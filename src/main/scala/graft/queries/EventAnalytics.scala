@@ -130,6 +130,36 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** Time-series regularization: hourly per-type activity on a COMPLETE
+    * hour spine (sequence over the observed range × the type dimension),
+    * missing hours filled — counts with 0, the average-value feature
+    * forward-filled from the last observed hour (LOCF via
+    * `last(ignoreNulls)` over an unbounded preceding frame; hours before a
+    * type's first observation stay NULL on both engines). The featurization
+    * step before any ML on event streams: models want a dense, regular
+    * grid, not the raw sparse log. The value is rounded BEFORE the fill so
+    * both engines propagate identical doubles. Spine and type dimension
+    * are broadcast-sized; the only real shuffle is the hourly group-by.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val hourly = e.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_v"))
+    val spine = e.agg(date_trunc("hour", min("ts")).as("h0"),
+                      date_trunc("hour", max("ts")).as("h1"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("h")
+      .rowsBetween(Long.MinValue, 0)
+    e.select("event_type").distinct()
+      .crossJoin(broadcast(spine))
+      .join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("avg_v"), ignoreNulls = true).over(w).as("avg_v_ff"))
+      .orderBy("event_type", "h")
+  }
+
   /** Changelog (CDC) compaction — latest-wins state per (user_id,
     * event_type): the ingestion op that turns an append-only event log into
     * current state before a training snapshot. One window keyed by the
@@ -152,6 +182,7 @@ object EventAnalytics {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_cdc_compact"     -> cdcCompact _,
+    "q121_gap_fill"        -> gapFill _,
     "q112_stream_interval_join_outer" -> clickConversion _,
     "q94_funnel"           -> funnel _,
     "q91_variant_json"     -> variantProps _,
@@ -185,6 +216,22 @@ object EventAnalytics {
       |ORDER BY user_id, s_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q121_gap_fill" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |                  count(*) AS n, round(avg(value), 4) AS avg_v
+        |           FROM e GROUP BY 1, 2),
+        |bounds AS (SELECT date_trunc('hour', min(ts)) AS h0,
+        |                  date_trunc('hour', max(ts)) AS h1 FROM e),
+        |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |          FROM bounds),
+        |grid AS (SELECT event_type, h
+        |         FROM (SELECT DISTINCT event_type FROM e), spine)
+        |SELECT event_type, h, CAST(coalesce(n, 0) AS BIGINT) AS n,
+        |       last_value(avg_v IGNORE NULLS) OVER (PARTITION BY event_type
+        |         ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_v_ff
+        |FROM grid LEFT JOIN hourly USING (event_type, h)
+        |ORDER BY event_type, h""".stripMargin,
     "q112_stream_interval_join_outer" ->
       """WITH c AS (SELECT user_id, event_id AS c_id, CAST(ts AS TIMESTAMP) AS c_ts
         |           FROM events WHERE event_type = 'click'),

@@ -298,7 +298,33 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Recall@5 of PQ-ADC search against brute-force squared-L2 ground truth
+    * — the q108 evaluation pattern applied to the second ANN path, closing
+    * the PQ loop (codes → search → measured quality). Integer hit counts
+    * end-to-end.
+    */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val probes = e.filter(col("vec_id") < 10).toDF("probe_id", "pv", "pnrm")
+    val w = Window.partitionBy("probe_id").orderBy(col("d"), col("vec_id"))
+    val bruteTop = e.join(broadcast(probes), col("probe_id") =!= col("vec_id"))
+      .withColumn("d", expr(
+        "aggregate(zip_with(pv, v, (x, y) -> (x - y) * (x - y)), 0D, (a, s) -> a + s)"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select("probe_id", "vec_id")
+    val adcTop = pqAdc(spark, dir).select("probe_id", "vec_id")
+    val hits = bruteTop.join(adcTop, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+    bruteTop.select("probe_id").distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / 5.0, 2).as("recall"))
+      .orderBy("probe_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_pq_recall"          -> pqRecall _,
     "q117_pq_adc"             -> pqAdc _,
     "q116_pq_codes"           -> pqCodes _,
     "q108_ann_recall"         -> annRecall _,
@@ -370,13 +396,12 @@ object Similarity {
        |LEFT JOIN hits h USING (probe_id)
        |ORDER BY probe_id""".stripMargin
 
-  /** DuckDB mirror of `pqAdc`: the q116 block/centroid/distance CTEs over
-    * the full corpus, codes + probe tables, conditional per-block sums,
-    * fixed-order addition. */
-  private val pqAdcOracle: String = {
+  /** DuckDB mirror of `pqAdc` (shared with the q120 recall oracle): the
+    * q116 block/centroid/distance CTEs over the full corpus, codes + probe
+    * tables, conditional per-block sums, fixed-order addition. */
+  private val pqAdcCtes: String = {
     val condSums = (0 to 7).map(b =>
       s"sum(CASE WHEN cd.block = $b THEN t END) AS b$b").mkString(",\n        ")
-    val addChain = (0 to 7).map(b => s"b$b").mkString(" + ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |blocks AS (SELECT vec_id, b AS block, list_slice(v, b*8 + 1, b*8 + 8) AS vb
        |           FROM e, range(0, 8) t(b)),
@@ -395,15 +420,48 @@ object Similarity {
        |      FROM codes cd JOIN ptab p ON p.block = cd.block AND p.code = cd.code
        |      WHERE cd.vec_id <> p.probe_id
        |      GROUP BY p.probe_id, cd.vec_id),
-       |s AS (SELECT probe_id, vec_id, $addChain AS adc FROM j)
-       |SELECT probe_id, rnk, vec_id, round(adc, 4) AS adc
-       |FROM (SELECT probe_id, vec_id, adc,
-       |        row_number() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS rnk
-       |      FROM s)
-       |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+       |s AS (SELECT probe_id, vec_id, ${(0 to 7).map(b => s"b$b").mkString(" + ")} AS adc FROM j),
+       |adc_top AS (SELECT probe_id, rnk, vec_id, adc
+       |            FROM (SELECT probe_id, vec_id, adc,
+       |                    row_number() OVER (PARTITION BY probe_id
+       |                      ORDER BY adc, vec_id) AS rnk
+       |                  FROM s)
+       |            WHERE rnk <= 5)""".stripMargin
   }
 
+  private val pqAdcOracle: String =
+    pqAdcCtes +
+      """
+        |SELECT probe_id, rnk, vec_id, round(adc, 4) AS adc
+        |FROM adc_top ORDER BY probe_id, rnk""".stripMargin
+
+  /** DuckDB mirror of `pqRecall`: ADC top-5 (shared CTEs) intersected with
+    * brute-force squared-L2 top-5, identical fold spelling. */
+  private val pqRecallOracle: String =
+    pqAdcCtes +
+      """,
+        |bl2 AS (SELECT p.vec_id AS probe_id, c.vec_id,
+        |          list_sum(list_transform(range(1, 65),
+        |            i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))) AS d
+        |        FROM e p JOIN e c ON p.vec_id < 10 AND c.vec_id <> p.vec_id),
+        |b_top AS (SELECT probe_id, vec_id
+        |          FROM (SELECT probe_id, vec_id,
+        |                  row_number() OVER (PARTITION BY probe_id
+        |                    ORDER BY d, vec_id) AS rnk
+        |                FROM bl2)
+        |          WHERE rnk <= 5),
+        |hits AS (SELECT b.probe_id, CAST(count(*) AS BIGINT) AS n_hit
+        |         FROM b_top b JOIN adc_top a
+        |           ON a.probe_id = b.probe_id AND a.vec_id = b.vec_id
+        |         GROUP BY b.probe_id)
+        |SELECT p.probe_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5.0, 2) AS recall
+        |FROM (SELECT DISTINCT probe_id FROM b_top) p
+        |LEFT JOIN hits h USING (probe_id)
+        |ORDER BY probe_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q120_pq_recall" -> pqRecallOracle,
     "q117_pq_adc" -> pqAdcOracle,
     "q116_pq_codes" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
