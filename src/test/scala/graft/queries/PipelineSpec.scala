@@ -20,6 +20,24 @@ class PipelineSpec extends SparkSpec {
     assert(keptSum == distinctChunks, s"kept=$keptSum distinct=$distinctChunks")
   }
 
+  test("substring dedup: span counts follow token counts; fractions bounded") {
+    val toks = graft.tables.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Pipeline.substringDedup(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (doc, nSpans, nDup, frac) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nSpans == toks(doc) - 15L, s"doc $doc: $nSpans spans for ${toks(doc)} tokens")
+      assert(nDup >= 0 && nDup <= nSpans)
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // Docs shorter than the window are excluded by construction.
+    assert(out.map(_.getLong(0)).toSet == toks.filter(_._2 >= 16).keySet)
+  }
+
   test("decontamination flags every exact copy of a benchmark doc") {
     val docs = graft.tables.Tables.documents(spark, sfDir)
       .select(col("doc_id"), md5(col("text")).as("h"),
