@@ -61,6 +61,25 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0))
   }
 
+  test("concurrent dedup queries share the materialized indexes without racing") {
+    // The shingle index and verified-pair table are session-shared caches;
+    // concurrent builders must produce the same results as sequential runs
+    // (the VERDICT r1 #5 hazard class: session-global state inside query
+    // builders).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val seqJac = Dedup.ngramJaccard(spark, sfDir).collect().toSeq
+    val seqSim = Dedup.simhash(spark, sfDir).collect().toSeq
+    Dedup.evictCaches(spark)
+    val fJac = Future(Dedup.ngramJaccard(spark, sfDir).collect().toSeq)
+    val fSim = Future(Dedup.simhash(spark, sfDir).collect().toSeq)
+    val fPr  = Future(Dedup.pagerank(spark, sfDir).collect().toSeq)
+    assert(Await.result(fJac, 5.minutes) == seqJac)
+    assert(Await.result(fSim, 5.minutes) == seqSim)
+    assert(Await.result(fPr, 5.minutes).nonEmpty)
+  }
+
   test("pagerank conserves probability mass and respects the uniform floor") {
     val pr = Dedup.pagerank(spark, sfDir).collect().map(_.getDouble(1))
     assert(pr.nonEmpty)
