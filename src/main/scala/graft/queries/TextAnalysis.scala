@@ -279,7 +279,44 @@ object TextAnalysis {
       .orderBy("w1", "w2")
   }
 
+  /** BM25 ranking (Robertson/Lucene formulation, k1=1.2, b=0.75) of every
+    * document against a fixed 3-term query — the IR scoring layer above
+    * TF-IDF (q44). Corpus statistics (N, avgdl) broadcast as scalars; term
+    * frequencies shuffle once on (doc, term); each term's contribution
+    * lands in its own conditional-sum column so the final score adds in
+    * FIXED term order (the q117 determinism trick). All docs emitted,
+    * keyed by doc_id — no ordering on the float score, so engine ulp
+    * differences can't reorder rows.
+    */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "scan", "window")
+    val t = tokenized(spark, dir)
+    val dl = t.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+                       avg("dl").as("avgdl"))
+    val tf = t.select(col("doc_id"), explode(col("toks")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(broadcast(dfreq), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("sc",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+        (col("tf") * (lit(1.2) + lit(1.0))) /
+        (col("tf") + lit(1.2) *
+          (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+    val perTerm = terms.zipWithIndex.map { case (tm, i) =>
+      sum(when(col("w") === tm, col("sc"))).as(s"s$i") }
+    val total = terms.indices.map(i => coalesce(col(s"s$i"), lit(0.0))).reduce(_ + _)
+    scored.groupBy("doc_id")
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id"), round(total, 4).as("score"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_bm25"              -> bm25 _,
     "q110_pmi_bigrams"       -> pmiBigrams _,
     "q43_token_stats"        -> tokenStats _,
     "q79_token_counts"       -> tokenCounts _,
@@ -303,6 +340,27 @@ object TextAnalysis {
     "''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
 
   val oracles: Map[String, String] = Map(
+    "q122_bm25" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+         |       WHERE w IN ('join', 'scan', 'window') GROUP BY doc_id, w),
+         |df AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+         |s AS (SELECT tf.doc_id, tf.w,
+         |        ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+         |        (tf * (1.2 + 1.0)) /
+         |        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS sc
+         |      FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |g AS (SELECT doc_id,
+         |        sum(CASE WHEN w = 'join' THEN sc END) AS s0,
+         |        sum(CASE WHEN w = 'scan' THEN sc END) AS s1,
+         |        sum(CASE WHEN w = 'window' THEN sc END) AS s2
+         |      FROM s GROUP BY doc_id)
+         |SELECT doc_id,
+         |       round(coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0), 4) AS score
+         |FROM g ORDER BY doc_id""".stripMargin,
     "q110_pmi_bigrams" ->
       s"""WITH t AS (SELECT $duckToks AS toks FROM documents),
          |bi AS (SELECT unnest(list_transform(range(1, len(toks)),
