@@ -265,6 +265,43 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Bigram LM quality gate with add-one smoothing — the sequel to q101's
+    * unigram gate: P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V), per-doc mean negative
+    * log-likelihood over its bigrams. A doc whose transitions diverge from
+    * the corpus LM (boilerplate, shuffled text, wrong language) scores
+    * high and gets cut. The LM tables are corpus-bounded aggregates joined
+    * back on (w1, w2) / w1 — AQE picks broadcast while the vocabulary is
+    * small and falls back to shuffle joins at web-scale vocabularies (no
+    * hint). Float reduction is the q101 trick: per-doc ln-probs are
+    * collected, SORTED, then folded, so the sum order is engine-fixed.
+    */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val t = documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+    val bp = t.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(toks, 1, size(toks)-1), (w, i) -> struct(w AS w1, toks[i+1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bp.groupBy("w1", "w2").agg(count(lit(1)).as("bf"))
+    val uc = t.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("uf"))
+    val vocab = uc.agg(count(lit(1)).cast("double").as("v"))
+    bp.filter(col("doc_id") < 50)
+      .join(bc, Seq("w1", "w2"))
+      .join(uc.toDF("w1", "uf"), "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", -log(
+        (col("bf").cast("double") + lit(1.0)) / (col("uf").cast("double") + col("v"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sort_array(collect_list("lp")).as("lps"))
+      .withColumn("avg_nll", round(
+        expr("aggregate(lps, 0D, (a, x) -> a + x)") / col("n_bigrams").cast("double"), 6))
+      .select("doc_id", "n_bigrams", "avg_nll")
+      .orderBy("doc_id")
+  }
+
   /** Overlapping sliding-window chunking — RAG/embedding prep (window 64
     * tokens, stride 32; q86's chunks are the disjoint special case). Start
     * count is exact integer arithmetic: 1 + ceil((n-64)/32) windows for
@@ -336,6 +373,7 @@ object Pipeline {
     "q88_pack_sequences" -> packSequences _,
     "q100_mix_weights"     -> mixWeights _,
     "q101_unigram_logprob" -> unigramLogprob _,
+    "q123_bigram_logprob"  -> bigramLogprob _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -475,6 +513,28 @@ object Pipeline {
         |       (1.0 / CAST(k AS DOUBLE)) /
         |         (CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) AS weight
         |FROM d, t ORDER BY source""".stripMargin,
+    "q123_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |           FROM documents),
+        |bp AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+        |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |               i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        |             FROM t WHERE len(toks) >= 2)),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bf FROM bp GROUP BY 1, 2),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS uf
+        |       FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        |vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uc),
+        |lp AS (SELECT doc_id,
+        |         -ln((CAST(bf AS DOUBLE) + 1.0) / (CAST(uf AS DOUBLE) + v)) AS lp
+        |       FROM bp JOIN bc USING (w1, w2) JOIN uc ON uc.w = bp.w1 CROSS JOIN vv
+        |       WHERE doc_id < 50),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |               list_sort(list(lp)) AS lps
+        |        FROM lp GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |       round(list_aggregate(lps, 'sum') / CAST(n_bigrams AS DOUBLE), 6) AS avg_nll
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q101_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
