@@ -387,9 +387,15 @@ object Dedup {
     val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("pr")).localCheckpoint()
     for (_ <- 1 to 3) {
+      // Pinned float reduction (the q101 trick): neighbor contributions are
+      // collected, SORTED, then folded — a plain groupBy sum adds doubles
+      // in partition-merge order, which neither two runs nor two engines
+      // need agree on in the last ulp.
       val contrib = edges.join(ranks, edges("src") === ranks("id"))
         .join(deg, "src")
-        .groupBy(col("dst").as("nid")).agg(sum(col("pr") / col("deg")).as("s"))
+        .groupBy(col("dst").as("nid"))
+        .agg(sort_array(collect_list(col("pr") / col("deg"))).as("cs"))
+        .select(col("nid"), expr("aggregate(cs, 0D, (a, x) -> a + x)").as("s"))
       ranks = nodes.join(contrib, nodes("id") === contrib("nid"), "left")
         .select(col("id"),
           (lit(0.15 / n) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
@@ -506,7 +512,8 @@ object Dedup {
          |      CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
          |      + CAST(0.85 AS DOUBLE) * coalesce(c.s, CAST(0 AS DOUBLE)) AS pr
          |    FROM nodes nd LEFT JOIN (
-         |      SELECT e.dst AS id, sum(r.pr / d.deg) AS s
+         |      SELECT e.dst AS id,
+         |             list_aggregate(list_sort(list(r.pr / d.deg)), 'sum') AS s
          |      FROM edges e JOIN $prev r ON r.id = e.src
          |                   JOIN deg d ON d.src = e.src
          |      GROUP BY e.dst) c ON c.id = nd.id)""".stripMargin

@@ -239,19 +239,40 @@ object Similarity {
     * 100 TB the coding pass is map-side only. Squared-L2 is an ordered
     * HOF fold, spelled identically in the oracle.
     */
-  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
-    val blocks = corpus(spark, dir).select(col("vec_id"), posexplode(expr(
-        "transform(sequence(0, 7), b -> slice(v, b*8 + 1, 8))")).as(Seq("block", "vb")))
-    val cents = blocks.filter(col("vec_id") < 16)
+  // ---- PQ shared pipeline: ONE definition of the codebook convention
+  // (8 blocks × 8 dims, sub-centroids = vec_id < 16, argmin tie-break by
+  // code) used by q116/q117/q120 — the scoredPairs anti-drift rule.
+
+  /** (vec_id, block 0..7, vb): 8-dim sub-blocks of every vector. */
+  private def pqBlocks(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir).select(col("vec_id"), posexplode(expr(
+      "transform(sequence(0, 7), b -> slice(v, b*8 + 1, 8))")).as(Seq("block", "vb")))
+
+  /** Squared-L2 between a block and a sub-centroid — ordered HOF fold. */
+  private val pqSqdist = expr(
+    "aggregate(zip_with(vb, cb, (x, y) -> (x - y) * (x - y)), 0D, (a, s) -> a + s)")
+
+  /** Distance of every `rows` block to every same-block sub-centroid; the
+    * codebook always comes from `codebookSource` (vec_id < 16), passed
+    * separately so a pre-filtered probe set can't silently shrink it. */
+  private def pqDists(rows: DataFrame, codebookSource: DataFrame): DataFrame = {
+    val cents = codebookSource.filter(col("vec_id") < 16)
       .select(col("vec_id").as("code"), col("block"), col("vb").as("cb"))
+    rows.join(broadcast(cents), Seq("block")).withColumn("dist", pqSqdist)
+  }
+
+  /** Nearest-centroid assignment: (vec_id, block, code, dist). */
+  private def pqAssign(dists: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id", "block").orderBy(col("dist"), col("code"))
-    blocks.filter(col("vec_id") < 200)
-      .join(broadcast(cents), Seq("block"))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(vb, cb, (x, y) -> (x - y) * (x - y)), 0D, (a, s) -> a + s)"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("block"), col("code"), round(col("dist"), 6).as("dist"))
+    dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("block"), col("code"), col("dist"))
+  }
+
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val blocks = pqBlocks(spark, dir).filter(col("vec_id") < 200)
+    pqAssign(pqDists(blocks, blocks))
+      .select(col("vec_id"), col("block"), col("code"),
+              round(col("dist"), 6).as("dist"))
       .orderBy("vec_id", "block")
   }
 
@@ -268,22 +289,11 @@ object Similarity {
     * ADC per probe.
     */
   def pqAdc(spark: SparkSession, dir: String): DataFrame = {
-    val blocks = corpus(spark, dir).select(col("vec_id"), posexplode(expr(
-        "transform(sequence(0, 7), b -> slice(v, b*8 + 1, 8))")).as(Seq("block", "vb")))
-    val cents = blocks.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("code"), col("block"), col("vb").as("cb"))
-    val sqdist = expr(
-      "aggregate(zip_with(vb, cb, (x, y) -> (x - y) * (x - y)), 0D, (a, s) -> a + s)")
-    val wCode = Window.partitionBy("vec_id", "block").orderBy(col("dist"), col("code"))
-    val codes = blocks.join(broadcast(cents), Seq("block"))
-      .withColumn("dist", sqdist)
-      .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("block"), col("code"))
-    val ptab = blocks.filter(col("vec_id") < 10)
-      .toDF("probe_id", "block", "vb")
-      .join(broadcast(cents), Seq("block"))
-      .withColumn("t", sqdist)
-      .select(col("probe_id"), col("block"), col("code"), col("t"))
+    val blocks = pqBlocks(spark, dir)
+    val codes = pqAssign(pqDists(blocks, blocks)).select("vec_id", "block", "code")
+    val ptab = pqDists(blocks.filter(col("vec_id") < 10), blocks)
+      .select(col("vec_id").as("probe_id"), col("block"), col("code"),
+              col("dist").as("t"))
     val perBlock = (0 to 7).map(b =>
       sum(when(col("block") === b, col("t"))).as(s"b$b"))
     val adc = (1 to 7).foldLeft(col("b0")) { (acc, b) => acc + col(s"b$b") }
@@ -463,19 +473,16 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q120_pq_recall" -> pqRecallOracle,
     "q117_pq_adc" -> pqAdcOracle,
-    "q116_pq_codes" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |blocks AS (SELECT vec_id, b AS block, list_slice(v, b*8 + 1, b*8 + 8) AS vb
-        |           FROM e, range(0, 8) t(b)),
-        |cents AS (SELECT vec_id AS code, block, vb AS cb FROM blocks WHERE vec_id < 16),
-        |d AS (SELECT bl.vec_id, bl.block, c.code,
-        |        list_sum(list_transform(range(1, 9),
-        |          i -> (vb[i] - cb[i]) * (vb[i] - cb[i]))) AS dist
-        |      FROM blocks bl JOIN cents c USING (block) WHERE bl.vec_id < 200)
+    // Same shared CTE text as q117/q120 (argmin over the full corpus is
+    // per-(vec, block) independent, so filtering to vec_id < 200 after
+    // assignment is value-identical to assigning the filtered set).
+    "q116_pq_codes" -> (pqAdcCtes +
+      """
         |SELECT vec_id, block, code, round(dist, 6) AS dist
-        |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, block
-        |        ORDER BY dist, code) AS rn FROM d)
-        |WHERE rn = 1 ORDER BY vec_id, block""".stripMargin,
+        |FROM (SELECT vec_id, block, code, dist,
+        |        row_number() OVER (PARTITION BY vec_id, block
+        |          ORDER BY dist, code) AS rn FROM d)
+        |WHERE rn = 1 AND vec_id < 200 ORDER BY vec_id, block""".stripMargin),
     "q108_ann_recall" -> annRecallOracle,
     "q80_embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

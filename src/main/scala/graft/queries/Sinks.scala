@@ -92,12 +92,17 @@ object Sinks {
     */
   def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = tmpOut(dir, "json")
+    val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
     val src = events(spark, dir)
-      .select(col("event_id"), col("event_type"), col("user_id"), col("props"))
-    src.write.mode("overwrite").json(out)
-    json(spark, out, src.schema)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+              col("ts"), col("props"))
+    // Explicit microsecond format on BOTH sides: Spark's JSON default
+    // writes milliseconds, which would silently truncate event times.
+    src.write.mode("overwrite").option("timestampFormat", fmt).json(out)
+    spark.read.schema(src.schema).option("timestampFormat", fmt).json(out)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("user_id").as("sum_user"),
+           min("ts").as("min_ts"),
            md5(min(col("props"))).as("min_props_md5"))
       .orderBy("event_type")
   }
@@ -116,7 +121,10 @@ object Sinks {
     val out = tmpOut(dir, "histagg")
     val o = orders(spark, dir)
     val cutoff = lit("1999-01-01").cast("timestamp")
-    o.filter(col("o_orderdate") < cutoff)
+    // NULL dates go to the history side: `< cutoff` alone is NULL for them
+    // and the row would vanish from BOTH partitions — the classic
+    // split-recombine bug on nullable partition keys.
+    o.filter(col("o_orderdate") < cutoff || col("o_orderdate").isNull)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), sum("o_custkey").as("s"))
       .write.mode("overwrite").parquet(out)
@@ -146,6 +154,7 @@ object Sinks {
     "q113_json_roundtrip" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |       min(CAST(ts AS TIMESTAMP)) AS min_ts,
         |       md5(min(props)) AS min_props_md5
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q96_sink_partitioned" ->

@@ -258,7 +258,9 @@ object TextAnalysis {
     */
   def pmiBigrams(spark: SparkSession, dir: String): DataFrame = {
     val t = tokenized(spark, dir)
-    val bi = t.select(explode(expr(
+    // Guard: slice(toks, 1, size-1) throws on a zero-token doc (length -1);
+    // the oracle's range(1, len) just returns empty. <2 tokens → no bigrams.
+    val bi = t.filter(size(col("toks")) >= 2).select(explode(expr(
         "transform(slice(toks, 1, size(toks)-1), (w, i) -> struct(w AS w1, toks[i+1] AS w2))")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
     val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
@@ -309,8 +311,11 @@ object TextAnalysis {
     val perTerm = terms.zipWithIndex.map { case (tm, i) =>
       sum(when(col("w") === tm, col("sc"))).as(s"s$i") }
     val total = terms.indices.map(i => coalesce(col(s"s$i"), lit(0.0))).reduce(_ + _)
-    scored.groupBy("doc_id")
-      .agg(perTerm.head, perTerm.tail: _*)
+    // Left join from the full doc set: a doc containing none of the query
+    // terms scores 0.0 — it must still appear ("all docs emitted").
+    dl.select("doc_id")
+      .join(scored.groupBy("doc_id").agg(perTerm.head, perTerm.tail: _*),
+            Seq("doc_id"), "left")
       .select(col("doc_id"), round(total, 4).as("score"))
       .orderBy("doc_id")
   }
@@ -358,9 +363,9 @@ object TextAnalysis {
          |        sum(CASE WHEN w = 'scan' THEN sc END) AS s1,
          |        sum(CASE WHEN w = 'window' THEN sc END) AS s2
          |      FROM s GROUP BY doc_id)
-         |SELECT doc_id,
+         |SELECT dl.doc_id,
          |       round(coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0), 4) AS score
-         |FROM g ORDER BY doc_id""".stripMargin,
+         |FROM dl LEFT JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q110_pmi_bigrams" ->
       s"""WITH t AS (SELECT $duckToks AS toks FROM documents),
          |bi AS (SELECT unnest(list_transform(range(1, len(toks)),
