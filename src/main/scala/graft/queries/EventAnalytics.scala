@@ -132,7 +132,7 @@ object EventAnalytics {
 
   /** Time-series regularization: hourly per-type activity on a COMPLETE
     * hour spine (sequence over the observed range × the type dimension),
-    * missing hours filled — counts with 0, the average-value feature
+    * missing hours filled — counts with 0, the hourly value-total feature
     * forward-filled from the last observed hour (LOCF via
     * `last(ignoreNulls)` over an unbounded preceding frame; hours before a
     * type's first observation stay NULL on both engines). The featurization
@@ -143,8 +143,14 @@ object EventAnalytics {
     */
   def gapFill(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
+    // The filled feature is the hourly value TOTAL, not the mean: `value`
+    // has 2-decimal granularity, so round(sum, 2) merely snaps off binary
+    // accumulation noise (~1e-13) and never sits near a rounding boundary —
+    // whereas a mean of 2-decimal data lands EXACTLY on 4th-decimal halves
+    // (sum/32 etc.), where Spark's BigDecimal HALF_UP and DuckDB's
+    // multiply-then-nearbyint legitimately disagree (seen at sf0.1).
     val hourly = e.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_v"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
     val spine = e.agg(date_trunc("hour", min("ts")).as("h0"),
                       date_trunc("hour", max("ts")).as("h1"))
       .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
@@ -156,7 +162,7 @@ object EventAnalytics {
       .join(hourly, Seq("event_type", "h"), "left")
       .select(col("event_type"), col("h"),
         coalesce(col("n"), lit(0L)).as("n"),
-        last(col("avg_v"), ignoreNulls = true).over(w).as("avg_v_ff"))
+        last(col("sum_v"), ignoreNulls = true).over(w).as("sum_v_ff"))
       .orderBy("event_type", "h")
   }
 
@@ -219,7 +225,7 @@ object EventAnalytics {
     "q121_gap_fill" ->
       """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
-        |                  count(*) AS n, round(avg(value), 4) AS avg_v
+        |                  count(*) AS n, round(sum(value), 2) AS sum_v
         |           FROM e GROUP BY 1, 2),
         |bounds AS (SELECT date_trunc('hour', min(ts)) AS h0,
         |                  date_trunc('hour', max(ts)) AS h1 FROM e),
@@ -228,8 +234,8 @@ object EventAnalytics {
         |grid AS (SELECT event_type, h
         |         FROM (SELECT DISTINCT event_type FROM e), spine)
         |SELECT event_type, h, CAST(coalesce(n, 0) AS BIGINT) AS n,
-        |       last_value(avg_v IGNORE NULLS) OVER (PARTITION BY event_type
-        |         ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_v_ff
+        |       last_value(sum_v IGNORE NULLS) OVER (PARTITION BY event_type
+        |         ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_v_ff
         |FROM grid LEFT JOIN hourly USING (event_type, h)
         |ORDER BY event_type, h""".stripMargin,
     "q112_stream_interval_join_outer" ->
