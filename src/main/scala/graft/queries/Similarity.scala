@@ -269,8 +269,8 @@ object Similarity {
   }
 
   def pqCodes(spark: SparkSession, dir: String): DataFrame = {
-    val blocks = pqBlocks(spark, dir).filter(col("vec_id") < 200)
-    pqAssign(pqDists(blocks, blocks))
+    val blocks = pqBlocks(spark, dir)
+    pqAssign(pqDists(blocks.filter(col("vec_id") < 200), blocks))
       .select(col("vec_id"), col("block"), col("code"),
               round(col("dist"), 6).as("dist"))
       .orderBy("vec_id", "block")

@@ -99,7 +99,7 @@ object Sinks {
     // Explicit microsecond format on BOTH sides: Spark's JSON default
     // writes milliseconds, which would silently truncate event times.
     src.write.mode("overwrite").option("timestampFormat", fmt).json(out)
-    spark.read.schema(src.schema).option("timestampFormat", fmt).json(out)
+    json(spark, out, src.schema, fmt)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("user_id").as("sum_user"),
            min("ts").as("min_ts"),

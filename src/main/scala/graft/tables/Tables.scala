@@ -41,8 +41,12 @@ object Tables {
     s.read.schema(schema).option("header", "true")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]").csv(path)
 
-  def json(s: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
-    s.read.schema(schema).json(path)
+  /** Microsecond timestamp format by default: Spark's JSON default writes
+    * milliseconds, which silently truncates event times on a roundtrip.
+    */
+  def json(s: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType,
+           timestampFormat: String = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"): DataFrame =
+    s.read.schema(schema).option("timestampFormat", timestampFormat).json(path)
 
   def orc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
 }
