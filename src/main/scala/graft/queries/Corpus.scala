@@ -90,7 +90,25 @@ object Corpus {
       .select("lang", "rnk", "doc_id")
       .orderBy("lang", "rnk")
 
+  /** Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-Res): each doc
+    * draws a uniform u ∈ (0,1] from its md5 (pure function of the data, as
+    * all sampling here) and gets priority ln(u)/w with w = n_chars; the
+    * top-k priorities are a weighted-without-replacement sample — docs are
+    * picked proportionally to length. The op behind "sample training docs
+    * proportional to quality score". One map pass + a bounded top-k
+    * (TakeOrderedAndProject): no shuffle of the corpus, holds at 100 TB.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("double").as("w"),
+        ((conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+           .cast("double") + 1.0) / 16777216.0).as("u"))
+      .withColumn("pri", log(col("u")) / col("w"))
+      .orderBy(col("pri").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), round(col("pri"), 8).as("pri"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_sample_weighted"  -> sampleWeighted _,
     "q63_sample_hash"       -> sampleHash _,
     "q64_sample_stratified" -> sampleStratified _,
     "q67_clean_corpus"      -> cleanCorpus _,
@@ -98,6 +116,18 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q124_sample_weighted" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+        |             md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |u AS (SELECT doc_id, w,
+        |        (CAST(list_sum(list_transform(range(1, 7),
+        |           p -> (strpos('0123456789abcdef', substr(h, p, 1)) - 1)
+        |                * CAST(16 AS BIGINT) ** (6 - p))) AS DOUBLE) + 1.0)
+        |        / 16777216.0 AS u
+        |      FROM d),
+        |p AS (SELECT doc_id, ln(u) / w AS pri FROM u)
+        |SELECT doc_id, round(pri, 8) AS pri
+        |FROM p ORDER BY pri DESC, doc_id LIMIT 20""".stripMargin,
     "q103_sample_topn_per_group" ->
       """SELECT lang, rnk, doc_id
         |FROM (SELECT lang, doc_id, row_number() OVER (
