@@ -333,7 +333,28 @@ object Similarity {
       .orderBy("probe_id")
   }
 
+  /** Embedding-health report — the monitoring query a vector pipeline runs
+    * after every ingest: per-label count and norm profile (mean/min/max/
+    * stddev). A collapsed encoder, a normalization bug, or a bad batch
+    * shows up as a shifted norm distribution before any retrieval metric
+    * moves. One scan + one grouped agg; norms are irrational (sqrt), so
+    * rounded means never sit on decimal halves (the q121 hazard class).
+    */
+  def embedStats(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(col("label"),
+        sqrt(VectorOps.dot(col("embedding").cast("array<double>"),
+                           col("embedding").cast("array<double>"))).as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+           round(avg("nrm"), 4).as("avg_nrm"),
+           round(min("nrm"), 4).as("min_nrm"),
+           round(max("nrm"), 4).as("max_nrm"),
+           round(stddev_samp(col("nrm")), 4).as("sd_nrm"))
+      .orderBy("label")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_embed_stats"        -> embedStats _,
     "q120_pq_recall"          -> pqRecall _,
     "q117_pq_adc"             -> pqAdc _,
     "q116_pq_codes"           -> pqCodes _,
@@ -471,6 +492,17 @@ object Similarity {
         |ORDER BY probe_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q125_embed_stats" ->
+      """WITH n AS (SELECT label,
+        |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                   CAST(embedding AS DOUBLE[]))) AS nrm
+        |           FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |       round(avg(nrm), 4) AS avg_nrm,
+        |       round(min(nrm), 4) AS min_nrm,
+        |       round(max(nrm), 4) AS max_nrm,
+        |       round(stddev_samp(nrm), 4) AS sd_nrm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
     "q120_pq_recall" -> pqRecallOracle,
     "q117_pq_adc" -> pqAdcOracle,
     // Same shared CTE text as q117/q120 (argmin over the full corpus is

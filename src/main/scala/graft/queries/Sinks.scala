@@ -137,7 +137,31 @@ object Sinks {
       .orderBy("o_orderpriority")
   }
 
+  /** Schema evolution across file batches (`mergeSchema`): batch 1 ships
+    * (orderkey, custkey), batch 2 ships (orderkey, totalprice, priority) —
+    * the shape every long-lived landing zone grows into as producers add
+    * columns. The merged read unions the schemas; columns absent from a
+    * batch surface as NULLs, which the aggregate proves (custkey sums come
+    * only from batch 1, price/priority only from batch 2). The batch dirs
+    * double as a partition column (`b`), so pruning still works on the
+    * evolved table.
+    */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpOut(dir, "evo")
+    val o = orders(spark, dir)
+    o.select("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$out/b=1")
+    o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$out/b=2")
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority").asc_nulls_first)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_schema_evolution" -> schemaEvolution _,
     "q114_incremental_agg" -> incrementalAgg _,
     "q113_json_roundtrip"  -> jsonRoundtrip _,
     "q96_sink_partitioned" -> sinkPartitioned _,
@@ -147,6 +171,17 @@ object Sinks {
   )
 
   val oracles: Map[String, String] = Map(
+    "q126_schema_evolution" ->
+      """WITH m AS (
+        |  SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+        |         CAST(NULL AS VARCHAR) AS o_orderpriority FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(NULL AS BIGINT), o_totalprice, o_orderpriority
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM m GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
     "q114_incremental_agg" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust
