@@ -130,6 +130,27 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the join
+    * semantic a plain equi-join silently breaks — rows whose key is NULL
+    * (here: a deterministic "missing bucket" derived from the props key)
+    * drop out of `=` joins but MATCH each other under `<=>`. The engine
+    * still hash-partitions on the key (nulls form one group), so the plan
+    * is an ordinary shuffled/broadcast hash join, not a nested loop.
+    */
+  def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val f = events(spark, dir)
+      .select(expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .withColumn("kb",
+        when(col("k") % 7 === 0, lit(null)).otherwise(pmod(col("k"), lit(10))))
+    val dim = f.select("kb").distinct()
+      .withColumn("bucket_name",
+        concat(lit("b"), coalesce(col("kb").cast("string"), lit("null"))))
+    f.join(dim, f("kb") <=> dim("kb"))
+      .groupBy("bucket_name")
+      .agg(count(lit(1)).as("n"), sum("k").as("k_sum"))
+      .orderBy("bucket_name")
+  }
+
   /** Time-series regularization: hourly per-type activity on a COMPLETE
     * hour spine (sequence over the observed range × the type dimension),
     * missing hours filled — counts with 0, the hourly value-total feature
@@ -189,6 +210,7 @@ object EventAnalytics {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_cdc_compact"     -> cdcCompact _,
     "q121_gap_fill"        -> gapFill _,
+    "q127_join_null_safe"  -> joinNullSafe _,
     "q112_stream_interval_join_outer" -> clickConversion _,
     "q94_funnel"           -> funnel _,
     "q91_variant_json"     -> variantProps _,
@@ -222,6 +244,17 @@ object EventAnalytics {
       |ORDER BY user_id, s_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q127_join_null_safe" ->
+      """WITH f AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |           FROM events),
+        |g AS (SELECT k, CASE WHEN k % 7 = 0 THEN NULL ELSE k % 10 END AS kb FROM f),
+        |dim AS (SELECT DISTINCT kb,
+        |          'b' || coalesce(CAST(kb AS VARCHAR), 'null') AS bucket_name
+        |        FROM g)
+        |SELECT bucket_name, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(k) AS BIGINT) AS k_sum
+        |FROM g JOIN dim ON g.kb IS NOT DISTINCT FROM dim.kb
+        |GROUP BY bucket_name ORDER BY bucket_name""".stripMargin,
     "q121_gap_fill" ->
       """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
