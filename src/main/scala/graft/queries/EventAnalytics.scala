@@ -141,7 +141,7 @@ object EventAnalytics {
     val f = events(spark, dir)
       .select(expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
       .withColumn("kb",
-        when(col("k") % 7 === 0, lit(null)).otherwise(pmod(col("k"), lit(10))))
+        when(col("k") % 7 === 0, lit(null)).otherwise(col("k") % 10))
     val dim = f.select("kb").distinct()
       .withColumn("bucket_name",
         concat(lit("b"), coalesce(col("kb").cast("string"), lit("null"))))
@@ -198,7 +198,7 @@ object EventAnalytics {
   def cdcCompact(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id", "event_type")
-      .orderBy(col("ts").desc, col("event_id").desc)
+      .orderBy(col("ts").desc, col("event_id").desc, col("value").desc)
     events(spark, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -290,7 +290,7 @@ object EventAnalytics {
         |SELECT user_id, event_type, event_id, ts AS last_ts,
         |       round(value, 2) AS value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
-        |                  ORDER BY ts DESC, event_id DESC) AS rn
+        |                  ORDER BY ts DESC, event_id DESC, value DESC) AS rn
         |      FROM e)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "q94_funnel" ->

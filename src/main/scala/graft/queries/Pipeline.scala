@@ -87,12 +87,12 @@ object Pipeline {
     */
   def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
     val ch = chunks(spark, dir)
-    // keeper = min over the corpus of (doc_id*1000 + idx): docs are < 1000
+    // keeper = min over the corpus of (doc_id*1e9 + idx): idx is bounded
     // chunks (99 tokens → ≤ 10), so the packed key preserves (doc_id, idx)
     // lexicographic order in one BIGINT — portable min() in both engines.
-    val keep = ch.groupBy("chunk").agg(min(col("doc_id") * 1000 + col("idx")).as("kpos"))
+    val keep = ch.groupBy("chunk").agg(min(col("doc_id") * 1000000000L + col("idx")).as("kpos"))
     val kept = ch.join(keep, "chunk")
-      .filter(col("doc_id") * 1000 + col("idx") === col("kpos"))
+      .filter(col("doc_id") * 1000000000L + col("idx") === col("kpos"))
     val total = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
     val keptAgg = kept.groupBy("doc_id").agg(
       count(lit(1)).as("k"),
@@ -455,9 +455,9 @@ object Pipeline {
         |         array_to_string(w[(i-1)*10+1 : (i-1)*10+10], ' ') AS chunk
         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
         |       LATERAL (SELECT unnest(range(1, (len(w)-1)//10 + 2)) AS i)),
-        |keep AS (SELECT chunk, min(doc_id*1000 + idx) AS kpos FROM ch GROUP BY chunk),
+        |keep AS (SELECT chunk, min(doc_id*1000000000 + idx) AS kpos FROM ch GROUP BY chunk),
         |kept AS (SELECT ch.* FROM ch JOIN keep USING (chunk)
-        |         WHERE doc_id*1000 + idx = kpos),
+        |         WHERE doc_id*1000000000 + idx = kpos),
         |total AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id),
         |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
         |              md5(string_agg(chunk, ' ' ORDER BY idx)) AS kept_md5

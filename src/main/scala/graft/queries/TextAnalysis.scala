@@ -199,8 +199,11 @@ object TextAnalysis {
     * RE2 has no lookahead, and leftmost-first alternation agrees between
     * the two engines.
     */
+  // Whitespace is an EXPLICIT class, not \s: Java's \s includes vertical
+  // tab (\x0B), RE2's (DuckDB) does not — the one char the engines'
+  // shorthand classes disagree on.
   private val bpeIshPattern =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+"
 
   /** Token counting two ways (brief: "whitespace + a BPE-ish regex"):
     * per-document whitespace token count vs BPE-ish pre-token count. The
@@ -243,7 +246,7 @@ object TextAnalysis {
   def approxTopTerms(spark: SparkSession, dir: String): DataFrame =
     tokenized(spark, dir)
       .select(explode(col("toks")).as("word"))
-      .agg(expr("approx_top_k(word, 500, 10000)").as("tk"))
+      .agg(expr("approx_top_k(word, 5000, 10000)").as("tk"))
       .select(explode(col("tk")).as("e"))
       .select(col("e.item").as("word"), col("e.count").as("cnt"))
       .orderBy(col("cnt").desc, col("word"))
@@ -340,9 +343,9 @@ object TextAnalysis {
     "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
   // Same pattern as bpeIshPattern with SQL-doubled apostrophes; DuckDB
-  // standard strings pass backslashes through verbatim, so \s stays \s.
+  // standard strings pass backslashes through verbatim.
   private val duckBpeIsh =
-    "''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    "''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+"
 
   val oracles: Map[String, String] = Map(
     "q122_bm25" ->
