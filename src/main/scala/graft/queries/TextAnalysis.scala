@@ -323,7 +323,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Heaps'-law vocabulary-growth curve — corpus diagnostics: cumulative
+    * distinct-token count vs cumulative token count in doc_id order (the
+    * curve data teams read to judge corpus diversity saturation before
+    * adding more of a source). Running DISTINCT is not distributable as a
+    * window, so it is decomposed: each word's FIRST document (one groupBy)
+    * turns the running distinct into a running SUM of per-doc new-word
+    * counts — and the windows then run over one row per document, already
+    * aggregated, so the unpartitioned window scans n_docs rows, not the
+    * corpus. Integer-only end-to-end. Curve sampled every 50 docs.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokenized(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+    val newPerDoc = toks.groupBy("word").agg(min("doc_id").as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id")).agg(count(lit(1)).as("n_new"))
+    val tokPerDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    tokPerDoc.join(newPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+              coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_tokens", sum("n_tok").over(w))
+      .withColumn("vocab_size", sum("n_new").over(w))
+      .filter(col("doc_id") % 50 === 0)
+      .select("doc_id", "cum_tokens", "vocab_size")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_vocab_growth"      -> vocabGrowth _,
     "q122_bm25"              -> bm25 _,
     "q110_pmi_bigrams"       -> pmiBigrams _,
     "q43_token_stats"        -> tokenStats _,
@@ -348,6 +376,22 @@ object TextAnalysis {
     "''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+"
 
   val oracles: Map[String, String] = Map(
+    "q128_vocab_growth" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS word FROM documents),
+         |np AS (SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+         |       FROM (SELECT word, min(doc_id) AS first_doc FROM toks GROUP BY word)
+         |       GROUP BY first_doc),
+         |tp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+         |       FROM toks GROUP BY doc_id),
+         |c AS (SELECT tp.doc_id,
+         |        sum(n_tok) OVER (ORDER BY tp.doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+         |        sum(coalesce(n_new, 0)) OVER (ORDER BY tp.doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_size
+         |      FROM tp LEFT JOIN np ON np.doc_id = tp.doc_id)
+         |SELECT doc_id, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+         |       CAST(vocab_size AS BIGINT) AS vocab_size
+         |FROM c WHERE doc_id % 50 = 0 ORDER BY doc_id""".stripMargin,
     "q122_bm25" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
