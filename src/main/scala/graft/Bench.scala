@@ -44,7 +44,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // metric/value/unit go LAST: the driver keeps only the tail of stdout,
+    // and with ~130 per-query entries in front the totals were truncated
+    // away in rounds 4-5's BENCH_r*.json. Tail-last keeps every future
+    // bench record self-contained.
+    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}""")
     spark.stop()
   }
 }

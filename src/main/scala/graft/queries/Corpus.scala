@@ -97,15 +97,20 @@ object Corpus {
     * picked proportionally to length. The op behind "sample training docs
     * proportional to quality score". One map pass + a bounded top-k
     * (TakeOrderedAndProject): no shuffle of the corpus, holds at 100 TB.
+    * The top-k ranks on pri ROUNDED to 8 places with a doc_id tiebreak —
+    * pri goes through each engine's libm `ln`, and ranking the raw double
+    * would let a last-ulp disagreement near the rank-20 cutoff select a
+    * different row set; after round(8)+tiebreak, selection and the emitted
+    * value are the same surface, deterministic across libm builds.
     */
   def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .select(col("doc_id"), col("n_chars").cast("double").as("w"),
         ((conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
            .cast("double") + 1.0) / 16777216.0).as("u"))
-      .withColumn("pri", log(col("u")) / col("w"))
+      .withColumn("pri", round(log(col("u")) / col("w"), 8))
       .orderBy(col("pri").desc, col("doc_id")).limit(20)
-      .select(col("doc_id"), round(col("pri"), 8).as("pri"))
+      .select(col("doc_id"), col("pri"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_sample_weighted"  -> sampleWeighted _,
@@ -125,8 +130,8 @@ object Corpus {
         |                * CAST(16 AS BIGINT) ** (6 - p))) AS DOUBLE) + 1.0)
         |        / 16777216.0 AS u
         |      FROM d),
-        |p AS (SELECT doc_id, ln(u) / w AS pri FROM u)
-        |SELECT doc_id, round(pri, 8) AS pri
+        |p AS (SELECT doc_id, round(ln(u) / w, 8) AS pri FROM u)
+        |SELECT doc_id, pri
         |FROM p ORDER BY pri DESC, doc_id LIMIT 20""".stripMargin,
     "q103_sample_topn_per_group" ->
       """SELECT lang, rnk, doc_id

