@@ -64,6 +64,37 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) < 10))
   }
 
+  test("shingle/signature indexes materialize once and later dedup plans read the cache") {
+    // Plan-shape pin for the r4→r5 performance win: the dedup family's
+    // shared substrate (shingle index, signature tables) is persisted once
+    // per (session, corpus) and every later family member must PLAN against
+    // the cache (InMemoryRelation), not recompile the shingle pipeline. A
+    // refactor that silently drops the reuse would double the family's cost
+    // at corpus scale without failing any correctness test — this one fails.
+    Dedup.evictCaches(spark)
+    Dedup.ngramJaccard(spark, sfDir).collect() // builds + persists the indexes
+    val cachedAfterFirst = spark.sparkContext.getPersistentRDDs.keySet
+    // Re-running the same query must not re-persist anything...
+    Dedup.ngramJaccard(spark, sfDir).collect()
+    // ...and a DIFFERENT family member may add only its own signature
+    // table(s), never a second copy of an already-persisted index.
+    val mh = Dedup.minhashLsh(spark, sfDir)
+    assert(mh.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+      "minhash plan does not read the cached shingle index")
+    mh.collect()
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+      .intersect(cachedAfterFirst) == cachedAfterFirst,
+      "a shared index was evicted/rebuilt instead of reused")
+    val cachedAfterMinhash = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.ngramJaccard(spark, sfDir).collect()
+    Dedup.minhashLsh(spark, sfDir).collect()
+    assert(spark.sparkContext.getPersistentRDDs.keySet == cachedAfterMinhash,
+      "re-running dedup queries materialized new copies of the shared indexes")
+    assert(Dedup.ngramJaccard(spark, sfDir)
+      .queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+      "jaccard plan does not read the cached shingle index")
+  }
+
   test("concurrent dedup queries share the materialized indexes without racing") {
     // The shingle index and verified-pair table are session-shared caches;
     // concurrent builders must produce the same results as sequential runs

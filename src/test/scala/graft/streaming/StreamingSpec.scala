@@ -294,6 +294,47 @@ class StreamingSpec extends SparkSpec {
     assert(closedBatch.nonEmpty)
   }
 
+  test("Trigger.AvailableNow: file source drains, reports progress, self-terminates, output equals batch") {
+    // The reference's full job lifecycle (MapReduceFramework.h:18-24) driven
+    // through a real StreamingQuery in its deployment shape: J1 start is
+    // async, J3 progress surfaces per micro-batch, J2 wait returns when
+    // AvailableNow has drained every file present at start and stops the
+    // query BY ITSELF, J4 the handle ends inactive with no exception.
+    import org.apache.spark.sql.streaming.Trigger
+    val out = java.nio.file.Files.createTempDirectory("graft_an_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_an_ckpt").toString
+    val landing = java.nio.file.Files.createTempDirectory("graft_an_src")
+    java.nio.file.Files.createSymbolicLink(
+      landing.resolve("part-0.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val src = EventStreams.readEventStream(spark, landing.toString)
+    val q = EventStreams.tumblingWithWatermark(src, "0 seconds")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000),
+        "AvailableNow query must terminate on its own once the source is drained")
+      assert(q.recentProgress.nonEmpty, "no per-batch progress surfaced")
+      assert(q.recentProgress.map(_.numInputRows).sum > 0)
+      assert(!q.isActive)
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+    } finally q.stop()
+    // Same closed-window standard as the checkpointed-sink test: with a zero
+    // watermark delay only the final (still-open) window may be missing.
+    val batch = EventStreams.tumblingByType(graft.tables.Tables.events(spark, sfDir))
+    val maxStart = batch.agg(max("w_start")).collect()(0).getTimestamp(0)
+    val closedBatch = batch.filter(col("w_start") < maxStart)
+      .collect().map(_.toSeq).toSet
+    val closedStream = spark.read.parquet(out).filter(col("w_start") < maxStart)
+      .collect().map(_.toSeq).toSet
+    assert(closedStream == closedBatch,
+      s"stream=${closedStream.size} batch=${closedBatch.size}")
+    assert(closedBatch.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization: stream across micro-batches equals batch session_window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
