@@ -119,6 +119,30 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
+  // ---- IVF shared pipeline: ONE definition of the coarse-quantizer
+  // convention (16 fixed centroids = vec_id < 16, cosine assignment,
+  // argmax tie-break by cent_id) used by q59/q131/q132 — the scoredPairs
+  // anti-drift rule.
+
+  /** Cosine of every corpus vector to each of the 16 coarse centroids,
+    * carrying the vector and centroid columns so downstream consumers can
+    * form residuals. Centroids broadcast; one streamed pass.
+    */
+  private def centroidSims(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val cents = e.filter(col("vec_id") < 16).toDF("cent_id", "cv", "cnrm")
+    e.crossJoin(broadcast(cents))
+      .withColumn("csim", VectorOps.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+  }
+
+  private val wAssign =
+    Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+
+  /** Nearest-centroid assignment with all vector columns retained. */
+  private def ivfAssignFull(spark: SparkSession, dir: String): DataFrame =
+    centroidSims(spark, dir)
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+
   /** ANN via IVF (inverted-file) bucketing — the second scale path: the
     * corpus is assigned to its nearest of 16 fixed centroids (here: the
     * vectors with vec_id < 16, deterministic across engines; production
@@ -127,14 +151,8 @@ object Similarity {
     * over the corpus; search touches ~nprobe/16 of the data.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = corpus(spark, dir)
-    val cents = e.filter(col("vec_id") < 16).toDF("cent_id", "cv", "cnrm")
-    val simToCent = e.crossJoin(broadcast(cents))
-      .withColumn("csim", VectorOps.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
-    val assign = simToCent.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
-    val probeBuckets = simToCent.filter(col("vec_id") < 10)
+    val assign = ivfAssignFull(spark, dir).select(col("vec_id"), col("cent_id"))
+    val probeBuckets = centroidSims(spark, dir).filter(col("vec_id") < 10)
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") <= 4).select(col("vec_id").as("probe_id"), col("cent_id"))
     val candIds = probeBuckets.join(assign, "cent_id")
@@ -333,6 +351,81 @@ object Similarity {
       .orderBy("probe_id")
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): drop any vector whose
+    * cosine to a LOWER-id vector in the SAME coarse cluster is ≥ 0.35 —
+    * the embedding-space near-duplicate pass modern LLM corpora run after
+    * exact/minhash text dedup. Pair generation is restricted to within a
+    * cluster (the q59 assignment, reused verbatim), so the join is
+    * partitioned by cent_id and per-cluster quadratic only — at 100 TB the
+    * clusters come from a real k-means with bounded cluster sizes (oversize
+    * clusters split recursively), which keeps every bucket's pair count
+    * capped; nothing here is an all-pairs join over the corpus. Emits each
+    * dropped vector with its keeper (min lower similar id) and the max
+    * in-cluster similarity (max over doubles is exact, so round(4) is
+    * engine-stable).
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val withVec = ivfAssignFull(spark, dir)
+      .select(col("vec_id"), col("cent_id"), col("v"), col("nrm"))
+    withVec.as("a").join(withVec.as("b"),
+        col("a.cent_id") === col("b.cent_id") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cs",
+        VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cs") >= 0.35)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("dup_of"), round(max(col("cs")), 4).as("max_cs"))
+      .orderBy("vec_id")
+  }
+
+  /** IVF-PQ with residual encoding + ADC search — the composition under
+    * billion-vector indexes (FAISS IVFPQ; Jégou et al. 2011 §III): each
+    * vector is coarse-quantized to its nearest centroid (q59 convention),
+    * the RESIDUAL v − c is product-quantized (8 blocks × 16 sub-centroids,
+    * deterministically the residual blocks of vec_id ∈ [16, 32)), and a
+    * probe searches its nprobe=4 buckets by precomputing, per bucket, the
+    * 8×16 table of distances from ITS residual in that bucket to every
+    * sub-centroid — a candidate costs 8 table lookups. Coding is map-side
+    * (codebook broadcast); the search join is keyed (cent_id, block, code)
+    * against a broadcast probe table; per-block terms land in conditional
+    * sum columns so the final addition runs in fixed block order (the q117
+    * determinism rule). Residuals concentrate near zero, which is why
+    * IVF-PQ beats flat PQ at equal bits — q132's ADC ≈ true distance far
+    * tighter than q117's.
+    */
+  def ivfPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val full = ivfAssignFull(spark, dir)
+    val resid = full.withColumn("r", expr("zip_with(v, cv, (x, y) -> x - y)"))
+      .select(col("vec_id"), col("cent_id"), col("r"))
+    val rblocks = resid.select(col("vec_id"), col("cent_id"), posexplode(expr(
+      "transform(sequence(0, 7), b -> slice(r, b*8 + 1, 8))")).as(Seq("block", "vb")))
+    val rcents = rblocks.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+      .select(col("vec_id").as("code"), col("block"), col("vb").as("cb"))
+    val rdists = rblocks.join(broadcast(rcents), Seq("block")).withColumn("dist", pqSqdist)
+    val wCode = Window.partitionBy("vec_id", "block").orderBy(col("dist"), col("code"))
+    val codes = rdists.withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"), col("block"), col("code"))
+    val pb = centroidSims(spark, dir).filter(col("vec_id") < 10)
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") <= 4)
+      .select(col("vec_id").as("probe_id"), col("cent_id"),
+              expr("zip_with(v, cv, (x, y) -> x - y)").as("r"))
+    val pblocks = pb.select(col("probe_id"), col("cent_id"), posexplode(expr(
+      "transform(sequence(0, 7), b -> slice(r, b*8 + 1, 8))")).as(Seq("block", "vb")))
+    val ptab = pblocks.join(broadcast(rcents), Seq("block"))
+      .withColumn("t", pqSqdist)
+      .select(col("probe_id"), col("cent_id"), col("block"), col("code"), col("t"))
+    val perBlock = (0 to 7).map(b => sum(when(col("block") === b, col("t"))).as(s"b$b"))
+    val adcSum = (1 to 7).foldLeft(col("b0")) { (acc, b) => acc + col(s"b$b") }
+    val wTop = Window.partitionBy("probe_id").orderBy(col("adc"), col("vec_id"))
+    codes.join(broadcast(ptab), Seq("cent_id", "block", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy("probe_id", "vec_id")
+      .agg(perBlock.head, perBlock.tail: _*)
+      .withColumn("adc", adcSum)
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), round(col("adc"), 4).as("adc"))
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Embedding-health report — the monitoring query a vector pipeline runs
     * after every ingest: per-label count and norm profile (mean/min/max/
     * stddev). A collapsed encoder, a normalization bug, or a bad batch
@@ -354,6 +447,8 @@ object Similarity {
       .orderBy("label")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_semantic_dedup"     -> semanticDedup _,
+    "q132_ivfpq_adc"          -> ivfPqAdc _,
     "q125_embed_stats"        -> embedStats _,
     "q120_pq_recall"          -> pqRecall _,
     "q117_pq_adc"             -> pqAdc _,
@@ -491,7 +586,83 @@ object Similarity {
         |LEFT JOIN hits h USING (probe_id)
         |ORDER BY probe_id""".stripMargin
 
+  /** Shared CTE text: coarse assignment carrying vectors (q131/q132). */
+  private val ivfAssignCtes: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+      |sims AS (SELECT n.vec_id, n.v, n.nrm, cent_id, cv,
+      |                list_dot_product(v, cv) / (nrm * cnrm) AS csim
+      |         FROM n CROSS JOIN cents),
+      |af AS (SELECT vec_id, cent_id, v, nrm, cv
+      |       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |               ORDER BY csim DESC, cent_id) AS rn FROM sims)
+      |       WHERE rn = 1)""".stripMargin
+
+  private val semanticDedupOracle: String =
+    ivfAssignCtes +
+      """,
+        |pairs AS (SELECT b.vec_id AS vec_id, a.vec_id AS lo,
+        |                 list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cs
+        |          FROM af a JOIN af b
+        |            ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
+        |SELECT vec_id, CAST(min(lo) AS BIGINT) AS dup_of,
+        |       round(max(cs), 4) AS max_cs
+        |FROM pairs WHERE cs >= 0.35
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  private val ivfPqAdcOracle: String = {
+    val condSums = (0 to 7).map(b =>
+      s"sum(CASE WHEN cd.block = $b THEN t END) AS b$b").mkString(",\n        ")
+    ivfAssignCtes +
+      s""",
+         |resid AS (SELECT vec_id, cent_id,
+         |            list_transform(range(1, 65), i -> v[i] - cv[i]) AS r FROM af),
+         |rblocks AS (SELECT vec_id, cent_id, b AS block,
+         |              list_slice(r, b*8 + 1, b*8 + 8) AS vb
+         |            FROM resid, range(0, 8) t(b)),
+         |rcents AS (SELECT vec_id AS code, block, vb AS cb
+         |           FROM rblocks WHERE vec_id >= 16 AND vec_id < 32),
+         |rd AS (SELECT bl.vec_id, bl.cent_id, bl.block, c.code,
+         |         list_sum(list_transform(range(1, 9),
+         |           i -> (vb[i] - cb[i]) * (vb[i] - cb[i]))) AS dist
+         |       FROM rblocks bl JOIN rcents c USING (block)),
+         |codes AS (SELECT vec_id, cent_id, block, code
+         |          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, block
+         |                  ORDER BY dist, code) AS rn FROM rd)
+         |          WHERE rn = 1),
+         |pb AS (SELECT vec_id AS probe_id, cent_id,
+         |         list_transform(range(1, 65), i -> v[i] - cv[i]) AS r
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |               ORDER BY csim DESC, cent_id) AS rn
+         |             FROM sims WHERE vec_id < 10)
+         |       WHERE rn <= 4),
+         |pblocks AS (SELECT probe_id, cent_id, b AS block,
+         |              list_slice(r, b*8 + 1, b*8 + 8) AS vb
+         |            FROM pb, range(0, 8) t(b)),
+         |ptab AS (SELECT p.probe_id, p.cent_id, p.block, c.code,
+         |           list_sum(list_transform(range(1, 9),
+         |             i -> (vb[i] - cb[i]) * (vb[i] - cb[i]))) AS t
+         |         FROM pblocks p JOIN rcents c USING (block)),
+         |j AS (SELECT p.probe_id, cd.vec_id,
+         |        $condSums
+         |      FROM codes cd JOIN ptab p
+         |        ON p.cent_id = cd.cent_id AND p.block = cd.block AND p.code = cd.code
+         |      WHERE cd.vec_id <> p.probe_id
+         |      GROUP BY p.probe_id, cd.vec_id),
+         |s AS (SELECT probe_id, vec_id,
+         |        ${(0 to 7).map(b => s"b$b").mkString(" + ")} AS adc FROM j)
+         |SELECT probe_id, rnk, vec_id, round(adc, 4) AS adc
+         |FROM (SELECT probe_id, vec_id, adc,
+         |        row_number() OVER (PARTITION BY probe_id
+         |          ORDER BY adc, vec_id) AS rnk
+         |      FROM s)
+         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q131_semantic_dedup" -> semanticDedupOracle,
+    "q132_ivfpq_adc" -> ivfPqAdcOracle,
     "q125_embed_stats" ->
       """WITH n AS (SELECT label,
         |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

@@ -375,7 +375,76 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE iteration-0 statistics: frequency of every adjacent character pair,
+    * weighted by word frequency — the count table a byte-pair-encoding
+    * tokenizer trainer (Sennrich et al. 2016) builds before its first merge.
+    * Scale shape: the corpus collapses to its VOCABULARY first (one shuffle
+    * on word; Heaps' law says |vocab| ≪ corpus), and pair explosion runs on
+    * the tiny weighted vocab, never on raw text. Integer counts end-to-end.
+    */
+  def bpePairStats(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = tokenized(spark, dir)
+      .select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    // Guard length >= 2: Spark's sequence(1, 0) would generate DESCENDING
+    // [1, 0] rather than an empty array (the q110 slice hazard class).
+    vocab.filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word)-1), i -> substring(word, i, 2))")).as("pair"),
+        col("cnt"))
+      .groupBy("pair").agg(sum("cnt").as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(50)
+  }
+
+  /** The first 8 BPE merge rules, learned: per round, argmax the weighted
+    * adjacent-pair counts over the symbolized vocabulary (ties broken
+    * lexicographically), then apply the merge left-to-right non-overlapping
+    * via an `aggregate` HOF fold and re-count. The driver sees ONE 3-field
+    * row per round (the argmax — the q62/q107 scalar-per-round convention);
+    * the vocab table stays distributed, localCheckpoint truncates the
+    * 8-round lineage. Not SQL-expressible as one statement (iterative
+    * argmax + rewrite), so this entry is rows-only for the driver;
+    * TextAnalysisSpec proves the rules equal a from-scratch reference BPE
+    * trainer on the same vocabulary.
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
+    var vocab = tokenized(spark, dir)
+      .select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
+      .localCheckpoint()
+    val rules = Seq.newBuilder[(Int, String, String, Long)]
+    for (round <- 1 to 8) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(syms)-2), i -> struct(syms[i] AS a, syms[i+1] AS b))")).as("p"),
+          col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .collect()(0)
+      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      rules += ((round, a, b, n))
+      // Left-to-right non-overlapping merge: fold each symbol into the
+      // accumulator, joining with the previous symbol iff the two form the
+      // learned pair. A just-merged symbol can't re-merge (its string is
+      // a||b, never equal to a — that is the non-overlap guarantee).
+      vocab = vocab.withColumn("syms", expr(
+        s"""aggregate(syms, cast(array() as array<string>), (acc, s) ->
+           |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${esc(a)}' AND s = '${esc(b)}'
+           |       THEN concat(slice(acc, 1, size(acc)-1), array('${esc(a + b)}'))
+           |       ELSE concat(acc, array(s)) END)""".stripMargin))
+        .localCheckpoint()
+    }
+    import spark.implicits._
+    rules.result().toDF("rule_no", "a", "b", "n").orderBy("rule_no")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_bpe_pair_stats"    -> bpePairStats _,
+    "q130_bpe_merges"        -> bpeMerges _,
     "q128_vocab_growth"      -> vocabGrowth _,
     "q122_bm25"              -> bm25 _,
     "q110_pmi_bigrams"       -> pmiBigrams _,
@@ -401,6 +470,18 @@ object TextAnalysis {
     "''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+"
 
   val oracles: Map[String, String] = Map(
+    // q130_bpe_merges: no oracle — iterative argmax + vocabulary rewrite is
+    // not one SQL statement; the driver records the rows-only check and
+    // TextAnalysisSpec proves the rules against a reference BPE trainer.
+    "q129_bpe_pair_stats" ->
+      s"""WITH toks AS (SELECT unnest($duckToks) AS word FROM documents),
+         |v AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+         |p AS (SELECT unnest(list_transform(range(1, len(word)),
+         |                    i -> substr(word, i, 2))) AS pair, cnt
+         |      FROM v WHERE len(word) >= 2)
+         |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+         |FROM p GROUP BY pair
+         |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "q128_vocab_growth" ->
       s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS word FROM documents),
          |np AS (SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_new

@@ -15,7 +15,11 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("queries without an oracle are the documented exceptions only") {
+    // q130: iterative BPE training (argmax + vocab rewrite per round) is not
+    // one SQL statement; the driver records its rows-only check and
+    // TextAnalysisSpec proves the rules against a reference trainer.
+    val documented = Set("q130_bpe_merges")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(unoracled.isEmpty, s"queries without oracle: $unoracled")
+    assert(unoracled == documented, s"queries without oracle: $unoracled")
   }
 }

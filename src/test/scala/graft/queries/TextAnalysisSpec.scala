@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Proves the distributed BPE trainer (q130, driver-loop + HOF merge fold)
+  * against a from-scratch single-machine reference implementation on the
+  * same vocabulary — the rows-only driver check gets a real semantic proof
+  * here, per the SparkEntry contract for non-SQL-expressible operators.
+  */
+class TextAnalysisSpec extends SparkSpec {
+
+  /** Reference BPE trainer: plain Scala, no Spark. Same conventions as
+    * q130: counts weighted by word frequency, argmax ties broken by
+    * (pair) lexicographically, merges applied left-to-right non-overlapping.
+    */
+  private def referenceBpe(vocab: Seq[(String, Long)],
+                           nMerges: Int): Seq[(Int, String, String, Long)] = {
+    def mergeLR(syms: List[String], a: String, b: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+        else acc :+ s
+      }
+    var v: Seq[(List[String], Long)] =
+      vocab.map { case (w, c) => (w.map(_.toString).toList, c) }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (round <- 1 to nMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, c) <- v if syms.size >= 2; w <- syms.sliding(2))
+        counts((w.head, w(1))) += c
+      val ((a, b), n) = counts.toSeq.minBy { case ((pa, pb), pn) => (-pn, pa, pb) }
+      out += ((round, a, b, n))
+      v = v.map { case (syms, c) => (mergeLR(syms, a, b), c) }
+    }
+    out.result()
+  }
+
+  private lazy val vocab: Seq[(String, Long)] =
+    graft.tables.Tables.documents(spark, sfDir)
+      .select(explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  test("q130 merge rules equal the reference BPE trainer's, including counts") {
+    val distributed = TextAnalysis.bpeMerges(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val reference = referenceBpe(vocab, 8)
+    assert(distributed == reference,
+      s"distributed=$distributed\nreference=$reference")
+  }
+
+  test("q129's top pair is q130's first merge rule") {
+    val topPair = TextAnalysis.bpePairStats(spark, sfDir).collect()(0)
+    val rule1 = TextAnalysis.bpeMerges(spark, sfDir).collect()(0)
+    assert(topPair.getString(0) == rule1.getString(1) + rule1.getString(2))
+    assert(topPair.getLong(1) == rule1.getLong(3))
+  }
+
+  test("merges strictly coarsen the vocabulary: total symbol count never increases") {
+    // After 8 merges every learned rule must have fired at least once —
+    // each application shrinks one word's symbol list by exactly one.
+    val ref = referenceBpe(vocab, 8)
+    assert(ref.map(_._4).forall(_ > 0))
+    // and rule counts are non-increasing across rounds only if later pairs
+    // never out-count earlier ones at learn time — not guaranteed in
+    // general BPE, so assert the weaker invariant: every count is positive
+    // and the first rule dominates all later LEARNED counts.
+    assert(ref.map(_._4).max == ref.head._4)
+  }
+}
