@@ -138,10 +138,23 @@ object Similarity {
   private val wAssign =
     Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
 
-  /** Nearest-centroid assignment with all vector columns retained. */
+  /** Nearest-centroid assignment with all vector columns retained.
+    * Spelled as a `max_by` aggregation, NOT a row_number window: partial
+    * aggregation collapses the 16 candidate rows per vector map-side, so
+    * the exchange carries one row per vector instead of 16 — at corpus
+    * scale that is a 16× smaller shuffle for the same argmax (comparison
+    * on (csim, −cent_id) reproduces the window's csim DESC, cent_id ASC
+    * tie-break exactly; cent_id is unique per group, so the order is
+    * total and the pick deterministic).
+    */
   private def ivfAssignFull(spark: SparkSession, dir: String): DataFrame =
     centroidSims(spark, dir)
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("cent_id"), col("cv"), col("cnrm"), col("v"), col("nrm")),
+        struct(col("csim"), (-col("cent_id")).as("tb"))).as("w"))
+      .select(col("vec_id"), col("w.cent_id"), col("w.cv"), col("w.cnrm"),
+              col("w.v"), col("w.nrm"))
 
   /** ANN via IVF (inverted-file) bucketing — the second scale path: the
     * corpus is assigned to its nearest of 16 fixed centroids (here: the
