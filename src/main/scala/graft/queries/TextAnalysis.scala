@@ -442,6 +442,36 @@ object TextAnalysis {
     rules.result().toDF("rule_no", "a", "b", "n").orderBy("rule_no")
   }
 
+  /** Apply learned BPE merge rules: encode every document and report its
+    * token count under the learned vocabulary (plus the whitespace-word
+    * count for the compression ratio). The production shape: the DISTINCT
+    * word set is encoded once — each rule is one codegen'd HOF fold, chained
+    * in merge order — and the per-word token counts join back to the corpus
+    * (word dictionary join, broadcast-sized by Heaps' law), so the per-rule
+    * folds never run over raw text. Rules are runtime arguments (the output
+    * of `bpeMerges`), so this is an operator function, not a registry entry;
+    * TextAnalysisSpec proves it against the reference trainer's encoding.
+    */
+  def bpeEncode(spark: SparkSession, dir: String,
+                rules: Seq[(String, String)]): DataFrame = {
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
+    val words = tokenized(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+    val encoded = rules.foldLeft(
+      words.select("word").distinct().withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))) {
+      case (d, (a, b)) => d.withColumn("syms", expr(
+        s"""aggregate(syms, cast(array() as array<string>), (acc, s) ->
+           |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${esc(a)}' AND s = '${esc(b)}'
+           |       THEN concat(slice(acc, 1, size(acc)-1), array('${esc(a + b)}'))
+           |       ELSE concat(acc, array(s)) END)""".stripMargin))
+    }.select(col("word"), size(col("syms")).as("n_sym"))
+    words.join(broadcast(encoded), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_bpe_pair_stats"    -> bpePairStats _,
     "q130_bpe_merges"        -> bpeMerges _,

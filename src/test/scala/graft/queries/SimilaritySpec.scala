@@ -27,6 +27,45 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 16))
   }
 
+  test("semantic dedup: drops point at lower-id keepers and survivors stay pairwise distinct") {
+    val dropped = Similarity.semanticDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(dropped.nonEmpty)
+    dropped.foreach { case (vid, dupOf, cs) =>
+      assert(dupOf < vid, s"keeper $dupOf not lower than dropped $vid")
+      assert(cs >= 0.35 && cs <= 1.0)
+    }
+    // greedy-by-id is idempotent on the survivor set: no surviving vector
+    // may still have a ≥-threshold lower-id SURVIVING neighbor whose id is
+    // its recorded keeper (the keeper is always the minimal similar id, and
+    // minimal ids are never dropped by a yet-lower similar id transitively
+    // below them within the same cluster chain).
+    val droppedIds = dropped.map(_._1).toSet
+    val minKeepers = dropped.map(_._2).toSet
+    assert((minKeepers -- droppedIds).nonEmpty,
+      "every keeper was itself dropped — the greedy ordering is broken")
+  }
+
+  test("IVF-PQ plan shape: no cartesian product; search joins are broadcast") {
+    // AQE's toString prints the final AND initial plans — keep the first
+    // section only so joins aren't double-counted.
+    val plan = Similarity.ivfPqAdc(spark, sfDir).queryExecution.executedPlan
+      .toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"),
+      "IVF-PQ plan contains an unbounded cartesian")
+    assert(plan.contains("BroadcastHashJoin"),
+      "codebook/probe-table joins are not broadcast")
+    // Every nested-loop join must be the bounded centroid cross: Cross with
+    // a BROADCAST build side (the 16-centroid dim). Four instances are
+    // expected — Spark replays the assignment subtree per consumer (corpus
+    // codes, codebook residuals, probe tables), but three of the four carry
+    // a pushed vec_id predicate so only ONE is a full corpus pass.
+    val nlj = "BroadcastNestedLoopJoin[^\n]*".r.findAllIn(plan).toSeq
+    assert(nlj.nonEmpty && nlj.forall(_.contains("Cross")),
+      s"unexpected nested-loop join kinds: $nlj")
+    assert(nlj.size <= 4, s"${nlj.size} nested-loop joins — assignment subtree fan-out grew")
+  }
+
   test("ADC search ranks by table-lookup sums that bound true distance from below-ish: recall floor holds") {
     // ADC approximates squared-L2 by per-block nearest-centroid lookups;
     // on this corpus the approximation must keep a usable share of the true

@@ -57,6 +57,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(topPair.getLong(1) == rule1.getLong(3))
   }
 
+  test("bpeEncode token counts equal the reference encoder's under the learned rules") {
+    val rules = referenceBpe(vocab, 8).map(r => (r._2, r._3))
+    def refEncode(w: String): Int =
+      rules.foldLeft(w.map(_.toString).toList) { case (syms, (a, b)) =>
+        syms.foldLeft(List.empty[String]) { (acc, s) =>
+          if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+          else acc :+ s
+        }
+      }.size
+    val docTotals = graft.tables.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(expr(
+        "filter(split(lower(text), ' '), x -> x <> '')")).as("word"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view
+      .mapValues(ws => (ws.size.toLong, ws.map(w => refEncode(w._2).toLong).sum))
+      .toMap
+    val dist = TextAnalysis.bpeEncode(spark, sfDir, rules).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(dist == docTotals)
+    // the learned vocab must compress: strictly fewer BPE tokens than chars
+    val rawChars = graft.tables.Tables.documents(spark, sfDir)
+      .select(explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("w"))
+      .agg(sum(length(col("w")))).collect()(0).getLong(0)
+    assert(dist.values.map(_._2).sum < rawChars)
+  }
+
   test("merges strictly coarsen the vocabulary: total symbol count never increases") {
     // After 8 merges every learned rule must have fired at least once —
     // each application shrinks one word's symbol list by exactly one.
