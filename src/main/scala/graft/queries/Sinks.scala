@@ -160,7 +160,31 @@ object Sinks {
       .orderBy(col("o_orderpriority").asc_nulls_first)
   }
 
+  /** Custom DataSourceV2 roundtrip: documents staged as TAB-separated text
+    * shards, read back through `graft.sources.LinesSource` (the from-scratch
+    * v2 connector with column pruning + doc_id pushdown), parsed, and
+    * aggregated per lang. The oracle runs the same aggregate on the source
+    * table, so a hash match proves the connector delivered every line
+    * byte-exactly. `repartition(4)` pins a multi-shard layout (the
+    * connector plans one partition per shard).
+    */
+  def linesSourceRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpOut(dir, "lines")
+    documents(spark, dir)
+      .repartition(4)
+      .select(concat_ws("\t", col("doc_id"), col("lang"), col("text")).as("value"))
+      .write.mode("overwrite").text(out)
+    spark.read.format("graft.sources.LinesSource").load(out)
+      .select(split(col("text"), "\t", 3).as("f"))
+      .select(col("f").getItem(1).as("lang"),
+              length(col("f").getItem(2)).as("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_lines_source_roundtrip" -> linesSourceRoundtrip _,
     "q126_schema_evolution" -> schemaEvolution _,
     "q114_incremental_agg" -> incrementalAgg _,
     "q113_json_roundtrip"  -> jsonRoundtrip _,
@@ -171,6 +195,10 @@ object Sinks {
   )
 
   val oracles: Map[String, String] = Map(
+    "q133_lines_source_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(text)) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q126_schema_evolution" ->
       """WITH m AS (
         |  SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice,

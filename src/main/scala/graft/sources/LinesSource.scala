@@ -1,0 +1,172 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A from-scratch DataSourceV2 batch connector: line-oriented text shards →
+  * (doc_id, fname, text) rows — the ingestion shape of the reference's
+  * `InputVec` (the sample client hand-builds (id, line) pairs before the job,
+  * `Sample Client/SampleClient.cpp:74-82`; here the engine reads shards
+  * itself, which is the capability the reference lacks — SURVEY §2.2
+  * "File formats... clients read files themselves").
+  *
+  * Deliberately implements the three contracts that matter at 100 TB:
+  *
+  *  - `SupportsPushDownRequiredColumns`: a `select(text)` never materializes
+  *    doc_id/fname — the reader emits exactly the pruned schema.
+  *  - `SupportsPushDownFilters` on doc_id: range/equality predicates are
+  *    accepted and evaluated INSIDE the reader, and because
+  *    doc_id = fileIndex << 32 | lineNo, a pushed doc_id range prunes WHOLE
+  *    FILES at planning time (`planInputPartitions`) — the custom-source
+  *    equivalent of parquet row-group pruning. Unsupported predicates are
+  *    returned as residuals for Spark to re-apply, per the v2 contract.
+  *  - One `InputPartition` per shard, sorted by name: deterministic ids and
+  *    executor-parallel reads with no driver-side content handling.
+  *
+  * Usage: `spark.read.format("graft.sources.LinesSource").load(dir)`.
+  */
+class LinesSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LinesSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new LinesTable(properties.get("path"))
+}
+
+object LinesSource {
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("fname", StringType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  /** Data shards: visible plain files, sorted for deterministic ids. */
+  def listShards(path: String): Seq[java.io.File] = {
+    val d = new java.io.File(path)
+    val fs = if (d.isDirectory) d.listFiles().toSeq else Seq(d)
+    fs.filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+  }
+}
+
+final class LinesTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft_lines($path)"
+  override def schema(): StructType = LinesSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LinesScanBuilder(path)
+}
+
+final class LinesScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = LinesSource.schema
+  private var pushed: Array[Filter] = Array.empty
+  // Conjunction of pushed doc_id bounds as a half-open [lo, hi) range.
+  private var lo: Long = Long.MinValue
+  private var hi: Long = Long.MaxValue
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo("doc_id", _: Long) => true
+      case GreaterThan("doc_id", _: Long) => true
+      case GreaterThanOrEqual("doc_id", _: Long) => true
+      case LessThan("doc_id", _: Long) => true
+      case LessThanOrEqual("doc_id", _: Long) => true
+      case IsNotNull("doc_id") => true // trivially true: doc_id is generated
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo(_, v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case GreaterThan(_, v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual(_, v: Long) => lo = math.max(lo, v)
+      case LessThan(_, v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual(_, v: Long) => hi = math.min(hi, v + 1)
+      case _ => ()
+    }
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new LinesScan(path, required, pushed, lo, hi)
+}
+
+final case class LinesInputPartition(file: String, idx: Int) extends InputPartition
+
+final class LinesScan(path: String, required: StructType,
+                      pushed: Array[Filter], lo: Long, hi: Long)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftLines path=$path, ReadSchema=${required.fieldNames.mkString(",")}, " +
+      s"PushedFilters=[${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    LinesSource.listShards(path).zipWithIndex
+      // File-level pruning from the pushed doc_id range: shard i only
+      // holds ids in [i << 32, (i+1) << 32).
+      .filter { case (_, i) =>
+        (i.toLong << 32) < hi && ((i.toLong + 1) << 32) > lo }
+      .map { case (f, i) => LinesInputPartition(f.getPath, i): InputPartition }
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LinesReaderFactory(required, lo, hi)
+}
+
+final class LinesReaderFactory(required: StructType, lo: Long, hi: Long)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LinesInputPartition]
+    new LinesPartitionReader(p.file, p.idx, required, lo, hi)
+  }
+}
+
+final class LinesPartitionReader(file: String, idx: Int,
+                                 required: StructType, lo: Long, hi: Long)
+    extends PartitionReader[InternalRow] {
+  private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+    new java.io.FileInputStream(file), java.nio.charset.StandardCharsets.UTF_8))
+  private val fname = new java.io.File(file).getName
+  private var lineNo = -1L
+  private var line: String = _
+
+  // Column projection resolved ONCE per reader, not per row.
+  private val fieldGetters: Array[(Long, String) => Any] =
+    required.fieldNames.map {
+      case "doc_id" => (id: Long, _: String) => id
+      case "fname"  => (_: Long, _: String) => UTF8String.fromString(fname)
+      case "text"   => (_: Long, t: String) => UTF8String.fromString(t)
+    }
+
+  override def next(): Boolean = {
+    line = reader.readLine()
+    lineNo += 1
+    while (line != null && {
+      val id = (idx.toLong << 32) | lineNo; id < lo || id >= hi
+    }) {
+      line = reader.readLine()
+      lineNo += 1
+    }
+    line != null
+  }
+
+  override def get(): InternalRow = {
+    val id = (idx.toLong << 32) | lineNo
+    new GenericInternalRow(fieldGetters.map(g => g(id, line)))
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -47,4 +47,54 @@ class SourcesSpec extends SparkSpec {
       (df, p) => df.write.orc(p),
       p => Tables.orc(spark, p))
   }
+
+  // ---- graft.sources.LinesSource: the from-scratch DataSourceV2 connector
+
+  private def stageShards(lines: Seq[Seq[String]]): String = {
+    val dir = Files.createTempDirectory("graft_lines_src")
+    lines.zipWithIndex.foreach { case (ls, i) =>
+      Files.write(dir.resolve(f"shard-$i%03d.txt"),
+        ls.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    // hidden/system files must be ignored by the connector
+    Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
+    dir.toString
+  }
+
+  private def readLinesSrc(path: String) =
+    spark.read.format("graft.sources.LinesSource").load(path)
+
+  test("LinesSource reads shards with deterministic (file, line) ids") {
+    val p = stageShards(Seq(Seq("a0", "a1"), Seq("b0")))
+    val rows = readLinesSrc(p).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(
+      (0L, "shard-000.txt", "a0"), (1L, "shard-000.txt", "a1"),
+      ((1L << 32), "shard-001.txt", "b0")))
+  }
+
+  test("LinesSource plans one partition per shard and prunes files from pushed doc_id bounds") {
+    val p = stageShards(Seq(Seq("a"), Seq("b"), Seq("c")))
+    val all = readLinesSrc(p)
+    assert(all.rdd.getNumPartitions == 3)
+    // doc_id >= 2^32 can only live in shards 1+ — shard 0 must not be planned
+    val pruned = readLinesSrc(p).filter(org.apache.spark.sql.functions.col("doc_id") >= (1L << 32))
+    assert(pruned.rdd.getNumPartitions == 2, "file-level pruning did not drop shard 0")
+    assert(pruned.collect().map(_.getString(2)).toSet == Set("b", "c"))
+  }
+
+  test("LinesSource pushes doc_id filters and prunes columns in the scan") {
+    val p = stageShards(Seq(Seq("x", "y", "z")))
+    val q = readLinesSrc(p)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 2L)
+      .select("text")
+    assert(q.collect().map(_.getString(0)).toSet == Set("x", "y"))
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters=[") && scan.contains("LessThan(doc_id,2)"),
+      s"doc_id filter not pushed: $scan")
+    // the filter is FULLY pushed, so Spark prunes doc_id away entirely:
+    // the reader materializes exactly one column.
+    assert(scan.contains("ReadSchema=text,") || scan.matches("(?s).*ReadSchema=text[ ,].*"),
+      s"column pruning failed: $scan")
+  }
 }
