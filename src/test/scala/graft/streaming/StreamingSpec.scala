@@ -335,6 +335,64 @@ class StreamingSpec extends SparkSpec {
     assert(closedBatch.nonEmpty)
   }
 
+  test("checkpoint restart: second run resumes offsets and window state, no reprocessing, no duplicates") {
+    // Exactly-once across process restarts — the fault-tolerance contract a
+    // deployment actually relies on: run 1 ingests file A and stops; run 2
+    // (same checkpoint) must (a) read ONLY the new file B, (b) merge B's
+    // events into the window state run 1 left behind, (c) append each closed
+    // window exactly once across both runs.
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    val landing = Files.createTempDirectory("graft_ckpt_landing")
+    val out = Files.createTempDirectory("graft_ckpt_out").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_ckpt").toString
+
+    def nanos(s: String): Long = ts(s).getTime * 1000000L
+    def stage(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      import spark.implicits._
+      val scratch = Files.createTempDirectory("graft_ckpt_stage")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = new java.io.File(scratch.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, landing.resolve(name))
+    }
+    def runOnce() = {
+      val q = EventStreams.tumblingWithWatermark(
+          EventStreams.readEventStream(spark, landing.toString), "0 seconds")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "AvailableNow run did not terminate")
+      val rows = q.recentProgress.map(_.numInputRows).sum
+      q.stop()
+      rows
+    }
+
+    stage("a.parquet", Seq(
+      (1L, nanos("2024-01-01 09:10:00"), 1L, "view", 1.0, "{}"),
+      (2L, nanos("2024-01-01 10:05:00"), 1L, "click", 1.0, "{}"),
+      (3L, nanos("2024-01-01 10:20:00"), 2L, "click", 1.0, "{}")))
+    val read1 = runOnce()
+    assert(read1 == 3, s"run 1 read $read1 rows, expected 3")
+
+    stage("b.parquet", Seq(
+      // same 10:00 window as run 1's clicks — must merge with restored state
+      (4L, nanos("2024-01-01 10:40:00"), 3L, "click", 1.0, "{}"),
+      // advances the watermark past 11:00 so the 10:00 window closes
+      (5L, nanos("2024-01-01 12:05:00"), 3L, "view", 1.0, "{}")))
+    val read2 = runOnce()
+    assert(read2 == 2, s"run 2 re-read data: $read2 rows, expected only file B's 2")
+
+    val closed = spark.read.parquet(out)
+      .select("w_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(closed == Set(
+      (ts("2024-01-01 09:00:00"), "view", 1L),
+      (ts("2024-01-01 10:00:00"), "click", 3L)),
+      s"restart broke exactly-once/state merge: $closed")
+  }
+
   test("flatMapGroupsWithState sessionization: stream across micro-batches equals batch session_window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
