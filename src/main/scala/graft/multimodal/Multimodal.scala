@@ -95,7 +95,25 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Audio framing plan — the fbank/MFCC windowing a speech pipeline runs
+    * before feature extraction: 16 kHz PCM, 400-sample (25 ms) windows,
+    * 160-sample (10 ms) hop; n_frames = (n − 400) div 160 + 1. The stub
+    * codec "decodes" each payload byte to 64 PCM samples (real decoders
+    * aren't in this container — same contract as `decodeBatch`: swap the
+    * expansion for a real codec and the framing math is unchanged).
+    * Integer arithmetic end-to-end; map-only at scale.
+    */
+  def audioFrames(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).toDF()
+      .select(col("doc_id"), expr("meta.n_bytes * 64").as("n_samples"))
+      .withColumn("n_frames",
+        when(col("n_samples") >= 400, expr("(n_samples - 400) div 160 + 1"))
+          .otherwise(lit(0L)))
+      .withColumn("duration_ms", expr("n_samples div 16"))
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_multimodal_audio"   -> audioFrames _,
     "q54_multimodal_features" -> features _,
     "q72_multimodal_resize"   -> resizePlan _,
     "q73_multimodal_frames"   -> frameSample _,
@@ -114,6 +132,15 @@ object Multimodal {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q134_multimodal_audio" ->
+      """WITH a AS (SELECT doc_id,
+        |             CAST(octet_length(encode(text)) AS BIGINT) * 64 AS n_samples
+        |           FROM documents)
+        |SELECT doc_id, n_samples,
+        |       CAST(CASE WHEN n_samples >= 400
+        |                 THEN (n_samples - 400) // 160 + 1 ELSE 0 END AS BIGINT) AS n_frames,
+        |       n_samples // 16 AS duration_ms
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q54_multimodal_features" -> (checksumCte +
       """
         |SELECT doc_id, n_bytes, checksum,
