@@ -439,6 +439,30 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * probe, the top-3 most-similar corpus vectors with a DIFFERENT label
+    * (the examples a metric-learning / embedding-model trainer pairs with
+    * the anchor to sharpen decision boundaries; easy negatives teach
+    * nothing). Same bounded shape as q40: probes broadcast, corpus streams,
+    * one per-probe ranking — the label predicate rides the join, so
+    * same-label rows never reach the ranker. At 100 TB the exact ranking
+    * swaps for the q41/q59 candidate generators unchanged.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val lab = embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val e = corpus(spark, dir).join(lab, "vec_id")
+    val probes = e.filter(col("vec_id") < 10)
+      .toDF("probe_id", "pv", "pnrm", "p_label")
+    val w = Window.partitionBy("probe_id").orderBy(col("cs").desc, col("vec_id"))
+    e.join(broadcast(probes), col("label") =!= col("p_label"))
+      .withColumn("cs", VectorOps.dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), col("label"),
+              round(col("cs"), 4).as("cs"))
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Embedding-health report — the monitoring query a vector pipeline runs
     * after every ingest: per-label count and norm profile (mean/min/max/
     * stddev). A collapsed encoder, a normalization bug, or a bad batch
@@ -460,6 +484,7 @@ object Similarity {
       .orderBy("label")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_hard_negatives"     -> hardNegatives _,
     "q131_semantic_dedup"     -> semanticDedup _,
     "q132_ivfpq_adc"          -> ivfPqAdc _,
     "q125_embed_stats"        -> embedStats _,
@@ -674,6 +699,18 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "q135_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |probes AS (SELECT vec_id AS probe_id, label AS p_label, v AS pv
+         |           FROM e WHERE vec_id < 10),
+         |scored AS (SELECT probe_id, vec_id, label, ${duckCos("pv", "v")} AS cs
+         |           FROM probes JOIN e ON label <> p_label)
+         |SELECT probe_id, rnk, vec_id, label, round(cs, 4) AS cs
+         |FROM (SELECT probe_id, vec_id, label, cs,
+         |             row_number() OVER (PARTITION BY probe_id
+         |               ORDER BY cs DESC, vec_id) AS rnk
+         |      FROM scored)
+         |WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
     "q131_semantic_dedup" -> semanticDedupOracle,
     "q132_ivfpq_adc" -> ivfPqAdcOracle,
     "q125_embed_stats" ->
