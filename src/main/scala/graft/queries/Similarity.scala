@@ -439,6 +439,28 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Reciprocal rank of the TRUE nearest neighbor within the LSH ANN top-5
+    * — the MRR companion to recall@5 (q108): recall says how much of the
+    * top-5 the index keeps, RR says where the single most important result
+    * lands. found_rank = 0 and rr = 0 when the index misses the true NN
+    * entirely. Ranks are integers and 1/rank divides the same doubles in
+    * both engines, so round(4) is engine-stable (no transcendentals).
+    */
+  def annMrr(spark: SparkSession, dir: String): DataFrame = {
+    val truth = cosineTopK(spark, dir).filter(col("rnk") === 1)
+      .select(col("probe_id"), col("vec_id").as("true_nn"))
+    val ann = annLsh(spark, dir)
+      .select(col("probe_id"), col("rnk").as("found_rank"), col("vec_id"))
+    truth.join(ann,
+        truth("probe_id") === ann("probe_id") && col("vec_id") === col("true_nn"),
+        "left")
+      .select(truth("probe_id"), col("true_nn"),
+        coalesce(col("found_rank"), lit(0)).as("found_rank"),
+        round(when(col("found_rank").isNotNull,
+          lit(1.0) / col("found_rank")).otherwise(lit(0.0)), 4).as("rr"))
+      .orderBy("probe_id")
+  }
+
   /** Hard-negative mining — the contrastive-training data op: for each
     * probe, the top-3 most-similar corpus vectors with a DIFFERENT label
     * (the examples a metric-learning / embedding-model trainer pairs with
@@ -484,6 +506,7 @@ object Similarity {
       .orderBy("label")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_ann_mrr"            -> annMrr _,
     "q135_hard_negatives"     -> hardNegatives _,
     "q131_semantic_dedup"     -> semanticDedup _,
     "q132_ivfpq_adc"          -> ivfPqAdc _,
@@ -699,6 +722,43 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "q136_ann_mrr" ->
+      s"""WITH planes(pl) AS (SELECT $planesSql),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bits AS (SELECT vec_id, list_transform(pl, p ->
+         |           CASE WHEN list_dot_product(v, p) > 0 THEN 1 ELSE 0 END) AS b
+         |         FROM e, planes),
+         |bands AS (SELECT vec_id, unnest(list_transform(range(0, 4), g ->
+         |            CAST(g AS VARCHAR) || ':' ||
+         |            array_to_string(list_transform(list_slice(b, g*4+1, g*4+4),
+         |                            x -> CAST(x AS VARCHAR)), ''))) AS band
+         |          FROM bits),
+         |cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS vec_id
+         |         FROM bands p JOIN bands c
+         |           ON p.band = c.band AND p.vec_id < 10 AND c.vec_id <> p.vec_id),
+         |lsh_scored AS (SELECT probe_id, cand.vec_id, ${duckCos("pe.v", "ce.v")} AS cs
+         |               FROM cand JOIN e pe ON pe.vec_id = probe_id
+         |                         JOIN e ce ON ce.vec_id = cand.vec_id),
+         |lsh_top AS (SELECT probe_id, vec_id, rnk
+         |            FROM (SELECT probe_id, vec_id,
+         |                    row_number() OVER (PARTITION BY probe_id
+         |                      ORDER BY cs DESC, vec_id) AS rnk
+         |                  FROM lsh_scored) WHERE rnk <= 5),
+         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+         |b_scored AS (SELECT probe_id, vec_id, ${duckCos("pv", "v")} AS cs
+         |             FROM probes JOIN e ON vec_id <> probe_id),
+         |truth AS (SELECT probe_id, vec_id AS true_nn
+         |          FROM (SELECT probe_id, vec_id,
+         |                  row_number() OVER (PARTITION BY probe_id
+         |                    ORDER BY cs DESC, vec_id) AS rnk
+         |                FROM b_scored) WHERE rnk = 1)
+         |SELECT t.probe_id, t.true_nn,
+         |       CAST(coalesce(l.rnk, 0) AS INT) AS found_rank,
+         |       round(CASE WHEN l.rnk IS NOT NULL
+         |                  THEN CAST(1.0 AS DOUBLE) / l.rnk ELSE 0.0 END, 4) AS rr
+         |FROM truth t LEFT JOIN lsh_top l
+         |  ON l.probe_id = t.probe_id AND l.vec_id = t.true_nn
+         |ORDER BY t.probe_id""".stripMargin,
     "q135_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |probes AS (SELECT vec_id AS probe_id, label AS p_label, v AS pv
