@@ -13,9 +13,16 @@ class RelationalSpec extends SparkSpec {
     // has orders and all nationkeys overlap → legitimately 0 rows at tiny SF.
     val mayBeEmpty = Set("q07_join_anti", "q14_except")
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      val n = df.count()
       assert(n >= 0, s"$name failed")
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+      // Global scale-hygiene pin: no registered query may plan an unbounded
+      // cartesian. Bounded BroadcastNestedLoopJoin (broadcast build side) is
+      // allowed — CartesianProduct (both sides unbounded) never is.
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — unbounded at scale")
     }
   }
 
