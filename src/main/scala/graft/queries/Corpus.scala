@@ -112,7 +112,28 @@ object Corpus {
       .orderBy(col("pri").desc, col("doc_id")).limit(20)
       .select(col("doc_id"), col("pri"))
 
+  /** Deterministic train/val/test split — the last step before a corpus
+    * ships to training: each doc lands in exactly one split from its
+    * md5(doc_id) hex prefix (< 'cc' = 204/256 ≈ 80% train, < 'e6' =
+    * 230/256 ≈ 90% val, rest test). Hash-of-id, not random(): the split is
+    * reproducible across runs/engines and stable under corpus appends (a
+    * new doc never moves an old one between splits — the property that
+    * keeps eval sets uncontaminated as the corpus grows). Disjointness and
+    * coverage hold by construction of the CASE; the report is one scan +
+    * one tiny agg, counts + integer sums only.
+    */
+  def splitReport(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string")), 1, 2) < lit("cc"), lit("train"))
+          .when(substring(md5(col("doc_id").cast("string")), 1, 2) < lit("e6"), lit("val"))
+          .otherwise(lit("test")))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("split", "lang")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_split_report"     -> splitReport _,
     "q124_sample_weighted"  -> sampleWeighted _,
     "q63_sample_hash"       -> sampleHash _,
     "q64_sample_stratified" -> sampleStratified _,
@@ -121,6 +142,13 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q137_split_report" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "q124_sample_weighted" ->
       """WITH d AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
         |             md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
