@@ -164,6 +164,24 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
       .orderBy("id_a", "id_b")
 
+  /** Cross-source duplication matrix — the provenance diagnostic a corpus
+    * audit runs before mixing sources: for every unordered source pair, how
+    * many verified near-dup pairs straddle it (high counts mean two
+    * "independent" sources share content, so their mixing weights
+    * double-count it). Rides the cached pair table (nearDupPairs — zero new
+    * shingle work) plus two broadcast-sized id→source joins; integer counts.
+    */
+  def crossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    val src = documents(spark, dir).select(col("doc_id"), col("source"))
+    nearDupPairs(spark, dir)
+      .join(src.toDF("id_a", "src_a"), "id_a")
+      .join(src.toDF("id_b", "src_b"), "id_b")
+      .groupBy(least(col("src_a"), col("src_b")).as("source_1"),
+               greatest(col("src_a"), col("src_b")).as("source_2"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_1", "source_2")
+  }
+
   /** MinHash + LSH near-dup, the 100 TB-shaped plan: 64-fn minhash
     * signature per doc (one agg over exploded shingles), banded b=32 × r=2
     * (candidate-capture ≥ 1−(1−J²)³² — a J=0.6 pair is missed with
@@ -442,6 +460,7 @@ object Dedup {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_dedup_exact"            -> dedupExact _,
+    "q138_crossdup_matrix"       -> crossSourceDups _,
     "q78_dedup_fuzzy"            -> fuzzyEdit _,
     "q36_dedup_ngram_jaccard"    -> ngramJaccard _,
     "q37_dedup_minhash_lsh"      -> minhashLsh _,
@@ -564,6 +583,14 @@ object Dedup {
         |                           substring(b.text, 1, 48)) AS dl_dist
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+    "q138_crossdup_matrix" -> (pairsCte +
+      """
+        |SELECT least(da.source, db.source) AS source_1,
+        |       greatest(da.source, db.source) AS source_2,
+        |       CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM pairs JOIN documents da ON da.doc_id = pairs.id_a
+        |           JOIN documents db ON db.doc_id = pairs.id_b
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "q36_dedup_ngram_jaccard" -> (shingleCte +
       """,
         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
