@@ -79,6 +79,8 @@ object GraftFunctions {
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    if (!exp.extraStrategies.contains(graft.plans.RangeJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.RangeJoinStrategy
     if (!exp.extraOptimizations.contains(graft.plans.TopKWindowRewrite))
       exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.TopKWindowRewrite
   }

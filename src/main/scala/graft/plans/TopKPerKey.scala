@@ -152,6 +152,7 @@ object TopKPerKeyStrategy extends SparkStrategy {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    ext.injectPlannerStrategy(_ => RangeJoinStrategy)
     ext.injectOptimizerRule(_ => TopKWindowRewrite)
   }
 }
@@ -187,5 +188,26 @@ object GraftOps {
       order, k,
       AttributeReference(rankName, IntegerType, nullable = false)(), child)
     GraftSqlBridge.ofRows(df.sparkSession, node)
+  }
+
+  /** Inner interval join `probe(tsCol) ∈ [build(loCol), build(hiCol))`
+    * through the native `BroadcastRangeJoinExec` (sorted broadcast index +
+    * binary search — never a nested loop). Columns are resolved by name on
+    * their own side, so duplicate names across sides are unambiguous.
+    */
+  def broadcastRangeJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      tsCol: String,
+      loCol: String,
+      hiCol: String): DataFrame = {
+    val l = GraftSqlBridge.analyzed(probe)
+    val r = GraftSqlBridge.analyzed(build)
+    def res(plan: LogicalPlan, n: String, side: String): Attribute =
+      plan.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"broadcastRangeJoin: column '$n' not in $side (${plan.output.map(_.name).mkString(", ")})"))
+    GraftSqlBridge.ofRows(probe.sparkSession,
+      RangeJoinNode(res(l, tsCol, "probe"), res(r, loCol, "build"),
+        res(r, hiCol, "build"), l, r))
   }
 }

@@ -116,7 +116,30 @@ object Joins {
       .orderBy("o_orderpriority")
   }
 
+  /** Pure interval join through the native `BroadcastRangeJoinExec`
+    * (graft.plans.RangeJoin): incident blast radius — every event that fell
+    * inside any error-hour window, counted per window. No equi key exists,
+    * so Spark's built-in plan is a BroadcastNestedLoopJoin comparing every
+    * event against every window (O(n·m)); the native operator binary-
+    * searches a sorted broadcast interval index (O(n·log m)) — the plan
+    * that survives 10⁹ events × 10⁴ windows. RangeJoinSpec proves operator
+    * ≡ built-in on adversarial intervals; this query's oracle proves the
+    * whole pipeline against DuckDB.
+    */
+  def rangeJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val windows = ev.filter(col("event_type") === "error")
+      .select(date_trunc("hour", col("ts")).as("w_start")).distinct()
+      .withColumn("w_end", col("w_start") + expr("INTERVAL 1 HOUR"))
+    graft.plans.GraftOps.broadcastRangeJoin(ev, windows, "ts", "w_start", "w_end")
+      .groupBy("w_start")
+      .agg(count(lit(1)).as("n_events"),
+           count_distinct(col("user_id")).as("n_users"))
+      .orderBy("w_start")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_range_join_native" -> rangeJoinNative _,
     "q31_join_right"    -> joinRight _,
     "q82_join_salted"   -> joinSalted _,
     "q32_join_full"     -> joinFull _,
@@ -125,6 +148,16 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "q139_range_join_native" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |err AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'error'),
+        |w AS (SELECT DISTINCT date_trunc('hour', ts) AS w_start FROM err),
+        |j AS (SELECT w.w_start, e.event_id, e.user_id
+        |      FROM e JOIN w ON e.ts >= w.w_start
+        |                   AND e.ts < w.w_start + INTERVAL 1 HOUR)
+        |SELECT w_start, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM j GROUP BY w_start ORDER BY w_start""".stripMargin,
     // Unsalted formulation: salting must be result-invariant.
     "q82_join_salted" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -1,0 +1,79 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BroadcastRangeJoinExec vs the built-in nested-loop spelling: identical
+  * result sets on overlapping / nested / duplicate-lo / empty-match / null
+  * inputs, plus the plan-shape guarantees (native exec present, no
+  * BroadcastNestedLoopJoin, no CartesianProduct).
+  */
+class RangeJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val intervals = Seq(
+    // (win_id, lo, hi) — overlapping, nested, duplicate lo, empty window
+    (1L, 0L, 10L), (2L, 5L, 15L), (3L, 5L, 7L), (4L, 20L, 30L), (5L, 40L, 40L))
+  private val points = Seq(
+    (100L, 0L), (101L, 5L), (102L, 6L), (103L, 9L), (104L, 10L),
+    (105L, 14L), (106L, 25L), (107L, 35L), (108L, 40L))
+
+  private def build = intervals.toDF("win_id", "lo", "hi")
+  private def probe = points.toDF("ev_id", "ts")
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("ev_id", "win_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("matches the built-in range join exactly (half-open [lo, hi))") {
+    val native = GraftOps.broadcastRangeJoin(probe, build, "ts", "lo", "hi")
+    val builtin = probe.join(build, col("ts") >= col("lo") && col("ts") < col("hi"))
+    assert(pairsOf(native) == pairsOf(builtin))
+    // spot-check the semantics corners: ts=10 is OUT of [0,10), ts=40 out
+    // of the empty [40,40), ts=5 hits both lo=5 windows and the [0,10) one
+    val p = pairsOf(native)
+    assert(!p.contains((104L, 1L)) && !p.contains((108L, 5L)))
+    assert(p.intersect(Set((101L, 1L), (101L, 2L), (101L, 3L))).size == 3)
+  }
+
+  test("null timestamps and null interval bounds drop out (inner-join semantics)") {
+    val probeN = (points.map { case (i, t) => (i, Option(t)) } :+ (999L, Option.empty[Long]))
+      .toDF("ev_id", "ts")
+    val buildN = (intervals.map { case (w, l, h) => (w, Option(l), Option(h)) } :+
+      (998L, Option.empty[Long], Option(50L))).toDF("win_id", "lo", "hi")
+    val native = GraftOps.broadcastRangeJoin(probeN, buildN, "ts", "lo", "hi")
+    val builtin = probeN.join(buildN, col("ts") >= col("lo") && col("ts") < col("hi"))
+    assert(pairsOf(native) == pairsOf(builtin))
+    assert(!pairsOf(native).exists(p => p._1 == 999L || p._2 == 998L))
+  }
+
+  test("empty build side yields an empty result, not a failure") {
+    val native = GraftOps.broadcastRangeJoin(
+      probe, build.filter(col("win_id") < 0), "ts", "lo", "hi")
+    assert(native.count() == 0)
+  }
+
+  test("timestamp-typed columns work (long-backed internal representation)") {
+    val b = build.select(col("win_id"),
+      timestamp_micros(col("lo") * 1000000).as("lo"),
+      timestamp_micros(col("hi") * 1000000).as("hi"))
+    val p = probe.select(col("ev_id"), timestamp_micros(col("ts") * 1000000).as("ts"))
+    val native = GraftOps.broadcastRangeJoin(p, b, "ts", "lo", "hi")
+    val builtin = p.join(b, col("ts") >= col("lo") && col("ts") < col("hi"))
+    assert(pairsOf(native) == pairsOf(builtin))
+  }
+
+  test("plan shape: native exec, no nested loop, no cartesian") {
+    val native = GraftOps.broadcastRangeJoin(probe, build, "ts", "lo", "hi")
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastRangeJoin"), s"native exec missing: $plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("rejects non-long-backed bound columns at construction") {
+    val bad = build.select(col("win_id"), col("lo").cast("string").as("lo"), col("hi"))
+    intercept[IllegalArgumentException] {
+      GraftOps.broadcastRangeJoin(probe, bad, "ts", "lo", "hi").collect()
+    }
+  }
+}
