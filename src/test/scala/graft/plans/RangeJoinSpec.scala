@@ -70,6 +70,26 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("composes with Structured Streaming as a stream-static join") {
+    // The strategy is session-registered, so IncrementalExecution plans the
+    // node per micro-batch like any stream-static broadcast join: the
+    // static interval index is rebuilt per batch, no streaming state.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val native = GraftOps.broadcastRangeJoin(
+      ms.toDF().toDF("ev_id", "ts"), build, "ts", "lo", "hi")
+    val q = native.writeStream.format("memory").queryName("t_range_join")
+      .outputMode("append").start()
+    try {
+      ms.addData(points.take(4)); q.processAllAvailable()
+      ms.addData(points.drop(4)); q.processAllAvailable()
+      val streamed = pairsOf(spark.table("t_range_join"))
+      val batch = pairsOf(
+        probe.join(build, col("ts") >= col("lo") && col("ts") < col("hi")))
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("rejects non-long-backed bound columns at construction") {
     val bad = build.select(col("win_id"), col("lo").cast("string").as("lo"), col("hi"))
     intercept[IllegalArgumentException] {
