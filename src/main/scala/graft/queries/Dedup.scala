@@ -409,6 +409,10 @@ object Dedup {
     val nodes = edges.select(col("src").as("id")).distinct()
     val n = nodes.count().toDouble // one driver scalar, as the q62 loop
     val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    // Degree is loop-invariant: join it onto the edge list ONCE, so each of
+    // the 3 iterations costs one join + one agg instead of two joins + agg.
+    val edgesW = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg")).persist()
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("pr")).localCheckpoint()
     for (_ <- 1 to 3) {
       // Fixed-point reduction: each contribution pr/deg is floored to a
@@ -420,8 +424,7 @@ object Dedup {
       // 8 bytes, not an OOM). floor (not round) because IEEE specifies it
       // exactly; round's half-up boundary is engine-dependent. Mass lost to
       // flooring is < in-degree · 1e-15, far under the round(pr, 6) surface.
-      val contrib = edges.join(ranks, edges("src") === ranks("id"))
-        .join(deg, "src")
+      val contrib = edgesW.join(ranks, edgesW("src") === ranks("id"))
         .groupBy(col("dst").as("nid"))
         .agg(sum(floor(col("pr") / col("deg") * lit(1e15)).cast("long")).as("s"))
       ranks = nodes.join(contrib, nodes("id") === contrib("nid"), "left")
@@ -431,6 +434,7 @@ object Dedup {
         .localCheckpoint()
     }
     edges.unpersist()
+    edgesW.unpersist()
     ranks.select(col("id").as("doc_id"), round(col("pr"), 6).as("pr"))
       .orderBy("doc_id")
   }
