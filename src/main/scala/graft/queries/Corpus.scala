@@ -132,7 +132,25 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
       .orderBy("split", "lang")
 
+  /** Per-language inspection sample via the `TypedImperativeAggregate`
+    * (functions/BottomKByHash.scala): the 5 docs with the smallest
+    * (md5(doc_id), doc_id) rank per lang — a deterministic reservoir
+    * equivalent (uniform but reproducible across runs/engines/appends,
+    * the q63/q137 hash convention). The aggregate carries O(k) binary
+    * state through partial aggregation, so at 100 TB the shuffle moves
+    * k ids per (lang, partition) — never the corpus — where the
+    * row_number window spelling would shuffle every row.
+    */
+  def stratifiedInspect(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy("lang")
+      .agg(graft.functions.BottomKByHash.bottomKByHash(col("doc_id"), 5).as("sample"))
+      .select(col("lang"), posexplode(col("sample")).as(Seq("i", "doc_id")))
+      .select(col("lang"), (col("i") + 1).cast("int").as("rnk"), col("doc_id"))
+      .orderBy("lang", "rnk")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_stratified_inspect" -> stratifiedInspect _,
     "q137_split_report"     -> splitReport _,
     "q124_sample_weighted"  -> sampleWeighted _,
     "q63_sample_hash"       -> sampleHash _,
@@ -142,6 +160,13 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q140_stratified_inspect" ->
+      """SELECT lang, CAST(rnk AS INT) AS rnk, doc_id
+        |FROM (SELECT lang, doc_id,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |      FROM documents)
+        |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
     "q137_split_report" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
