@@ -68,6 +68,10 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    // Native aggregate, SQL-callable: the analyzer wraps a bare
+    // AggregateFunction from the registry in its AggregateExpression.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bottom_k_by_hash", BottomKByHash.fromSql, "built-in")
     // Scalar-UDF surface, SQL-callable (queries use StringDistance.dl
     // directly — registration-free, like VectorOps.dot).
     spark.udf.register("graft_dl",

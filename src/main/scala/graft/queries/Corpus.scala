@@ -90,26 +90,29 @@ object Corpus {
       .select("lang", "rnk", "doc_id")
       .orderBy("lang", "rnk")
 
-  /** Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-Res): each doc
-    * draws a uniform u ∈ (0,1] from its md5 (pure function of the data, as
-    * all sampling here) and gets priority ln(u)/w with w = n_chars; the
-    * top-k priorities are a weighted-without-replacement sample — docs are
-    * picked proportionally to length. The op behind "sample training docs
-    * proportional to quality score". One map pass + a bounded top-k
+  /** Deterministic WEIGHTED sampling (sequential Poisson sampling, Ohlsson
+    * 1998): each doc draws a uniform integer u ∈ [1, 2²⁴] from its md5
+    * (pure function of the data, as all sampling here) and gets priority
+    * u/w with w = n_chars; the k SMALLEST priorities are a
+    * weighted-without-replacement sample — inclusion probability is
+    * approximately proportional to w (the πps approximation the scheme is
+    * known for). The op behind "sample training docs proportional to
+    * quality score". One map pass + a bounded top-k
     * (TakeOrderedAndProject): no shuffle of the corpus, holds at 100 TB.
-    * The top-k ranks on pri ROUNDED to 8 places with a doc_id tiebreak —
-    * pri goes through each engine's libm `ln`, and ranking the raw double
-    * would let a last-ulp disagreement near the rank-20 cutoff select a
-    * different row set; after round(8)+tiebreak, selection and the emitted
-    * value are the same surface, deterministic across libm builds.
+    * Determinism: u and w are integers exactly representable as doubles,
+    * and u/w is ONE correctly-rounded IEEE-754 division — bit-identical in
+    * every engine, unlike the earlier A-Res spelling whose libm `ln` could
+    * flip a rounded value at a .5e-8 boundary (ADVICE r6). Both ranking
+    * and the emitted pri are that exact quotient; no transcendental
+    * touches the compared surface.
     */
   def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .select(col("doc_id"), col("n_chars").cast("double").as("w"),
-        ((conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
-           .cast("double") + 1.0) / 16777216.0).as("u"))
-      .withColumn("pri", round(log(col("u")) / col("w"), 8))
-      .orderBy(col("pri").desc, col("doc_id")).limit(20)
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+           .cast("double") + 1.0).as("u"))
+      .withColumn("pri", col("u") / col("w"))
+      .orderBy(col("pri").asc, col("doc_id")).limit(20)
       .select(col("doc_id"), col("pri"))
 
   /** Deterministic train/val/test split — the last step before a corpus
@@ -178,14 +181,12 @@ object Corpus {
       """WITH d AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
         |             md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
         |u AS (SELECT doc_id, w,
-        |        (CAST(list_sum(list_transform(range(1, 7),
+        |        CAST(list_sum(list_transform(range(1, 7),
         |           p -> (strpos('0123456789abcdef', substr(h, p, 1)) - 1)
-        |                * CAST(16 AS BIGINT) ** (6 - p))) AS DOUBLE) + 1.0)
-        |        / 16777216.0 AS u
-        |      FROM d),
-        |p AS (SELECT doc_id, round(ln(u) / w, 8) AS pri FROM u)
-        |SELECT doc_id, pri
-        |FROM p ORDER BY pri DESC, doc_id LIMIT 20""".stripMargin,
+        |                * CAST(16 AS BIGINT) ** (6 - p))) AS DOUBLE) + 1.0 AS u
+        |      FROM d)
+        |SELECT doc_id, u / w AS pri
+        |FROM u ORDER BY pri ASC, doc_id LIMIT 20""".stripMargin,
     "q103_sample_topn_per_group" ->
       """SELECT lang, rnk, doc_id
         |FROM (SELECT lang, doc_id, row_number() OVER (

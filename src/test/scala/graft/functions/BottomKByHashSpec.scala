@@ -46,6 +46,30 @@ class BottomKByHashSpec extends SparkSpec {
     assert(out("a") == expectedA)
   }
 
+  test("SQL registry spelling returns identical rows to the Column surface") {
+    graft.functions.GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("bk_docs")
+    val sql = spark.sql(
+      """SELECT lang, s FROM (
+        |  SELECT lang, graft_bottom_k_by_hash(doc_id, 5) AS s
+        |  FROM bk_docs GROUP BY lang)""".stripMargin)
+      .select(col("lang"), explode(col("s")).as("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(sql == viaAgg(5, 4))
+  }
+
+  test("non-long input fails at analysis, not at runtime") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(("a", 1)).toDF("g", "id").createOrReplaceTempView("bk_ints")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT g, graft_bottom_k_by_hash(id, 3) FROM bk_ints GROUP BY g")
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("mismatch")
+      || e.getMessage.toLowerCase.contains("bigint"))
+  }
+
   test("md5hex matches Spark's md5() of the decimal string") {
     import spark.implicits._
     val rows = Seq(0L, 7L, 123456789L).toDF("id")
