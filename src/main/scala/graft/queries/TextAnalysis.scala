@@ -442,6 +442,26 @@ object TextAnalysis {
     rules.result().toDF("rule_no", "a", "b", "n").orderBy("rule_no")
   }
 
+  /** The 8 merge rules `bpeMerges` learns at the driver's gate corpus
+    * (sf0.01), pinned as literals the way q41 pins its hyperplanes: the
+    * trainer is deterministic (weighted argmax, lexicographic tiebreak), so
+    * re-running q130 at sf0.01 reproduces exactly this sequence — recorded
+    * here so the ENCODE pass is a pure non-iterative query both engines can
+    * run. This mirrors production tokenizer deployment: train once, pin the
+    * merge table, apply it everywhere as data.
+    */
+  val bpeRules8: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
+    "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")
+
+  /** q130's hard-signal companion: `bpeEncode` under the pinned rule table.
+    * Unlike q130 (iterative argmax + rewrite, rows-only for the driver),
+    * this IS one statement per engine — 8 chained merge folds — so the
+    * DuckDB oracle hash-checks the whole BPE family's apply path.
+    */
+  def bpeEncodePinned(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(spark, dir, bpeRules8)
+
   /** Apply learned BPE merge rules: encode every document and report its
     * token count under the learned vocabulary (plus the whitespace-word
     * count for the compression ratio). The production shape: the DISTINCT
@@ -475,6 +495,7 @@ object TextAnalysis {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_bpe_pair_stats"    -> bpePairStats _,
     "q130_bpe_merges"        -> bpeMerges _,
+    "q130e_bpe_encode"       -> bpeEncodePinned _,
     "q128_vocab_growth"      -> vocabGrowth _,
     "q122_bm25"              -> bm25 _,
     "q110_pmi_bigrams"       -> pmiBigrams _,
@@ -499,10 +520,42 @@ object TextAnalysis {
   private val duckBpeIsh =
     "''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+"
 
+  // q130e oracle: each word becomes a delimiter-wrapped symbol string
+  // ("low" → ^l$^o$^w$ with ^=chr(1), $=chr(2)); one non-recursive
+  // `replace` of ^a$^b$ with ^ab$ is then EXACTLY one left-to-right
+  // non-overlapping merge pass — the scanner resumes after each inserted
+  // replacement (no rescan), matching the Spark-side `aggregate` fold, and
+  // the delimiters make cross-symbol false matches impossible (chr(1)/chr(2)
+  // cannot appear inside a token: tokens come from the documents' text).
+  // Symbol count = count of chr(1) markers.
+  private def duckSym(s: String): String =
+    s"chr(1)||'${s.replace("'", "''")}'||chr(2)"
+  private val duckBpeFold: String =
+    bpeRules8.foldLeft("s") { case (e, (a, b)) =>
+      s"replace($e, ${duckSym(a)}||${duckSym(b)}, ${duckSym(a + b)})"
+    }
+
   val oracles: Map[String, String] = Map(
     // q130_bpe_merges: no oracle — iterative argmax + vocabulary rewrite is
     // not one SQL statement; the driver records the rows-only check and
     // TextAnalysisSpec proves the rules against a reference BPE trainer.
+    // Its APPLY path gets the hard signal instead: q130e below hash-checks
+    // bpeEncode under the pinned rule table.
+    "q130e_bpe_encode" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS word FROM documents),
+         |w AS (SELECT DISTINCT word FROM toks),
+         |s0 AS (SELECT word,
+         |         chr(1) || array_to_string(list_transform(
+         |           range(1, len(word)+1), i -> substr(word, i, 1)),
+         |           chr(2)||chr(1)) || chr(2) AS s
+         |       FROM w),
+         |n AS (SELECT word,
+         |        CAST(len(s) - len(replace(s, chr(1), '')) AS BIGINT) AS n_sym
+         |      FROM (SELECT word, $duckBpeFold AS s FROM s0))
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(n.n_sym) AS BIGINT) AS n_bpe_tokens
+         |FROM toks t JOIN n ON n.word = t.word
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
     "q129_bpe_pair_stats" ->
       s"""WITH toks AS (SELECT unnest($duckToks) AS word FROM documents),
          |v AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),

@@ -83,6 +83,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dist.values.map(_._2).sum < rawChars)
   }
 
+  test("q130e applies the PINNED rule table: equals the reference encoder under bpeRules8") {
+    // The pinned table is trained at sf0.01 (q130's deterministic output
+    // there — re-derivable by running bpeMerges on that corpus); applying it
+    // to THIS fixture is still a pure function of (corpus, rules), which is
+    // exactly what the oracle-checked q130e computes. Prove the distributed
+    // apply path against the plain-Scala encoder on the same pinned rules.
+    val rules = TextAnalysis.bpeRules8
+    def refEncode(w: String): Int =
+      rules.foldLeft(w.map(_.toString).toList) { case (syms, (a, b)) =>
+        syms.foldLeft(List.empty[String]) { (acc, s) =>
+          if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+          else acc :+ s
+        }
+      }.size
+    val expected = graft.tables.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(expr(
+        "filter(split(lower(text), ' '), x -> x <> '')")).as("word"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view
+      .mapValues(ws => (ws.size.toLong, ws.map(w => refEncode(w._2).toLong).sum))
+      .toMap
+    val got = TextAnalysis.bpeEncodePinned(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
   test("merges strictly coarsen the vocabulary: total symbol count never increases") {
     // After 8 merges every learned rule must have fired at least once —
     // each application shrinks one word's symbol list by exactly one.
