@@ -147,7 +147,7 @@ object Similarity {
     * tie-break exactly; cent_id is unique per group, so the order is
     * total and the pick deterministic).
     */
-  private def ivfAssignFull(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def ivfAssignFull(spark: SparkSession, dir: String): DataFrame =
     centroidSims(spark, dir)
       .groupBy(col("vec_id"))
       .agg(max_by(
@@ -364,24 +364,41 @@ object Similarity {
       .orderBy("probe_id")
   }
 
+  /** SemDeDup's per-bucket population cap: any coarse cluster larger than
+    * this is split into ceil(size/cap) sub-buckets by `vec_id % nsub`
+    * before pairing, so per-bucket candidate pairs stay O(cap²) no matter
+    * how big the corpus (or how skewed a cluster) gets — without it the
+    * biggest cluster is ~n/16 and the pair join quadratic in n. Set
+    * deliberately small (16) so the split path is EXERCISED at test scale;
+    * production would size it in the thousands. The trade is recall, not
+    * correctness: duplicates landing in different sub-buckets of one
+    * cluster are missed — the same knob as raising k in the coarse
+    * k-means, and the oracle applies the identical split.
+    */
+  val semDeDupCap: Int = 16
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): drop any vector whose
-    * cosine to a LOWER-id vector in the SAME coarse cluster is ≥ 0.35 —
+    * cosine to a LOWER-id vector in the SAME coarse bucket is ≥ 0.35 —
     * the embedding-space near-duplicate pass modern LLM corpora run after
     * exact/minhash text dedup. Pair generation is restricted to within a
-    * cluster (the q59 assignment, reused verbatim), so the join is
-    * partitioned by cent_id and per-cluster quadratic only — at 100 TB the
-    * clusters come from a real k-means with bounded cluster sizes (oversize
-    * clusters split recursively), which keeps every bucket's pair count
-    * capped; nothing here is an all-pairs join over the corpus. Emits each
-    * dropped vector with its keeper (min lower similar id) and the max
-    * in-cluster similarity (max over doubles is exact, so round(4) is
-    * engine-stable).
+    * bucket: the q59 cluster assignment, sub-split by `semDeDupCap` so no
+    * bucket's pair count is quadratic in the corpus. The bucket-size join
+    * is a broadcast (≤16 rows), the pair join is keyed (cent_id, sub) —
+    * nothing here is an all-pairs join over the corpus, and per-bucket
+    * work is bounded by the cap. Emits each dropped vector with its keeper
+    * (min lower similar id) and the max in-bucket similarity (max over
+    * doubles is exact, so round(4) is engine-stable).
     */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val withVec = ivfAssignFull(spark, dir)
+    val assign = ivfAssignFull(spark, dir)
       .select(col("vec_id"), col("cent_id"), col("v"), col("nrm"))
+    val nsub = assign.groupBy("cent_id")
+      .agg(ceil(count(lit(1)) / semDeDupCap.toDouble).cast("long").as("nsub"))
+    val withVec = assign.join(broadcast(nsub), "cent_id")
+      .withColumn("sub", col("vec_id") % col("nsub"))
     withVec.as("a").join(withVec.as("b"),
-        col("a.cent_id") === col("b.cent_id") && col("a.vec_id") < col("b.vec_id"))
+        col("a.cent_id") === col("b.cent_id") && col("a.sub") === col("b.sub") &&
+          col("a.vec_id") < col("b.vec_id"))
       .withColumn("cs",
         VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cs") >= 0.35)
@@ -662,11 +679,17 @@ object Similarity {
 
   private val semanticDedupOracle: String =
     ivfAssignCtes +
-      """,
+      s""",
+        |sz AS (SELECT cent_id,
+        |         CAST(ceil(count(*) / $semDeDupCap.0) AS BIGINT) AS nsub
+        |       FROM af GROUP BY cent_id),
+        |ab AS (SELECT af.*, af.vec_id % sz.nsub AS sub
+        |       FROM af JOIN sz USING (cent_id)),
         |pairs AS (SELECT b.vec_id AS vec_id, a.vec_id AS lo,
         |                 list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cs
-        |          FROM af a JOIN af b
-        |            ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
+        |          FROM ab a JOIN ab b
+        |            ON a.cent_id = b.cent_id AND a.sub = b.sub
+        |               AND a.vec_id < b.vec_id)
         |SELECT vec_id, CAST(min(lo) AS BIGINT) AS dup_of,
         |       round(max(cs), 4) AS max_cs
         |FROM pairs WHERE cs >= 0.35

