@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
@@ -53,32 +54,45 @@ case class BroadcastRangeJoinExec(
     right: SparkPlan) extends BinaryExecNode {
   override def output: Seq[Attribute] = left.output ++ right.output
 
-  override protected def doExecute(): RDD[InternalRow] = {
-    // Build: collect + sort by lo + prefix-max of hi. The build side is a
-    // dimension (windows/incidents) — driver-sized by contract, same as any
-    // broadcast join build.
-    val loProj = UnsafeProjection.create(Seq(buildLo), right.output)
-    val hiProj = UnsafeProjection.create(Seq(buildHi), right.output)
-    val tuples = right.executeCollect().flatMap { r =>
-      val l = loProj(r)
-      val h = hiProj(r)
-      if (l.isNullAt(0) || h.isNullAt(0)) None
-      else Some((l.getLong(0), h.getLong(0), r.copy()))
-    }.sortBy(_._1)
-    val los = tuples.map(_._1)
-    val his = tuples.map(_._2)
-    val rows: Array[InternalRow] = tuples.map(_._3)
-    // maxHi(i) = max(his(0..i)) — the walk-down stop bound: once every
-    // interval at or before i ends ≤ ts, none can contain ts.
-    val maxHi = new Array[Long](his.length)
-    var m = Long.MinValue
-    var j = 0
-    while (j < his.length) { m = math.max(m, his(j)); maxHi(j) = m; j += 1 }
-    val bc = sparkContext.broadcast((los, his, rows, maxHi))
+  /** The build side is planned as a real `BroadcastExchangeExec` (inserted
+    * by EnsureRequirements from this distribution), not a raw
+    * executeCollect: the exchange brings driver-memory accounting, the
+    * too-large-to-broadcast guard (hard 8 GB / 512M-row error instead of a
+    * silent driver OOM), async build with timeout, and plan-tree reuse —
+    * two range joins over the same dimension share ONE broadcast via
+    * ReuseExchange.
+    */
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
 
-    val (lOut, rOut, tsE) = (left.output, right.output, probeTs)
+  override protected def doExecute(): RDD[InternalRow] = {
+    val bcRows = right.executeBroadcast[Array[InternalRow]]()
+    val (lOut, rOut) = (left.output, right.output)
+    val (tsE, loE, hiE) = (probeTs, buildLo, buildHi)
     left.execute().mapPartitions({ iter =>
-      val (los, his, rows, maxHi) = bc.value
+      // Index construction — sort by lo + prefix-max of hi — runs from the
+      // broadcast value per task: O(m log m) over a dimension-sized array,
+      // noise next to the probe scan (the same trade BroadcastNestedLoop
+      // makes). maxHi(i) = max(his(0..i)) is the walk-down stop bound:
+      // once every interval at or before i ends ≤ ts, none can cover ts.
+      val loProj = UnsafeProjection.create(Seq(loE), rOut)
+      val hiProj = UnsafeProjection.create(Seq(hiE), rOut)
+      val tuples = bcRows.value.flatMap { r =>
+        val l = loProj(r)
+        if (l.isNullAt(0)) None
+        else {
+          val lo = l.getLong(0)
+          val h = hiProj(r)
+          if (h.isNullAt(0)) None else Some((lo, h.getLong(0), r))
+        }
+      }.sortBy(_._1)
+      val los = tuples.map(_._1)
+      val his = tuples.map(_._2)
+      val rows: Array[InternalRow] = tuples.map(_._3)
+      val maxHi = new Array[Long](his.length)
+      var m = Long.MinValue
+      var j = 0
+      while (j < his.length) { m = math.max(m, his(j)); maxHi(j) = m; j += 1 }
       val tsProj = UnsafeProjection.create(Seq(tsE), lOut)
       val outProj = UnsafeProjection.create(lOut ++ rOut, lOut ++ rOut)
       val joined = new JoinedRow

@@ -70,6 +70,36 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("build side goes through BroadcastExchange (accounted, guarded, reusable)") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+    // Pin the STATIC planner shape (EnsureRequirements + ReuseExchange):
+    // under AQE the same structure lives inside AdaptiveSparkPlanExec — a
+    // leaf wrapper that plan traversal cannot descend into.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val native = GraftOps.broadcastRangeJoin(probe, build, "ts", "lo", "hi")
+      val one = native.queryExecution.executedPlan
+      assert(one.exists {
+        case e: BroadcastRangeJoinExec =>
+          e.right.isInstanceOf[BroadcastExchangeExec] ||
+            e.right.isInstanceOf[ReusedExchangeExec]
+        case _ => false
+      }, s"no BroadcastExchange under the exec:\n$one")
+      // exchange REUSE across plan subtrees: two range joins over the same
+      // build relation plan exactly one materialized broadcast — the second
+      // is a ReusedExchange. The concrete win over raw executeCollect.
+      val both = GraftOps.broadcastRangeJoin(probe, build, "ts", "lo", "hi")
+        .unionAll(GraftOps.broadcastRangeJoin(probe, build, "ts", "lo", "hi"))
+      val plan2 = both.queryExecution.executedPlan
+      val builds = plan2.collect { case e: BroadcastExchangeExec => e }
+      val reused = plan2.collect { case e: ReusedExchangeExec => e }
+      assert(builds.size == 1 && reused.nonEmpty,
+        s"expected 1 build + reuse, got builds=${builds.size} reused=${reused.size}:\n$plan2")
+      assert(pairsOf(both).nonEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("composes with Structured Streaming as a stream-static join") {
     // The strategy is session-registered, so IncrementalExecution plans the
     // node per micro-batch like any stream-static broadcast join: the
