@@ -138,6 +138,25 @@ object Similarity {
   private val wAssign =
     Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
 
+  // The coarse assignment is the shared substrate of the whole IVF family
+  // (q59 search, q131 SemDeDup, q132 IVF-PQ): materialized once per
+  // (session, corpus) and kept persisted, the same convention as the dedup
+  // family's shingle index — a production pipeline quantizes the corpus
+  // once, not once per consumer. MEMORY_AND_DISK: spills instead of OOMing
+  // at corpus scale; evictCaches releases it when the corpus pass is over.
+  private val assignCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Unpersist and drop the cached coarse assignments belonging to `spark`
+    * (all corpora) — same lifecycle hook as `Dedup.evictCaches`.
+    */
+  def evictCaches(spark: SparkSession): Unit =
+    assignCache.synchronized {
+      assignCache.keys.filter(_._1 eq spark).foreach { k =>
+        assignCache.remove(k).foreach(_.unpersist(blocking = false))
+      }
+    }
+
   /** Nearest-centroid assignment with all vector columns retained.
     * Spelled as a `max_by` aggregation, NOT a row_number window: partial
     * aggregation collapses the 16 candidate rows per vector map-side, so
@@ -145,16 +164,22 @@ object Similarity {
     * scale that is a 16× smaller shuffle for the same argmax (comparison
     * on (csim, −cent_id) reproduces the window's csim DESC, cent_id ASC
     * tie-break exactly; cent_id is unique per group, so the order is
-    * total and the pick deterministic).
+    * total and the pick deterministic). Synchronized build: TrieMap's
+    * by-name getOrElseUpdate may race two builders and leak the loser's
+    * persisted table (the Dedup.materializedSig rule).
     */
   private[queries] def ivfAssignFull(spark: SparkSession, dir: String): DataFrame =
-    centroidSims(spark, dir)
-      .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("cent_id"), col("cv"), col("cnrm"), col("v"), col("nrm")),
-        struct(col("csim"), (-col("cent_id")).as("tb"))).as("w"))
-      .select(col("vec_id"), col("w.cent_id"), col("w.cv"), col("w.cnrm"),
-              col("w.v"), col("w.nrm"))
+    assignCache.synchronized {
+      assignCache.getOrElseUpdate((spark, dir),
+        centroidSims(spark, dir)
+          .groupBy(col("vec_id"))
+          .agg(max_by(
+            struct(col("cent_id"), col("cv"), col("cnrm"), col("v"), col("nrm")),
+            struct(col("csim"), (-col("cent_id")).as("tb"))).as("w"))
+          .select(col("vec_id"), col("w.cent_id"), col("w.cv"), col("w.cnrm"),
+                  col("w.v"), col("w.nrm"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   /** ANN via IVF (inverted-file) bucketing — the second scale path: the
     * corpus is assigned to its nearest of 16 fixed centroids (here: the

@@ -76,6 +76,28 @@ class SimilaritySpec extends SparkSpec {
     assert(maxPairs <= (2L * cap) * (2L * cap - 1) / 2)
   }
 
+  test("coarse assignment materializes once and the IVF family plans against the cache") {
+    // Plan-shape pin for the shared-substrate rule: q59/q131/q132 all
+    // consume ONE persisted coarse assignment per (session, corpus). A
+    // refactor that drops the reuse would recompute the corpus×16 cosine
+    // pass per consumer without failing any correctness test — this fails.
+    Similarity.evictCaches(spark)
+    Similarity.annIvf(spark, sfDir).collect() // builds + persists the assignment
+    val cachedAfterFirst = spark.sparkContext.getPersistentRDDs.keySet
+    val sd = Similarity.semanticDedup(spark, sfDir)
+    assert(sd.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+      "semantic dedup does not read the cached assignment")
+    sd.collect()
+    assert(Similarity.ivfPqAdc(spark, sfDir)
+      .queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+      "IVF-PQ does not read the cached assignment")
+    // re-running family members must not re-persist the assignment
+    Similarity.annIvf(spark, sfDir).collect()
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+      .intersect(cachedAfterFirst) == cachedAfterFirst,
+      "the shared assignment was evicted/rebuilt instead of reused")
+  }
+
   test("IVF-PQ plan shape: no cartesian product; search joins are broadcast") {
     // AQE's toString prints the final AND initial plans — keep the first
     // section only so joins aren't double-counted.
