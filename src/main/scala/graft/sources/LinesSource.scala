@@ -5,19 +5,20 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** A from-scratch DataSourceV2 batch connector: line-oriented text shards →
+/** A from-scratch DataSourceV2 connector: line-oriented text shards →
   * (doc_id, fname, text) rows — the ingestion shape of the reference's
   * `InputVec` (the sample client hand-builds (id, line) pairs before the job,
   * `Sample Client/SampleClient.cpp:74-82`; here the engine reads shards
   * itself, which is the capability the reference lacks — SURVEY §2.2
   * "File formats... clients read files themselves").
   *
-  * Deliberately implements the three contracts that matter at 100 TB:
+  * Deliberately implements the contracts that matter at 100 TB:
   *
   *  - `SupportsPushDownRequiredColumns`: a `select(text)` never materializes
   *    doc_id/fname — the reader emits exactly the pruned schema.
@@ -27,10 +28,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *    FILES at planning time (`planInputPartitions`) — the custom-source
   *    equivalent of parquet row-group pruning. Unsupported predicates are
   *    returned as residuals for Spark to re-apply, per the v2 contract.
+  *    Bounds are kept INCLUSIVE on both ends so no `v ± 1` can overflow at
+  *    the Long domain edges (a pushed `doc_id <= Long.MaxValue` must keep
+  *    every row, not wrap to an empty range).
   *  - One `InputPartition` per shard, sorted by name: deterministic ids and
   *    executor-parallel reads with no driver-side content handling.
+  *  - `MICRO_BATCH_READ`: the same table is a Structured Streaming source.
+  *    An offset is the count of shard files; each micro-batch reads exactly
+  *    the newly-listed shards, so ingestion of an append-only landing
+  *    directory is incremental and exactly-once (offsets are re-planned
+  *    deterministically from the sorted listing on recovery). New files
+  *    must sort AFTER already-ingested ones (monotone shard naming — the
+  *    standard landing-zone convention) or their ids would reshuffle.
   *
-  * Usage: `spark.read.format("graft.sources.LinesSource").load(dir)`.
+  * Usage: `spark.read.format("graft.sources.LinesSource").load(dir)` or
+  * `spark.readStream.format("graft.sources.LinesSource").load(dir)`.
   */
 class LinesSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -46,20 +58,34 @@ object LinesSource {
     StructField("fname", StringType, nullable = false),
     StructField("text", StringType, nullable = false)))
 
-  /** Data shards: visible plain files, sorted for deterministic ids. */
+  /** Data shards: visible plain files, sorted for deterministic ids.
+    * `listFiles` returns null for a missing/unreadable directory — surface
+    * that as a clear error instead of an NPE deep in planning.
+    */
   def listShards(path: String): Seq[java.io.File] = {
     val d = new java.io.File(path)
-    val fs = if (d.isDirectory) d.listFiles().toSeq else Seq(d)
+    val fs =
+      if (d.isDirectory) {
+        val listed = d.listFiles()
+        require(listed != null, s"graft_lines: cannot list directory $path")
+        listed.toSeq
+      } else if (d.isFile) Seq(d)
+      else throw new IllegalArgumentException(s"graft_lines: path does not exist: $path")
     fs.filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
       .sortBy(_.getName)
   }
+
+  /** Highest doc_id shard `i` can hold — (i+1)<<32 − 1 spelled without the
+    * `(i+1) << 32` intermediate, which overflows for the top shard index.
+    */
+  def shardMaxId(i: Int): Long = (i.toLong << 32) + 0xFFFFFFFFL
 }
 
 final class LinesTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft_lines($path)"
   override def schema(): StructType = LinesSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LinesScanBuilder(path)
 }
@@ -69,9 +95,12 @@ final class LinesScanBuilder(path: String) extends ScanBuilder
 
   private var required: StructType = LinesSource.schema
   private var pushed: Array[Filter] = Array.empty
-  // Conjunction of pushed doc_id bounds as a half-open [lo, hi) range.
+  // Conjunction of pushed doc_id bounds as an INCLUSIVE [lo, hi] range —
+  // inclusive on both ends so no bound adjustment can overflow; `none`
+  // marks a predicate satisfiable by no long at all (doc_id > MaxValue).
   private var lo: Long = Long.MinValue
   private var hi: Long = Long.MaxValue
+  private var none: Boolean = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
@@ -84,11 +113,13 @@ final class LinesScanBuilder(path: String) extends ScanBuilder
       case _ => false
     }
     accepted.foreach {
-      case EqualTo(_, v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
-      case GreaterThan(_, v: Long) => lo = math.max(lo, v + 1)
+      case EqualTo(_, v: Long) => lo = math.max(lo, v); hi = math.min(hi, v)
+      case GreaterThan(_, v: Long) =>
+        if (v == Long.MaxValue) none = true else lo = math.max(lo, v + 1)
       case GreaterThanOrEqual(_, v: Long) => lo = math.max(lo, v)
-      case LessThan(_, v: Long) => hi = math.min(hi, v)
-      case LessThanOrEqual(_, v: Long) => hi = math.min(hi, v + 1)
+      case LessThan(_, v: Long) =>
+        if (v == Long.MinValue) none = true else hi = math.min(hi, v - 1)
+      case LessThanOrEqual(_, v: Long) => hi = math.min(hi, v)
       case _ => ()
     }
     pushed = accepted
@@ -99,28 +130,63 @@ final class LinesScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new LinesScan(path, required, pushed, lo, hi)
+  override def build(): Scan =
+    new LinesScan(path, required, pushed, lo, hi, none || lo > hi)
 }
 
 final case class LinesInputPartition(file: String, idx: Int) extends InputPartition
 
 final class LinesScan(path: String, required: StructType,
-                      pushed: Array[Filter], lo: Long, hi: Long)
+                      pushed: Array[Filter], lo: Long, hi: Long, none: Boolean)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LinesMicroBatchStream(path, required, lo, hi, none)
   override def description(): String =
     s"GraftLines path=$path, ReadSchema=${required.fieldNames.mkString(",")}, " +
       s"PushedFilters=[${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
-    LinesSource.listShards(path).zipWithIndex
+    if (none) Array.empty
+    else LinesSource.listShards(path).zipWithIndex
       // File-level pruning from the pushed doc_id range: shard i only
-      // holds ids in [i << 32, (i+1) << 32).
+      // holds ids in [i << 32, shardMaxId(i)].
       .filter { case (_, i) =>
-        (i.toLong << 32) < hi && ((i.toLong + 1) << 32) > lo }
+        (i.toLong << 32) <= hi && LinesSource.shardMaxId(i) >= lo }
       .map { case (f, i) => LinesInputPartition(f.getPath, i): InputPartition }
       .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LinesReaderFactory(required, lo, hi)
+}
+
+/** Offset = number of shard files already ingested (the sorted listing is
+  * the log; its length is the high-water mark). JSON form is the bare int.
+  */
+final case class LinesOffset(n: Int) extends Offset {
+  override def json(): String = n.toString
+}
+
+final class LinesMicroBatchStream(path: String, required: StructType,
+                                  lo: Long, hi: Long, none: Boolean)
+    extends MicroBatchStream {
+  override def initialOffset(): Offset = LinesOffset(0)
+  override def latestOffset(): Offset = LinesOffset(LinesSource.listShards(path).size)
+  override def deserializeOffset(json: String): Offset = LinesOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[LinesOffset].n, end.asInstanceOf[LinesOffset].n)
+    if (none) Array.empty
+    else LinesSource.listShards(path).zipWithIndex
+      .slice(s, e) // only the shards that appeared in (start, end]
+      .filter { case (_, i) =>
+        (i.toLong << 32) <= hi && LinesSource.shardMaxId(i) >= lo }
+      .map { case (f, i) => LinesInputPartition(f.getPath, i): InputPartition }
+      .toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LinesReaderFactory(required, lo, hi)
@@ -155,7 +221,7 @@ final class LinesPartitionReader(file: String, idx: Int,
     line = reader.readLine()
     lineNo += 1
     while (line != null && {
-      val id = (idx.toLong << 32) | lineNo; id < lo || id >= hi
+      val id = (idx.toLong << 32) | lineNo; id < lo || id > hi
     }) {
       line = reader.readLine()
       lineNo += 1

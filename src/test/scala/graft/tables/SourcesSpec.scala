@@ -83,6 +83,54 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.collect().map(_.getString(2)).toSet == Set("b", "c"))
   }
 
+  test("LinesSource bounds saturate at the Long domain edges (no overflow wrap)") {
+    val p = stageShards(Seq(Seq("a0", "a1"), Seq("b0")))
+    import org.apache.spark.sql.functions.col
+    // doc_id <= Long.MaxValue used to wrap hi to MinValue and return 0 rows
+    assert(readLinesSrc(p).filter(col("doc_id") <= Long.MaxValue).count() == 3)
+    assert(readLinesSrc(p).filter(col("doc_id") >= Long.MinValue).count() == 3)
+    // unsatisfiable edge predicates yield empty, not everything
+    assert(readLinesSrc(p).filter(col("doc_id") > Long.MaxValue).count() == 0)
+    assert(readLinesSrc(p).filter(col("doc_id") < Long.MinValue).count() == 0)
+    // equality at an edge is still exact
+    assert(readLinesSrc(p).filter(col("doc_id") === (1L << 32)).count() == 1)
+  }
+
+  test("LinesSource surfaces a clear error for a missing directory") {
+    val e = intercept[Exception] {
+      readLinesSrc("/nonexistent/graft_lines_dir").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("graft_lines"),
+      s"unhelpful error: $e")
+  }
+
+  test("LinesSource streams an append-only landing directory incrementally") {
+    // MICRO_BATCH_READ: offset = shard count; each micro-batch reads only
+    // the newly-listed shards, ids identical to the batch read's.
+    val dir = Files.createTempDirectory("graft_lines_stream")
+    def addShard(name: String, lines: Seq[String]): Unit =
+      Files.write(dir.resolve(name),
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    addShard("shard-000.txt", Seq("a0", "a1"))
+    val q = spark.readStream.format("graft.sources.LinesSource")
+      .load(dir.toString)
+      .writeStream.format("memory").queryName("t_lines_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val batch1 = spark.table("t_lines_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(batch1 == Set((0L, "shard-000.txt", "a0"), (1L, "shard-000.txt", "a1")))
+      addShard("shard-001.txt", Seq("b0"))
+      q.processAllAvailable()
+      val batch2 = spark.table("t_lines_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      // exactly-once: shard-000's rows appear ONCE; the new shard's ids
+      // are the same the batch reader would assign
+      assert(batch2 == batch1 + (((1L << 32), "shard-001.txt", "b0")))
+    } finally q.stop()
+  }
+
   test("LinesSource pushes doc_id filters and prunes columns in the scan") {
     val p = stageShards(Seq(Seq("x", "y", "z")))
     val q = readLinesSrc(p)
