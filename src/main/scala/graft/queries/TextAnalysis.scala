@@ -462,6 +462,27 @@ object TextAnalysis {
   def bpeEncodePinned(spark: SparkSession, dir: String): DataFrame =
     bpeEncode(spark, dir, bpeRules8)
 
+  /** Per-language tokenizer fertility under the pinned BPE table — the
+    * tokenizer-equity metric multilingual corpus reports track (fertility =
+    * BPE tokens per whitespace word; a language far above the corpus mean
+    * is under-served by the learned merges and pays more sequence length
+    * per sentence). Rides the q130e encode (distinct-word dictionary fold +
+    * broadcast join back), then one tiny per-language aggregation. The
+    * fertility quotient is emitted RAW: sum(long)/sum(long) is one
+    * correctly-rounded IEEE division of exactly-representable integers,
+    * bit-identical in both engines — no rounding needed, no libm touched.
+    */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(bpeEncodePinned(spark, dir), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"))
+      .withColumn("fertility",
+        col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+      .orderBy("lang")
+
   /** Apply learned BPE merge rules: encode every document and report its
     * token count under the learned vocabulary (plus the whitespace-word
     * count for the compression ratio). The production shape: the DISTINCT
@@ -496,6 +517,7 @@ object TextAnalysis {
     "q129_bpe_pair_stats"    -> bpePairStats _,
     "q130_bpe_merges"        -> bpeMerges _,
     "q130e_bpe_encode"       -> bpeEncodePinned _,
+    "q141_bpe_fertility"     -> bpeFertility _,
     "q128_vocab_growth"      -> vocabGrowth _,
     "q122_bm25"              -> bm25 _,
     "q110_pmi_bigrams"       -> pmiBigrams _,
@@ -556,6 +578,28 @@ object TextAnalysis {
          |       CAST(sum(n.n_sym) AS BIGINT) AS n_bpe_tokens
          |FROM toks t JOIN n ON n.word = t.word
          |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+    "q141_bpe_fertility" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS word FROM documents),
+         |w AS (SELECT DISTINCT word FROM toks),
+         |s0 AS (SELECT word,
+         |         chr(1) || array_to_string(list_transform(
+         |           range(1, len(word)+1), i -> substr(word, i, 1)),
+         |           chr(2)||chr(1)) || chr(2) AS s
+         |       FROM w),
+         |n AS (SELECT word,
+         |        CAST(len(s) - len(replace(s, chr(1), '')) AS BIGINT) AS n_sym
+         |      FROM (SELECT word, $duckBpeFold AS s FROM s0)),
+         |d AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |        CAST(sum(n.n_sym) AS BIGINT) AS n_bpe_tokens
+         |      FROM toks t JOIN n ON n.word = t.word
+         |      GROUP BY t.doc_id)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_words) AS BIGINT) AS n_words,
+         |       CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(sum(n_bpe_tokens) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)
+         |         AS fertility
+         |FROM documents doc JOIN d USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q129_bpe_pair_stats" ->
       s"""WITH toks AS (SELECT unnest($duckToks) AS word FROM documents),
          |v AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
