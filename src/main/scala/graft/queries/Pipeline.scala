@@ -361,7 +361,49 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  // 64 hashed-feature weights for the model-based quality filter, pinned as
+  // literals the way q41 pins its hyperplanes and q130e its merge table: in
+  // production they come from a trained classifier; the ENGINE's job — and
+  // what the oracle proves — is the scoring pass. Derived from a public
+  // recipe (first md5 hex byte of the bucket index, mod 15, minus 7) so the
+  // table is reproducible without shipping a binary artifact.
+  private[queries] val clfWeights: Seq[Int] = Seq(
+    5, -6, -2, 4, -4, -4, 0, 1, -1, 2, -6, 4, 7, -5, -2, -2,
+    -3, 0, -1, -6, -5, -7, -5, 3, -6, 0, -4, -5, -1, -2, 0, 6,
+    2, 2, -5, 6, 3, -7, -7, -3, -3, 0, 4, 1, 0, -4, 0, 6,
+    3, -3, 5, 3, -3, -1, -6, -6, 2, 2, 5, 2, 0, 0, 1, -4)
+
+  /** Model-based quality filtering (the fastText/CCNet pillar: a linear
+    * classifier over hashing-trick bag-of-words features decides which
+    * documents enter the training mix — Wenzek et al., "CCNet", LREC 2020;
+    * Joulin et al., "Bag of Tricks for Efficient Text Classification",
+    * EACL 2017). Each token hashes into one of 64 buckets (first md5 byte
+    * mod 64 — the engine-portable hash convention of q63/q124) and the doc's
+    * logit is the sum of the pinned per-bucket weights: integer arithmetic
+    * end-to-end, so the compared surface is hash-exact. The keep decision is
+    * the integer cross-multiplied threshold mean-weight > -7/5
+    * (5·logit > -7·n_toks) — no division touches the output. Shape: strictly
+    * map-only (tokenize → hash → weight-sum per row, weights live in the
+    * plan as a literal array, no broadcast, no shuffle but the final
+    * presentation sort) — at 100 TB this is a pure scan-transform pass, the
+    * cheapest possible operator class.
+    */
+  def modelQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val wArr = clfWeights.mkString("array(", ", ", ")")
+    documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("int").as("n_toks"),
+        expr(s"aggregate(transform(toks, t -> element_at($wArr, " +
+          "(cast(conv(substring(md5(t), 1, 2), 16, 10) as int) % 64) + 1)), " +
+          "cast(0 as bigint), (a, x) -> a + cast(x as bigint))").as("logit"))
+      .withColumn("keep", col("logit") * 5 > col("n_toks") * -7)
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_model_quality" -> modelQualityFilter _,
     "q115_substring_dedup" -> substringDedup _,
     "q102_chunk_sliding" -> chunkSliding _,
     "q89_zorder_layout"  -> zorderLayout _,
@@ -376,7 +418,24 @@ object Pipeline {
     "q123_bigram_logprob"  -> bigramLogprob _,
   )
 
+  private val clfWSql = clfWeights.mkString("[", ", ", "]")
+
   val oracles: Map[String, String] = Map(
+    "q142_model_quality" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                             x -> x <> '') AS toks
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, CAST(len(toks) AS INT) AS n_toks,
+        |         CAST(coalesce(list_sum(list_transform(toks, t ->
+        |           $clfWSql[
+        |             ((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
+        |              + strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) % 64 + 1])),
+        |           0) AS BIGINT) AS logit
+        |  FROM toks)
+        |SELECT doc_id, n_toks, logit, logit * 5 > n_toks * -7 AS keep
+        |FROM scored ORDER BY doc_id""".stripMargin,
     "q115_substring_dedup" ->
       """WITH t AS (SELECT doc_id,
         |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks

@@ -113,6 +113,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("model quality filter: weights match the public recipe; logits match an independent JVM recomputation") {
+    // The pinned literal table IS the md5-derived recipe (first hex byte of
+    // the bucket index, mod 15, minus 7) — if one drifts, this fails.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val recipe = (0 until 64).map(b => Integer.parseInt(md5hex(b.toString).take(2), 16) % 15 - 7)
+    assert(Pipeline.clfWeights == recipe)
+    // Independent scoring: tokenize + hash + sum in plain Scala, no Spark SQL.
+    val expected = graft.tables.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().map { r =>
+        val toks = r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)
+        val logit = toks.map(t => recipe(Integer.parseInt(md5hex(t).take(2), 16) % 64).toLong).sum
+        r.getLong(0) -> (toks.length, logit)
+      }.toMap
+    val out = Pipeline.modelQualityFilter(spark, sfDir).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (doc, n, logit, keep) = (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))
+      assert((n, logit) == expected(doc), s"doc $doc: got ($n,$logit) want ${expected(doc)}")
+      assert(keep == (logit * 5 > n * -7L))
+    }
+  }
+
   test("unigram log-prob scores are within the information-theoretic bounds") {
     val toks = graft.tables.Tables.documents(spark, sfDir)
       .select(explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("w"))
