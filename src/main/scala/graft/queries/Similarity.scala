@@ -527,6 +527,34 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Semantic decontamination — the embedding-space companion to q84's
+    * n-gram overlap test (the second line of defense every LLM pipeline
+    * runs: paraphrased or translated benchmark leakage shares no shingles
+    * but lands next to the eval set in embedding space). Eval set =
+    * vec_id < 20 (eval suites are bounded → broadcast); every training
+    * vector scores against it and is flagged when any cosine ≥ 0.25,
+    * reporting hit count and the closest eval item. Per-row work is
+    * |eval| dot products with the corpus streaming map-side — linear in
+    * corpus size at 100 TB, no shuffle but the per-doc window over the
+    * (sparse) flagged rows. At extreme eval-set sizes the exact scoring
+    * swaps for the q41/q59 candidate generators unchanged.
+    */
+  def semanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val eval = e.filter(col("vec_id") < 20).toDF("eval_id", "ev", "enrm")
+    val w = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("eval_id"))
+    e.filter(col("vec_id") >= 20)
+      .join(broadcast(eval), col("vec_id") =!= col("eval_id"))
+      .withColumn("cs", VectorOps.dot(col("v"), col("ev")) / (col("nrm") * col("enrm")))
+      .filter(col("cs") >= 0.25)
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_hits", count(lit(1)).over(Window.partitionBy("vec_id")))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("n_hits"),
+              col("eval_id").as("best_eval_id"), round(col("cs"), 4).as("best_cs"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding-health report — the monitoring query a vector pipeline runs
     * after every ingest: per-label count and norm profile (mean/min/max/
     * stddev). A collapsed encoder, a normalization bug, or a bad batch
@@ -548,6 +576,7 @@ object Similarity {
       .orderBy("label")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_semantic_decontaminate" -> semanticDecontaminate _,
     "q136_ann_mrr"            -> annMrr _,
     "q135_hard_negatives"     -> hardNegatives _,
     "q131_semantic_dedup"     -> semanticDedup _,
@@ -819,6 +848,22 @@ object Similarity {
          |               ORDER BY cs DESC, vec_id) AS rnk
          |      FROM scored)
          |WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+    "q143_semantic_decontaminate" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |ev AS (SELECT vec_id AS eval_id, v AS ev, nrm AS enrm FROM n WHERE vec_id < 20),
+        |hits AS (
+        |  SELECT a.vec_id, eval_id,
+        |         list_dot_product(a.v, ev.ev) / (a.nrm * ev.enrm) AS cs
+        |  FROM n a, ev
+        |  WHERE a.vec_id >= 20
+        |    AND list_dot_product(a.v, ev.ev) / (a.nrm * ev.enrm) >= 0.25),
+        |r AS (SELECT vec_id, eval_id, cs,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, eval_id) AS rnk,
+        |        CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT) AS n_hits
+        |      FROM hits)
+        |SELECT vec_id, n_hits, eval_id AS best_eval_id, round(cs, 4) AS best_cs
+        |FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
     "q131_semantic_dedup" -> semanticDedupOracle,
     "q132_ivfpq_adc" -> ivfPqAdcOracle,
     "q125_embed_stats" ->

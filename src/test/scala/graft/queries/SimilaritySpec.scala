@@ -118,6 +118,35 @@ class SimilaritySpec extends SparkSpec {
     assert(nlj.size <= 4, s"${nlj.size} nested-loop joins — assignment subtree fan-out grew")
   }
 
+  test("semantic decontamination matches an independent JVM recomputation") {
+    val vecs = graft.tables.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val eval = vecs.filter(_._1 < 20)
+    val expected = vecs.filter(_._1 >= 20).flatMap { case (id, v) =>
+      val hits = eval.toSeq.map { case (eid, ev) => (eid, cos(v, ev)) }
+        .filter(_._2 >= 0.25)
+      if (hits.isEmpty) None
+      else {
+        val best = hits.minBy { case (eid, cs) => (-cs, eid) }
+        Some(id -> (hits.size.toLong, best._1))
+      }
+    }
+    val out = Similarity.semanticDecontaminate(spark, sfDir).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (id, n, bestEval, bestCs) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert((n, bestEval) == expected(id), s"doc $id: got ($n,$bestEval)")
+      assert(bestCs >= 0.25 - 5e-5 && bestCs <= 1.0)
+    }
+  }
+
   test("ADC search ranks by table-lookup sums that bound true distance from below-ish: recall floor holds") {
     // ADC approximates squared-L2 by per-block nearest-centroid lookups;
     // on this corpus the approximation must keep a usable share of the true
