@@ -168,6 +168,29 @@ object Sinks {
     * byte-exactly. `repartition(4)` pins a multi-shard layout (the
     * connector plans one partition per shard).
     */
+  /** The connector as a SINK: documents go out through LinesSource's own
+    * BATCH_WRITE (v2 two-phase commit, no parquet/text-sink detour) and come
+    * back through its BATCH_READ; the aggregate must equal the source table.
+    * Overwrite mode exercises the TRUNCATE capability (and keeps the query
+    * idempotent across Verify reruns). lang rides inside the line because a
+    * line shard persists only text — ids/metadata are positional-on-read.
+    */
+  def linesWriteRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpOut(dir, "lines_w")
+    documents(spark, dir)
+      .repartition(4)
+      .select(col("doc_id"), lit("w").as("fname"),
+        concat_ws("\t", col("lang"), col("text")).as("text"))
+      .write.format("graft.sources.LinesSource").mode("overwrite").save(out)
+    spark.read.format("graft.sources.LinesSource").load(out)
+      .select(split(col("text"), "\t", 2).as("f"))
+      .select(col("f").getItem(0).as("lang"),
+              length(col("f").getItem(1)).as("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
   def linesSourceRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = tmpOut(dir, "lines")
     documents(spark, dir)
@@ -184,6 +207,7 @@ object Sinks {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_lines_write_roundtrip" -> linesWriteRoundtrip _,
     "q133_lines_source_roundtrip" -> linesSourceRoundtrip _,
     "q126_schema_evolution" -> schemaEvolution _,
     "q114_incremental_agg" -> incrementalAgg _,
@@ -195,6 +219,10 @@ object Sinks {
   )
 
   val oracles: Map[String, String] = Map(
+    "q144_lines_write_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(text)) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q133_lines_source_roundtrip" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(len(text)) AS BIGINT) AS sum_chars

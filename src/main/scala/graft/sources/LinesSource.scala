@@ -2,10 +2,11 @@ package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -40,9 +41,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *    deterministically from the sorted listing on recovery). New files
   *    must sort AFTER already-ingested ones (monotone shard naming — the
   *    standard landing-zone convention) or their ids would reshuffle.
+  *  - `BATCH_WRITE` + `TRUNCATE`: the connector is also a sink
+  *    (append/overwrite) with the v2 two-phase commit: each task streams its
+  *    partition's `text` lines to a DOT-PREFIXED temp file (invisible to
+  *    `listShards`, so concurrent readers never observe a half-written
+  *    batch), and the driver's `commit` renames the temps to
+  *    `part-<batch>-<partition>` names that sort AFTER every existing shard
+  *    — the monotone naming the streaming reader requires, so a LinesSource
+  *    write feeds a LinesSource stream. A failed/speculative task attempt
+  *    leaves only an orphaned dot-file, which commit sweeps; `doc_id` and
+  *    `fname` are derived-on-read (positional), so only `text` persists.
   *
-  * Usage: `spark.read.format("graft.sources.LinesSource").load(dir)` or
-  * `spark.readStream.format("graft.sources.LinesSource").load(dir)`.
+  * Usage: `spark.read.format("graft.sources.LinesSource").load(dir)`,
+  * `spark.readStream.format(...)`, or
+  * `df.write.format(...).mode("append"|"overwrite").save(dir)`.
   */
 class LinesSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -81,13 +93,16 @@ object LinesSource {
   def shardMaxId(i: Int): Long = (i.toLong << 32) + 0xFFFFFFFFL
 }
 
-final class LinesTable(path: String) extends Table with SupportsRead {
+final class LinesTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_lines($path)"
   override def schema(): StructType = LinesSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LinesScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new LinesWriteBuilder(path, info)
 }
 
 final class LinesScanBuilder(path: String) extends ScanBuilder
@@ -235,4 +250,90 @@ final class LinesPartitionReader(file: String, idx: Int,
   }
 
   override def close(): Unit = reader.close()
+}
+
+final class LinesWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = new LinesWrite(path, info.schema(), truncateFirst)
+}
+
+final class LinesWrite(path: String, schema: StructType, truncateFirst: Boolean)
+    extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+  override def description(): String =
+    s"GraftLines write path=$path, truncate=$truncateFirst"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new java.io.File(path)
+    require(dir.isDirectory || dir.mkdirs(), s"graft_lines: cannot create $path")
+    new LinesWriterFactory(path, schema.fieldIndex("text"))
+  }
+
+  /** Driver-side publish: truncate if overwriting, then rename each task's
+    * temp to its final monotone name, then sweep orphaned temps (failed or
+    * speculative attempts). Empty partitions produced no temp and publish
+    * no shard.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (truncateFirst) LinesSource.listShards(path).foreach(_.delete())
+    val batch = LinesSource.listShards(path).size
+    messages.collect { case m: LinesCommitMessage if m.rows > 0 => m }
+      .foreach { m =>
+        val src = new java.io.File(path, m.tmpName)
+        val dst = new java.io.File(path, f"part-$batch%06d-${m.partitionId}%05d.txt")
+        require(src.renameTo(dst), s"graft_lines: commit rename failed for ${m.tmpName}")
+      }
+    sweepTemps(messages)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = sweepTemps(messages)
+
+  private def sweepTemps(messages: Array[WriterCommitMessage]): Unit = {
+    val d = new java.io.File(path).listFiles()
+    if (d != null)
+      d.filter(f => f.isFile && f.getName.startsWith(".graft-lines-tmp-"))
+        .foreach(_.delete())
+  }
+}
+
+final case class LinesCommitMessage(partitionId: Int, tmpName: String, rows: Long)
+    extends WriterCommitMessage
+
+final class LinesWriterFactory(path: String, textIdx: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new LinesDataWriter(path, partitionId, taskId, textIdx)
+}
+
+/** Streams one partition's text lines to a hidden temp file. The text
+  * contract is line-oriented (values must not contain '\n' — same as any
+  * text sink); ids are positional and regenerate on read.
+  */
+final class LinesDataWriter(path: String, partitionId: Int, taskId: Long, textIdx: Int)
+    extends DataWriter[InternalRow] {
+  private val tmp = new java.io.File(path, s".graft-lines-tmp-$partitionId-$taskId")
+  private var out: java.io.BufferedWriter = _
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null)
+      out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        new java.io.FileOutputStream(tmp), java.nio.charset.StandardCharsets.UTF_8))
+    out.write(row.getUTF8String(textIdx).toString)
+    out.write('\n')
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    LinesCommitMessage(partitionId, tmp.getName, rows)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    tmp.delete()
+  }
+
+  override def close(): Unit = ()
 }

@@ -131,6 +131,43 @@ class SourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LinesSource writes append monotone shards, overwrite truncates, empty partitions publish nothing") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_lines_write").toString
+    def df(texts: Seq[String], parts: Int) = {
+      import spark.implicits._
+      texts.toDF("text").repartition(parts)
+        .select(lit(0L).as("doc_id"), lit("w").as("fname"), col("text"))
+    }
+    // append batch 1: 2 rows over 4 partitions — empty partitions publish
+    // no file, so the shard count tracks non-empty partitions, not tasks
+    df(Seq("a", "b"), 4).write.format("graft.sources.LinesSource")
+      .mode("append").save(dir)
+    val shards1 = graft.sources.LinesSource.listShards(dir).map(_.getName)
+    assert(shards1.nonEmpty && shards1.size < 4,
+      s"empty partitions published files: $shards1")
+    assert(shards1.forall(_.startsWith("part-000000-")))
+    // append batch 2: names must sort AFTER batch 1 (the streaming contract)
+    df(Seq("c"), 1).write.format("graft.sources.LinesSource")
+      .mode("append").save(dir)
+    val shards2 = graft.sources.LinesSource.listShards(dir).map(_.getName)
+    assert(shards2.size == shards1.size + 1 && shards2 == shards2.sorted)
+    assert(shards2.last.startsWith(f"part-${shards1.size}%06d-"),
+      s"non-monotone: $shards2")
+    val all = spark.read.format("graft.sources.LinesSource").load(dir)
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(all == Set("a", "b", "c"))
+    // no temp litter
+    assert(new java.io.File(dir).listFiles().forall(!_.getName.startsWith(".")))
+    // overwrite: TRUNCATE capability drops every previous shard first
+    df(Seq("z"), 1).write.format("graft.sources.LinesSource")
+      .mode("overwrite").save(dir)
+    val after = spark.read.format("graft.sources.LinesSource").load(dir)
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(after == Set("z"))
+    assert(graft.sources.LinesSource.listShards(dir).size == 1)
+  }
+
   test("LinesSource pushes doc_id filters and prunes columns in the scan") {
     val p = stageShards(Seq(Seq("x", "y", "z")))
     val q = readLinesSrc(p)
