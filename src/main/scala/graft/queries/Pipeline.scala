@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.tables.Tables._
@@ -388,21 +388,70 @@ object Pipeline {
     * presentation sort) — at 100 TB this is a pure scan-transform pass, the
     * cheapest possible operator class.
     */
-  def modelQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+  /** Σ w[h(tok)] over a column literally named `toks` — q142's logit, shared
+    * with the q145 funnel so the two spellings cannot drift.
+    */
+  private[queries] def clfLogitCol: Column = {
     val wArr = clfWeights.mkString("array(", ", ", ")")
+    expr(s"aggregate(transform(toks, t -> element_at($wArr, " +
+      "(cast(conv(substring(md5(t), 1, 2), 16, 10) as int) % 64) + 1)), " +
+      "cast(0 as bigint), (a, x) -> a + cast(x as bigint))")
+  }
+
+  def modelQualityFilter(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"),
         expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("int").as("n_toks"),
-        expr(s"aggregate(transform(toks, t -> element_at($wArr, " +
-          "(cast(conv(substring(md5(t), 1, 2), 16, 10) as int) % 64) + 1)), " +
-          "cast(0 as bigint), (a, x) -> a + cast(x as bigint))").as("logit"))
+        clfLogitCol.as("logit"))
       .withColumn("keep", col("logit") * 5 > col("n_toks") * -7)
       .orderBy("doc_id")
+
+  /** Filter-cascade funnel — the per-stage survival report every corpus
+    * build publishes (the FineWeb/RefinedWeb recipe: heuristics → model
+    * filter → dedup, each stage consuming the previous stage's survivors).
+    * Stages compose the engine's own gates — nothing is re-specified:
+    * s1 = q47's heuristic score ≥ 0.25, s2 = q142's classifier keep,
+    * s3 = exact dedup (min doc_id per md5(text), q35's rule), s4 = near-dup
+    * drop (≥ 5 shared shingles with a lower-id survivor — q84's overlap
+    * test applied corpus-internally on the q36 shingle index). Counts are
+    * integers; every stage is a key-partitioned shape that holds at 100 TB
+    * (the pair join rides the banded shingle index, never all-pairs).
+    */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val toks = docs.repartition(col("doc_id"))
+      .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
+    val s1 = toks.withColumn("stop_ratio", TextAnalysis.stopRatioCol)
+      .filter(TextAnalysis.scoreCol(col("stop_ratio")) >= 0.25)
+    val s2 = s1.filter(clfLogitCol * 5 > size(col("toks")).cast("int") * -7)
+    val s3 = s2.withColumn("m",
+        min("doc_id").over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("m"))
+      .select("doc_id")
+    val shS = Dedup.shingleStrings(spark, dir).join(s3, "doc_id")
+    val dropped = shS.as("a")
+      .join(shS.as("b"),
+        col("a.s") === col("b.s") && col("b.doc_id") < col("a.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("other"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+      .select("doc_id").distinct()
+    val s4 = s3.join(dropped, Seq("doc_id"), "left_anti")
+    def cnt(df: DataFrame, stage: String): DataFrame =
+      df.agg(count(lit(1)).cast("bigint").as("n_docs"))
+        .select(lit(stage).as("stage"), col("n_docs"))
+    cnt(docs, "0_raw")
+      .union(cnt(s1, "1_quality"))
+      .union(cnt(s2, "2_model"))
+      .union(cnt(s3, "3_exact_dedup"))
+      .union(cnt(s4, "4_near_dedup"))
+      .orderBy("stage")
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_filter_funnel" -> filterFunnel _,
     "q142_model_quality" -> modelQualityFilter _,
     "q115_substring_dedup" -> substringDedup _,
     "q102_chunk_sliding" -> chunkSliding _,
@@ -420,7 +469,40 @@ object Pipeline {
 
   private val clfWSql = clfWeights.mkString("[", ", ", "]")
 
+  /** The q142 logit as one DuckDB expression over a list column named
+    * `toks` — shared by the q142 and q145 oracles.
+    */
+  private val clfLogitSql: String =
+    s"""CAST(coalesce(list_sum(list_transform(toks, t ->
+       |           $clfWSql[
+       |             ((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
+       |              + strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) % 64 + 1])),
+       |           0) AS BIGINT)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q145_filter_funnel" -> (Dedup.shingleCte +
+      s""",
+        |toks AS (SELECT doc_id, text, list_filter(string_split(lower(text), ' '),
+        |                                          x -> x <> '') AS toks
+        |         FROM documents),
+        |s1 AS (SELECT * FROM toks WHERE ${TextAnalysis.scoreSql} >= 0.25),
+        |s2 AS (SELECT * FROM s1 WHERE $clfLogitSql * 5 > CAST(len(toks) AS INT) * -7),
+        |s3 AS (SELECT doc_id FROM (
+        |         SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS m FROM s2)
+        |       WHERE doc_id = m),
+        |shS AS (SELECT sh.doc_id, sh.s FROM sh JOIN s3 USING (doc_id)),
+        |dropped AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM shS a JOIN shS b ON a.s = b.s AND b.doc_id < a.doc_id
+        |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5),
+        |s4 AS (SELECT doc_id FROM s3 ANTI JOIN dropped USING (doc_id))
+        |SELECT stage, n_docs FROM (
+        |  SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        |  UNION ALL SELECT '1_quality', CAST(count(*) AS BIGINT) FROM s1
+        |  UNION ALL SELECT '2_model', CAST(count(*) AS BIGINT) FROM s2
+        |  UNION ALL SELECT '3_exact_dedup', CAST(count(*) AS BIGINT) FROM s3
+        |  UNION ALL SELECT '4_near_dedup', CAST(count(*) AS BIGINT) FROM s4)
+        |ORDER BY stage""".stripMargin),
     "q142_model_quality" ->
       s"""WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
@@ -428,11 +510,7 @@ object Pipeline {
         |  FROM documents),
         |scored AS (
         |  SELECT doc_id, CAST(len(toks) AS INT) AS n_toks,
-        |         CAST(coalesce(list_sum(list_transform(toks, t ->
-        |           $clfWSql[
-        |             ((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
-        |              + strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) % 64 + 1])),
-        |           0) AS BIGINT) AS logit
+        |         $clfLogitSql AS logit
         |  FROM toks)
         |SELECT doc_id, n_toks, logit, logit * 5 > n_toks * -7 AS keep
         |FROM scored ORDER BY doc_id""".stripMargin,

@@ -137,6 +137,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("filter funnel: stages are monotone and consistent with the standalone gates") {
+    val rows = Pipeline.filterFunnel(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stages = Seq("0_raw", "1_quality", "2_model", "3_exact_dedup", "4_near_dedup")
+    assert(rows.keySet == stages.toSet)
+    val counts = stages.map(rows)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"funnel not monotone: $rows")
+    assert(rows("0_raw") == graft.tables.Tables.documents(spark, sfDir).count())
+    // stage 2 must equal composing the standalone q47 and q142 gates
+    val q47keep = TextAnalysis.qualityScore(spark, sfDir)
+      .filter(col("score") >= 0.25).select("doc_id")
+    val q142keep = Pipeline.modelQualityFilter(spark, sfDir)
+      .filter(col("keep")).select("doc_id")
+    assert(rows("2_model") == q47keep.join(q142keep, "doc_id").count())
+  }
+
   test("unigram log-prob scores are within the information-theoretic bounds") {
     val toks = graft.tables.Tables.documents(spark, sfDir)
       .select(explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("w"))
