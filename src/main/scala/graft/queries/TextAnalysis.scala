@@ -402,10 +402,11 @@ object TextAnalysis {
     * via an `aggregate` HOF fold and re-count. The driver sees ONE 3-field
     * row per round (the argmax — the q62/q107 scalar-per-round convention);
     * the vocab table stays distributed, localCheckpoint truncates the
-    * 8-round lineage. Not SQL-expressible as one statement (iterative
-    * argmax + rewrite), so this entry is rows-only for the driver;
-    * TextAnalysisSpec proves the rules equal a from-scratch reference BPE
-    * trainer on the same vocabulary.
+    * 8-round lineage. TextAnalysisSpec proves the rules equal a from-scratch
+    * reference BPE trainer; the DuckDB oracle (`bpeMergesOracle`) mirrors
+    * the trainer with the 8 rounds UNROLLED — the fixed round count turns
+    * the iteration into one (large) SQL statement, so the learning path is
+    * hash-checked like everything else.
     */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
     def esc(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
@@ -557,12 +558,44 @@ object TextAnalysis {
       s"replace($e, ${duckSym(a)}||${duckSym(b)}, ${duckSym(a + b)})"
     }
 
+  /** q130's oracle — the 8 learning rounds UNROLLED: a fixed round count
+    * makes the "iterative" trainer one SQL statement after all. Each round
+    * is a (pair-stat, argmax, rewrite) CTE triple over the delimiter-wrapped
+    * vocabulary strings of the q130e convention: pair counts come from TRUE
+    * list adjacency (overlapping occurrences, as BPE counts), while the
+    * rewrite's single non-recursive `replace` is exactly one leftmost
+    * non-overlapping merge pass (the scanner resumes after each insertion —
+    * the same argument documented at `duckBpeFold`). Ties break on binary
+    * string order in both engines.
+    */
+  private val bpeMergesOracle: String = {
+    val sym0 = "chr(1) || array_to_string(list_transform(range(1, len(word)+1), " +
+      "i -> substr(word, i, 1)), chr(2)||chr(1)) || chr(2)"
+    val head =
+      s"""WITH toks AS (SELECT unnest($duckToks) AS word FROM documents),
+         |v0 AS (SELECT CAST(count(*) AS BIGINT) AS cnt, $sym0 AS s
+         |       FROM toks GROUP BY word)""".stripMargin
+    val rounds = (1 to 8).map { r =>
+      s""",
+         |y$r AS (SELECT cnt, string_split(substr(s, 2, len(s)-2), chr(2)||chr(1)) AS y
+         |        FROM v${r - 1}),
+         |p$r AS (SELECT p.a AS a, p.b AS b, CAST(sum(cnt) AS BIGINT) AS n
+         |        FROM (SELECT cnt, unnest(list_transform(range(1, len(y)),
+         |                i -> {'a': y[i], 'b': y[i+1]})) AS p
+         |              FROM y$r WHERE len(y) >= 2)
+         |        GROUP BY 1, 2),
+         |m$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+         |v$r AS (SELECT cnt, replace(s, chr(1)||m.a||chr(2)||chr(1)||m.b||chr(2),
+         |               chr(1)||m.a||m.b||chr(2)) AS s FROM v${r - 1}, m$r m)""".stripMargin
+    }.mkString
+    val union = (1 to 8)
+      .map(r => s"SELECT CAST($r AS INT) AS rule_no, a, b, n FROM m$r")
+      .mkString("\n", "\nUNION ALL ", "\nORDER BY rule_no")
+    head + rounds + union
+  }
+
   val oracles: Map[String, String] = Map(
-    // q130_bpe_merges: no oracle — iterative argmax + vocabulary rewrite is
-    // not one SQL statement; the driver records the rows-only check and
-    // TextAnalysisSpec proves the rules against a reference BPE trainer.
-    // Its APPLY path gets the hard signal instead: q130e below hash-checks
-    // bpeEncode under the pinned rule table.
+    "q130_bpe_merges" -> bpeMergesOracle,
     "q130e_bpe_encode" ->
       s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS word FROM documents),
          |w AS (SELECT DISTINCT word FROM toks),

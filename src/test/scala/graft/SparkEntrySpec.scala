@@ -14,12 +14,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("queries without an oracle are the documented exceptions only") {
-    // q130: iterative BPE training (argmax + vocab rewrite per round) is not
-    // one SQL statement; the driver records its rows-only check and
-    // TextAnalysisSpec proves the rules against a reference trainer.
-    val documented = Set("q130_bpe_merges")
+  test("every registered query has an oracle") {
+    // Since r7 even q130's iterative BPE trainer is oracle-checked (the 8
+    // rounds unroll into one SQL statement) — no rows-only exceptions remain.
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(unoracled == documented, s"queries without oracle: $unoracled")
+    assert(unoracled.isEmpty, s"queries without oracle: $unoracled")
   }
 }
