@@ -575,7 +575,85 @@ object Similarity {
            round(stddev_samp(col("nrm")), 4).as("sd_nrm"))
       .orderBy("label")
 
+  // ---------------------------------------------------------------- q146
+  // Deterministic distributed k-means (Lloyd's algorithm) — the operator
+  // that would TRAIN the coarse centroids the IVF family (q59/q131/q132)
+  // consumes as fixed conventions. The reference's reduce phase is
+  // arbitrary per-key client code (MapReduceClient.h:61-65); iterative
+  // refinement like Lloyd's is the canonical workload built on top of it,
+  // and the canonical curation primitive (SemDeDup's clustering stage).
+  //
+  // Cross-engine exactness (the q107 fixed-point playbook, taken further —
+  // here the ENTIRE loop is integer):
+  //   * every embedding is quantized once to a 1e-6 grid: floor(x·1e6) as
+  //     long (one IEEE multiply + exact floor — identical in both engines);
+  //   * distances are integer squared-L2 (max |q| ≈ 3e5 ⇒ 64·(6e5)² ≈
+  //     2.3e13 ≪ 2⁶³ — no overflow at any corpus scale);
+  //   * the centroid update is the floor of the per-dimension mean,
+  //     computed as floor(double(sum)/count): component sums stay below
+  //     2⁵³ up to ~10⁹ vectors, so the division is exact-input IEEE and
+  //     the floor deterministic;
+  //   * seeds are the k vectors minimizing md5(vec_id) — deterministic,
+  //     data-independent of insertion order (k-means‖ would be the
+  //     production seeding; hash-min is its engine-comparable stand-in).
+  //
+  // Scale shape: each pass is one broadcast of k·64 longs against a
+  // streamed corpus scan (map-side argmin via partial-agg min(struct)),
+  // then a posexplode + two-level aggregation for the update — shuffle
+  // carries k·64 partial sums per partition, never vectors. Centroids are
+  // collected to the driver between rounds (k rows — the same bounded
+  // per-round driver scalar convention as the q62/q107/q130 loops, and
+  // exactly what Spark MLlib's KMeans does).
+  private val kmeansK = 8
+
+  def kmeansLloyd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qv = embeddings(spark, dir)
+      .repartition(col("vec_id"))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents: Array[Seq[Long]] = qv
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(kmeansK)
+      .select(col("v")).as[Seq[Long]].collect()
+    var assign: DataFrame = null
+    for (r <- 1 to 3) {
+      val centDf = cents.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("cent_id", "c")
+      assign = qv.crossJoin(broadcast(centDf))
+        .select(col("vec_id"), col("v"), col("cent_id"),
+          aggregate(zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
+            lit(0L), _ + _).as("d"))
+        .groupBy(col("vec_id"), col("v"))
+        .agg(min(struct(col("d"), col("cent_id"))).as("m"))
+        .select(col("vec_id"), col("v"),
+          col("m.cent_id").as("cent_id"), col("m.d").as("d"))
+      if (r < 3) {
+        // Per-dimension floor-mean; clusters that lost every member keep
+        // their previous centroid (deterministic, mirrored in the oracle).
+        val upd = assign
+          .select(col("cent_id"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cent_id"), col("dim"))
+          .agg(floor(sum(col("x")).cast("double") / count(lit(1)))
+            .cast("long").as("cv"))
+          .as[(Int, Int, Long)].collect()
+          .groupBy(_._1).map { case (cid, rs) =>
+            cid -> rs.sortBy(_._2).map(_._3).toSeq }
+        cents = Array.tabulate(kmeansK)(i => upd.getOrElse(i, cents(i)))
+      }
+    }
+    val out = assign.groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("inertia_q"))
+      .orderBy("cent_id")
+      .localCheckpoint()
+    qv.unpersist(blocking = false)
+    out
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_kmeans"             -> kmeansLloyd _,
     "q143_semantic_decontaminate" -> semanticDecontaminate _,
     "q136_ann_mrr"            -> annMrr _,
     "q135_hard_negatives"     -> hardNegatives _,
@@ -798,7 +876,51 @@ object Similarity {
          |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
   }
 
+  /** DuckDB mirror of `kmeansLloyd`: the three Lloyd passes unrolled as
+    * (distance, argmin, floor-mean update) CTE triples — the q107/q130
+    * unrolled-iteration technique. All arithmetic integer except the two
+    * exactness-proven float steps (quantization multiply, mean division),
+    * spelled identically to the Spark plan.
+    */
+  private val kmeansOracle: String = {
+    def pass(prev: String, n: Int): String =
+      s"""d$n AS (SELECT q.vec_id, q.v, c.cent_id,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |           i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i]))) AS BIGINT) AS d
+         |       FROM q CROSS JOIN $prev c),
+         |a$n AS (SELECT vec_id, v, cent_id, d FROM
+         |         (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY d, cent_id) AS rn FROM d$n)
+         |       WHERE rn = 1)""".stripMargin
+    def upd(a: String, prev: String, cur: String): String =
+      s"""u$cur AS (SELECT cent_id, t.i AS dim,
+         |         CAST(floor(CAST(sum(v[t.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+         |       FROM $a, range(1, 65) t(i) GROUP BY cent_id, t.i),
+         |$cur AS (SELECT p.cent_id, coalesce(l.c, p.c) AS c
+         |       FROM $prev p LEFT JOIN
+         |         (SELECT cent_id, list(cv ORDER BY dim) AS c
+         |          FROM u$cur GROUP BY cent_id) l USING (cent_id))""".stripMargin
+    s"""WITH q AS (SELECT vec_id,
+       |        list_transform(CAST(embedding AS DOUBLE[]),
+       |          x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS v
+       |      FROM embeddings),
+       |seeds AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
+       |          FROM q ORDER BY h, vec_id LIMIT $kmeansK),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER)
+       |                AS cent_id, v AS c
+       |       FROM seeds),
+       |${pass("c0", 1)},
+       |${upd("a1", "c0", "c1")},
+       |${pass("c1", 2)},
+       |${upd("a2", "c1", "c2")},
+       |${pass("c2", 3)}
+       |SELECT cent_id, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(d) AS BIGINT) AS inertia_q
+       |FROM a3 GROUP BY cent_id ORDER BY cent_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q146_kmeans" -> kmeansOracle,
     "q136_ann_mrr" ->
       s"""WITH planes(pl) AS (SELECT $planesSql),
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

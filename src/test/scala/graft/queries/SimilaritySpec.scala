@@ -157,4 +157,41 @@ class SimilaritySpec extends SparkSpec {
     val mean = recalls.sum / recalls.length
     assert(mean >= 0.2, s"mean ADC recall $mean — codes or tables likely broken")
   }
+
+  test("k-means: distributed result equals a from-scratch single-threaded Lloyd run") {
+    // Independent recomputation on the driver — same spec (1e-6 quantized
+    // grid, md5-min seeds, 3 assignment passes, floor-mean updates, min
+    // cent_id tie-break), zero shared code with the query under test.
+    val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(f => math.floor(f.toDouble * 1e6).toLong).toArray))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    var cents = raw.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(8).map(_._2.clone)
+    def assignAll() = raw.map { case (id, v) =>
+      val ds = cents.map(c => c.indices.map(i => (v(i) - c(i)) * (v(i) - c(i))).sum)
+      val cid = ds.indices.minBy(i => (ds(i), i))
+      (id, cid, ds(cid))
+    }
+    var asg = assignAll()
+    for (_ <- 1 to 2) {
+      val byC = asg.groupBy(_._2)
+      cents = Array.tabulate(8) { cid =>
+        byC.get(cid).fold(cents(cid)) { members =>
+          val vs = members.map(m => raw.find(_._1 == m._1).get._2)
+          Array.tabulate(64)(d =>
+            math.floor(vs.map(_(d)).sum.toDouble / vs.length).toLong)
+        }
+      }
+      asg = assignAll()
+    }
+    val expected = asg.groupBy(_._2).map { case (cid, ms) =>
+      (cid, ms.length.toLong, ms.map(_._3).sum) }.toSet
+    val got = Similarity.kmeansLloyd(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"distributed k-means diverged: $got vs $expected")
+  }
 }
