@@ -207,7 +207,36 @@ object EventAnalytics {
       .orderBy("user_id", "event_type")
   }
 
+  /** q147 — SCD Type 2 dimension build: the event stream read as change
+    * capture on a per-user attribute (the event's type as the tracked
+    * state), collapsed to value-change rows and published as a versioned
+    * dimension with half-open [valid_from, valid_to) intervals — the
+    * warehouse operator that q109's latest-wins compaction is the Type-1
+    * degenerate case of. Run-length change detection via `lag`, interval
+    * close via `lead`, both over the SAME (user_id | ts, event_id) window:
+    * one exchange on user_id serves every step, and (ts, event_id) is a
+    * verified-unique total order so neither engine can win a sort tie.
+    * At 100 TB the shuffle carries only (user, ts, id, state) — the
+    * dimension build never touches payload columns.
+    */
+  def scdType2(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type").as("state"))
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("state"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_scd2"            -> scdType2 _,
     "q109_cdc_compact"     -> cdcCompact _,
     "q121_gap_fill"        -> gapFill _,
     "q127_join_null_safe"  -> joinNullSafe _,
@@ -244,6 +273,21 @@ object EventAnalytics {
       |ORDER BY user_id, s_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q147_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  event_type AS state FROM events),
+        |ch AS (SELECT *, lag(state) OVER
+        |         (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        |f AS (SELECT user_id, ts, event_id, state FROM ch
+        |      WHERE prev IS NULL OR prev <> state)
+        |SELECT user_id,
+        |       row_number() OVER w AS version,
+        |       state, ts AS valid_from,
+        |       lead(ts) OVER w AS valid_to,
+        |       lead(ts) OVER w IS NULL AS is_current
+        |FROM f
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "q127_join_null_safe" ->
       """WITH f AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |           FROM events),
