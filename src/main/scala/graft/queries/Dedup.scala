@@ -462,7 +462,56 @@ object Dedup {
       .orderBy("id_a")
   }
 
+  /** q148 — incremental ingest dedup: the new batch (deterministically
+    * doc_id % 10 = 9, the stand-in for "today's crawl") deduped AGAINST the
+    * standing corpus (the other 90%) — the production shape where the
+    * corpus is never re-paired with itself. Exact pass = 32-byte digest
+    * left join against the corpus digest set; near pass = the batch's
+    * shingles PROBING the corpus's inverted index (df ≤ 100 stop-cap on
+    * corpus frequency, as q36), so candidate work is proportional to the
+    * batch, not the corpus. Per batch doc: drop_exact (byte-identical
+    * corpus twin exists), drop_near (best corpus Jaccard ≥ 0.6 over full
+    * shingle sets), else keep — with the matched corpus doc and score.
+    * At 100 TB the digest set and shingle index are standing, bucketed
+    * artifacts maintained across ingests; each batch costs one probe join
+    * per pass. Both passes ride the session-cached `shingled` substrate.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val isNew = col("doc_id") % 10 === 9
+    val dig = documents(spark, dir).select(col("doc_id"), md5(col("text")).as("h"))
+    val corpusDig = dig.filter(!isNew)
+      .groupBy("h").agg(min("doc_id").as("exact_match"))
+    val ex = dig.filter(isNew)
+      .join(corpusDig, Seq("h"), "left").select(col("doc_id"), col("exact_match"))
+    val sh = shingled(spark, dir)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val shx = sh.select(col("doc_id"), explode(col("sh")).as("s64"))
+    val corp = shx.filter(!isNew)
+    val rare = corp.groupBy("s64").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100).select("s64")
+    val common = shx.filter(isNew).toDF("new_id", "s64")
+      .join(corp.join(rare, "s64").select(col("s64"), col("doc_id").as("corp_id")), "s64")
+      .groupBy("new_id", "corp_id").agg(count(lit(1)).as("c"))
+    val near = common
+      .join(sizes.toDF("new_id", "na"), "new_id")
+      .join(sizes.toDF("corp_id", "nb"), "corp_id")
+      .withColumn("j", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("j") >= 0.6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("new_id").orderBy(col("j").desc, col("corp_id"))
+    val bestn = near.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("new_id").as("doc_id"), col("corp_id").as("near_match"), col("j"))
+    ex.join(bestn, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "drop_exact")
+          .when(col("near_match").isNotNull, "drop_near")
+          .otherwise("keep").as("verdict"),
+        col("exact_match"), col("near_match"), round(col("j"), 4).as("jac"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_incremental_dedup"     -> incrementalDedup _,
     "q35_dedup_exact"            -> dedupExact _,
     "q138_crossdup_matrix"       -> crossSourceDups _,
     "q78_dedup_fuzzy"            -> fuzzyEdit _,
@@ -566,7 +615,46 @@ object Dedup {
          |SELECT id AS doc_id, round(pr, 6) AS pr FROM r3 ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB mirror of `incrementalDedup`: same batch split, digest left
+    * join, corpus-df stop-cap, and single-division Jaccard (identical op
+    * order → bit-equal ordering keys).
+    */
+  private val incrementalDedupOracle: String =
+    shingleCte +
+      """,
+        |inc AS (SELECT * FROM sh WHERE doc_id % 10 = 9),
+        |corp AS (SELECT * FROM sh WHERE doc_id % 10 <> 9),
+        |rare AS (SELECT s FROM corp GROUP BY s HAVING count(*) <= 100),
+        |idx AS (SELECT corp.doc_id, corp.s FROM corp JOIN rare USING (s)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (SELECT inc.doc_id AS new_id, idx.doc_id AS corp_id,
+        |                  count(*) AS c
+        |           FROM inc JOIN idx USING (s) GROUP BY 1, 2),
+        |near AS (SELECT new_id, corp_id,
+        |                c * 1.0 / (sa.n + sb.n - c) AS j
+        |         FROM common
+        |         JOIN sizes sa ON sa.doc_id = new_id
+        |         JOIN sizes sb ON sb.doc_id = corp_id
+        |         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6),
+        |bestn AS (SELECT new_id AS doc_id, corp_id AS near_match, j
+        |          FROM (SELECT *, row_number() OVER (PARTITION BY new_id
+        |                  ORDER BY j DESC, corp_id) AS rn FROM near)
+        |          WHERE rn = 1),
+        |dige AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |ce AS (SELECT h, min(doc_id) AS exact_match FROM dige
+        |       WHERE doc_id % 10 <> 9 GROUP BY h),
+        |ex AS (SELECT d.doc_id, ce.exact_match FROM dige d
+        |       LEFT JOIN ce USING (h) WHERE d.doc_id % 10 = 9)
+        |SELECT ex.doc_id,
+        |       CASE WHEN exact_match IS NOT NULL THEN 'drop_exact'
+        |            WHEN near_match IS NOT NULL THEN 'drop_near'
+        |            ELSE 'keep' END AS verdict,
+        |       exact_match, near_match, round(j, 4) AS jac
+        |FROM ex LEFT JOIN bestn USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q148_incremental_dedup" -> incrementalDedupOracle,
     "q107_pagerank" -> pagerankOracle,
     "q38_dedup_simhash" -> simhashOracle,
     "q93_dedup_triangles" -> (pairsCte +
