@@ -450,8 +450,50 @@ object Pipeline {
       .orderBy("stage")
   }
 
+  /** q149 — DSIR-style data selection via hashed-feature importance
+    * (Xie et al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS 2023): score every document by how much its
+    * hashed bag-of-words looks drawn from the TARGET distribution (the
+    * English subcorpus — the stand-in for "high-quality reference data")
+    * versus the raw corpus. The published estimator weights each feature
+    * by log(p_target/p_raw); to honor the engine's no-transcendentals
+    * oracle discipline the per-token weight is collapsed to its SIGN —
+    * bucket b votes "target" iff t_b·C > c_b·T, an integer cross-
+    * multiplication (Decimal(38) so ~10¹³-token corpora cannot overflow
+    * the product) — and the document's affinity is its vote fraction.
+    * Shape: one token-level aggregation into 256 hashed buckets (the q142
+    * md5 recipe widened to a byte), the 256-row vote table broadcast back
+    * onto the token stream, one per-doc count — map-side everywhere, no
+    * shuffle wider than (doc_id). Self-selection: target docs score high
+    * by construction, exactly as DSIR's importance weights do.
+    */
+  def dsirAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("t"))
+      .withColumn("b", expr("cast(conv(substring(md5(t), 1, 2), 16, 10) as int) % 256"))
+    val agg = toks.groupBy("b").agg(
+      count(lit(1)).as("c_b"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_b"))
+    val tot = agg.agg(sum("c_b").as("c_tot"), sum("t_b").as("t_tot"))
+    val votes = agg.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (col("t_b").cast("decimal(38,0)") * col("c_tot") >
+         col("c_b").cast("decimal(38,0)") * col("t_tot")).as("vote"))
+    toks.join(broadcast(votes), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ntok"),
+           sum(when(col("vote"), 1L).otherwise(0L)).as("votes"))
+      .select(col("doc_id"), col("ntok"), col("votes"),
+        round(col("votes").cast("double") / col("ntok"), 4).as("target_affinity"),
+        (col("votes") * 2 >= col("ntok")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q145_filter_funnel" -> filterFunnel _,
+    "q149_dsir_affinity" -> dsirAffinity _,
     "q142_model_quality" -> modelQualityFilter _,
     "q115_substring_dedup" -> substringDedup _,
     "q102_chunk_sliding" -> chunkSliding _,
@@ -480,6 +522,31 @@ object Pipeline {
        |           0) AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q149_dsir_affinity" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |         unnest(list_filter(string_split(lower(text), ' '),
+        |                            x -> x <> '')) AS t
+        |       FROM documents),
+        |bt AS (SELECT doc_id, lang,
+        |         ((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
+        |          + strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) % 256 AS b
+        |       FROM toks),
+        |agg AS (SELECT b, count(*) AS c_b,
+        |               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_b
+        |        FROM bt GROUP BY b),
+        |tot AS (SELECT CAST(sum(c_b) AS HUGEINT) AS c_tot,
+        |               CAST(sum(t_b) AS HUGEINT) AS t_tot FROM agg),
+        |v AS (SELECT b, CAST(t_b AS HUGEINT) * c_tot >
+        |               CAST(c_b AS HUGEINT) * t_tot AS vote
+        |      FROM agg, tot),
+        |d AS (SELECT doc_id, count(*) AS ntok,
+        |             sum(CASE WHEN vote THEN 1 ELSE 0 END) AS votes
+        |      FROM bt JOIN v USING (b) GROUP BY doc_id)
+        |SELECT doc_id, CAST(ntok AS BIGINT) AS ntok,
+        |       CAST(votes AS BIGINT) AS votes,
+        |       round(CAST(votes AS DOUBLE) / ntok, 4) AS target_affinity,
+        |       votes * 2 >= ntok AS keep
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q145_filter_funnel" -> (Dedup.shingleCte +
       s""",
         |toks AS (SELECT doc_id, text, list_filter(string_split(lower(text), ' '),
