@@ -152,7 +152,39 @@ object Corpus {
       .select(col("lang"), (col("i") + 1).cast("int").as("rnk"), col("doc_id"))
       .orderBy("lang", "rnk")
 
+  /** q150 — curriculum ordering: the training-order manifest. Each
+    * document is quality-ranked WITHIN its language (q47's shared score
+    * snippet — the same IEEE op spelling both engines, so even the float
+    * sort keys are bit-equal), then languages are interleaved by rank:
+    * global position orders by (lang_rank, lang), so epoch position k
+    * cycles through every language's k-th best document — the standard
+    * quality-curriculum + language-balance discipline for multilingual
+    * pretraining. Ties inside a language break on doc_id; the global
+    * (lang_rank, lang) key is unique by construction. The final
+    * row_number is a global sort — which is what writing a training
+    * manifest IS; Spark executes it as a range-partitioned exchange, one
+    * pass, no driver materialization.
+    */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("score").desc, col("doc_id"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lang_rank"), col("lang"))
+    documents(spark, dir)
+      .repartition(col("doc_id"))
+      .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("stop_ratio", TextAnalysis.stopRatioCol)
+      .withColumn("score", TextAnalysis.scoreCol(col("stop_ratio")))
+      .withColumn("lang_rank", row_number().over(w))
+      .withColumn("seq", row_number().over(wg))
+      .select(col("seq"), col("doc_id"), col("lang"), col("lang_rank"),
+              col("score"))
+      .orderBy("seq")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_curriculum"      -> curriculum _,
     "q140_stratified_inspect" -> stratifiedInspect _,
     "q137_split_report"     -> splitReport _,
     "q124_sample_weighted"  -> sampleWeighted _,
@@ -163,6 +195,17 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q150_curriculum" ->
+      s"""WITH toks AS (SELECT doc_id, lang,
+         |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         |       FROM documents),
+         |s AS (SELECT doc_id, lang, ${TextAnalysis.scoreSql} AS score
+         |      FROM toks WHERE len(toks) > 0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |        ORDER BY score DESC, doc_id) AS lang_rank FROM s)
+         |SELECT row_number() OVER (ORDER BY lang_rank, lang) AS seq,
+         |       doc_id, lang, lang_rank, score
+         |FROM r ORDER BY seq""".stripMargin,
     "q140_stratified_inspect" ->
       """SELECT lang, CAST(rnk AS INT) AS rnk, doc_id
         |FROM (SELECT lang, doc_id,
