@@ -598,6 +598,53 @@ object Relational {
          |  AND l_discount BETWEEN 0.05 AND 0.07
          |  AND l_quantity < 24""".stripMargin)
 
+  /** TPC-H Q7 (volume shipping) through the SQL front-end: the dual-nation
+    * trade flow — supplier in one nation, customer in the other, both
+    * directions, split by ship year. Exercises a self-joined dimension
+    * (nation twice under different roles) and a disjunctive cross-nation
+    * predicate that must NOT degrade to a cartesian: both nation joins
+    * stay equi-joins on the keys and the OR filters the 2×2 name
+    * combinations after AQE broadcasts the 25-row dimension twice.
+    */
+  def sqlTpchQ7(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |       round(sum(volume), 2) AS revenue
+         |FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |         year(l_shipdate) AS l_year,
+         |         l_extendedprice * (1 - l_discount) AS volume
+         |  FROM parquet.`$dir/supplier.parquet` s
+         |  JOIN parquet.`$dir/lineitem.parquet` l ON s_suppkey = l_suppkey
+         |  JOIN parquet.`$dir/orders.parquet` o ON o_orderkey = l_orderkey
+         |  JOIN parquet.`$dir/customer.parquet` c ON c_custkey = o_custkey
+         |  JOIN parquet.`$dir/nation.parquet` n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN parquet.`$dir/nation.parquet` n2 ON c_nationkey = n2.n_nationkey
+         |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |    AND l_shipdate >= TIMESTAMP '1995-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01')
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+
+  /** TPC-H Q14 (promotion effect) through the SQL front-end: conditional
+    * revenue share over one month — the map-side CASE fold divided by the
+    * unconditional fold, one aggregation pass over the part-joined scan
+    * (part is the broadcast side; the month predicate prunes lineitem
+    * before the join).
+    */
+  def sqlTpchQ14(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+         |                   THEN l_extendedprice * (1 - l_discount)
+         |                   ELSE 0.0 END)
+         |             / sum(l_extendedprice * (1 - l_discount)), 2)
+         |         AS promo_revenue
+         |FROM parquet.`$dir/lineitem.parquet` l
+         |JOIN parquet.`$dir/part.parquet` p ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin)
+
   /** TPC-H Q5 (local-supplier volume) through the SQL front-end: a 6-table
     * join where customer and supplier must sit in the SAME nation — the
     * classic shape where join ORDER matters. region/nation are fixed-size →
@@ -718,6 +765,8 @@ object Relational {
     "q104_sql_tpch_q5"    -> sqlTpchQ5 _,
     "q118_sql_tpch_q1"    -> sqlTpchQ1 _,
     "q119_sql_tpch_q6"    -> sqlTpchQ6 _,
+    "q151_sql_tpch_q7"    -> sqlTpchQ7 _,
+    "q152_sql_tpch_q14"   -> sqlTpchQ14 _,
     "q111_window_range_frame" -> windowRangeFrame _,
     "q105_sql_tpch_q10"   -> sqlTpchQ10 _,
     "q106_cms_heavy_hitters" -> cmsHeavyHitters _,
@@ -956,6 +1005,35 @@ object Relational {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "q151_sql_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |       round(sum(volume), 2) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         year(l_shipdate) AS l_year,
+        |         l_extendedprice * (1 - l_discount) AS volume
+        |  FROM supplier s
+        |  JOIN lineitem l ON s_suppkey = l_suppkey
+        |  JOIN orders o ON o_orderkey = l_orderkey
+        |  JOIN customer c ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q152_sql_tpch_q14" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |                  THEN l_extendedprice * (1 - l_discount)
+        |                  ELSE 0.0 END)
+        |            / sum(l_extendedprice * (1 - l_discount)), 2)
+        |        AS promo_revenue
+        |FROM lineitem l
+        |JOIN part p ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin,
     "q104_sql_tpch_q5" ->
       """SELECT n_name, revenue FROM (
         |  SELECT n_name,
