@@ -620,8 +620,8 @@ object Relational {
          |  JOIN parquet.`$dir/customer.parquet` c ON c_custkey = o_custkey
          |  JOIN parquet.`$dir/nation.parquet` n1 ON s_nationkey = n1.n_nationkey
          |  JOIN parquet.`$dir/nation.parquet` n2 ON c_nationkey = n2.n_nationkey
-         |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-         |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |  WHERE ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+         |      OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
          |    AND l_shipdate >= TIMESTAMP '1995-01-01'
          |    AND l_shipdate < TIMESTAMP '1997-01-01')
          |GROUP BY supp_nation, cust_nation, l_year
@@ -1018,8 +1018,8 @@ object Relational {
         |  JOIN customer c ON c_custkey = o_custkey
         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  WHERE ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+        |      OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
         |    AND l_shipdate >= TIMESTAMP '1995-01-01'
         |    AND l_shipdate < TIMESTAMP '1997-01-01')
         |GROUP BY supp_nation, cust_nation, l_year
