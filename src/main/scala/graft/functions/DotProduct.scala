@@ -68,6 +68,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2sq", exprs => L2SqDist(exprs(0), exprs(1)), "built-in")
     // Native aggregate, SQL-callable: the analyzer wraps a bare
     // AggregateFunction from the registry in its AggregateExpression.
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -624,8 +624,7 @@ object Similarity {
         .toDF("cent_id", "c")
       assign = qv.crossJoin(broadcast(centDf))
         .select(col("vec_id"), col("v"), col("cent_id"),
-          aggregate(zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
-            lit(0L), _ + _).as("d"))
+          VectorOps.l2sq(col("v"), col("c")).as("d"))
         .groupBy(col("vec_id"), col("v"))
         .agg(min(struct(col("d"), col("cent_id"))).as("m"))
         .select(col("vec_id"), col("v"),
