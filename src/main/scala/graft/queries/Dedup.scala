@@ -333,6 +333,19 @@ object Dedup {
     * MapReduce and Beyond", SoCC'14) — same join shape, O(log n) rounds.
     */
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val labels = ccLabels(spark, dir)
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  /** The connected-component labels (doc_id, cluster_id) behind q62/q153 —
+    * min-label propagation + pointer halving, materialized once per
+    * (session, corpus) like the pair table it rides on.
+    */
+  private[queries] def ccLabels(spark: SparkSession, dir: String): DataFrame =
+   materializedSig(spark, dir, "cc_labels") {
     val pairs = nearDupPairs(spark, dir).select("id_a", "id_b")
     val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").persist()
@@ -364,10 +377,34 @@ object Dedup {
       curSum = labelSum()
     }
     edges.unpersist()
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
-    labels.join(sizes, "label")
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("n_members"))
-      .orderBy("doc_id")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** q153 — canonical document selection: per near-dup cluster (q62's
+    * components), the survivor is the HIGHEST-QUALITY member (q47's shared
+    * score snippet), not the arbitrary min id — the policy a production
+    * dedup actually ships, where the cluster representative should be the
+    * cleanest copy. One broadcast-sized join of labels onto map-side
+    * scores, then a partial-aggregated argmax per cluster (`max_by` on
+    * (score, −doc_id) — the one-row-per-group shuffle, no window sort).
+    * Float sort key is the bit-equal score spelling, tie-broken on doc_id.
+    */
+  def canonicalKeeper(spark: SparkSession, dir: String): DataFrame = {
+    val scored = documents(spark, dir)
+      .repartition(col("doc_id"))
+      .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("stop_ratio", TextAnalysis.stopRatioCol)
+      .withColumn("score", TextAnalysis.scoreCol(col("stop_ratio")))
+      .select(col("doc_id"), col("score"))
+    ccLabels(spark, dir).join(scored, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max_by(struct(col("doc_id").as("keeper"), col("score").as("keeper_score")),
+               struct(col("score"), (-col("doc_id")).as("tb"))).as("w"))
+      .select(col("cluster_id"), col("w.keeper").as("keeper"),
+              col("n_members"), col("w.keeper_score").as("keeper_score"))
+      .orderBy("cluster_id")
   }
 
   /** Triangle counting over the near-dup pair graph — the graph-analytics
@@ -522,6 +559,7 @@ object Dedup {
     "q107_pagerank"              -> pagerank _,
     "q39_dedup_embedding_cosine" -> embeddingCosine _,
     "q62_dedup_cluster"          -> dedupCluster _,
+    "q153_canonical_keeper"      -> canonicalKeeper _,
   )
 
   private[queries] val shingleCte =
@@ -653,6 +691,32 @@ object Dedup {
         |FROM ex LEFT JOIN bestn USING (doc_id)
         |ORDER BY doc_id""".stripMargin
 
+  /** Shared CTE text through the CC labels (`lbl`): the q36 pair CTEs,
+    * symmetrized edges, and the recursive reachability closure — consumed
+    * by the q62 and q153 oracles.
+    */
+  private val ccLabelsCte: String =
+    shingleCte.replace("WITH sh", "WITH RECURSIVE sh") +
+      """,
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+        |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY 1),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |           FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM common
+        |          JOIN sizes sa ON sa.doc_id = id_a
+        |          JOIN sizes sb ON sb.doc_id = id_b
+        |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+        |lbl AS (SELECT b AS doc_id, min(a) AS cluster_id FROM reach GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q148_incremental_dedup" -> incrementalDedupOracle,
     "q107_pagerank" -> pagerankOracle,
@@ -710,28 +774,27 @@ object Dedup {
         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin),
     // DuckDB needs the RECURSIVE keyword on the WITH chain for `reach`.
-    "q62_dedup_cluster" -> (shingleCte.replace("WITH sh", "WITH RECURSIVE sh") +
-      """,
-        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
-        |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY 1),
-        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-        |           FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
-        |           GROUP BY 1, 2),
-        |pairs AS (SELECT id_a, id_b FROM common
-        |          JOIN sizes sa ON sa.doc_id = id_a
-        |          JOIN sizes sb ON sb.doc_id = id_b
-        |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |          UNION ALL SELECT id_b, id_a FROM pairs),
-        |nodes AS (SELECT DISTINCT src AS id FROM edges),
-        |reach(a, b) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
-        |lbl AS (SELECT b AS doc_id, min(a) AS cluster_id FROM reach GROUP BY 1)
+    "q62_dedup_cluster" -> (ccLabelsCte +
+      """
         |SELECT doc_id, cluster_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
         |FROM lbl ORDER BY doc_id""".stripMargin),
+    "q153_canonical_keeper" -> (ccLabelsCte +
+      s""",
+        |toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                                    x -> x <> '') AS toks
+        |         FROM documents),
+        |sc AS (SELECT doc_id, ${TextAnalysis.scoreSql} AS score
+        |       FROM toks WHERE len(toks) > 0),
+        |j AS (SELECT l.doc_id, l.cluster_id, sc.score
+        |      FROM lbl l JOIN sc USING (doc_id)),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY cluster_id
+        |          ORDER BY score DESC, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY cluster_id) AS n_members
+        |      FROM j)
+        |SELECT cluster_id, doc_id AS keeper,
+        |       CAST(n_members AS BIGINT) AS n_members, score AS keeper_score
+        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
     "q39_dedup_embedding_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
