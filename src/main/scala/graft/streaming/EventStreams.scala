@@ -148,6 +148,20 @@ object EventStreams {
     events.join(broadcast(dim), Seq("event_type"))
       .withColumn("weighted_value", round(col("value") * col("weight"), 2))
 
+  /** Streaming twin of the incremental ingest dedup's exact pass (q148):
+    * arriving documents are gated against the STANDING corpus digest set
+    * with a stream-static left-anti join — only novel content flows on,
+    * and the gate keeps NO stream state (the digest table is the state,
+    * maintained by the batch side). Broadcast here; at corpus scale the
+    * digest table is bucketed and the join shuffle-free. Combined with
+    * `dropDuplicatesWithinWatermark` (q68) for within-stream replays this
+    * is the full production ingestion gate.
+    */
+  def dedupAgainstCorpus(docs: DataFrame, corpusDigests: DataFrame): DataFrame =
+    docs.withColumn("h", md5(col("text")))
+      .join(broadcast(corpusDigests), Seq("h"), "left_anti")
+      .drop("h")
+
   /** Inline data-quality metrics via `observe`: row count, value sum, and
     * null-props count ride the existing job (no second pass over the data —
     * the accumulators update as rows flow), surfaced per micro-batch in

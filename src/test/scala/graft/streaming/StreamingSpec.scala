@@ -90,6 +90,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static anti join gates arriving docs against the standing corpus digests") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq("alpha beta", "gamma delta").toDF("text")
+      .select(md5(col("text")).as("h"))
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF().toDF("doc_id", "text")
+    val q = EventStreams.dedupAgainstCorpus(df, corpus)
+      .writeStream.format("memory").queryName("t_ingest").outputMode("append").start()
+    try {
+      ms.addData(Seq((100L, "alpha beta"), (101L, "fresh content")))
+      q.processAllAvailable()
+      ms.addData(Seq((102L, "gamma delta"), (103L, "more fresh")))
+      q.processAllAvailable()
+      val out = spark.table("t_ingest").orderBy("doc_id")
+        .select("doc_id").as[Long].collect()
+      assert(out.toSeq == Seq(101L, 103L),
+        s"corpus twins must be gated out, novel docs kept: ${out.toSeq}")
+      // the gate is stateless — the standing digest table is the state
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("observe() metrics ride the stream: per-batch quality counters sum to the input") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
