@@ -499,6 +499,35 @@ object Dedup {
       .orderBy("id_a")
   }
 
+  /** q154 — k-core decomposition of the near-dup graph: 3 fixed peeling
+    * rounds of the 2-core (drop nodes with degree < 2, with their edges;
+    * repeat). Dense duplication cores are template/boilerplate families —
+    * the subgraphs a curation pass inspects first, and the standard fourth
+    * member of the graph-analytics quartet next to components (q62),
+    * triangles (q93), and PageRank (q107). Fixed round count keeps the
+    * loop oracle-unrollable (the q107 convention); each round is one
+    * degree aggregation + two semi-join filters on the (cached) pair
+    * table — O(log n) rounds of key-partitioned work at any scale, and
+    * the 3 rounds here converge on this corpus. Lineage truncated per
+    * round with localCheckpoint like every iterative loop in the engine.
+    */
+  def kCore(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairs(spark, dir).select("id_a", "id_b")
+    var edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").localCheckpoint()
+    for (_ <- 1 to 3) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2).select("src")
+      edges = edges
+        .join(keep, "src")
+        .join(keep.toDF("dst"), "dst")
+        .select("src", "dst").localCheckpoint()
+    }
+    edges.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("core_degree"))
+      .orderBy("doc_id")
+  }
+
   /** q148 — incremental ingest dedup: the new batch (deterministically
     * doc_id % 10 = 9, the stand-in for "today's crawl") deduped AGAINST the
     * standing corpus (the other 90%) — the production shape where the
@@ -560,6 +589,7 @@ object Dedup {
     "q39_dedup_embedding_cosine" -> embeddingCosine _,
     "q62_dedup_cluster"          -> dedupCluster _,
     "q153_canonical_keeper"      -> canonicalKeeper _,
+    "q154_kcore"                 -> kCore _,
   )
 
   private[queries] val shingleCte =
@@ -717,7 +747,26 @@ object Dedup {
         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
         |lbl AS (SELECT b AS doc_id, min(a) AS cluster_id FROM reach GROUP BY 1)""".stripMargin
 
+  /** DuckDB mirror of `kCore`: the q36 pair CTEs + three unrolled peels. */
+  private val kCoreOracle: String = {
+    def peel(prev: String, n: Int): String =
+      s"""k$n AS (SELECT src FROM $prev GROUP BY src HAVING count(*) >= 2),
+         |e$n AS (SELECT e.src, e.dst FROM $prev e
+         |        JOIN k$n a ON a.src = e.src
+         |        JOIN k$n b ON b.src = e.dst)""".stripMargin
+    pairsCte +
+      s""",
+         |e0 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |       UNION ALL SELECT id_b, id_a FROM pairs),
+         |${peel("e0", 1)},
+         |${peel("e1", 2)},
+         |${peel("e2", 3)}
+         |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+         |FROM e3 GROUP BY src ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q154_kcore" -> kCoreOracle,
     "q148_incremental_dedup" -> incrementalDedupOracle,
     "q107_pagerank" -> pagerankOracle,
     "q38_dedup_simhash" -> simhashOracle,
