@@ -450,6 +450,33 @@ object Pipeline {
       .orderBy("stage")
   }
 
+  /** q155 — temperature-scaled mixture sampling (the XLM-R / mBERT
+    * multilingual rebalancing rule): source s is sampled ∝ n_s^α with
+    * α = 0.5, flattening the head without inverting the ordering. n^0.5
+    * is `sqrt` — IEEE-754 correctly-rounded, hence deterministic in both
+    * engines (unlike pow/exp/ln, which the engine's oracle discipline
+    * bans) — and every division is spelled in one pinned order. Output:
+    * per-source natural share, tempered share, and the integer target
+    * row count out of a 100 000-row epoch (floor — the one engine-safe
+    * rounding). One 5-row aggregate + broadcast total; map-free.
+    */
+  def temperedMix(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    // z = Σ √n_s is a float sum → pinned fold order (the q101 trick):
+    // sort the 5 per-source values, THEN fold, identically in the oracle.
+    val totals = bySource.agg(sum("n_docs").as("total"),
+      expr("aggregate(array_sort(collect_list(sqrt(cast(n_docs as double)))), " +
+           "0D, (a, x) -> a + x)").as("z"))
+    bySource.crossJoin(broadcast(totals))
+      .withColumn("share", col("n_docs").cast("double") / col("total").cast("double"))
+      .withColumn("tempered", sqrt(col("n_docs").cast("double")) / col("z"))
+      .withColumn("epoch_rows",
+        floor(col("tempered") * lit(100000.0)).cast("long"))
+      .select("source", "n_docs", "share", "tempered", "epoch_rows")
+      .orderBy("source")
+  }
+
   /** q149 — DSIR-style data selection via hashed-feature importance
     * (Xie et al., "Data Selection for Language Models via Importance
     * Resampling", NeurIPS 2023): score every document by how much its
@@ -494,6 +521,7 @@ object Pipeline {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q145_filter_funnel" -> filterFunnel _,
     "q149_dsir_affinity" -> dsirAffinity _,
+    "q155_tempered_mix"  -> temperedMix _,
     "q142_model_quality" -> modelQualityFilter _,
     "q115_substring_dedup" -> substringDedup _,
     "q102_chunk_sliding" -> chunkSliding _,
@@ -522,6 +550,19 @@ object Pipeline {
        |           0) AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q155_tempered_mix" ->
+      """WITH b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+        |             list_aggregate(list_sort(list(sqrt(CAST(n_docs AS DOUBLE)))),
+        |                            'sum') AS z
+        |      FROM b)
+        |SELECT source, n_docs,
+        |       CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |       sqrt(CAST(n_docs AS DOUBLE)) / z AS tempered,
+        |       CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / z * 100000.0) AS BIGINT)
+        |         AS epoch_rows
+        |FROM b, t ORDER BY source""".stripMargin,
     "q149_dsir_affinity" ->
       """WITH toks AS (SELECT doc_id, lang,
         |         unnest(list_filter(string_split(lower(text), ' '),
