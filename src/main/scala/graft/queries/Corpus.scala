@@ -160,24 +160,46 @@ object Corpus {
     * cycles through every language's k-th best document — the standard
     * quality-curriculum + language-balance discipline for multilingual
     * pretraining. Ties inside a language break on doc_id; the global
-    * (lang_rank, lang) key is unique by construction. The final
-    * row_number is a global sort — which is what writing a training
-    * manifest IS; Spark executes it as a range-partitioned exchange, one
-    * pass, no driver materialization.
+    * (lang_rank, lang) key is unique by construction.
+    *
+    * Scale shape: `seq` is NOT a global row_number window (Spark plans an
+    * unpartitioned window as ONE task holding the whole corpus — the exact
+    * serialization point a 100 TB manifest can't afford). Instead it is
+    * computed arithmetically from the per-language ranks and a broadcast
+    * per-language count table: a row at rank r in language l is preceded
+    * globally by min(r-1, cnt(l')) rows from every language l' (their
+    * better-ranked docs) plus one row for each l' < l that still has an
+    * r-th doc, so
+    *   seq = 1 + Σ_l' min(r-1, cnt(l')) + |{l' < l : cnt(l') ≥ r}|.
+    * cnt is a #langs-row aggregate, broadcast-cross-joined as one array
+    * of (lang, cnt) structs and folded per row with `aggregate` — the only
+    * per-row shuffles are the per-lang rank window (partitioned) and the
+    * final manifest sort (range-partitioned exchange, which is what
+    * writing a training manifest IS). CurriculumPlanSpec pins the plan to
+    * zero single-partition exchanges.
     */
   def curriculum(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("score").desc, col("doc_id"))
-    val wg = org.apache.spark.sql.expressions.Window
-      .orderBy(col("lang_rank"), col("lang"))
-    documents(spark, dir)
+    val ranked = documents(spark, dir)
       .repartition(col("doc_id"))
       .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
       .filter(size(col("toks")) > 0)
       .withColumn("stop_ratio", TextAnalysis.stopRatioCol)
       .withColumn("score", TextAnalysis.scoreCol(col("stop_ratio")))
       .withColumn("lang_rank", row_number().over(w))
-      .withColumn("seq", row_number().over(wg))
+    // #langs-row side: [(lang, cnt)] as a single-row array, broadcast.
+    val counts = ranked.groupBy(col("lang").as("cl"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(collect_list(struct(col("cl"), col("cnt"))).as("lang_counts"))
+    ranked
+      .crossJoin(broadcast(counts))
+      .withColumn("seq",
+        lit(1L) + expr(
+          """aggregate(lang_counts, 0L, (acc, c) ->
+            |  acc + least(CAST(lang_rank AS BIGINT) - 1L, c.cnt)
+            |      + CASE WHEN c.cnt >= lang_rank AND c.cl < lang
+            |             THEN 1L ELSE 0L END)""".stripMargin))
       .select(col("seq"), col("doc_id"), col("lang"), col("lang_rank"),
               col("score"))
       .orderBy("seq")

@@ -64,4 +64,32 @@ class CorpusSpec extends SparkSpec {
       assert(mn >= b * 20 && mx < (b + 1) * 20, s"bucket $b range [$mn,$mx] out of bounds")
     }
   }
+
+  test("q150 curriculum plans no unpartitioned window (seq is arithmetic, not a global row_number)") {
+    val df = Corpus.curriculum(spark, sfDir)
+    // Gate on the optimized LOGICAL plan (AQE-independent): every Window
+    // must carry a non-empty PARTITION BY. A global window would force the
+    // entire corpus through one task — the 100 TB serialization point the
+    // arithmetic seq exists to avoid.
+    val logical = df.queryExecution.optimizedPlan
+    val windows = logical.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the per-lang rank window")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned window in q150 plan:\n$w")
+    }
+    // And the manifest sort survives as a global Sort (range exchange at
+    // the physical layer), never a driver-side collect.
+    val sorts = logical.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
+    }
+    assert(sorts.nonEmpty, "expected the global manifest sort")
+    // Sanity: seq really is the contiguous 1..N interleave.
+    val rows = df.select("seq", "lang_rank").collect()
+    val seqs = rows.map(_.getLong(0)).sorted
+    assert(seqs.head == 1L && seqs.last == seqs.length.toLong
+      && seqs.distinct.length == seqs.length, "seq must be a 1..N permutation")
+  }
 }
