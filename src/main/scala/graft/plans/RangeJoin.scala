@@ -69,30 +69,36 @@ case class BroadcastRangeJoinExec(
     val bcRows = right.executeBroadcast[Array[InternalRow]]()
     val (lOut, rOut) = (left.output, right.output)
     val (tsE, loE, hiE) = (probeTs, buildLo, buildHi)
+    // Driver-side part of the memo key: two range joins sharing one
+    // broadcast via ReuseExchange may still index different lo/hi columns.
+    val exprKey = 31 * loE.semanticHash() + hiE.semanticHash()
     left.execute().mapPartitions({ iter =>
-      // Index construction — sort by lo + prefix-max of hi — runs from the
-      // broadcast value per task: O(m log m) over a dimension-sized array,
-      // noise next to the probe scan (the same trade BroadcastNestedLoop
-      // makes). maxHi(i) = max(his(0..i)) is the walk-down stop bound:
-      // once every interval at or before i ends ≤ ts, none can cover ts.
-      val loProj = UnsafeProjection.create(Seq(loE), rOut)
-      val hiProj = UnsafeProjection.create(Seq(hiE), rOut)
-      val tuples = bcRows.value.flatMap { r =>
-        val l = loProj(r)
-        if (l.isNullAt(0)) None
-        else {
-          val lo = l.getLong(0)
-          val h = hiProj(r)
-          if (h.isNullAt(0)) None else Some((lo, h.getLong(0), r))
-        }
-      }.sortBy(_._1)
-      val los = tuples.map(_._1)
-      val his = tuples.map(_._2)
-      val rows: Array[InternalRow] = tuples.map(_._3)
-      val maxHi = new Array[Long](his.length)
-      var m = Long.MinValue
-      var j = 0
-      while (j < his.length) { m = math.max(m, his(j)); maxHi(j) = m; j += 1 }
+      // Index — sort by lo + prefix-max of hi — is derived from the
+      // broadcast value ONCE PER EXECUTOR (memoized on broadcast id +
+      // interval exprs): broadcast.value is already executor-shared, so
+      // re-deriving O(m log m) per task would be pure redundancy.
+      // maxHi(i) = max(his(0..i)) is the walk-down stop bound: once every
+      // interval at or before i ends ≤ ts, none can cover ts.
+      val idx = BroadcastRangeJoinExec.indexFor(bcRows.id, exprKey) {
+        val loProj = UnsafeProjection.create(Seq(loE), rOut)
+        val hiProj = UnsafeProjection.create(Seq(hiE), rOut)
+        val tuples = bcRows.value.flatMap { r =>
+          val l = loProj(r)
+          if (l.isNullAt(0)) None
+          else {
+            val lo = l.getLong(0)
+            val h = hiProj(r)
+            if (h.isNullAt(0)) None else Some((lo, h.getLong(0), r))
+          }
+        }.sortBy(_._1)
+        val maxHi = new Array[Long](tuples.length)
+        var m = Long.MinValue
+        var j = 0
+        while (j < tuples.length) { m = math.max(m, tuples(j)._2); maxHi(j) = m; j += 1 }
+        IntervalIndex(tuples.map(_._1), tuples.map(_._2), tuples.map(_._3), maxHi)
+      }
+      val (los, his, rows) = (idx.los, idx.his, idx.rows)
+      val maxHi = idx.maxHi
       val tsProj = UnsafeProjection.create(Seq(tsE), lOut)
       val outProj = UnsafeProjection.create(lOut ++ rOut, lOut ++ rOut)
       val joined = new JoinedRow
@@ -125,6 +131,44 @@ case class BroadcastRangeJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastRangeJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+/** The derived build-side index: intervals sorted by lo, with the prefix-max
+  * of hi for the probe walk-down bound. Read-only after construction
+  * (plain long arrays + references into the broadcast row array), so safe
+  * to share across the executor's task threads.
+  */
+final case class IntervalIndex(
+    los: Array[Long], his: Array[Long], rows: Array[InternalRow], maxHi: Array[Long])
+
+object BroadcastRangeJoinExec {
+  // Executor-local memo of the interval index, keyed by (broadcast id,
+  // lo/hi semantic hash). SoftReference values: the executor may reclaim an
+  // index under memory pressure and the next task rebuilds it — the cache
+  // can only trade CPU, never cause an OOM the uncached path wouldn't.
+  // Entries die with the executor, like the broadcast blocks they index.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int), java.lang.ref.SoftReference[IntervalIndex]]()
+  /** Builds observed by this JVM — lets tests pin one-build-per-broadcast. */
+  private[plans] val buildCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[plans] def indexFor(bcId: Long, exprKey: Int)(build: => IntervalIndex): IntervalIndex = {
+    val key = (bcId, exprKey)
+    val ref = cache.get(key)
+    val hit = if (ref != null) ref.get() else null
+    if (hit != null) hit
+    else cache.synchronized { // one build per executor, not one per racing task
+      val again = cache.get(key)
+      val h2 = if (again != null) again.get() else null
+      if (h2 != null) h2
+      else {
+        val built = build
+        buildCount.incrementAndGet()
+        cache.put(key, new java.lang.ref.SoftReference(built))
+        built
+      }
+    }
+  }
 }
 
 object RangeJoinStrategy extends SparkStrategy {

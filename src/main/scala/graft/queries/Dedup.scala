@@ -250,7 +250,11 @@ object Dedup {
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))).as("s"))
 
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, lo, hi, chunk): each doc's packed SimHash signature exploded
+    * into its 4 pigeonhole 16-bit chunks — q38's LSH banding, shared with
+    * q78 where the chunk is the blocking key for edit-distance scoring.
+    */
+  private[queries] def simhashChunks(spark: SparkSession, dir: String): DataFrame = {
     // Parse each md5's first 16 hex digits ONCE into 16 scalar columns; the
     // 64 vote aggregates then read those (4 bits per digit) instead of each
     // re-running substring+instr — 16 string ops per shingle, not 64, and
@@ -271,12 +275,16 @@ object Dedup {
     val sig = materializedSig(spark, dir, "simhash") {
       votes.select(col("doc_id"), half(0).as("lo"), half(32).as("hi"))
     }
-    val chunks = sig.select(col("doc_id"), col("lo"), col("hi"),
+    sig.select(col("doc_id"), col("lo"), col("hi"),
       explode(array(
         concat_ws(":", lit(0), col("lo").bitwiseAND(lit(0xFFFFL))),
         concat_ws(":", lit(1), shiftrightunsigned(col("lo"), 16).bitwiseAND(lit(0xFFFFL))),
         concat_ws(":", lit(2), col("hi").bitwiseAND(lit(0xFFFFL))),
         concat_ws(":", lit(3), shiftrightunsigned(col("hi"), 16).bitwiseAND(lit(0xFFFFL))))).as("chunk"))
+  }
+
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = simhashChunks(spark, dir)
     chunks.as("a")
       .join(chunks.as("b"), col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -410,18 +418,47 @@ object Dedup {
   /** Triangle counting over the near-dup pair graph — the graph-analytics
     * step after pair generation: triangle density separates genuine
     * duplicate clusters (near-cliques) from chance collisions (sparse).
-    * Canonical two-join enumeration over ordered edges (a<b<c, so each
-    * triangle counts once), both joins keyed by a single vertex — the
-    * standard distributed shape (shuffle by join vertex; at scale one adds
-    * degree-ordering to bound skew). Output: per-doc triangle counts.
+    * Compact-forward enumeration (Latapy, TCS 2008): every undirected pair
+    * is oriented from its lower to its higher endpoint under the total
+    * order (degree, id), so each wedge is generated at its LOWEST-degree
+    * vertex — a hub of degree d contributes pairs only among its
+    * higher-ranked neighbors (≤ O(√m) of them), not O(d²), which is what
+    * bounds the skew a celebrity template-document would otherwise inject.
+    * Both joins stay keyed by a vertex (src, then (src,dst)); the per-doc
+    * triangle counts are orientation-invariant, so the oracle's unordered
+    * a<b<c enumeration produces identical output.
     */
+  /** The compact-forward oriented edge set: src→dst with
+    * (deg(src), src) < (deg(dst), dst); `dk` carries dst's ordering key so
+    * the wedge join can compare neighbors without a third degree join.
+    * Exposed for DedupSpec's orientation pin.
+    */
+  private[queries] def orientedEdges(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairs(spark, dir).select("id_a", "id_b")
+    val deg = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("id", "nbr")
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val aLower = struct(col("da"), col("id_a")) < struct(col("db"), col("id_b"))
+    pairs
+      .join(deg.toDF("id_a", "da"), "id_a")
+      .join(deg.toDF("id_b", "db"), "id_b")
+      .select(
+        when(aLower, col("id_a")).otherwise(col("id_b")).as("src"),
+        when(aLower, col("id_b")).otherwise(col("id_a")).as("dst"),
+        when(aLower, struct(col("db").as("deg"), col("id_b").as("id")))
+          .otherwise(struct(col("da").as("deg"), col("id_a").as("id"))).as("dk"))
+  }
+
   def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = nearDupPairs(spark, dir).select("id_a", "id_b")
+    val e = orientedEdges(spark, dir)
     val t = e.as("e1")
-      .join(e.as("e2"), col("e1.id_b") === col("e2.id_a"))
-      .join(e.as("e3"), col("e3.id_a") === col("e1.id_a") &&
-                        col("e3.id_b") === col("e2.id_b"))
-      .select(col("e1.id_a").as("a"), col("e1.id_b").as("b"), col("e2.id_b").as("c"))
+      .join(e.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dk") < col("e2.dk"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      // The wedge (b, c) has key(b) < key(c), so its closing edge — if the
+      // triangle exists — is oriented b→c: one equi-join on both endpoints.
+      .join(e.as("e3"), col("e3.src") === col("b") && col("e3.dst") === col("c"))
+      .select("a", "b", "c")
     t.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
       .orderBy("doc_id")
@@ -478,50 +515,67 @@ object Dedup {
 
   /** Fuzzy near-dup scoring via edit distance — the engine's scalar-UDF
     * surface (SURVEY.md §2.2 UDF row; the reference's `map` is arbitrary
-    * per-row client code, `MapReduceClient.h:57-59`). Candidates come from a
-    * key-partitioned equi-join on a blocking key (here: adjacent doc ids),
-    * never all-pairs; the UDF then scores each candidate's 48-char head with
-    * true Damerau–Levenshtein. At corpus scale the blocking key would be an
-    * LSH band/cluster id from the pipelines above — the join + per-pair-UDF
-    * shape is identical, and UDF cost stays proportional to candidates, not
-    * n². (Policy note: a UDF is a codegen barrier — it's used here because
-    * transposition-aware edit distance has no `functions._` composition.)
+    * per-row client code, `MapReduceClient.h:57-59`). Candidates come from
+    * a REAL LSH blocking key: pairs agreeing on at least one of q38's four
+    * 16-bit SimHash chunks (the pigeonhole bands, shared via
+    * `simhashChunks`), so candidate count is bounded by band-bucket
+    * population exactly as in the near-dup pipelines — never all-pairs,
+    * and UDF cost stays proportional to candidates, not n². The UDF then
+    * scores each candidate's 48-char head with true Damerau–Levenshtein.
+    * (Policy note: a UDF is a codegen barrier — it's used here because
+    * transposition-aware edit distance has no `functions._` composition.
+    * SimHash chunks, not MinHash bands, because the md5-derived chunks are
+    * the one banding both engines can reproduce — the oracle re-derives
+    * the identical candidate set.)
     */
   def fuzzyEdit(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = simhashChunks(spark, dir).select("doc_id", "chunk")
+    val cand = chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
     val d = documents(spark, dir)
       .select(col("doc_id"), substring(col("text"), 1, 48).as("head"))
-    val a = d.select(col("doc_id").as("id_a"), col("head").as("head_a"))
-    val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
-                     col("head").as("head_b"))
-    a.join(b, Seq("id_a"))
+    cand
+      .join(d.toDF("id_a", "head_a"), "id_a")
+      .join(d.toDF("id_b", "head_b"), "id_b")
       .select(col("id_a"), col("id_b"),
               graft.functions.StringDistance.dl(col("head_a"), col("head_b")).as("dl_dist"))
-      .orderBy("id_a")
+      .orderBy("id_a", "id_b")
   }
 
-  /** q154 — k-core decomposition of the near-dup graph: 3 fixed peeling
-    * rounds of the 2-core (drop nodes with degree < 2, with their edges;
-    * repeat). Dense duplication cores are template/boilerplate families —
-    * the subgraphs a curation pass inspects first, and the standard fourth
-    * member of the graph-analytics quartet next to components (q62),
-    * triangles (q93), and PageRank (q107). Fixed round count keeps the
-    * loop oracle-unrollable (the q107 convention); each round is one
-    * degree aggregation + two semi-join filters on the (cached) pair
-    * table — O(log n) rounds of key-partitioned work at any scale, and
-    * the 3 rounds here converge on this corpus. Lineage truncated per
-    * round with localCheckpoint like every iterative loop in the engine.
+  /** q154 — k-core decomposition of the near-dup graph: peel nodes with
+    * degree < k (with their edges) until the edge set is stable — the TRUE
+    * fixpoint, with parametric k (default 2). Dense duplication cores are
+    * template/boilerplate families — the subgraphs a curation pass inspects
+    * first, and the standard fourth member of the graph-analytics quartet
+    * next to components (q62), triangles (q93), and PageRank (q107).
+    * Convergence uses the q62 driver-scalar convention (the reference's own
+    * reduce loop runs until empty, `MapReduceFramework.cpp:241-268`): one
+    * edge-count scalar per round, labels/edges stay distributed. Each round
+    * is one degree aggregation + two semi-join filters on key-partitioned
+    * data; rounds ∝ peel depth (≤ degeneracy), so the loop holds at any
+    * scale. The DuckDB oracle unrolls a fixed 12 peels — safe because
+    * peeling is idempotent at the fixpoint, so any unroll ≥ the true depth
+    * yields the identical edge set. Lineage truncated per round with
+    * localCheckpoint like every iterative loop in the engine.
     */
-  def kCore(spark: SparkSession, dir: String): DataFrame = {
+  def kCore(spark: SparkSession, dir: String, k: Int = 2): DataFrame = {
     val pairs = nearDupPairs(spark, dir).select("id_a", "id_b")
     var edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").localCheckpoint()
-    for (_ <- 1 to 3) {
+    var prev = -1L
+    var cur = edges.count()
+    while (cur != prev && cur > 0) {
       val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= 2).select("src")
+        .filter(col("deg") >= k).select("src")
       edges = edges
         .join(keep, "src")
         .join(keep.toDF("dst"), "dst")
         .select("src", "dst").localCheckpoint()
+      prev = cur
+      cur = edges.count()
     }
     edges.groupBy(col("src").as("doc_id"))
       .agg(count(lit(1)).as("core_degree"))
@@ -589,7 +643,7 @@ object Dedup {
     "q39_dedup_embedding_cosine" -> embeddingCosine _,
     "q62_dedup_cluster"          -> dedupCluster _,
     "q153_canonical_keeper"      -> canonicalKeeper _,
-    "q154_kcore"                 -> kCore _,
+    "q154_kcore"                 -> ((s: SparkSession, d: String) => kCore(s, d)),
   )
 
   private[queries] val shingleCte =
@@ -600,11 +654,13 @@ object Dedup {
       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
       |  WHERE len(w) >= 3)""".stripMargin
 
-  /** DuckDB mirror of `simhash`: identical md5-digit votes, identical
-    * two-half packing, identical chunk banding — generated so the 64 vote
-    * expressions cannot drift from the Spark side's loop.
+  /** DuckDB CTE chain through the SimHash chunk table (`chunks`): identical
+    * md5-digit votes, identical two-half packing, identical chunk banding —
+    * generated so the 64 vote expressions cannot drift from the Spark
+    * side's loop. Shared by the q38 (hamming) and q78 (edit-distance)
+    * oracles, mirroring the Spark side's shared `simhashChunks`.
     */
-  private val simhashOracle: String = {
+  private val simhashChunksCte: String = {
     val votes = (0 until 64).map { k =>
       s"sum(2 * (d[${k / 4 + 1}] // ${1 << (k % 4)} % 2) - 1) AS v$k"
     }.mkString(",\n       ")
@@ -625,16 +681,20 @@ object Dedup {
          |  '0:' || CAST(lo & 65535 AS VARCHAR),
          |  '1:' || CAST((lo >> 16) & 65535 AS VARCHAR),
          |  '2:' || CAST(hi & 65535 AS VARCHAR),
-         |  '3:' || CAST((hi >> 16) & 65535 AS VARCHAR)]) AS chunk FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |                a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b
-         |         FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b,
-         |       CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS BIGINT) AS hamming
-         |FROM cand
-         |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 3
-         |ORDER BY id_a, id_b""".stripMargin
+         |  '3:' || CAST((hi >> 16) & 65535 AS VARCHAR)]) AS chunk FROM sig)""".stripMargin
   }
+
+  private val simhashOracle: String =
+    simhashChunksCte +
+      """,
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |                a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b
+        |         FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |       CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
 
   /** Pair CTE shared by the triangle oracle: identical to q36's verified
     * pair generation (rare-shingle inverted index, J ≥ 0.6).
@@ -747,22 +807,29 @@ object Dedup {
         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
         |lbl AS (SELECT b AS doc_id, min(a) AS cluster_id FROM reach GROUP BY 1)""".stripMargin
 
-  /** DuckDB mirror of `kCore`: the q36 pair CTEs + three unrolled peels. */
+  /** DuckDB mirror of `kCore` (k = 2): the q36 pair CTEs + 12 unrolled
+    * peels. The Spark side peels to the true fixpoint; because one peel of
+    * an already-converged edge set is the identity, unrolling MORE rounds
+    * than the corpus's peel depth (3 at the test SFs, margin 4×) reproduces
+    * the fixpoint exactly.
+    */
   private val kCoreOracle: String = {
+    // MATERIALIZED: each peel references its predecessor twice (edge scan +
+    // degree filter), so DuckDB's default CTE inlining would grow 2^12 —
+    // materializing keeps the chain linear.
     def peel(prev: String, n: Int): String =
-      s"""k$n AS (SELECT src FROM $prev GROUP BY src HAVING count(*) >= 2),
-         |e$n AS (SELECT e.src, e.dst FROM $prev e
+      s"""k$n AS MATERIALIZED (SELECT src FROM $prev GROUP BY src HAVING count(*) >= 2),
+         |e$n AS MATERIALIZED (SELECT e.src, e.dst FROM $prev e
          |        JOIN k$n a ON a.src = e.src
          |        JOIN k$n b ON b.src = e.dst)""".stripMargin
+    val peels = (1 to 12).map(n => peel(s"e${n - 1}", n)).mkString(",\n")
     pairsCte +
       s""",
-         |e0 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |e0 AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
          |       UNION ALL SELECT id_b, id_a FROM pairs),
-         |${peel("e0", 1)},
-         |${peel("e1", 2)},
-         |${peel("e2", 3)}
+         |$peels
          |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
-         |FROM e3 GROUP BY src ORDER BY doc_id""".stripMargin
+         |FROM e12 GROUP BY src ORDER BY doc_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -782,12 +849,17 @@ object Dedup {
     "q35_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
-    "q78_dedup_fuzzy" ->
-      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |       damerau_levenshtein(substring(a.text, 1, 48),
-        |                           substring(b.text, 1, 48)) AS dl_dist
-        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-        |ORDER BY id_a""".stripMargin,
+    "q78_dedup_fuzzy" -> (simhashChunksCte +
+      """,
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM chunks a JOIN chunks b
+        |           ON a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |       damerau_levenshtein(substring(da.text, 1, 48),
+        |                           substring(db.text, 1, 48)) AS dl_dist
+        |FROM cand JOIN documents da ON da.doc_id = cand.id_a
+        |          JOIN documents db ON db.doc_id = cand.id_b
+        |ORDER BY id_a, id_b""".stripMargin),
     "q138_crossdup_matrix" -> (pairsCte +
       """
         |SELECT least(da.source, db.source) AS source_1,

@@ -414,10 +414,14 @@ object Pipeline {
     * Stages compose the engine's own gates — nothing is re-specified:
     * s1 = q47's heuristic score ≥ 0.25, s2 = q142's classifier keep,
     * s3 = exact dedup (min doc_id per md5(text), q35's rule), s4 = near-dup
-    * drop (≥ 5 shared shingles with a lower-id survivor — q84's overlap
-    * test applied corpus-internally on the q36 shingle index). Counts are
-    * integers; every stage is a key-partitioned shape that holds at 100 TB
-    * (the pair join rides the banded shingle index, never all-pairs).
+    * drop (≥ 5 shared RARE shingles with a lower-id survivor — q84's
+    * overlap test applied corpus-internally on the df-capped q36 shingle
+    * index: shingles with corpus document-frequency > 100 are dropped
+    * before pairing, the same stop-shingle cap every other near-dup path
+    * applies, so one ubiquitous trigram cannot make the pair join quadratic
+    * in its df). Counts are integers; every stage is a key-partitioned
+    * shape that holds at 100 TB (the pair join rides the df-capped inverted
+    * index, never all-pairs).
     */
   def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir)
@@ -430,7 +434,12 @@ object Pipeline {
         min("doc_id").over(Window.partitionBy(md5(col("text")))))
       .filter(col("doc_id") === col("m"))
       .select("doc_id")
-    val shS = Dedup.shingleStrings(spark, dir).join(s3, "doc_id")
+    // df cap is computed over the FULL corpus (the standing-index shape a
+    // continuous ingest maintains), not over the survivors.
+    val allSh = Dedup.shingleStrings(spark, dir)
+    val rareS = allSh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100).select("s")
+    val shS = allSh.join(rareS, "s").join(s3, "doc_id")
     val dropped = shS.as("a")
       .join(shS.as("b"),
         col("a.s") === col("b.s") && col("b.doc_id") < col("a.doc_id"))
@@ -598,7 +607,9 @@ object Pipeline {
         |s3 AS (SELECT doc_id FROM (
         |         SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS m FROM s2)
         |       WHERE doc_id = m),
-        |shS AS (SELECT sh.doc_id, sh.s FROM sh JOIN s3 USING (doc_id)),
+        |rareS AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+        |shS AS (SELECT sh.doc_id, sh.s FROM sh JOIN rareS USING (s)
+        |        JOIN s3 USING (doc_id)),
         |dropped AS (
         |  SELECT DISTINCT a.doc_id
         |  FROM shS a JOIN shS b ON a.s = b.s AND b.doc_id < a.doc_id

@@ -150,12 +150,18 @@ object Similarity {
   /** Unpersist and drop the cached coarse assignments belonging to `spark`
     * (all corpora) — same lifecycle hook as `Dedup.evictCaches`.
     */
-  def evictCaches(spark: SparkSession): Unit =
+  def evictCaches(spark: SparkSession): Unit = {
     assignCache.synchronized {
       assignCache.keys.filter(_._1 eq spark).foreach { k =>
         assignCache.remove(k).foreach(_.unpersist(blocking = false))
       }
     }
+    // Trained-kmeans entries are localCheckpoint-backed (RDD cache freed on
+    // dereference + GC); dropping the map entry is the release.
+    kmeansCache.synchronized {
+      kmeansCache.keys.filter(_._1 eq spark).foreach(kmeansCache.remove)
+    }
+  }
 
   /** Nearest-centroid assignment with all vector columns retained.
     * Spelled as a `max_by` aggregation, NOT a row_number window: partial
@@ -606,53 +612,129 @@ object Similarity {
   // exactly what Spark MLlib's KMeans does).
   private val kmeansK = 8
 
-  def kmeansLloyd(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val qv = embeddings(spark, dir)
-      .repartition(col("vec_id"))
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cents: Array[Seq[Long]] = qv
-      .withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy(col("h"), col("vec_id")).limit(kmeansK)
-      .select(col("v")).as[Seq[Long]].collect()
-    var assign: DataFrame = null
-    for (r <- 1 to 3) {
-      val centDf = cents.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
-        .toDF("cent_id", "c")
-      assign = qv.crossJoin(broadcast(centDf))
-        .select(col("vec_id"), col("v"), col("cent_id"),
-          VectorOps.l2sq(col("v"), col("c")).as("d"))
-        .groupBy(col("vec_id"), col("v"))
-        .agg(min(struct(col("d"), col("cent_id"))).as("m"))
-        .select(col("vec_id"), col("v"),
-          col("m.cent_id").as("cent_id"), col("m.d").as("d"))
-      if (r < 3) {
-        // Per-dimension floor-mean; clusters that lost every member keep
-        // their previous centroid (deterministic, mirrored in the oracle).
-        val upd = assign
-          .select(col("cent_id"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy(col("cent_id"), col("dim"))
-          .agg(floor(sum(col("x")).cast("double") / count(lit(1)))
-            .cast("long").as("cv"))
-          .as[(Int, Int, Long)].collect()
-          .groupBy(_._1).map { case (cid, rs) =>
-            cid -> rs.sortBy(_._2).map(_._3).toSeq }
-        cents = Array.tabulate(kmeansK)(i => upd.getOrElse(i, cents(i)))
-      }
+  // Lloyd runs TO CONVERGENCE (centroids stable), capped at 8 assignment
+  // passes. The cap is what makes the loop oracle-expressible: Lloyd is
+  // idempotent at its fixpoint (stable centroids reproduce the same
+  // assignment, which reproduces the same centroids), so an oracle that
+  // unrolls all 8 passes computes the identical result whether the engine
+  // stopped early at round r < 8 or ran the full 8 — extra unrolled passes
+  // are the identity. Convergence is detected driver-side for FREE: the
+  // centroid update is already collected per round (k·64 longs), so the
+  // stop test is an array compare, no extra Spark job — the reference's
+  // own run-until-empty reduce-loop convention (MapReduceFramework
+  // .cpp:241-268) at bounded driver cost.
+  private[queries] val kmeansMaxRounds = 8
+
+  // Trained Lloyd state — the final assignment (vec_id, v, cent_id, d)
+  // plus the converged centroid table — cached per (session, corpus) like
+  // the coarse assignment: training runs ONCE and its consumers share it
+  // (q146 reports on it; q156 searches with it — the train→index handoff).
+  private val kmeansCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Array[Seq[Long]])]
+
+  private[queries] def kmeansTrained(
+      spark: SparkSession, dir: String): (DataFrame, Array[Seq[Long]]) =
+    kmeansCache.synchronized {
+      kmeansCache.getOrElseUpdate((spark, dir), {
+        import spark.implicits._
+        val qv = embeddings(spark, dir)
+          .repartition(col("vec_id"))
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => floor(x.cast("double") * lit(1e6)).cast("long")).as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var cents: Array[Seq[Long]] = qv
+          .withColumn("h", md5(col("vec_id").cast("string")))
+          .orderBy(col("h"), col("vec_id")).limit(kmeansK)
+          .select(col("v")).as[Seq[Long]].collect()
+        var assign: DataFrame = null
+        var converged = false
+        var r = 1
+        while (r <= kmeansMaxRounds && !converged) {
+          val centDf = cents.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
+            .toDF("cent_id", "c")
+          assign = qv.crossJoin(broadcast(centDf))
+            .select(col("vec_id"), col("v"), col("cent_id"),
+              VectorOps.l2sq(col("v"), col("c")).as("d"))
+            .groupBy(col("vec_id"), col("v"))
+            .agg(min(struct(col("d"), col("cent_id"))).as("m"))
+            .select(col("vec_id"), col("v"),
+              col("m.cent_id").as("cent_id"), col("m.d").as("d"))
+          if (r < kmeansMaxRounds) {
+            // Per-dimension floor-mean; clusters that lost every member keep
+            // their previous centroid (deterministic, mirrored in the oracle).
+            val upd = assign
+              .select(col("cent_id"), posexplode(col("v")).as(Seq("dim", "x")))
+              .groupBy(col("cent_id"), col("dim"))
+              .agg(floor(sum(col("x")).cast("double") / count(lit(1)))
+                .cast("long").as("cv"))
+              .as[(Int, Int, Long)].collect()
+              .groupBy(_._1).map { case (cid, rs) =>
+                cid -> rs.sortBy(_._2).map(_._3).toSeq }
+            val next = Array.tabulate(kmeansK)(i => upd.getOrElse(i, cents(i)))
+            // Stable centroids ⇒ the next pass would reproduce `assign`
+            // verbatim — stop here; the oracle's remaining unrolled passes
+            // are the identity on this state.
+            converged = next.sameElements(cents)
+            cents = next
+          }
+          r += 1
+        }
+        // localCheckpoint (eager) materializes the assignment and truncates
+        // its lineage off qv, so qv's storage can be released immediately.
+        val mat = assign.localCheckpoint()
+        qv.unpersist(blocking = false)
+        (mat, cents)
+      })
     }
-    val out = assign.groupBy(col("cent_id"))
+
+  def kmeansLloyd(spark: SparkSession, dir: String): DataFrame =
+    kmeansTrained(spark, dir)._1
+      .groupBy(col("cent_id"))
       .agg(count(lit(1)).as("n"), sum(col("d")).as("inertia_q"))
       .orderBy("cent_id")
-      .localCheckpoint()
-    qv.unpersist(blocking = false)
-    out
+
+  /** q156 — IVF search with TRAINED centroids: the production train→index
+    * handoff the fixed-centroid family (q59/q131/q132) deliberately stubs
+    * with a convention. The inverted lists ARE the q146 assignment (already
+    * materialized by the shared trainer — quantizing the corpus once, like
+    * FAISS building an IVF index from a trained quantizer); each probe
+    * (vec_id < 10) ranks the k=8 trained centroids by the SAME integer
+    * squared-L2 metric the trainer used and searches its nprobe=2 nearest
+    * lists; candidates score with that metric too. Integer end-to-end on
+    * the q146 1e-6 grid, so the oracle — which re-unrolls the full Lloyd
+    * round cap and replays the assignment — is hash-exact. Scale shape: the
+    * probe→bucket table is broadcast (|probes|·nprobe rows), candidates
+    * stream from the bucketed assignment, top-5 via a per-probe window
+    * over candidate rows only.
+    */
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val (assign, cents) = kmeansTrained(spark, dir)
+    import spark.implicits._
+    val centDf = cents.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cent_id", "c")
+    val wp = Window.partitionBy("probe_id").orderBy(col("pd"), col("cent_id"))
+    val probeBuckets = assign.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("pd", VectorOps.l2sq(col("pv"), col("c")))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= 2)
+      .select("probe_id", "pv", "cent_id")
+    val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("vec_id"))
+    assign.select(col("vec_id"), col("v"), col("cent_id"))
+      .join(broadcast(probeBuckets), "cent_id")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("d2", VectorOps.l2sq(col("pv"), col("v")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), col("d2"))
+      .orderBy("probe_id", "rnk")
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_kmeans"             -> kmeansLloyd _,
+    "q156_ivf_trained"        -> annIvfTrained _,
     "q143_semantic_decontaminate" -> semanticDecontaminate _,
     "q136_ann_mrr"            -> annMrr _,
     "q135_hard_negatives"     -> hardNegatives _,
@@ -875,19 +957,30 @@ object Similarity {
          |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
   }
 
-  /** DuckDB mirror of `kmeansLloyd`: the three Lloyd passes unrolled as
-    * (distance, argmin, floor-mean update) CTE triples — the q107/q130
-    * unrolled-iteration technique. All arithmetic integer except the two
-    * exactness-proven float steps (quantization multiply, mean division),
-    * spelled identically to the Spark plan.
+  /** DuckDB mirror of `kmeansTrained`: all `kmeansMaxRounds` Lloyd passes
+    * unrolled as (distance, argmin, floor-mean update) CTE triples — the
+    * q107/q130 unrolled-iteration technique, with the q154 idempotence
+    * argument covering the engine's early stop: once centroids are stable,
+    * each further unrolled pass reproduces the same assignment and
+    * centroids, so the full unroll equals whatever round the engine
+    * converged at. All arithmetic integer except the two exactness-proven
+    * float steps (quantization multiply, mean division), spelled
+    * identically to the Spark plan. The a/c CTEs are MATERIALIZED: each is
+    * referenced by two successors, so default inlining would grow 2^8.
+    *
+    * The chain ends at `aN` (the final assignment) and `cN1` (the final
+    * centroids, N−1 updates) — shared by the q146 and q156 oracles exactly
+    * as `kmeansTrained` is shared by the Spark queries.
     */
-  private val kmeansOracle: String = {
+  private val kmeansFinalA = s"a$kmeansMaxRounds"
+  private val kmeansFinalC = s"c${kmeansMaxRounds - 1}"
+  private val kmeansCtes: String = {
     def pass(prev: String, n: Int): String =
       s"""d$n AS (SELECT q.vec_id, q.v, c.cent_id,
          |         CAST(list_sum(list_transform(range(1, 65),
          |           i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i]))) AS BIGINT) AS d
          |       FROM q CROSS JOIN $prev c),
-         |a$n AS (SELECT vec_id, v, cent_id, d FROM
+         |a$n AS MATERIALIZED (SELECT vec_id, v, cent_id, d FROM
          |         (SELECT *, row_number() OVER (PARTITION BY vec_id
          |            ORDER BY d, cent_id) AS rn FROM d$n)
          |       WHERE rn = 1)""".stripMargin
@@ -895,10 +988,15 @@ object Similarity {
       s"""u$cur AS (SELECT cent_id, t.i AS dim,
          |         CAST(floor(CAST(sum(v[t.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cv
          |       FROM $a, range(1, 65) t(i) GROUP BY cent_id, t.i),
-         |$cur AS (SELECT p.cent_id, coalesce(l.c, p.c) AS c
+         |$cur AS MATERIALIZED (SELECT p.cent_id, coalesce(l.c, p.c) AS c
          |       FROM $prev p LEFT JOIN
          |         (SELECT cent_id, list(cv ORDER BY dim) AS c
          |          FROM u$cur GROUP BY cent_id) l USING (cent_id))""".stripMargin
+    val rounds = (1 to kmeansMaxRounds).map { n =>
+      if (n < kmeansMaxRounds)
+        pass(s"c${n - 1}", n) + ",\n" + upd(s"a$n", s"c${n - 1}", s"c$n")
+      else pass(s"c${n - 1}", n)
+    }.mkString(",\n")
     s"""WITH q AS (SELECT vec_id,
        |        list_transform(CAST(embedding AS DOUBLE[]),
        |          x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS v
@@ -908,18 +1006,48 @@ object Similarity {
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER)
        |                AS cent_id, v AS c
        |       FROM seeds),
-       |${pass("c0", 1)},
-       |${upd("a1", "c0", "c1")},
-       |${pass("c1", 2)},
-       |${upd("a2", "c1", "c2")},
-       |${pass("c2", 3)}
-       |SELECT cent_id, CAST(count(*) AS BIGINT) AS n,
-       |       CAST(sum(d) AS BIGINT) AS inertia_q
-       |FROM a3 GROUP BY cent_id ORDER BY cent_id""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  private val kmeansOracle: String =
+    kmeansCtes +
+      s"""
+         |SELECT cent_id, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(d) AS BIGINT) AS inertia_q
+         |FROM $kmeansFinalA GROUP BY cent_id ORDER BY cent_id""".stripMargin
+
+  /** DuckDB mirror of `annIvfTrained`: the shared Lloyd CTEs, then probe →
+    * nprobe=2 nearest trained centroids → candidates from the final
+    * assignment's inverted lists → integer-L2 top-5. Every distance is the
+    * same BIGINT sum as the Spark side's L2Sq expression.
+    */
+  private val ivfTrainedOracle: String =
+    kmeansCtes +
+      s""",
+         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM q WHERE vec_id < 10),
+         |pb AS (SELECT probe_id, pv, cent_id FROM (
+         |         SELECT p.probe_id, p.pv, c.cent_id,
+         |           row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |             CAST(list_sum(list_transform(range(1, 65),
+         |               i -> (p.pv[i] - c.c[i]) * (p.pv[i] - c.c[i]))) AS BIGINT),
+         |             c.cent_id) AS rn
+         |         FROM probes p CROSS JOIN $kmeansFinalC c)
+         |       WHERE rn <= 2),
+         |cand AS (SELECT pb.probe_id, a.vec_id,
+         |           CAST(list_sum(list_transform(range(1, 65),
+         |             i -> (pb.pv[i] - a.v[i]) * (pb.pv[i] - a.v[i]))) AS BIGINT) AS d2
+         |         FROM pb JOIN $kmeansFinalA a USING (cent_id)
+        |         WHERE a.vec_id <> pb.probe_id)
+        |SELECT probe_id, rnk, vec_id, d2
+        |FROM (SELECT probe_id, vec_id, d2,
+        |        row_number() OVER (PARTITION BY probe_id
+        |          ORDER BY d2, vec_id) AS rnk
+        |      FROM cand)
+        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q146_kmeans" -> kmeansOracle,
+    "q156_ivf_trained" -> ivfTrainedOracle,
     "q136_ann_mrr" ->
       s"""WITH planes(pl) AS (SELECT $planesSql),
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

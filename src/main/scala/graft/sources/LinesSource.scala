@@ -46,11 +46,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    partition's `text` lines to a DOT-PREFIXED temp file (invisible to
   *    `listShards`, so concurrent readers never observe a half-written
   *    batch), and the driver's `commit` renames the temps to
-  *    `part-<batch>-<partition>` names that sort AFTER every existing shard
-  *    — the monotone naming the streaming reader requires, so a LinesSource
-  *    write feeds a LinesSource stream. A failed/speculative task attempt
-  *    leaves only an orphaned dot-file, which commit sweeps; `doc_id` and
-  *    `fname` are derived-on-read (positional), so only `text` persists.
+  *    `part-<batch>-<partition>` names — prefixed with as many `~` (the
+  *    highest printable ASCII byte) as needed to sort AFTER the
+  *    lexicographically-last existing shard, whatever its naming scheme —
+  *    the monotone naming the streaming reader requires, so a LinesSource
+  *    write feeds a LinesSource stream even into a directory of
+  *    foreign-named shards. A failed/speculative task attempt leaves only
+  *    an orphaned dot-file, which commit sweeps (scoped by a per-write id,
+  *    so concurrent writes never delete each other's in-flight temps);
+  *    `doc_id` and `fname` are derived-on-read (positional), so only
+  *    `text` persists.
   *
   * Usage: `spark.read.format("graft.sources.LinesSource").load(dir)`,
   * `spark.readStream.format(...)`, or
@@ -265,35 +270,58 @@ final class LinesWrite(path: String, schema: StructType, truncateFirst: Boolean)
   override def description(): String =
     s"GraftLines write path=$path, truncate=$truncateFirst"
 
+  /** Per-write id: scopes this job's temp files so commit/abort of one
+    * write never sweeps a concurrent write's in-flight temps.
+    */
+  private val writeId = java.util.UUID.randomUUID().toString
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new java.io.File(path)
     require(dir.isDirectory || dir.mkdirs(), s"graft_lines: cannot create $path")
-    new LinesWriterFactory(path, schema.fieldIndex("text"))
+    new LinesWriterFactory(path, schema.fieldIndex("text"), writeId)
   }
 
   /** Driver-side publish: truncate if overwriting, then rename each task's
-    * temp to its final monotone name, then sweep orphaned temps (failed or
-    * speculative attempts). Empty partitions produced no temp and publish
-    * no shard.
+    * temp to its final monotone name, then sweep this write's orphaned
+    * temps (failed or speculative attempts). Empty partitions produced no
+    * temp and publish no shard.
+    *
+    * Monotone naming against ARBITRARY existing shards: positional doc_ids
+    * require every new shard to sort lexicographically after every
+    * already-published one. `part-…` alone only beats names below "part-",
+    * so the name is prefixed with the smallest run of '~' (0x7E, the
+    * highest printable ASCII byte — after any sane shard name) that sorts
+    * the whole batch after the current last shard. Repeated appends into a
+    * '~'-prefixed directory reuse the same prefix (the batch counter keeps
+    * later batches ordered), so prefixes don't grow per append.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     if (truncateFirst) LinesSource.listShards(path).foreach(_.delete())
-    val batch = LinesSource.listShards(path).size
+    val existing = LinesSource.listShards(path).map(_.getName)
+    val batch = existing.size
+    val last = if (existing.isEmpty) "" else existing.max
+    // A string prefix p with p > last guarantees p+suffix > last (the first
+    // differing position already favors p), so compare on the prefix once.
+    val pfx = Iterator.iterate("")("~" + _)
+      .find(p => f"${p}part-$batch%06d-" > last)
+      .get
     messages.collect { case m: LinesCommitMessage if m.rows > 0 => m }
       .foreach { m =>
         val src = new java.io.File(path, m.tmpName)
-        val dst = new java.io.File(path, f"part-$batch%06d-${m.partitionId}%05d.txt")
+        val dst = new java.io.File(path, f"${pfx}part-$batch%06d-${m.partitionId}%05d.txt")
+        require(dst.getName > last,
+          s"graft_lines: generated shard ${dst.getName} would not sort after $last")
         require(src.renameTo(dst), s"graft_lines: commit rename failed for ${m.tmpName}")
       }
-    sweepTemps(messages)
+    sweepTemps()
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = sweepTemps(messages)
+  override def abort(messages: Array[WriterCommitMessage]): Unit = sweepTemps()
 
-  private def sweepTemps(messages: Array[WriterCommitMessage]): Unit = {
+  private def sweepTemps(): Unit = {
     val d = new java.io.File(path).listFiles()
     if (d != null)
-      d.filter(f => f.isFile && f.getName.startsWith(".graft-lines-tmp-"))
+      d.filter(f => f.isFile && f.getName.startsWith(s".graft-lines-tmp-$writeId-"))
         .foreach(_.delete())
   }
 }
@@ -301,18 +329,20 @@ final class LinesWrite(path: String, schema: StructType, truncateFirst: Boolean)
 final case class LinesCommitMessage(partitionId: Int, tmpName: String, rows: Long)
     extends WriterCommitMessage
 
-final class LinesWriterFactory(path: String, textIdx: Int) extends DataWriterFactory {
+final class LinesWriterFactory(path: String, textIdx: Int, writeId: String)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new LinesDataWriter(path, partitionId, taskId, textIdx)
+    new LinesDataWriter(path, partitionId, taskId, textIdx, writeId)
 }
 
 /** Streams one partition's text lines to a hidden temp file. The text
   * contract is line-oriented (values must not contain '\n' — same as any
   * text sink); ids are positional and regenerate on read.
   */
-final class LinesDataWriter(path: String, partitionId: Int, taskId: Long, textIdx: Int)
+final class LinesDataWriter(path: String, partitionId: Int, taskId: Long, textIdx: Int,
+                            writeId: String)
     extends DataWriter[InternalRow] {
-  private val tmp = new java.io.File(path, s".graft-lines-tmp-$partitionId-$taskId")
+  private val tmp = new java.io.File(path, s".graft-lines-tmp-$writeId-$partitionId-$taskId")
   private var out: java.io.BufferedWriter = _
   private var rows = 0L
 

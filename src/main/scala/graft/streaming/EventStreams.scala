@@ -17,23 +17,24 @@ import java.sql.Timestamp
 object EventStreams {
 
   /** The events schema, pinned (Tables.scala rule: schema inference re-reads
-    * the data and can drift). `ts` arrives as INT64 because the fixture's
-    * TIMESTAMP(NANOS) is read under `nanosAsLong` — converted below.
+    * the data and can drift). `ts` is TIMESTAMP(MICROS) in the current
+    * fixture generation; Tables.events normalizes older INT64-nanos files
+    * the same way.
     */
   val eventSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
   }
 
-  /** Unbounded file-source twin of `Tables.events` (same schema + nanos→µs
-    * conversion). `path` is a DIRECTORY of event parquet part-files — the
-    * deployment shape (a landing directory that producers append files to;
-    * Spark's streaming file source rejects a bare file path). The schema is
-    * the pinned `eventSchema`, NOT inferred: inference does a batch read of
-    * the path, which throws on a still-empty landing directory instead of
+  /** Unbounded file-source twin of `Tables.events` (same normalized schema).
+    * `path` is a DIRECTORY of event parquet part-files — the deployment
+    * shape (a landing directory that producers append files to; Spark's
+    * streaming file source rejects a bare file path). The schema is the
+    * pinned `eventSchema`, NOT inferred: inference does a batch read of the
+    * path, which throws on a still-empty landing directory instead of
     * idling until the first file arrives. `maxFilesPerTrigger=1` keeps
     * micro-batches bounded.
     */
@@ -42,7 +43,6 @@ object EventStreams {
       .schema(eventSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling 1-hour windows per event type. */
   def tumblingByType(events: DataFrame): DataFrame =

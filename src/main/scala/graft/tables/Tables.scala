@@ -19,17 +19,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is INT64 TIMESTAMP(NANOS) in parquet, which Spark 4 rejects
-    * outright; read nanos as long and truncate to microsecond timestamps
-    * (integer `div` — a double division would lose precision above 2^53 ns).
-    *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
-    * build time by every entry point (Verify/Bench/tests) — NOT mutated here,
-    * so concurrent query builders never race on session conf.
+  /** events.ts has shipped in two parquet encodings across test-data
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark 4 rejects outright —
+    * read nanos as long via `spark.sql.legacy.parquet.nanosAsLong=true`,
+    * set at session build time by every entry point, and truncate with
+    * integer `div` since a double division loses precision above 2^53 ns)
+    * and plain TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ, cast to session-tz
+    * timestamp — identity under the engine-wide UTC session). Normalizing on
+    * the physical schema here keeps every downstream query on one
+    * TimestampType column regardless of which generation wrote the file.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -120,6 +120,19 @@ class RangeJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interval index is built once per broadcast, not once per probe task") {
+    // The executor-local memo: a 16-partition probe must derive the sorted
+    // index exactly once (local mode shares one JVM, so buildCount sees
+    // every task's build).
+    val before = BroadcastRangeJoinExec.buildCount.get()
+    val wideProbe = probe.repartition(16)
+    val native = GraftOps.broadcastRangeJoin(wideProbe, build, "ts", "lo", "hi")
+    val builtin = wideProbe.join(build, col("ts") >= col("lo") && col("ts") < col("hi"))
+    assert(pairsOf(native) == pairsOf(builtin))
+    val builds = BroadcastRangeJoinExec.buildCount.get() - before
+    assert(builds == 1, s"expected 1 index build for 16 probe tasks, saw $builds")
+  }
+
   test("rejects non-long-backed bound columns at construction") {
     val bad = build.select(col("win_id"), col("lo").cast("string").as("lo"), col("hi"))
     intercept[IllegalArgumentException] {

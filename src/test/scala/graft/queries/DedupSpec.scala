@@ -124,6 +124,69 @@ class DedupSpec extends SparkSpec {
     assert(pr.forall(_ >= floor - 1e-9))
   }
 
+  test("triangles: edges are compact-forward oriented and counts match an in-JVM reference") {
+    // Orientation pin (the q93 skew bound): every oriented edge runs from
+    // the lower to the higher endpoint under the (degree, id) total order,
+    // so wedge fan-out at a hub is bounded by its higher-ranked neighbors.
+    val pairs = Dedup.ngramJaccard(spark, sfDir).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = pairs.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val oriented = Dedup.orientedEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(oriented.length == pairs.length)
+    val ord = Ordering.Tuple2[Long, Long]
+    oriented.foreach { case (s, d) =>
+      assert(ord.lt((deg(s), s), (deg(d), d)),
+        s"edge $s->$d not oriented by (degree, id): deg=${deg(s)} vs ${deg(d)}")
+    }
+    // Count pin: per-doc triangle counts equal a brute-force reference over
+    // the (tiny at this SF) pair set — orientation must not change results.
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val ref = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val es = pairs.toSet
+    for ((a, b) <- es; c <- adj(b) if b < c && adj(a)(c)) {
+      // a<b (pair invariant) and b<c with a-c edge → triangle {a,b,c} once
+      Seq(a, b, c).foreach(v => ref(v) += 1)
+    }
+    val got = Dedup.triangles(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref.toMap, s"triangle counts differ: got $got, expected $ref")
+  }
+
+  test("k-core peels to a true fixpoint and k is parametric") {
+    // Fixpoint: in the returned 2-core every node's degree is ≥ 2, and one
+    // more peel changes nothing.
+    val core2 = Dedup.kCore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2.nonEmpty)
+    assert(core2.values.forall(_ >= 2L), "2-core retains a node of degree < 2")
+    // Reference: iterative peel over the in-JVM pair set until stable.
+    val pairs = Dedup.ngramJaccard(spark, sfDir).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def peelToFix(k: Int): Map[Long, Long] = {
+      var es = pairs.toSet
+      var changed = true
+      while (changed) {
+        val deg = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+          .groupBy(identity).map { case (n, v) => n -> v.length }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = es.filter { case (a, b) => keep(a) && keep(b) }
+        changed = next != es
+        es = next
+      }
+      es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (n, v) => n -> v.length.toLong }
+    }
+    assert(core2 == peelToFix(2), "2-core differs from reference fixpoint")
+    // Parametric k: the 3-core is the fixpoint at k=3 (and ⊆ the 2-core).
+    val core3 = Dedup.kCore(spark, sfDir, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == peelToFix(3), "3-core differs from reference fixpoint")
+    assert(core3.keySet.subsetOf(core2.keySet))
+  }
+
   test("cluster formation is a valid CC labeling of the near-dup pair graph") {
     val labels = Dedup.dedupCluster(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -23,6 +23,21 @@ class RelationalSpec extends SparkSpec {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct — unbounded at scale")
+      // Second standing gate: no unpartitioned window over unbounded input.
+      // A Window with an empty PARTITION BY requires AllTuples — Spark
+      // executes it as ONE task holding the whole input, the q150-class
+      // serialization point. Gate on the optimized logical plan
+      // (AQE-independent). Queries whose global window demonstrably runs
+      // over a bounded (aggregate-sized) input would go in the allowlist —
+      // currently none need to.
+      val globalWindowAllowed = Set.empty[String]
+      val globalWindows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty || globalWindowAllowed(name),
+        s"$name plans an unpartitioned window — single-task at scale:\n" +
+          globalWindows.mkString("\n"))
     }
   }
 

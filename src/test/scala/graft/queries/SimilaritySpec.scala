@@ -160,8 +160,9 @@ class SimilaritySpec extends SparkSpec {
 
   test("k-means: distributed result equals a from-scratch single-threaded Lloyd run") {
     // Independent recomputation on the driver — same spec (1e-6 quantized
-    // grid, md5-min seeds, 3 assignment passes, floor-mean updates, min
-    // cent_id tie-break), zero shared code with the query under test.
+    // grid, md5-min seeds, convergence-capped assignment passes, floor-mean
+    // updates, min cent_id tie-break), zero shared code with the query
+    // under test.
     val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .selectExpr("vec_id", "embedding").collect()
       .map(r => (r.getLong(0),
@@ -177,21 +178,73 @@ class SimilaritySpec extends SparkSpec {
       (id, cid, ds(cid))
     }
     var asg = assignAll()
-    for (_ <- 1 to 2) {
+    var converged = false
+    for (_ <- 1 until Similarity.kmeansMaxRounds if !converged) {
       val byC = asg.groupBy(_._2)
-      cents = Array.tabulate(8) { cid =>
+      val next = Array.tabulate(8) { cid =>
         byC.get(cid).fold(cents(cid)) { members =>
           val vs = members.map(m => raw.find(_._1 == m._1).get._2)
           Array.tabulate(64)(d =>
             math.floor(vs.map(_(d)).sum.toDouble / vs.length).toLong)
         }
       }
-      asg = assignAll()
+      converged = next.indices.forall(i => next(i).sameElements(cents(i)))
+      cents = next
+      if (!converged) asg = assignAll()
     }
     val expected = asg.groupBy(_._2).map { case (cid, ms) =>
       (cid, ms.length.toLong, ms.map(_._3).sum) }.toSet
     val got = Similarity.kmeansLloyd(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expected, s"distributed k-means diverged: $got vs $expected")
+  }
+
+  test("IVF-with-trained-centroids: candidates come only from each probe's nprobe=2 buckets and ranks are exact within them") {
+    // The train→index handoff (q156): every returned candidate must live in
+    // one of its probe's two nearest trained-centroid buckets, and the
+    // top-5 must equal a driver-side exhaustive scan RESTRICTED to those
+    // buckets (integer L2 on the 1e-6 grid — exact, no float tolerance).
+    val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(f => math.floor(f.toDouble * 1e6).toLong).toArray))
+      .toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    var cents = raw.toSeq.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(8).map(_._2.clone).toArray
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    def assignAll() = raw.map { case (id, v) =>
+      id -> cents.indices.minBy(i => (d2(v, cents(i)), i)) }
+    var asg = assignAll()
+    var converged = false
+    for (_ <- 1 until Similarity.kmeansMaxRounds if !converged) {
+      val byC = asg.groupBy(_._2)
+      val next = Array.tabulate(8) { cid =>
+        byC.get(cid).fold(cents(cid)) { ms =>
+          val vs = ms.keys.map(raw).toSeq
+          Array.tabulate(64)(d =>
+            math.floor(vs.map(_(d)).sum.toDouble / vs.length).toLong)
+        }
+      }
+      converged = next.indices.forall(i => next(i).sameElements(cents(i)))
+      cents = next
+      if (!converged) asg = assignAll()
+    }
+    val got = Similarity.annIvfTrained(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val probes = raw.keys.filter(_ < 10)
+    val expected = probes.flatMap { p =>
+      val pv = raw(p)
+      val buckets = cents.indices.sortBy(i => (d2(pv, cents(i)), i)).take(2).toSet
+      raw.keys.filter(c => c != p && buckets(asg(c)))
+        .map(c => (c, d2(pv, raw(c)))).toSeq
+        .sortBy { case (c, d) => (d, c) }.take(5).zipWithIndex
+        .map { case ((c, d), i) => (p, i + 1, c, d) }
+    }.toSet
+    assert(got.toSet == expected, "q156 top-5 differs from bucket-restricted reference")
   }
 }

@@ -370,8 +370,7 @@ class StreamingSpec extends SparkSpec {
     val out = Files.createTempDirectory("graft_ckpt_out").toString
     val ckpt = Files.createTempDirectory("graft_ckpt_ckpt").toString
 
-    def nanos(s: String): Long = ts(s).getTime * 1000000L
-    def stage(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+    def stage(name: String, rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit = {
       import spark.implicits._
       val scratch = Files.createTempDirectory("graft_ckpt_stage")
       rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -393,17 +392,17 @@ class StreamingSpec extends SparkSpec {
     }
 
     stage("a.parquet", Seq(
-      (1L, nanos("2024-01-01 09:10:00"), 1L, "view", 1.0, "{}"),
-      (2L, nanos("2024-01-01 10:05:00"), 1L, "click", 1.0, "{}"),
-      (3L, nanos("2024-01-01 10:20:00"), 2L, "click", 1.0, "{}")))
+      (1L, ts("2024-01-01 09:10:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:20:00"), 2L, "click", 1.0, "{}")))
     val read1 = runOnce()
     assert(read1 == 3, s"run 1 read $read1 rows, expected 3")
 
     stage("b.parquet", Seq(
       // same 10:00 window as run 1's clicks — must merge with restored state
-      (4L, nanos("2024-01-01 10:40:00"), 3L, "click", 1.0, "{}"),
+      (4L, ts("2024-01-01 10:40:00"), 3L, "click", 1.0, "{}"),
       // advances the watermark past 11:00 so the 10:00 window closes
-      (5L, nanos("2024-01-01 12:05:00"), 3L, "view", 1.0, "{}")))
+      (5L, ts("2024-01-01 12:05:00"), 3L, "view", 1.0, "{}")))
     val read2 = runOnce()
     assert(read2 == 2, s"run 2 re-read data: $read2 rows, expected only file B's 2")
 

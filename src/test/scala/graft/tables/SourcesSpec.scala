@@ -168,6 +168,47 @@ class SourcesSpec extends SparkSpec {
     assert(graft.sources.LinesSource.listShards(dir).size == 1)
   }
 
+  test("LinesSource append into foreign-named shard dirs stays monotone; sweeps are write-scoped") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_lines_foreign").toString
+    def df(texts: Seq[String]) = {
+      import spark.implicits._
+      texts.toDF("text")
+        .select(lit(0L).as("doc_id"), lit("w").as("fname"), col("text")).coalesce(1)
+    }
+    // Existing shards that sort AFTER "part-": the exact case that used to
+    // silently reassign positional doc_ids of already-ingested shards.
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "shard-000.txt"),
+      "a\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "shard-001.txt"),
+      "b\n".getBytes("UTF-8"))
+    // A concurrent write's in-flight temp: this write's sweep must NOT
+    // delete it (per-write-id scoping).
+    val foreignTmp = java.nio.file.Paths.get(dir, ".graft-lines-tmp-otherjob-0-0")
+    java.nio.file.Files.write(foreignTmp, "inflight\n".getBytes("UTF-8"))
+    val before = graft.sources.LinesSource.listShards(dir).map(_.getName)
+    df(Seq("c")).write.format("graft.sources.LinesSource").mode("append").save(dir)
+    val after = graft.sources.LinesSource.listShards(dir).map(_.getName)
+    assert(after.take(before.size) == before,
+      s"append reordered existing shards: $after")
+    assert(after.size == before.size + 1 && after == after.sorted)
+    assert(after.last > before.last,
+      s"new shard ${after.last} does not sort after ${before.last}")
+    assert(java.nio.file.Files.exists(foreignTmp),
+      "commit swept a concurrent write's in-flight temp")
+    // Positional ids of the pre-existing shards are unchanged; the new row
+    // lands at the next shard index.
+    val rows = spark.read.format("graft.sources.LinesSource").load(dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0) >> 32, r.getString(1))).toSet
+    assert(rows == Set((0L, "a"), (1L, "b"), (2L, "c")), s"ids reshuffled: $rows")
+    // A second append reuses the same '~' prefix depth (no prefix growth).
+    df(Seq("d")).write.format("graft.sources.LinesSource").mode("append").save(dir)
+    val names = graft.sources.LinesSource.listShards(dir).map(_.getName)
+    assert(names == names.sorted && names.last.takeWhile(_ == '~').length ==
+      after.last.takeWhile(_ == '~').length, s"prefix grew: $names")
+  }
+
   test("LinesSource pushes doc_id filters and prunes columns in the scan") {
     val p = stageShards(Seq(Seq("x", "y", "z")))
     val q = readLinesSrc(p)
