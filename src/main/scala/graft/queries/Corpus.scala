@@ -205,7 +205,33 @@ object Corpus {
       .orderBy("seq")
   }
 
+  /** q157 — dedup-aware sampling weights: instead of DROPPING near-dups
+    * (q62/q153), down-weight them — every document gets sampling weight
+    * 1/|its near-dup cluster|, so each duplicated content unit contributes
+    * ONE expected copy to a training epoch regardless of how many times it
+    * was crawled (the soft-dedup policy used when provenance diversity is
+    * worth keeping). Cluster ids ride the materialized q62 CC labels;
+    * singletons (docs in no near-dup pair) are their own cluster — the
+    * coalesce key is the doc's own id, which cannot collide with a real
+    * cluster label (labels are min member ids, and a labeled doc is never
+    * a singleton). Scale: one left join onto the label table + one keyed
+    * size aggregation + one keyed join back — every shuffle is on the
+    * cluster key. 1/size is a single IEEE division — bit-equal across
+    * engines.
+    */
+  def dedupAwareWeights(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = documents(spark, dir).select("doc_id")
+      .join(Dedup.ccLabels(spark, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("ck"))
+    val sizes = keyed.groupBy("ck").agg(count(lit(1)).as("cluster_size"))
+    keyed.join(sizes, "ck")
+      .select(col("doc_id"), col("cluster_size"),
+        (lit(1.0) / col("cluster_size")).as("samp_w"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_dedup_aware_weights" -> dedupAwareWeights _,
     "q150_curriculum"      -> curriculum _,
     "q140_stratified_inspect" -> stratifiedInspect _,
     "q137_split_report"     -> splitReport _,
@@ -217,6 +243,15 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q157_dedup_aware_weights" -> (Dedup.ccLabelsCte +
+      """,
+        |keyed AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS ck
+        |          FROM documents d LEFT JOIN lbl l USING (doc_id)),
+        |csz AS (SELECT ck, count(*) AS cluster_size FROM keyed GROUP BY 1)
+        |SELECT k.doc_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+        |       CAST(1.0 AS DOUBLE) / s.cluster_size AS samp_w
+        |FROM keyed k JOIN csz s USING (ck)
+        |ORDER BY doc_id""".stripMargin),
     "q150_curriculum" ->
       s"""WITH toks AS (SELECT doc_id, lang,
          |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks

@@ -582,6 +582,42 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q159 — cross-source corpus-overlap ESTIMATION via per-source MinHash
+    * union sketches: the sketch-sized answer to the question q138's exact
+    * cross-dup matrix answers at pair cost. Each source keeps one 64-slot
+    * sketch (slot j = min over the source's shingle UNION of h_j; the min
+    * of per-item minima IS the union sketch — the mergeability that makes
+    * this a one-pass, k·|sources|-state aggregation at any corpus size),
+    * and Ĵ(s1,s2) = (#matching slots)/64 estimates the shingle-set Jaccard
+    * between whole sources — the "how much do these two crawls overlap"
+    * number a mixing policy needs BEFORE paying for pairwise dedup.
+    * Scale shape: one map-side hash pass + one 64-column min aggregation
+    * (partial-agg, rows = |sources|); the pairwise estimate joins the
+    * aggregate against itself — driver-trivial at any corpus size. Hashes
+    * ride md5 (the engine-portable hash, as in q38): x = first 15 md5 hex
+    * digits (60 bits), h_j(x) = (x mod P)·a_j + b_j mod P over the q37
+    * seed table. k/64 is a power-of-two division — bit-exact both engines.
+    */
+  def crossSourceMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val src = documents(spark, dir).select("doc_id", "source")
+    val h = shingleStrings(spark, dir)
+      .join(src, "doc_id")
+      .select(col("source"),
+        pmod(expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"),
+             lit(P)).as("h"))
+    val mins = (0 until 64).map(j =>
+      min(pmod(col("h") * seeds(j)._1 + seeds(j)._2, lit(P))).as(s"m$j"))
+    val sig = h.groupBy("source").agg(mins.head, mins.tail: _*)
+    val matches = (0 until 64).map(j =>
+      when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0)).reduce(_ + _)
+    // |sources|-row side broadcast: the pairwise estimate is a bounded-build
+    // nested loop over sketch rows, never a CartesianProduct exchange.
+    sig.as("a").join(broadcast(sig.as("b")), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_1"), col("b.source").as("source_2"),
+        (matches.cast("double") / lit(64.0)).as("est_jaccard"))
+      .orderBy("source_1", "source_2")
+  }
+
   /** q148 — incremental ingest dedup: the new batch (deterministically
     * doc_id % 10 = 9, the stand-in for "today's crawl") deduped AGAINST the
     * standing corpus (the other 90%) — the production shape where the
@@ -644,6 +680,7 @@ object Dedup {
     "q62_dedup_cluster"          -> dedupCluster _,
     "q153_canonical_keeper"      -> canonicalKeeper _,
     "q154_kcore"                 -> ((s: SparkSession, d: String) => kCore(s, d)),
+    "q159_cross_source_minhash"  -> crossSourceMinhash _,
   )
 
   private[queries] val shingleCte =
@@ -785,7 +822,7 @@ object Dedup {
     * symmetrized edges, and the recursive reachability closure — consumed
     * by the q62 and q153 oracles.
     */
-  private val ccLabelsCte: String =
+  private[queries] val ccLabelsCte: String =
     shingleCte.replace("WITH sh", "WITH RECURSIVE sh") +
       """,
         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
@@ -832,7 +869,34 @@ object Dedup {
          |FROM e12 GROUP BY src ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB mirror of `crossSourceMinhash`: identical md5-prefix hashing
+    * (15 hex digits assembled by shifted digit values — integer-exact, no
+    * 16^k double powers), identical seed table, identical union-min
+    * sketches; generated from the same `seeds` array so the 64 slot
+    * expressions cannot drift from the Spark side.
+    */
+  private val crossSourceMinhashOracle: String = {
+    val mins = (0 until 64).map { j =>
+      s"min((h * ${seeds(j)._1} + ${seeds(j)._2}) % $P) AS m$j"
+    }.mkString(",\n       ")
+    val matches = (0 until 64).map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    shingleCte +
+      s""",
+         |hv AS (SELECT d.source,
+         |         CAST(list_sum(list_transform(range(1, 16),
+         |           i -> CAST(strpos('0123456789abcdef', substr(md5(sh.s), i, 1)) - 1 AS BIGINT)
+         |                * (CAST(1 AS BIGINT) << (4 * (15 - i))))) AS BIGINT) % $P AS h
+         |       FROM sh JOIN documents d USING (doc_id)),
+         |sig AS (SELECT source, $mins FROM hv GROUP BY source)
+         |SELECT a.source AS source_1, b.source AS source_2,
+         |       CAST($matches AS DOUBLE) / 64.0 AS est_jaccard
+         |FROM sig a JOIN sig b ON a.source < b.source
+         |ORDER BY source_1, source_2""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q159_cross_source_minhash" -> crossSourceMinhashOracle,
     "q154_kcore" -> kCoreOracle,
     "q148_incremental_dedup" -> incrementalDedupOracle,
     "q107_pagerank" -> pagerankOracle,

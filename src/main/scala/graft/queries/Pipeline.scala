@@ -527,7 +527,39 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** q158 — per-source quality calibration gate: keep each document iff
+    * its q47 quality score is at or above ITS SOURCE'S median. Absolute
+    * thresholds (q145's s1) systematically starve sources whose style
+    * scores low across the board (forums vs encyclopedias); calibrating
+    * the cut per source keeps the survivor mix balanced — the per-domain
+    * percentile filtering step of CCNet-style curation. Reported as
+    * per-source totals/survivors (integers — the float median never
+    * reaches the compared output).
+    * Scale shape: thresholds come from ONE percentile aggregation per
+    * source (Spark's exact `percentile` partial-aggregates its state;
+    * |sources| rows out), broadcast back onto a map-side scan — no
+    * per-source global sort, no window over a source-sized partition (the
+    * q150-banned shape). Median interpolation is lower+(upper−lower)·0.5
+    * in both engines over bit-identical scores.
+    */
+  def qualityMedianGate(spark: SparkSession, dir: String): DataFrame = {
+    val scored = documents(spark, dir)
+      .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("stop_ratio", TextAnalysis.stopRatioCol)
+      .withColumn("score", TextAnalysis.scoreCol(col("stop_ratio")))
+      .select(col("doc_id"), col("source"), col("score"))
+    val med = scored.groupBy("source")
+      .agg(expr("percentile(score, 0.5)").as("thr"))
+    scored.join(broadcast(med), "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+           sum(when(col("score") >= col("thr"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_quality_median_gate" -> qualityMedianGate _,
     "q145_filter_funnel" -> filterFunnel _,
     "q149_dsir_affinity" -> dsirAffinity _,
     "q155_tempered_mix"  -> temperedMix _,
@@ -559,6 +591,19 @@ object Pipeline {
        |           0) AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q158_quality_median_gate" ->
+      s"""WITH toks AS (SELECT doc_id, source,
+         |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         |       FROM documents),
+         |scored AS (SELECT doc_id, source, ${TextAnalysis.scoreSql} AS score
+         |           FROM toks WHERE len(toks) > 0),
+         |med AS (SELECT source, quantile_cont(score, 0.5) AS thr
+         |        FROM scored GROUP BY source)
+         |SELECT s.source, CAST(count(*) AS BIGINT) AS n_total,
+         |       CAST(sum(CASE WHEN s.score >= m.thr THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_kept
+         |FROM scored s JOIN med m USING (source)
+         |GROUP BY s.source ORDER BY s.source""".stripMargin,
     "q155_tempered_mix" ->
       """WITH b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
         |           FROM documents GROUP BY source),

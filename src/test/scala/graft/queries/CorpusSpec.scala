@@ -92,4 +92,45 @@ class CorpusSpec extends SparkSpec {
     assert(seqs.head == 1L && seqs.last == seqs.length.toLong
       && seqs.distinct.length == seqs.length, "seq must be a 1..N permutation")
   }
+
+  test("dedup-aware weights: one row per doc, cluster weights sum to 1, sizes match q62") {
+    val w = Corpus.dedupAwareWeights(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(w.length == nDocs && w.map(_._1).distinct.length == w.length)
+    // Soft-dedup invariant: every cluster contributes exactly 1 expected
+    // epoch copy — weight · size = 1 per row, and total weight = #clusters.
+    w.foreach { case (id, sz, sw) =>
+      assert(sz >= 1 && math.abs(sw * sz - 1.0) < 1e-12, s"doc $id: $sw × $sz ≠ 1") }
+    // Docs in a q62 cluster carry that cluster's member count; singletons 1.
+    val q62 = Dedup.dedupCluster(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    w.foreach { case (id, sz, _) =>
+      assert(sz == q62.getOrElse(id, 1L), s"doc $id size $sz vs q62 ${q62.get(id)}") }
+  }
+
+  test("cross-source minhash estimate covers all source pairs and tracks exact union Jaccard") {
+    val est = Dedup.crossSourceMinhash(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    // Exact per-source shingle-union Jaccard, recomputed in the JVM.
+    val bySrc = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("source", "lower(text) AS t").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+      .groupBy(_._1)
+      .map { case (s, rows) =>
+        s -> rows.flatMap(_._2.sliding(3).filter(_.length == 3).map(_.mkString(" "))).toSet }
+    val sources = bySrc.keys.toSeq.sorted
+    val pairs = for (i <- sources.indices; j <- i + 1 until sources.length)
+      yield (sources(i), sources(j))
+    assert(est.keySet == pairs.toSet, s"pair coverage: ${est.keySet} vs $pairs")
+    pairs.foreach { case (s1, s2) =>
+      val (a, b) = (bySrc(s1), bySrc(s2))
+      val exact = a.intersect(b).size.toDouble / a.union(b).size
+      val e = est((s1, s2))
+      assert(e >= 0.0 && e <= 1.0)
+      // 64 slots ⇒ stderr √(J(1−J)/64) ≤ 0.0625; 4σ bound.
+      assert(math.abs(e - exact) <= 0.25,
+        s"($s1,$s2): sketch $e vs exact $exact — estimator broken")
+    }
+  }
 }

@@ -169,4 +169,22 @@ class PipelineSpec extends SparkSpec {
         s"doc ${r.getLong(0)}: avg_nll=$nll outside [$lo, $hi]")
     }
   }
+
+  test("quality median gate keeps at least half of every source and totals conserve") {
+    val rows = Pipeline.qualityMedianGate(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // score >= its source's median holds for at least half the source (by
+    // definition of a continuous median), and never more than all of it.
+    rows.foreach { case (src, total, kept) =>
+      assert(kept * 2 >= total && kept <= total,
+        s"source $src: kept $kept of $total violates the median bound")
+    }
+    // Per-source totals cover exactly the scoreable (non-empty-token) docs.
+    val scoreable = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("source", "filter(split(lower(text), ' '), x -> x <> '') AS toks")
+      .where("size(toks) > 0").groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == scoreable)
+  }
 }
