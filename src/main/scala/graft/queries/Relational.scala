@@ -172,7 +172,7 @@ object Relational {
            countDistinct(col("l_orderkey")).as("n_exact"))
     val union = perFlag.agg(
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"))
-      .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("n_exact_all")))
+      .crossJoin(broadcast(li.agg(countDistinct(col("l_orderkey")).as("n_exact_all"))))
       .select((abs(col("merged_est") - col("n_exact_all")) <=
                 col("n_exact_all") * 0.05).as("merged_ok"))
     perFlag

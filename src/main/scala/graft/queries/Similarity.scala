@@ -603,13 +603,16 @@ object Similarity {
   //     data-independent of insertion order (k-means‖ would be the
   //     production seeding; hash-min is its engine-comparable stand-in).
   //
-  // Scale shape: each pass is one broadcast of k·64 longs against a
-  // streamed corpus scan (map-side argmin via partial-agg min(struct)),
-  // then a posexplode + two-level aggregation for the update — shuffle
-  // carries k·64 partial sums per partition, never vectors. Centroids are
-  // collected to the driver between rounds (k rows — the same bounded
-  // per-round driver scalar convention as the q62/q107/q130 loops, and
-  // exactly what Spark MLlib's KMeans does).
+  // Scale shape: each assignment pass is MAP-ONLY — the k centroids are
+  // driver-known constants per round, folded into the plan as literal
+  // vectors, so the per-row argmin is a codegen'd struct-min with zero
+  // join and zero shuffle (r8; previously a crossJoin + per-pass
+  // re-aggregation). The update is a posexplode + two-level aggregation —
+  // shuffle carries k·64 partial sums per partition, never vectors.
+  // Centroids are collected to the driver between rounds (k rows — the
+  // same bounded per-round driver scalar convention as the q62/q107/q130
+  // loops, and exactly what Spark MLlib's KMeans does with its broadcast
+  // centroid array).
   private val kmeansK = 8
 
   // Lloyd runs TO CONVERGENCE (centroids stable), capped at 8 assignment
@@ -651,13 +654,20 @@ object Similarity {
         var converged = false
         var r = 1
         while (r <= kmeansMaxRounds && !converged) {
-          val centDf = cents.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
-            .toDF("cent_id", "c")
-          assign = qv.crossJoin(broadcast(centDf))
-            .select(col("vec_id"), col("v"), col("cent_id"),
-              VectorOps.l2sq(col("v"), col("c")).as("d"))
-            .groupBy(col("vec_id"), col("v"))
-            .agg(min(struct(col("d"), col("cent_id"))).as("m"))
+          // Map-only argmin: the k centroids are driver-known constants this
+          // round, so each is folded into the plan as a LITERAL vector and
+          // the (d, cent_id) minimum is array_min over k structs — every
+          // distance evaluated exactly once per row (a when-chain reduce
+          // would duplicate the distance subtrees 3^k-fold), no crossJoin
+          // row blow-up, no per-pass (vec_id, v) re-shuffle. Struct order
+          // = (d, then cent_id), the oracle's row_number tie-break.
+          val minStruct = array_min(array(cents.toSeq.zipWithIndex.map {
+            case (c, i) =>
+              struct(VectorOps.l2sq(col("v"), typedLit(c)).as("d"),
+                     lit(i).as("cent_id"))
+          }: _*))
+          assign = qv
+            .withColumn("m", minStruct)
             .select(col("vec_id"), col("v"),
               col("m.cent_id").as("cent_id"), col("m.d").as("d"))
           if (r < kmeansMaxRounds) {
@@ -732,7 +742,61 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
+  /** q160 — hybrid retrieval fusion: the production search stack's final
+    * step, fusing a LEXICAL ranker (shared rare-shingle overlap with the
+    * probe document, riding the df≤100-capped q36 inverted index — the
+    * BM25-class signal) with a DENSE ranker (integer squared-L2 on the
+    * q146 1e-6 grid against broadcast probes — the embedding signal) by
+    * truncated Borda count: each ranker contributes (K−rank+1) points for
+    * its top-K=16, 0 beyond, and the fused top-5 per probe is returned.
+    * Rank fusion over integer scores (not RRF's 1/(60+r) floats) keeps the
+    * whole query transcendental-free and hash-exact. All three per-probe
+    * top-K cuts run on the NATIVE TopKPerKeyExec (q95's partial/final
+    * operator) — no corpus-sized window partition anywhere.
+    * Scale shape: lexical work ∝ capped posting lists; dense work = one
+    * corpus scan against a broadcast ≤10-row probe set (the q39-class
+    * bounded build); fusion joins two ≤(K·probes)-row lists.
+    */
+  def hybridFusion(spark: SparkSession, dir: String): DataFrame = {
+    val K = 16
+    val qv = embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("v"))
+    val probes = qv.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val denseAll = qv.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("doc_id"),
+              VectorOps.l2sq(col("pv"), col("v")).as("d2"))
+    val dense = graft.plans.GraftOps.topKPerKey(denseAll, Seq("probe_id"),
+        Seq(col("d2").asc, col("doc_id").asc), K, "dr")
+      .select(col("probe_id"), col("doc_id"),
+              (lit(K + 1) - col("dr")).cast("long").as("ds"))
+    val allSh = Dedup.shingleStrings(spark, dir)
+    val rare = allSh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100).select("s")
+    val idx = allSh.join(rare, "s")
+    val probeSh = idx.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("probe_id"), col("s"))
+    val overlap = idx.join(probeSh, "s")
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy("probe_id", "doc_id").agg(count(lit(1)).as("ov"))
+    val lex = graft.plans.GraftOps.topKPerKey(overlap, Seq("probe_id"),
+        Seq(col("ov").desc, col("doc_id").asc), K, "lr")
+      .select(col("probe_id"), col("doc_id"),
+              (lit(K + 1) - col("lr")).cast("long").as("ls"))
+    val fused = dense.join(lex, Seq("probe_id", "doc_id"), "full")
+      .select(col("probe_id"), col("doc_id"),
+        (coalesce(col("ds"), lit(0L)) + coalesce(col("ls"), lit(0L))).as("borda"))
+    graft.plans.GraftOps.topKPerKey(fused, Seq("probe_id"),
+        Seq(col("borda").desc, col("doc_id").asc), 5, "rnk")
+      .select(col("probe_id"), col("rnk"), col("doc_id"), col("borda"))
+      .orderBy("probe_id", "rnk")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_hybrid_fusion"      -> hybridFusion _,
     "q146_kmeans"             -> kmeansLloyd _,
     "q156_ivf_trained"        -> annIvfTrained _,
     "q143_semantic_decontaminate" -> semanticDecontaminate _,
@@ -1045,7 +1109,46 @@ object Similarity {
         |      FROM cand)
         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
 
+  /** DuckDB mirror of `hybridFusion`: both rankers re-derived (capped
+    * inverted index for lexical; 1e-6-grid integer L2 for dense), same
+    * truncated-Borda arithmetic, same (score, doc_id) tie-breaks.
+    */
+  private val hybridFusionOracle: String =
+    Dedup.shingleCte +
+      """,
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+        |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        |psh AS (SELECT doc_id AS probe_id, s FROM idx WHERE doc_id < 10),
+        |ov AS (SELECT p.probe_id, i.doc_id, count(*) AS ov
+        |       FROM idx i JOIN psh p USING (s) WHERE i.doc_id <> p.probe_id
+        |       GROUP BY 1, 2),
+        |lex AS (SELECT probe_id, doc_id, 17 - lr AS ls FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY probe_id
+        |            ORDER BY ov DESC, doc_id) AS lr FROM ov)
+        |        WHERE lr <= 16),
+        |q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |        x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS v FROM embeddings),
+        |pr AS (SELECT vec_id AS probe_id, v AS pv FROM q WHERE vec_id < 10),
+        |dall AS (SELECT pr.probe_id, q.vec_id AS doc_id,
+        |           CAST(list_sum(list_transform(range(1, 65),
+        |             i -> (pr.pv[i] - q.v[i]) * (pr.pv[i] - q.v[i]))) AS BIGINT) AS d2
+        |         FROM q CROSS JOIN pr WHERE q.vec_id <> pr.probe_id),
+        |dense AS (SELECT probe_id, doc_id, 17 - dr AS ds FROM (
+        |            SELECT *, row_number() OVER (PARTITION BY probe_id
+        |              ORDER BY d2, doc_id) AS dr FROM dall)
+        |          WHERE dr <= 16),
+        |fused AS (SELECT coalesce(d.probe_id, l.probe_id) AS probe_id,
+        |                 coalesce(d.doc_id, l.doc_id) AS doc_id,
+        |                 coalesce(d.ds, 0) + coalesce(l.ls, 0) AS borda
+        |          FROM dense d FULL JOIN lex l
+        |            ON d.probe_id = l.probe_id AND d.doc_id = l.doc_id)
+        |SELECT probe_id, rnk, doc_id, CAST(borda AS BIGINT) AS borda FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY borda DESC, doc_id) AS rnk FROM fused)
+        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q160_hybrid_fusion" -> hybridFusionOracle,
     "q146_kmeans" -> kmeansOracle,
     "q156_ivf_trained" -> ivfTrainedOracle,
     "q136_ann_mrr" ->

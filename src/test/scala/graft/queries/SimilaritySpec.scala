@@ -199,6 +199,44 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected, s"distributed k-means diverged: $got vs $expected")
   }
 
+  test("hybrid fusion equals an independent JVM recomputation of both rankers") {
+    val K = 16
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "lower(text) AS t").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val shingles = docs.map { case (id, ws) =>
+      id -> ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet }.toMap
+    val dfCount = shingles.values.flatten.groupBy(identity).map { case (s, v) => s -> v.size }
+    val idx = shingles.map { case (id, ss) => id -> ss.filter(dfCount(_) <= 100) }
+    def lexTop(p: Long): Seq[(Long, Long)] =
+      idx.keys.filter(_ != p).toSeq
+        .map(d => d -> idx(d).intersect(idx(p)).size)
+        .filter(_._2 > 0)
+        .sortBy { case (d, ov) => (-ov, d) }.take(K).zipWithIndex
+        .map { case ((d, _), i) => d -> (K - i).toLong }
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(f => math.floor(f.toDouble * 1e6).toLong).toArray))
+      .toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    def denseTop(p: Long): Seq[(Long, Long)] =
+      vecs.keys.filter(_ != p).toSeq
+        .map(d => d -> d2(vecs(p), vecs(d)))
+        .sortBy { case (d, dist) => (dist, d) }.take(K).zipWithIndex
+        .map { case ((d, _), i) => d -> (K - i).toLong }
+    val expected = (0L until 10L).flatMap { p =>
+      val fused = (lexTop(p) ++ denseTop(p))
+        .groupBy(_._1).map { case (d, vs) => d -> vs.map(_._2).sum }.toSeq
+        .sortBy { case (d, s) => (-s, d) }.take(5).zipWithIndex
+      fused.map { case ((d, s), i) => (p, i + 1, d, s) }
+    }.toSet
+    val got = Similarity.hybridFusion(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, s"hybrid fusion diverged from reference")
+  }
+
   test("IVF-with-trained-centroids: candidates come only from each probe's nprobe=2 buckets and ranks are exact within them") {
     // The train→index handoff (q156): every returned candidate must live in
     // one of its probe's two nearest trained-centroid buckets, and the
