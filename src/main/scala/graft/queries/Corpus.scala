@@ -214,17 +214,19 @@ object Corpus {
     * singletons (docs in no near-dup pair) are their own cluster — the
     * coalesce key is the doc's own id, which cannot collide with a real
     * cluster label (labels are min member ids, and a labeled doc is never
-    * a singleton). Scale: one left join onto the label table + one keyed
-    * size aggregation + one keyed join back — every shuffle is on the
-    * cluster key. 1/size is a single IEEE division — bit-equal across
-    * engines.
+    * a singleton). Scale: one left join onto the label table, then ONE
+    * exchange on the cluster key feeding a partitioned window count — the
+    * keyed subtree is scanned once (a groupBy-sizes + join-back spelling
+    * would compute it twice). Cluster-key partitions are near-dup cluster
+    * sized (bounded by the banding caps upstream), never corpus-sized.
+    * 1/size is a single IEEE division — bit-equal across engines.
     */
   def dedupAwareWeights(spark: SparkSession, dir: String): DataFrame = {
-    val keyed = documents(spark, dir).select("doc_id")
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("ck")
+    documents(spark, dir).select("doc_id")
       .join(Dedup.ccLabels(spark, dir), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("ck"))
-    val sizes = keyed.groupBy("ck").agg(count(lit(1)).as("cluster_size"))
-    keyed.join(sizes, "ck")
+      .withColumn("cluster_size", count(lit(1)).over(wc))
       .select(col("doc_id"), col("cluster_size"),
         (lit(1.0) / col("cluster_size")).as("samp_w"))
       .orderBy("doc_id")

@@ -607,7 +607,12 @@ object Dedup {
              lit(P)).as("h"))
     val mins = (0 until 64).map(j =>
       min(pmod(col("h") * seeds(j)._1 + seeds(j)._2, lit(P))).as(s"m$j"))
-    val sig = h.groupBy("source").agg(mins.head, mins.tail: _*)
+    // Materialized like the per-doc signature tables: the pairwise estimate
+    // reads the sketch on BOTH sides of its self-join, and without this the
+    // full corpus hash scan would run twice.
+    val sig = materializedSig(spark, dir, "srcsketch") {
+      h.groupBy("source").agg(mins.head, mins.tail: _*)
+    }
     val matches = (0 until 64).map(j =>
       when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0)).reduce(_ + _)
     // |sources|-row side broadcast: the pairwise estimate is a bounded-build
