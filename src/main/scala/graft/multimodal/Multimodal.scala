@@ -112,11 +112,83 @@ object Multimodal {
       .withColumn("duration_ms", expr("n_samples div 16"))
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------- q161
+  // One REAL codec, zero dependencies: PGM (P5) — the binary grayscale
+  // image format whose whole spec is "P5\n<w> <h>\n<maxval>\n" + w·h raw
+  // pixel bytes. Unlike the stubbed JPEG/audio paths (whose codecs aren't
+  // in this container), this path synthesizes GENUINE binary images and
+  // parses them back byte-for-byte, proving the engine's binary-column
+  // plumbing end-to-end: encode → parquet-able binary payload →
+  // mapPartitions decode (header parse + pixel scan) → columnar stats.
+  // Pixels are the document's UTF-8 bytes padded with zeros to w·h, so the
+  // DuckDB oracle can re-derive every statistic from hex(encode(text)) —
+  // the decode is REAL on the Spark side and replayable on the oracle side.
+
+  final case class PgmStats(doc_id: Long, width: Int, height: Int,
+                            n_px: Long, sum_px: Long, min_px: Int, max_px: Int)
+
+  private val pgmWidth = 32
+
+  /** data → a well-formed P5 image: 32 px wide, height = ceil(n/32) (min 1
+    * row so every doc is a valid image), zero-padded to exactly w·h pixels.
+    */
+  def encodePgm(data: Array[Byte]): Array[Byte] = {
+    val w = pgmWidth
+    val h = math.max(1, (data.length + w - 1) / w)
+    val header = s"P5\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(data, 0, out, header.length, data.length)
+    out
+  }
+
+  /** A real binary parser, batch-at-a-time like `decodeBatch`: validates
+    * the magic, reads the ASCII header, then computes integer pixel stats
+    * (sum/min/max over UNSIGNED byte values) in one scan. Throws on a
+    * malformed payload — a codec must fail loudly, not emit garbage rows.
+    */
+  def decodePgmBatch(rows: Iterator[(Long, Array[Byte])]): Iterator[PgmStats] =
+    rows.map { case (id, p) =>
+      require(p.length >= 2 && p(0) == 'P' && p(1) == '5', s"doc $id: not a P5 PGM")
+      var i = 2
+      def skipWs(): Unit = { while (i < p.length && p(i).toChar.isWhitespace) i += 1 }
+      def readInt(): Int = {
+        skipWs(); var v = 0
+        require(i < p.length && p(i) >= '0' && p(i) <= '9', s"doc $id: bad PGM header")
+        while (i < p.length && p(i) >= '0' && p(i) <= '9') { v = v * 10 + (p(i) - '0'); i += 1 }
+        v
+      }
+      val (w, h, maxval) = (readInt(), readInt(), readInt())
+      require(maxval == 255, s"doc $id: unsupported maxval $maxval")
+      i += 1 // the single whitespace byte after maxval, per spec
+      require(p.length - i == w * h, s"doc $id: pixel payload ${p.length - i} != ${w * h}")
+      var (sum, mn, mx) = (0L, 255, 0)
+      while (i < p.length) {
+        val v = p(i) & 0xff
+        sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+        i += 1
+      }
+      PgmStats(id, w, h, w.toLong * h, sum, mn, mx)
+    }
+
+  /** The registered query: documents → real PGM binaries → parsed stats. */
+  def pgmDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.tables.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, data) => (id, encodePgm(data)) }
+      .mapPartitions(decodePgmBatch)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_multimodal_audio"   -> audioFrames _,
     "q54_multimodal_features" -> features _,
     "q72_multimodal_resize"   -> resizePlan _,
     "q73_multimodal_frames"   -> frameSample _,
+    "q161_pgm_decode"         -> pgmDecode _,
   )
 
   // The stub decode is closed-form over the bytes (ASCII corpus → byte value
@@ -132,6 +204,28 @@ object Multimodal {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Replays the PGM round-trip from hex(encode(text)): byte k of the
+    // UTF-8 payload is two hex digits; pads are zeros, so sum is over the
+    // real bytes, min is 0 whenever padding exists, and max is 0 only for
+    // an empty document.
+    "q161_pgm_decode" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |                  octet_length(encode(text)) AS n
+        |           FROM documents),
+        |dims AS (SELECT doc_id, hx, n, 32 AS w,
+        |                greatest(1, CAST(ceil(n / 32.0) AS INT)) AS h
+        |         FROM b),
+        |px AS (SELECT doc_id, w, h, n,
+        |         list_transform(range(1, n + 1), k ->
+        |           CAST(strpos('0123456789ABCDEF', substr(hx, 2*k - 1, 1)) - 1 AS BIGINT) * 16
+        |           + (strpos('0123456789ABCDEF', substr(hx, 2*k, 1)) - 1)) AS bytes
+        |       FROM dims)
+        |SELECT doc_id, w AS width, h AS height,
+        |       CAST(w * h AS BIGINT) AS n_px,
+        |       CAST(coalesce(list_sum(bytes), 0) AS BIGINT) AS sum_px,
+        |       CAST(CASE WHEN w * h > n THEN 0 ELSE list_min(bytes) END AS INT) AS min_px,
+        |       CAST(CASE WHEN n = 0 THEN 0 ELSE list_max(bytes) END AS INT) AS max_px
+        |FROM px ORDER BY doc_id""".stripMargin,
     "q134_multimodal_audio" ->
       """WITH a AS (SELECT doc_id,
         |             CAST(octet_length(encode(text)) AS BIGINT) * 64 AS n_samples
