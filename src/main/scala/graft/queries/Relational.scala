@@ -633,6 +633,48 @@ object Relational {
     * (part is the broadcast side; the month predicate prunes lineitem
     * before the join).
     */
+  /** TPC-H Q18 (large-volume customers) through the SQL front-end: the
+    * IN-subquery-on-an-aggregate shape — Catalyst plans the HAVING subquery
+    * as a semi join on the grouped lineitem, so the filter is a key-join,
+    * not a per-row re-aggregation. Threshold 250 (TPC-H's 300 scaled to
+    * this corpus's per-order quantity distribution, p99 ≈ 270). l_quantity
+    * is integer-valued, so its double sum is exact in any order; the final
+    * ORDER BY tie-breaks through o_orderkey for a deterministic LIMIT 100.
+    */
+  def sqlTpchQ18(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |       sum(l_quantity) AS sum_qty
+         |FROM parquet.`$dir/customer.parquet` c
+         |JOIN parquet.`$dir/orders.parquet` o ON c_custkey = o_custkey
+         |JOIN parquet.`$dir/lineitem.parquet` l ON o_orderkey = l_orderkey
+         |WHERE o_orderkey IN (
+         |  SELECT l_orderkey FROM parquet.`$dir/lineitem.parquet`
+         |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+         |LIMIT 100""".stripMargin)
+
+  /** TPC-H Q13 (customer order-count distribution) through the SQL
+    * front-end: the outer-join-with-join-predicate shape — the priority
+    * filter must sit ON the join (customers with only urgent orders still
+    * count, with c_count 0), not in a WHERE (which would turn the outer
+    * join inner). The o_comment NOT LIKE filter of the official spec is
+    * replaced by o_orderpriority <> '1-URGENT' — this corpus carries no
+    * comment column; the plan shape (left outer + two-level aggregation)
+    * is the point. Integer counts end-to-end.
+    */
+  def sqlTpchQ13(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT c_count, count(*) AS custdist
+         |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+         |      FROM parquet.`$dir/customer.parquet` c
+         |      LEFT JOIN parquet.`$dir/orders.parquet` o
+         |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+         |      GROUP BY c_custkey)
+         |GROUP BY c_count
+         |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+
   def sqlTpchQ14(spark: SparkSession, dir: String): DataFrame =
     spark.sql(
       s"""SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
@@ -767,6 +809,8 @@ object Relational {
     "q119_sql_tpch_q6"    -> sqlTpchQ6 _,
     "q151_sql_tpch_q7"    -> sqlTpchQ7 _,
     "q152_sql_tpch_q14"   -> sqlTpchQ14 _,
+    "q162_sql_tpch_q18"   -> sqlTpchQ18 _,
+    "q163_sql_tpch_q13"   -> sqlTpchQ13 _,
     "q111_window_range_frame" -> windowRangeFrame _,
     "q105_sql_tpch_q10"   -> sqlTpchQ10 _,
     "q106_cms_heavy_hitters" -> cmsHeavyHitters _,
@@ -1034,6 +1078,27 @@ object Relational {
         |JOIN part p ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin,
+    "q162_sql_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       sum(l_quantity) AS sum_qty
+        |FROM customer c
+        |JOIN orders o ON c_custkey = o_custkey
+        |JOIN lineitem l ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q163_sql_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer c
+        |      LEFT JOIN orders o
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q104_sql_tpch_q5" ->
       """SELECT n_name, revenue FROM (
         |  SELECT n_name,
