@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
 import graft.tables.Tables._
@@ -582,6 +583,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q164 — label-propagation communities over the near-dup graph: each
+    * node repeatedly adopts the MODE of its neighbors' labels (ties →
+    * smallest label), 3 synchronous rounds from identity labels. Where CC
+    * (q62) answers "what is transitively connected", LPA answers "what is
+    * DENSELY connected" — two near-clique template families joined by one
+    * accidental bridge pair stay separate communities here but merge in
+    * q62, which is exactly the distinction a curation pass wants before
+    * treating a whole component as one boilerplate family. Fixed round
+    * count (the q107 convention) because synchronous LPA has no fixpoint
+    * guarantee (2-cycles oscillate) — determinism, not convergence, is the
+    * contract, and 3 rounds is the standard near-clique consensus horizon.
+    * Each round: one edge⋈labels join + a (node, label) count + a
+    * partial-agg argmax — all keyed shuffles; lineage truncated per round
+    * with localCheckpoint like every loop in the engine. Community sizes
+    * via a label-partitioned window count (community-sized partitions).
+    */
+  def lpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairs(spark, dir).select("id_a", "id_b")
+    val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    for (_ <- 1 to 3) {
+      labels = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("n"))
+        // mode with min-label tie-break: max over (n, −lbl) — labels are
+        // non-negative ids, so the negation flips the tie direction.
+        .groupBy(col("src").as("id"))
+        .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("id"), (-col("m.neg")).as("lbl"))
+        .localCheckpoint()
+    }
+    val wl = Window.partitionBy("lbl")
+    labels
+      .withColumn("community_size", count(lit(1)).over(wl))
+      .select(col("id").as("doc_id"), col("lbl").as("community"),
+              col("community_size"))
+      .orderBy("doc_id")
+  }
+
   /** q159 — cross-source corpus-overlap ESTIMATION via per-source MinHash
     * union sketches: the sketch-sized answer to the question q138's exact
     * cross-dup matrix answers at pair cost. Each source keeps one 64-slot
@@ -686,6 +727,7 @@ object Dedup {
     "q153_canonical_keeper"      -> canonicalKeeper _,
     "q154_kcore"                 -> ((s: SparkSession, d: String) => kCore(s, d)),
     "q159_cross_source_minhash"  -> crossSourceMinhash _,
+    "q164_lpa_communities"       -> lpaCommunities _,
   )
 
   private[queries] val shingleCte =
@@ -900,7 +942,33 @@ object Dedup {
          |ORDER BY source_1, source_2""".stripMargin
   }
 
+  /** DuckDB mirror of `lpaCommunities`: the q36 pair CTEs + 3 unrolled
+    * mode-adoption rounds (row_number over (count DESC, label) replays the
+    * min-label tie-break), then the label-partitioned size count.
+    */
+  private val lpaOracle: String = {
+    def round(prev: String, n: Int): String =
+      s"""cnt$n AS MATERIALIZED (SELECT e.src, p.lbl, count(*) AS c
+         |        FROM edges e JOIN $prev p ON p.id = e.dst GROUP BY 1, 2),
+         |l$n AS MATERIALIZED (SELECT src AS id, lbl FROM (
+         |        SELECT src, lbl, row_number() OVER (PARTITION BY src
+         |          ORDER BY c DESC, lbl) AS rn FROM cnt$n)
+         |      WHERE rn = 1)""".stripMargin
+    pairsCte +
+      s""",
+         |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+         |        UNION ALL SELECT id_b, id_a FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+         |${round("l0", 1)},
+         |${round("l1", 2)},
+         |${round("l2", 3)}
+         |SELECT id AS doc_id, lbl AS community,
+         |       CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+         |FROM l3 ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q164_lpa_communities" -> lpaOracle,
     "q159_cross_source_minhash" -> crossSourceMinhashOracle,
     "q154_kcore" -> kCoreOracle,
     "q148_incremental_dedup" -> incrementalDedupOracle,

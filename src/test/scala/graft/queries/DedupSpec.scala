@@ -187,6 +187,29 @@ class DedupSpec extends SparkSpec {
     assert(core3.keySet.subsetOf(core2.keySet))
   }
 
+  test("LPA communities refine the CC components and use member ids as labels") {
+    val lpa = Dedup.lpaCommunities(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(lpa.nonEmpty)
+    val cc = Dedup.dedupCluster(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Same node set as CC (every node in the pair graph gets a community).
+    assert(lpa.map(_._1).toSet == cc.keySet)
+    // Labels only travel along edges, so a community can never straddle two
+    // connected components: all members of one community share a CC cluster.
+    lpa.groupBy(_._2).foreach { case (community, ms) =>
+      val comps = ms.map(m => cc(m._1)).distinct
+      assert(comps.length == 1,
+        s"community $community straddles components $comps")
+    }
+    // Community labels are ids of graph nodes, and sizes are consistent.
+    val nodeset = cc.keySet
+    lpa.foreach { case (_, community, _) => assert(nodeset(community)) }
+    val sizes = lpa.groupBy(_._2).map { case (c, ms) => c -> ms.length.toLong }
+    lpa.foreach { case (id, c, sz) =>
+      assert(sz == sizes(c), s"doc $id community-size mismatch") }
+  }
+
   test("cluster formation is a valid CC labeling of the near-dup pair graph") {
     val labels = Dedup.dedupCluster(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
