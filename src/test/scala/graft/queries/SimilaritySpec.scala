@@ -199,6 +199,15 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected, s"distributed k-means diverged: $got vs $expected")
   }
 
+  test("hybrid fusion plans every ranking cut on the native top-K operator, never a window") {
+    val plan = Similarity.hybridFusion(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyPartial") && plan.contains("TopKPerKeyFinal"),
+      s"native top-K exec missing from hybrid fusion plan:\n$plan")
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window ("),
+      s"window-based ranking crept into hybrid fusion:\n$plan")
+  }
+
   test("hybrid fusion equals an independent JVM recomputation of both rankers") {
     val K = 16
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
