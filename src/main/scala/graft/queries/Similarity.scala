@@ -795,7 +795,37 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
+  /** q165 — incremental index ingest: newly-arriving vectors (the
+    * deterministic md5-prefix batch, q148's arrival convention applied to
+    * the vector side) are assigned to the EXISTING trained IVF index —
+    * q146's converged centroids — without retraining: the production
+    * steady-state where training is periodic but ingest is continuous.
+    * Completes the vector lifecycle train (q146) → search (q156) →
+    * incremental ingest (here), mirroring the text side's standing-index
+    * probe (q148). Map-only at any scale: the k centroids ride the plan as
+    * literals (the trainer's own argmin spelling), so a batch of any size
+    * is one scan with zero shuffle before the output sort.
+    */
+  def annIncrementalAssign(spark: SparkSession, dir: String): DataFrame = {
+    val cents = kmeansTrained(spark, dir)._2
+    val batch = embeddings(spark, dir)
+      .filter(substring(md5(col("vec_id").cast("string")), 1, 1) === "a")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("v"))
+    val minStruct = array_min(array(cents.toSeq.zipWithIndex.map {
+      case (c, i) =>
+        struct(VectorOps.l2sq(col("v"), typedLit(c)).as("d"),
+               lit(i).as("cent_id"))
+    }: _*))
+    batch
+      .withColumn("m", minStruct)
+      .select(col("vec_id"), col("m.cent_id").as("cent_id"), col("m.d").as("d2"))
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_ann_incremental"    -> annIncrementalAssign _,
     "q160_hybrid_fusion"      -> hybridFusion _,
     "q146_kmeans"             -> kmeansLloyd _,
     "q156_ivf_trained"        -> annIvfTrained _,
@@ -1147,7 +1177,28 @@ object Similarity {
         |    ORDER BY borda DESC, doc_id) AS rnk FROM fused)
         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
 
+  /** DuckDB mirror of `annIncrementalAssign`: the shared Lloyd CTEs to the
+    * converged centroids, the same md5-prefix batch rule, the same
+    * (d, cent_id) argmin replayed as a row_number.
+    */
+  private val annIncrementalOracle: String =
+    kmeansCtes +
+      s""",
+         |batch AS (SELECT vec_id, v FROM q
+         |          WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = 'a')
+         |SELECT vec_id, cent_id, d2 FROM (
+         |  SELECT b.vec_id, c.cent_id,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |           i -> (b.v[i] - c.c[i]) * (b.v[i] - c.c[i]))) AS BIGINT) AS d2,
+         |         row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |           CAST(list_sum(list_transform(range(1, 65),
+         |             i -> (b.v[i] - c.c[i]) * (b.v[i] - c.c[i]))) AS BIGINT),
+         |           c.cent_id) AS rn
+         |  FROM batch b CROSS JOIN $kmeansFinalC c)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q165_ann_incremental" -> annIncrementalOracle,
     "q160_hybrid_fusion" -> hybridFusionOracle,
     "q146_kmeans" -> kmeansOracle,
     "q156_ivf_trained" -> ivfTrainedOracle,

@@ -199,6 +199,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected, s"distributed k-means diverged: $got vs $expected")
   }
 
+  test("incremental assignment agrees with the trainer's own final assignment") {
+    // Batch vectors are corpus vectors, and assignment is a pure function
+    // of (vector, converged centroids) — so the incremental path must land
+    // every batch vector in exactly the bucket the trainer's final pass
+    // did, at the same distance. Any drift means the ingest path and the
+    // index disagree about the metric or the centroids.
+    val trained = Similarity.kmeansTrained(spark, sfDir)._1
+      .select("vec_id", "cent_id", "d").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val inc = Similarity.annIncrementalAssign(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(inc.nonEmpty)
+    inc.foreach { case (id, cid, d2) =>
+      assert(trained(id) == ((cid, d2)),
+        s"vec $id: incremental ($cid, $d2) vs trained ${trained(id)}")
+    }
+    // And the batch rule really is a strict subset of the corpus.
+    assert(inc.length < trained.size)
+  }
+
   test("hybrid fusion plans every ranking cut on the native top-K operator, never a window") {
     val plan = Similarity.hybridFusion(spark, sfDir)
       .queryExecution.executedPlan.toString
