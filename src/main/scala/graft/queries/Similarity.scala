@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{CentroidAggregator, TopKAggregator, VectorOps}
@@ -628,6 +628,20 @@ object Similarity {
   // .cpp:241-268) at bounded driver cost.
   private[queries] val kmeansMaxRounds = 8
 
+  /** (d, cent_id) struct-minimum over driver-known centroids folded into
+    * the plan as literal vectors — the engine's one argmin spelling, shared
+    * by the trainer's assignment passes and the incremental-ingest path so
+    * the index and its ingest can never disagree about the metric. The
+    * array_min form evaluates each distance exactly once per row (a
+    * when-chain reduce would duplicate the distance subtrees 3^k-fold).
+    * Struct order = (d, then cent_id), the oracle's row_number tie-break.
+    */
+  private def centroidArgmin(cents: Array[Seq[Long]]): Column =
+    array_min(array(cents.toSeq.zipWithIndex.map { case (c, i) =>
+      struct(VectorOps.l2sq(col("v"), typedLit(c)).as("d"),
+             lit(i).as("cent_id"))
+    }: _*))
+
   // Trained Lloyd state — the final assignment (vec_id, v, cent_id, d)
   // plus the converged centroid table — cached per (session, corpus) like
   // the coarse assignment: training runs ONCE and its consumers share it
@@ -654,20 +668,10 @@ object Similarity {
         var converged = false
         var r = 1
         while (r <= kmeansMaxRounds && !converged) {
-          // Map-only argmin: the k centroids are driver-known constants this
-          // round, so each is folded into the plan as a LITERAL vector and
-          // the (d, cent_id) minimum is array_min over k structs — every
-          // distance evaluated exactly once per row (a when-chain reduce
-          // would duplicate the distance subtrees 3^k-fold), no crossJoin
-          // row blow-up, no per-pass (vec_id, v) re-shuffle. Struct order
-          // = (d, then cent_id), the oracle's row_number tie-break.
-          val minStruct = array_min(array(cents.toSeq.zipWithIndex.map {
-            case (c, i) =>
-              struct(VectorOps.l2sq(col("v"), typedLit(c)).as("d"),
-                     lit(i).as("cent_id"))
-          }: _*))
+          // Map-only assignment pass: no crossJoin row blow-up, no per-pass
+          // (vec_id, v) re-shuffle — see centroidArgmin.
           assign = qv
-            .withColumn("m", minStruct)
+            .withColumn("m", centroidArgmin(cents))
             .select(col("vec_id"), col("v"),
               col("m.cent_id").as("cent_id"), col("m.d").as("d"))
           if (r < kmeansMaxRounds) {
@@ -813,13 +817,8 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(1e6)).cast("long")).as("v"))
-    val minStruct = array_min(array(cents.toSeq.zipWithIndex.map {
-      case (c, i) =>
-        struct(VectorOps.l2sq(col("v"), typedLit(c)).as("d"),
-               lit(i).as("cent_id"))
-    }: _*))
     batch
-      .withColumn("m", minStruct)
+      .withColumn("m", centroidArgmin(cents))
       .select(col("vec_id"), col("m.cent_id").as("cent_id"), col("m.d").as("d2"))
       .orderBy("vec_id")
   }
