@@ -96,6 +96,20 @@ object LinesSource {
     * `(i+1) << 32` intermediate, which overflows for the top shard index.
     */
   def shardMaxId(i: Int): Long = (i.toLong << 32) + 0xFFFFFFFFL
+
+  /** Prefix making every `<prefix>part-<batch>-<partition>.txt` name sort
+    * strictly after `last` (the lexicographically-greatest existing shard):
+    * the smallest run of '~' (0x7E, above any sane ASCII shard name) that
+    * wins, and — total-function fallback for names '~' cannot beat, e.g.
+    * unicode above 0x7E — `last` itself plus '~' (a strict extension of
+    * `last` sorts after it, and after everything below it). A prefix p with
+    * p > last guarantees p+suffix > last: the first differing position
+    * already favors p.
+    */
+  def monotonePrefix(last: String, batch: Int): String =
+    Iterator.iterate("")("~" + _).take(8)
+      .find(p => f"${p}part-$batch%06d-" > last)
+      .getOrElse(last + "~")
 }
 
 final class LinesTable(path: String) extends Table with SupportsRead with SupportsWrite {
@@ -302,9 +316,7 @@ final class LinesWrite(path: String, schema: StructType, truncateFirst: Boolean)
     val last = if (existing.isEmpty) "" else existing.max
     // A string prefix p with p > last guarantees p+suffix > last (the first
     // differing position already favors p), so compare on the prefix once.
-    val pfx = Iterator.iterate("")("~" + _)
-      .find(p => f"${p}part-$batch%06d-" > last)
-      .get
+    val pfx = LinesSource.monotonePrefix(last, batch)
     messages.collect { case m: LinesCommitMessage if m.rows > 0 => m }
       .foreach { m =>
         val src = new java.io.File(path, m.tmpName)

@@ -209,6 +209,32 @@ class SourcesSpec extends SparkSpec {
       after.last.takeWhile(_ == '~').length, s"prefix grew: $names")
   }
 
+  test("monotone prefix beats ANY last shard name (property, incl. unicode)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    // The shard-naming invariant in its pure form: for arbitrary existing
+    // last names (ASCII, '~'-runs, unicode above 0x7E) and batch counters,
+    // the generated full shard name sorts strictly after `last` — the
+    // property positional doc_id stability rests on. The '~' search alone
+    // cannot beat unicode names; the fallback (extend `last`) must.
+    val gen = for {
+      last <- Gen.oneOf(
+        Gen.asciiPrintableStr,
+        Gen.listOf(Gen.oneOf('~', '~', 'z', 'é', '世', '\uD83D')).map(_.mkString),
+        Gen.const(""))
+      batch <- Gen.chooseNum(0, 1000000)
+    } yield (last, batch)
+    val prop = forAll(gen) { case (last: String, batch: Int) =>
+      val name = f"${graft.sources.LinesSource.monotonePrefix(last, batch)}part-$batch%06d-00000.txt"
+      name > last
+    }
+    org.scalacheck.Test.check(org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(500), prop).passed match {
+      case true => ()
+      case false => fail("monotonePrefix violated the sort-after invariant")
+    }
+  }
+
   test("LinesSource pushes doc_id filters and prunes columns in the scan") {
     val p = stageShards(Seq(Seq("x", "y", "z")))
     val q = readLinesSrc(p)
