@@ -558,7 +558,40 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** q166 — corpus snapshot diff: the dataset-versioning primitive (the
+    * lakeFS/DVC "what changed between v1 and v2" report) a reproducible
+    * training pipeline runs before re-training on a refreshed corpus. Two
+    * snapshots are derived deterministically from the documents table by
+    * md5 rules (the engine's fixture convention): v1 lacks the 'f'-bucket
+    * docs (added later), v2 lacks the 'e'-bucket (removed) and carries
+    * edited text for the '0'-bucket (changed). The diff itself is the
+    * general shape: full outer join on the stable key, digest compare for
+    * rows present on both sides — one keyed shuffle, digest-only payload
+    * (never full text), integer counts per status. At 100 TB this is the
+    * plan you want: the join carries (key, 16-byte digest), and the
+    * status classification is a map-side CASE.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("b"))
+    val v1 = d.filter(col("b") =!= "f").select(col("doc_id"), col("h").as("h1"))
+    val v2 = d.filter(col("b") =!= "e")
+      .select(col("doc_id"),
+        when(col("b") === "0", md5(concat(col("h"), lit(" v2"))))
+          .otherwise(col("h")).as("h2"))
+    v1.join(v2, Seq("doc_id"), "full")
+      .select(
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n_docs"))
+      .orderBy("status")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_snapshot_diff" -> snapshotDiff _,
     "q158_quality_median_gate" -> qualityMedianGate _,
     "q145_filter_funnel" -> filterFunnel _,
     "q149_dsir_affinity" -> dsirAffinity _,
@@ -591,6 +624,21 @@ object Pipeline {
        |           0) AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q166_snapshot_diff" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h,
+        |                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS b
+        |           FROM documents),
+        |v1 AS (SELECT doc_id, h AS h1 FROM d WHERE b <> 'f'),
+        |v2 AS (SELECT doc_id,
+        |         CASE WHEN b = '0' THEN md5(h || ' v2') ELSE h END AS h2
+        |       FROM d WHERE b <> 'e')
+        |SELECT CASE WHEN h1 IS NULL THEN 'added'
+        |            WHEN h2 IS NULL THEN 'removed'
+        |            WHEN h1 <> h2 THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM v1 FULL JOIN v2 USING (doc_id)
+        |GROUP BY 1 ORDER BY status""".stripMargin,
     "q158_quality_median_gate" ->
       s"""WITH toks AS (SELECT doc_id, source,
          |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks

@@ -170,6 +170,20 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("snapshot diff statuses partition the union of both snapshots exactly") {
+    val diff = Pipeline.snapshotDiff(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("substr(md5(CAST(doc_id AS STRING)), 1, 1) AS b").collect()
+      .map(_.getString(0))
+    val (added, removed, changed) =
+      (docs.count(_ == "f"), docs.count(_ == "e"), docs.count(_ == "0"))
+    assert(diff.getOrElse("added", 0L) == added)
+    assert(diff.getOrElse("removed", 0L) == removed)
+    assert(diff.getOrElse("changed", 0L) == changed)
+    assert(diff.values.sum == docs.length, "statuses must partition the key union")
+  }
+
   test("quality median gate keeps at least half of every source and totals conserve") {
     val rows = Pipeline.qualityMedianGate(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
