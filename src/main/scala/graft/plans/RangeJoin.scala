@@ -79,7 +79,7 @@ case class BroadcastRangeJoinExec(
       // re-deriving O(m log m) per task would be pure redundancy.
       // maxHi(i) = max(his(0..i)) is the walk-down stop bound: once every
       // interval at or before i ends ≤ ts, none can cover ts.
-      val idx = BroadcastRangeJoinExec.indexFor(bcRows.id, exprKey) {
+      val idx = BroadcastRangeJoinExec.indexFor(bcRows.id, exprKey, loE, hiE) {
         val loProj = UnsafeProjection.create(Seq(loE), rOut)
         val hiProj = UnsafeProjection.create(Seq(hiE), rOut)
         val tuples = bcRows.value.flatMap { r =>
@@ -141,6 +141,15 @@ case class BroadcastRangeJoinExec(
 final case class IntervalIndex(
     los: Array[Long], his: Array[Long], rows: Array[InternalRow], maxHi: Array[Long])
 
+/** Cache entry: the index plus the canonicalized interval expressions it was
+  * built from. The map key uses a 32-bit semanticHash of those expressions;
+  * the stored expressions make a hash collision detectable (two range joins
+  * sharing one broadcast via ReuseExchange but indexing different columns)
+  * instead of silently serving the wrong index.
+  */
+private[plans] final case class CachedIndex(
+    lo: Expression, hi: Expression, index: IntervalIndex)
+
 object BroadcastRangeJoinExec {
   // Executor-local memo of the interval index, keyed by (broadcast id,
   // lo/hi semantic hash). SoftReference values: the executor may reclaim an
@@ -148,23 +157,32 @@ object BroadcastRangeJoinExec {
   // can only trade CPU, never cause an OOM the uncached path wouldn't.
   // Entries die with the executor, like the broadcast blocks they index.
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Long, Int), java.lang.ref.SoftReference[IntervalIndex]]()
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int), java.lang.ref.SoftReference[CachedIndex]]()
   /** Builds observed by this JVM — lets tests pin one-build-per-broadcast. */
   private[plans] val buildCount = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private[plans] def indexFor(bcId: Long, exprKey: Int)(build: => IntervalIndex): IntervalIndex = {
+  // A hit is only reused after a semanticEquals check against the stored
+  // canonicalized expressions: the 32-bit exprKey alone could collide across
+  // two joins reusing one broadcast, and a collision must cost a rebuild,
+  // never wrong join output. A mismatching entry is returned uncached (no
+  // replacement) so two colliding joins don't thrash each other's entry.
+  private[plans] def indexFor(bcId: Long, exprKey: Int, lo: Expression, hi: Expression)(
+      build: => IntervalIndex): IntervalIndex = {
     val key = (bcId, exprKey)
+    def matches(c: CachedIndex): Boolean =
+      c.lo.semanticEquals(lo) && c.hi.semanticEquals(hi)
     val ref = cache.get(key)
     val hit = if (ref != null) ref.get() else null
-    if (hit != null) hit
+    if (hit != null && matches(hit)) hit.index
     else cache.synchronized { // one build per executor, not one per racing task
       val again = cache.get(key)
       val h2 = if (again != null) again.get() else null
-      if (h2 != null) h2
+      if (h2 != null && matches(h2)) h2.index
       else {
         val built = build
         buildCount.incrementAndGet()
-        cache.put(key, new java.lang.ref.SoftReference(built))
+        if (h2 == null) // keep the first owner's entry on hash collision
+          cache.put(key, new java.lang.ref.SoftReference(CachedIndex(lo.canonicalized, hi.canonicalized, built)))
         built
       }
     }

@@ -67,7 +67,7 @@ object Dedup {
     * per-corpus tables forever.
     */
   def evictCaches(spark: SparkSession): Unit = {
-    Seq(shingleCache, pairCache).foreach { cache =>
+    Seq(shingleCache, pairCache, orientedCache).foreach { cache =>
       cache.keys.filter(_._1 eq spark).foreach { k =>
         cache.remove(k).foreach(_.unpersist(blocking = false))
       }
@@ -434,21 +434,31 @@ object Dedup {
     * the wedge join can compare neighbors without a third degree join.
     * Exposed for DedupSpec's orientation pin.
     */
-  private[queries] def orientedEdges(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = nearDupPairs(spark, dir).select("id_a", "id_b")
-    val deg = pairs.union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("id", "nbr")
-      .groupBy("id").agg(count(lit(1)).as("deg"))
-    val aLower = struct(col("da"), col("id_a")) < struct(col("db"), col("id_b"))
-    pairs
-      .join(deg.toDF("id_a", "da"), "id_a")
-      .join(deg.toDF("id_b", "db"), "id_b")
-      .select(
-        when(aLower, col("id_a")).otherwise(col("id_b")).as("src"),
-        when(aLower, col("id_b")).otherwise(col("id_a")).as("dst"),
-        when(aLower, struct(col("db").as("deg"), col("id_b").as("id")))
-          .otherwise(struct(col("da").as("deg"), col("id_a").as("id"))).as("dk"))
-  }
+  // The oriented edge set is consumed THREE times inside the triangle query
+  // (e1/e2 wedge sides + e3 closing probe); without materialization each
+  // consumer recomputes the degree aggregation and both degree joins from
+  // the pair table — measured at +1.6 s on sf0.1 (r8 bench). Cached per
+  // (session, corpus) like the pair table it derives from.
+  private val orientedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[queries] def orientedEdges(spark: SparkSession, dir: String): DataFrame =
+    orientedCache.synchronized { orientedCache.getOrElseUpdate((spark, dir), {
+      val pairs = nearDupPairs(spark, dir).select("id_a", "id_b")
+      val deg = pairs.union(pairs.select(col("id_b"), col("id_a")))
+        .toDF("id", "nbr")
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val aLower = struct(col("da"), col("id_a")) < struct(col("db"), col("id_b"))
+      pairs
+        .join(deg.toDF("id_a", "da"), "id_a")
+        .join(deg.toDF("id_b", "db"), "id_b")
+        .select(
+          when(aLower, col("id_a")).otherwise(col("id_b")).as("src"),
+          when(aLower, col("id_b")).otherwise(col("id_a")).as("dst"),
+          when(aLower, struct(col("db").as("deg"), col("id_b").as("id")))
+            .otherwise(struct(col("da").as("deg"), col("id_a").as("id"))).as("dk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }) }
 
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     val e = orientedEdges(spark, dir)
@@ -562,12 +572,20 @@ object Dedup {
     * yields the identical edge set. Lineage truncated per round with
     * localCheckpoint like every iterative loop in the engine.
     */
+  /** Peel depth the DuckDB k-core oracle unrolls. `kCore` asserts its true
+    * fixpoint is reached within this many peels — a corpus whose peel depth
+    * ever exceeded the unroll would otherwise diverge from the oracle with
+    * no signal at all (the oracle would just stop early).
+    */
+  private[queries] val kCoreOracleUnrollDepth = 12
+
   def kCore(spark: SparkSession, dir: String, k: Int = 2): DataFrame = {
     val pairs = nearDupPairs(spark, dir).select("id_a", "id_b")
     var edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").localCheckpoint()
     var prev = -1L
     var cur = edges.count()
+    var peels = 0
     while (cur != prev && cur > 0) {
       val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("src")
@@ -577,6 +595,12 @@ object Dedup {
         .select("src", "dst").localCheckpoint()
       prev = cur
       cur = edges.count()
+      peels += 1
+      // Fail verification loudly instead of letting the fixed-unroll oracle
+      // silently diverge on a deeper-than-expected corpus.
+      require(peels <= kCoreOracleUnrollDepth,
+        s"kCore: peel $peels exceeds the oracle's $kCoreOracleUnrollDepth-peel " +
+          "unroll — raise kCoreOracleUnrollDepth (both sides derive from it)")
     }
     edges.groupBy(col("src").as("doc_id"))
       .agg(count(lit(1)).as("core_degree"))
@@ -906,14 +930,15 @@ object Dedup {
          |e$n AS MATERIALIZED (SELECT e.src, e.dst FROM $prev e
          |        JOIN k$n a ON a.src = e.src
          |        JOIN k$n b ON b.src = e.dst)""".stripMargin
-    val peels = (1 to 12).map(n => peel(s"e${n - 1}", n)).mkString(",\n")
+    val d = kCoreOracleUnrollDepth
+    val peels = (1 to d).map(n => peel(s"e${n - 1}", n)).mkString(",\n")
     pairsCte +
       s""",
          |e0 AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
          |       UNION ALL SELECT id_b, id_a FROM pairs),
          |$peels
          |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
-         |FROM e12 GROUP BY src ORDER BY doc_id""".stripMargin
+         |FROM e$d GROUP BY src ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB mirror of `crossSourceMinhash`: identical md5-prefix hashing

@@ -156,10 +156,16 @@ object Similarity {
         assignCache.remove(k).foreach(_.unpersist(blocking = false))
       }
     }
-    // Trained-kmeans entries are localCheckpoint-backed (RDD cache freed on
-    // dereference + GC); dropping the map entry is the release.
+    // Trained-kmeans entries are localCheckpoint-backed: dropping the map
+    // entry alone frees the RDD blocks only via GC + ContextCleaner, which
+    // is non-deterministic — unpersist the checkpointed RDD explicitly so
+    // Bench's evict-between-passes cannot leave stale blocks resident.
     kmeansCache.synchronized {
-      kmeansCache.keys.filter(_._1 eq spark).foreach(kmeansCache.remove)
+      kmeansCache.keys.filter(_._1 eq spark).foreach { k =>
+        kmeansCache.remove(k).foreach { case (df, _) =>
+          org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(df)
+        }
+      }
     }
   }
 

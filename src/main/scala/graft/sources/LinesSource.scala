@@ -323,7 +323,14 @@ final class LinesWrite(path: String, schema: StructType, truncateFirst: Boolean)
         val dst = new java.io.File(path, f"${pfx}part-$batch%06d-${m.partitionId}%05d.txt")
         require(dst.getName > last,
           s"graft_lines: generated shard ${dst.getName} would not sort after $last")
-        require(src.renameTo(dst), s"graft_lines: commit rename failed for ${m.tmpName}")
+        // Files.move WITHOUT REPLACE_EXISTING: two concurrent commits into
+        // one directory can list the same shards, derive the same
+        // batch/prefix, and collide on a final name — renameTo would
+        // silently replace the first writer's shard (data loss); this
+        // throws FileAlreadyExistsException instead, failing the later
+        // write loudly. (Single-writer-per-directory remains the intended
+        // contract; the collision is now detected, not absorbed.)
+        java.nio.file.Files.move(src.toPath, dst.toPath)
       }
     sweepTemps()
   }

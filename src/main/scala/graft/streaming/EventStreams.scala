@@ -18,8 +18,11 @@ object EventStreams {
 
   /** The events schema, pinned (Tables.scala rule: schema inference re-reads
     * the data and can drift). `ts` is TIMESTAMP(MICROS) in the current
-    * fixture generation; Tables.events normalizes older INT64-nanos files
-    * the same way.
+    * fixture generation, and the STREAMING source requires that generation:
+    * a pinned schema is applied to every arriving file as-is, so pre-r8
+    * INT64-nanos event fixtures are NOT readable here. (Only the batch path
+    * — Tables.events — probes the footer and normalizes older nanos files;
+    * a landing directory fed by current producers never contains them.)
     */
   val eventSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._

@@ -32,4 +32,18 @@ object GraftSqlBridge {
   /** Final physical plan — for plan-shape assertions in tests/Explain. */
   def executedPlan(df: DataFrame): org.apache.spark.sql.execution.SparkPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.executedPlan
+
+  /** Deterministically release the cached RDD blocks behind a
+    * `localCheckpoint()`-backed DataFrame. Dropping the last reference only
+    * frees them via GC + ContextCleaner at some later point; an explicit
+    * eviction pass (Bench between corpora) needs the blocks gone NOW, not
+    * eventually. Walks the plan for the LogicalRDD the checkpoint produced
+    * and unpersists its RDD; a no-op on plans with no checkpointed leaf.
+    */
+  def unpersistCheckpointed(df: DataFrame): Unit =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
