@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * travel in Parquet pages, decode runs as a typed `mapPartitions` (one
   * decoder init per partition, batch-at-a-time — the Scala analog of a
   * batched pandas-UDF pipeline), and the output is a columnar feature
-  * schema. The DECODE STEP ITSELF IS A STUB: real image/audio codecs are
-  * not available in this container, so `decodeBatch` derives deterministic
-  * fake features (checksum-seeded dimensions) from the payload bytes. Swap
-  * `decodeBatch`'s body for a real codec and nothing else changes.
+  * schema. Three REAL dependency-free codecs prove the decode path end to
+  * end — PGM (q161), 24-bit BMP with row padding and bottom-up rows
+  * (q167), and RIFF/WAV PCM16 with a generic chunk walk (q168) — while the
+  * generic `decodeBatch` used by q54/q72/q73 remains a deterministic STUB
+  * (checksum-seeded dimensions): lossy codecs like JPEG/MP3 aren't in this
+  * container. Swap `decodeBatch`'s body for one and nothing else changes.
   */
 object Multimodal {
 
@@ -183,12 +185,191 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q167
+  // Second real image codec: 24-bit uncompressed BMP — unlike PGM it has
+  // the two classic binary-format traps a real decoder must handle: rows
+  // are padded to 4-byte boundaries (width 31 → 93 pixel bytes + 3 pad
+  // bytes per row) and stored BOTTOM-UP. The encoder synthesizes genuine
+  // BITMAPFILEHEADER+BITMAPINFOHEADER files from document bytes; the
+  // decoder validates both headers and walks rows by stride, skipping the
+  // padding. Per-channel sums are position-independent, so the DuckDB
+  // oracle replays them from hex(encode(text)) by byte offset → channel
+  // arithmetic without modeling the bottom-up row order.
+
+  final case class BmpStats(doc_id: Long, width: Int, height: Int, n_px: Long,
+                            sum_b: Long, sum_g: Long, sum_r: Long, max_px: Int)
+
+  private val bmpWidth = 31          // odd width → real row padding (93 → 96)
+  private val bmpRowBytes = bmpWidth * 3
+  private val bmpStride = (bmpRowBytes + 3) & ~3
+
+  /** data → a well-formed 24-bit bottom-up BMP: 31 px wide, height =
+    * ceil(n/93) (min 1), payload bytes filling the BGR pixel area
+    * sequentially (padding bytes stay zero, like the PGM zero-pad).
+    */
+  def encodeBmp(data: Array[Byte]): Array[Byte] = {
+    val h = math.max(1, (data.length + bmpRowBytes - 1) / bmpRowBytes)
+    val out = new Array[Byte](54 + bmpStride * h)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(out.length).putShort(0).putShort(0)
+      .putInt(54)                                     // bfOffBits
+      .putInt(40).putInt(bmpWidth).putInt(h)          // BITMAPINFOHEADER
+      .putShort(1).putShort(24).putInt(0)             // planes, bpp, BI_RGB
+      .putInt(bmpStride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var j = 0
+    while (j < data.length) {
+      out(54 + (j / bmpRowBytes) * bmpStride + j % bmpRowBytes) = data(j)
+      j += 1
+    }
+    out
+  }
+
+  /** Real BMP parser: validates magic, header sizes, 24 bpp, BI_RGB; scans
+    * the pixel grid bottom-up by stride (skipping row padding) for integer
+    * channel sums and the max channel byte. Throws on malformed payloads.
+    */
+  def decodeBmpBatch(rows: Iterator[(Long, Array[Byte])]): Iterator[BmpStats] =
+    rows.map { case (id, p) =>
+      require(p.length >= 54 && p(0) == 'B' && p(1) == 'M', s"doc $id: not a BMP")
+      val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val off = bb.getInt(10)
+      require(bb.getInt(14) == 40, s"doc $id: unsupported DIB header")
+      val w = bb.getInt(18)
+      val h = bb.getInt(22)
+      require(w > 0 && h > 0, s"doc $id: top-down or empty BMP unsupported")
+      require(bb.getShort(28) == 24, s"doc $id: not 24 bpp")
+      require(bb.getInt(30) == 0, s"doc $id: compressed BMP unsupported")
+      val stride = (w * 3 + 3) & ~3
+      require(p.length >= off + stride * h, s"doc $id: truncated pixel array")
+      var (sb, sg, sr) = (0L, 0L, 0L)
+      var mx = 0
+      var row = h - 1                  // bottom-up: last stored row is row 0
+      while (row >= 0) {
+        val base = off + row * stride
+        var c = 0
+        while (c < w) {
+          val b = p(base + 3 * c) & 0xff
+          val g = p(base + 3 * c + 1) & 0xff
+          val r = p(base + 3 * c + 2) & 0xff
+          sb += b; sg += g; sr += r
+          val m = math.max(b, math.max(g, r)); if (m > mx) mx = m
+          c += 1
+        }
+        row -= 1
+      }
+      BmpStats(id, w, h, w.toLong * h, sb, sg, sr, mx)
+    }
+
+  /** The registered query: documents → real BMP binaries → parsed stats. */
+  def bmpDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.tables.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, data) => (id, encodeBmp(data)) }
+      .mapPartitions(decodeBmpBatch)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q168
+  // Real audio codec: WAV (RIFF) — header + chunk walk, not the q134 stub.
+  // The encoder synthesizes genuine PCM16 mono 16 kHz files (sample k =
+  // (byte_k − 128) · 256, a real 8-bit→16-bit companding shape); the
+  // decoder walks the RIFF chunk list generically (fmt validation, unknown
+  // chunks skipped with the spec's word-alignment rule) and computes
+  // integer-exact energy/amplitude plus the 25 ms/10 ms framing of q134.
+
+  final case class WavStats(doc_id: Long, sample_rate: Int, n_samples: Long,
+                            n_frames: Long, energy: Long, max_amp: Int)
+
+  /** data → a canonical 44-byte-header RIFF/WAVE file, PCM16 mono 16 kHz,
+    * one sample per payload byte.
+    */
+  def encodeWav(data: Array[Byte]): Array[Byte] = {
+    val n = data.length
+    val out = new Array[Byte](44 + 2 * n)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + 2 * n).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1)                        // PCM, mono
+      .putInt(16000).putInt(16000 * 2).putShort(2).putShort(16)
+      .put("data".getBytes).putInt(2 * n)
+    var k = 0
+    while (k < n) {
+      bb.putShort((((data(k) & 0xff) - 128) << 8).toShort)
+      k += 1
+    }
+    out
+  }
+
+  /** Real RIFF parser: validates RIFF/WAVE, walks the chunk list (word-
+    * aligned, per spec), requires a PCM16-mono fmt chunk before data, and
+    * computes integer stats over the samples: energy = Σ s², max_amp =
+    * max |s|, n_frames = 400-sample windows at 160-sample hop (q134's
+    * framing, now over REAL decoded samples). Throws on malformed payloads.
+    */
+  def decodeWavBatch(rows: Iterator[(Long, Array[Byte])]): Iterator[WavStats] =
+    rows.map { case (id, p) =>
+      require(p.length >= 12 && new String(p, 0, 4) == "RIFF" &&
+        new String(p, 8, 4) == "WAVE", s"doc $id: not a RIFF/WAVE file")
+      val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 12
+      var rate = -1
+      var stats: WavStats = null
+      while (i + 8 <= p.length && stats == null) {
+        val cid = new String(p, i, 4)
+        val sz = bb.getInt(i + 4)
+        require(sz >= 0 && i + 8 + sz <= p.length, s"doc $id: truncated chunk $cid")
+        cid match {
+          case "fmt " =>
+            require(sz >= 16, s"doc $id: short fmt chunk")
+            require(bb.getShort(i + 8) == 1, s"doc $id: not PCM")
+            require(bb.getShort(i + 10) == 1, s"doc $id: not mono")
+            require(bb.getShort(i + 22) == 16, s"doc $id: not 16-bit")
+            rate = bb.getInt(i + 12)
+          case "data" =>
+            require(rate > 0, s"doc $id: data chunk before fmt")
+            require(sz % 2 == 0, s"doc $id: odd PCM16 data size")
+            val n = sz / 2
+            var (energy, mx) = (0L, 0)
+            var k = 0
+            while (k < n) {
+              val s = bb.getShort(i + 8 + 2 * k).toInt
+              energy += s.toLong * s
+              val a = math.abs(s); if (a > mx) mx = a
+              k += 1
+            }
+            val frames = if (n >= 400) (n - 400) / 160 + 1 else 0
+            stats = WavStats(id, rate, n.toLong, frames.toLong, energy, mx)
+          case _ => ()                 // unknown chunk: skip
+        }
+        i += 8 + sz + (sz & 1)         // chunks are word-aligned
+      }
+      require(stats != null, s"doc $id: no data chunk")
+      stats
+    }
+
+  /** The registered query: documents → real WAV binaries → parsed stats. */
+  def wavDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.tables.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, data) => (id, encodeWav(data)) }
+      .mapPartitions(decodeWavBatch)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_multimodal_audio"   -> audioFrames _,
     "q54_multimodal_features" -> features _,
     "q72_multimodal_resize"   -> resizePlan _,
     "q73_multimodal_frames"   -> frameSample _,
     "q161_pgm_decode"         -> pgmDecode _,
+    "q167_bmp_decode"         -> bmpDecode _,
+    "q168_wav_decode"         -> wavDecode _,
   )
 
   // The stub decode is closed-form over the bytes (ASCII corpus → byte value
@@ -203,7 +384,47 @@ object Multimodal {
       |                (h, c) -> (h * 31 + c) % 1000000007) AS BIGINT) AS checksum
       |  FROM documents)""".stripMargin
 
+  // Byte-replay CTE shared by the q167/q168 oracles: byte k (1-based) of
+  // the UTF-8 payload from two hex digits, as in the q161 replay.
+  private val bytesCte =
+    """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |                  octet_length(encode(text)) AS n
+      |           FROM documents),
+      |px AS (SELECT doc_id, n,
+      |         list_transform(range(1, n + 1), k ->
+      |           CAST(strpos('0123456789ABCDEF', substr(hx, 2*k - 1, 1)) - 1 AS BIGINT) * 16
+      |           + (strpos('0123456789ABCDEF', substr(hx, 2*k, 1)) - 1)) AS bytes
+      |       FROM b)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // BMP replay: channel of payload byte j (0-based) is (j mod 93) mod 3
+    // (B,G,R); padding and fill pixels are zero, so channel sums are over
+    // the real bytes only and max is never below 0.
+    "q167_bmp_decode" -> (bytesCte +
+      """
+        |SELECT doc_id, 31 AS width,
+        |       CAST(greatest(1, CAST(ceil(n / 93.0) AS BIGINT)) AS INT) AS height,
+        |       CAST(31 * greatest(1, CAST(ceil(n / 93.0) AS BIGINT)) AS BIGINT) AS n_px,
+        |       CAST(coalesce(list_sum(list_transform(range(1, n + 1),
+        |         k -> CASE WHEN ((k-1) % 93) % 3 = 0 THEN bytes[CAST(k AS INT)] ELSE 0 END)), 0) AS BIGINT) AS sum_b,
+        |       CAST(coalesce(list_sum(list_transform(range(1, n + 1),
+        |         k -> CASE WHEN ((k-1) % 93) % 3 = 1 THEN bytes[CAST(k AS INT)] ELSE 0 END)), 0) AS BIGINT) AS sum_g,
+        |       CAST(coalesce(list_sum(list_transform(range(1, n + 1),
+        |         k -> CASE WHEN ((k-1) % 93) % 3 = 2 THEN bytes[CAST(k AS INT)] ELSE 0 END)), 0) AS BIGINT) AS sum_r,
+        |       CAST(coalesce(list_max(bytes), 0) AS INT) AS max_px
+        |FROM px ORDER BY doc_id""".stripMargin),
+    // WAV replay: sample k = (byte_k − 128)·256, so energy = 65536·Σ(b−128)²
+    // and max_amp = 256·max|b−128| — integer-exact both sides.
+    "q168_wav_decode" -> (bytesCte +
+      """
+        |SELECT doc_id, 16000 AS sample_rate,
+        |       CAST(n AS BIGINT) AS n_samples,
+        |       CAST(CASE WHEN n >= 400 THEN (n - 400) // 160 + 1 ELSE 0 END AS BIGINT) AS n_frames,
+        |       CAST(coalesce(list_sum(list_transform(bytes,
+        |         v -> (v - 128) * (v - 128))), 0) * 65536 AS BIGINT) AS energy,
+        |       CAST(coalesce(list_max(list_transform(bytes,
+        |         v -> abs(v - 128))), 0) * 256 AS INT) AS max_amp
+        |FROM px ORDER BY doc_id""".stripMargin),
     // Replays the PGM round-trip from hex(encode(text)): byte k of the
     // UTF-8 payload is two hex digits; pads are zeros, so sum is over the
     // real bytes, min is 0 whenever padding exists, and max is 0 only for

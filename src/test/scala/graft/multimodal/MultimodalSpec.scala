@@ -3,10 +3,11 @@ package graft.multimodal
 import graft.SparkSpec
 import java.nio.charset.StandardCharsets.UTF_8
 
-/** The PGM path is the one REAL codec in the multimodal family — these pin
-  * the encode→decode round trip byte-for-byte (ScalaCheck-style property by
-  * hand over varied payload shapes) and the fail-loud contract on malformed
-  * binaries. The oracle gate separately proves the distributed query.
+/** The PGM/BMP/WAV paths are the REAL codecs in the multimodal family —
+  * these pin each encode→decode round trip byte-for-byte (ScalaCheck-style
+  * property by hand over varied payload shapes) and the fail-loud contract
+  * on malformed binaries. The oracle gate separately proves the distributed
+  * queries.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -48,6 +49,87 @@ class MultimodalSpec extends SparkSpec {
     val bad16 = "P5\n2 1\n65535\n..".getBytes(UTF_8)
     intercept[IllegalArgumentException] {
       Multimodal.decodePgmBatch(Iterator((3L, bad16))).next() }
+  }
+
+  private def bmpStats(data: Array[Byte]): Multimodal.BmpStats =
+    Multimodal.decodeBmpBatch(Iterator((7L, Multimodal.encodeBmp(data)))).next()
+
+  test("BMP round trip recovers dimensions, channel sums, and padding layout") {
+    val cases = Seq[Array[Byte]](
+      Array.emptyByteArray,                       // empty doc → 1 all-zero row
+      "a".getBytes(UTF_8),                        // single byte → B channel only
+      ("x" * 93).getBytes(UTF_8),                 // exactly one pixel row
+      ("y" * 94).getBytes(UTF_8),                 // one byte into row 2
+      "héllo wörld — ümlauts".getBytes(UTF_8),    // multi-byte UTF-8
+      Array.tabulate(257)(i => i.toByte),         // all byte values incl. >127
+    )
+    cases.foreach { data =>
+      val s = bmpStats(data)
+      val h = math.max(1, (data.length + 92) / 93)
+      val unsigned = data.map(_ & 0xff)
+      def chanSum(c: Int) = unsigned.zipWithIndex
+        .collect { case (v, j) if j % 93 % 3 == c => v.toLong }.sum
+      assert(s.width == 31 && s.height == h && s.n_px == 31L * h)
+      assert((s.sum_b, s.sum_g, s.sum_r) == ((chanSum(0), chanSum(1), chanSum(2))))
+      assert(s.max_px == (if (data.isEmpty) 0 else unsigned.max))
+      // the encoded file really has padded rows: stride 96 ≠ 93 row bytes
+      assert(Multimodal.encodeBmp(data).length == 54 + 96 * h)
+    }
+  }
+
+  test("BMP decoder fails loudly on malformed payloads") {
+    val good = Multimodal.encodeBmp("abcdef".getBytes(UTF_8))
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmpBatch(Iterator((1L, badMagic))).next() }
+    intercept[IllegalArgumentException] {       // truncated pixel array
+      Multimodal.decodeBmpBatch(Iterator((2L, good.dropRight(4)))).next() }
+    val bad8bpp = good.clone()                  // claims 8 bpp
+    bad8bpp(28) = 8
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmpBatch(Iterator((3L, bad8bpp))).next() }
+  }
+
+  private def wavStats(data: Array[Byte]): Multimodal.WavStats =
+    Multimodal.decodeWavBatch(Iterator((7L, Multimodal.encodeWav(data)))).next()
+
+  test("WAV round trip recovers rate, framing, and integer energy") {
+    val cases = Seq[Array[Byte]](
+      Array.emptyByteArray,                       // no samples → 0 frames
+      "a".getBytes(UTF_8),
+      ("x" * 399).getBytes(UTF_8),                // one short of a frame
+      ("y" * 400).getBytes(UTF_8),                // exactly one frame
+      ("z" * 561).getBytes(UTF_8),                // 2 frames (400 + 160 + 1)
+      Array.tabulate(257)(i => i.toByte),
+    )
+    cases.foreach { data =>
+      val s = wavStats(data)
+      val samples = data.map(b => ((b & 0xff) - 128) << 8)
+      assert(s.sample_rate == 16000 && s.n_samples == data.length.toLong)
+      assert(s.n_frames ==
+        (if (data.length >= 400) (data.length - 400) / 160 + 1 else 0).toLong)
+      assert(s.energy == samples.map(v => v.toLong * v).sum)
+      assert(s.max_amp == (if (data.isEmpty) 0 else samples.map(math.abs).max))
+    }
+  }
+
+  test("WAV decoder walks unknown chunks and fails loudly on malformed files") {
+    val good = Multimodal.encodeWav("abc".getBytes(UTF_8))
+    // splice an unknown chunk between fmt and data — a real RIFF layout;
+    // the odd size 3 exercises the word-alignment rule (3 data + 1 pad).
+    val junk = "LIST".getBytes ++ Array[Byte](3, 0, 0, 0, 1, 2, 3, 0)
+    val spliced = good.take(36) ++ junk ++ good.drop(36)
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)            // fix the RIFF size field
+    val s = Multimodal.decodeWavBatch(Iterator((1L, spliced))).next()
+    assert(s == wavStats("abc".getBytes(UTF_8)).copy(doc_id = 1L))
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWavBatch(Iterator((2L, badMagic))).next() }
+    intercept[IllegalArgumentException] {       // truncated data chunk
+      Multimodal.decodeWavBatch(Iterator((3L, good.dropRight(2)))).next() }
+    intercept[IllegalArgumentException] {       // no data chunk at all
+      Multimodal.decodeWavBatch(Iterator((4L, good.take(36)))).next() }
   }
 
   test("distributed decode equals per-doc local decode") {
