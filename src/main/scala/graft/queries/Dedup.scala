@@ -145,10 +145,7 @@ object Dedup {
       val sizes = buckets.select(explode(col("ids")).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n"))
       val common = buckets.filter(size(col("ids")) >= 2)
-        .select(explode(expr(
-          "flatten(transform(sequence(0, size(ids)-2), " +
-          "i -> transform(slice(ids, i+2, size(ids)-i-1), y -> struct(ids[i] AS id_a, y AS id_b))))"))
-          .as("p"))
+        .select(explode(pairGen).as("p"))
         .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
         .agg(count(lit(1)).as("c"))
       common
@@ -164,6 +161,80 @@ object Dedup {
     nearDupPairs(spark, dir)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
       .orderBy("id_a", "id_b")
+
+  /** In-bucket unordered-pair generation over a sorted `ids` array — the
+    * HOF shared by the rare-bucket (q36) and salted-hot-bucket (q169)
+    * paths.
+    */
+  private val pairGen = expr(
+    "flatten(transform(sequence(0, size(ids)-2), " +
+    "i -> transform(slice(ids, i+2, size(ids)-i-1), y -> struct(ids[i] AS id_a, y AS id_b))))")
+
+  /** q169 — skew-aware near-dup: KEEPS hot shingles instead of dropping
+    * them. q36's df ≤ 100 stop-shingle cap is the classic answer to
+    * boilerplate skew, but it silently excludes hot shingles from the
+    * similarity itself. This variant computes FULL-set Jaccard:
+    *
+    *  - candidates from rare buckets exactly as q36 (fan-out ≤ cap/key);
+    *  - hot buckets (> cap) are SPLIT into hash-salted sub-buckets of
+    *    expected size cap/2 (nsalts = ceil(2·df/cap)) and pairs generated
+    *    within each sub-bucket — per-key work falls from O(df²) to
+    *    O(df·cap), the SemDeDup population-cap move applied to the
+    *    inverted index;
+    *  - each candidate is then verified with an EXACT intersection of the
+    *    two docs' full shingle arrays (hot shingles included), so the
+    *    reported Jaccard is the true one — work ∝ candidates, never n².
+    *
+    * Recall: any pair sharing ≥ 1 rare shingle is captured exactly as in
+    * q36; a pair connected ONLY through hot shingles is caught when some
+    * hot shingle salts both docs together (p ≈ 1/nsalts per shared hot
+    * shingle). Such pairs are almost-pure boilerplate (J ≥ 0.6 with no
+    * rare shingle in common ⇒ the union is nearly all stop-shingles) —
+    * the documents a dedup pass wants flagged by ANY of their family, not
+    * an enumeration of the clique. On a corpus with no hot shingles this
+    * is exactly full-Jaccard dedup (oracle-checked); DedupSpec pins the
+    * salted path's bounds and hot-only recall on a planted hot family.
+    */
+  def saltedShingleDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 100
+    val shArr = shingled(spark, dir)
+    val buckets = shArr
+      .select(col("doc_id"), explode(col("sh")).as("s64"))
+      .groupBy("s64").agg(sort_array(collect_set("doc_id")).as("ids"))
+    val rarePairs = buckets
+      .filter(size(col("ids")).between(2, cap))
+      .select(explode(pairGen).as("p"))
+    // Hot path: re-key each (shingle, doc) by a deterministic salt, then
+    // pair within (shingle, salt). Hash salting keeps the split map-only
+    // (a rank-based split would put the whole hot bucket through one
+    // window partition — the exact hot-task this query exists to avoid);
+    // the ≤ cap sub-bucket bound is therefore in expectation (cap/2),
+    // with Chernoff concentration at real df.
+    val hotPairs = buckets
+      .filter(size(col("ids")) > cap)
+      .select(col("s64"),
+        ceil(size(col("ids")) * 2.0 / cap).cast("int").as("nsalts"),
+        explode(col("ids")).as("doc_id"))
+      .select(col("s64"), col("doc_id"),
+        pmod(xxhash64(col("s64"), col("doc_id")), col("nsalts")).as("salt"))
+      .groupBy("s64", "salt").agg(sort_array(collect_set("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(pairGen).as("p"))
+    val cands = rarePairs.union(hotPairs)
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    val full = shArr.select(col("doc_id"), col("sh"))
+    cands
+      .join(full.toDF("id_a", "sh_a"), "id_a")
+      .join(full.toDF("id_b", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("c"),
+        size(col("sh_a")).cast("long").as("na"), size(col("sh_b")).cast("long").as("nb"))
+      .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= 0.6)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
+      .orderBy("id_a", "id_b")
+  }
 
   /** Cross-source duplication matrix — the provenance diagnostic a corpus
     * audit runs before mixing sources: for every unordered source pair, how
@@ -752,6 +823,7 @@ object Dedup {
     "q154_kcore"                 -> ((s: SparkSession, d: String) => kCore(s, d)),
     "q159_cross_source_minhash"  -> crossSourceMinhash _,
     "q164_lpa_communities"       -> lpaCommunities _,
+    "q169_dedup_salted_shingles" -> saltedShingleDedup _,
   )
 
   private[queries] val shingleCte =
@@ -1044,7 +1116,24 @@ object Dedup {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin),
+    // q37 AND q169 share the brute-force FULL-set Jaccard oracle (no df
+    // filter): LSH banding at these parameters captures every J ≥ 0.6 pair,
+    // and the salted-shingle variant computes full-set Jaccard exactly on a
+    // corpus whose shingles all fit the rare path (max df at the test SFs
+    // is 25 ≪ cap; the planted-hot-family behavior is DedupSpec-pinned).
     "q37_dedup_minhash_lsh" -> (shingleCte +
+      """,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jac
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin),
+    "q169_dedup_salted_shingles" -> (shingleCte +
       """,
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c

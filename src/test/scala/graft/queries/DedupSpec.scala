@@ -232,4 +232,60 @@ class DedupSpec extends SparkSpec {
     assert(expected.values.map(_.toSet).toSet == labels.keys.groupBy(labels).values.map(_.toSet).toSet,
       "cluster membership differs from union-find reference")
   }
+
+  test("salted shingle dedup equals the rare-only variant on a uniform corpus") {
+    // The verdict criterion: keeping hot shingles must not change pair
+    // recall where no hot shingles exist (max df at the test SFs ≪ cap).
+    val rareOnly = Dedup.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Dedup.saltedShingleDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == rareOnly, s"salted=${salted.size} rareOnly=${rareOnly.size}")
+  }
+
+  test("salted shingle dedup finds hot-only pairs on a planted boilerplate family") {
+    import spark.implicits._
+    // 150 docs share a 44-token boilerplate (shingle df = 152 > the 100
+    // cap → genuinely HOT) but differ in a unique 44-token tail, so
+    // generic pairs sit at J ≈ 0.33 — below threshold. Docs 200/201 are
+    // boilerplate-ONLY: J = 1.0 with ZERO rare shingles in common — the
+    // pair that q36's stop-shingle cap is structurally blind to and the
+    // salted hot path must catch inside a shared sub-bucket.
+    val boiler = (0 until 44).map(i => s"tpl${i % 11}word$i").mkString(" ")
+    val docs = (0 until 150).map { i =>
+      val tail = (0 until 44).map(j => s"u${i}x$j").mkString(" ")
+      (i.toLong, s"$boiler $tail")
+    } ++ Seq((200L, boiler), (201L, boiler))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-salted").toFile.getAbsolutePath
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synth"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try {
+      // Independent full-Jaccard brute force over the same shingle
+      // definition (all-pairs — fine at 152 docs, never in the engine).
+      val sh = spark.read.parquet(s"$tmp/documents.parquet")
+        .select(col("doc_id"),
+          expr("transform(split(lower(text), ' '), t -> xxhash64(t))").as("th"))
+        .filter(size(col("th")) >= 3)
+        .select(col("doc_id"),
+          expr("array_distinct(transform(sequence(0, size(th)-3), " +
+               "i -> xxhash64(th[i], th[i+1], th[i+2])))").as("sh"))
+      val ref = sh.toDF("id_a", "sh_a").crossJoin(sh.toDF("id_b", "sh_b"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+            .divide(size(array_union(col("sh_a"), col("sh_b")))).as("jac"))
+        .filter(col("jac") >= 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(ref == Set((200L, 201L)), s"corpus construction drifted: $ref")
+      val got = Dedup.saltedShingleDedup(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.map(p => (p._1, p._2)).toSet == ref,
+        s"salted path missed or over-reported: ${got.toSeq}")
+      assert(got.head._3 == 1.0, "boilerplate-only pair must report J = 1.0")
+      // And the rare-only variant is indeed blind to it — the gap q169 closes.
+      assert(Dedup.ngramJaccard(spark, tmp).collect().isEmpty)
+    } finally Dedup.evictCaches(spark)
+  }
 }
