@@ -1,16 +1,26 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: time a regex-selected subset of SparkEntry.queries N times in
   * one warmed session — separates real per-query cost from JIT/GC noise that
   * single-shot Bench numbers can't. `runMain graft.Profile <sfDir> <regex>
-  * [reps=3]`.
+  * [reps=3] [jsonOut]`.
+  *
+  * With `jsonOut`, the last rep of each query also attributes EXECUTOR-side
+  * metrics (task run time, shuffle bytes read/written, spill) via a task-end
+  * listener, and one JSON object per query is written to the file — the
+  * driver-vs-local bench attributability artifact (PROFILE_r9.json): a
+  * driver-side wall number far above the local wall at similar execMs means
+  * environment (page cache, CPU contention), while a matching execMs growth
+  * means the plan itself got more expensive — a code regression.
   */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val nameFilter = if (args.length > 1) args(1) else ".*"
     val reps = if (args.length > 2) args(2).toInt else 3
+    val jsonOut = if (args.length > 3) Some(args(3)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,13 +32,56 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(spark)
+
+    // Task-end accumulator: zeroed (by re-reading baselines) around each
+    // timed run; the listener bus is drained before every read so trailing
+    // events can't leak into the next query's numbers.
+    object acc extends SparkListener {
+      val runMs = new java.util.concurrent.atomic.AtomicLong(0)
+      val shufRead = new java.util.concurrent.atomic.AtomicLong(0)
+      val shufWrite = new java.util.concurrent.atomic.AtomicLong(0)
+      val spill = new java.util.concurrent.atomic.AtomicLong(0)
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          runMs.addAndGet(m.executorRunTime)
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+        }
+      }
+      def snapshot(): (Long, Long, Long, Long) = {
+        org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+        (runMs.get, shufRead.get, shufWrite.get, spill.get)
+      }
+    }
+    spark.sparkContext.addSparkListener(acc)
+
     val qs = SparkEntry.queries.filter(_._1.matches(nameFilter)).toSeq.sortBy(_._1)
-    qs.foreach { case (name, fn) =>
-      (1 to reps).foreach { i =>
+    val records = qs.map { case (name, fn) =>
+      val walls = (1 to reps).map { i =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        println(f"TIMING $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val w = (System.nanoTime() - t0) / 1e9
+        println(f"TIMING $name run$i $w%.2f s")
+        w
       }
+      val before = acc.snapshot()
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val wMetered = (System.nanoTime() - t0) / 1e9
+      val after = acc.snapshot()
+      name -> (walls, wMetered, after._1 - before._1, after._2 - before._2,
+               after._3 - before._3, after._4 - before._4)
+    }
+    jsonOut.foreach { path =>
+      val body = records.map { case (name, (walls, wM, ms, sr, sw, sp)) =>
+        val ws = walls.map(w => f"$w%.3f").mkString("[", ",", "]")
+        f"""  "$name": {"wall": $ws, "wall_metered": $wM%.3f, "exec_ms": $ms, "shuffle_read_b": $sr, "shuffle_write_b": $sw, "spill_b": $sp}"""
+      }.mkString("{\n", ",\n", s""",\n  "_meta": {"sf": "$sfDir", "cpus": $cpus, "reps": $reps}\n}\n""")
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"PROFILE written to $path")
     }
     spark.stop()
   }

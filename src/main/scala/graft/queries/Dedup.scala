@@ -181,9 +181,13 @@ object Dedup {
     *    within each sub-bucket — per-key work falls from O(df²) to
     *    O(df·cap), the SemDeDup population-cap move applied to the
     *    inverted index;
-    *  - each candidate is then verified with an EXACT intersection of the
-    *    two docs' full shingle arrays (hot shingles included), so the
-    *    reported Jaccard is the true one — work ∝ candidates, never n².
+    *  - each candidate's common count is EXACT without any full-array
+    *    join: |common rare| is the pair's rare-bucket emission count
+    *    (q36's trick) and |common hot| is an intersection of the two
+    *    docs' HOT-ONLY arrays (dozens of entries at most — boilerplate
+    *    families), so the full shingle sets never ride a shuffle and the
+    *    reported Jaccard is the true full-set one — work ∝ candidates,
+    *    never n².
     *
     * Recall: any pair sharing ≥ 1 rare shingle is captured exactly as in
     * q36; a pair connected ONLY through hot shingles is caught when some
@@ -201,17 +205,25 @@ object Dedup {
     val buckets = shArr
       .select(col("doc_id"), explode(col("sh")).as("s64"))
       .groupBy("s64").agg(sort_array(collect_set("doc_id")).as("ids"))
+    // Rare path: a pair lands in one bucket PER COMMON RARE SHINGLE, so the
+    // emission count IS |rare(a) ∩ rare(b)| — q36's counting trick; no
+    // per-candidate array work at all.
     val rarePairs = buckets
       .filter(size(col("ids")).between(2, cap))
       .select(explode(pairGen).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("c_rare"))
     // Hot path: re-key each (shingle, doc) by a deterministic salt, then
     // pair within (shingle, salt). Hash salting keeps the split map-only
     // (a rank-based split would put the whole hot bucket through one
     // window partition — the exact hot-task this query exists to avoid);
     // the ≤ cap sub-bucket bound is therefore in expectation (cap/2),
-    // with Chernoff concentration at real df.
-    val hotPairs = buckets
-      .filter(size(col("ids")) > cap)
+    // with Chernoff concentration at real df. Sub-bucket multiplicity is
+    // NOT a common-count (it counts salt collisions), so hot candidates
+    // are deduped and their common-hot count comes from the (tiny)
+    // hot-only arrays below.
+    val hotShingles = buckets.filter(size(col("ids")) > cap)
+    val hotPairs = hotShingles
       .select(col("s64"),
         ceil(size(col("ids")) * 2.0 / cap).cast("int").as("nsalts"),
         explode(col("ids")).as("doc_id"))
@@ -220,16 +232,30 @@ object Dedup {
       .groupBy("s64", "salt").agg(sort_array(collect_set("doc_id")).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(explode(pairGen).as("p"))
-    val cands = rarePairs.union(hotPairs)
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
-    val full = shArr.select(col("doc_id"), col("sh"))
-    cands
-      .join(full.toDF("id_a", "sh_a"), "id_a")
-      .join(full.toDF("id_b", "sh_b"), "id_b")
+    // Per-doc HOT-ONLY shingle arrays: bounded by the number of distinct
+    // hot shingles a doc contains (boilerplate families — dozens, never the
+    // full set), and only docs touching a hot shingle appear at all. These
+    // tiny arrays are the entire array payload of the query — the full
+    // shingle sets never ride a shuffle (the r9 docs×10 super-linearity fix:
+    // the previous shape joined every candidate to both FULL arrays and
+    // measured 12.3× at 10× docs; this shape is linear).
+    val hotPerDoc = hotShingles
+      .select(explode(col("ids")).as("doc_id"), col("s64"))
+      .groupBy("doc_id").agg(sort_array(collect_set("s64")).as("hot"))
+    val sizes = shArr.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    rarePairs
+      .unionByName(hotPairs.withColumn("c_rare", lit(0L)))
+      .groupBy("id_a", "id_b").agg(max(col("c_rare")).as("c_rare"))
+      .join(hotPerDoc.toDF("id_a", "hot_a"), Seq("id_a"), "left")
+      .join(hotPerDoc.toDF("id_b", "hot_b"), Seq("id_b"), "left")
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("c"),
-        size(col("sh_a")).cast("long").as("na"), size(col("sh_b")).cast("long").as("nb"))
+        (col("c_rare") + size(array_intersect(
+          coalesce(col("hot_a"), array()), coalesce(col("hot_b"), array())))
+        ).cast("long").as("c"))
+      .join(sizes.toDF("id_a", "na"), "id_a")
+      .join(sizes.toDF("id_b", "nb"), "id_b")
       .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= 0.6)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
