@@ -67,7 +67,7 @@ object Dedup {
     * per-corpus tables forever.
     */
   def evictCaches(spark: SparkSession): Unit = {
-    Seq(shingleCache, pairCache, orientedCache).foreach { cache =>
+    Seq(shingleCache, bucketCache, pairCache, orientedCache).foreach { cache =>
       cache.keys.filter(_._1 eq spark).foreach { k =>
         cache.remove(k).foreach(_.unpersist(blocking = false))
       }
@@ -136,11 +136,25 @@ object Dedup {
     * (bucket ≤ 100) bounds the per-key fan-out.
     * (Shingles arrive pre-hashed to longs from `shingled`.)
     */
+  // The FULL (uncapped) inverted-index bucket table (s64 → sorted doc ids):
+  // the one groupBy(shingle) the whole family derives from. Materialized
+  // separately from pairCache because TWO consumers with different cap
+  // policies read it — nearDupPairs (df ≤ 100 rare buckets) and q169's
+  // salted variant (rare + salted hot) — and the collect_set aggregation is
+  // the expensive step they'd otherwise each repeat.
+  private val bucketCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[queries] def shingleBuckets(spark: SparkSession, dir: String): DataFrame =
+    bucketCache.synchronized { bucketCache.getOrElseUpdate((spark, dir),
+      shingled(spark, dir)
+        .select(col("doc_id"), explode(col("sh")).as("s64"))
+        .groupBy("s64").agg(sort_array(collect_set("doc_id")).as("ids"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)) }
+
   private[queries] def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
     pairCache.synchronized { pairCache.getOrElseUpdate((spark, dir), {
-      val sh = shingled(spark, dir)
-        .select(col("doc_id"), explode(col("sh")).as("s64"))
-      val buckets = sh.groupBy("s64").agg(sort_array(collect_set("doc_id")).as("ids"))
+      val buckets = shingleBuckets(spark, dir)
         .filter(size(col("ids")) <= 100)
       val sizes = buckets.select(explode(col("ids")).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -202,9 +216,7 @@ object Dedup {
   def saltedShingleDedup(spark: SparkSession, dir: String): DataFrame = {
     val cap = 100
     val shArr = shingled(spark, dir)
-    val buckets = shArr
-      .select(col("doc_id"), explode(col("sh")).as("s64"))
-      .groupBy("s64").agg(sort_array(collect_set("doc_id")).as("ids"))
+    val buckets = shingleBuckets(spark, dir)
     // Rare path: a pair lands in one bucket PER COMMON RARE SHINGLE, so the
     // emission count IS |rare(a) ∩ rare(b)| — q36's counting trick; no
     // per-candidate array work at all.
