@@ -797,6 +797,57 @@ object Dedup {
       .orderBy("source_1", "source_2")
   }
 
+  /** q172 — INCREMENTAL sketch maintenance: the property that makes q159's
+    * union sketches a standing artifact rather than a per-audit recompute.
+    * The corpus splits into the standing 90% and the arrival batch (doc_id
+    * % 10 = 9, the q148 ingest convention); each side gets its own
+    * per-source 64-slot MinHash sketch, and the MERGED sketch (slot-wise
+    * min) is compared against the sketch computed DIRECTLY from the full
+    * corpus: `slots_merge_eq_full` is hash-checked at 64/64 — min over
+    * group minima IS the union min, so an ingest pipeline updates a
+    * 64-long per-source state instead of rescanning the corpus. The second
+    * column is the payoff metric: Ĵ(standing, full) = matching-slots/64,
+    * the sketch-level "how much did this ingest drift the source's content
+    * profile" — q166's snapshot diff at sketch cost (O(|sources|) state vs
+    * a digest join over every row). One hash scan feeds both aggregations;
+    * the (source, is_new) sketch table is |sources|·2 rows.
+    */
+  def sketchMergeMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val src = documents(spark, dir).select("doc_id", "source")
+    val h = shingleStrings(spark, dir)
+      .join(src, "doc_id")
+      .select(col("source"), (col("doc_id") % 10 === 9).cast("int").as("grp"),
+        pmod(expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"),
+             lit(P)).as("h"))
+    val mins = (0 until 64).map(j =>
+      min(pmod(col("h") * seeds(j)._1 + seeds(j)._2, lit(P))).as(s"m$j"))
+    val parts = materializedSig(spark, dir, "srcsketch_parts") {
+      h.groupBy("source", "grp").agg(mins.head, mins.tail: _*)
+    }
+    // merged slot j = min over the two group sketches — the union-merge; a
+    // source with no batch docs merges its standing sketch alone (min over
+    // one row), which is exactly the contract.
+    val merged = parts.groupBy("source")
+      .agg((0 until 64).map(j => min(col(s"m$j")).as(s"m$j")).head,
+           (0 until 64).map(j => min(col(s"m$j")).as(s"m$j")).tail: _*)
+    // The directly-computed full-corpus sketch: q159's cached artifact.
+    val full = materializedSig(spark, dir, "srcsketch") {
+      h.drop("grp").groupBy("source").agg(mins.head, mins.tail: _*)
+    }
+    val standing = parts.filter(col("grp") === 0).drop("grp")
+    val eqSlots = (0 until 64).map(j =>
+      when(col(s"g.m$j") === col(s"f.m$j"), 1).otherwise(0)).reduce(_ + _)
+    val stdMatches = (0 until 64).map(j =>
+      when(col(s"s.m$j") === col(s"f.m$j"), 1).otherwise(0)).reduce(_ + _)
+    merged.as("g")
+      .join(full.as("f"), col("g.source") === col("f.source"))
+      .join(standing.as("s"), col("g.source") === col("s.source"))
+      .select(col("g.source").as("source"),
+        eqSlots.cast("int").as("slots_merge_eq_full"),
+        (stdMatches.cast("double") / lit(64.0)).as("est_ingest_overlap"))
+      .orderBy("source")
+  }
+
   /** q148 — incremental ingest dedup: the new batch (deterministically
     * doc_id % 10 = 9, the stand-in for "today's crawl") deduped AGAINST the
     * standing corpus (the other 90%) — the production shape where the
@@ -862,6 +913,7 @@ object Dedup {
     "q159_cross_source_minhash"  -> crossSourceMinhash _,
     "q164_lpa_communities"       -> lpaCommunities _,
     "q169_dedup_salted_shingles" -> saltedShingleDedup _,
+    "q172_sketch_merge"          -> sketchMergeMaintenance _,
   )
 
   private[queries] val shingleCte =
@@ -1077,6 +1129,41 @@ object Dedup {
          |ORDER BY source_1, source_2""".stripMargin
   }
 
+  /** DuckDB mirror of `sketchMergeMaintenance`: the q159 hash CTE with a
+    * batch flag, per-(source, grp) sketches, slot-wise-min merge, and the
+    * directly-aggregated full sketch — generated from the same seed table
+    * so the 64 slot expressions cannot drift from the Spark side.
+    */
+  private val sketchMergeOracle: String = {
+    val mins = (0 until 64).map { j =>
+      s"min((h * ${seeds(j)._1} + ${seeds(j)._2}) % $P) AS m$j"
+    }.mkString(",\n       ")
+    val mergeMins = (0 until 64).map(j => s"min(m$j) AS m$j").mkString(",\n       ")
+    val eqSlots = (0 until 64).map(j => s"CASE WHEN g.m$j = f.m$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val stdMatches = (0 until 64).map(j => s"CASE WHEN s.m$j = f.m$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    shingleCte +
+      s""",
+         |hv AS (SELECT d.source,
+         |         CASE WHEN d.doc_id % 10 = 9 THEN 1 ELSE 0 END AS grp,
+         |         CAST(list_sum(list_transform(range(1, 16),
+         |           i -> CAST(strpos('0123456789abcdef', substr(md5(sh.s), i, 1)) - 1 AS BIGINT)
+         |                * (CAST(1 AS BIGINT) << (4 * (15 - i))))) AS BIGINT) % $P AS h
+         |       FROM sh JOIN documents d USING (doc_id)),
+         |parts AS (SELECT source, grp, $mins FROM hv GROUP BY source, grp),
+         |merged AS (SELECT source, $mergeMins FROM parts GROUP BY source),
+         |fullsig AS (SELECT source, $mins FROM hv GROUP BY source),
+         |standing AS (SELECT * FROM parts WHERE grp = 0)
+         |SELECT g.source AS source,
+         |       CAST($eqSlots AS INT) AS slots_merge_eq_full,
+         |       CAST($stdMatches AS DOUBLE) / 64.0 AS est_ingest_overlap
+         |FROM merged g
+         |JOIN fullsig f ON g.source = f.source
+         |JOIN standing s ON g.source = s.source
+         |ORDER BY source""".stripMargin
+  }
+
   /** DuckDB mirror of `lpaCommunities`: the q36 pair CTEs + 3 unrolled
     * mode-adoption rounds (row_number over (count DESC, label) replays the
     * min-label tie-break), then the label-partitioned size count.
@@ -1105,6 +1192,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q164_lpa_communities" -> lpaOracle,
     "q159_cross_source_minhash" -> crossSourceMinhashOracle,
+    "q172_sketch_merge" -> sketchMergeOracle,
     "q154_kcore" -> kCoreOracle,
     "q148_incremental_dedup" -> incrementalDedupOracle,
     "q107_pagerank" -> pagerankOracle,

@@ -233,6 +233,18 @@ class DedupSpec extends SparkSpec {
       "cluster membership differs from union-find reference")
   }
 
+  test("sketch merge maintenance: merged sketches equal direct full-corpus sketches") {
+    val rows = Dedup.sketchMergeMaintenance(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) == 64,
+        s"source ${r.getString(0)}: merge(standing, batch) != sketch(full) — mergeability broken")
+      val ov = r.getDouble(2)
+      assert(ov >= 0.0 && ov <= 1.0 && (ov * 64) == math.round(ov * 64).toDouble,
+        s"overlap must be a k/64 rational, got $ov")
+    }
+  }
+
   test("salted shingle dedup equals the rare-only variant on a uniform corpus") {
     // The verdict criterion: keeping hot shingles must not change pair
     // recall where no hot shingles exist (max df at the test SFs ≪ cap).
