@@ -591,23 +591,32 @@ object Dedup {
     * min-id). Three damped iterations (d = 0.85), unrolled identically in
     * the DuckDB oracle so every float op has a mirror. Each iteration is
     * one join-groupBy keyed by the edge's source — the same single-shuffle
-    * shape as the q62 label loop, lineage truncated per round with
-    * `localCheckpoint`. The symmetrized edge set has no sinks (every node
-    * has out-degree ≥ 1 by construction), so no dangling-mass correction
-    * term is needed — total mass stays 1 and DedupSpec asserts it.
+    * shape as the q62 label loop. The symmetrized edge set has no sinks
+    * (every node has out-degree ≥ 1 by construction), so no dangling-mass
+    * correction term is needed — total mass stays 1 and DedupSpec asserts
+    * it.
+    *
+    * The round count is FIXED (no convergence test), so unlike the q62/q154
+    * driver-scalar loops no per-round action is needed at all: the three
+    * rounds compose into ONE lazy plan executed once. The loop-invariant
+    * weighted edge list appears identically in every round, so exchange
+    * reuse materializes its shuffle once (r9: this replaces the former
+    * per-round `localCheckpoint`, whose eager job-per-round cost dominated
+    * the query at small SF; at an unbounded round count the checkpoint
+    * convention would return to truncate lineage).
     */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val pairs = nearDupPairs(spark, dir).select("id_a", "id_b")
     val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("src", "dst").persist()
+      .toDF("src", "dst")
     val nodes = edges.select(col("src").as("id")).distinct()
     val n = nodes.count().toDouble // one driver scalar, as the q62 loop
     val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
     // Degree is loop-invariant: join it onto the edge list ONCE, so each of
     // the 3 iterations costs one join + one agg instead of two joins + agg.
     val edgesW = edges.join(deg, "src")
-      .select(col("src"), col("dst"), col("deg")).persist()
-    var ranks = nodes.select(col("id"), lit(1.0 / n).as("pr")).localCheckpoint()
+      .select(col("src"), col("dst"), col("deg"))
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("pr"))
     for (_ <- 1 to 3) {
       // Fixed-point reduction: each contribution pr/deg is floored to a
       // 1e-15-granular long and summed with a plain `sum` — integer
@@ -625,10 +634,7 @@ object Dedup {
         .select(col("id"),
           (lit(0.15 / n) + lit(0.85) *
             (coalesce(col("s"), lit(0L)).cast("double") / lit(1e15))).as("pr"))
-        .localCheckpoint()
     }
-    edges.unpersist()
-    edgesW.unpersist()
     ranks.select(col("id").as("doc_id"), round(col("pr"), 6).as("pr"))
       .orderBy("doc_id")
   }
