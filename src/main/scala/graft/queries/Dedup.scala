@@ -734,16 +734,19 @@ object Dedup {
     * guarantee (2-cycles oscillate) — determinism, not convergence, is the
     * contract, and 3 rounds is the standard near-clique consensus horizon.
     * Each round: one edge⋈labels join + a (node, label) count + a
-    * partial-agg argmax — all keyed shuffles; lineage truncated per round
-    * with localCheckpoint like every loop in the engine. Community sizes
-    * via a label-partitioned window count (community-sized partitions).
+    * partial-agg argmax — all keyed shuffles. Like q107 (and unlike the
+    * convergence loops), the round count is fixed with no per-round
+    * driver action, so the rounds compose into ONE lazy plan and the
+    * edge list's shuffle is shared across rounds by exchange reuse —
+    * no per-round checkpoint jobs. Community sizes via a
+    * label-partitioned window count (community-sized partitions).
     */
   def lpaCommunities(spark: SparkSession, dir: String): DataFrame = {
     val pairs = nearDupPairs(spark, dir).select("id_a", "id_b")
     val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("src", "dst").localCheckpoint()
+      .toDF("src", "dst")
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+      .withColumn("lbl", col("id"))
     for (_ <- 1 to 3) {
       labels = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("n"))
@@ -752,7 +755,6 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("m"))
         .select(col("id"), (-col("m.neg")).as("lbl"))
-        .localCheckpoint()
     }
     val wl = Window.partitionBy("lbl")
     labels
