@@ -856,6 +856,64 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** q173 — KMV (k-minimum-values / bottom-k) sketch SET ALGEBRA across
+    * sources: per-source distinct-shingle cardinality plus pairwise
+    * union / intersection cardinality estimates — the order-statistics
+    * member of the engine's mergeable-sketch family (HLL q69 = per-group
+    * distinct count; MinHash q159/q172 = Jaccard; count-min q106 =
+    * frequency; KMV = the one that supports set ALGEBRA: |A|, |A∪B|,
+    * |A∩B| all from the same k retained hashes, Beyer et al., SIGMOD'07).
+    * The question it answers that none of the others can: "how many NEW
+    * unique shingles does source B add over source A" (est_union −
+    * est_card_1) — the marginal-value number a mixing decision needs.
+    *
+    * Shape: one distinct over (source, 60-bit md5 hash) — a partial-agg
+    * dedup — then the NATIVE bounded-heap top-k operator (q95's
+    * TopKPerKeyExec in its ASCENDING role) keeps the k=128 smallest
+    * hashes per source: each partition forwards ≤ k rows per source, so
+    * the sketch build shuffles k·|sources| rows at any corpus size, and
+    * the pairwise stage is a broadcast self-join of a |sources|-row table
+    * of k-long arrays. Estimators: n̂ = (k−1)·2⁶⁰/x₍ₖ₎; per pair,
+    * u = bottom-k of sk_a ∪ sk_b (EXACT bottom-k of the union — KMV
+    * mergeability), ρ = |{x ∈ u : x ∈ sk_a ∧ x ∈ sk_b}|, Ĵ = ρ/|u|,
+    * |A∩B| ≈ ρ·n̂(A∪B)/|u|. A set with < k distinct hashes is carried
+    * whole (its estimate is exact by convention). All arithmetic is
+    * integer except ≤ 3 pinned-order IEEE double ops per output column
+    * (127·2⁶⁰ is exactly representable, so the shared numerator is one
+    * literal), which DuckDB reproduces bit-for-bit.
+    */
+  def kmvSetAlgebra(spark: SparkSession, dir: String): DataFrame = {
+    val k = 128
+    // (k−1)·2^60: both factors and the product are exact in double.
+    val numer = lit(127.0) * lit(1.152921504606846976e18)
+    val src = documents(spark, dir).select("doc_id", "source")
+    val hx = shingleStrings(spark, dir)
+      .join(src, "doc_id")
+      .select(col("source"),
+        expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)").as("x"))
+      .distinct()
+    val bot = graft.plans.GraftOps.topKPerKey(hx, Seq("source"), Seq(col("x").asc), k)
+    val sk = bot.groupBy("source").agg(sort_array(collect_list(col("x"))).as("sk"))
+    def est(arr: Column): Column =
+      when(size(arr) < k, size(arr).cast("double"))
+        .otherwise(numer / element_at(arr, k).cast("double"))
+    sk.as("a")
+      .join(broadcast(sk.as("b")), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_1"), col("b.source").as("source_2"),
+        col("a.sk").as("ska"), col("b.sk").as("skb"))
+      .withColumn("u", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .withColumn("rho", expr(
+        "size(filter(u, e -> array_contains(ska, e) AND array_contains(skb, e)))"))
+      .select(col("source_1"), col("source_2"),
+        est(col("ska")).as("est_card_1"),
+        est(col("skb")).as("est_card_2"),
+        est(col("u")).as("est_union"),
+        (col("rho").cast("double") * est(col("u")) / size(col("u")).cast("double"))
+          .as("est_intersection"),
+        (col("rho").cast("double") / size(col("u")).cast("double")).as("est_jaccard"))
+      .orderBy("source_1", "source_2")
+  }
+
   /** q148 — incremental ingest dedup: the new batch (deterministically
     * doc_id % 10 = 9, the stand-in for "today's crawl") deduped AGAINST the
     * standing corpus (the other 90%) — the production shape where the
@@ -922,6 +980,7 @@ object Dedup {
     "q164_lpa_communities"       -> lpaCommunities _,
     "q169_dedup_salted_shingles" -> saltedShingleDedup _,
     "q172_sketch_merge"          -> sketchMergeMaintenance _,
+    "q173_kmv_set_algebra"       -> kmvSetAlgebra _,
   )
 
   private[queries] val shingleCte =
@@ -1172,6 +1231,46 @@ object Dedup {
          |ORDER BY source""".stripMargin
   }
 
+  /** DuckDB mirror of `kmvSetAlgebra`: identical 60-bit md5-prefix hashes
+    * (the q159 digit-assembly idiom, NO modulus — KMV ranks the raw hash),
+    * bottom-128 per source via row_number, and the same three pinned-order
+    * double ops per output column (127·2⁶⁰ exact in double both engines).
+    */
+  private val kmvOracle: String = {
+    def est(arr: String): String =
+      s"CASE WHEN len($arr) < 128 THEN CAST(len($arr) AS DOUBLE) " +
+        s"ELSE (CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)) " +
+        s"/ CAST($arr[128] AS DOUBLE) END"
+    shingleCte +
+      s""",
+         |hv AS (SELECT DISTINCT d.source,
+         |         CAST(list_sum(list_transform(range(1, 16),
+         |           i -> CAST(strpos('0123456789abcdef', substr(md5(sh.s), i, 1)) - 1 AS BIGINT)
+         |                * (CAST(1 AS BIGINT) << (4 * (15 - i))))) AS BIGINT) AS x
+         |       FROM sh JOIN documents d USING (doc_id)),
+         |bot AS (SELECT source, x FROM
+         |         (SELECT source, x,
+         |                 row_number() OVER (PARTITION BY source ORDER BY x) AS rn
+         |          FROM hv) WHERE rn <= 128),
+         |sk AS (SELECT source, list_sort(list(x)) AS sk FROM bot GROUP BY source),
+         |pr AS (SELECT a.source AS source_1, b.source AS source_2,
+         |              a.sk AS ska, b.sk AS skb,
+         |              list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:128] AS u
+         |       FROM sk a JOIN sk b ON a.source < b.source),
+         |pe AS (SELECT source_1, source_2, ska, skb, u,
+         |         len(list_filter(u, e -> list_contains(ska, e)
+         |                                 AND list_contains(skb, e))) AS rho
+         |       FROM pr)
+         |SELECT source_1, source_2,
+         |       ${est("ska")} AS est_card_1,
+         |       ${est("skb")} AS est_card_2,
+         |       ${est("u")} AS est_union,
+         |       (CAST(rho AS DOUBLE) * ${est("u")}) / CAST(len(u) AS DOUBLE)
+         |         AS est_intersection,
+         |       CAST(rho AS DOUBLE) / CAST(len(u) AS DOUBLE) AS est_jaccard
+         |FROM pe ORDER BY source_1, source_2""".stripMargin
+  }
+
   /** DuckDB mirror of `lpaCommunities`: the q36 pair CTEs + 3 unrolled
     * mode-adoption rounds (row_number over (count DESC, label) replays the
     * min-label tie-break), then the label-partitioned size count.
@@ -1198,6 +1297,7 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "q173_kmv_set_algebra" -> kmvOracle,
     "q164_lpa_communities" -> lpaOracle,
     "q159_cross_source_minhash" -> crossSourceMinhashOracle,
     "q172_sketch_merge" -> sketchMergeOracle,

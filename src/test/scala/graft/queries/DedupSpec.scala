@@ -300,4 +300,45 @@ class DedupSpec extends SparkSpec {
       assert(Dedup.ngramJaccard(spark, tmp).collect().isEmpty)
     } finally Dedup.evictCaches(spark)
   }
+
+  test("q173 KMV set algebra: in-JVM replay is bit-exact, estimates 4-sigma bounded") {
+    val k = 128
+    // Independent recomputation: exact per-source 60-bit hash sets via the
+    // same md5-prefix definition, folded in plain Scala (no Spark aggs).
+    val exact: Map[String, Array[Long]] = Dedup.shingleStrings(spark, sfDir)
+      .join(graft.tables.Tables.documents(spark, sfDir).select("doc_id", "source"), "doc_id")
+      .select(col("source"),
+        expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)").as("x"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rows) => s -> rows.map(_.getLong(1)).distinct.sorted }
+    def est(a: Array[Long]): Double =
+      if (a.length < k) a.length.toDouble else 127.0 * 1.152921504606846976e18 / a(k - 1).toDouble
+    val out = Dedup.kmvSetAlgebra(spark, sfDir).collect()
+    assert(out.length == exact.size * (exact.size - 1) / 2)
+    val relBound = 4.0 / math.sqrt(k - 2.0) // 4 sigma of the KMV estimator
+    out.foreach { r =>
+      val (s1, s2) = (r.getString(0), r.getString(1))
+      val (a, b) = (exact(s1), exact(s2))
+      val (ska, skb) = (a.take(k), b.take(k))
+      val u = (ska ++ skb).distinct.sorted.take(k)
+      val rho = u.count(x => ska.contains(x) && skb.contains(x))
+      // Bit-exact replay of every output column from the exact sets.
+      assert(r.getDouble(2) == est(ska) && r.getDouble(3) == est(skb)
+          && r.getDouble(4) == est(u)
+          && r.getDouble(5) == rho.toDouble * est(u) / u.length.toDouble
+          && r.getDouble(6) == rho.toDouble / u.length.toDouble,
+        s"($s1,$s2): engine sketch drifted from the in-JVM replay")
+      // Statistical sanity: the estimates track the true cardinalities.
+      def ok(e: Double, t: Long): Boolean =
+        if (t <= k) e == t.toDouble else math.abs(e - t) <= relBound * t
+      val trueU = (a ++ b).distinct.length.toLong
+      assert(ok(r.getDouble(2), a.length.toLong), s"card($s1) ${r.getDouble(2)} vs ${a.length}")
+      assert(ok(r.getDouble(3), b.length.toLong), s"card($s2) ${r.getDouble(3)} vs ${b.length}")
+      assert(ok(r.getDouble(4), trueU), s"union($s1,$s2) ${r.getDouble(4)} vs $trueU")
+      val trueJ = a.intersect(b).length.toDouble / trueU
+      assert(math.abs(r.getDouble(6) - trueJ) <= 0.2,
+        s"jaccard($s1,$s2) ${r.getDouble(6)} vs $trueJ")
+    }
+  }
 }
