@@ -67,7 +67,7 @@ object Dedup {
     * per-corpus tables forever.
     */
   def evictCaches(spark: SparkSession): Unit = {
-    Seq(shingleCache, bucketCache, pairCache, orientedCache).foreach { cache =>
+    Seq(shingleCache, bucketCache, rarePairCache, pairCache, orientedCache).foreach { cache =>
       cache.keys.filter(_._1 eq spark).foreach { k =>
         cache.remove(k).foreach(_.unpersist(blocking = false))
       }
@@ -152,17 +152,32 @@ object Dedup {
         .groupBy("s64").agg(sort_array(collect_set("doc_id")).as("ids"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)) }
 
+  // Candidate-pair common-rare-shingle counts (id_a < id_b, c = |rare(a) ∩
+  // rare(b)|): the single heaviest derived artifact (in-bucket pair
+  // explosion + pair aggregation), materialized on its own because TWO
+  // consumers with different thresholds read it — nearDupPairs (Jaccard ≥
+  // 0.6 after joining set sizes) and the filter funnel's near-dup stage
+  // (c ≥ 5 among survivors). This is the "candidate table" a production
+  // near-dup pipeline persists between stages.
+  private val rarePairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[queries] def rarePairCounts(spark: SparkSession, dir: String): DataFrame =
+    rarePairCache.synchronized { rarePairCache.getOrElseUpdate((spark, dir),
+      shingleBuckets(spark, dir)
+        .filter(size(col("ids")).between(2, 100))
+        .select(explode(pairGen).as("p"))
+        .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)) }
+
   private[queries] def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
     pairCache.synchronized { pairCache.getOrElseUpdate((spark, dir), {
       val buckets = shingleBuckets(spark, dir)
         .filter(size(col("ids")) <= 100)
       val sizes = buckets.select(explode(col("ids")).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val common = buckets.filter(size(col("ids")) >= 2)
-        .select(explode(pairGen).as("p"))
-        .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-        .agg(count(lit(1)).as("c"))
-      common
+      rarePairCounts(spark, dir)
         .join(sizes.toDF("id_a", "na"), "id_a")
         .join(sizes.toDF("id_b", "nb"), "id_b")
         .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))

@@ -435,18 +435,16 @@ object Pipeline {
       .filter(col("doc_id") === col("m"))
       .select("doc_id")
     // df cap is computed over the FULL corpus (the standing-index shape a
-    // continuous ingest maintains), not over the survivors.
-    val allSh = Dedup.shingleStrings(spark, dir)
-    val rareS = allSh.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 100).select("s")
-    val shS = allSh.join(rareS, "s").join(s3, "doc_id")
-    val dropped = shS.as("a")
-      .join(shS.as("b"),
-        col("a.s") === col("b.s") && col("b.doc_id") < col("a.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("other"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 5)
-      .select("doc_id").distinct()
+    // continuous ingest maintains), not over the survivors: the shared-
+    // rare-shingle pair counts come straight from the dedup family's
+    // materialized candidate table (r9 — this stage previously rebuilt a
+    // string-shingle census + self-join per run), filtered to survivor
+    // pairs; the pair with the lower id survives, exactly as before.
+    val dropped = Dedup.rarePairCounts(spark, dir)
+      .filter(col("c") >= 5)
+      .join(s3.toDF("id_a"), "id_a")
+      .join(s3.toDF("id_b"), "id_b")
+      .select(col("id_b").as("doc_id")).distinct()
     val s4 = s3.join(dropped, Seq("doc_id"), "left_anti")
     def cnt(df: DataFrame, stage: String): DataFrame =
       df.agg(count(lit(1)).cast("bigint").as("n_docs"))
