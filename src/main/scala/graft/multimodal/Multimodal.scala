@@ -372,6 +372,7 @@ object Multimodal {
     "q168_wav_decode"         -> wavDecode _,
     "q170_jpeg_decode"        -> (Jpeg.jpegDecode _),
     "q171_png_decode"         -> (Png.pngDecode _),
+    "q174_gif_frames"         -> (Gif.gifDecode _),
   )
 
   // The stub decode is closed-form over the bytes (ASCII corpus → byte value
@@ -401,6 +402,7 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "q170_jpeg_decode" -> Jpeg.oracle,
     "q171_png_decode" -> Png.oracle,
+    "q174_gif_frames" -> Gif.oracle,
     // BMP replay: channel of payload byte j (0-based) is (j mod 93) mod 3
     // (B,G,R); padding and fill pixels are zero, so channel sums are over
     // the real bytes only and max is never below 0.
