@@ -734,6 +734,154 @@ object Relational {
          |  GROUP BY c_custkey, c_name, c_acctbal, n_name)
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
 
+  /** TPC-H Q8 (national market share): the two-role nation join — customer
+    * nation restricts the REGION while supplier nation is the grouping
+    * dimension — with a conditional-share aggregation per order year.
+    * Faithful to the spec's shape on this schema (p_type is single-valued
+    * here, so the type predicate is one of the generated categories). The
+    * share ratio divides two same-group float sums, rounded at 6dp like
+    * q152's conditional revenue share.
+    */
+  def sqlTpchQ8(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT o_year,
+         |       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END)
+         |             / sum(volume), 6) AS mkt_share
+         |FROM (
+         |  SELECT year(o_orderdate) AS o_year,
+         |         l_extendedprice * (1 - l_discount) AS volume,
+         |         n2.n_name AS nation
+         |  FROM parquet.`$dir/part.parquet` p
+         |  JOIN parquet.`$dir/lineitem.parquet` l ON p_partkey = l_partkey
+         |  JOIN parquet.`$dir/supplier.parquet` s ON s_suppkey = l_suppkey
+         |  JOIN parquet.`$dir/orders.parquet` o ON l_orderkey = o_orderkey
+         |  JOIN parquet.`$dir/customer.parquet` c ON o_custkey = c_custkey
+         |  JOIN parquet.`$dir/nation.parquet` n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN parquet.`$dir/region.parquet` r ON n1.n_regionkey = r_regionkey
+         |  JOIN parquet.`$dir/nation.parquet` n2 ON s_nationkey = n2.n_nationkey
+         |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+         |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+         |    AND o_orderdate < TIMESTAMP '1997-01-01')
+         |GROUP BY o_year ORDER BY o_year""".stripMargin)
+
+  /** TPC-H Q15 (top supplier): the revenue CTE is consumed TWICE — once as
+    * the join input and once inside the scalar max subquery — the classic
+    * shared-subplan shape (Spark plans the second consumption as a
+    * broadcast scalar; the CTE itself is one partial-agg pass over the
+    * quarter's lineitems). Revenue is rounded at 2dp BEFORE the max
+    * comparison so the equality is decided on engine-portable values.
+    */
+  def sqlTpchQ15(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         |  FROM parquet.`$dir/lineitem.parquet`
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM parquet.`$dir/supplier.parquet`
+         |JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin)
+
+  /** TPC-H Q17 (small-quantity-order revenue): the correlated scalar AVG
+    * subquery — kept correlated in the SQL exactly as the spec writes it,
+    * decorrelated by Catalyst into a per-part aggregate joined back on
+    * l_partkey. Schema note: this corpus has no p_container, so the part
+    * cut is (p_brand, p_size ≤ 25) — the decorrelation shape, selectivity
+    * class, and quantity logic are the spec's. l_quantity is
+    * integer-valued, so avg() is an exact integer sum over a count and the
+    * 0.2× threshold comparison is engine-portable without rounding.
+    */
+  def sqlTpchQ17(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+         |FROM parquet.`$dir/lineitem.parquet` l
+         |JOIN parquet.`$dir/part.parquet` p ON p_partkey = l_partkey
+         |WHERE p_brand = 'Brand#3' AND p_size <= 25
+         |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+         |                    FROM parquet.`$dir/lineitem.parquet`
+         |                    WHERE l_partkey = p_partkey)""".stripMargin)
+
+  /** TPC-H Q19 (discounted revenue, disjunctive predicate): the OR-of-ANDs
+    * join predicate the optimizer must split — the join key conjunct
+    * (p_partkey = l_partkey) stays an equi-join while the per-branch part
+    * and quantity bounds become a residual filter, with the common
+    * subexpressions pushed below the join where possible (PushdownSpec's
+    * concern, exercised through SQL). Schema note: no p_container /
+    * l_shipmode here, so the three branches discriminate on (p_brand,
+    * p_size, l_quantity) — the predicate STRUCTURE is the spec's.
+    */
+  def sqlTpchQ19(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         |FROM parquet.`$dir/lineitem.parquet` l
+         |JOIN parquet.`$dir/part.parquet` p ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+
+  /** TPC-H Q21 (suppliers who kept orders waiting): the EXISTS + NOT EXISTS
+    * double-correlation — "another supplier contributed to the order" AND
+    * "no other supplier was late on it" — which Catalyst decorrelates into
+    * a semi join plus an anti join on the order key. Schema note: lineitem
+    * here has no commit/receipt dates, so "late" is shipped > 60 days after
+    * the order date (computed once in a shared CTE, which also keeps the
+    * correlated subqueries self-contained exactly like the spec's l2/l3).
+    */
+  def sqlTpchQ21(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""WITH lo AS (
+         |  SELECT l_orderkey, l_suppkey, o_orderstatus,
+         |         CASE WHEN l_shipdate > o_orderdate + INTERVAL '60' DAY
+         |              THEN 1 ELSE 0 END AS is_late
+         |  FROM parquet.`$dir/lineitem.parquet`
+         |  JOIN parquet.`$dir/orders.parquet` ON o_orderkey = l_orderkey)
+         |SELECT s_name, count(*) AS numwait
+         |FROM parquet.`$dir/supplier.parquet` s
+         |JOIN lo l1 ON s_suppkey = l1.l_suppkey
+         |JOIN parquet.`$dir/nation.parquet` n ON s_nationkey = n_nationkey
+         |WHERE l1.o_orderstatus = 'F' AND l1.is_late = 1
+         |  AND n_name IN ('NATION_3', 'NATION_5')
+         |  AND EXISTS (SELECT 1 FROM lo l2
+         |              WHERE l2.l_orderkey = l1.l_orderkey
+         |                AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM lo l3
+         |                  WHERE l3.l_orderkey = l1.l_orderkey
+         |                    AND l3.l_suppkey <> l1.l_suppkey
+         |                    AND l3.is_late = 1)
+         |GROUP BY s_name
+         |ORDER BY numwait DESC, s_name""".stripMargin)
+
+  /** TPC-H Q22 (global sales opportunity): anti-join against orders plus a
+    * scalar AVG subquery deciding the balance cut — the "rich but inactive
+    * customers" report. Schema note: no c_phone here, so the country code
+    * is c_custkey % 10 with the spec's IN-list shape, and "inactive" means
+    * no order since 1999 (every generated customer has SOME order, which
+    * would make the spec's no-orders-ever cut vacuously empty).
+    */
+  def sqlTpchQ22(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT cntrycode, count(*) AS numcust,
+         |       round(sum(c_acctbal), 2) AS totacctbal
+         |FROM (
+         |  SELECT CAST(c_custkey % 10 AS INT) AS cntrycode, c_acctbal
+         |  FROM parquet.`$dir/customer.parquet` c
+         |  WHERE c_custkey % 10 IN (1, 2, 3, 4, 5)
+         |    AND c_acctbal > (SELECT avg(c_acctbal)
+         |                     FROM parquet.`$dir/customer.parquet`
+         |                     WHERE c_acctbal > 0.0
+         |                       AND c_custkey % 10 IN (1, 2, 3, 4, 5))
+         |    AND NOT EXISTS (SELECT 1 FROM parquet.`$dir/orders.parquet` o
+         |                    WHERE o.o_custkey = c.c_custkey
+         |                      AND o.o_orderdate >= TIMESTAMP '1999-01-01'))
+         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)
+
   /** Frequency sketch (count-min) heavy hitters, verified like x01/q69:
     * exact per-key counts are the oracle; the sketch estimates must satisfy
     * CMS's one-sided guarantee (est ≥ exact, est ≤ exact + ε·N w.h.p.) or
@@ -811,6 +959,12 @@ object Relational {
     "q152_sql_tpch_q14"   -> sqlTpchQ14 _,
     "q162_sql_tpch_q18"   -> sqlTpchQ18 _,
     "q163_sql_tpch_q13"   -> sqlTpchQ13 _,
+    "q175_sql_tpch_q8"    -> sqlTpchQ8 _,
+    "q176_sql_tpch_q15"   -> sqlTpchQ15 _,
+    "q177_sql_tpch_q17"   -> sqlTpchQ17 _,
+    "q178_sql_tpch_q19"   -> sqlTpchQ19 _,
+    "q179_sql_tpch_q21"   -> sqlTpchQ21 _,
+    "q180_sql_tpch_q22"   -> sqlTpchQ22 _,
     "q111_window_range_frame" -> windowRangeFrame _,
     "q105_sql_tpch_q10"   -> sqlTpchQ10 _,
     "q106_cms_heavy_hitters" -> cmsHeavyHitters _,
@@ -1142,6 +1296,94 @@ object Relational {
         |    ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
         |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW))
         |ORDER BY o_orderkey""".stripMargin,
+    "q175_sql_tpch_q8" ->
+      """SELECT o_year,
+        |       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END)
+        |             / sum(volume), 6) AS mkt_share
+        |FROM (
+        |  SELECT year(o_orderdate) AS o_year,
+        |         l_extendedprice * (1 - l_discount) AS volume,
+        |         n2.n_name AS nation
+        |  FROM part p
+        |  JOIN lineitem l ON p_partkey = l_partkey
+        |  JOIN supplier s ON s_suppkey = l_suppkey
+        |  JOIN orders o ON l_orderkey = o_orderkey
+        |  JOIN customer c ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region r ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q176_sql_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier
+        |JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q177_sql_tpch_q17" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l
+        |JOIN part p ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#3' AND p_size <= 25
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem
+        |                    WHERE l_partkey = p_partkey)""".stripMargin,
+    "q178_sql_tpch_q19" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN part p ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q179_sql_tpch_q21" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey, o_orderstatus,
+        |         CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |              THEN 1 ELSE 0 END AS is_late
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier s
+        |JOIN lo l1 ON s_suppkey = l1.l_suppkey
+        |JOIN nation n ON s_nationkey = n_nationkey
+        |WHERE l1.o_orderstatus = 'F' AND l1.is_late = 1
+        |  AND n_name IN ('NATION_3', 'NATION_5')
+        |  AND EXISTS (SELECT 1 FROM lo l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lo l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.is_late = 1)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+    "q180_sql_tpch_q22" ->
+      """SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+        |       round(sum(c_acctbal), 2) AS totacctbal
+        |FROM (
+        |  SELECT CAST(c_custkey % 10 AS INT) AS cntrycode, c_acctbal
+        |  FROM customer c
+        |  WHERE c_custkey % 10 IN (1, 2, 3, 4, 5)
+        |    AND c_acctbal > (SELECT avg(c_acctbal)
+        |                     FROM customer
+        |                     WHERE c_acctbal > 0.0
+        |                       AND c_custkey % 10 IN (1, 2, 3, 4, 5))
+        |    AND NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_custkey = c.c_custkey
+        |                      AND o.o_orderdate >= TIMESTAMP '1999-01-01'))
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
     "q70_sql_tpch_q3" ->
       """SELECT l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
         |  SELECT l_orderkey,
