@@ -66,6 +66,22 @@ class PushdownSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(user_id"), plan)
   }
 
+  test("TPC-H Q19: the OR-of-ANDs predicate splits into per-table pushed disjunctions") {
+    // The whole point of Q19: one disjunctive predicate over two tables
+    // must become (a) a pushed part-side disjunction on (p_brand, p_size),
+    // (b) a pushed lineitem-side disjunction on l_quantity bounds, and
+    // (c) a plain equi-join — NOT a join-then-filter over the raw scans.
+    // (Formatted mode: the scan's toString truncates long filter lists.)
+    val df = graft.queries.Relational.sqlTpchQ19(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("EqualTo(p_brand,Brand#1)") && plan.contains("Or("), plan)
+    assert("PushedFilters[^\\n]*GreaterThanOrEqual\\(l_quantity,1\\.0\\)".r
+      .findFirstIn(plan).nonEmpty, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("trailing-30-day window compiles to a value-based RANGE frame, one exchange") {
     val plan = finalSection(planOf(graft.queries.Relational.windowRangeFrame(spark, sfDir)))
     assert(plan.contains("specifiedwindowframe(RangeFrame, -30, currentrow$())"), plan)
