@@ -235,7 +235,53 @@ object EventAnalytics {
       .orderBy("user_id", "version")
   }
 
+  /** q181 — event-PATTERN matching: the CEP / MATCH_RECOGNIZE class that
+    * Spark SQL has no operator for (Flink CEP's core; in the reference's
+    * terms this is a `reduce` whose correctness depends on the per-key SORT
+    * the framework guarantees, `MapReduceFramework.cpp:227-231`). Per user,
+    * one pass over the TIME-ORDERED event sequence with a 3-state machine
+    * counting greedy non-overlapping view→click→purchase completions (gaps
+    * allowed — "skip till next row"), plus the longest consecutive error
+    * run. Where q94's funnel answers "how deep did each user EVER get",
+    * this counts REPEATED completions and within-sequence runs — answers a
+    * set-based staged aggregation cannot express.
+    *
+    * Built on the engine's own secondary-sort primitive
+    * (`MapReduce.runSorted`): events shuffle ONCE partitioned by user_id
+    * and arrive at the reducer already (ts, event_id)-ordered — no
+    * per-group materialization, no window sort, state is O(1) per user.
+    * Oracle: greedy-leftmost pattern counting over an ordered sequence IS
+    * lazy-quantifier regex matching over the user's event-type string —
+    * DuckDB replays with regexp_extract_all over a string_agg.
+    */
+  def eventPattern(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsus"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    graft.core.MapReduce.runSorted(e)(
+      r => Iterator.single((r._1, (r._2, r._3, r._4)))) {
+      (user: Long, it: Iterator[(Long, Long, String)]) =>
+        var st = 0; var funnels = 0; var n = 0
+        var errRun = 0; var maxErrRun = 0
+        it.foreach { case (_, _, t) =>
+          n += 1
+          if (t == "error") { errRun += 1; if (errRun > maxErrRun) maxErrRun = errRun }
+          else errRun = 0
+          st match {
+            case 0 => if (t == "view") st = 1
+            case 1 => if (t == "click") st = 2
+            case _ => if (t == "purchase") { funnels += 1; st = 0 }
+          }
+        }
+        Iterator.single((user, funnels, maxErrRun, n))
+    }.toDF("user_id", "n_funnels", "longest_error_run", "n_events")
+      .orderBy("user_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_event_pattern"   -> eventPattern _,
     "q147_scd2"            -> scdType2 _,
     "q109_cdc_compact"     -> cdcCompact _,
     "q121_gap_fill"        -> gapFill _,
@@ -337,6 +383,23 @@ object EventAnalytics {
         |                  ORDER BY ts DESC, event_id DESC, value DESC) AS rn
         |      FROM e)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q181_event_pattern" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |                  WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+        |                  ELSE 'o' END AS t
+        |           FROM events),
+        |s AS (SELECT user_id,
+        |             string_agg(t, '' ORDER BY ts, event_id) AS seq,
+        |             count(*) AS n
+        |      FROM e GROUP BY user_id)
+        |SELECT user_id,
+        |       CAST(len(regexp_extract_all(seq, 'v.*?c.*?p')) AS INT) AS n_funnels,
+        |       CAST(coalesce(list_max(list_transform(
+        |              regexp_extract_all(seq, 'e+'), x -> len(x))), 0) AS INT)
+        |         AS longest_error_run,
+        |       CAST(n AS INT) AS n_events
+        |FROM s ORDER BY user_id""".stripMargin,
     "q94_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |v AS (SELECT user_id, min(ts) AS t_view FROM e
