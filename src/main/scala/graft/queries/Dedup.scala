@@ -871,6 +871,51 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** q182 — EXACT set-similarity join via PREFIX FILTERING (the PPJoin
+    * candidate rule: Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): the
+    * PROVABLY-COMPLETE alternative to both the df cap (q36 silently drops
+    * hot shingles from the similarity) and salting (q169 keeps them but
+    * catches hot-ONLY pairs probabilistically). Order the shingle universe
+    * by ascending document frequency (rarest first, ties by hash), sort
+    * each doc's shingle set in that global order, and index ONLY its
+    * PREFIX of n − ⌈t·n⌉ + 1 shingles. Theorem: J(a,b) ≥ t ⇒ the two
+    * prefixes share a shingle (if a's whole prefix missed b, the common
+    * elements would fit inside a's suffix of ⌈t·n⌉ − 1 < t·|a| ≤ |a∩b|
+    * elements — contradiction). So the bucket join over PREFIX shingles
+    * emits every qualifying pair with NO probabilistic argument and no
+    * dropped shingles, and fan-out per bucket is the prefix-df, not the
+    * df: hot shingles sort LAST in the global order and essentially never
+    * enter a prefix, which is the theorem's practical teeth at 100 TB —
+    * boilerplate cannot blow up the join because it is exactly what the
+    * ordering pushes out of the index. Candidates are verified against the
+    * two full arrays (work ∝ candidates, the q37 shape); the df order
+    * rides the family's materialized bucket census.
+    */
+  def prefixFilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dfs = shingleBuckets(spark, dir).select(col("s64"), size(col("ids")).as("df"))
+    val sh = shingled(spark, dir)
+    val pref = sh.select(col("doc_id"), explode(col("sh")).as("s64"))
+      .join(dfs, "s64")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s64")))).as("rk"))
+      .select(col("doc_id"), explode(expr(
+        "slice(rk, 1, cast(size(rk) - ceil(0.6d * size(rk)) + 1 as int))")).as("p"))
+      .select(col("doc_id"), col("p.s64").as("s64"))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.s64") === col("b.s64") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.toDF("id_a", "sh_a"), "id_a")
+      .join(sh.toDF("id_b", "sh_b"), "id_b")
+      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jac", col("c") / (size(col("sh_a")) + size(col("sh_b")) - col("c")))
+      .filter(col("jac") >= 0.6)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** q173 — KMV (k-minimum-values / bottom-k) sketch SET ALGEBRA across
     * sources: per-source distinct-shingle cardinality plus pairwise
     * union / intersection cardinality estimates — the order-statistics
@@ -996,6 +1041,7 @@ object Dedup {
     "q169_dedup_salted_shingles" -> saltedShingleDedup _,
     "q172_sketch_merge"          -> sketchMergeMaintenance _,
     "q173_kmv_set_algebra"       -> kmvSetAlgebra _,
+    "q182_dedup_prefix_join"     -> prefixFilterJoin _,
   )
 
   private[queries] val shingleCte =
@@ -1383,6 +1429,21 @@ object Dedup {
         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin),
     "q169_dedup_salted_shingles" -> (shingleCte +
+      """,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jac
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin),
+    // q182 is EXACT and COMPLETE by the prefix-filtering theorem, so its
+    // oracle is the same brute-force full-set Jaccard as q37/q169 — the
+    // hash equality IS the completeness proof on this corpus.
+    "q182_dedup_prefix_join" -> (shingleCte +
       """,
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c

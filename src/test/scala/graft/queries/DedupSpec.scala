@@ -298,7 +298,23 @@ class DedupSpec extends SparkSpec {
       assert(got.head._3 == 1.0, "boilerplate-only pair must report J = 1.0")
       // And the rare-only variant is indeed blind to it — the gap q169 closes.
       assert(Dedup.ngramJaccard(spark, tmp).collect().isEmpty)
+      // Prefix filtering finds the hot-only pair DETERMINISTICALLY (the
+      // completeness theorem — q169's capture is probabilistic): the
+      // boilerplate-only docs' prefixes are pure hot shingles, which must
+      // still collide because the pair shares its entire (sorted) set.
+      val pf = Dedup.prefixFilterJoin(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pf.map(p => (p._1, p._2)).toSet == ref, s"prefix join drift: ${pf.toSeq}")
+      assert(pf.head._3 == 1.0)
     } finally Dedup.evictCaches(spark)
+  }
+
+  test("prefix-filter join equals the full-Jaccard pair set on the corpus") {
+    val brute = Dedup.saltedShingleDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pf = Dedup.prefixFilterJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pf == brute, s"prefix=${pf.size} brute=${brute.size}")
   }
 
   test("q173 KMV set algebra: in-JVM replay is bit-exact, estimates 4-sigma bounded") {
