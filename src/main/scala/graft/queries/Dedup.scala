@@ -892,15 +892,20 @@ object Dedup {
     * rides the family's materialized bucket census.
     */
   def prefixFilterJoin(spark: SparkSession, dir: String): DataFrame = {
-    val dfs = shingleBuckets(spark, dir).select(col("s64"), size(col("ids")).as("df"))
     val sh = shingled(spark, dir)
-    val pref = sh.select(col("doc_id"), explode(col("sh")).as("s64"))
-      .join(dfs, "s64")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("s64")))).as("rk"))
-      .select(col("doc_id"), explode(expr(
-        "slice(rk, 1, cast(size(rk) - ceil(0.6d * size(rk)) + 1 as int))")).as("p"))
-      .select(col("doc_id"), col("p.s64").as("s64"))
+    // The prefix index is a standing family artifact like the signature
+    // tables: materialized once per (session, corpus) — the ranking join +
+    // per-doc sort is the build cost, probes pay only the bucket join.
+    val pref = materializedSig(spark, dir, "prefix") {
+      val dfs = shingleBuckets(spark, dir).select(col("s64"), size(col("ids")).as("df"))
+      sh.select(col("doc_id"), explode(col("sh")).as("s64"))
+        .join(dfs, "s64")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("s64")))).as("rk"))
+        .select(col("doc_id"), explode(expr(
+          "slice(rk, 1, cast(size(rk) - ceil(0.6d * size(rk)) + 1 as int))")).as("p"))
+        .select(col("doc_id"), col("p.s64").as("s64"))
+    }
     val cand = pref.as("a")
       .join(pref.as("b"),
         col("a.s64") === col("b.s64") && col("a.doc_id") < col("b.doc_id"))
