@@ -263,19 +263,11 @@ object EventAnalytics {
     graft.core.MapReduce.runSorted(e)(
       r => Iterator.single((r._1, (r._2, r._3, r._4)))) {
       (user: Long, it: Iterator[(Long, Long, String)]) =>
-        var st = 0; var funnels = 0; var n = 0
-        var errRun = 0; var maxErrRun = 0
-        it.foreach { case (_, _, t) =>
-          n += 1
-          if (t == "error") { errRun += 1; if (errRun > maxErrRun) maxErrRun = errRun }
-          else errRun = 0
-          st match {
-            case 0 => if (t == "view") st = 1
-            case 1 => if (t == "click") st = 2
-            case _ => if (t == "purchase") { funnels += 1; st = 0 }
-          }
-        }
-        Iterator.single((user, funnels, maxErrRun, n))
+        // The transition is SHARED with the streaming processor
+        // (EventStreams.patternStateful) — stream ≡ batch by construction.
+        val s = it.foldLeft(EventStreams.PatternState(0, 0, 0, 0, 0))(
+          (acc, ev) => EventStreams.stepPattern(acc, ev._3))
+        Iterator.single((user, s.funnels, s.maxErrRun, s.n))
     }.toDF("user_id", "n_funnels", "longest_error_run", "n_events")
       .orderBy("user_id")
   }

@@ -192,6 +192,54 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_id")
 
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  final case class PatternEvent(user_id: Long, ts: Timestamp,
+                                event_id: Long, event_type: String)
+  final case class PatternState(st: Int, funnels: Int, errRun: Int,
+                                maxErrRun: Int, n: Int)
+  final case class PatternRow(user_id: Long, n_funnels: Int,
+                              longest_error_run: Int, n_events: Int)
+
+  /** One CEP transition of q181's machine (greedy non-overlapping
+    * view→click→purchase counting + longest error run). SHARED verbatim by
+    * the batch reducer (EventAnalytics.eventPattern on runSorted) and the
+    * streaming processor below, so stream ≡ batch holds by construction of
+    * the transition — StreamingSpec proves it over real micro-batches.
+    */
+  private[graft] def stepPattern(s: PatternState, t: String): PatternState = {
+    val (er, mer) =
+      if (t == "error") (s.errRun + 1, math.max(s.maxErrRun, s.errRun + 1))
+      else (0, s.maxErrRun)
+    val (st2, f2) = s.st match {
+      case 0 => (if (t == "view") 1 else 0, s.funnels)
+      case 1 => (if (t == "click") 2 else 1, s.funnels)
+      case _ => if (t == "purchase") (0, s.funnels + 1) else (2, s.funnels)
+    }
+    PatternState(st2, f2, er, mer, s.n + 1)
+  }
+
+  /** Streaming CEP — q181's unbounded twin (the Flink-CEP class): per user,
+    * the O(1) PatternState rides `GroupState` across micro-batches while
+    * each batch's rows are folded in (ts, event_id) order. Emits the
+    * running totals every batch a user appears in (upsert contract — latest
+    * row per user wins, like the sessionize processors). Ordering contract:
+    * WITHIN a batch rows are sorted here; ACROSS batches the landing
+    * directory's monotone-arrival guarantee (the LinesSource/file-source
+    * deployment shape) supplies order — a full out-of-order CEP would
+    * buffer events until the watermark instead, at O(window) state.
+    */
+  def patternStateful(events: Dataset[PatternEvent]): Dataset[PatternRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatternState, PatternRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        val sorted = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
+        val s0 = if (state.exists) state.get else PatternState(0, 0, 0, 0, 0)
+        val s1 = sorted.foldLeft(s0)((s, e) => stepPattern(s, e.event_type))
+        state.update(s1)
+        Iterator.single(PatternRow(uid, s1.funnels, s1.maxErrRun, s1.n))
+      }
+  }
   final case class Session(user_id: Long, s_start: Timestamp, s_end: Timestamp,
                            n_events: Long, sum_value: Double)
   /** Open sessions carried across micro-batches, newest-first is NOT

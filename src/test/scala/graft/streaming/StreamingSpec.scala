@@ -573,4 +573,39 @@ class StreamingSpec extends SparkSpec {
         s"exactly-once violated or gate leaked: ${s2.toSeq}")
     } finally q.stop()
   }
+
+  test("CEP pattern matching: stream across micro-batches equals the batch q181 machine") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def pe(id: Long, user: Long, sec: Int, t: String) =
+      EventStreams.PatternEvent(user,
+        new Timestamp(ts("2024-01-01 00:00:00").getTime + sec * 1000L), id, t)
+    // user 1 completes a funnel ACROSS the batch boundary (v,c | p,v,c,p →
+    // 2 total); user 2's error run also spans it (e,e | e → 3).
+    val batch1 = Seq(pe(1, 1, 1, "view"), pe(2, 1, 2, "click"),
+      pe(10, 2, 1, "error"), pe(11, 2, 2, "error"))
+    val batch2 = Seq(pe(3, 1, 3, "purchase"), pe(4, 1, 4, "view"),
+      pe(5, 1, 5, "click"), pe(6, 1, 6, "purchase"),
+      pe(12, 2, 3, "error"), pe(13, 2, 4, "view"))
+    val ms = MemoryStream[EventStreams.PatternEvent]
+    val q = EventStreams.patternStateful(ms.toDS())
+      .writeStream.format("memory").queryName("t_cep").outputMode("append").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      // Upsert contract: the row with the highest n_events per user is final.
+      val streamed = spark.table("t_cep").collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3))))
+        .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).maxBy(_._3) }
+      // The BATCH twin on the identical rows, through the parquet path.
+      val tmp = java.nio.file.Files.createTempDirectory("cep-stream").toString
+      (batch1 ++ batch2).map(e => (e.event_id, e.ts, e.user_id, e.event_type, 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val batch = graft.queries.EventAnalytics.eventPattern(spark, tmp).collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(batch(1L) == ((2, 0, 6)) && batch(2L) == ((0, 3, 4)))
+    } finally q.stop()
+  }
 }
