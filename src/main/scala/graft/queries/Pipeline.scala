@@ -588,7 +588,56 @@ object Pipeline {
       .orderBy("status")
   }
 
+  /** q183 — ONE-PASS multi-column data profiling (the deequ /
+    * Great-Expectations operator class — the report every ingest contract
+    * check starts from): per profiled column, row/null/distinct counts,
+    * min/max, and the modal value with its count. The scale shape is the
+    * point: the wide table MELTS to (table, column, value) triples in one
+    * scan — each row emits one entry per profiled column — so ten columns
+    * cost ONE pass and ONE shuffle keyed by (column, value), not a scan
+    * per column (the naive profiler's shape, which reads the corpus k
+    * times at 100 TB). Numeric columns carry a typed copy through the melt
+    * so min/max are numeric, not lexicographic; the mode ties break to the
+    * smallest value via a min-struct argmax (partial-aggregated — no
+    * per-column window sort).
+    */
+  def dataProfile(spark: SparkSession, dir: String): DataFrame = {
+    def melt(tbl: String, df: DataFrame,
+             strCols: Seq[String], numCols: Seq[String]): DataFrame = {
+      val entries =
+        strCols.map(c => struct(lit(c).as("col_name"),
+          col(c).as("sval"), lit(null).cast("long").as("nval"))) ++
+        numCols.map(c => struct(lit(c).as("col_name"),
+          lit(null).cast("string").as("sval"), col(c).cast("long").as("nval")))
+      df.select(explode(array(entries: _*)).as("e"))
+        .select(lit(tbl).as("tbl"), col("e.col_name"),
+          coalesce(col("e.sval"), col("e.nval").cast("string")).as("vkey"),
+          col("e.sval"), col("e.nval"))
+    }
+    val melted = melt("documents", documents(spark, dir),
+        Seq("lang", "source"), Seq("n_chars"))
+      .unionByName(melt("events", events(spark, dir),
+        Seq("event_type"), Seq("user_id")))
+    val cnt = melted
+      .groupBy("tbl", "col_name", "vkey")
+      .agg(min("sval").as("sval"), min("nval").as("nval"), count(lit(1)).as("c"))
+    cnt.groupBy("tbl", "col_name")
+      .agg(
+        sum("c").as("n_rows"),
+        coalesce(sum(when(col("vkey").isNull, col("c"))), lit(0L)).as("n_nulls"),
+        count(col("vkey")).as("n_distinct"),
+        coalesce(min("nval").cast("string"), min("sval")).as("min_val"),
+        coalesce(max("nval").cast("string"), max("sval")).as("max_val"),
+        min(when(col("vkey").isNotNull,
+          struct((-col("c")).as("negc"), col("vkey")))).as("m"))
+      .select(col("tbl"), col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"),
+        col("m.vkey").as("top_val"), (-col("m.negc")).as("top_count"))
+      .orderBy("tbl", "col_name")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_data_profile"  -> dataProfile _,
     "q166_snapshot_diff" -> snapshotDiff _,
     "q158_quality_median_gate" -> qualityMedianGate _,
     "q145_filter_funnel" -> filterFunnel _,
@@ -622,6 +671,36 @@ object Pipeline {
        |           0) AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q183_data_profile" ->
+      """WITH prof AS (
+        |  SELECT 'documents' AS tbl, 'lang' AS col_name,
+        |         lang AS vkey, lang AS sval, CAST(NULL AS BIGINT) AS nval FROM documents
+        |  UNION ALL SELECT 'documents', 'source', source, source, NULL FROM documents
+        |  UNION ALL SELECT 'documents', 'n_chars', CAST(n_chars AS VARCHAR),
+        |                   NULL, n_chars FROM documents
+        |  UNION ALL SELECT 'events', 'event_type', event_type, event_type, NULL FROM events
+        |  UNION ALL SELECT 'events', 'user_id', CAST(user_id AS VARCHAR),
+        |                   NULL, user_id FROM events),
+        |cnt AS (SELECT tbl, col_name, vkey, min(sval) AS sval, min(nval) AS nval,
+        |               count(*) AS c
+        |        FROM prof GROUP BY 1, 2, 3),
+        |agg AS (SELECT tbl, col_name,
+        |          CAST(sum(c) AS BIGINT) AS n_rows,
+        |          CAST(coalesce(sum(c) FILTER (WHERE vkey IS NULL), 0) AS BIGINT) AS n_nulls,
+        |          CAST(count(vkey) AS BIGINT) AS n_distinct,
+        |          coalesce(CAST(min(nval) AS VARCHAR), min(sval)) AS min_val,
+        |          coalesce(CAST(max(nval) AS VARCHAR), max(sval)) AS max_val
+        |        FROM cnt GROUP BY 1, 2),
+        |top AS (SELECT tbl, col_name, vkey AS top_val, CAST(c AS BIGINT) AS top_count
+        |        FROM (SELECT tbl, col_name, vkey, c,
+        |                row_number() OVER (PARTITION BY tbl, col_name
+        |                                   ORDER BY c DESC, vkey) AS rn
+        |              FROM cnt WHERE vkey IS NOT NULL)
+        |        WHERE rn = 1)
+        |SELECT agg.tbl, agg.col_name, n_rows, n_nulls, n_distinct,
+        |       min_val, max_val, top_val, top_count
+        |FROM agg JOIN top ON agg.tbl = top.tbl AND agg.col_name = top.col_name
+        |ORDER BY agg.tbl, agg.col_name""".stripMargin,
     "q166_snapshot_diff" ->
       """WITH d AS (SELECT doc_id, md5(text) AS h,
         |                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS b
