@@ -42,6 +42,17 @@ class GifSpec extends AnyFunSuite {
     }
   }
 
+  test("LZW round trip holds on arbitrary byte arrays (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = Gen.chooseNum(0, 5000).flatMap(n =>
+      Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte)))
+    val prop = Prop.forAll(gen) { in =>
+      java.util.Arrays.equals(Gif.lzwDecode(1L, Gif.lzwEncode(in), in.length), in)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("multi-frame GIF round trip with per-frame delays and stats") {
     roundTrip(Array.tabulate[Byte](300)(i => (i * 13 + 5).toByte)) // 3 frames
     roundTrip("snowé世界 pad pad pad".getBytes("UTF-8")) // 1 frame, multi-byte UTF-8

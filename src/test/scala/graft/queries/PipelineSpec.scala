@@ -201,4 +201,12 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows.map(r => r._1 -> r._2).toMap == scoreable)
   }
+
+  test("q183 profiles k columns in ONE scan per table (the melt claim, plan-pinned)") {
+    val df = Pipeline.dataProfile(spark, sfDir)
+    df.collect()
+    val plan = org.apache.spark.sql.GraftSqlBridge.executedPlan(df).toString
+    val scans = "Scan parquet".r.findAllIn(plan.split("== Initial Plan ==")(0)).length
+    assert(scans == 2, s"expected 2 scans (documents + events) for 5 profiled columns, got $scans")
+  }
 }
