@@ -795,13 +795,24 @@ object Dedup {
     * digits (60 bits), h_j(x) = (x mod P)·a_j + b_j mod P over the q37
     * seed table. k/64 is a power-of-two division — bit-exact both engines.
     */
+  /** (source, grp, x): one row per (doc, shingle) instance with the 60-bit
+    * md5-prefix portable hash and the q148 ingest-batch flag — the ONE
+    * corpus-wide md5 pass the source-sketch family derives from (q159 and
+    * q172 fold it mod P for minhash, q173 ranks the raw 60-bit value for
+    * KMV). Materialized because three queries would otherwise each re-hash
+    * every shingle in the corpus.
+    */
+  private[queries] def sourceHashes(spark: SparkSession, dir: String): DataFrame =
+    materializedSig(spark, dir, "srchash") {
+      val src = documents(spark, dir).select("doc_id", "source")
+      shingleStrings(spark, dir)
+        .join(src, "doc_id")
+        .select(col("source"), (col("doc_id") % 10 === 9).cast("int").as("grp"),
+          expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)").as("x"))
+    }
+
   def crossSourceMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val src = documents(spark, dir).select("doc_id", "source")
-    val h = shingleStrings(spark, dir)
-      .join(src, "doc_id")
-      .select(col("source"),
-        pmod(expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"),
-             lit(P)).as("h"))
+    val h = sourceHashes(spark, dir).select(col("source"), pmod(col("x"), lit(P)).as("h"))
     val mins = (0 until 64).map(j =>
       min(pmod(col("h") * seeds(j)._1 + seeds(j)._2, lit(P))).as(s"m$j"))
     // Materialized like the per-doc signature tables: the pairwise estimate
@@ -836,12 +847,8 @@ object Dedup {
     * the (source, is_new) sketch table is |sources|·2 rows.
     */
   def sketchMergeMaintenance(spark: SparkSession, dir: String): DataFrame = {
-    val src = documents(spark, dir).select("doc_id", "source")
-    val h = shingleStrings(spark, dir)
-      .join(src, "doc_id")
-      .select(col("source"), (col("doc_id") % 10 === 9).cast("int").as("grp"),
-        pmod(expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"),
-             lit(P)).as("h"))
+    val h = sourceHashes(spark, dir)
+      .select(col("source"), col("grp"), pmod(col("x"), lit(P)).as("h"))
     val mins = (0 until 64).map(j =>
       min(pmod(col("h") * seeds(j)._1 + seeds(j)._2, lit(P))).as(s"m$j"))
     val parts = materializedSig(spark, dir, "srcsketch_parts") {
@@ -951,12 +958,7 @@ object Dedup {
     val k = 128
     // (k−1)·2^60: both factors and the product are exact in double.
     val numer = lit(127.0) * lit(1.152921504606846976e18)
-    val src = documents(spark, dir).select("doc_id", "source")
-    val hx = shingleStrings(spark, dir)
-      .join(src, "doc_id")
-      .select(col("source"),
-        expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)").as("x"))
-      .distinct()
+    val hx = sourceHashes(spark, dir).select("source", "x").distinct()
     val bot = graft.plans.GraftOps.topKPerKey(hx, Seq("source"), Seq(col("x").asc), k)
     val sk = bot.groupBy("source").agg(sort_array(collect_list(col("x"))).as("sk"))
     def est(arr: Column): Column =
