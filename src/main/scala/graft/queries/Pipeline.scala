@@ -636,7 +636,50 @@ object Pipeline {
       .orderBy("tbl", "col_name")
   }
 
+  /** q184 — CONTENT-DEFINED chunking (the rsync/LBFS/casync technique):
+    * chunk boundaries are decided by the CONTENT (a token whose portable
+    * 60-bit md5 hash ≡ 0 mod 64 starts a new chunk, expected length 64)
+    * instead of by position — so inserting a paragraph at the top of a
+    * document shifts every fixed-window chunk (q115's stride-1 hashes
+    * survive but cost a hash per position; q86's line chunks survive only
+    * line edits) yet leaves every chunk AFTER the next boundary
+    * bit-identical here. The report: per doc, token/chunk counts and how
+    * many chunks (and their tokens) also appear verbatim in other
+    * documents — the storage-dedup view of corpus redundancy.
+    *
+    * Shape: map-side tokenize + flag, a per-DOC running boundary count
+    * (window partitioned by doc_id — bounded by document length, never
+    * corpus-wide), chunk signatures via one (doc, chunk) aggregation, and
+    * a chunk-census join. Integer columns only. PipelineSpec proves the
+    * shift-robustness claim on a planted prefix-insertion pair.
+    */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val tok = documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as(Seq("pos", "t")))
+      .withColumn("b",
+        (pmod(expr("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"),
+          lit(64L)) === 0).cast("int"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ch = tok.withColumn("cum", sum("b").over(w))
+      .groupBy("doc_id", "cum")
+      .agg(count(lit(1)).as("n_tok"),
+        md5(expr("array_join(transform(sort_array(collect_list(struct(pos, t))), " +
+          "p -> p.t), ' ')")).as("sig"))
+    val census = ch.groupBy("sig").agg(countDistinct("doc_id").as("nd"))
+    ch.join(census, "sig")
+      .groupBy("doc_id")
+      .agg(sum("n_tok").as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        coalesce(sum(when(col("nd") >= 2, 1L)), lit(0L)).as("n_dup_chunks"),
+        coalesce(sum(when(col("nd") >= 2, col("n_tok"))), lit(0L)).as("n_dup_tokens"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_cdc_chunks"    -> cdcChunks _,
     "q183_data_profile"  -> dataProfile _,
     "q166_snapshot_diff" -> snapshotDiff _,
     "q158_quality_median_gate" -> qualityMedianGate _,
@@ -671,6 +714,37 @@ object Pipeline {
        |           0) AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q184_cdc_chunks" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(w) + 1),
+        |                i -> {'pos': i, 't': w[i]})) AS e
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 1),
+        |t2 AS (SELECT doc_id, e.pos AS pos, e.t AS t,
+        |         CASE WHEN CAST(list_sum(list_transform(range(1, 16),
+        |             i -> CAST(strpos('0123456789abcdef', substr(md5(e.t), i, 1)) - 1 AS BIGINT)
+        |                  * (CAST(1 AS BIGINT) << (4 * (15 - i))))) AS BIGINT) % 64 = 0
+        |         THEN 1 ELSE 0 END AS b
+        |       FROM tok),
+        |t3 AS (SELECT doc_id, pos, t,
+        |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS cum FROM t2),
+        |ch AS (SELECT doc_id, cum,
+        |         md5(string_agg(t, ' ' ORDER BY pos)) AS sig,
+        |         count(*) AS n_tok
+        |       FROM t3 GROUP BY 1, 2),
+        |census AS (SELECT sig, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+        |SELECT doc_id,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(coalesce(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |         AS n_dup_chunks,
+        |       CAST(coalesce(sum(CASE WHEN nd >= 2 THEN n_tok ELSE 0 END), 0) AS BIGINT)
+        |         AS n_dup_tokens
+        |FROM ch JOIN census USING (sig)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q183_data_profile" ->
       """WITH prof AS (
         |  SELECT 'documents' AS tbl, 'lang' AS col_name,

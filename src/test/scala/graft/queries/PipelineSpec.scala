@@ -202,6 +202,33 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(r => r._1 -> r._2).toMap == scoreable)
   }
 
+  test("q184 content-defined chunks realign after a prefix insertion (the CDC claim)") {
+    import spark.implicits._
+    // doc 2 = doc 1 with 7 junk tokens INSERTED at the front: every
+    // fixed-window chunking misaligns from token 0, but content-defined
+    // boundaries depend only on token hashes, so both docs chunk
+    // identically from the first boundary onward.
+    val base = (0 until 300).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, s"x0 x1 x2 x3 x4 x5 x6 $base"),
+                   (3L, (0 until 100).map(i => s"z$i").mkString(" ")))
+    val tmp = java.nio.file.Files.createTempDirectory("cdc").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synth"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Pipeline.cdcChunks(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (n1, c1, d1, dt1) = rows(1L)
+    val (n2, c2, d2, dt2) = rows(2L)
+    assert(n1 == 300 && n2 == 307)
+    assert(d1 >= 1 && d2 >= 1, s"no realigned shared chunks: doc1=$d1 doc2=$d2")
+    // the differing heads: at least one chunk per doc is NOT shared
+    assert(d1 < c1 && d2 < c2, s"heads cannot be shared: $rows")
+    // every shared chunk is bit-identical content → same total shared tokens
+    assert(dt1 == dt2, s"shared-token totals drifted: $dt1 vs $dt2")
+    assert(rows(3L)._3 == 0, "unrelated doc must share nothing")
+  }
+
   test("q183 profiles k columns in ONE scan per table (the melt claim, plan-pinned)") {
     val df = Pipeline.dataProfile(spark, sfDir)
     df.collect()
