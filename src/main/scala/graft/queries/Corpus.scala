@@ -135,6 +135,35 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
       .orderBy("split", "lang")
 
+  /** q185 — LEAKAGE-SAFE train/val/test split: q137's deterministic hash
+    * split keyed by the near-dup CLUSTER instead of the document (the
+    * GroupKFold discipline). A doc-keyed split puts two near-identical
+    * documents on opposite sides of the train/test boundary with
+    * probability ≈ 2·p·(1−p) per pair — silent eval contamination that
+    * q84/q143 decontamination cannot see because the leak comes from the
+    * corpus itself. Keying the SAME md5 threshold rule by
+    * coalesce(cluster_id, doc_id) sends every near-dup family to one
+    * split by construction; singletons keep their own id (and q137's
+    * assignment — identical hash input). Rides the materialized q62
+    * labels: one broadcast-sized left join + a 3-row aggregation.
+    * CorpusSpec proves zero straddling pairs AND that the doc-keyed rule
+    * does leak on this corpus (the problem is real, not hypothetical).
+    */
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = documents(spark, dir).select("doc_id")
+      .join(Dedup.ccLabels(spark, dir), Seq("doc_id"), "left")
+      .withColumn("ck", coalesce(col("cluster_id"), col("doc_id")))
+    val h = substring(md5(col("ck").cast("string")), 1, 2)
+    keyed
+      .withColumn("split",
+        when(h < lit("cc"), lit("train"))
+          .when(h < lit("e6"), lit("val"))
+          .otherwise(lit("test")))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("ck").as("n_clusters"))
+      .orderBy("split")
+  }
+
   /** Per-language inspection sample via the `TypedImperativeAggregate`
     * (functions/BottomKByHash.scala): the 5 docs with the smallest
     * (md5(doc_id), doc_id) rank per lang — a deterministic reservoir
@@ -234,6 +263,7 @@ object Corpus {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_dedup_aware_weights" -> dedupAwareWeights _,
+    "q185_cluster_split"   -> clusterSplit _,
     "q150_curriculum"      -> curriculum _,
     "q140_stratified_inspect" -> stratifiedInspect _,
     "q137_split_report"     -> splitReport _,
@@ -245,6 +275,18 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q185_cluster_split" -> (Dedup.ccLabelsCte +
+      """,
+        |keyed AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS ck
+        |          FROM documents d LEFT JOIN lbl l USING (doc_id)),
+        |sp AS (SELECT ck,
+        |         CASE WHEN substr(md5(CAST(ck AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |              WHEN substr(md5(CAST(ck AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |              ELSE 'test' END AS split
+        |       FROM keyed)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT ck) AS BIGINT) AS n_clusters
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin),
     "q157_dedup_aware_weights" -> (Dedup.ccLabelsCte +
       """,
         |keyed AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS ck

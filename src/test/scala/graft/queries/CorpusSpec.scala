@@ -133,4 +133,30 @@ class CorpusSpec extends SparkSpec {
         s"($s1,$s2): sketch $e vs exact $exact — estimator broken")
     }
   }
+
+  test("q185 cluster split leaks NO near-dup pair; the doc-keyed rule does leak here") {
+    import org.apache.spark.sql.functions._
+    def splitOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val h = substring(md5(key.cast("string")), 1, 2)
+      when(h < lit("cc"), "train").when(h < lit("e6"), "val").otherwise("test")
+    }
+    val perDoc = graft.tables.Tables.documents(spark, sfDir).select("doc_id")
+      .join(Dedup.ccLabels(spark, sfDir), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        splitOf(coalesce(col("cluster_id"), col("doc_id"))).as("cluster_split"),
+        splitOf(col("doc_id")).as("doc_split"))
+    val pairs = Dedup.nearDupPairs(spark, sfDir).select("id_a", "id_b")
+      .join(perDoc.toDF("id_a", "ca", "da"), "id_a")
+      .join(perDoc.toDF("id_b", "cb", "db"), "id_b")
+      .select("ca", "cb", "da", "db").collect()
+    assert(pairs.nonEmpty, "corpus has no near-dup pairs to test leakage on")
+    val clusterLeaks = pairs.count(r => r.getString(0) != r.getString(1))
+    val docLeaks = pairs.count(r => r.getString(2) != r.getString(3))
+    assert(clusterLeaks == 0, s"cluster-keyed split leaked $clusterLeaks pairs")
+    assert(docLeaks > 0,
+      "doc-keyed split leaked nothing here — the motivating contrast no longer holds, re-check the corpus")
+    // Totals agree with the registered report.
+    val n = Corpus.clusterSplit(spark, sfDir).agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(n == graft.tables.Tables.documents(spark, sfDir).count())
+  }
 }
