@@ -878,6 +878,33 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** q187 — batch content NOVELTY: per arrival-batch document
+    * (doc_id % 10 = 9, the q148 ingest convention), how many of its
+    * shingles have NEVER been seen in the standing corpus — the
+    * information-gain side of ingest monitoring. q148 answers "is this doc
+    * a duplicate of something standing"; this answers the complementary
+    * curation question "how much genuinely NEW content does the batch
+    * bring per doc" (a crawl of boilerplate scores near zero even when no
+    * single doc crosses a dup threshold). Shape: the standing distinct
+    * shingle set — which IS the standing index a continuous ingest
+    * maintains — left-joined by the exploded batch shingles, keyed on the
+    * shingle; integer counts out, work ∝ batch emissions. Rides the
+    * cached per-doc shingle arrays.
+    */
+  def batchNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    val standing = sh.filter(col("doc_id") % 10 =!= 9)
+      .select(explode(col("sh")).as("s64")).distinct()
+      .withColumn("seen", lit(1))
+    sh.filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id"), explode(col("sh")).as("s64"))
+      .join(standing, Seq("s64"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(when(col("seen").isNull, 1L)), lit(0L)).as("n_novel"))
+      .orderBy("doc_id")
+  }
+
   /** q182 — EXACT set-similarity join via PREFIX FILTERING (the PPJoin
     * candidate rule: Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): the
     * PROVABLY-COMPLETE alternative to both the df cap (q36 silently drops
@@ -1049,6 +1076,7 @@ object Dedup {
     "q172_sketch_merge"          -> sketchMergeMaintenance _,
     "q173_kmv_set_algebra"       -> kmvSetAlgebra _,
     "q182_dedup_prefix_join"     -> prefixFilterJoin _,
+    "q187_batch_novelty"         -> batchNovelty _,
   )
 
   private[queries] val shingleCte =
@@ -1447,6 +1475,15 @@ object Dedup {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin),
+    "q187_batch_novelty" -> (shingleCte +
+      """,
+        |std AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 <> 9),
+        |b AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 9)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(coalesce(sum(CASE WHEN std.s IS NULL THEN 1 ELSE 0 END), 0)
+        |            AS BIGINT) AS n_novel
+        |FROM b LEFT JOIN std ON b.s = std.s
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // q182 is EXACT and COMPLETE by the prefix-filtering theorem, so its
     // oracle is the same brute-force full-set Jaccard as q37/q169 — the
     // hash equality IS the completeness proof on this corpus.

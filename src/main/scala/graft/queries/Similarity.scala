@@ -842,6 +842,7 @@ object Similarity {
     "q125_embed_stats"        -> embedStats _,
     "q120_pq_recall"          -> pqRecall _,
     "q117_pq_adc"             -> pqAdc _,
+    "q186_embedding_drift"    -> embeddingDrift _,
     "q116_pq_codes"           -> pqCodes _,
     "q108_ann_recall"         -> annRecall _,
     "q40_similarity_topk"     -> cosineTopK _,
@@ -852,6 +853,38 @@ object Similarity {
     "q59_similarity_ann_ivf"  -> annIvf _,
     "q74_similarity_topk_agg" -> cosineTopKAgg _,
   )
+
+  /** q186 — per-label embedding DRIFT between the standing corpus and the
+    * arrival batch (vec_id % 10 = 9, the q148/q165 ingest convention): the
+    * EMBEDDING-space member of the ingest-monitoring family (q166 = digest
+    * diff, q172 = lexical sketch drift) — "did this crawl MOVE my
+    * distribution, and for which labels". Each side's centroid is the
+    * per-dimension floor-mean on the 1e-6 quantized grid (exactly q146's
+    * centroid arithmetic — sums < 2⁵³ so the one double division is exact
+    * both engines), and the drift is the INTEGER squared-L2 between the
+    * two integer centroids. Shape: one posexplode + a (label, side, dim)
+    * partial aggregation — map-side combine does the heavy lifting, the
+    * shuffle carries 64·|labels|·2 rows at any corpus size. Labels with
+    * an empty side are omitted (drift is undefined there; q165 handles
+    * pure arrivals).
+    */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("label"), (col("vec_id") % 10 === 9).cast("int").as("grp"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e6)).cast("long"))).as(Seq("dim", "x")))
+    val cent = e.groupBy("label", "grp", "dim")
+      .agg(floor(sum("x").cast("double") / count(lit(1))).cast("long").as("c"),
+        count(lit(1)).as("n"))
+    cent.filter(col("grp") === 0).select(col("label"), col("dim"),
+        col("c").as("c0"), col("n").as("n0"))
+      .join(cent.filter(col("grp") === 1).select(col("label"), col("dim"),
+        col("c").as("c1"), col("n").as("n1")), Seq("label", "dim"))
+      .groupBy("label")
+      .agg(max("n0").as("n_standing"), max("n1").as("n_batch"),
+        sum((col("c0") - col("c1")) * (col("c0") - col("c1"))).as("l2sq_shift"))
+      .orderBy("label")
+  }
 
   private def duckCos(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
@@ -1341,6 +1374,23 @@ object Similarity {
       """SELECT label, i - 1 AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS cval
         |FROM embeddings, generate_series(1, 64) t(i)
         |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+    "q186_embedding_drift" ->
+      """WITH e AS (
+        |  SELECT label, CASE WHEN vec_id % 10 = 9 THEN 1 ELSE 0 END AS grp,
+        |         i - 1 AS dim,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |cent AS (SELECT label, grp, dim,
+        |           CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS c,
+        |           count(*) AS n
+        |         FROM e GROUP BY 1, 2, 3)
+        |SELECT a.label AS label,
+        |       CAST(max(a.n) AS BIGINT) AS n_standing,
+        |       CAST(max(b.n) AS BIGINT) AS n_batch,
+        |       CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS l2sq_shift
+        |FROM cent a JOIN cent b ON a.label = b.label AND a.dim = b.dim
+        |                        AND a.grp = 0 AND b.grp = 1
+        |GROUP BY 1 ORDER BY label""".stripMargin,
     "q59_similarity_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
