@@ -35,7 +35,10 @@ class GifSpec extends AnyFunSuite {
       Array[Byte](5),
       Array.fill[Byte](300)(9),                        // KwKwK chains
       Array.tabulate[Byte](1000)(i => (i % 7).toByte), // short period
-      Array.tabulate[Byte](9000)(i => (i * 31 + (i >> 3) * 17 + 7).toByte)) // dict growth + reset
+      Array.tabulate[Byte](9000)(i => (i * 31 + (i >> 3) * 17 + 7).toByte),
+      // 30 000 high-entropy bytes: >> 3838 emitted phrases, so the 4096
+      // dictionary reset is GUARANTEED to fire (not just likely).
+      Array.tabulate[Byte](30000)(i => (i * 197 + (i >> 2) * 89 + (i >> 7)).toByte))
     cases.foreach { in =>
       val got = Gif.lzwDecode(1L, Gif.lzwEncode(in), in.length)
       assert(java.util.Arrays.equals(got, in), s"LZW drift at n=${in.length}")
