@@ -383,6 +383,67 @@ object EventStreams {
     }
   }
 
+  /** q181's WATERMARK-COMPLETE streaming form — the full out-of-order CEP
+    * that `patternStateful`'s in-order-across-batches contract dodges:
+    * arrivals buffer per user in a `ListState` and fold through the SAME
+    * shared transition only once the event-time watermark has passed them
+    * (so no earlier event can still arrive — Spark's late-record filter
+    * enforces it), in (ts, event_id) order. An event-time timer at the
+    * newest buffered timestamp flushes users the watermark overtakes
+    * between their input batches. State per user = the O(1) machine plus
+    * O(allowed-lateness window) buffered events — the fundamental CEP
+    * trade: order tolerance costs a bounded buffer, never the history.
+    * Emits running totals on every fold (latest row per user wins, the
+    * sessionize emission contract). Boundary note: events tied exactly AT
+    * the watermark follow arrival order; a lateness allowance that covers
+    * real clock skew keeps ties out of the boundary.
+    */
+  final class PatternWatermarkProcessor
+      extends StatefulProcessor[Long, PatternEvent, PatternRow] {
+    @transient private var buf: ListState[(Long, Long, String)] = _
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[PatternState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState("buf",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING),
+        TTLConfig.NONE)
+      st = getHandle.getValueState("st", Encoders.product[PatternState], TTLConfig.NONE)
+    }
+    private def fold(ready: List[(Long, Long, String)]): PatternState = {
+      val s0 = if (st.exists()) st.get() else PatternState(0, 0, 0, 0, 0)
+      val s1 = ready.sortBy(e => (e._1, e._2)).foldLeft(s0)((s, e) => stepPattern(s, e._3))
+      st.update(s1)
+      s1
+    }
+    override def handleInputRows(uid: Long, rows: Iterator[PatternEvent],
+        timers: TimerValues): Iterator[PatternRow] = {
+      val wmUs = timers.getCurrentWatermarkInMs() * 1000L
+      val all = (if (buf.exists()) buf.get().toList else Nil) ++
+        rows.map(e => (micros(e.ts), e.event_id, e.event_type))
+      val (ready, pending) = all.partition(_._1 < wmUs)
+      val s1 = fold(ready)
+      buf.put(pending.toArray)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (pending.nonEmpty)
+        getHandle.registerTimer(Math.floorDiv(pending.map(_._1).max, 1000L) + 1)
+      Iterator.single(PatternRow(uid, s1.funnels, s1.maxErrRun, s1.n))
+    }
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[PatternRow] = {
+      val s1 = fold(if (buf.exists()) buf.get().toList else Nil)
+      buf.clear()
+      Iterator.single(PatternRow(uid, s1.funnels, s1.maxErrRun, s1.n))
+    }
+  }
+
+  /** Watermark-buffered CEP over an unbounded PatternEvent stream. */
+  def patternWatermarked(events: Dataset[PatternEvent], delay: String): Dataset[PatternRow] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new PatternWatermarkProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** `sessionizeTimerClosed` requires an event-time watermark on the input
     * (TimeMode.EventTime drives the timers off it).
     */

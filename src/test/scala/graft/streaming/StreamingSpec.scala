@@ -608,4 +608,52 @@ class StreamingSpec extends SparkSpec {
       assert(batch(1L) == ((2, 0, 6)) && batch(2L) == ((0, 3, 4)))
     } finally q.stop()
   }
+
+  test("watermark-buffered CEP: OUT-OF-ORDER arrivals across batches still equal batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def pe(id: Long, user: Long, sec: Int, t: String) =
+      EventStreams.PatternEvent(user,
+        new Timestamp(ts("2024-01-01 00:00:00").getTime + sec * 1000L), id, t)
+    // Event-time order for user 1 is view@1, click@2, purchase@3, but the
+    // CLICK arrives a batch LATE (after the purchase); patternStateful's
+    // in-order contract would mis-count this as 0 funnels — the buffered
+    // processor must still see v,c,p once the watermark passes them.
+    val batch1 = Seq(pe(1, 1, 1, "view"), pe(3, 1, 3, "purchase"),
+      pe(10, 2, 2, "error"))
+    val batch2 = Seq(pe(2, 1, 2, "click"), pe(11, 2, 1, "error")) // both late-but-allowed
+    val pusher = Seq(pe(99, 9, 7200, "view")) // advances the watermark past everything
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[EventStreams.PatternEvent]
+    val q = EventStreams.patternWatermarked(ms.toDS(), "1 hour")
+      .writeStream.format("memory").queryName("t_cep_wm").outputMode("append").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      ms.addData(pusher); q.processAllAvailable()
+      ms.addData(Seq(pe(100, 9, 7201, "view"))); q.processAllAvailable() // fires timers
+      val streamed = spark.table("t_cep_wm").collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3))))
+        .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).maxBy(_._3) }
+      // Batch twin over the real users' events (9 is the pusher).
+      val tmp = java.nio.file.Files.createTempDirectory("cep-wm").toString
+      (batch1 ++ batch2).map(e => (e.event_id, e.ts, e.user_id, e.event_type, 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val batch = graft.queries.EventAnalytics.eventPattern(spark, tmp).collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+      assert(streamed.view.filterKeys(_ != 9L).toMap == batch,
+        s"stream=$streamed batch=$batch")
+      assert(batch(1L) == ((1, 0, 3)), "the late click must complete the funnel")
+      assert(batch(2L) == ((0, 2, 2)), "the split error run must still count 2")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
