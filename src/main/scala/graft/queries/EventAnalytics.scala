@@ -272,7 +272,33 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** q188 — cohort retention matrix: users bucketed by their FIRST-activity
+    * week (ISO Monday truncation, identical in both engines), then distinct
+    * active users per (cohort, week-offset) — the classic product-analytics
+    * report that completes the engine's event quartet (funnel q94,
+    * sessionization q51/q52, pattern matching q181, retention here).
+    * Shape: one per-user min(ts) aggregation, the cohort table joined back
+    * onto events on user_id (at scale the cohort side is the distinct-user
+    * table — orders of magnitude smaller than events), one
+    * (cohort, offset) count-distinct. The offset-0 row of each cohort is
+    * its size (every user is active in their own first week), so retention
+    * RATES are derivable without a second pass. Integer arithmetic only.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select("user_id", "ts")
+    val cohort = e.groupBy("user_id").agg(min("ts").as("first_ts"))
+      .select(col("user_id"), date_trunc("week", col("first_ts")).as("cohort_week"))
+    e.join(cohort, "user_id")
+      .select(col("cohort_week"), col("user_id"),
+        floor(datediff(to_date(col("ts")), to_date(col("cohort_week"))) / 7.0)
+          .cast("long").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_cohort_retention" -> cohortRetention _,
     "q181_event_pattern"   -> eventPattern _,
     "q147_scd2"            -> scdType2 _,
     "q109_cdc_compact"     -> cdcCompact _,
@@ -375,6 +401,18 @@ object EventAnalytics {
         |                  ORDER BY ts DESC, event_id DESC, value DESC) AS rn
         |      FROM e)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q188_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |c AS (SELECT user_id,
+        |             CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+        |      FROM e GROUP BY 1)
+        |SELECT cohort_week,
+        |       CAST(floor(date_diff('day', CAST(cohort_week AS DATE),
+        |                            CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+        |         AS week_offset,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q181_event_pattern" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
         |             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
