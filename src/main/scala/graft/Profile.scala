@@ -66,13 +66,19 @@ object Profile {
         println(f"TIMING $name run$i $w%.2f s")
         w
       }
-      val before = acc.snapshot()
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
-      val wMetered = (System.nanoTime() - t0) / 1e9
-      val after = acc.snapshot()
-      name -> (walls, wMetered, after._1 - before._1, after._2 - before._2,
-               after._3 - before._3, after._4 - before._4)
+      // The extra metered rep exists only to feed the JSON artifact — skip
+      // it in plain timing mode (r9 review catch: it silently made every
+      // query run reps+1 times).
+      if (jsonOut.isEmpty) name -> (walls, 0.0, 0L, 0L, 0L, 0L)
+      else {
+        val before = acc.snapshot()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val wMetered = (System.nanoTime() - t0) / 1e9
+        val after = acc.snapshot()
+        name -> (walls, wMetered, after._1 - before._1, after._2 - before._2,
+                 after._3 - before._3, after._4 - before._4)
+      }
     }
     jsonOut.foreach { path =>
       val body = records.map { case (name, (walls, wM, ms, sr, sw, sp)) =>

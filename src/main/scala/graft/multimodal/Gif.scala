@@ -214,11 +214,14 @@ object Gif {
       (p(i) & 0xff) match {
         case 0x3b => done = true
         case 0x21 => // extension: capture GCE delay, skip the rest
-          require(i + 2 <= p.length, s"doc $id: truncated extension")
+          require(i + 3 <= p.length, s"doc $id: truncated extension")
           val label = p(i + 1) & 0xff
           i += 2
           var bs = p(i) & 0xff
-          if (label == 0xf9) { require(bs == 4, s"doc $id: bad GCE size"); delay = u16(i + 2) }
+          if (label == 0xf9) {
+            require(bs == 4 && i + 5 <= p.length, s"doc $id: bad or truncated GCE")
+            delay = u16(i + 2)
+          }
           while (bs != 0) {
             i += 1 + bs
             require(i < p.length, s"doc $id: truncated extension blocks")
@@ -238,7 +241,7 @@ object Gif {
               val t = java.util.Arrays.copyOfRange(p, i, i + sz); i += sz; t
             } else global
           require(palette != null, s"doc $id: no color table in scope")
-          require(i < p.length, s"doc $id: missing LZW min code size")
+          require(i + 1 < p.length, s"doc $id: missing LZW min code size")
           require((p(i) & 0xff) == 8, s"doc $id: only 8-bit LZW supported")
           i += 1
           val z = new java.io.ByteArrayOutputStream()

@@ -101,14 +101,24 @@ object Jpeg {
 
   private def magnitude(v: Int): Int = { var s = 0; var a = math.abs(v); while (a > 0) { s += 1; a >>= 1 }; s }
 
-  /** data → a well-formed baseline JPEG: 32 px wide (4 blocks/row), each
-    * 8×8 block constant at payload byte b (blocks past the payload at 128),
-    * rows of blocks = ceil(n/4) (min 1).
+  /** data → a well-formed baseline JPEG: one constant 8×8 block per
+    * payload byte (blocks past the payload at 128), arranged on a
+    * NEAR-SQUARE grid of ⌈√n⌉ blocks per row — both SOF dimensions stay
+    * inside the format's 16-bit fields up to ~67 MB payloads, past which
+    * the encoder fails LOUDLY (the r9 review catch: a fixed 32-px width
+    * silently wrapped the height field beyond 32 764 bytes, and the skew
+    * corpus's 160 K-char head document hit exactly that). ⌈√n⌉ is
+    * engine-portable: IEEE sqrt is correctly rounded, so perfect squares
+    * are exact and the oracle's ceil(sqrt(n)) agrees bit-for-bit.
     */
   def encode(data: Array[Byte]): Array[Byte] = {
-    val blockRows = math.max(1, (data.length + 3) / 4)
-    val w = 32
+    val n = data.length
+    val bpr = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val blockRows = math.max(1, (n + bpr - 1) / bpr)
+    val w = 8 * bpr
     val h = 8 * blockRows
+    require(w <= 65535 && h <= 65535,
+      s"payload of $n bytes exceeds baseline JPEG's 16-bit dimensions")
     val out = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
@@ -130,7 +140,7 @@ object Jpeg {
     out.write(0); out.write(63); out.write(0)      // Ss, Se, AhAl
     val bw = new BitWriter(out)
     var predDc = 0
-    val nBlocks = 4 * blockRows
+    val nBlocks = bpr * blockRows
     var b = 0
     while (b < nBlocks) {
       val v = if (b < data.length) data(b) & 0xff else 128
@@ -366,21 +376,25 @@ object Jpeg {
       |                  octet_length(encode(text)) AS n
       |           FROM documents),
       |px AS (SELECT doc_id, n,
-      |         greatest(1, CAST(ceil(n / 4.0) AS BIGINT)) AS block_rows,
+      |         greatest(1, CAST(ceil(sqrt(n)) AS BIGINT)) AS bpr,
       |         list_transform(range(1, n + 1), k ->
       |           CAST(strpos('0123456789ABCDEF', substr(hx, 2*k - 1, 1)) - 1 AS BIGINT) * 16
       |           + (strpos('0123456789ABCDEF', substr(hx, 2*k, 1)) - 1)) AS bytes
       |       FROM b),
-      |dec AS (SELECT doc_id, n, block_rows,
+      |dims AS (SELECT doc_id, n, bpr, bytes,
+      |           greatest(1, CAST(ceil(n / CAST(bpr AS DOUBLE)) AS BIGINT)) AS block_rows
+      |         FROM px),
+      |dec AS (SELECT doc_id, n, bpr, block_rows, bpr * block_rows AS nb,
       |          list_transform(bytes, v ->
       |            least(255, greatest(0, 2 * CAST(floor((v - 128) / 2.0 + 0.5) AS BIGINT) + 128))) AS dv
-      |        FROM px)
-      |SELECT doc_id, 32 AS width, CAST(8 * block_rows AS INT) AS height,
-      |       CAST(4 * block_rows AS BIGINT) AS n_blocks,
-      |       CAST(64 * (coalesce(list_sum(dv), 0) + (4 * block_rows - n) * 128) AS BIGINT) AS sum_px,
-      |       CAST(CASE WHEN 4 * block_rows > n THEN least(128, coalesce(list_min(dv), 128))
+      |        FROM dims)
+      |SELECT doc_id, CAST(8 * bpr AS INT) AS width,
+      |       CAST(8 * block_rows AS INT) AS height,
+      |       CAST(nb AS BIGINT) AS n_blocks,
+      |       CAST(64 * (coalesce(list_sum(dv), 0) + (nb - n) * 128) AS BIGINT) AS sum_px,
+      |       CAST(CASE WHEN nb > n THEN least(128, coalesce(list_min(dv), 128))
       |                 ELSE list_min(dv) END AS INT) AS min_px,
-      |       CAST(CASE WHEN 4 * block_rows > n THEN greatest(128, coalesce(list_max(dv), 128))
+      |       CAST(CASE WHEN nb > n THEN greatest(128, coalesce(list_max(dv), 128))
       |                 ELSE list_max(dv) END AS INT) AS max_px
       |FROM dec ORDER BY doc_id""".stripMargin
 }

@@ -61,11 +61,14 @@ object Png {
     }
     val d = new java.util.zip.Deflater()
     d.setInput(raw); d.finish()
-    val buf = new Array[Byte](raw.length + 64)
-    var zn = 0
-    while (!d.finished()) zn += d.deflate(buf, zn, buf.length - zn)
+    // Chunked drain: a fixed out-buffer sized raw+64 would spin forever on
+    // incompressible input whose stored-block overhead exceeds the slack
+    // (r9 review catch).
+    val zOut = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val dbuf = new Array[Byte](8192)
+    while (!d.finished()) zOut.write(dbuf, 0, d.deflate(dbuf))
     d.end()
-    val z = java.util.Arrays.copyOf(buf, zn)
+    val z = zOut.toByteArray
     val out = new java.io.ByteArrayOutputStream()
     out.write(signature)
     val ihdr = java.nio.ByteBuffer.allocate(13)
@@ -126,6 +129,9 @@ object Png {
     var rn = 0
     while (rn < raw.length && !inf.finished()) {
       val k = inf.inflate(raw, rn, raw.length - rn)
+      // needsDictionary: FDICT streams would otherwise spin (k = 0 with
+      // needsInput false, finished false) instead of failing loudly.
+      require(!inf.needsDictionary(), s"doc $id: preset-dictionary zlib stream unsupported")
       require(k > 0 || !inf.needsInput(), s"doc $id: truncated IDAT stream")
       rn += k
     }

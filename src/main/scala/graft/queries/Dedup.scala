@@ -234,12 +234,11 @@ object Dedup {
     val buckets = shingleBuckets(spark, dir)
     // Rare path: a pair lands in one bucket PER COMMON RARE SHINGLE, so the
     // emission count IS |rare(a) ∩ rare(b)| — q36's counting trick; no
-    // per-candidate array work at all.
-    val rarePairs = buckets
-      .filter(size(col("ids")).between(2, cap))
-      .select(explode(pairGen).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .agg(count(lit(1)).as("c_rare"))
+    // per-candidate array work at all. This is exactly the materialized
+    // candidate table (rarePairCounts) — read it instead of re-exploding
+    // the buckets (r9 review catch: the family's heaviest artifact was
+    // built twice when q36/q145 and q169 ran in one session).
+    val rarePairs = rarePairCounts(spark, dir).withColumnRenamed("c", "c_rare")
     // Hot path: re-key each (shingle, doc) by a deterministic salt, then
     // pair within (shingle, salt). Hash salting keeps the split map-only
     // (a rank-based split would put the whole hot bucket through one
@@ -727,8 +726,13 @@ object Dedup {
       cur = edges.count()
       peels += 1
       // Fail verification loudly instead of letting the fixed-unroll oracle
-      // silently diverge on a deeper-than-expected corpus.
-      require(peels <= kCoreOracleUnrollDepth,
+      // silently diverge on a deeper-than-expected corpus. Only a peel that
+      // CHANGED the edge set counts against the depth: the final confirming
+      // iteration (cur == prev) is the identity, which the oracle's
+      // idempotent unroll reproduces for free — without this condition a
+      // corpus needing exactly `depth` real peels would be spuriously
+      // rejected on its confirmation pass (r9 review catch).
+      require(cur == prev || peels <= kCoreOracleUnrollDepth,
         s"kCore: peel $peels exceeds the oracle's $kCoreOracleUnrollDepth-peel " +
           "unroll — raise kCoreOracleUnrollDepth (both sides derive from it)")
     }

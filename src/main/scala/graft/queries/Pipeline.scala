@@ -630,6 +630,10 @@ object Pipeline {
         coalesce(max("nval").cast("string"), max("sval")).as("max_val"),
         min(when(col("vkey").isNotNull,
           struct((-col("c")).as("negc"), col("vkey")))).as("m"))
+      // An all-null column has no mode: drop it like the oracle's inner
+      // join against the top-value CTE does (r9 review catch — latent
+      // divergence the day a nullable column joins the profile list).
+      .filter(col("m").isNotNull)
       .select(col("tbl"), col("col_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_val"), col("max_val"),
         col("m.vkey").as("top_val"), (-col("m.negc")).as("top_count"))

@@ -20,14 +20,16 @@ class JpegSpec extends SparkSpec {
       ("x" * 4).getBytes(UTF_8),                  // exactly one block row
       ("y" * 5).getBytes(UTF_8),                  // one block into row 2
       Array.tabulate(257)(i => i.toByte),         // all byte values
-    )
+      Array.tabulate(40000)(i => (i * 37 + 11).toByte), // > the old 32 764-byte
+    )                                             // height-overflow boundary
     cases.foreach { data =>
       val s = Jpeg.decodeStats(7L, Jpeg.encode(data))
-      val blockRows = math.max(1, (data.length + 3) / 4)
+      val bpr = math.max(1, math.ceil(math.sqrt(data.length.toDouble)).toInt)
+      val blockRows = math.max(1, (data.length + bpr - 1) / bpr)
       val vals = data.map(b => expectedPx(b & 0xff)) ++
-        Array.fill(4 * blockRows - data.length)(128)
-      assert(s.width == 32 && s.height == 8 * blockRows)
-      assert(s.n_blocks == 4L * blockRows)
+        Array.fill(bpr * blockRows - data.length)(128)
+      assert(s.width == 8 * bpr && s.height == 8 * blockRows)
+      assert(s.n_blocks == bpr.toLong * blockRows)
       assert(s.sum_px == 64L * vals.map(_.toLong).sum, s"n=${data.length}")
       assert(s.min_px == vals.min && s.max_px == vals.max)
     }
@@ -41,7 +43,7 @@ class JpegSpec extends SparkSpec {
     // is real, not just EOB. Codes (canonical over the declared table):
     // DC cat0=00; AC: EOB=00, 0x01=01, 0x02=100, 0x11=101, 0x21=1100,
     // ZRL=1101.
-    val base = Jpeg.encode(Array[Byte](0x40)) // any 1-row image
+    val base = Jpeg.encode(Array[Byte](0x40, 0x40, 0x40, 0x40)) // 2×2 block grid = 4 blocks
     // locate SOS payload start: after marker 0xFFDA with length 8
     val sos = {
       var i = 2
