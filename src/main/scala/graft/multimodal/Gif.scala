@@ -153,6 +153,10 @@ object Gif {
     */
   def encode(data: Array[Byte]): Array[Byte] = {
     val nf = math.max(1, (data.length + frameBytes - 1) / frameBytes)
+    // The per-frame GCE delay is 4+f in a 16-bit field; past 65531 frames it
+    // would wrap silently while the oracle computes unwrapped 4+frame_idx.
+    // Fail loudly instead (mirrors the JPEG dimension guard).
+    require(nf <= 65531, s"payload of ${data.length} B needs $nf frames; max 65531 (16-bit GCE delay)")
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
     out.write(le16(frameW)); out.write(le16(frameH))
@@ -264,6 +268,9 @@ object Gif {
             k += 1
           }
           frames += FrameStats(id, frames.length, delay, w.toLong * h, sum, mn, mx)
+          // Per GIF89a a GCE applies only to the single block that follows;
+          // a frame without its own GCE must not inherit the previous delay.
+          delay = 0
         case b => throw new IllegalArgumentException(s"doc $id: unknown block 0x${b.toHexString}")
       }
     }

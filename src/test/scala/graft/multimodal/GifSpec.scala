@@ -86,6 +86,37 @@ class GifSpec extends AnyFunSuite {
       && fr.head.min_px == 10 && fr.head.max_px == 200)
   }
 
+  test("encode rejects payloads whose frame count would wrap the 16-bit GCE delay") {
+    // 65531 frames is the last unwrapped delay (4 + 65531 = 65535); one more
+    // frame must fail loudly rather than silently wrap vs the oracle.
+    intercept[IllegalArgumentException](Gif.encode(new Array[Byte](65532 * 128)))
+  }
+
+  test("a frame without its own GCE gets delay 0, not the previous frame's") {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(Array[Byte](2, 0, 1, 0)) // screen 2x1
+    out.write(0xf0); out.write(0); out.write(0) // global table, 2 entries
+    out.write(Array[Byte](0, 0, 0, 50, 50, 50)) // palette R = 0, 50
+    def frame(withGce: Boolean, delay: Int): Unit = {
+      if (withGce) {
+        out.write(0x21); out.write(0xf9); out.write(4); out.write(0)
+        out.write(delay & 0xff); out.write(delay >> 8); out.write(0); out.write(0)
+      }
+      out.write(0x2c)
+      out.write(Array[Byte](0, 0, 0, 0, 2, 0, 1, 0)) // frame 2x1
+      out.write(0) // no local table
+      out.write(8)
+      val z = Gif.lzwEncode(Array[Byte](0, 1))
+      out.write(z.length); out.write(z); out.write(0)
+    }
+    frame(withGce = true, delay = 77)
+    frame(withGce = false, delay = 0) // per GIF89a: GCE applies to ONE block
+    out.write(0x3b)
+    val fr = Gif.decodeFrames(4L, out.toByteArray)
+    assert(fr.map(_.delay_cs) == Seq(77, 0))
+  }
+
   test("malformed payloads are rejected loudly") {
     val good = Gif.encode(Array.tabulate[Byte](200)(_.toByte))
     def fails(p: Array[Byte]): Unit =
