@@ -11,6 +11,21 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// LocalClusterSpec owns a local-cluster SparkContext (forked executor JVMs
+// via the standalone launcher, which needs SPARK_HOME/SPARK_SCALA_VERSION);
+// a JVM holds one SparkContext, so it runs in its own forked test JVM.
+Test / envVars := Map("SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13")
+Test / testGrouping := {
+  val forkOpts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+    .withEnvVars((Test / envVars).value)
+    .withWorkingDirectory((Test / baseDirectory).value)
+  val (cluster, rest) = (Test / definedTests).value
+    .partition(_.name.endsWith("LocalClusterSpec"))
+  Seq(Tests.Group("default", rest, Tests.SubProcess(forkOpts)),
+      Tests.Group("local-cluster", cluster, Tests.SubProcess(forkOpts)))
+    .filter(_.tests.nonEmpty)
+}
 // The bench driver parses the LAST stdout line as JSON; sbt's trailing
 // "[success] Total time: ..." line otherwise shadows Bench's JSON output,
 // and the default fork output strategy prefixes every stdout line with

@@ -9,14 +9,30 @@ object Verify {
     // optional 3rd arg: regex over query names, for fast local iteration
     val nameFilter = if (args.length > 2) args(2) else ".*"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,8,4096] runs the whole sweep across
+    // real executor JVMs (process boundary: custom exec serialization,
+    // executor-side caches, closure capture). Default stays local[N].
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      // Forked executor JVMs need our classes + the JDK17 module opens.
+      val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+        "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
+        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+        "sun.security.action", "sun.util.calendar")
+        .map(p => s"--add-opens java.base/$p=ALL-UNNAMED").mkString(" ")
+      builder
+        .config("spark.executor.extraClassPath",
+          new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+        .config("spark.executor.extraJavaOptions", opens)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
