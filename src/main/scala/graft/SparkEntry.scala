@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Corpus, Dedup, EventAnalytics, Joins, MapReduceQueries, Pipeline, Relational, Similarity, Sinks, TextAnalysis}
+import graft.queries.{Corpus, Dedup, EventAnalytics, Joins, MapReduceQueries, Markup, Pipeline, Relational, Similarity, Sinks, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Aggregates the per-module query registries; every oracle-checked operator
@@ -19,12 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ MapReduceQueries.all ++ Joins.all ++ Dedup.all ++
       Similarity.all ++ TextAnalysis.all ++ EventAnalytics.all ++
-      Corpus.all ++ Pipeline.all ++ graft.multimodal.Multimodal.all ++ Sinks.all
+      Corpus.all ++ Pipeline.all ++ graft.multimodal.Multimodal.all ++ Sinks.all ++ Markup.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ MapReduceQueries.oracles ++ Joins.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ EventAnalytics.oracles ++
-      Corpus.oracles ++ Pipeline.oracles ++ graft.multimodal.Multimodal.oracles ++ Sinks.oracles
+      Corpus.oracles ++ Pipeline.oracles ++ graft.multimodal.Multimodal.oracles ++ Sinks.oracles ++ Markup.oracles
 }
