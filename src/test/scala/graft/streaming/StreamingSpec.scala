@@ -574,6 +574,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("crash recovery: ingest pipeline restarts from its checkpoint in a fresh session, exactly-once") {
+    // The continuous-ingest pipeline killed mid-stream: query 1 processes a
+    // shard and STOPS (driver gone — offsets/commits survive only in the
+    // checkpoint); new shards land while the pipeline is down; a NEW query
+    // object in a FRESH SparkSession (newSession: its own session state,
+    // streams manager, conf — the same process restart shape minus the JVM)
+    // resumes from the same checkpoint. Exactly-once across the restart:
+    // shard-000's survivors are not re-emitted (LinesSource's custom Offset
+    // JSON round-trips through the offset log), the down-time shards are
+    // emitted exactly once, and the corpus gate still holds.
+    import java.nio.file.Files
+    val landing = Files.createTempDirectory("graft_recover_landing")
+    val out = Files.createTempDirectory("graft_recover_out").toString
+    val ckpt = Files.createTempDirectory("graft_recover_ckpt").toString
+    def addShard(name: String, lines: Seq[String]): Unit =
+      Files.write(landing.resolve(name),
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def corpusIn(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      Seq("known doc", "also known").toDF("text").select(md5(col("text")).as("h"))
+    }
+    def start(s: org.apache.spark.sql.SparkSession) =
+      EventStreams.dedupAgainstCorpus(
+          s.readStream.format("graft.sources.LinesSource").load(landing.toString),
+          corpusIn(s))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    addShard("shard-000.txt", Seq("known doc", "fresh one", "early bird"))
+    val q1 = start(spark)
+    try {
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out).select("text").collect().map(_.getString(0)).toSet
+        == Set("fresh one", "early bird"))
+    } finally q1.stop()
+    // pipeline is down; two shards land — a corpus twin plus novel docs
+    addShard("shard-001.txt", Seq("also known", "novel two"))
+    addShard("shard-002.txt", Seq("novel three"))
+    val spark2 = spark.newSession()
+    val q2 = start(spark2)
+    try {
+      q2.processAllAvailable()
+      val rows = spark2.read.parquet(out).select("text").collect().map(_.getString(0))
+      assert(rows.toSet == Set("fresh one", "early bird", "novel two", "novel three"),
+        s"loss or gate leak across restart: ${rows.toSeq}")
+      assert(rows.length == 4, s"duplicate emission across restart: ${rows.toSeq}")
+      // the restart consumed ONLY the down-time shards: offset log advanced
+      // past shard-000 without re-reading it
+      val committed = q2.recentProgress.map(_.sources.head.numInputRows).sum
+      assert(committed == 3, s"restarted source re-read processed shards: $committed rows")
+    } finally q2.stop()
+  }
+
   test("CEP pattern matching: stream across micro-batches equals the batch q181 machine") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
