@@ -39,7 +39,7 @@ object EventAnalytics {
     */
   def clickPurchase(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
-    EventStreams.clickToPurchase(
+    EventStreams.clickToPurchaseBucketed(
         e.filter(col("event_type") === "click"),
         e.filter(col("event_type") === "purchase"))
       .groupBy(col("c_user").as("user_id"))
@@ -120,9 +120,9 @@ object EventAnalytics {
     */
   def clickConversion(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
-    EventStreams.clickToPurchaseOuter(
+    EventStreams.clickToPurchaseBucketed(
         e.filter(col("event_type") === "click"),
-        e.filter(col("event_type") === "purchase"))
+        e.filter(col("event_type") === "purchase"), outer = true)
       .groupBy(col("c_user").as("user_id"))
       .agg(countDistinct(col("c_id")).as("n_clicks"),
            countDistinct(when(col("p_id").isNotNull, col("c_id"))).as("n_converted"),

@@ -122,6 +122,41 @@ object EventStreams {
               col("p_ts") < col("c_ts") + expr("INTERVAL 1 HOUR"))
   }
 
+  /** Hour-BUCKETED batch form of the interval join: same rows as
+    * `clickToPurchase`, different plan. The naive range join is an
+    * equi-join on user_id with the time window as a post-filter, so one hot
+    * user costs O(clicks_u × purchases_u) comparisons in ONE task — the
+    * combined-axis skew corpus (hot user × 10× events) measured it at
+    * 37 s / 177× baseline for a linear-sized output. Bucketing both sides
+    * by ⌊epoch/3600⌋ (purchases into their own and the PREVIOUS bucket —
+    * p ∈ [c, c+1h) ⇒ bucket(p) ∈ {bucket(c), bucket(c)+1}, so a click's
+    * bucket always appears among the purchase's two, and at most one of
+    * them matches ⇒ no duplicate pairs) makes (user, bucket) the equi key:
+    * per-task work is bounded by per-hour key density, the hot user spreads
+    * over its active hours, and the window filter keeps semantics
+    * identical. Buckets come from the FRACTIONAL epoch (cast to double) —
+    * second-truncated arithmetic can put a boundary pair two buckets apart.
+    * The streaming twin needs no such rewrite: its state store already
+    * prunes by watermark, which is time-bucketing in disguise.
+    */
+  def clickToPurchaseBucketed(clicks: DataFrame, purchases: DataFrame,
+      outer: Boolean = false): DataFrame = {
+    def bkt(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(ts.cast("double") / 3600d)
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+                          col("event_id").as("c_id"))
+      .withColumn("c_bkt", bkt(col("c_ts")))
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+                             col("event_id").as("p_id"), col("value").as("p_value"))
+      .withColumn("p_bkt", explode(array(bkt(col("p_ts")), bkt(col("p_ts")) - 1)))
+    c.join(p, col("c_user") === col("p_user") &&
+              col("c_bkt") === col("p_bkt") &&
+              col("p_ts") >= col("c_ts") &&
+              col("p_ts") < col("c_ts") + expr("INTERVAL 1 HOUR"),
+           if (outer) "left_outer" else "inner")
+      .drop("c_bkt", "p_bkt")
+  }
+
   /** Left-outer stream-stream interval join: every click, with its same-user
     * purchases in the following hour — clicks that never convert surface
     * with NULL purchase columns. In streaming this is the semantics the

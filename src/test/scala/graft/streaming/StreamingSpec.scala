@@ -172,6 +172,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucketed interval join equals the naive range join, including bucket-boundary pairs") {
+    import spark.implicits._
+    // Purchases planted AT the window edges and ACROSS hour-bucket
+    // boundaries: p == c (inclusive), p == c+1h (exclusive), p in the next
+    // hour bucket but inside the window, sub-second offsets straddling a
+    // bucket floor, plus a user with no purchases at all (outer NULL row).
+    val cols = Seq("user_id", "ts", "event_id", "event_type", "value")
+    def t(s: String) = Timestamp.valueOf(s)
+    val clicks = Seq(
+      (1L, t("2024-01-01 10:59:59"), 1L, "click", 0.0),  // window spans buckets
+      (1L, t("2024-01-01 10:00:00"), 2L, "click", 0.0),  // exactly on a bucket floor
+      (2L, t("2024-01-01 10:30:00"), 3L, "click", 0.0),
+      (3L, t("2024-01-01 12:00:00"), 4L, "click", 0.0))  // never converts
+    val clicksDF = clicks.toDF(cols: _*)
+      .withColumn("ts", col("ts") + expr("INTERVAL 0.5 SECONDS")) // sub-second stamps
+    val purchases = Seq(
+      (1L, t("2024-01-01 11:30:00"), 10L, "purchase", 5.0), // next bucket, in window for c1
+      (1L, t("2024-01-01 10:00:00"), 11L, "purchase", 6.0), // p == c2 exactly (inclusive)
+      (1L, t("2024-01-01 11:00:00"), 12L, "purchase", 7.0), // p == c2+1h (exclusive for c2)
+      (2L, t("2024-01-01 10:30:01"), 13L, "purchase", 8.0),
+      (2L, t("2024-01-01 09:59:00"), 14L, "purchase", 9.0)) // before the click
+    val purchasesDF = purchases.toDF(cols: _*)
+      .withColumn("ts", col("ts") + expr("INTERVAL 0.5 SECONDS"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("c_id"), coalesce(col("p_id"), lit(-1L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    for (outer <- Seq(false, true)) {
+      val naive =
+        if (outer) EventStreams.clickToPurchaseOuter(clicksDF, purchasesDF)
+        else EventStreams.clickToPurchase(clicksDF, purchasesDF)
+      val bucketed = EventStreams.clickToPurchaseBucketed(clicksDF, purchasesDF, outer)
+      assert(pairs(bucketed) == pairs(naive), s"outer=$outer")
+    }
+    // spot-check the semantics the fixture encodes
+    val inner = pairs(EventStreams.clickToPurchaseBucketed(clicksDF, purchasesDF))
+    assert(inner == Seq((1L, 10L), (1L, 12L), (2L, 11L), (3L, 13L)))
+  }
+
   test("left-outer interval join emits NULL rows for unconverted clicks once the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
