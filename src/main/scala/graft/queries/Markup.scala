@@ -210,10 +210,14 @@ object Markup {
           if (name == "body" && !closing) inBody = true
 
           if (!closing && rawTextTags(name)) {
-            // rawtext: consume to the matching close tag
+            // rawtext: consume to the matching close tag. Case-insensitive
+            // region scan — NOT html.toLowerCase.indexOf, which would
+            // allocate a full page copy per script/style element.
             val close = s"</$name"
-            val e = html.toLowerCase.indexOf(close, tagEnd + 1)
-            if (e < 0) i = n
+            var e = tagEnd + 1
+            val lim = n - close.length
+            while (e <= lim && !html.regionMatches(true, e, close, 0, close.length)) e += 1
+            if (e > lim) i = n
             else {
               val ge = html.indexOf('>', e)
               i = if (ge < 0) n else ge + 1
