@@ -22,8 +22,7 @@ object Profile {
     val reps = if (args.length > 2) args(2).toInt else 3
     val jsonOut = if (args.length > 3) Some(args(3)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = SessionEnv.applyMaster(SparkSession.builder(), cpus)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared master/executor wiring for the driver-contract entry points
+  * (Verify/Bench/Profile/Explain): `SPARK_GRAFT_MASTER=local-cluster[n,c,m]`
+  * switches any of them onto real forked executor JVMs (the multi-JVM gate;
+  * requires SPARK_HOME and SPARK_SCALA_VERSION in the environment — the
+  * in-process worker never runs load-spark-env.sh). Default stays local[N].
+  */
+object SessionEnv {
+  def applyMaster(b: SparkSession.Builder, cpus: String): SparkSession.Builder = {
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val withMaster = b.master(master)
+    if (!master.startsWith("local-cluster")) withMaster
+    else {
+      // Forked executor JVMs need our classes + the JDK17 module opens.
+      val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+        "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
+        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+        "sun.security.action", "sun.util.calendar")
+        .map(p => s"--add-opens java.base/$p=ALL-UNNAMED").mkString(" ")
+      withMaster
+        .config("spark.executor.extraClassPath",
+          new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+        .config("spark.executor.extraJavaOptions", opens)
+    }
+  }
+}

@@ -11,28 +11,14 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_MASTER=local-cluster[2,8,4096] runs the whole sweep across
     // real executor JVMs (process boundary: custom exec serialization,
-    // executor-side caches, closure capture). Default stays local[N].
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val builder = SparkSession.builder()
-      .master(master)
+    // executor-side caches, closure capture) — see SessionEnv.
+    val spark = SessionEnv.applyMaster(SparkSession.builder(), cpus)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-    if (master.startsWith("local-cluster")) {
-      // Forked executor JVMs need our classes + the JDK17 module opens.
-      val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
-        "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
-        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
-        "sun.security.action", "sun.util.calendar")
-        .map(p => s"--add-opens java.base/$p=ALL-UNNAMED").mkString(" ")
-      builder
-        .config("spark.executor.extraClassPath",
-          new java.io.File("target/scala-2.13/classes").getAbsolutePath)
-        .config("spark.executor.extraJavaOptions", opens)
-    }
-    val spark = builder.getOrCreate()
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
