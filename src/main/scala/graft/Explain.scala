@@ -9,8 +9,7 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val nameFilter = if (args.length > 1) args(1) else ".*"
-    val spark = SparkSession.builder()
-      .master("local[4]")
+    val spark = SessionEnv.applyMaster(SparkSession.builder(), "4")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

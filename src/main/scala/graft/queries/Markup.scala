@@ -120,11 +120,15 @@ object Markup {
         val semi = s.indexOf(';', i + 1)
         if (semi > i && semi - i <= 10) {
           val name = s.substring(i + 1, semi)
+          // Code points above the BMP need a surrogate pair — a bare
+          // .toChar would silently truncate &#x1F600;-class entities.
+          def cp(v: Int): Option[String] =
+            if (Character.isValidCodePoint(v)) Some(new String(Character.toChars(v))) else None
           val rep =
             if (name.startsWith("#x") || name.startsWith("#X"))
-              scala.util.Try(Integer.parseInt(name.drop(2), 16).toChar.toString).toOption
+              scala.util.Try(Integer.parseInt(name.drop(2), 16)).toOption.flatMap(cp)
             else if (name.startsWith("#"))
-              scala.util.Try(name.drop(1).toInt.toChar.toString).toOption
+              scala.util.Try(name.drop(1).toInt).toOption.flatMap(cp)
             else namedEntities.get(name)
           rep match {
             case Some(r) => out ++= r; i = semi + 1

@@ -12,6 +12,8 @@ class MarkupSpec extends AnyFunSuite {
   test("entity decode: named, decimal, hex, unknown passthrough, bare ampersand") {
     assert(Markup.unescape("a &amp; b &lt;c&gt; &quot;d&quot; &apos;e&apos;") == "a & b <c> \"d\" 'e'")
     assert(Markup.unescape("&#65;&#x42;&#x63;") == "ABc")
+    assert(Markup.unescape("&#x1F600;") == new String(Character.toChars(0x1F600)))
+    assert(Markup.unescape("&#x110000;") == "&#x110000;") // beyond Unicode: passthrough
     assert(Markup.unescape("&bogus; & &toolongtoolong;") == "&bogus; & &toolongtoolong;")
     assert(Markup.unescape("no entities") == "no entities")
   }
