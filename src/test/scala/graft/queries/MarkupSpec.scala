@@ -82,3 +82,29 @@ class MarkupSpec extends AnyFunSuite {
     assert(page.mainText == t)
   }
 }
+
+/** Plan + corpus-level contract for the registered q189 query. */
+class MarkupQuerySpec extends graft.SparkSpec {
+  test("q189 plan is map-only: one pruned scan, no exchange before the presentation sort") {
+    val df = Markup.all("q189_html_extract")(spark, sfDir)
+    df.collect()
+    val plan = org.apache.spark.sql.GraftSqlBridge.executedPlan(df).toString
+    // scan prunes to the four consumed columns (n_chars must not be read)
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(read.split(",").length == 4, s"expected a 4-column scan, got: $read")
+    assert(!read.contains("n_chars"), read)
+    // map-only: the ONLY exchange is the final global sort's range partition
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.forall(_ == "rangepartitioning"), s"non-sort exchange in a map-only plan: $exchanges\n$plan")
+  }
+
+  test("q189 main text equals the raw document text for every corpus doc") {
+    import org.apache.spark.sql.functions._
+    val bad = Markup.all("q189_html_extract")(spark, sfDir)
+      .join(graft.tables.Tables.documents(spark, sfDir), Seq("doc_id"))
+      .filter(col("main_chars") =!= length(col("text")) ||
+              col("main_h") =!= expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)"))
+      .count()
+    assert(bad == 0L)
+  }
+}
