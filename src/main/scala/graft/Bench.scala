@@ -36,6 +36,7 @@ object Bench {
     // storage while sf0.1 executes.
     graft.queries.Dedup.evictCaches(spark)
     graft.queries.Similarity.evictCaches(spark)
+    graft.queries.TextAnalysis.evictCaches(spark)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
