@@ -61,9 +61,8 @@ object Corpus {
     // Dedup's exact-dedup representative, the gate is TextAnalysis' quality
     // score (one stopword list, one formula — they cannot desynchronize).
     val keep = Dedup.exactDedupGroups(spark, dir).select("doc_id")
-    documents(spark, dir)
+    TextAnalysis.tokenizedDocs(spark, dir)
       .join(keep, "doc_id")
-      .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("score", TextAnalysis.scoreCol(TextAnalysis.stopRatioCol))
       .filter(col("score") >= 0.25)
@@ -210,9 +209,7 @@ object Corpus {
   def curriculum(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("score").desc, col("doc_id"))
-    val ranked = documents(spark, dir)
-      .repartition(col("doc_id"))
-      .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
+    val ranked = TextAnalysis.tokenizedDocs(spark, dir)
       .filter(size(col("toks")) > 0)
       .withColumn("stop_ratio", TextAnalysis.stopRatioCol)
       .withColumn("score", TextAnalysis.scoreCol(col("stop_ratio")))

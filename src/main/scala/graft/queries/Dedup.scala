@@ -522,9 +522,7 @@ object Dedup {
     * Float sort key is the bit-equal score spelling, tie-broken on doc_id.
     */
   def canonicalKeeper(spark: SparkSession, dir: String): DataFrame = {
-    val scored = documents(spark, dir)
-      .repartition(col("doc_id"))
-      .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
+    val scored = TextAnalysis.tokenizedDocs(spark, dir)
       .filter(size(col("toks")) > 0)
       .withColumn("stop_ratio", TextAnalysis.stopRatioCol)
       .withColumn("score", TextAnalysis.scoreCol(col("stop_ratio")))

@@ -244,10 +244,8 @@ object Pipeline {
     * NOT a float groupBy sum whose order the shuffle would choose.
     */
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val toks = documents(spark, dir)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"),
-        explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("word"))
+    val toks = TextAnalysis.tokenizedDocs(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
     val freq = toks.groupBy("word").agg(count(lit(1)).as("wf"))
     val totals = freq.agg(sum("wf").as("wtotal"))
     toks.filter(col("doc_id") < 50)
@@ -276,10 +274,8 @@ object Pipeline {
     * collected, SORTED, then folded, so the sum order is engine-fixed.
     */
   def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val t = documents(spark, dir)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"),
-        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+    val t = TextAnalysis.tokenizedDocs(spark, dir)
+      .select(col("doc_id"), col("toks"))
     val bp = t.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(slice(toks, 1, size(toks)-1), (w, i) -> struct(w AS w1, toks[i+1] AS w2))")).as("b"))
@@ -311,10 +307,8 @@ object Pipeline {
     * final ORDER BY.
     */
   def chunkSliding(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"),
-        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+    TextAnalysis.tokenizedDocs(spark, dir)
+      .select(col("doc_id"), col("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), size(col("toks")).as("n_tokens"),
         posexplode(expr(
@@ -342,10 +336,8 @@ object Pipeline {
     */
   def substringDedup(spark: SparkSession, dir: String): DataFrame = {
     val win = 16
-    val spans = documents(spark, dir)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"),
-        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+    val spans = TextAnalysis.tokenizedDocs(spark, dir)
+      .select(col("doc_id"), col("toks"))
       .filter(size(col("toks")) >= win)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(toks) - $win), " +
@@ -399,10 +391,8 @@ object Pipeline {
   }
 
   def modelQualityFilter(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"),
-        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+    TextAnalysis.tokenizedDocs(spark, dir)
+      .select(col("doc_id"), col("toks"))
       .select(col("doc_id"), size(col("toks")).cast("int").as("n_toks"),
         clfLogitCol.as("logit"))
       .withColumn("keep", col("logit") * 5 > col("n_toks") * -7)
@@ -425,8 +415,7 @@ object Pipeline {
     */
   def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir)
-    val toks = docs.repartition(col("doc_id"))
-      .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
+    val toks = TextAnalysis.tokenizedDocs(spark, dir)
     val s1 = toks.withColumn("stop_ratio", TextAnalysis.stopRatioCol)
       .filter(TextAnalysis.scoreCol(col("stop_ratio")) >= 0.25)
     val s2 = s1.filter(clfLogitCol * 5 > size(col("toks")).cast("int") * -7)
@@ -502,10 +491,8 @@ object Pipeline {
     * by construction, exactly as DSIR's importance weights do.
     */
   def dsirAffinity(spark: SparkSession, dir: String): DataFrame = {
-    val toks = documents(spark, dir)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), col("lang"),
-        explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("t"))
+    val toks = TextAnalysis.tokenizedDocs(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("t"))
       .withColumn("b", expr("cast(conv(substring(md5(t), 1, 2), 16, 10) as int) % 256"))
     val agg = toks.groupBy("b").agg(
       count(lit(1)).as("c_b"),
@@ -541,8 +528,7 @@ object Pipeline {
     * in both engines over bit-identical scores.
     */
   def qualityMedianGate(spark: SparkSession, dir: String): DataFrame = {
-    val scored = documents(spark, dir)
-      .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
+    val scored = TextAnalysis.tokenizedDocs(spark, dir)
       .filter(size(col("toks")) > 0)
       .withColumn("stop_ratio", TextAnalysis.stopRatioCol)
       .withColumn("score", TextAnalysis.scoreCol(col("stop_ratio")))
@@ -658,10 +644,8 @@ object Pipeline {
     * shift-robustness claim on a planted prefix-insertion pair.
     */
   def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
-    val tok = documents(spark, dir)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"),
-        posexplode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as(Seq("pos", "t")))
+    val tok = TextAnalysis.tokenizedDocs(spark, dir)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "t")))
       .withColumn("b",
         (pmod(expr("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"),
           lit(64L)) === 0).cast("int"))

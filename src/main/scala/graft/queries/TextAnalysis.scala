@@ -30,12 +30,22 @@ object TextAnalysis {
   private val tokCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def tokenized(spark: SparkSession, dir: String): DataFrame =
+  /** The full document row with `toks` appended — the shared substrate for
+    * every tokenizing consumer (Pipeline/Corpus/Dedup included), so sites
+    * that also need `text`/`source`/`lang` read the same cached table.
+    * Cached data is columnar: a consumer selecting a subset prunes unread
+    * columns at the InMemoryTableScan, so carrying the extra columns costs
+    * storage, not scan time.
+    */
+  private[queries] def tokenizedDocs(spark: SparkSession, dir: String): DataFrame =
     tokCache.synchronized { tokCache.getOrElseUpdate((spark, dir),
       documents(spark, dir).repartition(col("doc_id"))
-        .select(col("doc_id"), col("lang"),
-          expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+        .withColumn("toks",
+          expr("filter(split(lower(text), ' '), x -> x <> '')"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)) }
+
+  private def tokenized(spark: SparkSession, dir: String): DataFrame =
+    tokenizedDocs(spark, dir).select(col("doc_id"), col("lang"), col("toks"))
 
   /** Unpersist and drop this session's cached token tables (all corpora) —
     * same lifecycle hook as `Dedup.evictCaches`. */
