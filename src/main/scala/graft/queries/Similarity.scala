@@ -27,15 +27,26 @@ object Similarity {
 
   /** vec_id, v (double), nrm = ||v|| — norm precomputed once per vector so
     * every scored pair costs a single dot product.
+    *
+    * Materialized once per (session, corpus): the widened+normed vector
+    * table is the substrate of the whole ANN family (brute-force, LSH, IVF,
+    * PQ, k-means, eval) — a production index build parses and norms the
+    * embedding column once, not once per index variant. Registered in
+    * `evictCaches` with the coarse-assignment table.
     */
+  private val corpusCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def corpus(spark: SparkSession, dir: String): DataFrame =
-    embeddings(spark, dir)
-      // One parquet row group → one input partition: redistribute before the
-      // per-row vector math (bits, dot products) so it runs at full
-      // parallelism; per-row work only, so float results are unaffected.
-      .repartition(col("vec_id"))
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(VectorOps.dot(col("v"), col("v"))))
+    corpusCache.synchronized { corpusCache.getOrElseUpdate((spark, dir),
+      embeddings(spark, dir)
+        // One parquet row group → one input partition: redistribute before the
+        // per-row vector math (bits, dot products) so it runs at full
+        // parallelism; per-row work only, so float results are unaffected.
+        .repartition(col("vec_id"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(VectorOps.dot(col("v"), col("v"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)) }
 
   /** (probe_id, vec_id, cs) for every probe (vec_id < 10) × corpus vector —
     * ONE definition of the probe set, broadcast anti-self join, and cosine
@@ -151,9 +162,11 @@ object Similarity {
     * (all corpora) — same lifecycle hook as `Dedup.evictCaches`.
     */
   def evictCaches(spark: SparkSession): Unit = {
-    assignCache.synchronized {
-      assignCache.keys.filter(_._1 eq spark).foreach { k =>
-        assignCache.remove(k).foreach(_.unpersist(blocking = false))
+    Seq(assignCache, corpusCache).foreach { cache =>
+      cache.synchronized {
+        cache.keys.filter(_._1 eq spark).foreach { k =>
+          cache.remove(k).foreach(_.unpersist(blocking = false))
+        }
       }
     }
     // Trained-kmeans entries are localCheckpoint-backed: dropping the map
