@@ -318,16 +318,26 @@ object EventAnalytics {
   // Session oracle: gap >= 30 min starts a new session (Spark merges session
   // windows only on strict overlap, so an event at exactly start+gap is a
   // NEW session); session end = last event + gap.
+  // Window tie-break: duplicate timestamps per user DO occur (the sf1
+  // replica corpus repeats every event 10x with fresh event_ids), and an
+  // un-tie-broken ORDER BY ts lets the cumulative session counter split
+  // identical-instant events across two sessions depending on which tie
+  // order the engine picked. ORDER BY (ts, event_id) pins it: the lowest
+  // id of a duplicate run carries the session boundary, the rest have gap
+  // 0 — exactly session_window's merge-on-overlap semantics.
   private val sessionOracle =
-    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
-      |lagged AS (SELECT user_id, ts, value,
-      |             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-      |                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |                  value FROM events),
+      |lagged AS (SELECT user_id, event_id, ts, value,
+      |             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+      |                                     ORDER BY ts, event_id) IS NULL
+      |                    OR ts - lag(ts) OVER (PARTITION BY user_id
+      |                                          ORDER BY ts, event_id)
       |                       >= INTERVAL 30 MINUTE
       |                  THEN 1 ELSE 0 END AS new_s
       |           FROM e),
       |sess AS (SELECT user_id, ts, value,
-      |           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                            ROWS UNBOUNDED PRECEDING) AS sid
       |         FROM lagged)
       |SELECT user_id, min(ts) AS s_start,

@@ -6,9 +6,10 @@ tables are copied as-is (TPC-H scales dims too, but for scaling EVIDENCE the
 fact-side 10x is what exercises shuffles/windows/joins; fixed dims slightly
 raise per-key fan — the conservative direction).
 
-events.ts is written as BIGINT epoch-nanos, matching the driver corpus's
-INT64 TIMESTAMP(NANOS) physical shape that graft.tables.Tables.events
-expects (`ts div 1000` under spark.sql.legacy.parquet.nanosAsLong).
+events.ts passes through with the SOURCE's physical type (TIMESTAMP(MICROS)
+for round-8+ driver corpora, INT64 epoch-nanos for older ones), so both
+graft.tables.Tables.events and the DuckDB oracles read the replica exactly
+like the corpus it was scaled from.
 
 Usage: python3 tools/gen_sf1.py [dst=/tmp/sf1] [src=/root/testdata/sf0.1] [factor=10]
 """
@@ -46,7 +47,7 @@ con.sql(f"""COPY (
 
 con.sql(f"""COPY (
   SELECT CAST(event_id + i*{ke} AS BIGINT) AS event_id,
-         CAST(epoch_ns(ts) AS BIGINT) AS ts,
+         ts,
          user_id, event_type, value, props
   FROM '{src}/events.parquet', range(0, {factor}) g(i)
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
