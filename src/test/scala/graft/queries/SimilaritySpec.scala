@@ -98,6 +98,24 @@ class SimilaritySpec extends SparkSpec {
       "the shared assignment was evicted/rebuilt instead of reused")
   }
 
+  test("the normed vector table materializes once across the ANN family") {
+    // Same shared-substrate gate as the coarse assignment, one level down:
+    // the parsed+normed embedding corpus persists once, and both a
+    // brute-force ranker and an index-family member plan against it.
+    Similarity.evictCaches(spark)
+    Similarity.cosineTopK(spark, sfDir).collect() // builds + persists
+    val cachedAfterFirst = spark.sparkContext.getPersistentRDDs.keySet
+    val lsh = Similarity.annLsh(spark, sfDir)
+    assert(lsh.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+      "LSH does not read the cached vector table")
+    lsh.collect()
+    Similarity.cosineTopK(spark, sfDir).collect()
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+      .intersect(cachedAfterFirst) == cachedAfterFirst,
+      "the shared vector table was evicted/rebuilt instead of reused")
+    Similarity.evictCaches(spark)
+  }
+
   test("IVF-PQ plan shape: no cartesian product; search joins are broadcast") {
     // AQE's toString prints the final AND initial plans — keep the first
     // section only so joins aren't double-counted.

@@ -120,4 +120,31 @@ class TextAnalysisSpec extends SparkSpec {
     // and the first rule dominates all later LEARNED counts.
     assert(ref.map(_._4).max == ref.head._4)
   }
+
+  test("the token table materializes once and is shared across pillars") {
+    // Plan-shape pin for the shared-substrate rule (same gate as the
+    // shingle index and coarse assignment): the tokenized corpus persists
+    // once per (session, corpus), and every tokenizing consumer — the
+    // TextAnalysis family, Pipeline's filters, Corpus construction — must
+    // PLAN against the cache instead of re-splitting the raw text. A
+    // refactor that drops the reuse re-tokenizes the corpus ~15x per pass
+    // at scale without failing any correctness test — this fails.
+    TextAnalysis.evictCaches(spark)
+    TextAnalysis.tokenStats(spark, sfDir).collect() // builds + persists
+    val cachedAfterFirst = spark.sparkContext.getPersistentRDDs.keySet
+    val mf = Pipeline.modelQualityFilter(spark, sfDir)
+    assert(mf.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+      "Pipeline's model filter does not read the cached token table")
+    mf.collect()
+    val cur = Corpus.curriculum(spark, sfDir)
+    assert(cur.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+      "Corpus curriculum does not read the cached token table")
+    cur.collect()
+    // re-running consumers must not re-persist the substrate
+    TextAnalysis.tokenStats(spark, sfDir).collect()
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+      .intersect(cachedAfterFirst) == cachedAfterFirst,
+      "the shared token table was evicted/rebuilt instead of reused")
+    TextAnalysis.evictCaches(spark)
+  }
 }
