@@ -644,18 +644,33 @@ object Pipeline {
     * shift-robustness claim on a planted prefix-insertion pair.
     */
   def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
-    val tok = TextAnalysis.tokenizedDocs(spark, dir)
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "t")))
-      .withColumn("b",
-        (pmod(expr("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"),
-          lit(64L)) === 0).cast("int"))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ch = tok.withColumn("cum", sum("b").over(w))
-      .groupBy("doc_id", "cum")
-      .agg(count(lit(1)).as("n_tok"),
-        md5(expr("array_join(transform(sort_array(collect_list(struct(pos, t))), " +
-          "p -> p.t), ' ')")).as("sig"))
+    // Chunking is computed INSIDE the token array (r10 reshape): boundary
+    // positions via a filtered index sequence, chunks as slices between
+    // consecutive boundaries. The earlier formulation posexploded every
+    // token and ran a per-doc running-sum window + collect_list re-sort —
+    // a full shuffle of the token stream for a value that is a pure
+    // per-document function. Now nothing leaves the map side until one row
+    // per CHUNK (~1/64th of the token rows) enters the census; at corpus
+    // scale the chunker is embarrassingly parallel. A boundary token
+    // (md5 bucket 0 of 64) STARTS a new chunk, exactly like the old
+    // running sum that incremented at the flagged row.
+    val ch = TextAnalysis.tokenizedDocs(spark, dir)
+      .select(col("doc_id"), col("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("starts", expr(
+        "filter(sequence(0, size(toks) - 1), i -> " +
+        "pmod(cast(conv(substring(md5(toks[i]), 1, 15), 16, 10) as bigint), 64) = 0)"))
+      .withColumn("starts", expr(
+        "CASE WHEN size(starts) > 0 AND starts[0] = 0 THEN starts " +
+        "ELSE concat(array(0), starts) END"))
+      .select(col("doc_id"), explode(expr(
+        // try_element_at is 1-based: j+2 is the NEXT boundary's slot.
+        "transform(sequence(0, size(starts) - 1), j -> slice(toks, " +
+        "starts[j] + 1, " +
+        "coalesce(try_element_at(starts, j + 2), size(toks)) - starts[j]))"))
+        .as("chunk"))
+      .select(col("doc_id"), size(col("chunk")).cast("bigint").as("n_tok"),
+        md5(array_join(col("chunk"), " ")).as("sig"))
     val census = ch.groupBy("sig").agg(countDistinct("doc_id").as("nd"))
     ch.join(census, "sig")
       .groupBy("doc_id")
