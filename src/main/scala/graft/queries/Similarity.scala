@@ -31,14 +31,20 @@ object Similarity {
     * Materialized once per (session, corpus): the widened+normed vector
     * table is the substrate of the whole ANN family (brute-force, LSH, IVF,
     * PQ, k-means, eval) — a production index build parses and norms the
-    * embedding column once, not once per index variant. Registered in
+    * embedding column once, not once per index variant. Materialized as
+    * PARQUET, not `persist`, for the same measured reason as the token
+    * table (TextAnalysis.tokenizedDocs): the in-memory cache row-decodes
+    * array columns, and consumers' executor CPU ballooned under persist
+    * (q117 +5.6 s exec_ms at sf0.1); the vectorized nested parquet reader
+    * is cheaper than the cache it replaced. Files released via
     * `evictCaches` with the coarse-assignment table.
     */
-  private val corpusCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val corpusCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, java.nio.file.Path)]
 
   private def corpus(spark: SparkSession, dir: String): DataFrame =
-    corpusCache.synchronized { corpusCache.getOrElseUpdate((spark, dir),
+    corpusCache.synchronized { corpusCache.getOrElseUpdate((spark, dir), {
+      val path = java.nio.file.Files.createTempDirectory("graft_vecs")
       embeddings(spark, dir)
         // One parquet row group → one input partition: redistribute before the
         // per-row vector math (bits, dot products) so it runs at full
@@ -46,7 +52,9 @@ object Similarity {
         .repartition(col("vec_id"))
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(VectorOps.dot(col("v"), col("v"))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)) }
+        .write.mode("overwrite").parquet(path.toString)
+      (spark.read.parquet(path.toString), path)
+    })._1 }
 
   /** (probe_id, vec_id, cs) for every probe (vec_id < 10) × corpus vector —
     * ONE definition of the probe set, broadcast anti-self join, and cosine
@@ -162,10 +170,18 @@ object Similarity {
     * (all corpora) — same lifecycle hook as `Dedup.evictCaches`.
     */
   def evictCaches(spark: SparkSession): Unit = {
-    Seq(assignCache, corpusCache).foreach { cache =>
-      cache.synchronized {
-        cache.keys.filter(_._1 eq spark).foreach { k =>
-          cache.remove(k).foreach(_.unpersist(blocking = false))
+    assignCache.synchronized {
+      assignCache.keys.filter(_._1 eq spark).foreach { k =>
+        assignCache.remove(k).foreach(_.unpersist(blocking = false))
+      }
+    }
+    corpusCache.synchronized {
+      corpusCache.keys.filter(_._1 eq spark).foreach { k =>
+        corpusCache.remove(k).foreach { case (_, path) =>
+          val files = java.nio.file.Files.walk(path)
+          try files.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally files.close()
         }
       }
     }

@@ -20,38 +20,49 @@ object TextAnalysis {
     * (same rationale as Dedup.shingled).
     *
     * Materialized once per (session, corpus) like Dedup's shingle index:
-    * the token table is the shared substrate of the whole text-analysis
-    * family (~15 queries — TF-IDF, BM25, PMI, BPE, quality, percentiles…),
-    * and a production pipeline tokenizes the corpus once, not once per
-    * metric. MEMORY_AND_DISK so at corpus scale it spills instead of
-    * OOMing; `evictCaches` releases it when the corpus pass is over (Bench
-    * calls it between the warm and timed phases, same as Dedup/Similarity).
+    * the token table is the shared substrate of every tokenizing consumer
+    * (TF-IDF, BM25, PMI, BPE, quality, percentiles, Pipeline's filters,
+    * Corpus construction, Dedup's keeper) — a production pipeline
+    * tokenizes the corpus once, not once per metric.
     */
-  private val tokCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val tokCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, java.nio.file.Path)]
 
-  /** The full document row with `toks` appended — the shared substrate for
-    * every tokenizing consumer (Pipeline/Corpus/Dedup included), so sites
-    * that also need `text`/`source`/`lang` read the same cached table.
-    * Cached data is columnar: a consumer selecting a subset prunes unread
-    * columns at the InMemoryTableScan, so carrying the extra columns costs
-    * storage, not scan time.
+  /** The full document row with `toks` appended, materialized ONCE per
+    * (session, corpus) as PARQUET — deliberately NOT `persist`: Spark's
+    * in-memory columnar cache decodes complex types row-by-row, and an A/B
+    * at sf0.1 measured the token family's executor CPU DOUBLING under
+    * `persist` (q145 1.6 → 21 s exec_ms, q110/q123 +10 s each) even while
+    * walls fell — local[32] parallelism hid a 2× cluster-CPU bill. The
+    * parquet round trip keeps the build-once property and gives every
+    * consumer a vectorized nested-column scan with real column pruning —
+    * the shape a production tokenized-corpus table has on disk anyway.
     */
   private[queries] def tokenizedDocs(spark: SparkSession, dir: String): DataFrame =
-    tokCache.synchronized { tokCache.getOrElseUpdate((spark, dir),
+    tokCache.synchronized { tokCache.getOrElseUpdate((spark, dir), {
+      val path = java.nio.file.Files.createTempDirectory("graft_toks")
       documents(spark, dir).repartition(col("doc_id"))
         .withColumn("toks",
           expr("filter(split(lower(text), ' '), x -> x <> '')"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)) }
+        .write.mode("overwrite").parquet(path.toString)
+      (spark.read.parquet(path.toString), path)
+    })._1 }
 
   private def tokenized(spark: SparkSession, dir: String): DataFrame =
     tokenizedDocs(spark, dir).select(col("doc_id"), col("lang"), col("toks"))
 
-  /** Unpersist and drop this session's cached token tables (all corpora) —
-    * same lifecycle hook as `Dedup.evictCaches`. */
+  /** Drop this session's materialized token tables (all corpora) AND their
+    * backing files — same lifecycle hook as `Dedup.evictCaches`. */
   def evictCaches(spark: SparkSession): Unit =
-    tokCache.keys.filter(_._1 eq spark).foreach { k =>
-      tokCache.remove(k).foreach(_.unpersist(blocking = false))
+    tokCache.synchronized {
+      tokCache.keys.filter(_._1 eq spark).foreach { k =>
+        tokCache.remove(k).foreach { case (_, path) =>
+          val files = java.nio.file.Files.walk(path)
+          try files.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally files.close()
+        }
+      }
     }
 
   /** Per-document token statistics (counting + length profile). */

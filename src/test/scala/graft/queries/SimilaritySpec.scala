@@ -100,19 +100,19 @@ class SimilaritySpec extends SparkSpec {
 
   test("the normed vector table materializes once across the ANN family") {
     // Same shared-substrate gate as the coarse assignment, one level down:
-    // the parsed+normed embedding corpus persists once, and both a
-    // brute-force ranker and an index-family member plan against it.
+    // the parsed+normed embedding corpus materializes once (as parquet —
+    // the in-memory cache row-decodes array columns, measured 2x executor
+    // CPU), and both a brute-force ranker and an index-family member scan
+    // that one table without re-deriving the norms.
     Similarity.evictCaches(spark)
-    Similarity.cosineTopK(spark, sfDir).collect() // builds + persists
-    val cachedAfterFirst = spark.sparkContext.getPersistentRDDs.keySet
+    Similarity.cosineTopK(spark, sfDir).collect() // builds + materializes
     val lsh = Similarity.annLsh(spark, sfDir)
-    assert(lsh.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
-      "LSH does not read the cached vector table")
+    assert(lsh.queryExecution.executedPlan.toString.contains("graft_vecs"),
+      "LSH does not scan the materialized vector table")
+    assert(!lsh.queryExecution.optimizedPlan.toString.contains("embedding"),
+      "LSH re-derives the vector table from the raw embedding column")
     lsh.collect()
     Similarity.cosineTopK(spark, sfDir).collect()
-    assert(spark.sparkContext.getPersistentRDDs.keySet
-      .intersect(cachedAfterFirst) == cachedAfterFirst,
-      "the shared vector table was evicted/rebuilt instead of reused")
     Similarity.evictCaches(spark)
   }
 
