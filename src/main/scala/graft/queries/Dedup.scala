@@ -43,11 +43,34 @@ object Dedup {
     */
   // The shingle index is the shared substrate of every near-dup variant
   // (Jaccard, MinHash, SimHash, clustering): computed once per (session,
-  // corpus) and kept persisted, exactly as a production dedup pass would
-  // materialize it rather than re-shingling the corpus per algorithm.
-  // MEMORY_AND_DISK: at corpus scale the index spills instead of OOMing.
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  // corpus) and materialized as PARQUET, exactly as a production dedup pass
+  // would materialize it rather than re-shingling the corpus per algorithm.
+  // Parquet rather than `persist` for the measured reason documented at
+  // TextAnalysis.tokenizedDocs: the in-memory columnar cache row-decodes
+  // ARRAY columns on every consumer read (the sh array rides ~8 consumers),
+  // while the parquet nested reader is vectorized and prunes.
+  private val shingleCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, java.nio.file.Path)]
+
+  // Parquet-materialize `build` once per key; consumers get a plain scan of
+  // the written table. Used for the complex-typed substrates (arrays,
+  // structs); primitive-typed tables stay on `persist`, whose in-memory
+  // vectorized read path handles them well.
+  private def materializeParquet[K](
+      cache: scala.collection.concurrent.TrieMap[K, (DataFrame, java.nio.file.Path)],
+      key: K, spark: SparkSession, prefix: String)(build: => DataFrame): DataFrame =
+    cache.synchronized { cache.getOrElseUpdate(key, {
+      val path = java.nio.file.Files.createTempDirectory(prefix)
+      build.write.mode("overwrite").parquet(path.toString)
+      (spark.read.parquet(path.toString), path)
+    })._1 }
+
+  private def deleteDir(path: java.nio.file.Path): Unit = {
+    val files = java.nio.file.Files.walk(path)
+    try files.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally files.close()
+  }
 
   // Per-doc signature tables (minhash, simhash): one short row per document,
   // consumed on BOTH sides of their band/chunk self-join — materialized so
@@ -67,7 +90,7 @@ object Dedup {
     * per-corpus tables forever.
     */
   def evictCaches(spark: SparkSession): Unit = {
-    Seq(shingleCache, bucketCache, rarePairCache, pairCache, orientedCache).foreach { cache =>
+    Seq(bucketCache, rarePairCache, pairCache).foreach { cache =>
       cache.keys.filter(_._1 eq spark).foreach { k =>
         cache.remove(k).foreach(_.unpersist(blocking = false))
       }
@@ -75,13 +98,20 @@ object Dedup {
     sigCache.keys.filter(_._1 eq spark).foreach { k =>
       sigCache.remove(k).foreach(_.unpersist(blocking = false))
     }
+    Seq(shingleCache, orientedCache).foreach { cache =>
+      cache.synchronized {
+        cache.keys.filter(_._1 eq spark).foreach { k =>
+          cache.remove(k).foreach { case (_, path) => deleteDir(path) }
+        }
+      }
+    }
   }
 
   // builds are guarded: TrieMap.getOrElseUpdate may evaluate the by-name
   // builder in two racing threads, and the loser's persisted DataFrame
   // would be unreachable by evictCaches forever.
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    shingleCache.synchronized { shingleCache.getOrElseUpdate((spark, dir),
+    materializeParquet(shingleCache, (spark, dir), spark, "graft_shingles") {
       documents(spark, dir)
         // The test corpus arrives as ONE parquet row group → one input
         // partition, which would serialize all the per-doc string work onto a
@@ -96,7 +126,7 @@ object Dedup {
         .select(col("doc_id"),
           expr("array_distinct(transform(sequence(0, size(th)-3), " +
                "i -> xxhash64(th[i], th[i+1], th[i+2])))").as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)) }
+    }
 
   /** Exact dedup: group on md5(text), keep min doc_id as representative.
     * Hashing first means the shuffle carries a 32-byte digest instead of the
@@ -560,11 +590,11 @@ object Dedup {
   // consumer recomputes the degree aggregation and both degree joins from
   // the pair table — measured at +1.6 s on sf0.1 (r8 bench). Cached per
   // (session, corpus) like the pair table it derives from.
-  private val orientedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val orientedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, java.nio.file.Path)]
 
   private[queries] def orientedEdges(spark: SparkSession, dir: String): DataFrame =
-    orientedCache.synchronized { orientedCache.getOrElseUpdate((spark, dir), {
+    materializeParquet(orientedCache, (spark, dir), spark, "graft_oriented") {
       val pairs = nearDupPairs(spark, dir).select("id_a", "id_b")
       val deg = pairs.union(pairs.select(col("id_b"), col("id_a")))
         .toDF("id", "nbr")
@@ -578,8 +608,7 @@ object Dedup {
           when(aLower, col("id_b")).otherwise(col("id_a")).as("dst"),
           when(aLower, struct(col("db").as("deg"), col("id_b").as("id")))
             .otherwise(struct(col("da").as("deg"), col("id_a").as("id"))).as("dk"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }) }
+    }
 
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     val e = orientedEdges(spark, dir)

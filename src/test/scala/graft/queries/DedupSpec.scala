@@ -73,6 +73,13 @@ class DedupSpec extends SparkSpec {
     // at corpus scale without failing any correctness test — this one fails.
     Dedup.evictCaches(spark)
     Dedup.ngramJaccard(spark, sfDir).collect() // builds + persists the indexes
+    // The shingle index itself is parquet-materialized (complex-typed
+    // substrate — see TextAnalysis.tokenizedDocs): later family members
+    // must SCAN it, never re-derive the xxhash64 shingle pipeline.
+    val mhPlan = Dedup.minhashLsh(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(!mhPlan.contains("xxhash64"),
+      "minhash re-shingles the corpus instead of reading the materialized index")
     val cachedAfterFirst = spark.sparkContext.getPersistentRDDs.keySet
     // Re-running the same query must not re-persist anything...
     Dedup.ngramJaccard(spark, sfDir).collect()
