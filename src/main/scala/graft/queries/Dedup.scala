@@ -52,25 +52,14 @@ object Dedup {
   private val shingleCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, java.nio.file.Path)]
 
-  // Parquet-materialize `build` once per key; consumers get a plain scan of
-  // the written table. Used for the complex-typed substrates (arrays,
-  // structs); primitive-typed tables stay on `persist`, whose in-memory
-  // vectorized read path handles them well.
+  // Complex-typed substrates go through MaterializedTables.materialize
+  // (parquet, not persist — see its Scaladoc for the measured rationale);
+  // primitive-typed tables stay on `persist`, whose in-memory vectorized
+  // read path handles them well.
   private def materializeParquet[K](
       cache: scala.collection.concurrent.TrieMap[K, (DataFrame, java.nio.file.Path)],
       key: K, spark: SparkSession, prefix: String)(build: => DataFrame): DataFrame =
-    cache.synchronized { cache.getOrElseUpdate(key, {
-      val path = java.nio.file.Files.createTempDirectory(prefix)
-      build.write.mode("overwrite").parquet(path.toString)
-      (spark.read.parquet(path.toString), path)
-    })._1 }
-
-  private def deleteDir(path: java.nio.file.Path): Unit = {
-    val files = java.nio.file.Files.walk(path)
-    try files.sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    finally files.close()
-  }
+    MaterializedTables.materialize(cache, key, spark, prefix)(build)
 
   // Per-doc signature tables (minhash, simhash): one short row per document,
   // consumed on BOTH sides of their band/chunk self-join — materialized so
@@ -101,7 +90,9 @@ object Dedup {
     Seq(shingleCache, orientedCache).foreach { cache =>
       cache.synchronized {
         cache.keys.filter(_._1 eq spark).foreach { k =>
-          cache.remove(k).foreach { case (_, path) => deleteDir(path) }
+          cache.remove(k).foreach { case (_, path) =>
+            MaterializedTables.delete(path)
+          }
         }
       }
     }

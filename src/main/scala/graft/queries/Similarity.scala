@@ -43,8 +43,7 @@ object Similarity {
     .empty[(SparkSession, String), (DataFrame, java.nio.file.Path)]
 
   private def corpus(spark: SparkSession, dir: String): DataFrame =
-    corpusCache.synchronized { corpusCache.getOrElseUpdate((spark, dir), {
-      val path = java.nio.file.Files.createTempDirectory("graft_vecs")
+    MaterializedTables.materialize(corpusCache, (spark, dir), spark, "graft_vecs") {
       embeddings(spark, dir)
         // One parquet row group → one input partition: redistribute before the
         // per-row vector math (bits, dot products) so it runs at full
@@ -52,9 +51,7 @@ object Similarity {
         .repartition(col("vec_id"))
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(VectorOps.dot(col("v"), col("v"))))
-        .write.mode("overwrite").parquet(path.toString)
-      (spark.read.parquet(path.toString), path)
-    })._1 }
+    }
 
   /** (probe_id, vec_id, cs) for every probe (vec_id < 10) × corpus vector —
     * ONE definition of the probe set, broadcast anti-self join, and cosine
@@ -178,10 +175,7 @@ object Similarity {
     corpusCache.synchronized {
       corpusCache.keys.filter(_._1 eq spark).foreach { k =>
         corpusCache.remove(k).foreach { case (_, path) =>
-          val files = java.nio.file.Files.walk(path)
-          try files.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          finally files.close()
+          MaterializedTables.delete(path)
         }
       }
     }

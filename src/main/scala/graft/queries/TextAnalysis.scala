@@ -39,14 +39,11 @@ object TextAnalysis {
     * the shape a production tokenized-corpus table has on disk anyway.
     */
   private[queries] def tokenizedDocs(spark: SparkSession, dir: String): DataFrame =
-    tokCache.synchronized { tokCache.getOrElseUpdate((spark, dir), {
-      val path = java.nio.file.Files.createTempDirectory("graft_toks")
+    MaterializedTables.materialize(tokCache, (spark, dir), spark, "graft_toks") {
       documents(spark, dir).repartition(col("doc_id"))
         .withColumn("toks",
           expr("filter(split(lower(text), ' '), x -> x <> '')"))
-        .write.mode("overwrite").parquet(path.toString)
-      (spark.read.parquet(path.toString), path)
-    })._1 }
+    }
 
   private def tokenized(spark: SparkSession, dir: String): DataFrame =
     tokenizedDocs(spark, dir).select(col("doc_id"), col("lang"), col("toks"))
@@ -57,10 +54,7 @@ object TextAnalysis {
     tokCache.synchronized {
       tokCache.keys.filter(_._1 eq spark).foreach { k =>
         tokCache.remove(k).foreach { case (_, path) =>
-          val files = java.nio.file.Files.walk(path)
-          try files.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          finally files.close()
+          MaterializedTables.delete(path)
         }
       }
     }
