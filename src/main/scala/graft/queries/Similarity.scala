@@ -158,18 +158,20 @@ object Similarity {
   // (q59 search, q131 SemDeDup, q132 IVF-PQ): materialized once per
   // (session, corpus) and kept persisted, the same convention as the dedup
   // family's shingle index — a production pipeline quantizes the corpus
-  // once, not once per consumer. MEMORY_AND_DISK: spills instead of OOMing
-  // at corpus scale; evictCaches releases it when the corpus pass is over.
-  private val assignCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  // once, not once per consumer. Parquet-materialized (the row carries the
+  // vector arrays); evictCaches releases it when the corpus pass is over.
+  private val assignCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, java.nio.file.Path)]
 
-  /** Unpersist and drop the cached coarse assignments belonging to `spark`
+  /** Drop the materialized coarse assignments belonging to `spark`
     * (all corpora) — same lifecycle hook as `Dedup.evictCaches`.
     */
   def evictCaches(spark: SparkSession): Unit = {
     assignCache.synchronized {
       assignCache.keys.filter(_._1 eq spark).foreach { k =>
-        assignCache.remove(k).foreach(_.unpersist(blocking = false))
+        assignCache.remove(k).foreach { case (_, path) =>
+          MaterializedTables.delete(path)
+        }
       }
     }
     corpusCache.synchronized {
@@ -204,16 +206,16 @@ object Similarity {
     * persisted table (the Dedup.materializedSig rule).
     */
   private[queries] def ivfAssignFull(spark: SparkSession, dir: String): DataFrame =
-    assignCache.synchronized {
-      assignCache.getOrElseUpdate((spark, dir),
-        centroidSims(spark, dir)
-          .groupBy(col("vec_id"))
-          .agg(max_by(
-            struct(col("cent_id"), col("cv"), col("cnrm"), col("v"), col("nrm")),
-            struct(col("csim"), (-col("cent_id")).as("tb"))).as("w"))
-          .select(col("vec_id"), col("w.cent_id"), col("w.cv"), col("w.cnrm"),
-                  col("w.v"), col("w.nrm"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Parquet like the other complex-typed substrates (the row carries two
+    // 64-dim arrays); see MaterializedTables for the measured rationale.
+    MaterializedTables.materialize(assignCache, (spark, dir), spark, "graft_assign") {
+      centroidSims(spark, dir)
+        .groupBy(col("vec_id"))
+        .agg(max_by(
+          struct(col("cent_id"), col("cv"), col("cnrm"), col("v"), col("nrm")),
+          struct(col("csim"), (-col("cent_id")).as("tb"))).as("w"))
+        .select(col("vec_id"), col("w.cent_id"), col("w.cv"), col("w.cnrm"),
+                col("w.v"), col("w.nrm"))
     }
 
   /** ANN via IVF (inverted-file) bucketing — the second scale path: the

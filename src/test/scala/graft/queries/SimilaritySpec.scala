@@ -82,20 +82,20 @@ class SimilaritySpec extends SparkSpec {
     // refactor that drops the reuse would recompute the corpus×16 cosine
     // pass per consumer without failing any correctness test — this fails.
     Similarity.evictCaches(spark)
-    Similarity.annIvf(spark, sfDir).collect() // builds + persists the assignment
-    val cachedAfterFirst = spark.sparkContext.getPersistentRDDs.keySet
+    Similarity.annIvf(spark, sfDir).collect() // builds + materializes the assignment
     val sd = Similarity.semanticDedup(spark, sfDir)
-    assert(sd.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
-      "semantic dedup does not read the cached assignment")
+    assert(sd.queryExecution.executedPlan.toString.contains("graft_assign"),
+      "semantic dedup does not scan the materialized assignment")
     sd.collect()
     assert(Similarity.ivfPqAdc(spark, sfDir)
-      .queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
-      "IVF-PQ does not read the cached assignment")
-    // re-running family members must not re-persist the assignment
+      .queryExecution.executedPlan.toString.contains("graft_assign"),
+      "IVF-PQ does not scan the materialized assignment")
+    // re-running family members must reuse the same materialized table
+    // (max_by over the 16 candidate sims must not reappear in the plan)
     Similarity.annIvf(spark, sfDir).collect()
-    assert(spark.sparkContext.getPersistentRDDs.keySet
-      .intersect(cachedAfterFirst) == cachedAfterFirst,
-      "the shared assignment was evicted/rebuilt instead of reused")
+    assert(!Similarity.annIvf(spark, sfDir)
+      .queryExecution.optimizedPlan.toString.contains("max_by"),
+      "the shared assignment was rebuilt instead of reused")
   }
 
   test("the normed vector table materializes once across the ANN family") {
