@@ -79,7 +79,7 @@ object Dedup {
     * per-corpus tables forever.
     */
   def evictCaches(spark: SparkSession): Unit = {
-    Seq(bucketCache, rarePairCache, pairCache).foreach { cache =>
+    Seq(rarePairCache, pairCache).foreach { cache =>
       cache.keys.filter(_._1 eq spark).foreach { k =>
         cache.remove(k).foreach(_.unpersist(blocking = false))
       }
@@ -87,7 +87,7 @@ object Dedup {
     sigCache.keys.filter(_._1 eq spark).foreach { k =>
       sigCache.remove(k).foreach(_.unpersist(blocking = false))
     }
-    Seq(shingleCache, orientedCache).foreach { cache =>
+    Seq(shingleCache, orientedCache, bucketCache).foreach { cache =>
       cache.synchronized {
         cache.keys.filter(_._1 eq spark).foreach { k =>
           cache.remove(k).foreach { case (_, path) =>
@@ -163,15 +163,15 @@ object Dedup {
   // policies read it — nearDupPairs (df ≤ 100 rare buckets) and q169's
   // salted variant (rare + salted hot) — and the collect_set aggregation is
   // the expensive step they'd otherwise each repeat.
-  private val bucketCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val bucketCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, java.nio.file.Path)]
 
   private[queries] def shingleBuckets(spark: SparkSession, dir: String): DataFrame =
-    bucketCache.synchronized { bucketCache.getOrElseUpdate((spark, dir),
+    materializeParquet(bucketCache, (spark, dir), spark, "graft_buckets") {
       shingled(spark, dir)
         .select(col("doc_id"), explode(col("sh")).as("s64"))
         .groupBy("s64").agg(sort_array(collect_set("doc_id")).as("ids"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)) }
+    }
 
   // Candidate-pair common-rare-shingle counts (id_a < id_b, c = |rare(a) ∩
   // rare(b)|): the single heaviest derived artifact (in-bucket pair

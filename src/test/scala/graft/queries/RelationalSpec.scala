@@ -38,6 +38,27 @@ class RelationalSpec extends SparkSpec {
       assert(globalWindows.isEmpty || globalWindowAllowed(name),
         s"$name plans an unpartitioned window — single-task at scale:\n" +
           globalWindows.mkString("\n"))
+      // Third standing gate: no in-memory cache over complex-typed columns.
+      // Spark's columnar cache row-decodes ARRAY/STRUCT/MAP columns on
+      // every consumer read — measured DOUBLING the suite's executor CPU
+      // while local[32] walls hid it (BASELINE.md §persist-vs-parquet).
+      // Complex-typed substrates must go through
+      // MaterializedTables.materialize (parquet); persist is for
+      // primitive-typed tables only.
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      val complexCached = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation
+            if r.output.exists(a => a.dataType match {
+              case _: ArrayType | _: MapType | _: StructType => true
+              case _ => false
+            }) => r.output.filter(a => a.dataType match {
+              case _: ArrayType | _: MapType | _: StructType => true
+              case _ => false
+            }).map(a => s"${a.name}: ${a.dataType.simpleString}")
+      }
+      assert(complexCached.isEmpty,
+        s"$name caches complex-typed columns in memory (row-decoded on " +
+          s"every read — use MaterializedTables): ${complexCached.flatten}")
     }
   }
 
