@@ -35,6 +35,12 @@ object StreamBench {
     val landing = java.nio.file.Files.createTempDirectory("graft_sb_src").toString
     graft.tables.Tables.events(spark, sfDir)
       .repartition(shards).write.mode("overwrite").parquet(landing)
+    // Input-row denominator counted ONCE from the staged landing dir, not
+    // from q.recentProgress: the progress ring buffer keeps only the last
+    // spark.sql.streaming.numRecentProgressUpdates (default 100) batches,
+    // so shards > 100 with maxFilesPerTrigger=1 would silently undercount
+    // and overstate rows/sec (r10 advice).
+    val inputRows = spark.read.parquet(landing).count()
 
     def run(name: String)(build: DataFrame => Dataset[_]): (String, Long, Double) = {
       val out = java.nio.file.Files.createTempDirectory(s"sb_out_$name").toString
@@ -47,8 +53,7 @@ object StreamBench {
       q.awaitTermination()
       require(q.exception.isEmpty, s"$name failed: ${q.exception}")
       val wall = (System.nanoTime() - t0) / 1e9
-      val rows = q.recentProgress.map(_.numInputRows).sum
-      (name, rows, wall)
+      (name, inputRows, wall)
     }
 
     val results = Seq(

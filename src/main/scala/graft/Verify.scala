@@ -23,7 +23,13 @@ object Verify {
     graft.functions.GraftFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(_._1.matches(nameFilter)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // No coalesce(1): it collapsed the final stage to ONE task, which the
+      // sf1 sweep paid per query. AQE already shrinks small results to a
+      // single post-shuffle partition, and every query ends in a global
+      // ORDER BY (range partitioning), so part-file name order IS row
+      // order — the driver's and check.py's `*.parquet` glob reads files
+      // lexicographically and preserves per-file order.
+      try fn(spark, sfDir).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -48,6 +48,15 @@ object Markup {
     * rawtext handling.
     */
   def toHtml(docId: Long, lang: String, source: String, text: String): String = {
+    // Oracle-parity invariant (r10 advice): the q189 DuckDB replay assumes
+    // non-empty, single-spaced text — an empty doc would give the extractor
+    // n_kept=0 vs the oracle's ceil(1/12)=1, and a double space breaks
+    // main_chars parity (split(' ') manufactures empty "words"). True of
+    // every shipped corpus; fail LOUDLY here the day a generator changes,
+    // instead of silently hash-mismatching the round.
+    require(text.nonEmpty && !text.contains("  "),
+      s"q189 oracle invariant violated for doc $docId: text must be " +
+        "non-empty and single-spaced")
     val sb = new StringBuilder(text.length * 2 + 512)
     sb ++= "<!DOCTYPE html>\n"
     sb ++= s"""<html lang="${escape(lang)}"><head>\n"""

@@ -828,33 +828,41 @@ object Relational {
 
   /** TPC-H Q21 (suppliers who kept orders waiting): the EXISTS + NOT EXISTS
     * double-correlation — "another supplier contributed to the order" AND
-    * "no other supplier was late on it" — which Catalyst decorrelates into
-    * a semi join plus an anti join on the order key. Schema note: lineitem
-    * here has no commit/receipt dates, so "late" is shipped > 60 days after
-    * the order date (computed once in a shared CTE, which also keeps the
-    * correlated subqueries self-contained exactly like the spec's l2/l3).
+    * "no other supplier was late on it". The oracle keeps the spec's
+    * correlated-subquery spelling; the engine side rewrites BOTH
+    * correlations into one order-partitioned window over a single
+    * lineitem⋈orders pass (r10 verdict: the CTE-inlined form scanned
+    * lineitem 3× and joined orders 3×):
+    *   EXISTS other supplier        ⇔ |{suppliers of the order}| ≥ 2
+    *   NOT EXISTS other LATE suppl. ⇔ |{late suppliers}| = 1 (l1 is late,
+    *                                   so the late set already contains it)
+    * `collect_set` over PARTITION BY l_orderkey is bounded by
+    * suppliers-per-order (single digits at any TPC-H scale), and the window
+    * reuses the join's hash partitioning on the order key — one lineitem
+    * scan, one orders join, one shuffle. Schema note: lineitem here has no
+    * commit/receipt dates, so "late" is shipped > 60 days after order date.
     */
   def sqlTpchQ21(spark: SparkSession, dir: String): DataFrame =
     spark.sql(
-      s"""WITH lo AS (
-         |  SELECT l_orderkey, l_suppkey, o_orderstatus,
-         |         CASE WHEN l_shipdate > o_orderdate + INTERVAL '60' DAY
-         |              THEN 1 ELSE 0 END AS is_late
-         |  FROM parquet.`$dir/lineitem.parquet`
-         |  JOIN parquet.`$dir/orders.parquet` ON o_orderkey = l_orderkey)
+      s"""WITH lw AS (
+         |  SELECT l_suppkey, o_orderstatus, is_late,
+         |         size(collect_set(l_suppkey)
+         |              OVER (PARTITION BY l_orderkey)) AS n_supp,
+         |         size(collect_set(CASE WHEN is_late = 1 THEN l_suppkey END)
+         |              OVER (PARTITION BY l_orderkey)) AS n_late
+         |  FROM (
+         |    SELECT l_orderkey, l_suppkey, o_orderstatus,
+         |           CASE WHEN l_shipdate > o_orderdate + INTERVAL '60' DAY
+         |                THEN 1 ELSE 0 END AS is_late
+         |    FROM parquet.`$dir/lineitem.parquet`
+         |    JOIN parquet.`$dir/orders.parquet` ON o_orderkey = l_orderkey))
          |SELECT s_name, count(*) AS numwait
          |FROM parquet.`$dir/supplier.parquet` s
-         |JOIN lo l1 ON s_suppkey = l1.l_suppkey
+         |JOIN lw l1 ON s_suppkey = l1.l_suppkey
          |JOIN parquet.`$dir/nation.parquet` n ON s_nationkey = n_nationkey
          |WHERE l1.o_orderstatus = 'F' AND l1.is_late = 1
          |  AND n_name IN ('NATION_3', 'NATION_5')
-         |  AND EXISTS (SELECT 1 FROM lo l2
-         |              WHERE l2.l_orderkey = l1.l_orderkey
-         |                AND l2.l_suppkey <> l1.l_suppkey)
-         |  AND NOT EXISTS (SELECT 1 FROM lo l3
-         |                  WHERE l3.l_orderkey = l1.l_orderkey
-         |                    AND l3.l_suppkey <> l1.l_suppkey
-         |                    AND l3.is_late = 1)
+         |  AND l1.n_supp >= 2 AND l1.n_late = 1
          |GROUP BY s_name
          |ORDER BY numwait DESC, s_name""".stripMargin)
 
