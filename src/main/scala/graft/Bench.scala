@@ -37,6 +37,7 @@ object Bench {
     graft.queries.Dedup.evictCaches(spark)
     graft.queries.Similarity.evictCaches(spark)
     graft.queries.TextAnalysis.evictCaches(spark)
+    graft.queries.ExactSubstr.evictCaches(spark)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

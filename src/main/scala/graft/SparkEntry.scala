@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ MapReduceQueries.all ++ Joins.all ++ Dedup.all ++
       Similarity.all ++ TextAnalysis.all ++ EventAnalytics.all ++
-      Corpus.all ++ Pipeline.all ++ graft.multimodal.Multimodal.all ++ Sinks.all ++ Markup.all
+      Corpus.all ++ Pipeline.all ++ graft.multimodal.Multimodal.all ++ Sinks.all ++ Markup.all ++
+      graft.queries.ExactSubstr.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ MapReduceQueries.oracles ++ Joins.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ EventAnalytics.oracles ++
-      Corpus.oracles ++ Pipeline.oracles ++ graft.multimodal.Multimodal.oracles ++ Sinks.oracles ++ Markup.oracles
+      Corpus.oracles ++ Pipeline.oracles ++ graft.multimodal.Multimodal.oracles ++ Sinks.oracles ++ Markup.oracles ++
+      graft.queries.ExactSubstr.oracles
 }
