@@ -107,6 +107,29 @@ object Sinks {
       .orderBy("event_type")
   }
 
+  /** Avro sink roundtrip over events (AvroIO — avro-core container files,
+    * schema in the header): timestamps survive as timestamp-micros
+    * logical-type longs with NO format string on either side — the
+    * contrast with q113's JSON, where fidelity needed an explicit
+    * microsecond pattern. The md5-of-min over props also proves string
+    * content fidelity through Utf8 encode/decode; min(value) pins double
+    * bits. Oracle runs the same aggregate on the source table, so a hash
+    * match proves the sink lost/changed nothing.
+    */
+  def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpOut(dir, "avro")
+    val src = events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"), col("props"))
+    graft.sources.AvroIO.write(src, out)
+    graft.sources.AvroIO.read(spark, out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("user_id").as("sum_user"),
+           min("ts").as("min_ts"), min("value").as("min_value"),
+           md5(min(col("props"))).as("min_props_md5"))
+      .orderBy("event_type")
+  }
+
   /** Incremental aggregate refresh — the materialized-view maintenance
     * pattern: the historical partition's aggregate is computed once and
     * STORED (here: orders before 1999 → parquet); a refresh touches only
@@ -212,6 +235,7 @@ object Sinks {
     "q126_schema_evolution" -> schemaEvolution _,
     "q114_incremental_agg" -> incrementalAgg _,
     "q113_json_roundtrip"  -> jsonRoundtrip _,
+    "q191_avro_roundtrip"  -> avroRoundtrip _,
     "q96_sink_partitioned" -> sinkPartitioned _,
     "q97_bucketed_join"    -> bucketedJoin _,
     "q98_orc_roundtrip"    -> orcRoundtrip _,
@@ -246,6 +270,13 @@ object Sinks {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(user_id) AS BIGINT) AS sum_user,
         |       min(CAST(ts AS TIMESTAMP)) AS min_ts,
+        |       md5(min(props)) AS min_props_md5
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q191_avro_roundtrip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |       min(CAST(ts AS TIMESTAMP)) AS min_ts,
+        |       min(value) AS min_value,
         |       md5(min(props)) AS min_props_md5
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q96_sink_partitioned" ->

@@ -249,4 +249,52 @@ class SourcesSpec extends SparkSpec {
     assert(scan.contains("ReadSchema=text,") || scan.matches("(?s).*ReadSchema=text[ ,].*"),
       s"column pruning failed: $scan")
   }
+
+  test("AvroIO roundtrip preserves the Spark schema exactly (names, types, nullability) and values incl. nulls") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n", IntegerType, nullable = true),
+      StructField("x", DoubleType, nullable = true),
+      StructField("f", FloatType, nullable = true),
+      StructField("ok", BooleanType, nullable = true),
+      StructField("s", StringType, nullable = true),
+      StructField("b", BinaryType, nullable = true),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("day", DateType, nullable = true)))
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 10:20:30.123456")
+    val rows = Seq(
+      Row(1L, 7, 2.5, 1.25f, true, "héllo", Array[Byte](0, 1, -1), ts,
+        java.sql.Date.valueOf("2024-02-29")),
+      Row(2L, null, null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val out = java.nio.file.Files.createTempDirectory("avroio").toString
+    graft.sources.AvroIO.write(df, out)
+    val back = graft.sources.AvroIO.read(spark, out)
+    assert(back.schema == schema,
+      s"schema drift:\n  wrote ${schema.treeString}\n  read ${back.schema.treeString}")
+    val got = back.collect().map(r => (r.getLong(0),
+      Option(r.get(6)).map(_.asInstanceOf[Array[Byte]].toSeq), r.get(7), r.get(8),
+      r.get(1), r.get(2), r.get(3), r.get(4), r.get(5))).sortBy(_._1)
+    assert(got(0) == ((1L, Some(Seq[Byte](0, 1, -1)), ts,
+      java.sql.Date.valueOf("2024-02-29"), 7, 2.5, 1.25f, true, "héllo")), s"${got(0)}")
+    assert(got(1) == ((2L, None, null, null, null, null, null, null, null)))
+  }
+
+  test("AvroIO rejects foreign payloads loudly: non-avro bytes and unsupported Spark types") {
+    val dir = java.nio.file.Files.createTempDirectory("avrobad")
+    java.nio.file.Files.write(dir.resolve("junk.avro"),
+      "not an avro container".getBytes)
+    intercept[Exception] {
+      graft.sources.AvroIO.read(spark, dir.toString).collect()
+    }
+    import org.apache.spark.sql.functions._
+    val arr = graft.tables.Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("toks"))
+    intercept[IllegalArgumentException] {
+      graft.sources.AvroIO.write(arr, dir.toString + "_arr")
+    }
+  }
 }
