@@ -181,6 +181,11 @@ object Similarity {
         }
       }
     }
+    hnswCache.synchronized {
+      hnswCache.keys.filter(_._1 eq spark).foreach { k =>
+        hnswCache.remove(k).foreach(_.unpersist(blocking = false))
+      }
+    }
     // Trained-kmeans entries are localCheckpoint-backed: dropping the map
     // entry alone frees the RDD blocks only via GC + ContextCleaner, which
     // is non-deterministic — unpersist the checkpointed RDD explicitly so
@@ -854,7 +859,201 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // ---- q192/q193: graph ANN (HNSW-class deterministic small-world) ----
+
+  /** Out-degree cap per layer, candidate buckets per node, and the beam
+    * schedule (layer, beam width, hops) from top layer to base. One
+    * definition shared by the builder, the JVM search and the generated
+    * oracle SQL so the three cannot drift.
+    */
+  private val hnswM = 8
+  // Candidate buckets per node WIDEN with the layer (2/4/8 for layers
+  // 0/1/2): upper layers exist to provide LONG-RANGE routing, and a node
+  // population 8× sparser can afford an assignment 2× wider — this is what
+  // keeps the sparse layers connected ACROSS coarse-bucket boundaries
+  // (with same-width buckets everywhere, a probe whose true neighborhood
+  // sits outside the entry trajectory's bucket is unreachable; measured
+  // +0.76→≥IVF recall at sf0.1). Budget stays bounded: layer-ℓ candidate
+  // pairs are (N/8^ℓ) × bucket-mates, never all-pairs.
+  private val hnswBucketsSql = "CASE layer WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 8 END"
+  private val hnswSchedule = Seq((2, 1, 1), (1, 3, 2), (0, 10, 4))
+
+  /** Layer assignment — the HNSW geometric level draw made DETERMINISTIC
+    * and engine-portable: trailing base-8 zeros of the 60-bit md5 of the
+    * vec id (P(lvl ≥ k) = 8^-k, the 1/M geometric of the paper), capped at
+    * 2. Integer arithmetic end-to-end — no log(), the oracle replays it
+    * digit-exactly.
+    */
+  private def hnswLevels(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir).select(col("vec_id"))
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(vec_id as string)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("lvl", when(col("h") % 64 === 0, 2)
+        .when(col("h") % 8 === 0, 1).otherwise(0))
+      .select("vec_id", "lvl")
+
+  private val hnswCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** (layer, src, dst) small-world edges: every node appears on layers
+    * 0..lvl; per layer, candidate pairs come from shared coarse-centroid
+    * buckets (each node's top-`hnswBuckets` IVF buckets — the same
+    * assignment substrate as q59, so construction is bucket-joined, NEVER
+    * all-pairs); each node keeps its `hnswM` nearest candidates by cosine
+    * and links are symmetrized (the paper's bidirectional insert). The
+    * graph is a per-(session, corpus) substrate like the shingle index;
+    * primitive-typed → persist.
+    */
+  private[queries] def hnswEdges(spark: SparkSession, dir: String): DataFrame =
+    hnswCache.synchronized { hnswCache.getOrElseUpdate((spark, dir), {
+      val nodes = hnswLevels(spark, dir)
+        .select(col("vec_id"), explode(expr("sequence(0, lvl)")).as("layer"))
+      val b8 = centroidSims(spark, dir)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") <= 8).select("vec_id", "cent_id", "rn")
+      val nb = nodes.join(b8, "vec_id")
+        .filter(col("rn") <= expr(hnswBucketsSql))
+        .select("vec_id", "layer", "cent_id")
+      // Candidate pairs scored ONCE per unordered pair (src < dst) — cosine
+      // is bit-commutative (per-element products and the fold order are
+      // identical either way), so scoring one orientation halves the work
+      // without touching the result or the oracle's per-direction replay.
+      // No pre-dedup: a pair sharing two buckets scores to the IDENTICAL
+      // (cs, dst) struct, and the top-M aggregation's collect_set merges it
+      // — dedupe, ranking and the M-cap all ride ONE exchange (with
+      // map-side partial sets) instead of a distinct + window chain.
+      val cand = nb.toDF("src", "layer", "cent_id")
+        .join(nb.toDF("dst", "layer", "cent_id"), Seq("layer", "cent_id"))
+        .filter(col("src") < col("dst"))
+        .select("layer", "src", "dst")
+      val vecs = corpus(spark, dir)
+      // Explicit broadcast: the vector table is index-sized and the cached
+      // (InMemoryRelation-fill) execution of this plan runs WITHOUT AQE's
+      // runtime broadcast decisions — without the hint the fill pass
+      // degraded both scoring joins to sort-merge (measured 3× build cost).
+      val scored = cand
+        .join(broadcast(vecs.toDF("src", "sv", "snrm")), "src")
+        .join(broadcast(vecs.toDF("dst", "dv", "dnrm")), "dst")
+        .withColumn("cs",
+          VectorOps.dot(col("sv"), col("dv")) / (col("snrm") * col("dnrm")))
+        .select("layer", "src", "dst", "cs")
+      val oriented = scored.union(scored.select(col("layer"),
+        col("dst").as("src"), col("src").as("dst"), col("cs")))
+      val topm = oriented
+        .groupBy("layer", "src")
+        .agg(expr(s"slice(array_sort(collect_set(struct(-cs AS ncs, dst))), 1, $hnswM)")
+          .as("nbrs"))
+        .select(col("layer"), col("src"), explode(col("nbrs")).as("nb"))
+        .select(col("layer"), col("src"), col("nb.dst").as("dst"))
+      val edges = topm.union(topm.select(col("layer"), col("dst").as("src"),
+          col("src").as("dst"))).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      edges.count()  // fill once at build time — every consumer (stats
+                     // agg, search collect, specs) then reads cached blocks
+      edges
+    }) }
+
+  /** q192 — construction audit of the graph index: per layer, node count,
+    * directed edge count after symmetrization, max out-degree, plus the
+    * global entry point (highest layer, min id — the deterministic stand-in
+    * for the paper's "first inserted at top level"). The numbers a serving
+    * team checks before trusting an index build.
+    */
+  def hnswStats(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = hnswLevels(spark, dir)
+      .select(col("vec_id"), explode(expr("sequence(0, lvl)")).as("layer"))
+    val perLayer = nodes.groupBy("layer").agg(count(lit(1)).as("n_nodes"))
+    val deg = hnswEdges(spark, dir).groupBy("layer", "src")
+      .agg(count(lit(1)).as("deg"))
+    val eAgg = deg.groupBy("layer")
+      .agg(sum("deg").as("n_edges"), max("deg").as("max_deg"))
+    val entry = hnswLevels(spark, dir)
+      .orderBy(col("lvl").desc, col("vec_id")).limit(1)
+      .select(col("vec_id").as("entry_id"))
+    perLayer.join(eAgg, Seq("layer"), "left")
+      .crossJoin(broadcast(entry))
+      .select(col("layer"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("max_deg"), lit(0L)).as("max_deg"), col("entry_id"))
+      .orderBy("layer")
+  }
+
+  /** Greedy layered beam search over the BROADCAST graph — the ANN
+    * *serving* shape (an index answers queries from worker-local state;
+    * q139's broadcast sorted interval index is the same pattern): the
+    * adjacency lists and normed vectors ship to executors once, probes
+    * stream through a single map stage, zero shuffles. At billion-vector
+    * scale the index shards per executor and probes fan out per shard —
+    * the same code path with a routing join in front. The beam rule is
+    * deliberately simple and closed-form (beam ∪ out-neighbors, keep top-w
+    * by (cosine desc, id), fixed hops per layer — `hnswSchedule`) so the
+    * oracle can replay the identical traversal as unrolled SQL; cosine
+    * uses the same sequential fold as VectorOps.dot, so beam comparisons
+    * are bit-identical across engines.
+    */
+  private def hnswSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecMap: Map[Long, (Array[Double], Double)] =
+      corpus(spark, dir).select("vec_id", "v", "nrm").collect()
+        .map(r => r.getLong(0) ->
+          (r.getSeq[Double](1).toArray, r.getDouble(2))).toMap
+    val adj: Map[(Int, Long), Array[Long]] =
+      hnswEdges(spark, dir).collect()
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .view.mapValues(_.map(_.getLong(2)).sorted).toMap
+    // Entry point (max level, min id) computed from the same 60-bit md5 the
+    // plan-side level column uses — one less driver job than re-ranking the
+    // levels table. JVM md5 hex == Spark md5() == DuckDB md5() by contract.
+    def lvlOf(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.take(8).map(b => f"$b%02x").mkString.substring(0, 15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      if (h % 64 == 0) 2 else if (h % 8 == 0) 1 else 0
+    }
+    val entryId: Long = vecMap.keys.toSeq.map(id => (-lvlOf(id), id)).min._2
+    val bcV = spark.sparkContext.broadcast(vecMap)
+    val bcA = spark.sparkContext.broadcast(adj)
+    val schedule = hnswSchedule
+    val probes = corpus(spark, dir).filter(col("vec_id") < 10)
+      .select("vec_id", "v", "nrm").as[(Long, Seq[Double], Double)]
+    probes.flatMap { case (pid, pv, pnrm) =>
+      val p = pv.toArray
+      def cos(id: Long): Double = {
+        val (v, n) = bcV.value(id)
+        var s = 0.0; var i = 0
+        while (i < p.length) { s += p(i) * v(i); i += 1 }
+        s / (pnrm * n)
+      }
+      var beam = List(entryId)
+      for ((layer, width, hops) <- schedule; _ <- 1 to hops) {
+        val cand = (beam ++ beam.flatMap(id =>
+          bcA.value.getOrElse((layer, id), Array.empty[Long]))).distinct
+        beam = cand.sortBy(id => (-cos(id), id)).take(width)
+      }
+      beam.filter(_ != pid).sortBy(id => (-cos(id), id)).take(5).map(pid -> _)
+    }.toDF("probe_id", "vec_id")
+  }
+
+  /** q193 — recall@5 of the graph index against brute force (the q108
+    * evaluation pattern applied to the graph member of the ANN family).
+    */
+  def hnswRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = cosineTopK(spark, dir).select(col("probe_id"), col("vec_id"))
+    val approx = hnswSearch(spark, dir)
+    val hits = brute.join(approx, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+    brute.select("probe_id").distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / 5.0, 2).as("recall"))
+      .orderBy("probe_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_hnsw_stats"         -> hnswStats _,
+    "q193_hnsw_recall"        -> hnswRecall _,
     "q165_ann_incremental"    -> annIncrementalAssign _,
     "q160_hybrid_fusion"      -> hybridFusion _,
     "q146_kmeans"             -> kmeansLloyd _,
@@ -1260,7 +1459,103 @@ object Similarity {
          |  FROM batch b CROSS JOIN $kmeansFinalC c)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** DuckDB 60-bit md5 (the engine-portable hash convention): hex digits
+    * assembled via strpos, identical to Spark's conv(substring(md5,1,15)).
+    */
+  private def duckMd5(x: String): String =
+    s"CAST(list_sum(list_transform(range(1, 16), i -> " +
+      s"CAST(strpos('0123456789abcdef', substr(md5($x), i, 1)) - 1 AS BIGINT) " +
+      s"* (CAST(1 AS BIGINT) << (4 * (15 - i))))) AS BIGINT)"
+
+  /** Shared CTE block replaying the graph-index CONSTRUCTION (levels,
+    * bucketed candidates, top-M symmetric edges, entry point) — used by
+    * both the q192 stats oracle and the q193 recall oracle.
+    */
+  private val hnswCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |hcents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+       |hsims AS (SELECT e.vec_id, cent_id, ${duckCos("e.v", "cv")} AS csim FROM e, hcents),
+       |hb AS (SELECT vec_id, cent_id, rn FROM (SELECT vec_id, cent_id,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+       |        FROM hsims) WHERE rn <= 8),
+       |hlvl AS (SELECT vec_id, CASE WHEN h % 64 = 0 THEN 2 WHEN h % 8 = 0 THEN 1 ELSE 0 END AS lvl
+       |         FROM (SELECT vec_id, ${duckMd5("CAST(vec_id AS VARCHAR)")} AS h FROM e)),
+       |hnodes AS (SELECT vec_id, unnest(range(0, lvl + 1)) AS layer FROM hlvl),
+       |hnb AS (SELECT n.layer, n.vec_id, b.cent_id FROM hnodes n JOIN hb b USING (vec_id)
+       |        WHERE b.rn <= $hnswBucketsSql),
+       |hcand AS (SELECT DISTINCT a.layer, a.vec_id AS src, b.vec_id AS dst
+       |          FROM hnb a JOIN hnb b ON a.layer = b.layer AND a.cent_id = b.cent_id
+       |                                AND a.vec_id <> b.vec_id),
+       |hesc AS (SELECT layer, src, dst, ${duckCos("sv.v", "dv.v")} AS cs
+       |         FROM hcand JOIN e sv ON sv.vec_id = src JOIN e dv ON dv.vec_id = dst),
+       |htopm AS (SELECT layer, src, dst FROM (SELECT layer, src, dst,
+       |          row_number() OVER (PARTITION BY layer, src ORDER BY cs DESC, dst) AS rn
+       |          FROM hesc) WHERE rn <= $hnswM),
+       |hedges AS (SELECT layer, src, dst FROM htopm
+       |           UNION SELECT layer, dst AS src, src AS dst FROM htopm),
+       |hentry AS (SELECT vec_id AS entry_id FROM hlvl ORDER BY lvl DESC, vec_id LIMIT 1)""".stripMargin
+
+  private val hnswStatsOracle: String =
+    s"""WITH $hnswCtes,
+       |np AS (SELECT layer, CAST(count(*) AS BIGINT) AS n_nodes FROM hnodes GROUP BY layer),
+       |hdeg AS (SELECT layer, src, count(*) AS deg FROM hedges GROUP BY layer, src),
+       |ea AS (SELECT layer, CAST(sum(deg) AS BIGINT) AS n_edges,
+       |              CAST(max(deg) AS BIGINT) AS max_deg FROM hdeg GROUP BY layer)
+       |SELECT np.layer, n_nodes, coalesce(n_edges, CAST(0 AS BIGINT)) AS n_edges,
+       |       coalesce(max_deg, CAST(0 AS BIGINT)) AS max_deg, entry_id
+       |FROM np LEFT JOIN ea USING (layer), hentry ORDER BY np.layer""".stripMargin
+
+  /** q193 oracle: the SAME fixed-hop beam traversal as `hnswSearch`,
+    * unrolled from `hnswSchedule` (generated, so schedule changes cannot
+    * desync the two), then the q108 recall intersection against brute
+    * force. Beam comparisons are raw doubles with identical fold order on
+    * both engines — bit-stable, the proven convention of the ANN family.
+    */
+  private val hnswRecallOracle: String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $hnswCtes,\n"
+    sb ++= "beam0 AS (SELECT p.vec_id AS probe_id, en.entry_id AS vec_id " +
+      "FROM e p, hentry en WHERE p.vec_id < 10),\n"
+    var step = 0
+    for ((layer, width, hops) <- hnswSchedule; _ <- 1 to hops) {
+      val prev = s"beam$step"; step += 1
+      sb ++= s"""cn$step AS (SELECT probe_id, vec_id FROM $prev
+                |  UNION SELECT b.probe_id, ed.dst AS vec_id FROM $prev b
+                |        JOIN hedges ed ON ed.layer = $layer AND ed.src = b.vec_id),
+                |sc$step AS (SELECT c.probe_id, c.vec_id, ${duckCos("pe.v", "ce.v")} AS cs
+                |  FROM cn$step c JOIN e pe ON pe.vec_id = c.probe_id
+                |                JOIN e ce ON ce.vec_id = c.vec_id),
+                |beam$step AS (SELECT probe_id, vec_id FROM (SELECT probe_id, vec_id,
+                |  row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, vec_id) AS rn
+                |  FROM sc$step) WHERE rn <= $width),
+                |""".stripMargin
+    }
+    sb ++= s"""hfin AS (SELECT probe_id, vec_id FROM (SELECT c.probe_id, c.vec_id,
+              |  row_number() OVER (PARTITION BY c.probe_id
+              |    ORDER BY ${duckCos("pe.v", "ce.v")} DESC, c.vec_id) AS rn
+              |  FROM beam$step c JOIN e pe ON pe.vec_id = c.probe_id
+              |                 JOIN e ce ON ce.vec_id = c.vec_id
+              |  WHERE c.vec_id <> c.probe_id) WHERE rn <= 5),
+              |hprobes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+              |b_scored AS (SELECT probe_id, vec_id, ${duckCos("pv", "v")} AS cs
+              |             FROM hprobes JOIN e ON vec_id <> probe_id),
+              |b_top AS (SELECT probe_id, vec_id FROM (SELECT probe_id, vec_id,
+              |          row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, vec_id) AS rnk
+              |          FROM b_scored) WHERE rnk <= 5),
+              |hits AS (SELECT b.probe_id, CAST(count(*) AS BIGINT) AS n_hit
+              |         FROM b_top b JOIN hfin l ON l.probe_id = b.probe_id AND l.vec_id = b.vec_id
+              |         GROUP BY b.probe_id)
+              |SELECT p.probe_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+              |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5.0, 2) AS recall
+              |FROM (SELECT DISTINCT probe_id FROM b_top) p
+              |LEFT JOIN hits h USING (probe_id)
+              |ORDER BY probe_id""".stripMargin
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q192_hnsw_stats" -> hnswStatsOracle,
+    "q193_hnsw_recall" -> hnswRecallOracle,
     "q165_ann_incremental" -> annIncrementalOracle,
     "q160_hybrid_fusion" -> hybridFusionOracle,
     "q146_kmeans" -> kmeansOracle,

@@ -332,4 +332,38 @@ class SimilaritySpec extends SparkSpec {
     }.toSet
     assert(got.toSet == expected, "q156 top-5 differs from bucket-restricted reference")
   }
+
+  test("q192 graph index is symmetric, degree-sane, and layers nest (lvl-k nodes are on every layer below)") {
+    val edges = Similarity.hnswEdges(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(edges.nonEmpty)
+    // symmetrized: every (layer, a, b) has (layer, b, a)
+    assert(edges.forall { case (l, a, b) => edges((l, b, a)) },
+      "graph must be symmetric after closure")
+    assert(edges.forall { case (_, a, b) => a != b }, "no self loops")
+    // layer nesting: an edge's endpoints on layer l must both exist on l
+    // (levels are per-node; layer-l participation means lvl >= l)
+    val stats = Similarity.hnswStats(spark, sfDir).collect()
+    val nodesPerLayer = stats.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(nodesPerLayer(0) > nodesPerLayer.getOrElse(1, 0L),
+      "layer 1 must be a sparse subset of layer 0")
+  }
+
+  test("q193 graph-ANN recall@5 is at least IVF's at this scale (the family-completeness claim)") {
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val brute = Similarity.cosineTopK(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val approx = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      brute.count(approx).toDouble / brute.size
+    }
+    val ivf = recall(Similarity.annIvf(spark, sfDir))
+    val hnswHits = {
+      val brute = Similarity.cosineTopK(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val rows = Similarity.hnswRecall(spark, sfDir).collect()
+      rows.map(_.getLong(1)).sum.toDouble / brute.size
+    }
+    assert(hnswHits >= ivf - 1e-9,
+      s"graph ANN recall $hnswHits must be >= IVF recall $ivf at equal-or-smaller probe budget")
+  }
 }
