@@ -362,7 +362,152 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ---- q194: IMA ADPCM (DVI4) — the COMPRESSED member of the audio
+  // codec family (q168 decodes plain PCM16). The decoder is the published
+  // integer predictor recurrence (IMA "Recommended Practices", 1992; RFC
+  // 3551 DVI4): per 4-bit code, delta = step/8 (+step if bit2, +step/2 if
+  // bit1, +step/4 if bit0), predictor ± delta clamped to int16, step index
+  // walked through the 89-entry table. Every operation is integer-exact,
+  // so the DuckDB oracle replays the full recurrence per block with a
+  // list_reduce whose accumulator is a [pred, idx, energy, max_amp]
+  // BIGINT list — stateful codec decode proven end-to-end, not spot-
+  // checked. Blocks reset state (4-byte header: initial predictor int16 +
+  // step index), which is exactly what makes the format splittable — at
+  // 100 TB each worker decodes its own blocks with no cross-row state.
+
+  private[multimodal] val imaIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+  private[multimodal] val imaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** Bytes per ADPCM block: 4-byte state header + 252 code bytes. */
+  private val adpcmBlockData = 252
+
+  final case class AdpcmStats(doc_id: Long, n_blocks: Int, n_samples: Long,
+                              energy: Long, max_amp: Int,
+                              last_pred: Int, last_idx: Int)
+
+  /** data → RIFF/WAVE, wFormatTag 0x11 (IMA ADPCM), mono 8 kHz: payload
+    * bytes become the 4-bit code stream (two codes per byte, low nibble
+    * first per spec), packed into 256-byte blocks whose headers carry
+    * initial predictor 0 / step index 0. The last block may be short.
+    */
+  def encodeAdpcmWav(data: Array[Byte]): Array[Byte] = {
+    val nBlocks = (data.length + adpcmBlockData - 1) / adpcmBlockData
+    val dataSz = data.length + 4 * nBlocks
+    // layout: 12 RIFF/WAVE + (8 + 20) fmt + (8 + dataSz) data
+    val out = new Array[Byte](48 + dataSz)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(40 + dataSz).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(20)
+      .putShort(0x11).putShort(1)                     // IMA ADPCM, mono
+      .putInt(8000).putInt(4055)                      // avg bytes/sec (informative)
+      .putShort((adpcmBlockData + 4).toShort).putShort(4) // block align, 4-bit
+      .putShort(2).putShort((1 + 2 * adpcmBlockData).toShort) // cbSize, samples/block
+      .put("data".getBytes).putInt(dataSz)
+    var j = 0
+    while (j < nBlocks) {
+      bb.putShort(0).put(0.toByte).put(0.toByte)      // pred = 0, idx = 0
+      val from = j * adpcmBlockData
+      val len = math.min(adpcmBlockData, data.length - from)
+      bb.put(data, from, len)
+      j += 1
+    }
+    out
+  }
+
+  /** RIFF walk (same chunk rules as q168) + the IMA predictor recurrence.
+    * Rejects non-ADPCM fmt tags, bad bit width, and truncated block
+    * headers loudly — the foreign-payload convention of the codec family.
+    */
+  def decodeAdpcmBatch(rows: Iterator[(Long, Array[Byte])]): Iterator[AdpcmStats] =
+    rows.map { case (id, p) =>
+      require(p.length >= 12 && new String(p, 0, 4) == "RIFF" &&
+        new String(p, 8, 4) == "WAVE", s"doc $id: not a RIFF/WAVE file")
+      val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 12
+      var haveFmt = false
+      var stats: AdpcmStats = null
+      while (i + 8 <= p.length && stats == null) {
+        val cid = new String(p, i, 4)
+        val sz = bb.getInt(i + 4)
+        require(sz >= 0 && i + 8 + sz <= p.length, s"doc $id: truncated chunk $cid")
+        cid match {
+          case "fmt " =>
+            require(sz >= 16, s"doc $id: short fmt chunk")
+            require(bb.getShort(i + 8) == 0x11, s"doc $id: not IMA ADPCM")
+            require(bb.getShort(i + 10) == 1, s"doc $id: not mono")
+            require(bb.getShort(i + 22) == 4, s"doc $id: not 4-bit ADPCM")
+            haveFmt = true
+          case "data" =>
+            require(haveFmt, s"doc $id: data chunk before fmt")
+            var off = i + 8
+            val end = i + 8 + sz
+            var (nBlocks, nSamples, energy, mx) = (0, 0L, 0L, 0)
+            var (pred, idx) = (0, 0)
+            while (off < end) {
+              require(end - off > 4, s"doc $id: truncated ADPCM block header")
+              pred = bb.getShort(off).toInt
+              idx = bb.get(off + 2) & 0xff
+              require(idx <= 88, s"doc $id: step index out of range")
+              nBlocks += 1
+              nSamples += 1                       // header emits sample 0
+              energy += pred.toLong * pred
+              if (math.abs(pred) > mx) mx = math.abs(pred)
+              val dataLen = math.min(adpcmBlockData, end - off - 4)
+              var k = 0
+              while (k < 2 * dataLen) {
+                val b = p(off + 4 + (k >> 1)) & 0xff
+                val code = if ((k & 1) == 0) b & 0xf else b >> 4
+                val step = imaStepTable(idx)
+                var delta = step >> 3
+                if ((code & 4) != 0) delta += step
+                if ((code & 2) != 0) delta += step >> 1
+                if ((code & 1) != 0) delta += step >> 2
+                pred = if ((code & 8) != 0) pred - delta else pred + delta
+                if (pred > 32767) pred = 32767
+                if (pred < -32768) pred = -32768
+                idx += imaIndexTable(code)
+                if (idx < 0) idx = 0; if (idx > 88) idx = 88
+                energy += pred.toLong * pred
+                if (math.abs(pred) > mx) mx = math.abs(pred)
+                k += 1
+              }
+              nSamples += 2L * dataLen
+              off += 4 + dataLen
+            }
+            require(nBlocks > 0, s"doc $id: empty ADPCM data chunk")
+            stats = AdpcmStats(id, nBlocks, nSamples, energy, mx, pred, idx)
+          case _ => ()
+        }
+        i += 8 + sz + (sz & 1)
+      }
+      require(stats != null, s"doc $id: no data chunk")
+      stats
+    }
+
+  /** The registered query: documents → real IMA-ADPCM WAV binaries →
+    * full predictor-recurrence decode stats.
+    */
+  def adpcmDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.tables.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, data) => (id, encodeAdpcmWav(data)) }
+      .mapPartitions(decodeAdpcmBatch)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_adpcm_decode"       -> adpcmDecode _,
     "q134_multimodal_audio"   -> audioFrames _,
     "q54_multimodal_features" -> features _,
     "q72_multimodal_resize"   -> resizePlan _,
@@ -399,7 +544,52 @@ object Multimodal {
       |           + (strpos('0123456789ABCDEF', substr(hx, 2*k, 1)) - 1)) AS bytes
       |       FROM b)""".stripMargin
 
+  /** q194 oracle: the full IMA predictor recurrence replayed per block as
+    * a DuckDB list_reduce whose accumulator is a [pred, idx, energy,
+    * max_amp] BIGINT list (codes ride as 1-element lists so the fold stays
+    * type-homogeneous); the step/index tables join in as list literals so
+    * the lambda references them by name. Replays from the raw payload
+    * bytes — if the engine's RIFF walk or block framing were wrong, the
+    * stats could not match.
+    */
+  private val adpcmOracle: String = {
+    val step = "st[a[2] + 1]"
+    val delta = s"(($step) // 8) " +
+      s"+ (CASE WHEN (x[1] // 4) % 2 = 1 THEN $step ELSE 0 END) " +
+      s"+ (CASE WHEN (x[1] // 2) % 2 = 1 THEN ($step) // 2 ELSE 0 END) " +
+      s"+ (CASE WHEN x[1] % 2 = 1 THEN ($step) // 4 ELSE 0 END)"
+    val newPred = s"least(greatest(CASE WHEN x[1] // 8 = 1 " +
+      s"THEN a[1] - ($delta) ELSE a[1] + ($delta) END, -32768), 32767)"
+    val newIdx = "least(greatest(a[2] + it[x[1] + 1], 0), 88)"
+    val bd = adpcmBlockData
+    bytesCte +
+      s""",
+         |tabs AS (SELECT ${imaStepTable.mkString("[", ", ", "]")} AS st,
+         |                ${imaIndexTable.mkString("[", ", ", "]")} AS it),
+         |rr AS (SELECT doc_id, n, (n + ${bd - 1}) // $bd AS nb,
+         |         list_transform(range(0, (n + ${bd - 1}) // $bd), j ->
+         |           list_reduce(
+         |             list_prepend([CAST(0 AS BIGINT), 0, 0, 0],
+         |               list_transform(
+         |                 flatten(list_transform(
+         |                   list_slice(bytes, j*$bd + 1, least((j+1)*$bd, n)),
+         |                   v -> [v % 16, v // 16])),
+         |                 c -> [c])),
+         |             (a, x) -> [$newPred, $newIdx,
+         |                        a[3] + ($newPred) * ($newPred),
+         |                        greatest(a[4], abs($newPred))])) AS rs
+         |       FROM px, tabs)
+         |SELECT doc_id, CAST(nb AS INT) AS n_blocks,
+         |       CAST(nb + 2 * n AS BIGINT) AS n_samples,
+         |       CAST(list_sum(list_transform(rs, r -> r[3])) AS BIGINT) AS energy,
+         |       CAST(list_max(list_transform(rs, r -> r[4])) AS INT) AS max_amp,
+         |       CAST(rs[nb][1] AS INT) AS last_pred,
+         |       CAST(rs[nb][2] AS INT) AS last_idx
+         |FROM rr ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q194_adpcm_decode" -> adpcmOracle,
     "q170_jpeg_decode" -> Jpeg.oracle,
     "q171_png_decode" -> Png.oracle,
     "q174_gif_frames" -> Gif.oracle,

@@ -132,6 +132,64 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeWavBatch(Iterator((4L, good.take(36)))).next() }
   }
 
+  test("ADPCM decode matches a straight-line reference decoder incl. clamps and block resets") {
+    // Reference: decode the nibble stream with the published recurrence in
+    // the plainest possible loop, independent of the engine's chunk walk.
+    def ref(data: Array[Byte]): (Int, Long, Long, Int, Int, Int) = {
+      val nb = (data.length + 251) / 252
+      var (pred, idx) = (0, 0)
+      var (energy, mx, ns) = (0L, 0, 0L)
+      for (j <- 0 until nb) {
+        pred = 0; idx = 0; ns += 1 // header sample
+        val blk = data.slice(j * 252, math.min((j + 1) * 252, data.length))
+        for (b <- blk; code <- Seq(b & 0xf, (b & 0xff) >> 4)) {
+          val step = Multimodal.imaStepTable(idx)
+          var d = step >> 3
+          if ((code & 4) != 0) d += step
+          if ((code & 2) != 0) d += step >> 1
+          if ((code & 1) != 0) d += step >> 2
+          pred = math.max(-32768, math.min(32767, if ((code & 8) != 0) pred - d else pred + d))
+          idx = math.max(0, math.min(88, idx + Multimodal.imaIndexTable(code)))
+          energy += pred.toLong * pred; mx = math.max(mx, math.abs(pred)); ns += 1
+        }
+      }
+      (nb, ns, energy, mx, pred, idx)
+    }
+    // 300 bytes crosses a block boundary; 0xFF codes drive the step table
+    // to its ceiling (clamp coverage); 0x88 codes push the predictor down.
+    val cases = Seq(
+      "the quick brown fox".getBytes(UTF_8),
+      Array.fill(300)(0xff.toByte),
+      Array.fill(600)(0x88.toByte),
+      Array.tabulate(505)(i => (i * 37).toByte))
+    cases.foreach { data =>
+      val s = Multimodal.decodeAdpcmBatch(
+        Iterator((9L, Multimodal.encodeAdpcmWav(data)))).next()
+      val (nb, ns, en, mx, lp, li) = ref(data)
+      assert((s.n_blocks, s.n_samples, s.energy, s.max_amp, s.last_pred, s.last_idx)
+        == ((nb, ns, en, mx, lp, li)), s"ADPCM mismatch for ${data.length} bytes")
+    }
+  }
+
+  test("ADPCM decoder rejects foreign payloads loudly") {
+    val good = Multimodal.encodeAdpcmWav("hello adpcm".getBytes(UTF_8))
+    // a plain PCM16 WAV is NOT an ADPCM stream: fmt tag mismatch
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeAdpcmBatch(
+        Iterator((1L, Multimodal.encodeWav("hello".getBytes(UTF_8))))).next() }
+    val badBits = good.clone()                  // claim 16-bit in fmt
+    java.nio.ByteBuffer.wrap(badBits).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(34, 16)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeAdpcmBatch(Iterator((2L, badBits))).next() }
+    intercept[IllegalArgumentException] {       // truncated block header
+      Multimodal.decodeAdpcmBatch(Iterator((3L, good.take(50)))).next() }
+    val badIdx = good.clone()                   // step index out of range
+    badIdx(48 + 2) = 99.toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeAdpcmBatch(Iterator((4L, badIdx))).next() }
+  }
+
   test("distributed decode equals per-doc local decode") {
     import org.apache.spark.sql.functions._
     val got = Multimodal.pgmDecode(spark, sfDir).collect()
