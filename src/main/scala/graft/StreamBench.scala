@@ -42,10 +42,11 @@ object StreamBench {
     // and overstate rows/sec (r10 advice).
     val inputRows = spark.read.parquet(landing).count()
 
-    def run(name: String)(build: DataFrame => Dataset[_]): (String, Long, Double) = {
+    def run(name: String, mft: Int = 1)
+           (build: DataFrame => Dataset[_]): (String, Long, Double, Long) = {
       val out = java.nio.file.Files.createTempDirectory(s"sb_out_$name").toString
       val ckpt = java.nio.file.Files.createTempDirectory(s"sb_ck_$name").toString
-      val src = graft.streaming.EventStreams.readEventStream(spark, landing)
+      val src = graft.streaming.EventStreams.readEventStream(spark, landing, mft)
       val t0 = System.nanoTime()
       val q = build(src).writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
@@ -53,24 +54,42 @@ object StreamBench {
       q.awaitTermination()
       require(q.exception.isEmpty, s"$name failed: ${q.exception}")
       val wall = (System.nanoTime() - t0) / 1e9
-      (name, inputRows, wall)
+      // batch count from the offset log on disk — exact regardless of the
+      // recentProgress ring buffer's capacity.
+      val nBatches = Option(new java.io.File(s"$ckpt/offsets").listFiles())
+        .map(_.count(f => f.getName.forall(_.isDigit)).toLong).getOrElse(0L)
+      (name, inputRows, wall, nBatches)
     }
 
-    val results = Seq(
-      run("tumbling_watermark") { src =>
-        graft.streaming.EventStreams.tumblingWithWatermark(src, "0 seconds")
-      },
-      run("dedup_watermark") { src =>
-        graft.streaming.EventStreams.dedupEvents(src, "10 minutes")
-      },
-      run("sessionize_stateful") { src =>
-        graft.streaming.EventStreams.sessionizeStateful(
-          src.select($"user_id", $"ts", $"value")
-            .as[graft.streaming.EventStreams.Event])
-      })
+    // Mode "sweep" (3rd arg): the micro-batch SIZE scaling curve — the same
+    // tumbling pipeline at maxFilesPerTrigger 1/2/4/8/16 over a fixed
+    // landing layout. Throughput is batch-count-bound (per-batch planning +
+    // offset log + state commit dominate at small batches), so rows/sec
+    // should scale near-linearly with files-per-trigger until real work
+    // takes over — the curve BASELINE.md records.
+    val sweep = args.length > 2 && args(2) == "sweep"
+    val results =
+      if (sweep)
+        Seq(1, 2, 4, 8, 16).map { mft =>
+          run(s"tumbling_mft_$mft", mft) { src =>
+            graft.streaming.EventStreams.tumblingWithWatermark(src, "0 seconds")
+          }
+        }
+      else Seq(
+        run("tumbling_watermark") { src =>
+          graft.streaming.EventStreams.tumblingWithWatermark(src, "0 seconds")
+        },
+        run("dedup_watermark") { src =>
+          graft.streaming.EventStreams.dedupEvents(src, "10 minutes")
+        },
+        run("sessionize_stateful") { src =>
+          graft.streaming.EventStreams.sessionizeStateful(
+            src.select($"user_id", $"ts", $"value")
+              .as[graft.streaming.EventStreams.Event])
+        })
 
-    val js = results.map { case (n, rows, wall) =>
-      f""""$n":{"rows":$rows,"sec":$wall%.3f,"rows_per_sec":${rows / wall}%.0f}"""
+    val js = results.map { case (n, rows, wall, nb) =>
+      f""""$n":{"rows":$rows,"sec":$wall%.3f,"rows_per_sec":${rows / wall}%.0f,"batches":$nb}"""
     }.mkString("{", ",", s""","shards":$shards,"sf":"$sfDir"}""")
     println(js)
     spark.stop()

@@ -130,6 +130,40 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** q195 — batch twin of the FULL OUTER stream-stream interval join
+    * (`EventStreams.clickToPurchaseFullOuter`): the conversion report where
+    * BOTH unmatched sides surface — unconverted clicks AND orphan purchases
+    * (no same-user click in the preceding hour). Composed scale-safe: the
+    * pair+unmatched-click side rides the hour-BUCKETED left outer (the q112
+    * skew rewrite), and orphan purchases come from an anti join against the
+    * matched purchase ids — a naive full-outer range join would reintroduce
+    * the hot-user quadratic the bucketing removed. The oracle replays the
+    * semantics as a plain SQL FULL JOIN, so a pass proves the composition
+    * IS the full outer join.
+    */
+  def clickConversionFull(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+    val purchases = e.filter(col("event_type") === "purchase")
+    val pairs = EventStreams.clickToPurchaseBucketed(clicks, purchases, outer = true)
+    val matched = pairs.filter(col("p_id").isNotNull).select(col("p_id")).distinct()
+    val orphans = purchases
+      .join(matched, purchases("event_id") === matched("p_id"), "left_anti")
+    val aggC = pairs.groupBy(col("c_user").as("user_id"))
+      .agg(count(when(col("p_id").isNotNull, 1)).as("n_pairs"),
+           count(when(col("p_id").isNull, 1)).as("n_unconverted_clicks"))
+    val aggP = orphans.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_orphan_purchases"),
+           round(sum("value"), 2).as("orphan_value"))
+    aggC.join(aggP, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_unconverted_clicks"), lit(0L)).as("n_unconverted_clicks"),
+        coalesce(col("n_orphan_purchases"), lit(0L)).as("n_orphan_purchases"),
+        coalesce(col("orphan_value"), lit(0.0)).as("orphan_value"))
+      .orderBy("user_id")
+  }
+
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the join
     * semantic a plain equi-join silently breaks — rows whose key is NULL
     * (here: a deterministic "missing bucket" derived from the props key)
@@ -305,6 +339,7 @@ object EventAnalytics {
     "q121_gap_fill"        -> gapFill _,
     "q127_join_null_safe"  -> joinNullSafe _,
     "q112_stream_interval_join_outer" -> clickConversion _,
+    "q195_stream_interval_join_full" -> clickConversionFull _,
     "q94_funnel"           -> funnel _,
     "q91_variant_json"     -> variantProps _,
     "q49_stream_tumbling"  -> tumbling _,
@@ -402,6 +437,20 @@ object EventAnalytics {
         |       CAST(count(DISTINCT CASE WHEN p_id IS NOT NULL THEN c_id END) AS BIGINT) AS n_converted,
         |       CAST(count(CASE WHEN p_id IS NULL THEN 1 END) AS BIGINT) AS n_unconverted
         |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q195_stream_interval_join_full" ->
+      """WITH c AS (SELECT user_id AS cu, event_id AS cid, CAST(ts AS TIMESTAMP) AS cts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS pu, event_id AS pid, CAST(ts AS TIMESTAMP) AS pts, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT cu, cid, pu, pid, value
+        |      FROM c FULL JOIN p ON pu = cu
+        |        AND pts >= cts AND pts < cts + INTERVAL 1 HOUR)
+        |SELECT coalesce(cu, pu) AS user_id,
+        |       CAST(count(CASE WHEN cid IS NOT NULL AND pid IS NOT NULL THEN 1 END) AS BIGINT) AS n_pairs,
+        |       CAST(count(CASE WHEN pid IS NULL THEN 1 END) AS BIGINT) AS n_unconverted_clicks,
+        |       CAST(count(CASE WHEN cid IS NULL THEN 1 END) AS BIGINT) AS n_orphan_purchases,
+        |       round(coalesce(sum(CASE WHEN cid IS NULL THEN value END), 0.0), 2) AS orphan_value
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q109_cdc_compact" ->
       """WITH e AS (SELECT user_id, event_type, event_id,
         |                  CAST(ts AS TIMESTAMP) AS ts, value FROM events)

@@ -41,10 +41,11 @@ object EventStreams {
     * idling until the first file arrives. `maxFilesPerTrigger=1` keeps
     * micro-batches bounded.
     */
-  def readEventStream(spark: SparkSession, path: String): DataFrame =
+  def readEventStream(spark: SparkSession, path: String,
+                      maxFilesPerTrigger: Int = 1): DataFrame =
     spark.readStream
       .schema(eventSchema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
 
   /** Tumbling 1-hour windows per event type. */
@@ -174,6 +175,25 @@ object EventStreams {
     c.join(p, col("c_user") === col("p_user") &&
               col("p_ts") >= col("c_ts") &&
               col("p_ts") < col("c_ts") + expr("INTERVAL 1 HOUR"), "left_outer")
+  }
+
+  /** FULL outer stream-stream interval join — both unmatched sides
+    * surface: clicks that never convert (NULL purchase columns, emitted
+    * once the purchase watermark passes c_ts + 1h) AND purchases with no
+    * preceding same-user click (NULL click columns, emitted once the click
+    * watermark passes p_ts — a purchase can only match clicks in the hour
+    * BEFORE it, so its "provably unmatched" bound is its own timestamp).
+    * Same state-cleanup story as the left-outer variant, applied on both
+    * sides; per-key state stays O(interval).
+    */
+  def clickToPurchaseFullOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+                          col("event_id").as("c_id"))
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+                             col("event_id").as("p_id"), col("value").as("p_value"))
+    c.join(p, col("c_user") === col("p_user") &&
+              col("p_ts") >= col("c_ts") &&
+              col("p_ts") < col("c_ts") + expr("INTERVAL 1 HOUR"), "full_outer")
   }
 
   /** Stream-static enrichment: join the unbounded event stream to a static

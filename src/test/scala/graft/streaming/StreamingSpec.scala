@@ -291,6 +291,43 @@ class StreamingSpec extends SparkSpec {
                       rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
     ms.addData(rows)
 
+  test("full-outer interval join emits NULL rows on BOTH sides once watermarks pass") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, "click", 0.0), // converts
+      (2L, ts("2024-01-01 10:00:00"), 102L, "click", 0.0)) // never converts
+    val purchases = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 200L, "purchase", 9.99),
+      (3L, ts("2024-01-01 10:15:00"), 201L, "purchase", 4.50), // orphan: user 3 never clicked
+      (8L, ts("2024-01-01 20:00:00"), 298L, "purchase", 0.0))  // watermark advancer
+    val clickAdvancer = (9L, ts("2024-01-01 20:00:00"), 299L, "click", 0.0)
+    val cols = Seq("user_id", "ts", "event_id", "event_type", "value")
+
+    val msC = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val msP = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = EventStreams.clickToPurchaseFullOuter(
+        msC.toDF().toDF(cols: _*).withWatermark("ts", "10 minutes"),
+        msP.toDF().toDF(cols: _*).withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("t_ssj_full").outputMode("append").start()
+    try {
+      ms2Feed(msC, clicks :+ clickAdvancer); ms2Feed(msP, purchases)
+      q.processAllAvailable()
+      ms2Feed(msP, Seq((8L, ts("2024-01-01 22:00:00"), 310L, "purchase", 0.0)))
+      ms2Feed(msC, Seq((9L, ts("2024-01-01 22:00:00"), 311L, "click", 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("t_ssj_full")
+        .select("c_id", "p_id").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                   if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(streamed.contains((100L, 200L)), s"matched pair missing: $streamed")
+      assert(streamed.contains((102L, -1L)),
+        s"unconverted click must surface with NULL purchase: $streamed")
+      assert(streamed.contains((-1L, 201L)),
+        s"orphan purchase must surface with NULL click: $streamed")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark: replayed event_ids are emitted exactly once") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
