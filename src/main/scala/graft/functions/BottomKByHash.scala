@@ -21,74 +21,54 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * convention), unlike `reservoir`/`rand()` sampling. Returns the ids
   * sorted by that rank (ascending), so the result is a stable array.
   *
-  * State is O(k) per group through every phase: each partial keeps a
-  * bounded worst-first heap, `merge` folds two heaps, `serialize` writes
-  * k longs — at 100 TB the shuffle carries k ids per (group, partition),
-  * never the group's rows. Each id is hashed EXACTLY ONCE on entry (the
-  * heap stores the (hex, id) pair), so an insert costs one MD5 plus
-  * O(log k) string compares — never O(log k) digests.
+  * State is O(k) per group through every phase AND allocation-free per row
+  * (the r10 GC-band item): the buffer is a max-heap over three PARALLEL
+  * PRIMITIVE long arrays — the md5 rank as two unsigned-compared longs
+  * (the 128-bit digest big-endian; hex-string order IS unsigned numeric
+  * order, hex digits being ASCII-ascending) plus the id. An insert costs
+  * one MD5 over a stack buffer (thread-local digest instance — no
+  * per-row `getInstance`), long compares, and zero boxing; `serialize`
+  * writes k longs, so at 100 TB the shuffle carries k ids per
+  * (group, partition), never the group's rows.
   */
 case class BottomKByHash(
     child: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.PriorityQueue[(String, Long)]]
+  extends TypedImperativeAggregate[BottomKByHash.Buf]
   with ExpectsInputTypes {
 
   require(k > 0, s"bottomKByHash: k must be positive, got $k")
 
-  import BottomKByHash.ord
+  import BottomKByHash.Buf
 
-  override def createAggregationBuffer(): java.util.PriorityQueue[(String, Long)] =
-    new java.util.PriorityQueue[(String, Long)](k + 1, ord)
+  override def createAggregationBuffer(): Buf = new Buf(k)
 
-  override def update(
-      buf: java.util.PriorityQueue[(String, Long)],
-      input: InternalRow): java.util.PriorityQueue[(String, Long)] = {
+  override def update(buf: Buf, input: InternalRow): Buf = {
     val v = child.eval(input)
-    if (v != null) {
-      val id = v.asInstanceOf[Long]
-      add(buf, (BottomKByHash.md5hex(id), id))
-    }
+    if (v != null) buf.insertId(v.asInstanceOf[Long])
     buf
   }
 
-  private def add(buf: java.util.PriorityQueue[(String, Long)], e: (String, Long)): Unit = {
-    if (buf.size < k) buf.add(e)
-    else if (ord.compare(e, buf.peek()) > 0) { // reversed: "greater" = better
-      buf.poll(); buf.add(e)
-    }
-  }
+  override def merge(a: Buf, b: Buf): Buf = { a.absorb(b); a }
 
-  override def merge(
-      a: java.util.PriorityQueue[(String, Long)],
-      b: java.util.PriorityQueue[(String, Long)]): java.util.PriorityQueue[(String, Long)] = {
-    b.forEach(e => add(a, e))
-    a
-  }
+  override def eval(buf: Buf): Any = new GenericArrayData(buf.sortedIds)
 
-  override def eval(buf: java.util.PriorityQueue[(String, Long)]): Any = {
-    val arr = buf.toArray(new Array[(String, Long)](buf.size))
-    java.util.Arrays.sort(arr, ord.reversed()) // best (smallest hash) first
-    new GenericArrayData(arr.map(_._2))
-  }
-
-  override def serialize(buf: java.util.PriorityQueue[(String, Long)]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
-    bb.putInt(buf.size)
-    buf.forEach(e => bb.putLong(e._2))
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.n)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putLong(buf.id(i)); i += 1 }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[(String, Long)] = {
+  override def deserialize(bytes: Array[Byte]): Buf = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val buf = createAggregationBuffer()
-    (0 until n).foreach { _ =>
-      val id = bb.getLong
-      buf.add((BottomKByHash.md5hex(id), id))
-    }
+    var i = 0
+    while (i < n) { buf.insertId(bb.getLong); i += 1 }
     buf
   }
 
@@ -110,24 +90,108 @@ case class BottomKByHash(
 }
 
 object BottomKByHash {
-  // Max-heap on (md5hex, id): the ROOT is the worst retained candidate.
-  // Hoisted — one comparator instance, no per-add allocation; compares are
-  // plain string/long compares over the PRE-computed hex.
-  private val ord: java.util.Comparator[(String, Long)] =
-    new java.util.Comparator[(String, Long)] {
-      override def compare(a: (String, Long), b: (String, Long)): Int = {
-        val c = b._1.compareTo(a._1) // reversed: ascending-rank b-vs-a
-        if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+
+  /** Bounded worst-at-root binary max-heap over parallel primitive arrays.
+    * Rank of an id = (h1, h2, id) compared (unsigned, unsigned, signed) —
+    * exactly the (md5-hex-string, id) order of the original formulation.
+    */
+  final class Buf(val k: Int) {
+    val h1 = new Array[Long](k)
+    val h2 = new Array[Long](k)
+    val id = new Array[Long](k)
+    var n = 0
+
+    // a > b in rank order (a is WORSE — evicted later)?
+    private def gt(a1: Long, a2: Long, ai: Long, i: Int): Boolean = {
+      var c = java.lang.Long.compareUnsigned(a1, h1(i))
+      if (c == 0) c = java.lang.Long.compareUnsigned(a2, h2(i))
+      if (c == 0) c = java.lang.Long.compare(ai, id(i))
+      c > 0
+    }
+
+    private def swap(i: Int, j: Int): Unit = {
+      var t = h1(i); h1(i) = h1(j); h1(j) = t
+      t = h2(i); h2(i) = h2(j); h2(j) = t
+      t = id(i); id(i) = id(j); id(j) = t
+    }
+
+    private def siftDown(start: Int): Unit = {
+      var i = start
+      var go = true
+      while (go) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        if (l < n && gt(h1(l), h2(l), id(l), m)) m = l
+        if (r < n && gt(h1(r), h2(r), id(r), m)) m = r
+        if (m == i) go = false else { swap(i, m); i = m }
       }
     }
 
-  /** Hex md5 of the id's decimal string — the exact value DuckDB's
-    * `md5(CAST(id AS VARCHAR))` produces, so the oracle can mirror the
-    * sample row-for-row. MessageDigest is not thread-safe → per-call.
+    def insert(a1: Long, a2: Long, ai: Long): Unit =
+      if (n < k) {
+        h1(n) = a1; h2(n) = a2; id(n) = ai
+        var i = n; n += 1
+        // sift up (root holds the WORST retained rank)
+        while (i > 0 && gt(h1(i), h2(i), id(i), (i - 1) / 2)) {
+          swap(i, (i - 1) / 2); i = (i - 1) / 2
+        }
+      } else if (!gt(a1, a2, ai, 0)) { // better than the worst: replace root
+        h1(0) = a1; h2(0) = a2; id(0) = ai
+        siftDown(0)
+      }
+
+    def insertId(v: Long): Unit = {
+      val d = md5digest(v)
+      insert(beLong(d, 0), beLong(d, 8), v)
+    }
+
+    def absorb(b: Buf): Unit = {
+      var i = 0
+      while (i < b.n) { insert(b.h1(i), b.h2(i), b.id(i)); i += 1 }
+    }
+
+    /** Ids in ascending rank order (best first) — the output contract. */
+    def sortedIds: Array[Long] = {
+      val idx = Array.range(0, n)
+      // insertion sort on rank asc — n ≤ k, runs once per group at eval
+      var i = 1
+      while (i < n) {
+        val x = idx(i); var j = i - 1
+        while (j >= 0 && gt(h1(idx(j)), h2(idx(j)), id(idx(j)), x)) {
+          idx(j + 1) = idx(j); j -= 1
+        }
+        idx(j + 1) = x; i += 1
+      }
+      idx.map(id)
+    }
+  }
+
+  private val tlMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** md5 of the id's decimal string — the exact bytes DuckDB's
+    * `md5(CAST(id AS VARCHAR))` hashes, so the oracle mirrors the sample
+    * row-for-row. Thread-local digest: no per-row getInstance.
     */
+  private[functions] def md5digest(id: Long): Array[Byte] = {
+    val md = tlMd5.get()
+    md.reset()
+    md.digest(java.lang.Long.toString(id)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+  }
+
+  private def beLong(d: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(off + i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** Hex md5 of the id's decimal string (spec/reference use). */
   private[functions] def md5hex(id: Long): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(java.lang.Long.toString(id).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val d = md5digest(id)
     val sb = new java.lang.StringBuilder(32)
     d.foreach(b => sb.append(f"${b & 0xff}%02x"))
     sb.toString
