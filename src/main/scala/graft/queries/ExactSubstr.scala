@@ -259,37 +259,104 @@ object ExactSubstr {
     (res, List(ck0, g8))
   }
 
+  /** q196 — the APPLICATION of q190's spans: remove every duplicated span
+    * from every document (what Lee et al.'s pipeline actually ships) and
+    * report the retention accounting plus a portable digest of the CLEANED
+    * text, so the oracle proves the rewrite token-for-token, not just the
+    * counts. Map-side: the span list joins back per doc (spans are a tiny
+    * fraction of the corpus; AQE broadcasts here, co-partitioned by doc at
+    * scale) and the removal is an index-filter HOF inside the row — no
+    * extra shuffle beyond q190's own build and the presentation sort.
+    */
+  def exactSubstrClean(spark: SparkSession, dir: String): DataFrame = {
+    val spans = exactSubstrSpans(spark, dir)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_len").as("l"))).as("spans"))
+    TextAnalysis.tokenizedDocs(spark, dir)
+      .select(col("doc_id"), col("toks"))
+      .filter(size(col("toks")) > 0)
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        expr("CAST(array() AS array<struct<s:int,l:int>>)")))
+      .withColumn("kept", expr(
+        "transform(filter(sequence(0, size(toks) - 1), " +
+        "i -> NOT exists(spans, sp -> i >= sp.s AND i < sp.s + sp.l)), " +
+        "i -> toks[i])"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("bigint").as("n_removed"),
+        size(col("kept")).cast("bigint").as("n_kept"),
+        expr("cast(conv(substring(md5(array_join(kept, ' ')), 1, 15), 16, 10) as bigint)")
+          .as("clean_h"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q190_exactsubstr_spans" -> (exactSubstrSpans _)
+    "q190_exactsubstr_spans" -> (exactSubstrSpans _),
+    "q196_exactsubstr_clean" -> (exactSubstrClean _)
   )
+
+  /** Shared replay CTEs: tokenized docs → 8-gram census → gaps-and-islands
+    * maximal spans (`sp`), used by both the q190 and q196 oracles.
+    */
+  private val spanCtes: String =
+    s"""t AS (SELECT doc_id,
+       |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+       |      FROM documents WHERE length(text) > 0),
+       |pos AS (SELECT doc_id, unnest(range(0, len(toks))) AS p, toks FROM t),
+       |g AS (SELECT doc_id, p,
+       |             array_to_string(list_slice(toks, p + 1, p + $L), ' ') AS gram
+       |      FROM pos WHERE p + $L <= len(toks)),
+       |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+       |s AS (SELECT doc_id, p FROM g JOIN dup USING (gram)),
+       |isl AS (SELECT doc_id, p,
+       |               sum(CASE WHEN p - lp > $L THEN 1 ELSE 0 END)
+       |                 OVER (PARTITION BY doc_id ORDER BY p) AS grp
+       |        FROM (SELECT doc_id, p,
+       |                     lag(p, 1, p) OVER (PARTITION BY doc_id ORDER BY p) AS lp
+       |              FROM s)),
+       |sp AS (SELECT doc_id, min(p) AS span_start, max(p) + $L - min(p) AS span_len
+       |       FROM isl GROUP BY doc_id, grp)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q190_exactsubstr_spans" ->
-      s"""WITH t AS (SELECT doc_id,
-         |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
-         |           FROM documents WHERE length(text) > 0),
-         |pos AS (SELECT doc_id, unnest(range(0, len(toks))) AS p, toks FROM t),
+      s"""WITH $spanCtes,
          |sa AS (SELECT doc_id, p,
          |              rank() OVER (ORDER BY
          |                array_to_string(list_slice(toks, p + 1, len(toks)), ' ')) - 1
          |                AS sa_rank
-         |       FROM pos),
-         |g AS (SELECT doc_id, p,
-         |             array_to_string(list_slice(toks, p + 1, p + $L), ' ') AS gram
-         |      FROM pos WHERE p + $L <= len(toks)),
-         |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-         |s AS (SELECT doc_id, p FROM g JOIN dup USING (gram)),
-         |isl AS (SELECT doc_id, p,
-         |               sum(CASE WHEN p - lp > $L THEN 1 ELSE 0 END)
-         |                 OVER (PARTITION BY doc_id ORDER BY p) AS grp
-         |        FROM (SELECT doc_id, p,
-         |                     lag(p, 1, p) OVER (PARTITION BY doc_id ORDER BY p) AS lp
-         |              FROM s)),
-         |sp AS (SELECT doc_id, min(p) AS span_start, max(p) + $L - min(p) AS span_len
-         |       FROM isl GROUP BY doc_id, grp)
+         |       FROM pos)
          |SELECT sp.doc_id, CAST(span_start AS INT) AS span_start,
          |       CAST(span_len AS INT) AS span_len, sa.sa_rank
          |FROM sp JOIN sa ON sa.doc_id = sp.doc_id AND sa.p = sp.span_start
-         |ORDER BY sp.doc_id, span_start""".stripMargin
+         |ORDER BY sp.doc_id, span_start""".stripMargin,
+    "q196_exactsubstr_clean" ->
+      s"""WITH $spanCtes,
+         |spl AS (SELECT doc_id,
+         |               list(struct_pack(s := span_start, l := span_len)) AS spans
+         |        FROM sp GROUP BY doc_id),
+         |kin AS (SELECT t.doc_id, toks, coalesce(spans, []) AS spans
+         |        FROM t LEFT JOIN spl USING (doc_id) WHERE len(toks) > 0),
+         |-- coalesce: DuckDB's array_to_string of an EMPTY list is NULL
+         |-- where Spark's array_join is '' (a fully-duplicated doc).
+         |k AS (SELECT doc_id, len(toks) AS nt,
+         |             coalesce(array_to_string(list_transform(
+         |               list_filter(range(0, len(toks)),
+         |                 i -> NOT len(list_filter(spans,
+         |                        z -> i >= z.s AND i < z.s + z.l)) > 0),
+         |               i -> toks[i + 1]), ' '), '') AS ks
+         |      FROM kin),
+         |kk AS (SELECT doc_id, nt,
+         |              CASE WHEN ks = '' THEN 0
+         |                   ELSE len(string_split(ks, ' ')) END AS nk, ks
+         |       FROM k)
+         |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+         |       CAST(nt - nk AS BIGINT) AS n_removed,
+         |       CAST(nk AS BIGINT) AS n_kept,
+         |       CAST(list_sum(list_transform(range(1, 16), i ->
+         |         CAST(strpos('0123456789abcdef', substr(md5(ks), i, 1)) - 1 AS BIGINT)
+         |         * (CAST(1 AS BIGINT) << (4 * (15 - i))))) AS BIGINT) AS clean_h
+         |FROM kk ORDER BY doc_id""".stripMargin
   )
 }

@@ -112,6 +112,37 @@ class ExactSubstrSpec extends SparkSpec {
     }
   }
 
+  test("q196 clean pass removes exactly the brute-force span union (incl. a fully-duplicated doc)") {
+    val shared = (0 until 15).map(i => s"s$i")
+    val a = (0 until 10).map(i => s"a$i") ++ shared ++ (0 until 10).map(i => s"b$i")
+    val b = (0 until 4).map(i => s"c$i") ++ shared ++ (0 until 12).map(i => s"e$i")
+    val full = (0 until 20).map(i => s"f$i")  // docs 4 and 5 identical → fully removed
+    val docs = Seq(1L -> a.toVector, 2L -> b.toVector, 3L -> (0 until 30).map(i => s"z$i").toVector,
+      4L -> full.toVector, 5L -> full.toVector)
+    val dir = writeDocs(docs.map { case (d, t) => d -> t.mkString(" ") })
+    try {
+      val spans = brute(docs).groupBy(_._1)
+        .view.mapValues(_.map(s => (s._2, s._3)).toSeq).toMap
+      val expected = docs.map { case (d, t) =>
+        val cover = spans.getOrElse(d, Nil)
+          .flatMap { case (s, l) => s until (s + l) }.toSet
+        val kept = t.indices.filterNot(cover).map(t)
+        (d, t.length.toLong, cover.size.toLong, kept.length.toLong, kept.mkString(" "))
+      }.toSet
+      val got = ExactSubstr.exactSubstrClean(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      def h60(s: String): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).take(8).map(x => f"$x%02x").mkString.substring(0, 15)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      assert(got == expected.map { case (d, nt, nr, nk, txt) => (d, nt, nr, nk, h60(txt)) },
+        s"clean mismatch:\n got=$got\n exp=$expected")
+      // the fully-duplicated twins really did vanish
+      assert(got.exists { case (d, _, nr, nk, _) => d == 4L && nk == 0L && nr == 20L })
+    } finally { TextAnalysis.evictCaches(spark); ExactSubstr.evictCaches(spark) }
+  }
+
   test("identical docs: one span covering the whole doc, tied suffixes share group-start ranks") {
     val t = (0 until 20).map(i => s"t$i")
     val dir = writeDocs(Seq(1L -> t.mkString(" "), 2L -> t.mkString(" ")))
