@@ -917,6 +917,41 @@ object Similarity {
     */
   private[queries] def hnswEdges(spark: SparkSession, dir: String): DataFrame =
     hnswCache.synchronized { hnswCache.getOrElseUpdate((spark, dir), {
+      if (sys.env.contains("GRAFT_HNSW_DEBUG")) {
+        val t0 = System.nanoTime()
+        def el(m: String): Unit = println(f"[hb] $m ${(System.nanoTime()-t0)/1e9}%.2f")
+        val b8d = centroidSims(spark, dir)
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") <= 8).select("vec_id", "cent_id", "rn")
+        b8d.count(); el("b8")
+        val nodesd = hnswLevels(spark, dir)
+          .select(col("vec_id"), explode(expr("sequence(0, lvl)")).as("layer"))
+        val nb0d = nodesd.join(b8d, "vec_id").filter(col("rn") <= expr(hnswBucketsSql))
+          .select("vec_id", "layer", "cent_id")
+        nb0d.count(); el("nb0")
+        val bcntd = nb0d.groupBy("layer", "cent_id")
+          .agg(ceil(count(lit(1)) / hnswBucketCap.toDouble).cast("long").as("nsub"))
+        val nbd = nb0d.join(broadcast(bcntd), Seq("layer", "cent_id"))
+          .withColumn("sub", col("vec_id") % col("nsub"))
+          .select("vec_id", "layer", "cent_id", "sub")
+        val candd = nbd.toDF("src", "layer", "cent_id", "sub")
+          .join(nbd.toDF("dst", "layer", "cent_id", "sub"), Seq("layer", "cent_id", "sub"))
+          .filter(col("src") < col("dst")).select("layer", "src", "dst")
+        println("cand=" + candd.count()); el("cand")
+        val vecsd = corpus(spark, dir)
+        val scoredd = candd
+          .join(broadcast(vecsd.toDF("src", "sv", "snrm")), "src")
+          .join(broadcast(vecsd.toDF("dst", "dv", "dnrm")), "dst")
+          .withColumn("cs", VectorOps.dot(col("sv"), col("dv")) / (col("snrm") * col("dnrm")))
+          .select("layer", "src", "dst", "cs")
+        scoredd.count(); el("scored")
+        val od = scoredd.union(scoredd.select(col("layer"), col("dst").as("src"), col("src").as("dst"), col("cs")))
+        val topmd = od.groupBy("layer", "src")
+          .agg(expr(s"slice(array_sort(collect_set(struct(-cs AS ncs, dst))), 1, $hnswM)").as("nbrs"))
+          .select(col("layer"), col("src"), explode(col("nbrs")).as("nb"))
+          .select(col("layer"), col("src"), col("nb.dst").as("dst"))
+        topmd.count(); el("topm")
+      }
       val edges = hnswEdgesCapped(spark, dir, hnswBucketCap)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       edges.count()  // fill once at build time — every consumer (stats
@@ -955,7 +990,7 @@ object Similarity {
         .join(nb.toDF("dst", "layer", "cent_id", "sub"),
           Seq("layer", "cent_id", "sub"))
         .filter(col("src") < col("dst"))
-        .select("layer", "src", "dst")
+        .select("layer", "src", "dst").distinct()
       val vecs = corpus(spark, dir)
       // Explicit broadcast: the vector table is index-sized and the cached
       // (InMemoryRelation-fill) execution of this plan runs WITHOUT AQE's
@@ -969,12 +1004,14 @@ object Similarity {
         .select("layer", "src", "dst", "cs")
       val oriented = scored.union(scored.select(col("layer"),
         col("dst").as("src"), col("src").as("dst"), col("cs")))
-      val topm = oriented
-        .groupBy("layer", "src")
-        .agg(expr(s"slice(array_sort(collect_set(struct(-cs AS ncs, dst))), 1, $hnswM)")
-          .as("nbrs"))
-        .select(col("layer"), col("src"), explode(col("nbrs")).as("nb"))
-        .select(col("layer"), col("src"), col("nb.dst").as("dst"))
+      // Top-M per (layer, src) through the engine's own bounded-heap
+      // TopKPerKeyExec (q95/q173's operator): per-partition UnsafeRow
+      // heaps before the exchange — the shuffle carries ≤ M rows per
+      // (key, partition) and nothing is boxed (a collect_set-of-structs
+      // formulation measured ~2 s of object churn on the same input).
+      val topm = graft.plans.GraftOps.topKPerKey(oriented,
+          Seq("layer", "src"), Seq(col("cs").desc, col("dst").asc), hnswM)
+        .select("layer", "src", "dst")
       topm.union(topm.select(col("layer"), col("dst").as("src"),
           col("src").as("dst"))).distinct()
   }
