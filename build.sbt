@@ -14,7 +14,12 @@ run / fork := true
 // LocalClusterSpec owns a local-cluster SparkContext (forked executor JVMs
 // via the standalone launcher, which needs SPARK_HOME/SPARK_SCALA_VERSION);
 // a JVM holds one SparkContext, so it runs in its own forked test JVM.
-Test / envVars := Map("SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13")
+// Honor an externally-set SPARK_HOME so a machine with Spark elsewhere still
+// runs the local-cluster group; LocalClusterSpec cancels with an explicit
+// message when the launcher prerequisites are absent.
+Test / envVars := Map(
+  "SPARK_HOME" -> sys.env.getOrElse("SPARK_HOME", "/opt/spark"),
+  "SPARK_SCALA_VERSION" -> sys.env.getOrElse("SPARK_SCALA_VERSION", "2.13"))
 Test / testGrouping := {
   val forkOpts = ForkOptions()
     .withRunJVMOptions((Test / javaOptions).value.toVector)
