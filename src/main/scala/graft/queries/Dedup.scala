@@ -1078,8 +1078,70 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q198 — Bloom-gated exact incremental dedup: q148's exact pass
+    * restructured around a broadcast Bloom filter, the shape a 100 TB
+    * standing corpus actually serves. q148 joins every batch digest against
+    * the corpus digest table; here the corpus digests fold into ONE
+    * mergeable `bloom_filter_agg` bitmap (bitwise-OR combine — the standing
+    * artifact an ingest pipeline maintains incrementally, ~1.2 GB for 10⁹
+    * docs at 1% fpp vs a 32 TB digest table), which broadcasts to the
+    * batch scan; `might_contain` discards definite-novel docs MAP-SIDE, and
+    * only the surviving sliver (true dups + fpp·novel false positives)
+    * reaches the exact digest join, which removes the false positives. The
+    * verdict is therefore provably IDENTICAL to the ground-truth join — the
+    * oracle is the plain digest left join, so the hash match is the proof
+    * — while the shuffled batch volume drops from |batch| to
+    * |dups| + fpp·|novel|. The bitmap is deterministic (XxHash64 seeds are
+    * fixed; set bits depend on the item SET, not row order), but no output
+    * cell depends on it anyway. DedupSpec additionally pins that the gate
+    * really fires (plan contains might_contain; planted novel docs are cut
+    * before the join).
+    */
+  def bloomIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val isNew = col("doc_id") % 10 === 9
+    val dig = documents(spark, dir).select(col("doc_id"), md5(col("text")).as("h"))
+    val corpus = dig.filter(!isNew)
+    val batch = dig.filter(isNew)
+    // Spark's mergeable BloomFilterAggregate / BloomFilterMightContain pair
+    // is what AQE's runtime row-filter injects; it is not SQL-registered, so
+    // build the Columns on the catalyst expressions directly (the
+    // BottomKByHash bridge pattern). NDV hint = a cheap standing-metadata
+    // figure at scale (the parquet footer rowcount bounds it).
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.classic.GraftColumnBridge
+    val bfAgg = GraftColumnBridge.column(new BloomFilterAggregate(
+      GraftColumnBridge.expression(xxhash64(col("h"))),
+      Literal(100000L), Literal(131072L)).toAggregateExpression())
+    val bloom = corpus.agg(bfAgg.as("bf"))
+    // might_contain demands a CONSTANT/scalar-subquery bitmap (the bitmap
+    // must exist before the probe side streams) — wrap the aggregate as a
+    // ScalarSubquery, the same shape InjectRuntimeFilter emits; the subquery
+    // executes once and its result broadcasts with the task binaries.
+    val bfSub = GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        org.apache.spark.sql.GraftSqlBridge.analyzed(bloom)))
+    val gated = batch.withColumn("maybe",
+      GraftColumnBridge.column(BloomFilterMightContain(
+        GraftColumnBridge.expression(bfSub),
+        GraftColumnBridge.expression(xxhash64(col("h"))))))
+    val novel = gated.filter(!col("maybe"))
+      .select(col("doc_id"), lit(null).cast("long").as("exact_match"))
+    val corpusMin = corpus.groupBy("h").agg(min("doc_id").as("exact_match"))
+    val checked = gated.filter(col("maybe")).select("doc_id", "h")
+      .join(corpusMin, Seq("h"), "left")
+      .select("doc_id", "exact_match")
+    checked.unionByName(novel)
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "drop_exact")
+          .otherwise("keep").as("verdict"),
+        col("exact_match"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q148_incremental_dedup"     -> incrementalDedup _,
+    "q198_bloom_incremental"     -> bloomIncrementalDedup _,
     "q35_dedup_exact"            -> dedupExact _,
     "q138_crossdup_matrix"       -> crossSourceDups _,
     "q78_dedup_fuzzy"            -> fuzzyEdit _,
@@ -1421,6 +1483,18 @@ object Dedup {
     "q172_sketch_merge" -> sketchMergeOracle,
     "q154_kcore" -> kCoreOracle,
     "q148_incremental_dedup" -> incrementalDedupOracle,
+    // Ground truth for the Bloom-gated path: the plain digest left join —
+    // the bloom prefilter must be output-invisible, so this IS the proof.
+    "q198_bloom_incremental" ->
+      """WITH dig AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |corpus AS (SELECT h, CAST(min(doc_id) AS BIGINT) AS exact_match
+        |           FROM dig WHERE doc_id % 10 <> 9 GROUP BY h)
+        |SELECT b.doc_id,
+        |       CASE WHEN c.exact_match IS NOT NULL
+        |            THEN 'drop_exact' ELSE 'keep' END AS verdict,
+        |       c.exact_match
+        |FROM dig b LEFT JOIN corpus c USING (h)
+        |WHERE b.doc_id % 10 = 9 ORDER BY b.doc_id""".stripMargin,
     "q107_pagerank" -> pagerankOracle,
     "q38_dedup_simhash" -> simhashOracle,
     "q93_dedup_triangles" -> (pairsCte +

@@ -292,6 +292,46 @@ object Similarity {
         expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("qsum"))
       .orderBy("vec_id")
 
+  /** q199 — scalar-quantization (SQ8) search with exact float re-rank: the
+    * FAISS-SQ serving recipe, completing the vector-compression search
+    * family next to PQ ADC (q117) and IVF-PQ (q132). Codes are q80's
+    * symmetric int8 quantization; the WIDE pass scores probe×corpus with
+    * the INTEGER code dot product — exact arithmetic in both engines, so
+    * unlike every float-ADC member the candidate ranking is hash-exact with
+    * no rounding games — and keeps top-32 per probe through the native
+    * bounded-heap TopKPerKeyExec. Only those 32 rows per probe fetch their
+    * float vectors for the exact cosine re-rank. At 100 TB this is the
+    * point: the corpus-sized scan touches 1 byte/dim codes (4-8× less I/O
+    * and memory than the float vectors) plus a broadcast probe table, and
+    * full-precision data is read for |probes|·32 rows only.
+    */
+  def sq8Rerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val codes = e.select(col("vec_id"),
+      expr("transform(v, x -> CAST(floor(x / nrm * 127.0 + 0.5) AS BIGINT))").as("q"))
+    val probes = codes.filter(col("vec_id") < 10).toDF("probe_id", "pq")
+    val scored = codes.join(broadcast(probes), col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        expr("aggregate(zip_with(pq, q, (a, b) -> a * b), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("iscore"))
+    val cand = graft.plans.GraftOps.topKPerKey(scored,
+        Seq("probe_id"), Seq(col("iscore").desc, col("vec_id").asc), 32)
+      .select("probe_id", "vec_id", "iscore")
+    val pv = e.filter(col("vec_id") < 10).toDF("probe_id", "pv", "pnrm")
+    // candidate set is |probes|·32 rows — broadcast it onto the corpus so
+    // the full-precision fetch is a map-side semi-lookup, never a shuffle.
+    val rer = e.join(broadcast(cand), "vec_id")
+      .join(broadcast(pv), "probe_id")
+      .withColumn("cs",
+        VectorOps.dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")))
+      .select("probe_id", "vec_id", "iscore", "cs")
+    graft.plans.GraftOps.topKPerKey(rer,
+        Seq("probe_id"), Seq(col("cs").desc, col("vec_id").asc), 5)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), col("iscore"),
+        round(col("cs"), 4).as("cs"))
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Same result as q40/q74, through the native `TopKPerKeyExec`
     * (graft.plans): per-partition bounded heaps before the exchange, so the
     * shuffle carries ≤ k rows per (key, input partition) instead of every
@@ -917,41 +957,6 @@ object Similarity {
     */
   private[queries] def hnswEdges(spark: SparkSession, dir: String): DataFrame =
     hnswCache.synchronized { hnswCache.getOrElseUpdate((spark, dir), {
-      if (sys.env.contains("GRAFT_HNSW_DEBUG")) {
-        val t0 = System.nanoTime()
-        def el(m: String): Unit = println(f"[hb] $m ${(System.nanoTime()-t0)/1e9}%.2f")
-        val b8d = centroidSims(spark, dir)
-          .withColumn("rn", row_number().over(wAssign))
-          .filter(col("rn") <= 8).select("vec_id", "cent_id", "rn")
-        b8d.count(); el("b8")
-        val nodesd = hnswLevels(spark, dir)
-          .select(col("vec_id"), explode(expr("sequence(0, lvl)")).as("layer"))
-        val nb0d = nodesd.join(b8d, "vec_id").filter(col("rn") <= expr(hnswBucketsSql))
-          .select("vec_id", "layer", "cent_id")
-        nb0d.count(); el("nb0")
-        val bcntd = nb0d.groupBy("layer", "cent_id")
-          .agg(ceil(count(lit(1)) / hnswBucketCap.toDouble).cast("long").as("nsub"))
-        val nbd = nb0d.join(broadcast(bcntd), Seq("layer", "cent_id"))
-          .withColumn("sub", col("vec_id") % col("nsub"))
-          .select("vec_id", "layer", "cent_id", "sub")
-        val candd = nbd.toDF("src", "layer", "cent_id", "sub")
-          .join(nbd.toDF("dst", "layer", "cent_id", "sub"), Seq("layer", "cent_id", "sub"))
-          .filter(col("src") < col("dst")).select("layer", "src", "dst")
-        println("cand=" + candd.count()); el("cand")
-        val vecsd = corpus(spark, dir)
-        val scoredd = candd
-          .join(broadcast(vecsd.toDF("src", "sv", "snrm")), "src")
-          .join(broadcast(vecsd.toDF("dst", "dv", "dnrm")), "dst")
-          .withColumn("cs", VectorOps.dot(col("sv"), col("dv")) / (col("snrm") * col("dnrm")))
-          .select("layer", "src", "dst", "cs")
-        scoredd.count(); el("scored")
-        val od = scoredd.union(scoredd.select(col("layer"), col("dst").as("src"), col("src").as("dst"), col("cs")))
-        val topmd = od.groupBy("layer", "src")
-          .agg(expr(s"slice(array_sort(collect_set(struct(-cs AS ncs, dst))), 1, $hnswM)").as("nbrs"))
-          .select(col("layer"), col("src"), explode(col("nbrs")).as("nb"))
-          .select(col("layer"), col("src"), col("nb.dst").as("dst"))
-        topmd.count(); el("topm")
-      }
       val edges = hnswEdgesCapped(spark, dir, hnswBucketCap)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       edges.count()  // fill once at build time — every consumer (stats
@@ -1135,6 +1140,7 @@ object Similarity {
     "q40_similarity_topk"     -> cosineTopK _,
     "q95_similarity_topk_native" -> cosineTopKNative _,
     "q80_embed_quantize"      -> quantize _,
+    "q199_sq8_rerank"         -> sq8Rerank _,
     "q41_similarity_ann_lsh"  -> annLsh _,
     "q42_label_centroid"      -> labelCentroid _,
     "q59_similarity_ann_ivf"  -> annIvf _,
@@ -1709,6 +1715,30 @@ object Similarity {
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
     "q120_pq_recall" -> pqRecallOracle,
     "q117_pq_adc" -> pqAdcOracle,
+    "q199_sq8_rerank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |qv AS (SELECT vec_id,
+        |              list_transform(v, x -> CAST(floor(x / nrm * 127.0 + 0.5) AS BIGINT)) AS q
+        |       FROM n),
+        |p AS (SELECT vec_id AS probe_id, q AS pq FROM qv WHERE vec_id < 10),
+        |scored AS (SELECT probe_id, qv.vec_id,
+        |             CAST(list_sum(list_transform(range(1, 65), i -> pq[i] * q[i]))
+        |               AS BIGINT) AS iscore
+        |           FROM p JOIN qv ON qv.vec_id <> probe_id),
+        |cand AS (SELECT probe_id, vec_id, iscore
+        |         FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |                 ORDER BY iscore DESC, vec_id) AS rn FROM scored)
+        |         WHERE rn <= 32),
+        |r AS (SELECT c.probe_id, c.vec_id, c.iscore,
+        |        list_dot_product(pn.v, cn.v) / (pn.nrm * cn.nrm) AS cs
+        |      FROM cand c JOIN n cn ON cn.vec_id = c.vec_id
+        |      JOIN n pn ON pn.vec_id = c.probe_id)
+        |SELECT probe_id, rnk, vec_id, iscore, round(cs, 4) AS cs
+        |FROM (SELECT probe_id, vec_id, iscore, cs,
+        |        row_number() OVER (PARTITION BY probe_id
+        |          ORDER BY cs DESC, vec_id) AS rnk FROM r)
+        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
     // Same shared CTE text as q117/q120 (argmin over the full corpus is
     // per-(vec, block) independent, so filtering to vec_id < 200 after
     // assignment is value-identical to assigning the filtered set).

@@ -130,6 +130,58 @@ object Sinks {
       .orderBy("event_type")
   }
 
+  /** XML sink roundtrip over events (Spark 4's built-in `xml` source —
+    * rowTag-delimited elements): completes the format matrix next to
+    * parquet/ORC/CSV/JSON/Avro/custom-V2. props is a JSON string with
+    * embedded quotes, so the md5-of-min check proves XML element-content
+    * escaping round-trips exactly; timestamps pin an explicit microsecond
+    * format on BOTH sides (like q113's JSON — XML's default also truncates
+    * to milliseconds), and the read back is schema-pinned (inference over
+    * XML is a second full pass at 100 TB, and lossy on int-vs-double).
+    */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpOut(dir, "xml")
+    val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    val src = events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+              col("ts"), col("props"))
+    src.write.mode("overwrite").format("xml")
+      .option("rowTag", "event").option("timestampFormat", fmt).save(out)
+    spark.read.format("xml")
+      .option("rowTag", "event").option("timestampFormat", fmt)
+      .schema(src.schema).load(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("user_id").as("sum_user"),
+           min("ts").as("min_ts"),
+           md5(min(col("props"))).as("min_props_md5"))
+      .orderBy("event_type")
+  }
+
+  /** q200 — small-files compaction (the `OPTIMIZE` table-maintenance op
+    * every long-lived landing zone needs): a directory deliberately staged
+    * as 64 tiny parquet files is rewritten through an AQE REBALANCE hint,
+    * which sizes post-shuffle partitions to `advisoryPartitionSizeInBytes`
+    * — so the compacted layout is a handful of target-sized files instead
+    * of 64 footers/tasks per downstream scan. At 100 TB this is the
+    * difference between a scan planning millions of splits (and a NameNode/
+    * manifest melting) and one planning data-sized ones. The read-back
+    * aggregate's oracle runs on the SOURCE table, proving compaction lost
+    * nothing; SinksSpec pins the actual file-count collapse.
+    */
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    val staged = tmpOut(dir, "smallfiles")
+    val out = tmpOut(dir, "compacted")
+    documents(spark, dir).repartition(64)
+      .write.mode("overwrite").parquet(staged)
+    spark.read.parquet(staged)
+      .hint("rebalance")
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** Incremental aggregate refresh — the materialized-view maintenance
     * pattern: the historical partition's aggregate is computed once and
     * STORED (here: orders before 1999 → parquet); a refresh touches only
@@ -236,6 +288,8 @@ object Sinks {
     "q114_incremental_agg" -> incrementalAgg _,
     "q113_json_roundtrip"  -> jsonRoundtrip _,
     "q191_avro_roundtrip"  -> avroRoundtrip _,
+    "q197_xml_roundtrip"   -> xmlRoundtrip _,
+    "q200_compaction"      -> compaction _,
     "q96_sink_partitioned" -> sinkPartitioned _,
     "q97_bucketed_join"    -> bucketedJoin _,
     "q98_orc_roundtrip"    -> orcRoundtrip _,
@@ -279,6 +333,12 @@ object Sinks {
         |       min(value) AS min_value,
         |       md5(min(props)) AS min_props_md5
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q197_xml_roundtrip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |       min(CAST(ts AS TIMESTAMP)) AS min_ts,
+        |       md5(min(props)) AS min_props_md5
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q96_sink_partitioned" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust
@@ -292,6 +352,10 @@ object Sinks {
         |FROM customer JOIN co ON c_custkey = o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q98_orc_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q200_compaction" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

@@ -26,6 +26,45 @@ class DedupSpec extends SparkSpec {
       s"simhash pairs that are not J≥0.6 near-dups: ${sim.diff(trueDups)}")
   }
 
+  test("bloom-gated incremental dedup: output-identical to the plain join, gate in the plan") {
+    val gated = Dedup.bloomIncrementalDedup(spark, sfDir)
+    // Ground truth recomputed directly (the oracle proves it vs DuckDB;
+    // here we pin Spark-vs-Spark so the spec runs standalone).
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+      .groupBy("h").agg(min("doc_id").as("exact_match"))
+    val truth = docs.filter(col("doc_id") % 10 === 9)
+      .join(corpus, Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "drop_exact")
+          .otherwise("keep").as("verdict"),
+        col("exact_match"))
+      .orderBy("doc_id")
+    assert(gated.collect().toSeq == truth.collect().toSeq)
+    // the map-side gate is really in the plan (not optimized away)
+    val plan = org.apache.spark.sql.GraftSqlBridge.executedPlan(gated).toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+  }
+
+  test("bloom-gated incremental dedup catches planted batch duplicates") {
+    // The shipped corpora plant no EXACT twin inside the doc_id%10==9 batch
+    // slice, so drive the drop_exact path on a planted corpus: batch doc 19
+    // duplicates corpus doc 4 byte-for-byte, 9/29/39 are novel.
+    import spark.implicits._
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_bloomspec").getPath
+    (0L to 39L).map(i => (i, if (i == 19) "copy of four" * 3
+                             else s"unique text $i" * 3))
+      .toDF("doc_id", "text")
+      .withColumn("text", when(col("doc_id") === 4, lit("copy of four" * 3))
+        .otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.bloomIncrementalDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(9L -> "keep", 19L -> "drop_exact",
+                      29L -> "keep", 39L -> "keep"), out.toString)
+  }
+
   test("exact dedup partitions all docs: sum(n_copies) = row count") {
     val total = Dedup.dedupExact(spark, sfDir)
       .agg(sum("n_copies")).collect()(0).getLong(0)

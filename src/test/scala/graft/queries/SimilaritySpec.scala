@@ -176,6 +176,31 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.2, s"mean ADC recall $mean — codes or tables likely broken")
   }
 
+  test("q199 SQ8 rerank: exact cosines on its candidates, high recall vs brute force") {
+    val out = Similarity.sq8Rerank(spark, sfDir).collect()
+    assert(out.length == 50) // 10 probes × top-5
+    // per probe: ranks 1..5, cosine non-increasing
+    out.groupBy(_.getLong(0)).foreach { case (p, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 5), s"probe $p ranks")
+      val cs = sorted.map(_.getDouble(4))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"probe $p order")
+    }
+    // the re-rank is EXACT on whatever the int8 gate admits, so every
+    // returned cosine must equal the brute-force value for that pair —
+    // recall measures only the gate. At 64 dims/32 candidates the int8
+    // quantization error is far below inter-neighbor gaps on this corpus;
+    // a broken code dot or candidate join collapses this to ~0.
+    val brute = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val hits = out.count(r => brute.contains((r.getLong(0), r.getLong(2))))
+    assert(hits >= 45, s"recall@5 over 10 probes: $hits/50")
+    out.filter(r => brute.contains((r.getLong(0), r.getLong(2)))).foreach { r =>
+      assert(r.getDouble(4) == brute((r.getLong(0), r.getLong(2))),
+        s"rerank cosine drifted from brute force for ${(r.getLong(0), r.getLong(2))}")
+    }
+  }
+
   test("k-means: distributed result equals a from-scratch single-threaded Lloyd run") {
     // Independent recomputation on the driver — same spec (1e-6 quantized
     // grid, md5-min seeds, convergence-capped assignment passes, floor-mean

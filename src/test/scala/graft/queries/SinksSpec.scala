@@ -31,6 +31,37 @@ class SinksSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("xml roundtrip preserves counts and escaped string content exactly") {
+    import org.apache.spark.sql.functions._
+    val back = Sinks.xmlRoundtrip(spark, sfDir).collect()
+    val direct = graft.tables.Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("user_id").as("sum_user"),
+           min("ts").as("min_ts"), md5(min(col("props"))).as("min_props_md5"))
+      .orderBy("event_type").collect()
+    // value-identical incl. the md5 over JSON-with-quotes props: XML
+    // element-content escaping round-tripped every byte.
+    assert(back.toSeq == direct.toSeq)
+  }
+
+  test("compaction collapses 64 staged files into a handful and loses nothing") {
+    import org.apache.spark.sql.functions._
+    val out = Sinks.compaction(spark, sfDir)
+    val direct = graft.tables.Tables.documents(spark, sfDir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+    assert(out.collect().toSeq == direct.collect().toSeq)
+    def parts(d: String) = new java.io.File(d)
+      .listFiles().count(f => f.getName.startsWith("part-"))
+    val sfx = java.lang.Integer.toHexString(sfDir.hashCode)
+    val tmp = sys.props("java.io.tmpdir")
+    val staged = parts(s"$tmp/graft_smallfiles_$sfx")
+    val compacted = parts(s"$tmp/graft_compacted_$sfx")
+    assert(staged == 64, s"staging should fan out to 64 files, got $staged")
+    assert(compacted <= 4, s"rebalance left $compacted files (want <= 4)")
+  }
+
   test("orc and csv roundtrips preserve row counts") {
     import org.apache.spark.sql.functions._
     val orcAgg = Sinks.orcRoundtrip(spark, sfDir)
