@@ -890,6 +890,55 @@ object Relational {
          |                      AND o.o_orderdate >= TIMESTAMP '1999-01-01'))
          |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)
 
+  /** q201 — parameterized SQL (named-parameter binding, Spark 4): the
+    * injection-safe front-end every serving layer should use instead of
+    * string interpolation. TPC-H Q6's shape with all four constants bound
+    * as `:name` parameters; binding happens at parse time, so the folded
+    * literals still reach the parquet scan as pushed filters (same plan as
+    * the literal q119). The oracle is the same SQL with literals inlined —
+    * a hash match proves binding is value-transparent.
+    */
+  def sqlParameterized(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+         |FROM parquet.`$dir/lineitem.parquet`
+         |WHERE l_shipdate >= CAST(:lo AS TIMESTAMP)
+         |  AND l_shipdate < CAST(:hi AS TIMESTAMP)
+         |  AND l_discount BETWEEN :dmin AND :dmax
+         |  AND l_quantity < :qty""".stripMargin,
+      Map("lo" -> "1996-01-01", "hi" -> "1997-01-01",
+          "dmin" -> 0.05, "dmax" -> 0.07, "qty" -> 24))
+
+  /** q202 — SQL scripting (Spark 4 `BEGIN…END`, DECLARE/WHILE/SET): a
+    * genuinely ITERATIVE computation through the SQL front-end alone — two
+    * rounds of mean-based outlier trimming (drop docs over 3× the mean
+    * length, recompute the mean over survivors), the driver-scalar
+    * convergence convention (q62/q146) spelled in pure SQL. Integer
+    * arithmetic end-to-end (`DIV`), so the loop state is engine-portable;
+    * the oracle unrolls both rounds as nested CTEs — exact because the
+    * round count is fixed. Each round is one aggregation pass; the loop
+    * variable lives on the driver, so at 100 TB this is k scans, never a
+    * driver-side data structure.
+    */
+  def sqlScripting(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    spark.sql(
+      s"""BEGIN
+         |  DECLARE i INT DEFAULT 0;
+         |  DECLARE cut BIGINT DEFAULT 9223372036854775807;
+         |  WHILE i < 2 DO
+         |    SET cut = (SELECT 3 * (sum(n_chars) DIV count(*))
+         |               FROM parquet.`$dir/documents.parquet`
+         |               WHERE n_chars <= cut);
+         |    SET i = i + 1;
+         |  END WHILE;
+         |  SELECT count(*) AS n_kept,
+         |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |         cut AS final_cut
+         |  FROM parquet.`$dir/documents.parquet` WHERE n_chars <= cut;
+         |END""".stripMargin)
+  }
+
   /** Frequency sketch (count-min) heavy hitters, verified like x01/q69:
     * exact per-key counts are the oracle; the sketch estimates must satisfy
     * CMS's one-sided guarantee (est ≥ exact, est ≤ exact + ε·N w.h.p.) or
@@ -963,6 +1012,8 @@ object Relational {
     "q104_sql_tpch_q5"    -> sqlTpchQ5 _,
     "q118_sql_tpch_q1"    -> sqlTpchQ1 _,
     "q119_sql_tpch_q6"    -> sqlTpchQ6 _,
+    "q201_sql_parameterized" -> sqlParameterized _,
+    "q202_sql_scripting"  -> sqlScripting _,
     "q151_sql_tpch_q7"    -> sqlTpchQ7 _,
     "q152_sql_tpch_q14"   -> sqlTpchQ14 _,
     "q162_sql_tpch_q18"   -> sqlTpchQ18 _,
@@ -1211,6 +1262,26 @@ object Relational {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    // Binding must be value-transparent: the oracle is q119's literal text.
+    "q201_sql_parameterized" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // The scripting loop unrolled: round 1 = mean over everything, round 2
+    // = mean over round-1 survivors; fixed round count makes this exact.
+    "q202_sql_scripting" ->
+      """WITH c1 AS (SELECT 3 * CAST(sum(n_chars) // count(*) AS BIGINT) AS cut
+        |            FROM documents),
+        |c2 AS (SELECT 3 * CAST(sum(n_chars) // count(*) AS BIGINT) AS cut
+        |       FROM documents, c1 WHERE n_chars <= c1.cut)
+        |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       c2.cut AS final_cut
+        |FROM documents, c2 WHERE n_chars <= c2.cut
+        |GROUP BY c2.cut""".stripMargin,
     "q151_sql_tpch_q7" ->
       """SELECT supp_nation, cust_nation, l_year,
         |       round(sum(volume), 2) AS revenue

@@ -26,6 +26,17 @@ class PushdownSpec extends SparkSpec {
     assert(read.split(",").length == 2, s"expected a 2-column scan, got: $read")
   }
 
+  test("named-parameter binding folds to literals that still push down (q201)") {
+    val plan = planOf(graft.queries.Relational.sqlParameterized(spark, sfDir))
+    // the bound :qty/:dmin/:dmax must reach the scan as ordinary pushed
+    // filters — binding that defeats pushdown would be a silent 100 TB tax.
+    // (PushedFilters' toString truncates, so assert the scan-adjacent
+    // DataFilters carry the folded literals + the pushdown list is present.)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan)
+    assert("""l_quantity#\d+ < 24\.0""".r.findFirstIn(plan).nonEmpty, plan)
+    assert("""l_discount#\d+ >= 0\.05""".r.findFirstIn(plan).nonEmpty, plan)
+  }
+
   test("star join broadcasts the bounded dimensions, not the fact table") {
     val q = Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
