@@ -182,6 +182,63 @@ object Sinks {
       .orderBy("lang")
   }
 
+  /** q203 — PERMISSIVE corrupt-record ingest: the malformed-input reality of
+    * any 100 TB crawl feed. Documents are staged as JSON lines with a
+    * DETERMINISTIC corruption rule (doc_id % 7 = 3 loses its closing brace),
+    * read back in PERMISSIVE mode with `columnNameOfCorruptRecord` — bad
+    * lines land in the rescue column instead of killing the job (FAILFAST)
+    * or silently vanishing (DROPMALFORMED). The aggregate counts both
+    * populations plus a checksum over the GOOD rows; the oracle replays the
+    * corruption rule arithmetically on the source table, so the hash match
+    * proves the parser recovered every valid record and quarantined every
+    * corrupt one — nothing dropped, nothing double-counted.
+    */
+  def corruptRecordIngest(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpOut(dir, "corrupt")
+    documents(spark, dir)
+      .select(concat(
+        lit("{\"doc_id\":"), col("doc_id"),
+        lit(",\"lang\":\""), col("lang"),
+        lit("\",\"n_chars\":"), col("n_chars"),
+        when(col("doc_id") % 7 === 3, lit("")).otherwise(lit("}"))
+      ).as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt_record STRING")
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out)
+      .agg(
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("sum_chars_good"))
+  }
+
+  /** q204 — compressed text ingest (gzip): crawl dumps arrive compressed;
+    * the codec must be transparent to the reader (Spark splits by FILE for
+    * non-splittable codecs — the repartition(8) pins 8 shards so the read
+    * still parallelizes 8-wide, the production workaround for gzip's
+    * non-splittability). Write-side `compression=gzip`, read-side inferred
+    * from the `.gz` extension; the per-lang aggregate's oracle runs on the
+    * source table, so the hash match proves the codec round-trip lost
+    * nothing. SinksSpec pins that the staged shards really are .gz files.
+    */
+  def gzipTextRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpOut(dir, "gztext")
+    documents(spark, dir)
+      .repartition(8)
+      .select(concat_ws("\t", col("doc_id"), col("lang"), col("text")).as("value"))
+      .write.mode("overwrite").option("compression", "gzip").text(out)
+    spark.read.text(out)
+      .select(split(col("value"), "\t", 3).as("f"))
+      .select(col("f").getItem(1).as("lang"),
+              length(col("f").getItem(2)).as("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** Incremental aggregate refresh — the materialized-view maintenance
     * pattern: the historical partition's aggregate is computed once and
     * STORED (here: orders before 1999 → parquet); a refresh touches only
@@ -290,6 +347,8 @@ object Sinks {
     "q191_avro_roundtrip"  -> avroRoundtrip _,
     "q197_xml_roundtrip"   -> xmlRoundtrip _,
     "q200_compaction"      -> compaction _,
+    "q203_corrupt_records" -> corruptRecordIngest _,
+    "q204_gzip_text"       -> gzipTextRoundtrip _,
     "q96_sink_partitioned" -> sinkPartitioned _,
     "q97_bucketed_join"    -> bucketedJoin _,
     "q98_orc_roundtrip"    -> orcRoundtrip _,
@@ -358,6 +417,17 @@ object Sinks {
     "q200_compaction" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // Replays the deterministic corruption rule arithmetically: the parser
+    // must recover exactly the non-corrupted rows.
+    "q203_corrupt_records" ->
+      """SELECT CAST(sum(CASE WHEN doc_id % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+        |       CAST(sum(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        |       CAST(sum(CASE WHEN doc_id % 7 <> 3 THEN n_chars END) AS BIGINT) AS sum_chars_good
+        |FROM documents""".stripMargin,
+    "q204_gzip_text" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(text)) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q99_csv_roundtrip" ->
       """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,

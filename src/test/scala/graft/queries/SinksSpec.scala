@@ -62,6 +62,23 @@ class SinksSpec extends SparkSpec {
     assert(compacted <= 4, s"rebalance left $compacted files (want <= 4)")
   }
 
+  test("gzip text staging really writes .gz shards and the read parallelizes") {
+    Sinks.gzipTextRoundtrip(spark, sfDir).collect()
+    val sfx = java.lang.Integer.toHexString(sfDir.hashCode)
+    val files = new java.io.File(sys.props("java.io.tmpdir"), s"graft_gztext_$sfx")
+      .listFiles().filter(_.getName.startsWith("part-"))
+    assert(files.length == 8, s"expected 8 shards, got ${files.length}")
+    assert(files.forall(_.getName.endsWith(".gz")),
+      files.map(_.getName).mkString(","))
+  }
+
+  test("corrupt-record ingest quarantines exactly the malformed lines") {
+    val r = Sinks.corruptRecordIngest(spark, sfDir).collect()(0)
+    val docs = graft.tables.Tables.documents(spark, sfDir).count()
+    assert(r.getLong(0) + r.getLong(1) == docs, "good + corrupt must partition the corpus")
+    assert(r.getLong(1) > 0, "the corruption rule plants corrupt lines at every SF")
+  }
+
   test("orc and csv roundtrips preserve row counts") {
     import org.apache.spark.sql.functions._
     val orcAgg = Sinks.orcRoundtrip(spark, sfDir)
