@@ -490,6 +490,41 @@ class StreamingSpec extends SparkSpec {
       s"restart broke exactly-once/state merge: $closed")
   }
 
+  test("state-store reader: checkpointed window state is queryable; watermark-evicted windows are gone") {
+    // Spark 4's `statestore` batch source — the ops/debug surface that turns
+    // a running query's checkpoint into a DataFrame (state-size audits,
+    // skewed-key hunts, eviction verification) without touching the query.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[EventStreams.Event]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssread").toString
+    val q = ms.toDS().toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("t_ssread").outputMode("update")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      ms.addData(EventStreams.Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+                 EventStreams.Event(1L, ts("2024-01-01 10:30:00"), 2.0),
+                 EventStreams.Event(2L, ts("2024-01-01 11:15:00"), 3.0))
+      q.processAllAvailable()
+      // advance event time far past the early windows…
+      ms.addData(EventStreams.Event(2L, ts("2024-01-01 20:00:00"), 4.0))
+      q.processAllAvailable()
+      // …and one more batch so the (one-batch-lagged) watermark = 19:00
+      // actually evicts them from the store.
+      ms.addData(EventStreams.Event(2L, ts("2024-01-01 20:30:00"), 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val st = spark.read.format("statestore").load(ckpt)
+      .select(col("key.window.start").cast("string").as("ws"),
+              col("key.user_id"), col("value.count").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(st == Set(("2024-01-01 20:00:00", 2L, 2L)),
+      s"state after eviction: $st")
+  }
+
   test("flatMapGroupsWithState sessionization: stream across micro-batches equals batch session_window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
