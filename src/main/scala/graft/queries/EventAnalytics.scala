@@ -253,6 +253,34 @@ object EventAnalytics {
     * At 100 TB the shuffle carries only (user, ts, id, state) — the
     * dimension build never touches payload columns.
     */
+  /** q205 — point-in-time (PIT) enrichment against the SCD2 dimension: each
+    * event joined to the q147 state version that was valid AT its
+    * timestamp (`valid_from <= ts < valid_to`, open current version) — the
+    * as-of-correct dimension lookup every warehouse backfill needs (joining
+    * today's dim onto yesterday's facts silently time-travels attributes).
+    * Spelled as an EQUI-join on user_id with the interval as a residual
+    * predicate: the per-user SCD2 dim is events-change-sized, so at 100 TB
+    * it is NOT broadcastable — the keyed join shuffles both sides on
+    * user_id once and the residual evaluates within the key group, unlike
+    * q139's broadcast interval index (bounded build side by contract).
+    * Versions partition each user's timeline (v1 starts at the user's
+    * first event), so every event lands in exactly ONE version — the
+    * conservation the oracle's identical join replays. Integer aggregates
+    * (count + event_id sum), no float order games.
+    */
+  def pitScd2Join(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scdType2(spark, dir)
+      .select(col("user_id"), col("version"), col("state"),
+              col("valid_from"), col("valid_to"))
+    val facts = events(spark, dir).select("user_id", "ts", "event_id")
+    facts.join(dim, Seq("user_id"))
+      .filter(col("valid_from") <= col("ts") &&
+              (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .groupBy("user_id", "version", "state")
+      .agg(count(lit(1)).as("n_events"), sum("event_id").as("sum_eid"))
+      .orderBy("user_id", "version")
+  }
+
   def scdType2(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -335,6 +363,7 @@ object EventAnalytics {
     "q188_cohort_retention" -> cohortRetention _,
     "q181_event_pattern"   -> eventPattern _,
     "q147_scd2"            -> scdType2 _,
+    "q205_pit_scd2_join"   -> pitScd2Join _,
     "q109_cdc_compact"     -> cdcCompact _,
     "q121_gap_fill"        -> gapFill _,
     "q127_join_null_safe"  -> joinNullSafe _,
@@ -397,6 +426,29 @@ object EventAnalytics {
         |FROM f
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    "q205_pit_scd2_join" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  event_type AS state FROM events),
+        |ch AS (SELECT *, lag(state) OVER
+        |         (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        |f AS (SELECT user_id, ts, event_id, state FROM ch
+        |      WHERE prev IS NULL OR prev <> state),
+        |dim AS (SELECT user_id,
+        |               row_number() OVER w AS version,
+        |               state, ts AS valid_from,
+        |               lead(ts) OVER w AS valid_to
+        |        FROM f
+        |        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT d.user_id, d.version, d.state,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(ev.event_id) AS BIGINT) AS sum_eid
+        |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |      FROM events) ev
+        |JOIN dim d ON ev.user_id = d.user_id
+        |          AND d.valid_from <= ev.ts
+        |          AND (d.valid_to IS NULL OR ev.ts < d.valid_to)
+        |GROUP BY d.user_id, d.version, d.state
+        |ORDER BY d.user_id, d.version""".stripMargin,
     "q127_join_null_safe" ->
       """WITH f AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |           FROM events),

@@ -10,6 +10,18 @@ import org.apache.spark.sql.functions._
   */
 class EventAnalyticsSpec extends SparkSpec {
 
+  test("q205 PIT join: versions partition each user's timeline (every event lands exactly once)") {
+    val out = EventAnalytics.pitScd2Join(spark, sfDir)
+    val assigned = out.agg(sum("n_events")).collect()(0).getLong(0)
+    val total = graft.tables.Tables.events(spark, sfDir).count()
+    assert(assigned == total,
+      s"PIT join assigned $assigned of $total events - validity intervals overlap or leak")
+    // version 1 exists for every user that appears at all
+    val users = out.select("user_id").distinct().count()
+    val v1 = out.filter(col("version") === 1).count()
+    assert(users == v1, s"$users users but $v1 version-1 rows")
+  }
+
   test("q181 state machine: greedy non-overlapping funnels, error runs, sort-order independence") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
