@@ -362,6 +362,96 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ---- q206: G.711 µ-law — the COMPANDED member of the audio family
+  // (PCM16 q168, block-stateful ADPCM q194, stateless-companded µ-law
+  // here). Each payload byte IS one µ-law code; decode is the CCITT
+  // G.711 / Sun ulaw2linear formula: with u = ~b & 0xff,
+  //   t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 7)
+  //   pcm = if (u & 0x80) 0x84 - t else t - 0x84   (range ±32124)
+  // Integer-exact and PER-BYTE STATELESS — unlike q194's per-block
+  // predictor, ANY byte split decodes independently: the most splittable
+  // codec in the family (telephony pipelines shard µ-law streams at
+  // arbitrary offsets for exactly this reason). The oracle replays the
+  // formula per byte with DuckDB bitwise ops — no recurrence needed.
+
+  final case class UlawStats(doc_id: Long, n_samples: Long, energy: Long,
+                             max_amp: Int, sum_pcm: Long)
+
+  /** data → RIFF/WAVE, wFormatTag 0x07 (µ-law), mono 8 kHz, 8-bit; spec
+    * requires the extended 18-byte fmt chunk (cbSize = 0) for non-PCM tags.
+    */
+  def encodeUlawWav(data: Array[Byte]): Array[Byte] = {
+    val n = data.length
+    val out = new Array[Byte](46 + n)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(38 + n).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(18)
+      .putShort(0x07).putShort(1)                     // µ-law, mono
+      .putInt(8000).putInt(8000).putShort(1).putShort(8)
+      .putShort(0)                                    // cbSize
+      .put("data".getBytes).putInt(n)
+    bb.put(data)
+    out
+  }
+
+  /** RIFF walk (q168's chunk rules) + the per-byte µ-law expansion.
+    * Rejects non-µ-law fmt tags and bad widths loudly — the
+    * foreign-payload convention of the codec family.
+    */
+  def decodeUlawBatch(rows: Iterator[(Long, Array[Byte])]): Iterator[UlawStats] =
+    rows.map { case (id, p) =>
+      require(p.length >= 12 && new String(p, 0, 4) == "RIFF" &&
+        new String(p, 8, 4) == "WAVE", s"doc $id: not a RIFF/WAVE file")
+      val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 12
+      var haveFmt = false
+      var stats: UlawStats = null
+      while (i + 8 <= p.length && stats == null) {
+        val cid = new String(p, i, 4)
+        val sz = bb.getInt(i + 4)
+        require(sz >= 0 && i + 8 + sz <= p.length, s"doc $id: truncated chunk $cid")
+        cid match {
+          case "fmt " =>
+            require(sz >= 16, s"doc $id: short fmt chunk")
+            require(bb.getShort(i + 8) == 0x07, s"doc $id: not G.711 mu-law")
+            require(bb.getShort(i + 10) == 1, s"doc $id: not mono")
+            require(bb.getShort(i + 22) == 8, s"doc $id: not 8-bit mu-law")
+            haveFmt = true
+          case "data" =>
+            require(haveFmt, s"doc $id: data chunk before fmt")
+            var (energy, sumPcm) = (0L, 0L)
+            var mx = 0
+            var k = 0
+            while (k < sz) {
+              val u = (~p(i + 8 + k)) & 0xff
+              val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 7)
+              val s = if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+              energy += s.toLong * s
+              sumPcm += s
+              val a = math.abs(s); if (a > mx) mx = a
+              k += 1
+            }
+            stats = UlawStats(id, sz.toLong, energy, mx, sumPcm)
+          case _ => ()
+        }
+        i += 8 + sz + (sz & 1)
+      }
+      require(stats != null, s"doc $id: no data chunk")
+      stats
+    }
+
+  /** The registered query: documents → µ-law WAV binaries → parsed stats. */
+  def ulawDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.tables.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, data) => (id, encodeUlawWav(data)) }
+      .mapPartitions(decodeUlawBatch)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   // ---- q194: IMA ADPCM (DVI4) — the COMPRESSED member of the audio
   // codec family (q168 decodes plain PCM16). The decoder is the published
   // integer predictor recurrence (IMA "Recommended Practices", 1992; RFC
@@ -508,6 +598,7 @@ object Multimodal {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q194_adpcm_decode"       -> adpcmDecode _,
+    "q206_ulaw_decode"        -> ulawDecode _,
     "q134_multimodal_audio"   -> audioFrames _,
     "q54_multimodal_features" -> features _,
     "q72_multimodal_resize"   -> resizePlan _,
@@ -611,6 +702,22 @@ object Multimodal {
         |FROM px ORDER BY doc_id""".stripMargin),
     // WAV replay: sample k = (byte_k − 128)·256, so energy = 65536·Σ(b−128)²
     // and max_amp = 256·max|b−128| — integer-exact both sides.
+    // Per-byte µ-law expansion replayed with DuckDB bitwise ops — the
+    // stateless contrast to q194's list_reduce recurrence.
+    "q206_ulaw_decode" -> (bytesCte + """,
+        |d AS (SELECT doc_id, n, list_transform(bytes, v ->
+        |        CASE WHEN (xor(v, 255) & 128) = 128
+        |             THEN 132 - ((((xor(v, 255) & 15) * 8) + 132)
+        |                         * (1 << ((xor(v, 255) >> 4) & 7)))
+        |             ELSE ((((xor(v, 255) & 15) * 8) + 132)
+        |                   * (1 << ((xor(v, 255) >> 4) & 7))) - 132
+        |        END) AS pcm
+        |      FROM px)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |       CAST(coalesce(list_sum(list_transform(pcm, s -> s * s)), 0) AS BIGINT) AS energy,
+        |       CAST(coalesce(list_max(list_transform(pcm, s -> abs(s))), 0) AS INT) AS max_amp,
+        |       CAST(coalesce(list_sum(pcm), 0) AS BIGINT) AS sum_pcm
+        |FROM d ORDER BY doc_id""".stripMargin),
     "q168_wav_decode" -> (bytesCte +
       """
         |SELECT doc_id, 16000 AS sample_rate,

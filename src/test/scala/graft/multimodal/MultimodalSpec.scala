@@ -190,6 +190,39 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeAdpcmBatch(Iterator((4L, badIdx))).next() }
   }
 
+  test("mu-law decode hits the published G.711 code points and is stateless per byte") {
+    // canonical G.711 extremes + zeros: code 0x00 → −32124, 0x80 → +32124,
+    // 0xFF → 0, 0x7F → 0 (negative zero collapses)
+    def pcm(b: Int): Int = {
+      val u = (~b) & 0xff
+      val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 7)
+      if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+    assert(pcm(0x00) == -32124 && pcm(0x80) == 32124 &&
+           pcm(0xff) == 0 && pcm(0x7f) == 0)
+    val data = Array(0x00, 0x80, 0xff, 0x7f, 0x2a, 0xd5).map(_.toByte)
+    val st = Multimodal.decodeUlawBatch(Iterator((7L,
+      Multimodal.encodeUlawWav(data)))).next()
+    val ref = data.map(b => pcm(b & 0xff))
+    assert(st.n_samples == data.length)
+    assert(st.energy == ref.map(s => s.toLong * s).sum)
+    assert(st.max_amp == ref.map(math.abs).max)
+    assert(st.sum_pcm == ref.map(_.toLong).sum)
+    // statelessness: decoding the two halves separately sums to the whole
+    val (a, b) = data.splitAt(3)
+    val sa = Multimodal.decodeUlawBatch(Iterator((1L, Multimodal.encodeUlawWav(a)))).next()
+    val sb = Multimodal.decodeUlawBatch(Iterator((2L, Multimodal.encodeUlawWav(b)))).next()
+    assert(sa.energy + sb.energy == st.energy && sa.sum_pcm + sb.sum_pcm == st.sum_pcm)
+  }
+
+  test("mu-law decoder rejects foreign payloads loudly") {
+    val pcm16 = Multimodal.encodeWav("hello".getBytes(UTF_8))
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeUlawBatch(Iterator((3L, pcm16))).next()
+    }
+    assert(e.getMessage.contains("not G.711 mu-law"))
+  }
+
   test("distributed decode equals per-doc local decode") {
     import org.apache.spark.sql.functions._
     val got = Multimodal.pgmDecode(spark, sfDir).collect()
