@@ -89,5 +89,7 @@ object GraftFunctions {
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.RangeJoinStrategy
     if (!exp.extraOptimizations.contains(graft.plans.TopKWindowRewrite))
       exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.TopKWindowRewrite
+    if (!exp.extraOptimizations.contains(graft.plans.MvRewrite))
+      exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.MvRewrite
   }
 }

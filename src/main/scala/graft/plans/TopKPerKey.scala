@@ -154,6 +154,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     ext.injectPlannerStrategy(_ => RangeJoinStrategy)
     ext.injectOptimizerRule(_ => TopKWindowRewrite)
+    ext.injectOptimizerRule(_ => MvRewrite)
   }
 }
 

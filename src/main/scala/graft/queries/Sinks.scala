@@ -269,6 +269,31 @@ object Sinks {
       .orderBy("o_orderpriority")
   }
 
+  /** q207 — materialized-view AUTOMATIC query rewrite (the serving half of
+    * q114's manual maintenance): the per-priority rollup is materialized
+    * and registered in `MvCatalog`; the query then aggregates the BASE
+    * orders table exactly as a dashboard would — and graft's `MvRewrite`
+    * optimizer rule swaps the plan to a Project over the |groups|-row MV,
+    * never scanning orders. Transparent to the query author: at 100 TB the
+    * fact scan disappears from every matching query for the cost of one
+    * registration. The oracle aggregates the base table, so the hash match
+    * proves the rewrite is value-invisible; SinksSpec pins the PLAN (MV
+    * path scanned, base path absent, and the conf kill-switch restores the
+    * base scan).
+    */
+  def mvAutoRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val mvPath = tmpOut(dir, "mv_orders")
+    orders(spark, dir).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("o_custkey").as("sm"))
+      .write.mode("overwrite").parquet(mvPath)
+    graft.plans.MvCatalog.register(spark, s"$dir/orders.parquet", mvPath,
+      "o_orderpriority", "o_custkey")
+    orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), sum("o_custkey").as("sum_cust"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Schema evolution across file batches (`mergeSchema`): batch 1 ships
     * (orderkey, custkey), batch 2 ships (orderkey, totalprice, priority) —
     * the shape every long-lived landing zone grows into as producers add
@@ -348,6 +373,7 @@ object Sinks {
     "q197_xml_roundtrip"   -> xmlRoundtrip _,
     "q200_compaction"      -> compaction _,
     "q203_corrupt_records" -> corruptRecordIngest _,
+    "q207_mv_auto_rewrite" -> mvAutoRewrite _,
     "q204_gzip_text"       -> gzipTextRoundtrip _,
     "q96_sink_partitioned" -> sinkPartitioned _,
     "q97_bucketed_join"    -> bucketedJoin _,
@@ -376,6 +402,12 @@ object Sinks {
         |       round(sum(o_totalprice), 2) AS sum_price
         |FROM m GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
     "q114_incremental_agg" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // The rewrite must be value-invisible: the oracle IS the base-table
+    // aggregate the user wrote.
+    "q207_mv_auto_rewrite" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,

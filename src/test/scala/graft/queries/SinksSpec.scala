@@ -62,6 +62,34 @@ class SinksSpec extends SparkSpec {
     assert(compacted <= 4, s"rebalance left $compacted files (want <= 4)")
   }
 
+  test("MV auto-rewrite: plan reads the MV, not orders; kill-switch restores the base scan") {
+    import org.apache.spark.sql.functions._
+    val q = Sinks.mvAutoRewrite(spark, sfDir) // materializes + registers
+    val plan = GraftSqlBridge.executedPlan(q).toString
+    assert(plan.contains("graft_mv_orders_"), s"MV not scanned:\n${plan.take(1500)}")
+    assert(!plan.contains("orders.parquet"), s"base table still scanned:\n${plan.take(1500)}")
+    // values identical to the base aggregate (the oracle proves vs DuckDB;
+    // this pins Spark-vs-Spark with the rewrite disabled)
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    try {
+      val base = graft.tables.Tables.orders(spark, sfDir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sum("o_custkey").as("sum_cust"))
+        .orderBy("o_orderpriority")
+      val basePlan = GraftSqlBridge.executedPlan(base).toString
+      assert(basePlan.contains("orders.parquet"), "kill-switch ignored")
+      assert(q.collect().toSeq == base.collect().toSeq)
+    } finally spark.conf.set("spark.graft.mv.rewrite", "true")
+    // a FILTERED aggregate must NOT match (the MV pre-aggregated all rows)
+    val filtered = graft.tables.Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") > 100)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("s"))
+    val fPlan = GraftSqlBridge.executedPlan(filtered).toString
+    assert(fPlan.contains("orders.parquet") && !fPlan.contains("graft_mv_orders_"),
+      s"filtered aggregate wrongly rewritten:\n${fPlan.take(1500)}")
+  }
+
   test("gzip text staging really writes .gz shards and the read parallelizes") {
     Sinks.gzipTextRoundtrip(spark, sfDir).collect()
     val sfx = java.lang.Integer.toHexString(sfDir.hashCode)
