@@ -282,7 +282,12 @@ object Sinks {
     * base scan).
     */
   def mvAutoRewrite(spark: SparkSession, dir: String): DataFrame = {
-    val mvPath = tmpOut(dir, "mv_orders")
+    // Fresh dir per refresh: concurrent holders of the PREVIOUS registered
+    // plan (test suites share the session; Profile reps overlap) keep
+    // reading their intact old listing while the registry swap is atomic —
+    // the same reason production MV refresh writes a new version directory
+    // and flips a pointer instead of overwriting files in place.
+    val mvPath = tmpOut(dir, s"mv_orders_v${System.nanoTime()}")
     orders(spark, dir).groupBy("o_orderpriority")
       .agg(count(lit(1)).as("cnt"), sum("o_custkey").as("sm"))
       .write.mode("overwrite").parquet(mvPath)
