@@ -165,6 +165,55 @@ object Pipeline {
     * dims is exactly the file-footer metadata a reader would prune with;
     * tight ranges = the clustering works.
     */
+  /** q208 — z-order DATA SKIPPING, end-to-end (the payoff q89 only
+    * promises): lineitem is physically rewritten partitioned by the q89
+    * z-prefix bucket, a 2D range box consults the q89 manifest (per-bucket
+    * min/max — exactly the footer/manifest stats Delta/Iceberg prune
+    * with) to select the buckets whose ranges intersect, and the scan
+    * reads ONLY those partitions (PartitionFilters in the plan,
+    * spec-pinned with the skip fraction). The manifest collect is ≤256
+    * rows by construction — driver-side METADATA, the planning step every
+    * data-skipping reader performs; the stats row is the same 4-scalar
+    * metadata read the z-order writer itself needs (q69's head()
+    * convention). Pruning is correctness-free by design — min/max are
+    * true bounds, so the residual filter sees every qualifying row — and
+    * the oracle replays the plain 2D filter on the raw table, proving it.
+    * At 100 TB this is the difference between a 2D range query opening
+    * every file and it opening the z-locality neighborhood only.
+    */
+  def zorderPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_zorder_${java.lang.Integer.toHexString(dir.hashCode)}").getPath
+    val li = lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val st = li.agg(
+      min("l_partkey").as("pk_lo"), max("l_partkey").as("pk_hi"),
+      min("l_suppkey").as("sk_lo"), max("l_suppkey").as("sk_hi")).head()
+    val (pkLo, pkHi, skLo, skHi) =
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    val z = zExpr("x", "y", "div")
+    li.withColumn("x", expr(s"(l_partkey - $pkLo) * 65536 div ${pkHi - pkLo + 1}"))
+      .withColumn("y", expr(s"(l_suppkey - $skLo) * 65536 div ${skHi - skLo + 1}"))
+      .withColumn("file_id", expr(s"cast(($z) as bigint) div 16777216"))
+      .drop("x", "y")
+      .write.mode("overwrite").partitionBy("file_id").parquet(out)
+    // the 2D box: 10–20 % of the part dimension × 30–50 % of the supplier
+    def cut(lo: Long, hi: Long, pct: Long) = lo + (hi - lo + 1) * pct / 100
+    val (bPkLo, bPkHi) = (cut(pkLo, pkHi, 10), cut(pkLo, pkHi, 20))
+    val (bSkLo, bSkHi) = (cut(skLo, skHi, 30), cut(skLo, skHi, 50))
+    val keep = zorderLayout(spark, dir)
+      .filter(col("pk_max") >= bPkLo && col("pk_min") <= bPkHi &&
+              col("sk_max") >= bSkLo && col("sk_min") <= bSkHi)
+      .select("file_id").collect().map(_.getLong(0)).toSeq.sorted
+    spark.read.parquet(out)
+      .filter(col("file_id").isin(keep: _*))
+      .filter(col("l_partkey").between(bPkLo, bPkHi) &&
+              col("l_suppkey").between(bSkLo, bSkHi))
+      .agg(count(lit(1)).as("n"),
+           sum("l_orderkey").as("sum_okey"),
+           sum("l_quantity").cast("bigint").as("sum_qty"))
+  }
+
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir).select("l_partkey", "l_suppkey")
     // Quantize each dim to the 16-bit z-domain by its own min/max — what a
@@ -693,6 +742,7 @@ object Pipeline {
     "q115_substring_dedup" -> substringDedup _,
     "q102_chunk_sliding" -> chunkSliding _,
     "q89_zorder_layout"  -> zorderLayout _,
+    "q208_zorder_pruned_scan" -> zorderPrunedScan _,
     "q90_vocab_coverage" -> vocabCoverage _,
     "q84_decontaminate"  -> decontaminate _,
     "q85_pii_redact"     -> piiRedact _,
@@ -911,6 +961,24 @@ object Pipeline {
          |       min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
          |       min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
          |FROM z GROUP BY file_id ORDER BY file_id""".stripMargin,
+    // Pruning must be value-invisible: the oracle is the plain 2D filter.
+    "q208_zorder_pruned_scan" ->
+      """WITH st AS (
+        |  SELECT min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
+        |         min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi
+        |  FROM lineitem),
+        |box AS (
+        |  SELECT pk_lo + (pk_hi - pk_lo + 1) * 10 // 100 AS bpk_lo,
+        |         pk_lo + (pk_hi - pk_lo + 1) * 20 // 100 AS bpk_hi,
+        |         sk_lo + (sk_hi - sk_lo + 1) * 30 // 100 AS bsk_lo,
+        |         sk_lo + (sk_hi - sk_lo + 1) * 50 // 100 AS bsk_hi
+        |  FROM st)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem, box
+        |WHERE l_partkey BETWEEN bpk_lo AND bpk_hi
+        |  AND l_suppkey BETWEEN bsk_lo AND bsk_hi""".stripMargin,
     "q90_vocab_coverage" ->
       """WITH freq AS (
         |  SELECT lang, unnest(string_split(lower(text), ' ')) AS word

@@ -8,6 +8,26 @@ import org.apache.spark.sql.functions._
   */
 class PipelineSpec extends SparkSpec {
 
+  test("q208 z-order pruned scan: partition filter in the plan, most buckets skipped") {
+    val df = Pipeline.zorderPrunedScan(spark, sfDir)
+    df.collect()
+    val plan = org.apache.spark.sql.GraftSqlBridge.executedPlan(df).toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("file_id"),
+      s"no partition pruning in:\n${plan.take(1500)}")
+    // quantitative skip: the manifest-selected buckets are a small minority
+    val manifest = Pipeline.zorderLayout(spark, sfDir).collect()
+    val st = graft.tables.Tables.lineitem(spark, sfDir)
+      .agg(min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey")).head()
+    def cut(lo: Long, hi: Long, p: Long) = lo + (hi - lo + 1) * p / 100
+    val (bpl, bph) = (cut(st.getLong(0), st.getLong(1), 10), cut(st.getLong(0), st.getLong(1), 20))
+    val (bsl, bsh) = (cut(st.getLong(2), st.getLong(3), 30), cut(st.getLong(2), st.getLong(3), 50))
+    val kept = manifest.count(r =>
+      r.getLong(3) >= bpl && r.getLong(2) <= bph &&
+      r.getLong(5) >= bsl && r.getLong(4) <= bsh)
+    assert(kept > 0 && kept * 4 <= manifest.length,
+      s"z-order skipped too little: $kept of ${manifest.length} buckets read")
+  }
+
   test("chunk dedup conserves chunks: sum(n_kept) = distinct chunks, kept ≤ total per doc") {
     val out = Pipeline.chunkDedup(spark, sfDir).collect()
     assert(out.forall(r => r.getLong(2) <= r.getLong(1)))
