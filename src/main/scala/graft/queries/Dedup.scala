@@ -1139,9 +1139,50 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q209 — Theta-sketch set algebra across sources (Spark 4's native
+    * DataSketches theta family — the ENGINE-NATIVE companion to q173's
+    * hand-built KMV): one `theta_sketch_agg` per source over the corpus
+    * shingle hashes, then per source pair the union AND intersection
+    * cardinalities estimated from the merged sketches alone. Theta is the
+    * one mergeable-sketch family CLOSED under intersection/difference —
+    * HLL (q69) unions only — so "how many shingles do A and B share"
+    * costs a sketch merge at ANY corpus size, never a rescan: standing
+    * state is |sources|·4096 longs. A theta estimate is not
+    * SQL-replayable, so the compared surface is the EXACT cardinalities
+    * (one extra keyed join on the same scan) plus x01/q69-convention
+    * bounded-error booleans: |est − exact| ≤ 4·RSE·n_union with
+    * RSE = 1/√4096 (Dasgupta et al., the published theta error; the
+    * intersection error scales with the UNION, whose theta governs both
+    * sketches' retained samples) — a flipped boolean fails the hash.
+    */
+  def thetaSetAlgebra(spark: SparkSession, dir: String): DataFrame = {
+    val hx = sourceHashes(spark, dir).select("source", "x").distinct()
+    val sk = hx.groupBy("source").agg(
+      expr("theta_sketch_agg(x)").as("sk"), count(lit(1)).as("n"))
+    val inter = hx.toDF("s1", "x").join(hx.toDF("s2", "x"), "x")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("ni"))
+    val bound = 4.0 / 64.0 // 4·RSE at the default lgNomEntries=12 (k=4096)
+    sk.as("a").join(broadcast(sk.as("b")), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_1"), col("b.source").as("source_2"),
+        col("a.n").as("n1"), col("b.n").as("n2"),
+        expr("theta_sketch_estimate(theta_union(a.sk, b.sk))").as("est_u"),
+        expr("theta_sketch_estimate(theta_intersection(a.sk, b.sk))").as("est_i"))
+      .join(broadcast(inter),
+        col("source_1") === col("s1") && col("source_2") === col("s2"), "left")
+      .withColumn("ni", coalesce(col("ni"), lit(0L)))
+      .withColumn("nu", col("n1") + col("n2") - col("ni"))
+      .select(col("source_1"), col("source_2"),
+        col("nu").as("n_union"), col("ni").as("n_inter"),
+        (abs(col("est_u") - col("nu")) <= lit(bound) * col("nu")).as("ok_union"),
+        (abs(col("est_i") - col("ni")) <= lit(bound) * col("nu")).as("ok_inter"))
+      .orderBy("source_1", "source_2")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q148_incremental_dedup"     -> incrementalDedup _,
     "q198_bloom_incremental"     -> bloomIncrementalDedup _,
+    "q209_theta_set_algebra"     -> thetaSetAlgebra _,
     "q35_dedup_exact"            -> dedupExact _,
     "q138_crossdup_matrix"       -> crossSourceDups _,
     "q78_dedup_fuzzy"            -> fuzzyEdit _,
@@ -1480,6 +1521,27 @@ object Dedup {
     "q173_kmv_set_algebra" -> kmvOracle,
     "q164_lpa_communities" -> lpaOracle,
     "q159_cross_source_minhash" -> crossSourceMinhashOracle,
+    // Exact pairwise set algebra from the same 60-bit md5 hashes; the ok
+    // booleans are literals — a theta estimate outside its published
+    // bound flips the engine side and fails the hash (x01/q69 convention).
+    "q209_theta_set_algebra" -> (shingleCte +
+      s""",
+         |hv AS (SELECT DISTINCT d.source,
+         |         CAST(list_sum(list_transform(range(1, 16),
+         |           i -> CAST(strpos('0123456789abcdef', substr(md5(sh.s), i, 1)) - 1 AS BIGINT)
+         |                * (CAST(1 AS BIGINT) << (4 * (15 - i))))) AS BIGINT) AS x
+         |       FROM sh JOIN documents d USING (doc_id)),
+         |card AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM hv GROUP BY source),
+         |inter AS (SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS ni
+         |          FROM hv a JOIN hv b ON a.x = b.x AND a.source < b.source
+         |          GROUP BY 1, 2)
+         |SELECT c1.source AS source_1, c2.source AS source_2,
+         |       c1.n + c2.n - coalesce(i.ni, 0) AS n_union,
+         |       coalesce(i.ni, 0) AS n_inter,
+         |       true AS ok_union, true AS ok_inter
+         |FROM card c1 JOIN card c2 ON c1.source < c2.source
+         |LEFT JOIN inter i ON i.s1 = c1.source AND i.s2 = c2.source
+         |ORDER BY source_1, source_2""".stripMargin),
     "q172_sketch_merge" -> sketchMergeOracle,
     "q154_kcore" -> kCoreOracle,
     "q148_incremental_dedup" -> incrementalDedupOracle,

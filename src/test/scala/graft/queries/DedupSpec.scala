@@ -65,6 +65,29 @@ class DedupSpec extends SparkSpec {
                       29L -> "keep", 39L -> "keep"), out.toString)
   }
 
+  test("theta sketches: estimation-mode error bounded, intersection closed over merges") {
+    // sf0.01/sf0.001 sketches sit in exact mode (<4096 distincts), so the
+    // q209 oracle's ok-booleans are only exercised for real at sf0.1 —
+    // force estimation here with lgNomEntries=4 (k=16, RSE=25%) on two
+    // planted 5000-distinct sets overlapping in 1000 values.
+    import spark.implicits._
+    val a = (0L until 5000L).toDF("x").selectExpr("theta_sketch_agg(x, 4) AS sk")
+    val b = (4000L until 9000L).toDF("x").selectExpr("theta_sketch_agg(x, 4) AS sk")
+    val r = a.crossJoin(b.withColumnRenamed("sk", "skb")).selectExpr(
+      "theta_sketch_estimate(sk) AS ea",
+      "theta_sketch_estimate(theta_union(sk, skb)) AS eu",
+      "theta_sketch_estimate(theta_intersection(sk, skb)) AS ei").head()
+    val (ea, eu, ei) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // 4·RSE = 100 % at k=16: wide, but a broken merge path lands far outside
+    assert(math.abs(ea - 5000) <= 5000, s"|A| estimate $ea")
+    assert(math.abs(eu - 9000) <= 9000, s"|A∪B| estimate $eu")
+    assert(ei >= 0 && ei <= 9000 * 2, s"|A∩B| estimate $ei")
+    // exact mode: below the nominal k the estimate IS the cardinality
+    val exact = (0L until 100L).toDF("x")
+      .selectExpr("theta_sketch_estimate(theta_sketch_agg(x)) AS e").head().getLong(0)
+    assert(exact == 100L, s"exact-mode estimate drifted: $exact")
+  }
+
   test("exact dedup partitions all docs: sum(n_copies) = row count") {
     val total = Dedup.dedupExact(spark, sfDir)
       .agg(sum("n_copies")).collect()(0).getLong(0)
