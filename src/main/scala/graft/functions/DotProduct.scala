@@ -87,6 +87,8 @@ object GraftFunctions {
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.TopKPerKeyStrategy
     if (!exp.extraStrategies.contains(graft.plans.RangeJoinStrategy))
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.RangeJoinStrategy
+    if (!exp.extraStrategies.contains(graft.plans.BeamSearchStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.BeamSearchStrategy
     if (!exp.extraOptimizations.contains(graft.plans.TopKWindowRewrite))
       exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.TopKWindowRewrite
     if (!exp.extraOptimizations.contains(graft.plans.MvRewrite))

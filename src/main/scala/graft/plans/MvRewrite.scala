@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
@@ -70,8 +71,11 @@ object MvRewrite extends Rule[LogicalPlan] {
     case other => other
   }
 
+  /** count(1)/count(*) only — a NULL literal (count(NULL) ≡ 0 in SQL) must
+    * NOT match, or the rewrite would return the MV's total row count.
+    */
   private def isCountStar(e: Expression): Boolean = e match {
-    case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) => true
+    case AggregateExpression(Count(Seq(Literal(v, _))), _, false, None, _) if v != null => true
     case AggregateExpression(Count(Nil), _, false, None, _) => true
     case _ => false
   }
@@ -89,7 +93,15 @@ object MvRewrite extends Rule[LogicalPlan] {
           case rel: LogicalRelation =>
             MvCatalog.lookup(rel) match {
               case Some(mv) if g.name == mv.groupCol =>
-                val mvOut = mv.plan.output.map(a => a.name -> a).toMap
+                // Fresh exprIds per rewrite: a query with TWO rewritable
+                // aggregates over the base table (self-join / union of
+                // rollups) must not end up with the same MV attribute ids
+                // twice — DeduplicateRelations no longer runs at optimizer
+                // time, so duplicate ids would mis-bind.
+                val freshPlan = mv.plan.transform {
+                  case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
+                }
+                val mvOut = freshPlan.output.map(a => a.name -> a).toMap
                 val mapped: Seq[Option[NamedExpression]] = outs.map {
                   case a: AttributeReference if a.exprId == g.exprId =>
                     Some(Alias(mvOut(mv.groupCol), a.name)(exprId = a.exprId))
@@ -99,7 +111,7 @@ object MvRewrite extends Rule[LogicalPlan] {
                     Some(Alias(mvOut(mv.sumName), al.name)(exprId = al.exprId))
                   case _ => None
                 }
-                if (mapped.forall(_.isDefined)) Project(mapped.flatten, mv.plan)
+                if (mapped.forall(_.isDefined)) Project(mapped.flatten, freshPlan)
                 else agg
               case _ => agg
             }

@@ -153,6 +153,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     ext.injectPlannerStrategy(_ => RangeJoinStrategy)
+    ext.injectPlannerStrategy(_ => BeamSearchStrategy)
     ext.injectOptimizerRule(_ => TopKWindowRewrite)
     ext.injectOptimizerRule(_ => MvRewrite)
   }
@@ -189,6 +190,37 @@ object GraftOps {
       order, k,
       AttributeReference(rankName, IntegerType, nullable = false)(), child)
     GraftSqlBridge.ofRows(df.sparkSession, node)
+  }
+
+  /** Layered beam search of `probes` against the broadcast compact graph
+    * `index` via the native `BeamSearchExec` (SQ8 integer scoring; the
+    * index ships through a size-guarded BroadcastExchange). Probe side
+    * needs (id, code, entry-id) columns; index side (id, code,
+    * adjacency-per-layer) columns, resolved by name on their own side.
+    * Emits `(probe_id, cand_id)` — the final beam, for the caller's exact
+    * re-rank.
+    */
+  def beamSearch(
+      probes: DataFrame,
+      index: DataFrame,
+      probeCols: (String, String, String),
+      indexCols: (String, String, String),
+      schedule: Seq[(Int, Int, Int)]): DataFrame = {
+    val l = GraftSqlBridge.analyzed(probes)
+    val r = GraftSqlBridge.analyzed(index)
+    def res(plan: LogicalPlan, n: String, side: String): Attribute =
+      plan.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"beamSearch: column '$n' not in $side (${plan.output.map(_.name).mkString(", ")})"))
+    GraftSqlBridge.ofRows(probes.sparkSession,
+      BeamSearchNode(
+        res(l, probeCols._1, "probes"), res(l, probeCols._2, "probes"),
+        res(l, probeCols._3, "probes"),
+        res(r, indexCols._1, "index"), res(r, indexCols._2, "index"),
+        res(r, indexCols._3, "index"),
+        schedule,
+        AttributeReference("probe_id", org.apache.spark.sql.types.LongType, nullable = false)(),
+        AttributeReference("cand_id", org.apache.spark.sql.types.LongType, nullable = false)(),
+        l, r))
   }
 
   /** Inner interval join `probe(tsCol) ∈ [build(loCol), build(hiCol))`

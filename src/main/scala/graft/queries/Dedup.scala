@@ -1110,9 +1110,12 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.classic.GraftColumnBridge
+    // ~10 bits/item ⇒ ~1% fpp at the hinted NDV (the doc-comment figure);
+    // under-sizing the bitmap (≲1.3 bits/item ⇒ >50% fpp) would pass most
+    // novel docs through the gate and defeat the shuffle reduction.
     val bfAgg = GraftColumnBridge.column(new BloomFilterAggregate(
       GraftColumnBridge.expression(xxhash64(col("h"))),
-      Literal(100000L), Literal(131072L)).toAggregateExpression())
+      Literal(100000L), Literal(1000000L)).toAggregateExpression())
     val bloom = corpus.agg(bfAgg.as("bf"))
     // might_contain demands a CONSTANT/scalar-subquery bitmap (the bitmap
     // must exist before the probe side streams) — wrap the aggregate as a
@@ -1121,10 +1124,14 @@ object Dedup {
     val bfSub = GraftColumnBridge.column(
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
         org.apache.spark.sql.GraftSqlBridge.analyzed(bloom)))
+    // Empty-corpus edge: bloom_filter_agg over ZERO rows yields a NULL
+    // bitmap, so might_contain returns NULL and BOTH branches would drop
+    // every batch row — coalesce the gate to false (novel) so q198 still
+    // returns all-'keep', matching the oracle's plain left join.
     val gated = batch.withColumn("maybe",
-      GraftColumnBridge.column(BloomFilterMightContain(
+      coalesce(GraftColumnBridge.column(BloomFilterMightContain(
         GraftColumnBridge.expression(bfSub),
-        GraftColumnBridge.expression(xxhash64(col("h"))))))
+        GraftColumnBridge.expression(xxhash64(col("h"))))), lit(false)))
     val novel = gated.filter(!col("maybe"))
       .select(col("doc_id"), lit(null).cast("long").as("exact_match"))
     val corpusMin = corpus.groupBy("h").agg(min("doc_id").as("exact_match"))

@@ -1046,61 +1046,69 @@ object Similarity {
       .orderBy("layer")
   }
 
-  /** Greedy layered beam search over the BROADCAST graph — the ANN
-    * *serving* shape (an index answers queries from worker-local state;
-    * q139's broadcast sorted interval index is the same pattern): the
-    * adjacency lists and normed vectors ship to executors once, probes
-    * stream through a single map stage, zero shuffles. At billion-vector
-    * scale the index shards per executor and probes fan out per shard —
-    * the same code path with a routing join in front. The beam rule is
-    * deliberately simple and closed-form (beam ∪ out-neighbors, keep top-w
-    * by (cosine desc, id), fixed hops per layer — `hnswSchedule`) so the
-    * oracle can replay the identical traversal as unrolled SQL; cosine
-    * uses the same sequential fold as VectorOps.dot, so beam comparisons
-    * are bit-identical across engines.
+  /** SQ8 code vectors (TINYINT per dim — q80/q199's symmetric int8
+    * quantization, 1 byte/dim in the UnsafeRow layout) — the compact beam-
+    * scoring payload of the serving index.
+    */
+  private def hnswCodes(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir).select(col("vec_id"),
+      expr("transform(v, x -> CAST(floor(x / nrm * 127.0 + 0.5) AS TINYINT))").as("q"))
+
+  /** The compact serving index: per node, SQ8 codes + adjacency as one
+    * list per layer (dense, index = layer). This — not the float vector
+    * table — is what broadcasts to executors.
+    */
+  private def hnswIndex(spark: SparkSession, dir: String): DataFrame = {
+    def layerList(l: Int): Column =
+      sort_array(collect_list(when(col("layer") === l, col("dst"))))
+    val adj = hnswEdges(spark, dir)
+      .groupBy(col("src").as("vec_id"))
+      .agg(layerList(0).as("a0"), layerList(1).as("a1"), layerList(2).as("a2"))
+    val emptyAdj = array().cast("array<bigint>")
+    hnswCodes(spark, dir).join(adj, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("q"),
+        array(coalesce(col("a0"), emptyAdj), coalesce(col("a1"), emptyAdj),
+          coalesce(col("a2"), emptyAdj)).as("adj"))
+  }
+
+  /** Greedy layered beam search through the native `BeamSearchExec` — the
+    * ANN *serving* shape (an index answers queries from worker-local
+    * state; q139's broadcast sorted interval index is the same pattern).
+    * The COMPACT index (SQ8 codes at 1 byte/dim + adjacency — never the
+    * raw float vectors, and never a driver-side collect) reaches executors
+    * through a size-guarded BroadcastExchange; probes stream through one
+    * map stage, zero shuffles. Beam comparisons are the INTEGER code dot
+    * product — exact arithmetic, replayed digit-exactly by the oracle's
+    * unrolled SQL (`hnswSchedule` generates both sides, so they cannot
+    * drift) — and only the final beam (|probes|·10 rows) fetches float
+    * vectors for the exact cosine re-rank, the q199 recipe. At
+    * billion-vector scale the index shards per executor group and probes
+    * fan out per shard — same operator behind a routing join.
     */
   private def hnswSearch(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val vecMap: Map[Long, (Array[Double], Double)] =
-      corpus(spark, dir).select("vec_id", "v", "nrm").collect()
-        .map(r => r.getLong(0) ->
-          (r.getSeq[Double](1).toArray, r.getDouble(2))).toMap
-    val adj: Map[(Int, Long), Array[Long]] =
-      hnswEdges(spark, dir).collect()
-        .groupBy(r => (r.getInt(0), r.getLong(1)))
-        .view.mapValues(_.map(_.getLong(2)).sorted).toMap
-    // Entry point (max level, min id) computed from the same 60-bit md5 the
-    // plan-side level column uses — one less driver job than re-ranking the
-    // levels table. JVM md5 hex == Spark md5() == DuckDB md5() by contract.
-    def lvlOf(id: Long): Int = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(id.toString.getBytes("UTF-8"))
-      val hex = md.take(8).map(b => f"$b%02x").mkString.substring(0, 15)
-      val h = java.lang.Long.parseLong(hex, 16)
-      if (h % 64 == 0) 2 else if (h % 8 == 0) 1 else 0
-    }
-    val entryId: Long = vecMap.keys.toSeq.map(id => (-lvlOf(id), id)).min._2
-    val bcV = spark.sparkContext.broadcast(vecMap)
-    val bcA = spark.sparkContext.broadcast(adj)
-    val schedule = hnswSchedule
-    val probes = corpus(spark, dir).filter(col("vec_id") < 10)
-      .select("vec_id", "v", "nrm").as[(Long, Seq[Double], Double)]
-    probes.flatMap { case (pid, pv, pnrm) =>
-      val p = pv.toArray
-      def cos(id: Long): Double = {
-        val (v, n) = bcV.value(id)
-        var s = 0.0; var i = 0
-        while (i < p.length) { s += p(i) * v(i); i += 1 }
-        s / (pnrm * n)
-      }
-      var beam = List(entryId)
-      for ((layer, width, hops) <- schedule; _ <- 1 to hops) {
-        val cand = (beam ++ beam.flatMap(id =>
-          bcA.value.getOrElse((layer, id), Array.empty[Long]))).distinct
-        beam = cand.sortBy(id => (-cos(id), id)).take(width)
-      }
-      beam.filter(_ != pid).sortBy(id => (-cos(id), id)).take(5).map(pid -> _)
-    }.toDF("probe_id", "vec_id")
+    // Entry point (max level, min id): a distributed 1-row reduction, not
+    // driver logic — broadcasts onto the bounded probe set.
+    val entry = hnswLevels(spark, dir)
+      .orderBy(col("lvl").desc, col("vec_id")).limit(1)
+      .select(col("vec_id").as("entry_id"))
+    val probes = hnswCodes(spark, dir).filter(col("vec_id") < 10)
+      .toDF("p_id", "pq").crossJoin(broadcast(entry))
+    val fin = graft.plans.GraftOps.beamSearch(
+      probes, hnswIndex(spark, dir),
+      ("p_id", "pq", "entry_id"), ("vec_id", "q", "adj"), hnswSchedule)
+    val e = corpus(spark, dir)
+    val pv = e.filter(col("vec_id") < 10).toDF("probe_id", "pv", "pnrm")
+    // Final beam is |probes|·10 rows — broadcast it onto the corpus so the
+    // full-precision fetch is a map-side semi-lookup, never a shuffle.
+    val rer = e.join(broadcast(fin.filter(col("cand_id") =!= col("probe_id"))),
+        col("vec_id") === col("cand_id"))
+      .join(broadcast(pv), "probe_id")
+      .withColumn("cs",
+        VectorOps.dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")))
+      .select("probe_id", "vec_id", "cs")
+    graft.plans.GraftOps.topKPerKey(rer,
+        Seq("probe_id"), Seq(col("cs").desc, col("vec_id").asc), 5)
+      .select("probe_id", "vec_id")
   }
 
   /** q193 — recall@5 of the graph index against brute force (the q108
@@ -1583,12 +1591,17 @@ object Similarity {
   /** q193 oracle: the SAME fixed-hop beam traversal as `hnswSearch`,
     * unrolled from `hnswSchedule` (generated, so schedule changes cannot
     * desync the two), then the q108 recall intersection against brute
-    * force. Beam comparisons are raw doubles with identical fold order on
-    * both engines — bit-stable, the proven convention of the ANN family.
+    * force. Beam comparisons are the SQ8 INTEGER code dot product — exact
+    * arithmetic on both engines (the q199 convention), so the traversal
+    * replays digit-exactly; only the final re-rank touches floats, with
+    * the proven identical fold order.
     */
   private val hnswRecallOracle: String = {
     val sb = new StringBuilder
     sb ++= s"WITH $hnswCtes,\n"
+    sb ++= "hnn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),\n"
+    sb ++= "hqv AS (SELECT vec_id, list_transform(v, x -> " +
+      "CAST(floor(x / nrm * 127.0 + 0.5) AS BIGINT)) AS q FROM hnn),\n"
     sb ++= "beam0 AS (SELECT p.vec_id AS probe_id, en.entry_id AS vec_id " +
       "FROM e p, hentry en WHERE p.vec_id < 10),\n"
     var step = 0
@@ -1597,11 +1610,13 @@ object Similarity {
       sb ++= s"""cn$step AS (SELECT probe_id, vec_id FROM $prev
                 |  UNION SELECT b.probe_id, ed.dst AS vec_id FROM $prev b
                 |        JOIN hedges ed ON ed.layer = $layer AND ed.src = b.vec_id),
-                |sc$step AS (SELECT c.probe_id, c.vec_id, ${duckCos("pe.v", "ce.v")} AS cs
-                |  FROM cn$step c JOIN e pe ON pe.vec_id = c.probe_id
-                |                JOIN e ce ON ce.vec_id = c.vec_id),
+                |sc$step AS (SELECT c.probe_id, c.vec_id,
+                |    CAST(list_sum(list_transform(range(1, 65),
+                |      i -> pq.q[i] * cq.q[i])) AS BIGINT) AS iscore
+                |  FROM cn$step c JOIN hqv pq ON pq.vec_id = c.probe_id
+                |                JOIN hqv cq ON cq.vec_id = c.vec_id),
                 |beam$step AS (SELECT probe_id, vec_id FROM (SELECT probe_id, vec_id,
-                |  row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, vec_id) AS rn
+                |  row_number() OVER (PARTITION BY probe_id ORDER BY iscore DESC, vec_id) AS rn
                 |  FROM sc$step) WHERE rn <= $width),
                 |""".stripMargin
     }

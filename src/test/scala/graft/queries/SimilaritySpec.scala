@@ -408,4 +408,27 @@ class SimilaritySpec extends SparkSpec {
     assert(hnswHits >= ivf - 1e-9,
       s"graph ANN recall $hnswHits must be >= IVF recall $ivf at equal-or-smaller probe budget")
   }
+
+  test("q193 serving guard: compact broadcast index through a real exchange, no float vectors, no driver collect") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Similarity.hnswRecall(spark, sfDir).queryExecution.executedPlan
+      val beam = plan.collectFirst { case e: graft.plans.BeamSearchExec => e }
+      assert(beam.nonEmpty, s"q193 must serve through BeamSearchExec:\n$plan")
+      // The index reaches executors via a size-guarded BroadcastExchange
+      // (driver-memory-accounted, hard too-large error) — the r11 verdict's
+      // scale fix: never a raw driver-side collect of corpus data.
+      assert(beam.get.right.isInstanceOf[BroadcastExchangeExec] ||
+        beam.get.right.isInstanceOf[ReusedExchangeExec],
+        s"index side must be a BroadcastExchange:\n${beam.get.right}")
+      // ...and the payload is the COMPACT index (SQ8 bytes + adjacency):
+      // the float vector table must never ride the serving broadcast.
+      val cat = beam.get.right.schema.catalogString
+      assert(!cat.contains("double") && !cat.contains("float"),
+        s"serving broadcast must carry no floats: $cat")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
