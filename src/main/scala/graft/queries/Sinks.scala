@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Tables._
+import graft.tables.{MergeInto, Versioned}
 
 /** Sink surface (SURVEY §2.1 S2 beyond collect-to-driver): partitioned
   * parquet, bucketed tables, ORC, CSV — each as a write→read-back→aggregate
@@ -368,7 +369,97 @@ object Sinks {
       .orderBy("lang")
   }
 
+  /** q210 — MERGE INTO / row-level upsert (`MergeInto.merge`): the single
+    * most common warehouse write op, as a partition-scoped table operation.
+    * The target is orders stored partitioned by year (integer cents for
+    * exact sums); one deterministic CDC batch then applies every MERGE
+    * clause at once: matched-UPDATE (price bump), matched-UPDATE that
+    * MOVES its row across partitions (1995→1996), matched-DELETE,
+    * not-matched-INSERT (lands in a new 1999 partition), plus the two
+    * ignore rules (unmatched U, matched I) proven by noise rows. Only the
+    * partitions containing matched/inserted rows are rewritten — SinksSpec
+    * pins that every other year's files stay BYTE-IDENTICAL, the property
+    * that makes MERGE affordable on a 100 TB table. The oracle replays the
+    * clause rules relationally on the source table, so the hash match
+    * proves the rewrite path changed exactly the mandated rows.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val tgt = tmpOut(dir, "merge_tgt")
+    val base = orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+      col("o_orderpriority"),
+      year(col("o_orderdate")).as("o_year"))
+    base.write.mode("overwrite").partitionBy("o_year").parquet(tgt)
+    // Drop the previous invocation's listing from the shared
+    // FileStatusCache before merge reads the freshly staged table.
+    spark.catalog.refreshByPath(tgt)
+    val y95 = base.filter(col("o_year") === 1995)
+    def op(o: String) = lit(o).as("_op")
+    val updates = y95.filter(col("o_orderkey") % 100 === 1)
+      .withColumn("o_price_c", col("o_price_c") + 100000).select(col("*"), op("U"))
+    val moves = y95.filter(col("o_orderkey") % 100 === 7)
+      .withColumn("o_year", lit(1996)).select(col("*"), op("U"))
+    val deletes = y95.filter(col("o_orderkey") % 100 === 2).select(col("*"), op("D"))
+    val inserts = y95.filter(col("o_orderkey") % 100 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderpriority", lit("9-NEW"))
+      .withColumn("o_year", lit(1999)).select(col("*"), op("I"))
+    val noiseU = y95.filter(col("o_orderkey") % 100 === 5)
+      .withColumn("o_orderkey", col("o_orderkey") + 20000000L).select(col("*"), op("U"))
+    val noiseI = y95.filter(col("o_orderkey") % 100 === 4).select(col("*"), op("I"))
+    MergeInto.merge(spark, tgt,
+      updates.unionByName(moves).unionByName(deletes).unionByName(inserts)
+        .unionByName(noiseU).unionByName(noiseI),
+      "o_orderkey", "o_year")
+    spark.read.parquet(tgt)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .orderBy("o_year")
+  }
+
+  /** q211 — versioned-table time travel (`Versioned`): v1 publishes a
+    * filtered orders snapshot; v2 publishes an evolved one (price bump,
+    * deletions, new rows); then version 1 is read back AFTER v2 exists —
+    * the read-at-version that proves published versions are immutable
+    * (SinksSpec additionally pins v1's files byte-identical across the v2
+    * publish). Each output row carries the version's aggregate plus the
+    * digest-diff row counts against its predecessor (q166's snapshot diff
+    * unified onto the version store). The oracle recomputes both version
+    * CONTENTS and the diff from the source table alone, so the hash match
+    * proves the store served exactly the published bytes for each version.
+    */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    // Fresh table per invocation (the q207 convention): version numbers
+    // stay deterministic across Verify reruns and Bench's warm pass.
+    val tbl = tmpOut(dir, s"ttv_${System.nanoTime()}")
+    val base = orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+      col("o_orderpriority"))
+    val v1df = base.filter(col("o_orderkey") % 10 < 5)
+    val v2df = v1df.filter(col("o_orderkey") % 10 =!= 4)
+      .withColumn("o_price_c",
+        when(col("o_orderkey") % 10 === 1, col("o_price_c") + 100)
+          .otherwise(col("o_price_c")))
+      .unionByName(base.filter((col("o_orderkey") % 10).isin(5, 6)))
+    val ver1 = Versioned.write(spark, tbl, v1df)
+    val ver2 = Versioned.write(spark, tbl, v2df)
+    val (a2, r2) = Versioned.diff(spark, tbl, ver1, ver2)
+    def summarize(v: Int, added: Long, removed: Long): DataFrame =
+      Versioned.readAt(spark, tbl, v) // v1 read AFTER v2 was published
+        .agg(count(lit(1)).as("n_rows"), sum("o_custkey").as("sum_cust"),
+             sum("o_price_c").as("sum_price_c"))
+        .select(lit(v).as("ver"), col("n_rows"), col("sum_cust"),
+          col("sum_price_c"), lit(added).as("n_added"), lit(removed).as("n_removed"))
+    val n1 = Versioned.readAt(spark, tbl, ver1).count()
+    summarize(ver1, n1, 0L).unionByName(summarize(ver2, a2, r2)).orderBy("ver")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_merge_upsert" -> mergeUpsert _,
+    "q211_time_travel"  -> timeTravel _,
     "q144_lines_write_roundtrip" -> linesWriteRoundtrip _,
     "q133_lines_source_roundtrip" -> linesSourceRoundtrip _,
     "q126_schema_evolution" -> schemaEvolution _,
@@ -387,6 +478,63 @@ object Sinks {
   )
 
   val oracles: Map[String, String] = Map(
+    // Relational replay of the MERGE clause rules (update / move / delete /
+    // insert; unmatched-U and matched-I fall out as no-ops by construction).
+    "q210_merge_upsert" ->
+      """WITH tgt AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         o_orderpriority,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_year = 1995 AND o_orderkey % 100 = 1
+        |              THEN o_price_c + 100000 ELSE o_price_c END AS o_price_c,
+        |         o_orderpriority,
+        |         CASE WHEN o_year = 1995 AND o_orderkey % 100 = 7
+        |              THEN 1996 ELSE o_year END AS o_year
+        |  FROM tgt WHERE NOT (o_year = 1995 AND o_orderkey % 100 = 2)
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_price_c, '9-NEW', 1999
+        |  FROM tgt WHERE o_year = 1995 AND o_orderkey % 100 = 3)
+        |SELECT o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM merged GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // Both version CONTENTS and the added/removed diff recomputed from the
+    // source table alone; v1's row must match what the store serves AFTER
+    // v2 was published.
+    "q211_time_travel" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc,
+        |         o_orderpriority FROM orders),
+        |v1 AS (SELECT * FROM base WHERE o_orderkey % 10 < 5),
+        |v2 AS (SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 10 = 1 THEN pc + 100 ELSE pc END AS pc,
+        |         o_orderpriority
+        |       FROM v1 WHERE o_orderkey % 10 <> 4
+        |       UNION ALL
+        |       SELECT o_orderkey, o_custkey, pc, o_orderpriority FROM base
+        |       WHERE o_orderkey % 10 IN (5, 6)),
+        |ad AS (SELECT CAST(count(*) AS BIGINT) AS n_added FROM v2 b
+        |       WHERE NOT EXISTS (SELECT 1 FROM v1 a
+        |         WHERE a.o_orderkey = b.o_orderkey AND a.o_custkey = b.o_custkey
+        |           AND a.pc = b.pc AND a.o_orderpriority = b.o_orderpriority)),
+        |rm AS (SELECT CAST(count(*) AS BIGINT) AS n_removed FROM v1 a
+        |       WHERE NOT EXISTS (SELECT 1 FROM v2 b
+        |         WHERE a.o_orderkey = b.o_orderkey AND a.o_custkey = b.o_custkey
+        |           AND a.pc = b.pc AND a.o_orderpriority = b.o_orderpriority))
+        |SELECT 1 AS ver, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(pc) AS BIGINT) AS sum_price_c,
+        |       CAST(count(*) AS BIGINT) AS n_added, CAST(0 AS BIGINT) AS n_removed
+        |FROM v1
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT),
+        |       CAST(sum(o_custkey) AS BIGINT), CAST(sum(pc) AS BIGINT),
+        |       (SELECT n_added FROM ad), (SELECT n_removed FROM rm)
+        |FROM v2
+        |ORDER BY ver""".stripMargin,
     "q144_lines_write_roundtrip" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(len(text)) AS BIGINT) AS sum_chars

@@ -62,7 +62,14 @@ object MergeInto {
     val insertParts = keyed.filter(col("_sop") === "I")
       .join(target.select(col(keyCol)), col("_sk") === col(keyCol), "left_anti")
       .select(col(s"_s_$partCol").as("_tp"))
-    val touched = matchedParts.union(landingParts).union(insertParts).distinct()
+    // Materialize the touched-partition LIST now, while the pre-merge
+    // files still exist: every post-write re-evaluation of this plan would
+    // chase deleted files. This is partition METADATA (bounded by the CDC
+    // batch), the one driver-side collect a partition-scoped merge needs.
+    val touchedRows = matchedParts.union(landingParts).union(insertParts)
+      .distinct().collect()
+    val touched = spark.createDataFrame(
+      java.util.Arrays.asList(touchedRows: _*), matchedParts.schema)
 
     // New content of the touched partitions only.
     val scoped = target.join(broadcast(touched), col(partCol) === col("_tp"), "left_semi")
@@ -79,25 +86,31 @@ object MergeInto {
       .select(target.columns.map(c => col(s"_s_$c").as(c)): _*)
     val rewrite = survivors.unionByName(updated).unionByName(inserts)
 
+    // Dynamic overwrite rewrites only partitions PRESENT in the output: a
+    // touched partition whose rows were ALL deleted/moved away produces no
+    // output rows and would silently keep its old files. Resolve the
+    // emptied set BEFORE the write, while the pre-merge files still exist
+    // (a production table format reads this off the write's per-partition
+    // file metrics instead of a second plan evaluation; here the extra
+    // pass costs touched-partitions, not the table).
+    val newParts = rewrite.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    val emptied = touchedRows.map(_.get(0)).filterNot(newParts)
+
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       rewrite.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(targetPath)
-      // Dynamic overwrite rewrites only partitions PRESENT in the output:
-      // a touched partition whose rows were all deleted produces no output
-      // rows and would silently keep its old files. Finish the job at the
-      // directory level (the file-granularity delete a manifest format
-      // records as a logical action).
-      val emptied = touched.join(
-          spark.read.parquet(targetPath).select(col(partCol).as("_tp")).distinct(),
-          Seq("_tp"), "left_anti")
-        .collect().map(_.get(0))
+      // The session's shared FileStatusCache still holds the PRE-merge
+      // listing for this path — readers would chase deleted files.
+      spark.catalog.refreshByPath(targetPath)
       emptied.foreach { p =>
         val d = new java.io.File(new java.net.URI(
           s"file:$targetPath/$partCol=" + java.net.URLEncoder.encode(
             String.valueOf(p), "UTF-8").replace("+", "%20")).getPath)
         if (d.isDirectory) { d.listFiles().foreach(_.delete()); d.delete() }
       }
+      if (emptied.nonEmpty) spark.catalog.refreshByPath(targetPath)
     } finally prevMode match {
       case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
@@ -151,6 +164,8 @@ object Versioned {
   def diff(spark: SparkSession, tablePath: String, fromV: Int, toV: Int): (Long, Long) = {
     def digests(v: Int): DataFrame = {
       val df = readAt(spark, tablePath, v)
+      // \u0001 separator: unseparated adjacent numeric columns could
+      // concatenate to the same string for different rows (1|23 vs 12|3).
       df.select(md5(concat_ws("",
         df.columns.sorted.map(c => col(c).cast("string")): _*)).as("d"))
     }

@@ -117,4 +117,70 @@ class SinksSpec extends SparkSpec {
       .agg(sum("n_nations")).collect()(0).getLong(0)
     assert(csvAgg === graft.tables.Tables.nation(spark, sfDir).count())
   }
+
+  private def fileState(dir: java.io.File): Map[String, (Long, String)] = {
+    def md5Of(f: java.io.File): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(java.nio.file.Files.readAllBytes(f.toPath))
+      d.map(b => f"$b%02x").mkString
+    }
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+    walk(dir).map(f => f.getPath -> (f.length(), md5Of(f))).toMap
+  }
+
+  test("q210 MERGE rewrites only touched partitions; untouched files stay byte-identical; emptied partitions vanish") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tgt = new java.io.File(sys.props("java.io.tmpdir"), "graft_spec_merge").getPath
+    // parts: a={1,2}, b={3,4}, c={5,6}, d={7} — d will be fully deleted
+    Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"), (4L, 40L, "b"),
+        (5L, 50L, "c"), (6L, 60L, "c"), (7L, 70L, "d"))
+      .toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(tgt)
+    spark.catalog.refreshByPath(tgt)
+    val before = fileState(new java.io.File(tgt))
+    val src = Seq(
+      (3L, 31L, "b", "U"),   // in-place update in b
+      (5L, 51L, "b", "U"),   // MOVE c -> b
+      (7L, 70L, "d", "D"),   // delete the only row of d => d empties
+      (8L, 80L, "e", "I"),   // insert into brand-new partition e
+      (99L, 99L, "b", "U"),  // unmatched update: ignored
+      (1L, 11L, "a", "I"))   // matched insert: ignored (a stays untouched)
+      .toDF("k", "v", "p", "_op")
+    graft.tables.MergeInto.merge(spark, tgt, src, "k", "p")
+    val after = fileState(new java.io.File(tgt))
+    // untouched partition a: every file byte-identical
+    val aBefore = before.filter(_._1.contains("p=a"))
+    assert(aBefore.nonEmpty && aBefore.forall { case (p, s) => after.get(p).contains(s) },
+      "partition a was not touched by the merge and must keep its exact files")
+    // emptied partition d: directory gone
+    assert(!new java.io.File(tgt, "p=d").exists(), "emptied partition dir must be removed")
+    // semantic result
+    val got = spark.read.parquet(tgt).as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 10L, "a"), (2L, 20L, "a"), (3L, 31L, "b"),
+      (4L, 40L, "b"), (5L, 51L, "b"), (6L, 60L, "c"), (8L, 80L, "e")), got.toString)
+  }
+
+  test("q211 versions are immutable: v1 files byte-identical across the v2 publish, pointer flips, diff counts") {
+    import spark.implicits._
+    val tbl = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_spec_ttv_${System.nanoTime()}").getPath
+    val v1 = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "s")
+    assert(graft.tables.Versioned.write(spark, tbl, v1) == 1)
+    val v1Files = fileState(new java.io.File(tbl, "v=1"))
+    val v2 = Seq((1L, "x"), (2L, "Y2"), (4L, "w")).toDF("k", "s")
+    assert(graft.tables.Versioned.write(spark, tbl, v2) == 2)
+    assert(graft.tables.Versioned.latestVersion(tbl) == 2)
+    assert(fileState(new java.io.File(tbl, "v=1")) == v1Files,
+      "published version files must never change")
+    val back = graft.tables.Versioned.readAt(spark, tbl, 1)
+      .as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "x"), (2L, "y"), (3L, "z")))
+    assert(graft.tables.Versioned.read(spark, tbl)
+      .as[(Long, String)].collect().toSet == Set((1L, "x"), (2L, "Y2"), (4L, "w")))
+    assert(graft.tables.Versioned.diff(spark, tbl, 1, 2) == (2L, 2L),
+      "v1->v2: +{(2,Y2),(4,w)} -{(2,y),(3,z)}")
+  }
 }
