@@ -46,11 +46,26 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Per-family subtotals (registry-size honesty): with 200+ queries the
+    // total alone can't show WHICH family absorbed a round's new cost.
+    val familyOf: Map[String, String] = Seq(
+      "relational" -> graft.queries.Relational.all, "mapreduce" -> graft.queries.MapReduceQueries.all,
+      "joins" -> graft.queries.Joins.all, "dedup" -> graft.queries.Dedup.all,
+      "similarity" -> graft.queries.Similarity.all, "text" -> graft.queries.TextAnalysis.all,
+      "events" -> graft.queries.EventAnalytics.all, "corpus" -> graft.queries.Corpus.all,
+      "pipeline" -> graft.queries.Pipeline.all, "multimodal" -> graft.multimodal.Multimodal.all,
+      "sinks" -> graft.queries.Sinks.all, "markup" -> graft.queries.Markup.all,
+      "exactsubstr" -> graft.queries.ExactSubstr.all
+    ).flatMap { case (fam, m) => m.keys.map(_ -> fam) }.toMap
+    val fams = results.groupBy { case (n, _) => familyOf.getOrElse(n, "other") }
+      .toSeq.sortBy(_._1)
+      .map { case (f, rs) => s"\"" + f + "\":" + rs.map(_._2).sum }
+      .mkString("{", ",", "}")
     // metric/value/unit go LAST: the driver keeps only the tail of stdout,
     // and with ~130 per-query entries in front the totals were truncated
     // away in rounds 4-5's BENCH_r*.json. Tail-last keeps every future
     // bench record self-contained.
-    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}""")
+    println(s"""{"queries":$qs,"families":$fams,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}""")
     spark.stop()
   }
 }

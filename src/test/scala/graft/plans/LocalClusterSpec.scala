@@ -34,6 +34,44 @@ object ClusterProbes {
       .map(_ => (org.apache.spark.SparkEnv.get.executorId,
         BroadcastRangeJoinExec.buildCount.get()))
       .collect().groupBy(_._1).map { case (e, v) => e -> v.map(_._2).max }
+
+  /** Per-JVM BeamSearchExec index decodes, harvested the same way. */
+  def perJvmBeamCounts(spark: SparkSession): Map[String, Long] =
+    spark.sparkContext.range(0, 64, 1, 64)
+      .map(_ => (org.apache.spark.SparkEnv.get.executorId,
+        BeamSearchExec.buildCount.get()))
+      .collect().groupBy(_._1).map { case (e, v) => e -> v.map(_._2).max }
+
+  /** Injection counter for the task-retry test — a plain per-JVM static,
+    * harvested like buildCount (accumulators under-report on failed
+    * attempts by design, which is exactly the attempt we need to count).
+    */
+  val injectedFailures = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def perJvmInjections(spark: SparkSession): Long =
+    spark.sparkContext.range(0, 64, 1, 64)
+      .map(_ => (org.apache.spark.SparkEnv.get.executorId,
+        ClusterProbes.injectedFailures.get()))
+      .collect().groupBy(_._1).map { case (_, v) => v.map(_._2).max }.sum
+
+  /** Deterministic IN-FLIGHT task failure: the FIRST attempt of partition 0
+    * of any stage mapping through this dies before emitting a row; the
+    * retry attempt passes rows through untouched. Lives in this plain
+    * object so the closure carries no scalatest supertypes to the executor
+    * JVMs.
+    */
+  def failFirstAttempt(ds: org.apache.spark.sql.Dataset[String])
+      : org.apache.spark.sql.Dataset[String] = {
+    val s = ds.sparkSession; import s.implicits._
+    ds.mapPartitions { it =>
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0) {
+        ClusterProbes.injectedFailures.incrementAndGet()
+        throw new RuntimeException("graft-injected first-attempt task failure")
+      }
+      it
+    }
+  }
 }
 
 class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
@@ -109,6 +147,80 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the driver-side counter in this JVM must be untouched.
     assert(BroadcastRangeJoinExec.buildCount.get() == 0L,
       "driver JVM built the interval index")
+  }
+
+  test("beam search: exec + broadcast index serialize across executor JVMs; driver decodes nothing") {
+    requireLauncher()
+    val s = spark; import s.implicits._
+    // The BeamSearchSpec synthetic graph, pushed across a real process
+    // boundary: UnsafeRow broadcast blocks decode on the executors only.
+    def codeOf(id: Long): Seq[Byte] =
+      Seq.tabulate(4)(i => (((id + 1) * (i + 3)) % 23 - 11).toByte)
+    val layer0: Map[Long, Seq[Long]] = Map(
+      0L -> Seq(1L, 2L, 5L), 1L -> Seq(0L, 3L), 2L -> Seq(0L, 4L),
+      3L -> Seq(1L, 5L), 4L -> Seq(2L, 5L), 5L -> Seq(0L, 3L, 4L))
+    val index = (0L to 5L).map(id =>
+      (id, codeOf(id), Seq(layer0.getOrElse(id, Seq.empty)))).toDF("vec_id", "q", "adj")
+    val probes = (0L to 5L).map(id => (id, codeOf(id), 0L))
+      .toDF("p_id", "pq", "entry_id").repartition(8)
+    val schedule = Seq((0, 3, 2))
+    val got = GraftOps.beamSearch(probes, index,
+        ("p_id", "pq", "entry_id"), ("vec_id", "q", "adj"), schedule)
+      .as[(Long, Long)].collect().toSet
+    // reference walk (driver-side plain code)
+    def iscore(p: Long, c: Long): Long =
+      codeOf(p).zip(codeOf(c)).map { case (a, b) => a.toLong * b.toLong }.sum
+    val want = (0L to 5L).flatMap { pid =>
+      var beam = List(0L)
+      for (_ <- 1 to 2) {
+        val cand = (beam ++ beam.flatMap(layer0.getOrElse(_, Seq.empty))).distinct
+        beam = cand.sortBy(id => (-iscore(pid, id), id)).take(3)
+      }
+      beam.map(pid -> _)
+    }.toSet
+    assert(got == want, s"got $got want $want")
+    val counts = ClusterProbes.perJvmBeamCounts(spark)
+    assert(counts.values.forall(_ <= 1L), s"per-executor decodes: $counts")
+    assert(BeamSearchExec.buildCount.get() == 0L, "driver JVM decoded the graph index")
+  }
+
+  test("streaming task retry: an injected in-flight task failure mid-batch stays exactly-once") {
+    requireLauncher()
+    // The r11 verdict's missing failure mode: crash-RESTART exactly-once is
+    // proven (StreamingSpec), but nothing killed an in-flight TASK. Here
+    // the first attempt of partition 0 of the post-shuffle stage dies in
+    // EVERY micro-batch (injection in ClusterProbes — deterministic, not
+    // flaky); local-cluster's spark.task.maxFailures=4 retries it, and the
+    // checkpointed file-source → shuffle → parquet pipeline must commit
+    // each batch exactly once — no lost rows, no duplicates from the
+    // half-run first attempt.
+    import java.nio.file.Files
+    val landing = Files.createTempDirectory("graft_retry_landing")
+    val out = Files.createTempDirectory("graft_retry_out").toString
+    val ckpt = Files.createTempDirectory("graft_retry_ckpt").toString
+    def addShard(name: String, lines: Seq[String]): Unit =
+      Files.write(landing.resolve(name),
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    addShard("shard-000.txt", (1 to 20).map(i => s"doc-$i"))
+    val s = spark; import s.implicits._
+    val src = spark.readStream.format("graft.sources.LinesSource")
+      .load(landing.toString)
+      .select(col("text")).as[String].repartition(4)
+    val q = ClusterProbes.failFirstAttempt(src)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      addShard("shard-001.txt", (21 to 30).map(i => s"doc-$i"))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out).as[String].collect().toSeq
+      val want = (1 to 30).map(i => s"doc-$i")
+      assert(rows.sorted == want.sortBy(identity),
+        s"retry broke exactly-once: ${rows.size} rows, ${rows.distinct.size} distinct")
+      assert(ClusterProbes.perJvmInjections(spark) >= 2L,
+        "the failure injection never fired — the test proved nothing")
+    } finally q.stop()
   }
 
   test("TopKPerKey partial/final execs serialize across executors and match the window form") {
