@@ -25,10 +25,14 @@ Test / testGrouping := {
     .withRunJVMOptions((Test / javaOptions).value.toVector)
     .withEnvVars((Test / envVars).value)
     .withWorkingDirectory((Test / baseDirectory).value)
-  val (cluster, rest) = (Test / definedTests).value
+  val (cluster, rest0) = (Test / definedTests).value
     .partition(_.name.endsWith("LocalClusterSpec"))
+  // SpeculationSpec needs spark.speculation=true, which the TaskScheduler
+  // reads once at init — so it owns a SparkContext in its own JVM too.
+  val (speculation, rest) = rest0.partition(_.name.endsWith("SpeculationSpec"))
   Seq(Tests.Group("default", rest, Tests.SubProcess(forkOpts)),
-      Tests.Group("local-cluster", cluster, Tests.SubProcess(forkOpts)))
+      Tests.Group("local-cluster", cluster, Tests.SubProcess(forkOpts)),
+      Tests.Group("speculation", speculation, Tests.SubProcess(forkOpts)))
     .filter(_.tests.nonEmpty)
 }
 // The bench driver parses the LAST stdout line as JSON; sbt's trailing

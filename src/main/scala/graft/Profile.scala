@@ -37,6 +37,7 @@ object Profile {
     // events can't leak into the next query's numbers.
     object acc extends SparkListener {
       val runMs = new java.util.concurrent.atomic.AtomicLong(0)
+      val gcMs = new java.util.concurrent.atomic.AtomicLong(0)
       val shufRead = new java.util.concurrent.atomic.AtomicLong(0)
       val shufWrite = new java.util.concurrent.atomic.AtomicLong(0)
       val spill = new java.util.concurrent.atomic.AtomicLong(0)
@@ -44,14 +45,15 @@ object Profile {
         val m = t.taskMetrics
         if (m != null) {
           runMs.addAndGet(m.executorRunTime)
+          gcMs.addAndGet(m.jvmGCTime)
           shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
         }
       }
-      def snapshot(): (Long, Long, Long, Long) = {
+      def snapshot(): (Long, Long, Long, Long, Long) = {
         org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
-        (runMs.get, shufRead.get, shufWrite.get, spill.get)
+        (runMs.get, gcMs.get, shufRead.get, shufWrite.get, spill.get)
       }
     }
     spark.sparkContext.addSparkListener(acc)
@@ -65,25 +67,36 @@ object Profile {
         println(f"TIMING $name run$i $w%.2f s")
         w
       }
-      // The extra metered rep exists only to feed the JSON artifact — skip
-      // it in plain timing mode (r9 review catch: it silently made every
+      // The extra metered reps exist only to feed the JSON artifact — skip
+      // them in plain timing mode (r9 review catch: it silently made every
       // query run reps+1 times).
-      if (jsonOut.isEmpty) name -> (walls, 0.0, 0L, 0L, 0L, 0L)
+      if (jsonOut.isEmpty) name -> (walls, 0.0, 0L, 0L, 0L, 0L, 0L)
       else {
-        val before = acc.snapshot()
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        val wMetered = (System.nanoTime() - t0) / 1e9
-        val after = acc.snapshot()
-        name -> (walls, wMetered, after._1 - before._1, after._2 - before._2,
-                 after._3 - before._3, after._4 - before._4)
+        // THREE metered reps, keep the one with the least executor run
+        // time: executorRunTime includes JVM GC pauses, and a full GC
+        // landing inside a single metered rep inflates exec_ms ~3× run to
+        // run (measured r13: 3.9 s vs 11.1 s for the same query at the
+        // same commit). min-of-N plus the separate gc_ms field makes the
+        // artifact attributable; shuffle bytes are identical across reps
+        // so the kept rep's bytes are THE bytes.
+        val metered = (1 to 3).map { _ =>
+          val before = acc.snapshot()
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          val wMetered = (System.nanoTime() - t0) / 1e9
+          val after = acc.snapshot()
+          (wMetered, after._1 - before._1, after._2 - before._2,
+           after._3 - before._3, after._4 - before._4, after._5 - before._5)
+        }
+        val best = metered.minBy(_._2)
+        name -> (walls, best._1, best._2, best._3, best._4, best._5, best._6)
       }
     }
     jsonOut.foreach { path =>
-      val body = records.map { case (name, (walls, wM, ms, sr, sw, sp)) =>
+      val body = records.map { case (name, (walls, wM, ms, gc, sr, sw, sp)) =>
         val ws = walls.map(w => f"$w%.3f").mkString("[", ",", "]")
-        f"""  "$name": {"wall": $ws, "wall_metered": $wM%.3f, "exec_ms": $ms, "shuffle_read_b": $sr, "shuffle_write_b": $sw, "spill_b": $sp}"""
-      }.mkString("{\n", ",\n", s""",\n  "_meta": {"sf": "$sfDir", "cpus": $cpus, "reps": $reps}\n}\n""")
+        f"""  "$name": {"wall": $ws, "wall_metered": $wM%.3f, "exec_ms": $ms, "gc_ms": $gc, "shuffle_read_b": $sr, "shuffle_write_b": $sw, "spill_b": $sp}"""
+      }.mkString("{\n", ",\n", s""",\n  "_meta": {"sf": "$sfDir", "cpus": $cpus, "reps": $reps, "metered": "min-of-3 by exec_ms"}\n}\n""")
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"PROFILE written to $path")

@@ -122,6 +122,12 @@ case class BeamSearchExec(
           if (n == null) Long.MinValue
           else {
             val q = n.code
+            // Ragged code arrays (a probe longer than an index node) would
+            // otherwise surface as an ArrayIndexOutOfBounds deep inside a
+            // task — fail diagnosably instead.
+            if (q.length != pq.length) throw new IllegalStateException(
+              s"beamSearch: probe $pid code dim ${pq.length} != node $id " +
+                s"code dim ${q.length} — index and probes quantized differently")
             var s = 0L; var i = 0
             while (i < pq.length) { s += pq(i).toLong * q(i).toLong; i += 1 }
             s
@@ -167,16 +173,25 @@ object BeamSearchExec {
     val ref = cache.get(bcId)
     val hit = if (ref != null) ref.get() else null
     if (hit != null) hit
-    else cache.synchronized { // one build per executor, not one per racing task
-      val again = cache.get(bcId)
-      val h2 = if (again != null) again.get() else null
-      if (h2 != null) h2
-      else {
-        val built = build
-        buildCount.incrementAndGet()
-        cache.put(bcId, new java.lang.ref.SoftReference(built))
-        built
-      }
+    else {
+      // Drop entries whose SoftReference the GC already cleared so a
+      // long-lived executor serving many distinct indexes doesn't
+      // accumulate dead map slots.
+      cache.entrySet().removeIf(e => e.getValue.get() == null)
+      // compute() locks per KEY: a rebuild of one index never serializes
+      // decodes of a DIFFERENT broadcast on the same executor (tasks of
+      // unrelated queries share this JVM-wide cache).
+      var built: java.util.HashMap[java.lang.Long, BeamGraphNode] = null
+      cache.compute(bcId, (_, prev) => {
+        val again = if (prev != null) prev.get() else null
+        if (again != null) { built = again; prev }
+        else {
+          built = build
+          buildCount.incrementAndGet()
+          new java.lang.ref.SoftReference(built)
+        }
+      })
+      built
     }
   }
 }

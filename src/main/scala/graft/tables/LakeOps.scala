@@ -1,58 +1,264 @@
 package graft.tables
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Row-level table operations over plain partitioned parquet — the two
-  * lakehouse primitives the engine was still missing (r11 verdict items 3
-  * and 4): MERGE INTO (partition-scoped upsert) and versioned snapshots
-  * with time travel.
-  *
-  * Both are deliberately built on the public Spark surface (dynamic
-  * partition overwrite; directory-per-version + an atomically renamed
-  * pointer file) rather than a table-format dependency: the point is the
-  * ENGINE mechanics — touch only affected partitions, never rewrite the
-  * table, publish immutable versions — which are exactly the mechanics
-  * Delta/Iceberg implement at file granularity. Reference analog: the
-  * reduce-side "latest value wins" merge is the classic MapReduce pattern
-  * (reference MapReduceClient.h:64).
+/** Raised when a concurrent writer claimed the version this writer was
+  * about to publish (or the table advanced past `expectedLatest`).
   */
-object MergeInto {
+class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
 
-  /** MERGE `source` INTO the partitioned parquet table at `targetPath`.
-    *
-    * `source` carries the target's columns plus `_op`:
-    *   'U' — matched on `keyCol` → replace the target row with the source
-    *         row (unmatched 'U' rows are ignored);
-    *   'D' — matched → delete (unmatched ignored);
-    *   'I' — not matched → insert (matched ignored).
-    *
-    * Scale shape — the Delta/replaceWhere recipe on plain parquet:
-    * only partitions that CONTAIN a matched or inserted row are rewritten
-    * (dynamic partition overwrite); every other partition's files are left
-    * physically untouched (byte-identical — SinksSpec pins it). The
-    * rewrite plan is one broadcast semi-join of the target against the
-    * touched-partition list plus a keyed left join against the (small) CDC
-    * batch: work ∝ touched partitions + |source|, never ∝ |table|. No
-    * driver-side data collect; the only collect is the post-merge
-    * emptied-partition list — partition METADATA, bounded by the touched
-    * set — needed because dynamic overwrite cannot express "this partition
-    * is now empty".
+/** Versioned lakehouse store over plain parquet — snapshots, partition-
+  * scoped MERGE, time travel, and vacuum, built only on the public Spark
+  * surface plus the Hadoop FileSystem API (no table-format dependency).
+  *
+  * Layout (everything under `tablePath`):
+  * {{{
+  *   d_<uuid>/                immutable data dirs; partitioned tables hold
+  *                            Spark-written `<partCol>=<escaped>` subdirs
+  *   _manifests/<N>.txt       one manifest per version; the EXCLUSIVE
+  *                            CREATE of this file is the commit point
+  * }}}
+  *
+  * A manifest line is `<partDir>\t<dataDir>` (partDir `-` for an
+  * unpartitioned snapshot) and the last line is a `#commit` terminator:
+  * a manifest without the terminator is an uncommitted claim (a crashed
+  * or in-flight writer) and is never served. `latestVersion` is the max
+  * committed manifest — there is no separate pointer file to keep in
+  * sync, so a crash between any two steps leaves the table readable at
+  * the previous version.
+  *
+  * Why this shape (the Delta/Iceberg argument, minimally):
+  *  - data files are IMMUTABLE — no in-place partition rewrite, no
+  *    directory deletion on merge, so a reader holding version N keeps a
+  *    consistent listing while N+1 publishes;
+  *  - the commit is ONE exclusive file create (`fs.create(…, false)` —
+  *    atomic on HDFS-like stores), so two writers racing to publish the
+  *    same version conflict deterministically: exactly one wins, the
+  *    loser gets [[ConcurrentWriteException]] and its orphan data dir is
+  *    removed;
+  *  - a MERGE writes only the touched partitions into a NEW data dir and
+  *    splices the untouched partitions' entries from the base manifest —
+  *    an emptied partition simply has no entry in the new manifest, which
+  *    kills the escaped-directory-deletion class of bugs entirely;
+  *  - `vacuum` deletes manifests outside the retained set and any data
+  *    dir no retained manifest references — never a dir a kept version
+  *    still shares.
+  *
+  * Reference analog: the reduce-side "latest value wins" merge is the
+  * classic MapReduce pattern (reference MapReduceClient.h:64); the
+  * version/manifest mechanics are the public Delta/Iceberg design
+  * re-derived at partition granularity.
+  */
+object Versioned {
+
+  /** Partition-column types whose `String.valueOf` rendering matches the
+    * directory name Spark's partitioned writer produces. Dates, floats and
+    * decimals render format-dependently — callers partition by those at
+    * their own peril, so we refuse them loudly.
     */
-  def merge(spark: SparkSession, targetPath: String, source: DataFrame,
-            keyCol: String, partCol: String): Unit = {
-    val target = spark.read.parquet(targetPath)
-    val dataCols = target.columns.filterNot(_ == partCol)
+  private val partitionableTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(ByteType, ShortType, IntegerType, LongType, StringType, BooleanType)
+  }
+
+  private def fs(spark: SparkSession, tablePath: String): (FileSystem, Path) = {
+    val p = new Path(tablePath)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def manifestDir(table: Path) = new Path(table, "_manifests")
+  private def manifestPath(table: Path, v: Int) = new Path(manifestDir(table), s"$v.txt")
+
+  private val Terminator = "#commit"
+  /** An uncommitted manifest older than this is a crashed writer's claim
+    * and may be reclaimed by the next writer.
+    */
+  private val StaleClaimMs = 60000L
+
+  private case class Entry(partDir: String, dataDir: String)
+
+  private def readManifest(fsys: FileSystem, table: Path, v: Int): Seq[Entry] = {
+    val p = manifestPath(table, v)
+    require(fsys.exists(p), s"version $v does not exist (or was vacuumed) at $table")
+    val in = fsys.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+    val lines = text.split("\n", -1).toSeq.map(_.stripSuffix("\r")).filter(_.nonEmpty)
+    require(lines.lastOption.contains(Terminator),
+      s"version $v at $table is not committed (writer crashed mid-publish?)")
+    lines.dropRight(1).map { l =>
+      val i = l.indexOf('\t')
+      Entry(l.substring(0, i), l.substring(i + 1))
+    }
+  }
+
+  private def isCommitted(fsys: FileSystem, table: Path, v: Int): Boolean = {
+    val p = manifestPath(table, v)
+    if (!fsys.exists(p)) return false
+    val in = fsys.open(p)
+    try {
+      val len = fsys.getFileStatus(p).getLen
+      if (len < Terminator.length + 1) return false
+      val tail = new Array[Byte](Terminator.length + 1)
+      in.seek(len - tail.length)
+      in.readFully(tail)
+      new String(tail, "UTF-8") == Terminator + "\n"
+    } finally in.close()
+  }
+
+  /** Highest committed version, 0 if the table is empty/nonexistent. */
+  def latestVersion(spark: SparkSession, tablePath: String): Int = {
+    val (fsys, table) = fs(spark, tablePath)
+    val md = manifestDir(table)
+    if (!fsys.exists(md)) return 0
+    fsys.listStatus(md).toSeq
+      .flatMap(s => s.getPath.getName.stripSuffix(".txt").toIntOption)
+      .filter(isCommitted(fsys, table, _))
+      .sorted.lastOption.getOrElse(0)
+  }
+
+  /** The data dirs version `v` serves from (spec/vacuum introspection). */
+  def dataDirsOf(spark: SparkSession, tablePath: String, v: Int): Seq[String] = {
+    val (fsys, table) = fs(spark, tablePath)
+    readManifest(fsys, table, v).map(_.dataDir).distinct
+  }
+
+  /** Commit `entries` as the next version. The exclusive manifest create
+    * is the CAS: if another writer claimed the number first, clean up
+    * `orphanDirs` and raise [[ConcurrentWriteException]].
+    */
+  private def commit(fsys: FileSystem, table: Path, spark: SparkSession,
+                     entries: Seq[Entry], expectedLatest: Option[Int],
+                     orphanDirs: Seq[Path]): Int = {
+    fsys.mkdirs(manifestDir(table))
+    val latest = latestVersion(spark, table.toString)
+    def abort(why: String): Nothing = {
+      orphanDirs.foreach(d => try fsys.delete(d, true) catch { case _: Throwable => () })
+      throw new ConcurrentWriteException(why)
+    }
+    expectedLatest.foreach { e =>
+      if (latest != e) abort(s"table $table is at v$latest, writer expected v$e")
+    }
+    val next = latest + 1
+    val mf = manifestPath(table, next)
+    // Reclaim a crashed writer's stale claim (uncommitted + old mtime).
+    if (fsys.exists(mf) && !isCommitted(fsys, table, next) &&
+        System.currentTimeMillis() - fsys.getFileStatus(mf).getModificationTime > StaleClaimMs)
+      fsys.delete(mf, false)
+    val out = try fsys.create(mf, /* overwrite = */ false) catch {
+      case _: java.io.IOException =>
+        abort(s"version $next at $table already claimed by a concurrent writer")
+    }
+    try {
+      val body = entries.map(e => s"${e.partDir}\t${e.dataDir}").mkString("", "\n", s"\n$Terminator\n")
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    next
+  }
+
+  private def newDataDir(fsys: FileSystem, table: Path): Path = {
+    fsys.mkdirs(table)
+    new Path(table, s"d_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+  }
+
+  /** Publish `df` as the next version — a full snapshot. With `partCol`
+    * the data dir is laid out by Spark's partitioned writer (so merges can
+    * later splice at partition granularity); without, it's a flat table.
+    * Returns the committed version number.
+    */
+  def publish(spark: SparkSession, tablePath: String, df: DataFrame,
+              partCol: Option[String] = None,
+              expectedLatest: Option[Int] = None): Int = {
+    val (fsys, table) = fs(spark, tablePath)
+    val dd = newDataDir(fsys, table)
+    val entries = partCol match {
+      case Some(pc) =>
+        require(partitionableTypes.contains(df.schema(pc).dataType),
+          s"partition column $pc: type ${df.schema(pc).dataType} renders " +
+            "format-dependent directory names; use int/long/string/boolean")
+        df.write.mode(SaveMode.ErrorIfExists).partitionBy(pc).parquet(dd.toString)
+        listPartDirs(fsys, dd).map(Entry(_, dd.getName))
+      case None =>
+        df.write.mode(SaveMode.ErrorIfExists).parquet(dd.toString)
+        Seq(Entry("-", dd.getName))
+    }
+    commit(fsys, table, spark, entries, expectedLatest, Seq(dd))
+  }
+
+  /** Back-compat alias: unpartitioned snapshot publish. */
+  def write(spark: SparkSession, tablePath: String, df: DataFrame): Int =
+    publish(spark, tablePath, df)
+
+  private def listPartDirs(fsys: FileSystem, dataDir: Path): Seq[String] =
+    fsys.listStatus(dataDir).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
+
+  def readAt(spark: SparkSession, tablePath: String, version: Int): DataFrame = {
+    val (fsys, table) = fs(spark, tablePath)
+    val entries = readManifest(fsys, table, version)
+    require(entries.nonEmpty, s"version $version of $table is an empty table")
+    if (entries.forall(_.partDir == "-"))
+      spark.read.parquet(entries.map(e => new Path(table, e.dataDir).toString): _*)
+    else entries.groupBy(_.dataDir).toSeq.sortBy(_._1).map { case (dd, es) =>
+      val base = new Path(table, dd)
+      spark.read.option("basePath", base.toString)
+        .parquet(es.map(e => new Path(base, e.partDir).toString): _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  def read(spark: SparkSession, tablePath: String): DataFrame =
+    readAt(spark, tablePath, latestVersion(spark, tablePath))
+
+  /** MERGE `source` INTO the table, against base version `fromVersion`
+    * (default: latest), publishing the result as a new version.
+    *
+    * `source` carries the table's columns plus `_op` ('U' update / 'D'
+    * delete / 'I' insert). Per key, AT MOST ONE operation applies: if the
+    * batch carries several rows for a key, precedence is D > U > I (a
+    * batch that says both "update" and "delete" deletes); two rows with
+    * the SAME op for one key are rejected loudly — silently picking one
+    * image is how upserts corrupt tables.
+    *
+    * Scale shape: only partitions containing a matched or inserted row
+    * are rewritten, into a FRESH data dir; every other partition's entry
+    * is spliced from the base manifest unchanged — work ∝ touched
+    * partitions + |source|, never ∝ |table|, and no pre-merge file is
+    * ever deleted, so concurrent readers of any committed version are
+    * unaffected (the commit itself is the manifest CAS). The only driver
+    * collects are partition METADATA bounded by the CDC batch. An update
+    * may MOVE its row across partitions; an emptied partition just has no
+    * manifest entry.
+    */
+  def merge(spark: SparkSession, tablePath: String, source: DataFrame,
+            keyCol: String, partCol: String,
+            fromVersion: Option[Int] = None,
+            expectedLatest: Option[Int] = None): Int = {
+    val (fsys, table) = fs(spark, tablePath)
+    val base = fromVersion.getOrElse(latestVersion(spark, tablePath))
+    val baseEntries = readManifest(fsys, table, base)
+    val target = readAt(spark, tablePath, base)
     require(source.columns.toSet == (target.columns :+ "_op").toSet,
       s"merge: source must carry ${target.columns.mkString(",")} + _op, " +
         s"got ${source.columns.mkString(",")}")
+    require(partitionableTypes.contains(target.schema(partCol).dataType),
+      s"partition column $partCol has a non-path-stable type")
 
-    val keyed = source.select((col(keyCol).as("_sk") +: col("_op").as("_sop") +:
+    val src = applyPrecedence(source, keyCol)
+    val keyed = src.select((col(keyCol).as("_sk") +: col("_op").as("_sop") +:
       target.columns.map(c => col(c).as(s"_s_$c"))): _*)
+
     // Touched partitions: where a matched U/D row lives in the TARGET
-    // (its current partition — an update may also MOVE the row), where an
-    // updated row lands, and where inserts land. Distinct over a bounded
-    // CDC batch → a small list, broadcast into the pruning semi-join.
+    // (an update may also MOVE the row), where an updated row lands, and
+    // where inserts land. Distinct over a bounded CDC batch → a small
+    // list, collected as metadata and broadcast into the pruning semi-join.
     val matchedParts = target.join(
         keyed.filter(col("_sop").isin("U", "D")), col(keyCol) === col("_sk"))
       .select(col(partCol).as("_tp"))
@@ -62,12 +268,10 @@ object MergeInto {
     val insertParts = keyed.filter(col("_sop") === "I")
       .join(target.select(col(keyCol)), col("_sk") === col(keyCol), "left_anti")
       .select(col(s"_s_$partCol").as("_tp"))
-    // Materialize the touched-partition LIST now, while the pre-merge
-    // files still exist: every post-write re-evaluation of this plan would
-    // chase deleted files. This is partition METADATA (bounded by the CDC
-    // batch), the one driver-side collect a partition-scoped merge needs.
     val touchedRows = matchedParts.union(landingParts).union(insertParts)
       .distinct().collect()
+    val touchedDirs = touchedRows
+      .map(r => partDirName(partCol, r.get(0))).toSet
     val touched = spark.createDataFrame(
       java.util.Arrays.asList(touchedRows: _*), matchedParts.schema)
 
@@ -75,102 +279,103 @@ object MergeInto {
     val scoped = target.join(broadcast(touched), col(partCol) === col("_tp"), "left_semi")
     val joined = scoped.join(broadcast(keyed), col(keyCol) === col("_sk"), "left")
     val survivors = joined
-      .filter(col("_sop").isNull || col("_sop") === "I")          // untouched rows
+      .filter(col("_sop").isNull || col("_sop") === "I") // untouched + matched-I noise
       .select(target.columns.map(col): _*)
     val updated = joined.filter(col("_sop") === "U")
       .select(target.columns.map(c => col(s"_s_$c").as(c)): _*)
-      // an update may move its row into a partition outside the touched
-      // set only via _s_partCol, which landingParts already added
     val inserts = keyed.filter(col("_sop") === "I")
       .join(target.select(col(keyCol)), col("_sk") === col(keyCol), "left_anti")
       .select(target.columns.map(c => col(s"_s_$c").as(c)): _*)
     val rewrite = survivors.unionByName(updated).unionByName(inserts)
 
-    // Dynamic overwrite rewrites only partitions PRESENT in the output: a
-    // touched partition whose rows were ALL deleted/moved away produces no
-    // output rows and would silently keep its old files. Resolve the
-    // emptied set BEFORE the write, while the pre-merge files still exist
-    // (a production table format reads this off the write's per-partition
-    // file metrics instead of a second plan evaluation; here the extra
-    // pass costs touched-partitions, not the table).
-    val newParts = rewrite.select(col(partCol)).distinct()
-      .collect().map(_.get(0)).toSet
-    val emptied = touchedRows.map(_.get(0)).filterNot(newParts)
-
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      rewrite.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(targetPath)
-      // The session's shared FileStatusCache still holds the PRE-merge
-      // listing for this path — readers would chase deleted files.
-      spark.catalog.refreshByPath(targetPath)
-      emptied.foreach { p =>
-        val d = new java.io.File(new java.net.URI(
-          s"file:$targetPath/$partCol=" + java.net.URLEncoder.encode(
-            String.valueOf(p), "UTF-8").replace("+", "%20")).getPath)
-        if (d.isDirectory) { d.listFiles().foreach(_.delete()); d.delete() }
-      }
-      if (emptied.nonEmpty) spark.catalog.refreshByPath(targetPath)
-    } finally prevMode match {
-      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
-}
-
-/** Versioned parquet snapshots with time travel — the MV version-directory
-  * convention (MvCatalog refresh) generalized into a table API: every
-  * `write` publishes an IMMUTABLE `v=N` directory and then atomically
-  * flips a `_LATEST` pointer file (write-temp + rename — the POSIX
-  * single-file commit); `read` resolves the pointer, `readAt` serves any
-  * retained version, `diff` compares two versions by full-row digest.
-  * Readers holding version N keep a consistent listing while N+1
-  * publishes — no in-place file mutation ever happens, which is the same
-  * isolation argument Delta/Iceberg make with manifests.
-  */
-object Versioned {
-
-  private def latestFile(tablePath: String) = new java.io.File(tablePath, "_LATEST")
-
-  def latestVersion(tablePath: String): Int = {
-    val f = latestFile(tablePath)
-    if (f.exists()) new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toInt
-    else 0
+    val dd = newDataDir(fsys, table)
+    rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dd.toString)
+    val written = listPartDirs(fsys, dd)
+    require(written.toSet.subsetOf(touchedDirs),
+      s"merge wrote partitions outside the touched set: " +
+        s"${(written.toSet -- touchedDirs).mkString(",")} — partition-value " +
+        "rendering drifted from Spark's writer")
+    // Splice: untouched entries ride the base manifest; touched partitions
+    // are served from the fresh dir; an emptied partition appears nowhere.
+    val entries = baseEntries.filterNot(e => touchedDirs.contains(e.partDir)) ++
+      written.map(Entry(_, dd.getName))
+    commit(fsys, table, spark, entries, expectedLatest, Seq(dd))
   }
 
-  /** Publish `df` as the next version; returns the new version number. */
-  def write(spark: SparkSession, tablePath: String, df: DataFrame): Int = {
-    val next = latestVersion(tablePath) + 1
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$tablePath/v=$next")
-    val tmp = new java.io.File(tablePath, s"._LATEST.$next.tmp")
-    java.nio.file.Files.write(tmp.toPath, String.valueOf(next).getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, latestFile(tablePath).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    next
+  /** Spark-writer-compatible `col=value` directory name for a partition
+    * value (null → the Hive default-partition sentinel).
+    */
+  private def partDirName(partCol: String, value: Any): String =
+    ExternalCatalogUtils.getPartitionPathString(
+      partCol, if (value == null) null else String.valueOf(value))
+
+  /** Per key keep one source row by op precedence D > U > I; reject two
+    * rows with the same (key, op) — no silent image-picking.
+    */
+  private def applyPrecedence(source: DataFrame, keyCol: String): DataFrame = {
+    val dup = source.groupBy(col(keyCol), col("_op"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge: source batch carries ${dup.head.getLong(2)} rows for " +
+        s"($keyCol=${dup.head.get(0)}, _op=${dup.head.get(1)}) — at most one " +
+        "row per (key, op) is allowed")
+    val prec = when(col("_op") === "D", 3)
+      .when(col("_op") === "U", 2).otherwise(1)
+    source.withColumn("_prec", prec)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("_prec").desc)))
+      .filter(col("_rn") === 1).drop("_prec", "_rn")
   }
 
-  def readAt(spark: SparkSession, tablePath: String, version: Int): DataFrame =
-    spark.read.parquet(s"$tablePath/v=$version")
-
-  def read(spark: SparkSession, tablePath: String): DataFrame =
-    readAt(spark, tablePath, latestVersion(tablePath))
-
-  /** (added, removed) row counts from `fromV` to `toV`, by full-row digest
-    * — q166's snapshot-diff unified onto the version store. Digest = md5
-    * of the canonical concat of every column; two anti-joins on the digest
-    * (shuffle ∝ changed rows after AQE's semi-join pushdown at scale).
+  /** (added, removed) row counts from `fromV` to `toV`, by full-row
+    * digest — q166's snapshot-diff unified onto the version store.
+    * Digest = md5 over a -separated canonical concat with a  
+    * NULL sentinel per column: the separator keeps adjacent columns from
+    * concatenating ambiguously ((1,23) vs (12,3)) and the sentinel keeps
+    * NULLs positionally distinguishable (concat_ws would silently skip
+    * them, colliding (NULL,'a') with ('a',NULL)). Two anti-joins on the
+    * digest — shuffle ∝ changed rows after AQE's semi-join pushdown at
+    * scale.
     */
   def diff(spark: SparkSession, tablePath: String, fromV: Int, toV: Int): (Long, Long) = {
     def digests(v: Int): DataFrame = {
       val df = readAt(spark, tablePath, v)
-      // \u0001 separator: unseparated adjacent numeric columns could
-      // concatenate to the same string for different rows (1|23 vs 12|3).
       df.select(md5(concat_ws("",
-        df.columns.sorted.map(c => col(c).cast("string")): _*)).as("d"))
+        df.columns.sorted.map(c =>
+          coalesce(col(c).cast("string"), lit(" "))): _*)).as("d"))
     }
     val a = digests(toV).join(digests(fromV), Seq("d"), "left_anti").count()
     val r = digests(fromV).join(digests(toV), Seq("d"), "left_anti").count()
     (a, r)
+  }
+
+  /** Delete every manifest NOT in `keep` plus every data dir no retained
+    * manifest references. A data dir shared with a kept version survives
+    * (merge versions splice entries from older dirs — those stay live
+    * until the last manifest referencing them is vacuumed).
+    */
+  def vacuum(spark: SparkSession, tablePath: String, keep: Set[Int]): Unit = {
+    val (fsys, table) = fs(spark, tablePath)
+    val md = manifestDir(table)
+    if (!fsys.exists(md)) return
+    val versions = fsys.listStatus(md).toSeq
+      .flatMap(_.getPath.getName.stripSuffix(".txt").toIntOption)
+    val (kept, dropped) = versions.partition(keep)
+    val liveDirs = kept.filter(isCommitted(fsys, table, _))
+      .flatMap(v => readManifest(fsys, table, v).map(_.dataDir)).toSet
+    dropped.foreach(v => fsys.delete(manifestPath(table, v), false))
+    fsys.listStatus(table).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d_") &&
+        !liveDirs.contains(s.getPath.getName))
+      .foreach(s => fsys.delete(s.getPath, true))
+  }
+
+  /** Retain the newest `k` committed versions (and everything in
+    * `alsoKeep` — e.g. a pinned base snapshot merges branch from).
+    */
+  def vacuumKeepLast(spark: SparkSession, tablePath: String, k: Int,
+                     alsoKeep: Set[Int] = Set.empty): Unit = {
+    val latest = latestVersion(spark, tablePath)
+    vacuum(spark, tablePath, alsoKeep ++ (math.max(1, latest - k + 1) to latest))
   }
 }

@@ -72,6 +72,50 @@ object ClusterProbes {
       it
     }
   }
+
+  /** Per-JVM count of partition-0 attempts through [[drainThenStall]] —
+    * ≥2 summed over executors proves a duplicate attempt actually ran.
+    */
+  val slowAttemptRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def perJvmSlowRuns(spark: SparkSession): Long =
+    spark.sparkContext.range(0, 64, 1, 64)
+      .map(_ => (org.apache.spark.SparkEnv.get.executorId,
+        ClusterProbes.slowAttemptRuns.get()))
+      .collect().groupBy(_._1).map { case (_, v) => v.map(_._2).max }.sum
+
+  /** Deterministic ZOMBIE: attempt 0 of partition 0 fully DRAINS its
+    * shuffle input (past the InterruptibleIterator — the last kill check
+    * on its path), touches `markerPath` to tell the driver-side killer
+    * "too late to stop me cleanly", then stalls ~6 s swallowing
+    * interrupts, then emits its rows anyway — by which time the
+    * rescheduled attempt has long committed the batch, so this attempt's
+    * output is a concurrent DUPLICATE the sink's commit protocol must
+    * exclude. Downstream of the drain there is no kill check (the parquet
+    * write path doesn't poll TaskContext), which is exactly why file
+    * sinks need commit-side dedup: a killed-but-running task cannot be
+    * assumed dead. The file marker works because local-cluster's executor
+    * JVMs share the driver host's filesystem.
+    */
+  def drainThenStall(ds: org.apache.spark.sql.Dataset[String], markerPath: String)
+      : org.apache.spark.sql.Dataset[String] = {
+    val s = ds.sparkSession; import s.implicits._
+    ds.mapPartitions { it =>
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null && tc.partitionId() == 0) {
+        ClusterProbes.slowAttemptRuns.incrementAndGet()
+        if (tc.attemptNumber() == 0) {
+          val rows = it.toArray // drain BEFORE the kill flag exists
+          java.nio.file.Files.write(java.nio.file.Paths.get(markerPath),
+            Array[Byte]('1'))
+          val until = System.nanoTime() + 6L * 1000 * 1000 * 1000
+          while (System.nanoTime() < until)
+            try Thread.sleep(100) catch { case _: InterruptedException => () }
+          rows.iterator
+        } else it
+      } else it
+    }
+  }
 }
 
 class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {

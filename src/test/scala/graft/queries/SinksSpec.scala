@@ -130,17 +130,32 @@ class SinksSpec extends SparkSpec {
     walk(dir).map(f => f.getPath -> (f.length(), md5Of(f))).toMap
   }
 
-  test("q210 MERGE rewrites only touched partitions; untouched files stay byte-identical; emptied partitions vanish") {
-    import org.apache.spark.sql.functions._
+  import graft.tables.{ConcurrentWriteException, Versioned}
+
+  private def freshTable(name: String): String = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_spec_${name}_${System.nanoTime()}")
+    f.getPath
+  }
+
+  private def dataDirFiles(tbl: String, v: Int): Map[String, (Long, String)] =
+    Versioned.dataDirsOf(spark, tbl, v)
+      .map(dd => fileState(new java.io.File(tbl, dd)))
+      .foldLeft(Map.empty[String, (Long, String)])(_ ++ _)
+
+  test("q210 MERGE publishes a new version touching only affected partitions; base files immutable; emptied partitions vanish") {
     import spark.implicits._
-    val tgt = new java.io.File(sys.props("java.io.tmpdir"), "graft_spec_merge").getPath
+    val tbl = freshTable("merge")
     // parts: a={1,2}, b={3,4}, c={5,6}, d={7} — d will be fully deleted
-    Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"), (4L, 40L, "b"),
-        (5L, 50L, "c"), (6L, 60L, "c"), (7L, 70L, "d"))
-      .toDF("k", "v", "p")
-      .write.mode("overwrite").partitionBy("p").parquet(tgt)
-    spark.catalog.refreshByPath(tgt)
-    val before = fileState(new java.io.File(tgt))
+    val v1 = Versioned.publish(spark, tbl,
+      Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"), (4L, 40L, "b"),
+          (5L, 50L, "c"), (6L, 60L, "c"), (7L, 70L, "d")).toDF("k", "v", "p"),
+      partCol = Some("p"))
+    assert(v1 == 1)
+    val baseFiles = dataDirFiles(tbl, 1)
+    // A reader plan bound to v1 BEFORE the merge: must serve v1's content
+    // unchanged after the merge commits (reader isolation).
+    val preMergeReader = Versioned.readAt(spark, tbl, 1)
     val src = Seq(
       (3L, 31L, "b", "U"),   // in-place update in b
       (5L, 51L, "b", "U"),   // MOVE c -> b
@@ -149,38 +164,133 @@ class SinksSpec extends SparkSpec {
       (99L, 99L, "b", "U"),  // unmatched update: ignored
       (1L, 11L, "a", "I"))   // matched insert: ignored (a stays untouched)
       .toDF("k", "v", "p", "_op")
-    graft.tables.MergeInto.merge(spark, tgt, src, "k", "p")
-    val after = fileState(new java.io.File(tgt))
-    // untouched partition a: every file byte-identical
-    val aBefore = before.filter(_._1.contains("p=a"))
-    assert(aBefore.nonEmpty && aBefore.forall { case (p, s) => after.get(p).contains(s) },
-      "partition a was not touched by the merge and must keep its exact files")
-    // emptied partition d: directory gone
-    assert(!new java.io.File(tgt, "p=d").exists(), "emptied partition dir must be removed")
-    // semantic result
-    val got = spark.read.parquet(tgt).as[(Long, Long, String)].collect().toSet
+    val v2 = Versioned.merge(spark, tbl, src, "k", "p")
+    assert(v2 == 2)
+    // v1's files: byte-identical — the merge never rewrites or deletes
+    assert(dataDirFiles(tbl, 1) == baseFiles,
+      "merge must never touch the base version's files")
+    assert(preMergeReader.as[(Long, Long, String)].collect().toSet ==
+      Set((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"), (4L, 40L, "b"),
+          (5L, 50L, "c"), (6L, 60L, "c"), (7L, 70L, "d")),
+      "a reader bound to v1 before the merge must still see v1")
+    // v2 serves untouched partition a from v1's data dir (manifest splice)
+    val v1Dirs = Versioned.dataDirsOf(spark, tbl, 1).toSet
+    val v2Dirs = Versioned.dataDirsOf(spark, tbl, 2).toSet
+    assert(v1Dirs.subsetOf(v2Dirs) && v2Dirs.size == 2,
+      s"v2 must splice v1's dir plus one fresh dir, got v1=$v1Dirs v2=$v2Dirs")
+    // the fresh dir holds ONLY the touched partitions (b, c, d-empty, e)
+    val freshDir = new java.io.File(tbl, (v2Dirs -- v1Dirs).head)
+    val writtenParts = freshDir.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(writtenParts == Set("p=b", "p=c", "p=e"),
+      s"b (update+move-in), c (move-out, 6 survives) and e (insert) are " +
+        s"rewritten; a (untouched) and d (emptied) must not be, got $writtenParts")
+    // semantic result: update applied, move applied, delete applied,
+    // insert applied, both noise rows ignored, d gone entirely
+    val got = Versioned.readAt(spark, tbl, 2).as[(Long, Long, String)].collect().toSet
     assert(got == Set((1L, 10L, "a"), (2L, 20L, "a"), (3L, 31L, "b"),
       (4L, 40L, "b"), (5L, 51L, "b"), (6L, 60L, "c"), (8L, 80L, "e")), got.toString)
   }
 
-  test("q211 versions are immutable: v1 files byte-identical across the v2 publish, pointer flips, diff counts") {
+  test("MERGE duplicate-key semantics: D > U > I precedence; same (key,op) twice rejected") {
     import spark.implicits._
-    val tbl = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_spec_ttv_${System.nanoTime()}").getPath
+    val tbl = freshTable("mergedup")
+    Versioned.publish(spark, tbl,
+      Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b")).toDF("k", "v", "p"),
+      partCol = Some("p"))
+    // key 1 carries U and D → D wins (row deleted, update discarded);
+    // key 2 carries U only → updated; key 9 carries I and D → D wins, so
+    // nothing is inserted (the delete INTENT outranks the insert).
+    val v2 = Versioned.merge(spark, tbl, Seq(
+      (1L, 11L, "a", "U"), (1L, 10L, "a", "D"),
+      (2L, 21L, "a", "U"),
+      (9L, 90L, "b", "I"), (9L, 90L, "b", "D")).toDF("k", "v", "p", "_op"),
+      "k", "p")
+    val got = Versioned.readAt(spark, tbl, v2).as[(Long, Long, String)].collect().toSet
+    assert(got == Set((2L, 21L, "a"), (3L, 30L, "b")), got.toString)
+    // two rows with the SAME op for one key: rejected, not silently picked
+    val bad = Seq((2L, 22L, "a", "U"), (2L, 23L, "a", "U")).toDF("k", "v", "p", "_op")
+    val e = intercept[IllegalArgumentException] {
+      Versioned.merge(spark, tbl, bad, "k", "p")
+    }
+    assert(e.getMessage.contains("at most one"), e.getMessage)
+  }
+
+  test("two-writer conflict: a writer publishing against a stale expected version fails; winner's commit stands") {
+    import spark.implicits._
+    val tbl = freshTable("cas")
+    Versioned.publish(spark, tbl, Seq((1L, "x")).toDF("k", "s"))
+    // writer A and writer B both observed v1; A commits first
+    Versioned.publish(spark, tbl, Seq((1L, "A")).toDF("k", "s"),
+      expectedLatest = Some(1))
+    val e = intercept[ConcurrentWriteException] {
+      Versioned.publish(spark, tbl, Seq((1L, "B")).toDF("k", "s"),
+        expectedLatest = Some(1))
+    }
+    assert(e.getMessage.contains("expected"), e.getMessage)
+    // the loser's orphan data dir was cleaned up: only v1+v2 dirs remain
+    val dirs = new java.io.File(tbl).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("d_"))
+    assert(dirs.length == 2, s"orphan dir not cleaned: ${dirs.mkString(",")}")
+    assert(Versioned.read(spark, tbl).as[(Long, String)].collect().toSet ==
+      Set((1L, "A")), "the winning writer's version must stand")
+  }
+
+  test("vacuum retires dropped versions but keeps every data dir a retained manifest references") {
+    import spark.implicits._
+    val tbl = freshTable("vac")
+    Versioned.publish(spark, tbl,
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "p"), partCol = Some("p"))
+    Versioned.merge(spark, tbl,
+      Seq((1L, 11L, "a", "U")).toDF("k", "v", "p", "_op"), "k", "p") // v2
+    Versioned.merge(spark, tbl,
+      Seq((1L, 12L, "a", "U")).toDF("k", "v", "p", "_op"), "k", "p",
+      fromVersion = Some(1)) // v3, branched from v1
+    Versioned.vacuum(spark, tbl, keep = Set(1, 3))
+    // v2 unreadable; v1 and v3 intact — including v3's partition b served
+    // from v1's shared data dir, which vacuum must NOT have deleted
+    intercept[IllegalArgumentException] { Versioned.readAt(spark, tbl, 2).collect() }
+    assert(Versioned.readAt(spark, tbl, 1).as[(Long, Long, String)].collect().toSet ==
+      Set((1L, 10L, "a"), (2L, 20L, "b")))
+    assert(Versioned.readAt(spark, tbl, 3).as[(Long, Long, String)].collect().toSet ==
+      Set((1L, 12L, "a"), (2L, 20L, "b")))
+    // v2's private data dir is physically gone
+    val live = (Versioned.dataDirsOf(spark, tbl, 1) ++
+      Versioned.dataDirsOf(spark, tbl, 3)).toSet
+    val onDisk = new java.io.File(tbl).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("d_")).map(_.getName).toSet
+    assert(onDisk == live, s"disk=$onDisk live=$live")
+  }
+
+  test("q211 versions are immutable: v1 files byte-identical across the v2 publish, latest resolves, diff counts") {
+    import spark.implicits._
+    val tbl = freshTable("ttv")
     val v1 = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "s")
-    assert(graft.tables.Versioned.write(spark, tbl, v1) == 1)
-    val v1Files = fileState(new java.io.File(tbl, "v=1"))
+    assert(Versioned.write(spark, tbl, v1) == 1)
+    val v1Files = dataDirFiles(tbl, 1)
     val v2 = Seq((1L, "x"), (2L, "Y2"), (4L, "w")).toDF("k", "s")
-    assert(graft.tables.Versioned.write(spark, tbl, v2) == 2)
-    assert(graft.tables.Versioned.latestVersion(tbl) == 2)
-    assert(fileState(new java.io.File(tbl, "v=1")) == v1Files,
+    assert(Versioned.write(spark, tbl, v2) == 2)
+    assert(Versioned.latestVersion(spark, tbl) == 2)
+    assert(dataDirFiles(tbl, 1) == v1Files,
       "published version files must never change")
-    val back = graft.tables.Versioned.readAt(spark, tbl, 1)
-      .as[(Long, String)].collect().toSet
+    val back = Versioned.readAt(spark, tbl, 1).as[(Long, String)].collect().toSet
     assert(back == Set((1L, "x"), (2L, "y"), (3L, "z")))
-    assert(graft.tables.Versioned.read(spark, tbl)
+    assert(Versioned.read(spark, tbl)
       .as[(Long, String)].collect().toSet == Set((1L, "x"), (2L, "Y2"), (4L, "w")))
-    assert(graft.tables.Versioned.diff(spark, tbl, 1, 2) == (2L, 2L),
+    assert(Versioned.diff(spark, tbl, 1, 2) == (2L, 2L),
       "v1->v2: +{(2,Y2),(4,w)} -{(2,y),(3,z)}")
+  }
+
+  test("diff digest is collision-safe: adjacent-column concatenation and NULL position both distinguish rows") {
+    import spark.implicits._
+    val tbl = freshTable("diffadv")
+    // (1,"23") vs (12,"3"): same unseparated concatenation "123"
+    // (null,"a") vs ("a"-as-int? no) — use two string cols for NULL swap
+    Versioned.write(spark, tbl,
+      Seq((Some(1L), Some("23")), (None: Option[Long], Some("a"))).toDF("x", "y"))
+    Versioned.write(spark, tbl,
+      Seq((Some(12L), Some("3")), (Some(97L), None: Option[String])).toDF("x", "y"))
+    // every row changed: 2 added, 2 removed — an empty-separator or
+    // NULL-skipping digest would under-count
+    assert(Versioned.diff(spark, tbl, 1, 2) == (2L, 2L))
   }
 }
