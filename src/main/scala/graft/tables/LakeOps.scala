@@ -171,7 +171,7 @@ object Versioned {
     if (fsys.exists(mf) && !isCommitted(fsys, table, next) &&
         System.currentTimeMillis() - fsys.getFileStatus(mf).getModificationTime > StaleClaimMs)
       fsys.delete(mf, false)
-    val out = try fsys.create(mf, /* overwrite = */ false) catch {
+    val out = try exclusiveCreate(fsys, mf) catch {
       case _: java.io.IOException =>
         abort(s"version $next at $table already claimed by a concurrent writer")
     }
@@ -181,6 +181,23 @@ object Versioned {
     } finally out.close()
     next
   }
+
+  /** Exclusive create of the manifest — the commit's atomicity primitive.
+    * On HDFS-like stores `create(…, overwrite = false)` is an atomic
+    * namespace operation; Hadoop's LOCAL filesystem implements it as
+    * check-then-create, which two racing threads can both pass — so on the
+    * `file` scheme we go through NIO's CREATE_NEW (O_CREAT|O_EXCL, atomic
+    * at the kernel). Throws FileAlreadyExists/IOException when the version
+    * is already claimed.
+    */
+  private def exclusiveCreate(fsys: FileSystem, mf: Path): java.io.OutputStream =
+    if (fsys.getScheme == "file") {
+      val p = java.nio.file.Paths.get(mf.toUri.getPath)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.newOutputStream(p,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+    } else fsys.create(mf, /* overwrite = */ false)
 
   private def newDataDir(fsys: FileSystem, table: Path): Path = {
     fsys.mkdirs(table)

@@ -235,6 +235,50 @@ class SinksSpec extends SparkSpec {
       Set((1L, "A")), "the winning writer's version must stand")
   }
 
+  test("two TRULY CONCURRENT writers against the same expected version: exactly one commits") {
+    import spark.implicits._
+    val tbl = freshTable("race")
+    Versioned.publish(spark, tbl, Seq((1L, "x")).toDF("k", "s"))
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Int]]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = Seq("A", "B").map { tag =>
+      new Thread(() => {
+        gate.await()
+        try results.add(Right(Versioned.publish(spark, tbl,
+          Seq((1L, tag)).toDF("k", "s"), expectedLatest = Some(1))))
+        catch { case e: Throwable => results.add(Left(e)) }
+      }, s"graft-writer-$tag")
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join(120000))
+    val (losses, wins) = results.toArray(Array.empty[Either[Throwable, Int]])
+      .partition(_.isLeft)
+    assert(wins.length == 1 && losses.length == 1,
+      s"expected exactly one winner: wins=${wins.toSeq} losses=${losses.toSeq}")
+    assert(losses.head.swap.toOption.get.isInstanceOf[ConcurrentWriteException],
+      losses.head.toString)
+    assert(Versioned.latestVersion(spark, tbl) == 2)
+    val got = Versioned.read(spark, tbl).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "A")) || got == Set((1L, "B")), got.toString)
+  }
+
+  test("a crashed writer's stale uncommitted claim is reclaimed; a fresh claim blocks") {
+    import spark.implicits._
+    val tbl = freshTable("stale")
+    Versioned.publish(spark, tbl, Seq((1L, "x")).toDF("k", "s"))
+    // a claim for v2 with no #commit terminator = a writer that died mid-publish
+    val claim = new java.io.File(tbl, "_manifests/2.txt")
+    java.nio.file.Files.write(claim.toPath, "-\td_dead\n".getBytes("UTF-8"))
+    // fresh claim (mtime = now): the next writer must NOT steal it
+    intercept[ConcurrentWriteException] {
+      Versioned.publish(spark, tbl, Seq((1L, "y")).toDF("k", "s"))
+    }
+    // stale claim (mtime pushed past the reclaim threshold): stolen cleanly
+    assert(claim.setLastModified(System.currentTimeMillis() - 10 * 60 * 1000))
+    assert(Versioned.publish(spark, tbl, Seq((1L, "y")).toDF("k", "s")) == 2)
+    assert(Versioned.read(spark, tbl).as[(Long, String)].collect().toSet ==
+      Set((1L, "y")))
+  }
+
   test("vacuum retires dropped versions but keeps every data dir a retained manifest references") {
     import spark.implicits._
     val tbl = freshTable("vac")
