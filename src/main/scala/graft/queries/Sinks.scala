@@ -550,6 +550,95 @@ object Sinks {
       .orderBy("o_year")
   }
 
+  /** q213 — STREAMING CDC ingestion into the versioned store with
+    * exactly-once, replay-idempotent publishing: three CDC batches (an
+    * update band, a delete band, an insert band over disjoint key ranges)
+    * arrive as a real file STREAM (`maxFilesPerTrigger = 1`) and
+    * `foreachBatch` applies each through `Versioned.mergeByFiles` with a
+    * CONTENT-ADDRESSED idempotence tag (the batch's min key) — the Delta
+    * txn-id pattern: a redelivered batch (crash replay, warm/timed bench
+    * passes, repeated Verify runs) finds its tag already committed and is
+    * a NO-OP, so the table can never double-apply a price bump no matter
+    * how many times the stream replays. The disjoint bands make the three
+    * merges commutative, so the final state — and the oracle's relational
+    * replay of it — is independent of micro-batch arrival order. Reuse
+    * validation demands exactly v1+3 tagged versions or resets the table,
+    * so a half-applied crash state restages rather than composing wrongly.
+    */
+  def streamCdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tbl = tmpOut(dir, "cdc_vt")
+    val stage = tmpOut(dir, "cdc_shards")
+    val base = orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+      col("o_orderpriority"),
+      year(col("o_orderdate")).as("o_year"))
+    val y95 = base.filter(col("o_year") === 1995)
+    val mm = y95.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    // 4% bands (1/25 of the key space): wide enough that no band is empty
+    // even at sf0.001's sparse orderkeys
+    def cut(i: Long) = lo + (hi - lo + 1) * i / 25
+    def band(i: Long) =
+      y95.filter(col("o_orderkey") >= cut(i) && col("o_orderkey") < cut(i + 1))
+    def op(o: String) = lit(o).as("_op")
+    val batches = Seq(
+      band(5).withColumn("o_price_c", col("o_price_c") + 50000).select(col("*"), op("U")),
+      band(6).select(col("*"), op("D")),
+      band(7).withColumn("o_orderkey", col("o_orderkey") + 300000000L)
+        .withColumn("o_orderpriority", lit("8-CDC"))
+        .withColumn("o_year", lit(1999)).select(col("*"), op("I")))
+    val valid = try {
+      Versioned.latestVersion(spark, tbl) >= 1 &&
+        Versioned.fileEntriesOf(spark, tbl, 1).nonEmpty &&
+        Versioned.readAt(spark, tbl, 1).count() == base.count() &&
+        batches.forall { b =>
+          val m = b.agg(min("o_orderkey")).head()
+          m.isNullAt(0) || // empty band: no batch, no tag to require
+            Versioned.taggedVersion(spark, tbl, "band_" + m.getLong(0)).isDefined
+        }
+    } catch { case _: Exception => false }
+    if (!valid) {
+      deleteTree(tbl); deleteTree(stage)
+      Versioned.publish(spark, tbl,
+        base.repartitionByRange(32, col("o_year"), col("o_orderkey")),
+        partCol = Some("o_year"), fileStatsKey = Some("o_orderkey"))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val tmp = tmpOut(dir, s"cdc_tmp_$i")
+        deleteTree(tmp)
+        b.coalesce(1).write.option("header", "true").csv(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".csv")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(stage, s"band_$i.csv"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        deleteTree(tmp)
+      }
+    }
+    val sch = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_price_c", LongType), StructField("o_orderpriority", StringType),
+      StructField("o_year", IntegerType), StructField("_op", StringType)))
+    val q = spark.readStream.schema(sch)
+      .option("header", "true").option("maxFilesPerTrigger", 1).csv(stage)
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val t = "band_" + b.agg(min("o_orderkey")).head().getLong(0)
+          Versioned.mergeByFiles(spark, tbl, b, "o_orderkey", "o_year",
+            tag = Some(t))
+          ()
+        }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    Versioned.read(spark, tbl)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .orderBy("o_year")
+  }
+
   /** q211 — versioned-table time travel (`Versioned`): v1 publishes a
     * filtered orders snapshot; v2 publishes an evolved one (price bump,
     * deletions, new rows); then version 1 is read back AFTER v2 exists —
@@ -594,6 +683,7 @@ object Sinks {
     "q210_merge_upsert" -> mergeUpsert _,
     "q211_time_travel"  -> timeTravel _,
     "q212_merge_file_scoped" -> mergeFileScoped _,
+    "q213_stream_cdc_merge"  -> streamCdcMerge _,
     "q144_lines_write_roundtrip" -> linesWriteRoundtrip _,
     "q133_lines_source_roundtrip" -> linesSourceRoundtrip _,
     "q126_schema_evolution" -> schemaEvolution _,
@@ -663,6 +753,38 @@ object Sinks {
         |  WHERE o_year = 1995
         |    AND o_orderkey >= lo + (hi - lo + 1) * 2 // 50
         |    AND o_orderkey <  lo + (hi - lo + 1) * 3 // 50)
+        |SELECT o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM merged GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // Relational replay of the three commuting CDC bands (update band 5,
+    // delete band 6, insert band 7); idempotent redelivery means the
+    // composed state is the same however often the stream replays.
+    "q213_stream_cdc_merge" ->
+      """WITH tgt AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         o_orderpriority,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders),
+        |b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi
+        |      FROM tgt WHERE o_year = 1995),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_year = 1995
+        |                   AND o_orderkey >= lo + (hi - lo + 1) * 5 // 25
+        |                   AND o_orderkey <  lo + (hi - lo + 1) * 6 // 25
+        |              THEN o_price_c + 50000 ELSE o_price_c END AS o_price_c,
+        |         o_orderpriority, o_year
+        |  FROM tgt, b
+        |  WHERE NOT (o_year = 1995
+        |             AND o_orderkey >= lo + (hi - lo + 1) * 6 // 25
+        |             AND o_orderkey <  lo + (hi - lo + 1) * 7 // 25)
+        |  UNION ALL
+        |  SELECT o_orderkey + 300000000, o_custkey, o_price_c, '8-CDC', 1999
+        |  FROM tgt, b
+        |  WHERE o_year = 1995
+        |    AND o_orderkey >= lo + (hi - lo + 1) * 7 // 25
+        |    AND o_orderkey <  lo + (hi - lo + 1) * 8 // 25)
         |SELECT o_year, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c

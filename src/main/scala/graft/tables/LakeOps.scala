@@ -115,7 +115,34 @@ object Versioned {
     val lines = text.split("\n", -1).toSeq.map(_.stripSuffix("\r")).filter(_.nonEmpty)
     require(lines.lastOption.contains(Terminator),
       s"version $v at $table is not committed (writer crashed mid-publish?)")
-    lines.dropRight(1).map(parseEntry)
+    lines.dropRight(1).filterNot(_.startsWith("#")).map(parseEntry)
+  }
+
+  /** The idempotence tag a version was committed with, if any (the first
+    * manifest line, `#tag\t<value>`).
+    */
+  private def readTag(fsys: FileSystem, table: Path, v: Int): Option[String] = {
+    val p = manifestPath(table, v)
+    if (!fsys.exists(p)) return None
+    val in = fsys.open(p)
+    val first = try {
+      val br = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      Option(br.readLine())
+    } finally in.close()
+    first.filter(_.startsWith("#tag\t")).map(_.substring("#tag\t".length))
+  }
+
+  /** The committed version carrying idempotence tag `tag`, if any — the
+    * Delta txn-id lookup: a replayed writer asks before re-applying.
+    */
+  def taggedVersion(spark: SparkSession, tablePath: String, tag: String): Option[Int] = {
+    val (fsys, table) = fs(spark, tablePath)
+    val md = manifestDir(table)
+    if (!fsys.exists(md)) return None
+    fsys.listStatus(md).toSeq
+      .flatMap(_.getPath.getName.stripSuffix(".txt").toIntOption)
+      .filter(v => isCommitted(fsys, table, v) && readTag(fsys, table, v).contains(tag))
+      .sorted.lastOption
   }
 
   private def isCommitted(fsys: FileSystem, table: Path, v: Int): Boolean = {
@@ -155,7 +182,10 @@ object Versioned {
     */
   private def commit(fsys: FileSystem, table: Path, spark: SparkSession,
                      entries: Seq[Entry], expectedLatest: Option[Int],
-                     orphanDirs: Seq[Path]): Int = {
+                     orphanDirs: Seq[Path],
+                     tag: Option[String] = None): Int = {
+    tag.foreach(t => require(!t.contains('\n') && !t.contains('\t'),
+      s"idempotence tag must be single-line, tab-free: $t"))
     fsys.mkdirs(manifestDir(table))
     val latest = latestVersion(spark, table.toString)
     def abort(why: String): Nothing = {
@@ -176,7 +206,8 @@ object Versioned {
         abort(s"version $next at $table already claimed by a concurrent writer")
     }
     try {
-      val body = entries.map(_.serialized).mkString("", "\n", s"\n$Terminator\n")
+      val body = tag.map(t => s"#tag\t$t\n").getOrElse("") +
+        entries.map(_.serialized).mkString("", "\n", s"\n$Terminator\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
     next
@@ -399,8 +430,16 @@ object Versioned {
   def mergeByFiles(spark: SparkSession, tablePath: String, source: DataFrame,
                    keyCol: String, partCol: String,
                    fromVersion: Option[Int] = None,
-                   expectedLatest: Option[Int] = None): Int = {
+                   expectedLatest: Option[Int] = None,
+                   tag: Option[String] = None): Int = {
     val (fsys, table) = fs(spark, tablePath)
+    // Idempotent replay: a batch whose tag already committed is a no-op —
+    // the exactly-once contract a streaming CDC writer needs when a
+    // micro-batch is redelivered after a crash or task retry.
+    tag.flatMap(taggedVersion(spark, tablePath, _)) match {
+      case Some(applied) => return applied
+      case None =>
+    }
     val base = fromVersion.getOrElse(latestVersion(spark, tablePath))
     val baseEntries = readManifest(fsys, table, base)
     require(baseEntries.forall(_.file.isDefined),
@@ -463,7 +502,7 @@ object Versioned {
       if (fsys.listStatus(dd).exists(s => s.isDirectory)) fileStatsOf(spark, table, dd, keyCol)
       else Seq.empty // every affected row deleted, nothing inserted
     val entries = baseEntries.filterNot(rewriteKeys) ++ written
-    commit(fsys, table, spark, entries, expectedLatest, Seq(dd))
+    commit(fsys, table, spark, entries, expectedLatest, Seq(dd), tag)
   }
 
   /** (partDir, dataDir, fileName, kmin, kmax) of a file-granular version —

