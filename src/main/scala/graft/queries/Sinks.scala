@@ -550,6 +550,63 @@ object Sinks {
       .orderBy("o_year")
   }
 
+  // q214's substrate: orders staged as v1, one deterministic tagged MERGE
+  // applied as v2 — built once per corpus, reused across sessions behind
+  // the usual validation (count + the idempotence tag present).
+  private val changeFeedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def ordersChangeFeedTable(spark: SparkSession, dir: String): String =
+    changeFeedCache.synchronized { changeFeedCache.getOrElseUpdate((spark, dir), {
+      val tbl = tmpOut(dir, "cf_vt")
+      val base = orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+        col("o_orderpriority"),
+        year(col("o_orderdate")).as("o_year"))
+      val valid = try {
+        Versioned.taggedVersion(spark, tbl, "cf_batch").contains(2) &&
+          Versioned.readAt(spark, tbl, 1).count() == base.count()
+      } catch { case _: Exception => false }
+      if (!valid) {
+        deleteTree(tbl)
+        Versioned.publish(spark, tbl, base, partCol = Some("o_year"))
+        def op(o: String) = lit(o).as("_op")
+        val batch = base.filter(col("o_orderkey") % 100 === 9)
+          .withColumn("o_price_c", col("o_price_c") + 777).select(col("*"), op("U"))
+          .unionByName(base.filter(col("o_orderkey") % 100 === 8).select(col("*"), op("D")))
+          .unionByName(base.filter(col("o_orderkey") % 100 === 6)
+            .withColumn("o_orderkey", col("o_orderkey") + 400000000L)
+            .withColumn("o_orderpriority", lit("7-CF"))
+            .withColumn("o_year", lit(1999)).select(col("*"), op("I")))
+        Versioned.merge(spark, tbl, batch, "o_orderkey", "o_year",
+          fromVersion = Some(1), tag = Some("cf_batch"))
+      }
+      tbl
+    }) }
+
+  /** q214 — table CHANGE FEED (`Versioned.changes`): the rows a MERGE
+    * actually added and removed between two committed versions, each
+    * tagged insert/delete — the Delta CDF read surface. An UPDATE appears
+    * as its delete+insert image pair (no per-row tracking exists in a
+    * rewrite-based store — same as CDF over a rewriting writer), a DELETE
+    * as its delete image, an INSERT as its insert image; untouched rows
+    * appear nowhere, however many partitions the merge rewrote, because
+    * the feed is digest-based, not file-based. The oracle replays the
+    * merge relationally and takes EXCEPT ALL both ways — multiset
+    * semantics, the same contract as the digest anti-joins. At 100 TB the
+    * feed is what incremental downstream consumers (index maintenance,
+    * aggregate refresh — q114's delta input) read instead of the table.
+    */
+  def changeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = ordersChangeFeedTable(spark, dir)
+    Versioned.changes(spark, tbl, 1, 2)
+      .groupBy("_change", "o_year")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .orderBy("_change", "o_year")
+  }
+
   /** q213 — STREAMING CDC ingestion into the versioned store with
     * exactly-once, replay-idempotent publishing: three CDC batches (an
     * update band, a delete band, an insert band over disjoint key ranges)
@@ -684,6 +741,7 @@ object Sinks {
     "q211_time_travel"  -> timeTravel _,
     "q212_merge_file_scoped" -> mergeFileScoped _,
     "q213_stream_cdc_merge"  -> streamCdcMerge _,
+    "q214_change_feed"       -> changeFeed _,
     "q144_lines_write_roundtrip" -> linesWriteRoundtrip _,
     "q133_lines_source_roundtrip" -> linesSourceRoundtrip _,
     "q126_schema_evolution" -> schemaEvolution _,
@@ -757,6 +815,32 @@ object Sinks {
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
         |FROM merged GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // Replay the merge relationally, then EXCEPT ALL both ways — the same
+    // multiset semantics as the store's digest-based change feed; an
+    // UPDATE surfaces as its delete+insert image pair.
+    "q214_change_feed" ->
+      """WITH v1 AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         o_orderpriority,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders),
+        |v2 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 100 = 9 THEN o_price_c + 777
+        |              ELSE o_price_c END AS o_price_c,
+        |         o_orderpriority, o_year
+        |  FROM v1 WHERE o_orderkey % 100 <> 8
+        |  UNION ALL
+        |  SELECT o_orderkey + 400000000, o_custkey, o_price_c, '7-CF', 1999
+        |  FROM v1 WHERE o_orderkey % 100 = 6),
+        |feed AS (
+        |  SELECT 'insert' AS _change, * FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+        |  UNION ALL
+        |  SELECT 'delete' AS _change, * FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2))
+        |SELECT _change, o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM feed GROUP BY _change, o_year ORDER BY _change, o_year""".stripMargin,
     // Relational replay of the three commuting CDC bands (update band 5,
     // delete band 6, insert band 7); idempotent redelivery means the
     // composed state is the same however often the stream replays.

@@ -35,11 +35,13 @@ class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
   *  - data files are IMMUTABLE — no in-place partition rewrite, no
   *    directory deletion on merge, so a reader holding version N keeps a
   *    consistent listing while N+1 publishes;
-  *  - the commit is ONE exclusive file create (`fs.create(…, false)` —
-  *    atomic on HDFS-like stores), so two writers racing to publish the
-  *    same version conflict deterministically: exactly one wins, the
-  *    loser gets [[ConcurrentWriteException]] and its orphan data dir is
-  *    removed;
+  *  - the commit is ONE exclusive file create (atomic namespace create on
+  *    HDFS-like stores; NIO CREATE_NEW / O_EXCL on local filesystems —
+  *    see `exclusiveCreate`), so two writers racing to publish the same
+  *    version conflict deterministically: exactly one wins, the loser
+  *    gets [[ConcurrentWriteException]] and its orphan data dir is
+  *    removed; an optional `#tag` manifest line gives streaming writers
+  *    replay idempotence (the Delta txn-id pattern);
   *  - a MERGE writes only the touched partitions into a NEW data dir and
   *    splices the untouched partitions' entries from the base manifest —
   *    an emptied partition simply has no entry in the new manifest, which
@@ -346,8 +348,14 @@ object Versioned {
   def merge(spark: SparkSession, tablePath: String, source: DataFrame,
             keyCol: String, partCol: String,
             fromVersion: Option[Int] = None,
-            expectedLatest: Option[Int] = None): Int = {
+            expectedLatest: Option[Int] = None,
+            tag: Option[String] = None): Int = {
     val (fsys, table) = fs(spark, tablePath)
+    // Idempotent replay (see mergeByFiles): an already-committed tag wins.
+    tag.flatMap(taggedVersion(spark, tablePath, _)) match {
+      case Some(applied) => return applied
+      case None =>
+    }
     val base = fromVersion.getOrElse(latestVersion(spark, tablePath))
     val baseEntries = readManifest(fsys, table, base)
     val target = readAt(spark, tablePath, base)
@@ -405,7 +413,7 @@ object Versioned {
     // are served from the fresh dir; an emptied partition appears nowhere.
     val entries = baseEntries.filterNot(e => touchedDirs.contains(e.partDir)) ++
       written.map(Entry(_, dd.getName))
-    commit(fsys, table, spark, entries, expectedLatest, Seq(dd))
+    commit(fsys, table, spark, entries, expectedLatest, Seq(dd), tag)
   }
 
   /** File-scoped MERGE — the q208 manifest idea applied to the merge
@@ -571,6 +579,30 @@ object Versioned {
       .head()
     (if (r.isNullAt(0)) 0L else r.getLong(0),
      if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** CHANGE FEED between two versions: the actual rows added and removed,
+    * each tagged `_change` = 'insert' | 'delete' — the Delta CDF read
+    * surface for a store without per-row tracking, derived from the same
+    * collision-safe digest as [[diff]] (an update therefore appears as its
+    * delete+insert pair, exactly like CDF on a rewrite-based writer).
+    * Digest anti-joins keep multiset semantics; shuffle ∝ both versions'
+    * digests, rows ∝ changes.
+    */
+  def changes(spark: SparkSession, tablePath: String, fromV: Int, toV: Int): DataFrame = {
+    def withDigest(v: Int): DataFrame = {
+      val df = readAt(spark, tablePath, v)
+      df.withColumn("_d", md5(concat_ws("\u0001",
+        df.columns.sorted.map(c =>
+          coalesce(col(c).cast("string"), lit("\u0000"))): _*)))
+    }
+    val a = withDigest(toV)
+    val b = withDigest(fromV)
+    a.join(b.select("_d"), Seq("_d"), "left_anti").drop("_d")
+      .withColumn("_change", lit("insert"))
+      .unionByName(
+        b.join(a.select("_d"), Seq("_d"), "left_anti").drop("_d")
+          .withColumn("_change", lit("delete")))
   }
 
   /** Delete every manifest NOT in `keep` plus every data dir no retained

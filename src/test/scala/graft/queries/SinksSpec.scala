@@ -358,6 +358,27 @@ class SinksSpec extends SparkSpec {
     assert(tags.nonEmpty)
   }
 
+  test("q214 change feed: update = delete+insert image pair; untouched rows absent; multiset semantics") {
+    import spark.implicits._
+    val tbl = freshTable("cf")
+    Versioned.publish(spark, tbl,
+      Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b")).toDF("k", "v", "p"),
+      partCol = Some("p"))
+    Versioned.merge(spark, tbl, Seq(
+      (2L, 21L, "a", "U"),  // update: delete (2,20) + insert (2,21)
+      (3L, 30L, "b", "D"),  // delete image only
+      (9L, 90L, "b", "I"))  // insert image only
+      .toDF("k", "v", "p", "_op"), "k", "p")
+    val feed = Versioned.changes(spark, tbl, 1, 2)
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(feed == Set(
+      (2L, 21L, "a", "insert"), (2L, 20L, "a", "delete"),
+      (3L, 30L, "b", "delete"), (9L, 90L, "b", "insert")), feed.toString)
+    // key 1 untouched: absent even though its PARTITION was rewritten —
+    // the feed is digest-based, not file-based
+    assert(!feed.exists(_._1 == 1L))
+  }
+
   test("q211 versions are immutable: v1 files byte-identical across the v2 publish, latest resolves, diff counts") {
     import spark.implicits._
     val tbl = freshTable("ttv")
