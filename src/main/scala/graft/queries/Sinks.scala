@@ -565,22 +565,25 @@ object Sinks {
         col("o_orderpriority"),
         year(col("o_orderdate")).as("o_year"))
       val valid = try {
-        Versioned.taggedVersion(spark, tbl, "cf_batch").contains(2) &&
+        Versioned.taggedVersion(spark, tbl, "cf_batch_1995").contains(2) &&
           Versioned.readAt(spark, tbl, 1).count() == base.count()
       } catch { case _: Exception => false }
       if (!valid) {
         deleteTree(tbl)
         Versioned.publish(spark, tbl, base, partCol = Some("o_year"))
         def op(o: String) = lit(o).as("_op")
-        val batch = base.filter(col("o_orderkey") % 100 === 9)
+        // 1995-keyed batch: the merge touches {1995, 1999} only, so the
+        // feed's manifest pruning has untouched partitions to skip
+        val y95 = base.filter(col("o_year") === 1995)
+        val batch = y95.filter(col("o_orderkey") % 100 === 9)
           .withColumn("o_price_c", col("o_price_c") + 777).select(col("*"), op("U"))
-          .unionByName(base.filter(col("o_orderkey") % 100 === 8).select(col("*"), op("D")))
-          .unionByName(base.filter(col("o_orderkey") % 100 === 6)
+          .unionByName(y95.filter(col("o_orderkey") % 100 === 8).select(col("*"), op("D")))
+          .unionByName(y95.filter(col("o_orderkey") % 100 === 6)
             .withColumn("o_orderkey", col("o_orderkey") + 400000000L)
             .withColumn("o_orderpriority", lit("7-CF"))
             .withColumn("o_year", lit(1999)).select(col("*"), op("I")))
         Versioned.merge(spark, tbl, batch, "o_orderkey", "o_year",
-          fromVersion = Some(1), tag = Some("cf_batch"))
+          fromVersion = Some(1), tag = Some("cf_batch_1995"))
       }
       tbl
     }) }
@@ -826,13 +829,13 @@ object Sinks {
         |       FROM orders),
         |v2 AS (
         |  SELECT o_orderkey, o_custkey,
-        |         CASE WHEN o_orderkey % 100 = 9 THEN o_price_c + 777
-        |              ELSE o_price_c END AS o_price_c,
+        |         CASE WHEN o_year = 1995 AND o_orderkey % 100 = 9
+        |              THEN o_price_c + 777 ELSE o_price_c END AS o_price_c,
         |         o_orderpriority, o_year
-        |  FROM v1 WHERE o_orderkey % 100 <> 8
+        |  FROM v1 WHERE NOT (o_year = 1995 AND o_orderkey % 100 = 8)
         |  UNION ALL
         |  SELECT o_orderkey + 400000000, o_custkey, o_price_c, '7-CF', 1999
-        |  FROM v1 WHERE o_orderkey % 100 = 6),
+        |  FROM v1 WHERE o_year = 1995 AND o_orderkey % 100 = 6),
         |feed AS (
         |  SELECT 'insert' AS _change, * FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
         |  UNION ALL

@@ -304,11 +304,14 @@ object Versioned {
     entries.groupBy(_.dataDir).toSeq.sortBy(_._1).map { case (dd, es) =>
       val base = new Path(table, dd)
       val paths = es.map { e =>
-        val rel = e.file match {
-          case Some(f) => s"${e.partDir}/$f"
-          case None => e.partDir
+        // partDir "-" = an unpartitioned snapshot entry: the data dir root
+        val rel = (e.partDir, e.file) match {
+          case ("-", Some(f)) => f
+          case ("-", None) => ""
+          case (p, Some(f)) => s"$p/$f"
+          case (p, None) => p
         }
-        new Path(base, rel).toString
+        (if (rel.isEmpty) base else new Path(base, rel)).toString
       }
       spark.read.option("basePath", base.toString).parquet(paths: _*)
     }.reduce(_.unionByName(_))
@@ -586,18 +589,34 @@ object Versioned {
     * surface for a store without per-row tracking, derived from the same
     * collision-safe digest as [[diff]] (an update therefore appears as its
     * delete+insert pair, exactly like CDF on a rewrite-based writer).
-    * Digest anti-joins keep multiset semantics; shuffle ∝ both versions'
-    * digests, rows ∝ changes.
+    *
+    * MANIFEST-PRUNED: entries the two versions share verbatim (the
+    * spliced partitions/files a merge never touched) are dropped from
+    * BOTH sides before any data is read — identical content on both
+    * sides of an anti-join contributes nothing, so the result is
+    * unchanged while the scan shrinks from 2× the table to the changed
+    * scope only. (Exactness caveat: a full-row duplicate spanning a
+    * changed and an unchanged entry would flip presence- to per-copy
+    * counting; a merge table is key-unique by contract, where the two
+    * coincide.) Cost ∝ changed entries + CDC size — the property that
+    * makes polling the feed viable on a 100 TB table.
     */
   def changes(spark: SparkSession, tablePath: String, fromV: Int, toV: Int): DataFrame = {
-    def withDigest(v: Int): DataFrame = {
-      val df = readAt(spark, tablePath, v)
+    val (fsys, table) = fs(spark, tablePath)
+    val eFrom = readManifest(fsys, table, fromV)
+    val eTo = readManifest(fsys, table, toV)
+    val common = eFrom.toSet.intersect(eTo.toSet)
+    val onlyTo = eTo.filterNot(common)
+    val onlyFrom = eFrom.filterNot(common)
+    val empty = readAt(spark, tablePath, toV).limit(0)
+    def side(entries: Seq[Entry]): DataFrame = {
+      val df = if (entries.isEmpty) empty else readEntries(spark, table, entries)
       df.withColumn("_d", md5(concat_ws("\u0001",
         df.columns.sorted.map(c =>
           coalesce(col(c).cast("string"), lit("\u0000"))): _*)))
     }
-    val a = withDigest(toV)
-    val b = withDigest(fromV)
+    val a = side(onlyTo)
+    val b = side(onlyFrom)
     a.join(b.select("_d"), Seq("_d"), "left_anti").drop("_d")
       .withColumn("_change", lit("insert"))
       .unionByName(

@@ -377,6 +377,22 @@ class SinksSpec extends SparkSpec {
     // key 1 untouched: absent even though its PARTITION was rewritten —
     // the feed is digest-based, not file-based
     assert(!feed.exists(_._1 == 1L))
+    // the manifest-pruned feed must equal the naive full-table digest
+    // anti-join (common entries contribute nothing to either side)
+    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit, md5}
+    def withDigest(v: Int) = {
+      val df = Versioned.readAt(spark, tbl, v)
+      df.withColumn("_d", md5(concat_ws("",
+        df.columns.sorted.map(c =>
+          coalesce(col(c).cast("string"), lit(" "))): _*)))
+    }
+    val (a, b) = (withDigest(2), withDigest(1))
+    val naive = a.join(b.select("_d"), Seq("_d"), "left_anti").drop("_d")
+      .withColumn("_change", lit("insert"))
+      .unionByName(b.join(a.select("_d"), Seq("_d"), "left_anti").drop("_d")
+        .withColumn("_change", lit("delete")))
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(naive == feed, s"pruned feed diverged from naive: $naive vs $feed")
   }
 
   test("q211 versions are immutable: v1 files byte-identical across the v2 publish, latest resolves, diff counts") {
