@@ -624,6 +624,50 @@ object Versioned {
           .withColumn("_change", lit("delete")))
   }
 
+  /** RESTORE: publish version `v`'s exact entry set as the NEW latest
+    * version — rollback as a forward commit, zero data copied or deleted
+    * (the manifests just share the data dirs), history intact, and the
+    * same CAS as every other commit. This is how a versioned store
+    * un-does a bad merge without breaking readers or time travel.
+    */
+  def restore(spark: SparkSession, tablePath: String, v: Int,
+              expectedLatest: Option[Int] = None): Int = {
+    val (fsys, table) = fs(spark, tablePath)
+    val entries = readManifest(fsys, table, v)
+    commit(fsys, table, spark, entries, expectedLatest, Seq.empty)
+  }
+
+  /** OPTIMIZE inside the store: rewrite ONE partition's files into a
+    * single compacted file published as a new version — the maintenance
+    * op a merge-heavy file-granular table needs as small files accumulate
+    * — while every other partition's entries are spliced untouched and
+    * every prior version stays readable (compaction never deletes; vacuum
+    * retires old versions separately). Content is identical by
+    * construction: the new version serves the same rows from fewer files.
+    * Requires a file-granular table (stats recomputed for the compacted
+    * file); `partDir` is the Spark-escaped `col=value` directory name.
+    */
+  def compactFiles(spark: SparkSession, tablePath: String, partDir: String,
+                   keyCol: String, partCol: String,
+                   expectedLatest: Option[Int] = None): Int = {
+    val (fsys, table) = fs(spark, tablePath)
+    val base = latestVersion(spark, tablePath)
+    val baseEntries = readManifest(fsys, table, base)
+    require(baseEntries.forall(_.file.isDefined),
+      "compactFiles needs a file-granular table (publish with fileStatsKey)")
+    val victims = baseEntries.filter(_.partDir == partDir)
+    require(victims.nonEmpty, s"no files under $partDir in v$base of $tablePath")
+    val dd = newDataDir(fsys, table)
+    readEntries(spark, table, victims)
+      .coalesce(1)
+      .write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dd.toString)
+    val written = fileStatsOf(spark, table, dd, keyCol)
+    require(written.forall(_.partDir == partDir),
+      s"compaction leaked rows outside $partDir: ${written.map(_.partDir)}")
+    val entries = baseEntries.filterNot(victims.toSet) ++ written
+    commit(fsys, table, spark, entries, expectedLatest, Seq(dd))
+  }
+
   /** Delete every manifest NOT in `keep` plus every data dir no retained
     * manifest references. A data dir shared with a kept version survives
     * (merge versions splice entries from older dirs — those stay live

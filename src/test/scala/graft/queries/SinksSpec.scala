@@ -395,6 +395,47 @@ class SinksSpec extends SparkSpec {
     assert(naive == feed, s"pruned feed diverged from naive: $naive vs $feed")
   }
 
+  test("restore publishes an old version's entries as the new latest: zero data copy, history intact") {
+    import spark.implicits._
+    val tbl = freshTable("restore")
+    Versioned.publish(spark, tbl,
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "p"), partCol = Some("p"))
+    Versioned.merge(spark, tbl,
+      Seq((1L, 99L, "a", "U")).toDF("k", "v", "p", "_op"), "k", "p") // bad merge
+    val v3 = Versioned.restore(spark, tbl, 1)
+    assert(v3 == 3)
+    // rollback content == v1; the bad v2 is still time-travelable
+    assert(Versioned.read(spark, tbl).as[(Long, Long, String)].collect().toSet ==
+      Set((1L, 10L, "a"), (2L, 20L, "b")))
+    assert(Versioned.readAt(spark, tbl, 2).as[(Long, Long, String)].collect().toSet ==
+      Set((1L, 99L, "a"), (2L, 20L, "b")))
+    // zero data copy: v3 serves exactly v1's data dirs
+    assert(Versioned.dataDirsOf(spark, tbl, 3) == Versioned.dataDirsOf(spark, tbl, 1))
+  }
+
+  test("compactFiles collapses one partition's files, splices the rest, keeps every version readable") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tbl = freshTable("compact")
+    Versioned.publish(spark, tbl,
+      (1L to 8L).map(k => (k, k * 10, if (k <= 6) "a" else "b")).toDF("k", "v", "p")
+        .repartitionByRange(4, col("k")),
+      partCol = Some("p"), fileStatsKey = Some("k"))
+    val before = Versioned.fileEntriesOf(spark, tbl, 1)
+    val aFilesBefore = before.count(_._1 == "p=a")
+    assert(aFilesBefore >= 2, s"need a multi-file partition to compact: $before")
+    val v2 = Versioned.compactFiles(spark, tbl, "p=a", "k", "p")
+    val after = Versioned.fileEntriesOf(spark, tbl, v2)
+    assert(after.count(_._1 == "p=a") == 1, s"p=a should collapse to one file: $after")
+    // partition b spliced verbatim; content identical; v1 still readable
+    assert(before.filter(_._1 == "p=b").toSet.subsetOf(after.toSet))
+    assert(Versioned.readAt(spark, tbl, v2).as[(Long, Long, String)].collect().toSet ==
+      Versioned.readAt(spark, tbl, 1).as[(Long, Long, String)].collect().toSet)
+    // compacted file's key stats cover the partition
+    val cf = after.find(_._1 == "p=a").get
+    assert(cf._4 == 1L && cf._5 == 6L, cf.toString)
+  }
+
   test("q211 versions are immutable: v1 files byte-identical across the v2 publish, latest resolves, diff counts") {
     import spark.implicits._
     val tbl = freshTable("ttv")
