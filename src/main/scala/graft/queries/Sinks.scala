@@ -610,6 +610,99 @@ object Sinks {
       .orderBy("_change", "o_year")
   }
 
+  /** q215 — RESTORE / rollback (`Versioned.restore`): v1 publishes an
+    * orders snapshot, a "bad" merge publishes v2 (price corruption +
+    * deletes), restore republishes v1's entry set as v3 — a forward
+    * commit with ZERO data copied (SinksSpec pins v3 shares v1's data
+    * dirs), history intact. The output carries all three versions'
+    * aggregates, so the hash proves v3 == v1 exactly while v2 — the
+    * mistake — stays time-travelable; the oracle recomputes each
+    * version's content from the source table alone.
+    */
+  def restoreRollback(spark: SparkSession, dir: String): DataFrame = {
+    // Once-per-corpus substrate (the q208 convention — nobody re-runs a
+    // rollback per query): publish v1, bad-merge v2, restore v3, then
+    // every invocation re-reads all three versions; cross-session reuse
+    // behind count + zero-copy-restore validation.
+    val tbl = tmpOut(dir, "restore_vt")
+    val base = orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+      year(col("o_orderdate")).as("o_year"))
+    val valid = try {
+      Versioned.latestVersion(spark, tbl) == 3 &&
+        Versioned.dataDirsOf(spark, tbl, 3) == Versioned.dataDirsOf(spark, tbl, 1) &&
+        Versioned.readAt(spark, tbl, 1).count() == base.count()
+    } catch { case _: Exception => false }
+    if (!valid) {
+      deleteTree(tbl)
+      Versioned.publish(spark, tbl, base, partCol = Some("o_year"))
+      def op(o: String) = lit(o).as("_op")
+      val bad = base.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_price_c", col("o_price_c") * 1000).select(col("*"), op("U"))
+        .unionByName(base.filter(col("o_orderkey") % 10 === 4).select(col("*"), op("D")))
+      Versioned.merge(spark, tbl, bad, "o_orderkey", "o_year", fromVersion = Some(1))
+      Versioned.restore(spark, tbl, 1)
+    }
+    (1 to 3).map { v =>
+      Versioned.readAt(spark, tbl, v)
+        .agg(count(lit(1)).as("n_rows"), sum("o_custkey").as("sum_cust"),
+             sum("o_price_c").as("sum_price_c"))
+        .select(lit(v).as("ver"), col("n_rows"), col("sum_cust"), col("sum_price_c"))
+    }.reduce(_.unionByName(_)).orderBy("ver")
+  }
+
+  /** q216 — OPTIMIZE inside the versioned store (`Versioned.compactFiles`):
+    * a file-granular table accumulates small files from three successive
+    * file-scoped merges into one hot partition; compaction collapses that
+    * partition to ONE file in a new version with every other entry
+    * spliced and all prior versions readable. The output aggregates the
+    * compacted version per year — the oracle replays the three merges
+    * relationally, so the hash proves compaction changed ZERO rows (the
+    * only thing OPTIMIZE is allowed to change is the file layout;
+    * SinksSpec pins the file-count collapse itself).
+    */
+  def optimizeCompact(spark: SparkSession, dir: String): DataFrame = {
+    // Once-per-corpus substrate: v1 + three band merges + the compaction
+    // (v5, 1995 collapsed to one file) — maintenance runs once; every
+    // invocation reads the compacted version. Reuse validation: version
+    // chain complete, 1995 really is one file, base count matches.
+    val tbl = tmpOut(dir, "opt_vt")
+    val base = orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+      year(col("o_orderdate")).as("o_year"))
+    val valid = try {
+      Versioned.latestVersion(spark, tbl) == 5 &&
+        Versioned.fileEntriesOf(spark, tbl, 5).count(_._1 == "o_year=1995") == 1 &&
+        Versioned.readAt(spark, tbl, 1).count() == base.count()
+    } catch { case _: Exception => false }
+    if (!valid) {
+      deleteTree(tbl)
+      Versioned.publish(spark, tbl,
+        base.repartitionByRange(16, col("o_year"), col("o_orderkey")),
+        partCol = Some("o_year"), fileStatsKey = Some("o_orderkey"))
+      val y95 = base.filter(col("o_year") === 1995)
+      val mm = y95.agg(min("o_orderkey"), max("o_orderkey")).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      def cut(i: Long) = lo + (hi - lo + 1) * i / 25
+      def op(o: String) = lit(o).as("_op")
+      // three merges, each bumping one 4% band: 1995 accumulates files
+      (0L to 2L).foreach { i =>
+        val b = y95.filter(col("o_orderkey") >= cut(i) && col("o_orderkey") < cut(i + 1))
+          .withColumn("o_price_c", col("o_price_c") + 1000 * (i + 1))
+          .select(col("*"), op("U"))
+        Versioned.mergeByFiles(spark, tbl, b, "o_orderkey", "o_year")
+      }
+      Versioned.compactFiles(spark, tbl, "o_year=1995", "o_orderkey", "o_year")
+    }
+    Versioned.readAt(spark, tbl, 5)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .orderBy("o_year")
+  }
+
   /** q213 — STREAMING CDC ingestion into the versioned store with
     * exactly-once, replay-idempotent publishing: three CDC batches (an
     * update band, a delete band, an insert band over disjoint key ranges)
@@ -745,6 +838,8 @@ object Sinks {
     "q212_merge_file_scoped" -> mergeFileScoped _,
     "q213_stream_cdc_merge"  -> streamCdcMerge _,
     "q214_change_feed"       -> changeFeed _,
+    "q215_restore_rollback"  -> restoreRollback _,
+    "q216_optimize_compact"  -> optimizeCompact _,
     "q144_lines_write_roundtrip" -> linesWriteRoundtrip _,
     "q133_lines_source_roundtrip" -> linesSourceRoundtrip _,
     "q126_schema_evolution" -> schemaEvolution _,
@@ -814,6 +909,57 @@ object Sinks {
         |  WHERE o_year = 1995
         |    AND o_orderkey >= lo + (hi - lo + 1) * 2 // 50
         |    AND o_orderkey <  lo + (hi - lo + 1) * 3 // 50)
+        |SELECT o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM merged GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // Each version's content recomputed from the source table: v1 = the
+    // plain projection, v2 = the bad merge replayed, v3 = v1 (restore).
+    "q215_restore_rollback" ->
+      """WITH v1 AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders),
+        |v2 AS (SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 10 = 3 THEN o_price_c * 1000
+        |              ELSE o_price_c END AS o_price_c, o_year
+        |       FROM v1 WHERE o_orderkey % 10 <> 4)
+        |SELECT 1 AS ver, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c FROM v1
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(o_custkey) AS BIGINT),
+        |       CAST(sum(o_price_c) AS BIGINT) FROM v2
+        |UNION ALL
+        |SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(o_custkey) AS BIGINT),
+        |       CAST(sum(o_price_c) AS BIGINT) FROM v1
+        |ORDER BY ver""".stripMargin,
+    // The three band merges replayed relationally; compaction must change
+    // nothing but the file layout.
+    "q216_optimize_compact" ->
+      """WITH tgt AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders),
+        |b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi
+        |      FROM tgt WHERE o_year = 1995),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_year = 1995
+        |                   AND o_orderkey >= lo + (hi - lo + 1) * 0 // 25
+        |                   AND o_orderkey <  lo + (hi - lo + 1) * 1 // 25
+        |              THEN o_price_c + 1000
+        |              WHEN o_year = 1995
+        |                   AND o_orderkey >= lo + (hi - lo + 1) * 1 // 25
+        |                   AND o_orderkey <  lo + (hi - lo + 1) * 2 // 25
+        |              THEN o_price_c + 2000
+        |              WHEN o_year = 1995
+        |                   AND o_orderkey >= lo + (hi - lo + 1) * 2 // 25
+        |                   AND o_orderkey <  lo + (hi - lo + 1) * 3 // 25
+        |              THEN o_price_c + 3000
+        |              ELSE o_price_c END AS o_price_c,
+        |         o_year
+        |  FROM tgt, b)
         |SELECT o_year, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
