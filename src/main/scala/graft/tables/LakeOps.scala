@@ -646,6 +646,10 @@ object Versioned {
     * construction: the new version serves the same rows from fewer files.
     * Requires a file-granular table (stats recomputed for the compacted
     * file); `partDir` is the Spark-escaped `col=value` directory name.
+    * (Scale note: coalesce(1) targets ONE output file because the op is
+    * invoked per hot partition; a whole-table OPTIMIZE bins to a target
+    * file size instead — the q200 AQE REBALANCE recipe — and would drive
+    * this per partition from the manifest's per-file sizes.)
     */
   def compactFiles(spark: SparkSession, tablePath: String, partDir: String,
                    keyCol: String, partCol: String,
