@@ -37,18 +37,36 @@ class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
   *    consistent listing while N+1 publishes;
   *  - the commit is ONE exclusive file create (atomic namespace create on
   *    HDFS-like stores; NIO CREATE_NEW / O_EXCL on local filesystems —
-  *    see `exclusiveCreate`), so two writers racing to publish the same
-  *    version conflict deterministically: exactly one wins, the loser
-  *    gets [[ConcurrentWriteException]] and its orphan data dir is
-  *    removed; an optional `#tag` manifest line gives streaming writers
-  *    replay idempotence (the Delta txn-id pattern);
+  *    see `exclusiveCreate`), so two writers racing to claim the same
+  *    version NUMBER conflict deterministically: exactly one wins, the
+  *    loser gets [[ConcurrentWriteException]] and its orphan data dir is
+  *    removed. The number CAS alone does not protect the BASE a writer's
+  *    entries were derived from — two writers that both read v1 could
+  *    commit v2 and v3 with v3 silently discarding v2's changes — so
+  *    [[merge]]/[[mergeByFiles]]/[[compactFiles]] additionally pin
+  *    `expectedLatest` to the base version they actually read whenever
+  *    the caller did not explicitly branch (`fromVersion`): the second
+  *    writer's commit then fails loudly instead of losing the first's
+  *    update. Callers that DO pass `fromVersion` opt into branching and
+  *    own the reconciliation (the q210 pattern: every invocation branches
+  *    from the pinned v1). After the manifest is written the commit
+  *    re-reads it and verifies its own bytes — a live writer whose claim
+  *    was reclaimed by another (a >StaleClaimMs stall between claim and
+  *    close leaves its body on an unlinked inode) detects the loss and
+  *    raises instead of reporting a commit that the table never serves.
+  *    An optional `#tag` manifest line gives streaming writers replay
+  *    idempotence (the Delta txn-id pattern);
   *  - a MERGE writes only the touched partitions into a NEW data dir and
   *    splices the untouched partitions' entries from the base manifest —
   *    an emptied partition simply has no entry in the new manifest, which
   *    kills the escaped-directory-deletion class of bugs entirely;
   *  - `vacuum` deletes manifests outside the retained set and any data
   *    dir no retained manifest references — never a dir a kept version
-  *    still shares.
+  *    still shares, and never a claim or an unreferenced dir younger
+  *    than the retention window (the Delta VACUUM-retention convention):
+  *    an in-flight writer's freshly written, not-yet-committed data dir
+  *    is unreferenced by every manifest, so an age grace is what makes
+  *    vacuum safe to run concurrently with writers.
   *
   * Reference analog: the reduce-side "latest value wins" merge is the
   * classic MapReduce pattern (reference MapReduceClient.h:64); the
@@ -80,26 +98,52 @@ object Versioned {
     * and may be reclaimed by the next writer.
     */
   private val StaleClaimMs = 60000L
+  /** Default [[vacuum]] retention: claims and unreferenced data dirs
+    * younger than this survive a vacuum — they may belong to an in-flight
+    * writer that has not yet committed.
+    */
+  val DefaultRetentionMs: Long = StaleClaimMs
+
+  /** Test seam: runs between the commit's exclusive claim and its body
+    * write — specs inject a concurrent reclaim here to prove the
+    * read-back verification detects a stolen claim. Never set outside
+    * tests.
+    */
+  @volatile private[graft] var postClaimHookForTests: Option[() => Unit] = None
+
+  /** Test seam: runs at commit entry, BEFORE the latest-version check —
+    * specs inject a competing commit here to prove the base-version pin
+    * (`expectedLatest` defaulting) rejects a lost update. Never set
+    * outside tests.
+    */
+  @volatile private[graft] var preCommitHookForTests: Option[() => Unit] = None
 
   /** One manifest entry. Partition-granular entries name a partition dir;
     * file-granular entries (from `publish(fileStatsKey = …)` and
     * [[mergeByFiles]]) additionally name one parquet file inside it plus
     * the file's min/max of the merge key — the footer-stats surrogate a
-    * file-skipping MERGE prunes with.
+    * file-skipping MERGE prunes with — and (since r14) the file's row
+    * count, which drives [[optimizeTable]]'s bin packing. Entries parsed
+    * from pre-r14 manifests lack the count (5-field form) and re-serialize
+    * in the same form, so splices stay byte-stable across versions.
     */
   private case class Entry(partDir: String, dataDir: String,
                            file: Option[String] = None,
                            kmin: Option[Long] = None,
-                           kmax: Option[Long] = None) {
-    def serialized: String = file match {
-      case Some(f) => s"$partDir\t$dataDir\t$f\t${kmin.get}\t${kmax.get}"
-      case None => s"$partDir\t$dataDir"
+                           kmax: Option[Long] = None,
+                           nrows: Option[Long] = None) {
+    def serialized: String = (file, nrows) match {
+      case (Some(f), Some(n)) => s"$partDir\t$dataDir\t$f\t${kmin.get}\t${kmax.get}\t$n"
+      case (Some(f), None) => s"$partDir\t$dataDir\t$f\t${kmin.get}\t${kmax.get}"
+      case _ => s"$partDir\t$dataDir"
     }
   }
 
   private def parseEntry(l: String): Entry = {
     val f = l.split("\t", -1)
-    if (f.length >= 5) Entry(f(0), f(1), Some(f(2)), Some(f(3).toLong), Some(f(4).toLong))
+    if (f.length >= 6) Entry(f(0), f(1), Some(f(2)), Some(f(3).toLong),
+      Some(f(4).toLong), Some(f(5).toLong))
+    else if (f.length >= 5) Entry(f(0), f(1), Some(f(2)), Some(f(3).toLong), Some(f(4).toLong))
     else Entry(f(0), f(1))
   }
 
@@ -186,6 +230,7 @@ object Versioned {
                      entries: Seq[Entry], expectedLatest: Option[Int],
                      orphanDirs: Seq[Path],
                      tag: Option[String] = None): Int = {
+    preCommitHookForTests.foreach(_.apply())
     tag.foreach(t => require(!t.contains('\n') && !t.contains('\t'),
       s"idempotence tag must be single-line, tab-free: $t"))
     fsys.mkdirs(manifestDir(table))
@@ -207,11 +252,30 @@ object Versioned {
       case _: java.io.IOException =>
         abort(s"version $next at $table already claimed by a concurrent writer")
     }
-    try {
-      val body = tag.map(t => s"#tag\t$t\n").getOrElse("") +
-        entries.map(_.serialized).mkString("", "\n", s"\n$Terminator\n")
-      out.write(body.getBytes("UTF-8"))
-    } finally out.close()
+    postClaimHookForTests.foreach(_.apply())
+    val body = (tag.map(t => s"#tag\t$t\n").getOrElse("") +
+      entries.map(_.serialized).mkString("", "\n", s"\n$Terminator\n")).getBytes("UTF-8")
+    try out.write(body) finally out.close()
+    // Read-back verification: if a stalled writer's claim was reclaimed
+    // (deleted + recreated) between our exclusiveCreate and close, our body
+    // landed on an unlinked inode — the close "succeeded" but the table
+    // serves the other writer's bytes at this version. Verify the on-disk
+    // manifest is OURS before reporting the commit; detecting the loss here
+    // turns a silent lost commit into a loud ConcurrentWriteException.
+    val onDisk = try {
+      if (fsys.getFileStatus(mf).getLen != body.length) None
+      else {
+        val in = fsys.open(mf)
+        try {
+          val got = new Array[Byte](body.length)
+          in.readFully(got)
+          Some(got)
+        } finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
+    if (!onDisk.exists(java.util.Arrays.equals(_, body)))
+      abort(s"version $next at $table was reclaimed by a concurrent writer " +
+        "while this commit was in flight (stalled past the claim lease)")
     next
   }
 
@@ -285,15 +349,22 @@ object Versioned {
     val marker = "/" + dd.getName + "/"
     spark.read.parquet(dd.toString)
       .select(input_file_name().as("_f"), col(keyCol).cast("long").as("_k"))
-      .groupBy("_f").agg(min("_k").as("lo"), max("_k").as("hi"))
+      .groupBy("_f").agg(min("_k").as("lo"), max("_k").as("hi"),
+        count(lit(1)).as("nrows"),
+        sum(when(col("_k").isNull, 1L).otherwise(0L)).as("nnull"))
       .collect().toSeq
       .map { r =>
         val full = r.getString(0)
         val rel = full.substring(full.indexOf(marker) + marker.length)
         val cut = rel.indexOf('/')
         require(cut > 0, s"unpartitioned file $rel in partitioned data dir $dd")
+        // min/max silently IGNORE nulls: a null-keyed row would escape the
+        // stats and dodge every range-scoped rewrite — reject it loudly.
+        require(r.getLong(4) == 0L,
+          s"file-stats key $keyCol contains ${r.getLong(4)} NULL(s) in $rel — " +
+            "merge keys must be non-null")
         Entry(rel.substring(0, cut), dd.getName, Some(rel.substring(cut + 1)),
-          Some(r.getLong(1)), Some(r.getLong(2)))
+          Some(r.getLong(1)), Some(r.getLong(2)), Some(r.getLong(3)))
       }.sortBy(e => (e.partDir, e.file))
   }
 
@@ -347,6 +418,13 @@ object Versioned {
     * collects are partition METADATA bounded by the CDC batch. An update
     * may MOVE its row across partitions; an emptied partition just has no
     * manifest entry.
+    *
+    * Concurrency: when `fromVersion` is None (merge against latest),
+    * `expectedLatest` defaults to the base actually read, so a concurrent
+    * writer that advanced the table mid-merge fails THIS commit loudly
+    * instead of this commit silently discarding that writer's version.
+    * Passing `fromVersion` opts into deliberate branching from an old
+    * base (no default pin — the caller owns reconciliation).
     */
   def merge(spark: SparkSession, tablePath: String, source: DataFrame,
             keyCol: String, partCol: String,
@@ -416,7 +494,8 @@ object Versioned {
     // are served from the fresh dir; an emptied partition appears nowhere.
     val entries = baseEntries.filterNot(e => touchedDirs.contains(e.partDir)) ++
       written.map(Entry(_, dd.getName))
-    commit(fsys, table, spark, entries, expectedLatest, Seq(dd), tag)
+    val expect = expectedLatest.orElse(if (fromVersion.isEmpty) Some(base) else None)
+    commit(fsys, table, spark, entries, expect, Seq(dd), tag)
   }
 
   /** File-scoped MERGE — the q208 manifest idea applied to the merge
@@ -468,15 +547,19 @@ object Versioned {
     val keyed = src.select((col(keyCol).as("_sk") +: col("_op").as("_sop") +:
       target.columns.map(c => col(c).as(s"_s_$c"))): _*)
     // The CDC batch is bounded: its (key, op) pairs are driver metadata.
+    // applyPrecedence already rejected NULL keys, so getLong is total.
     val batch = src.select(col(keyCol).cast("long"), col("_op")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    val udKeys = batch.collect { case (k, op) if op == "U" || op == "D" => k }
-    val iKeys = batch.collect { case (k, "I") => k }
-    def covers(e: Entry, ks: Array[Long]): Boolean =
-      ks.exists(k => e.kmin.get <= k && k <= e.kmax.get)
-    val rewriteSet = baseEntries.filter(covers(_, udKeys))
+    val udKeys = batch.collect { case (k, op) if op == "U" || op == "D" => k }.sorted
+    val iKeys = batch.collect { case (k, "I") => k }.sorted
+    // Range probe against SORTED keys: O(|files| log |keys|) instead of the
+    // naive O(|files|·|keys|) scan — at Delta-checkpoint manifest sizes
+    // (10^5 files × 10^4 batch keys) the difference is 10^9 comparisons vs
+    // 10^6, keeping the driver-side planning metadata-cheap.
+    val rewriteSet = baseEntries.filter(e => coversAny(e.kmin.get, e.kmax.get, udKeys))
     val rewriteKeys = rewriteSet.toSet
-    val checkSet = baseEntries.filterNot(rewriteKeys).filter(covers(_, iKeys))
+    val checkSet = baseEntries.filterNot(rewriteKeys)
+      .filter(e => coversAny(e.kmin.get, e.kmax.get, iKeys))
 
     // Rows that can possibly match ANY batch key: the membership universe
     // for both the update join and the insert anti-join.
@@ -513,7 +596,21 @@ object Versioned {
       if (fsys.listStatus(dd).exists(s => s.isDirectory)) fileStatsOf(spark, table, dd, keyCol)
       else Seq.empty // every affected row deleted, nothing inserted
     val entries = baseEntries.filterNot(rewriteKeys) ++ written
-    commit(fsys, table, spark, entries, expectedLatest, Seq(dd), tag)
+    val expect = expectedLatest.orElse(if (fromVersion.isEmpty) Some(base) else None)
+    commit(fsys, table, spark, entries, expect, Seq(dd), tag)
+  }
+
+  /** True iff `sorted` (ascending) contains a key in [lo, hi]: binary
+    * search for the first key ≥ lo, then one bound check.
+    */
+  private[graft] def coversAny(lo: Long, hi: Long, sorted: Array[Long]): Boolean = {
+    var l = 0
+    var r = sorted.length
+    while (l < r) {
+      val m = (l + r) >>> 1
+      if (sorted(m) < lo) l = m + 1 else r = m
+    }
+    l < sorted.length && sorted(l) <= hi
   }
 
   /** (partDir, dataDir, fileName, kmin, kmax) of a file-granular version —
@@ -523,7 +620,7 @@ object Versioned {
       : Seq[(String, String, String, Long, Long)] = {
     val (fsys, table) = fs(spark, tablePath)
     readManifest(fsys, table, v).collect {
-      case Entry(p, d, Some(f), Some(lo), Some(hi)) => (p, d, f, lo, hi)
+      case Entry(p, d, Some(f), Some(lo), Some(hi), _) => (p, d, f, lo, hi)
     }
   }
 
@@ -535,12 +632,18 @@ object Versioned {
       partCol, if (value == null) null else String.valueOf(value))
 
   /** Per key keep one source row by op precedence D > U > I; reject two
-    * rows with the same (key, op) — no silent image-picking.
+    * rows with the same (key, op) — no silent image-picking. A NULL merge
+    * key is rejected here too (same validation job): NULL never equals
+    * anything, so a null-keyed op could neither match nor be pruned — it
+    * would surface later as a bare NPE in the stats collect.
     */
   private def applyPrecedence(source: DataFrame, keyCol: String): DataFrame = {
     val dup = source.groupBy(col(keyCol), col("_op"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
-    require(dup.isEmpty,
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1 || col(keyCol).isNull).limit(1).collect()
+    require(dup.isEmpty, if (dup.nonEmpty && dup.head.isNullAt(0))
+      s"merge: source batch carries a NULL $keyCol — merge keys must be non-null"
+    else
       s"merge: source batch carries ${dup.head.getLong(2)} rows for " +
         s"($keyCol=${dup.head.get(0)}, _op=${dup.head.get(1)}) — at most one " +
         "row per (key, op) is allowed")
@@ -669,27 +772,59 @@ object Versioned {
     require(written.forall(_.partDir == partDir),
       s"compaction leaked rows outside $partDir: ${written.map(_.partDir)}")
     val entries = baseEntries.filterNot(victims.toSet) ++ written
-    commit(fsys, table, spark, entries, expectedLatest, Seq(dd))
+    // Compaction always rewrites against latest: pin it, so a concurrent
+    // merge that advanced the table mid-compaction fails this commit
+    // (rerunnable maintenance) instead of this commit erasing the merge.
+    commit(fsys, table, spark, entries, expectedLatest.orElse(Some(base)), Seq(dd))
   }
 
   /** Delete every manifest NOT in `keep` plus every data dir no retained
     * manifest references. A data dir shared with a kept version survives
     * (merge versions splice entries from older dirs — those stay live
     * until the last manifest referencing them is vacuumed).
+    *
+    * RETENTION (the Delta VACUUM convention, required for concurrent-
+    * writer safety): an UNCOMMITTED manifest younger than `retentionMs`
+    * is an in-flight writer's claim, and an unreferenced data dir younger
+    * than `retentionMs` is a merge's freshly written, about-to-commit
+    * output — deleting either would make the writer commit a manifest
+    * pointing at deleted files (or report a commit the table never
+    * serves). Both are skipped until they age past the window; a crashed
+    * writer's leftovers are reclaimed by the NEXT vacuum after the window
+    * lapses. `retentionMs = 0` restores eager deletion for
+    * provably-single-writer maintenance.
     */
-  def vacuum(spark: SparkSession, tablePath: String, keep: Set[Int]): Unit = {
+  def vacuum(spark: SparkSession, tablePath: String, keep: Set[Int],
+             retentionMs: Long = DefaultRetentionMs): Unit = {
     val (fsys, table) = fs(spark, tablePath)
     val md = manifestDir(table)
     if (!fsys.exists(md)) return
+    val now = System.currentTimeMillis()
+    def aged(p: Path): Boolean =
+      now - fsys.getFileStatus(p).getModificationTime > retentionMs
     val versions = fsys.listStatus(md).toSeq
       .flatMap(_.getPath.getName.stripSuffix(".txt").toIntOption)
     val (kept, dropped) = versions.partition(keep)
-    val liveDirs = kept.filter(isCommitted(fsys, table, _))
+    // Protected from deletion while inside the retention window:
+    //  - an UNCOMMITTED claim (an in-flight writer: it will either
+    //    finalize or be reclaimed once stale; its data dir is protected
+    //    by the same window via the dir mtime below);
+    //  - a COMMITTED version NEWER than everything in `keep` — a writer
+    //    that committed between the caller computing `keep` and this
+    //    sweep; versions the caller knowingly retired (≤ max(keep)) are
+    //    deleted eagerly.
+    val maxKeep = if (keep.isEmpty) Int.MinValue else keep.max
+    val protectedV = dropped.filter(v =>
+      !aged(manifestPath(table, v)) &&
+        (!isCommitted(fsys, table, v) || v > maxKeep))
+    val liveDirs = (kept ++ protectedV).filter(isCommitted(fsys, table, _))
       .flatMap(v => readManifest(fsys, table, v).map(_.dataDir)).toSet
-    dropped.foreach(v => fsys.delete(manifestPath(table, v), false))
+    dropped.filterNot(protectedV.contains)
+      .foreach(v => fsys.delete(manifestPath(table, v), false))
     fsys.listStatus(table).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("d_") &&
-        !liveDirs.contains(s.getPath.getName))
+        !liveDirs.contains(s.getPath.getName) &&
+        now - s.getModificationTime > retentionMs)
       .foreach(s => fsys.delete(s.getPath, true))
   }
 
@@ -697,8 +832,10 @@ object Versioned {
     * `alsoKeep` — e.g. a pinned base snapshot merges branch from).
     */
   def vacuumKeepLast(spark: SparkSession, tablePath: String, k: Int,
-                     alsoKeep: Set[Int] = Set.empty): Unit = {
+                     alsoKeep: Set[Int] = Set.empty,
+                     retentionMs: Long = DefaultRetentionMs): Unit = {
     val latest = latestVersion(spark, tablePath)
-    vacuum(spark, tablePath, alsoKeep ++ (math.max(1, latest - k + 1) to latest))
+    vacuum(spark, tablePath, alsoKeep ++ (math.max(1, latest - k + 1) to latest),
+      retentionMs)
   }
 }

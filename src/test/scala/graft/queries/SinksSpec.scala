@@ -289,7 +289,9 @@ class SinksSpec extends SparkSpec {
     Versioned.merge(spark, tbl,
       Seq((1L, 12L, "a", "U")).toDF("k", "v", "p", "_op"), "k", "p",
       fromVersion = Some(1)) // v3, branched from v1
-    Versioned.vacuum(spark, tbl, keep = Set(1, 3))
+    // retentionMs = 0: eager single-writer maintenance (the retention
+    // window itself is pinned by the dedicated vacuum-retention tests)
+    Versioned.vacuum(spark, tbl, keep = Set(1, 3), retentionMs = 0)
     // v2 unreadable; v1 and v3 intact — including v3's partition b served
     // from v1's shared data dir, which vacuum must NOT have deleted
     intercept[IllegalArgumentException] { Versioned.readAt(spark, tbl, 2).collect() }
@@ -453,6 +455,174 @@ class SinksSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet == Set((1L, "x"), (2L, "Y2"), (4L, "w")))
     assert(Versioned.diff(spark, tbl, 1, 2) == (2L, 2L),
       "v1->v2: +{(2,Y2),(4,w)} -{(2,y),(3,z)}")
+  }
+
+  test("vacuum retention: a fresh claim and a young unreferenced data dir survive; aged ones are reclaimed") {
+    import spark.implicits._
+    val tbl = freshTable("vacret")
+    Versioned.publish(spark, tbl,
+      Seq((1L, 10L, "a")).toDF("k", "v", "p"), partCol = Some("p"))
+    // Simulate an in-flight writer: a fresh uncommitted claim for v2 plus
+    // a freshly written, not-yet-referenced data dir (its merge has not
+    // committed yet).
+    val claim = new java.io.File(tbl, "_manifests/2.txt")
+    java.nio.file.Files.write(claim.toPath, "-\td_inflight\n".getBytes("UTF-8"))
+    val inflightDir = new java.io.File(tbl, "d_inflight")
+    assert(inflightDir.mkdirs())
+    java.nio.file.Files.write(new java.io.File(inflightDir, "x.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    Versioned.vacuum(spark, tbl, keep = Set(1))
+    assert(claim.exists(), "a fresh in-flight claim must survive vacuum")
+    assert(inflightDir.exists(),
+      "a young unreferenced data dir (an in-flight merge's output) must survive vacuum")
+    // Age both past the retention window: the writer is dead — reclaim.
+    val old = System.currentTimeMillis() - 10 * 60 * 1000
+    assert(claim.setLastModified(old) && inflightDir.setLastModified(old))
+    Versioned.vacuum(spark, tbl, keep = Set(1))
+    assert(!claim.exists(), "an aged crashed claim must be reclaimed")
+    assert(!inflightDir.exists(), "an aged orphan data dir must be reclaimed")
+    assert(Versioned.read(spark, tbl).count() == 1)
+  }
+
+  test("vacuum protects a committed version newer than the keep set inside the retention window") {
+    import spark.implicits._
+    val tbl = freshTable("vacnew")
+    Versioned.publish(spark, tbl, Seq((1L, 10L, "a")).toDF("k", "v", "p"),
+      partCol = Some("p"))
+    // A writer commits v2 between the caller computing keep={1} and the
+    // sweep: v2 is committed, newer than max(keep), and young — protected.
+    Versioned.merge(spark, tbl,
+      Seq((1L, 11L, "a", "U")).toDF("k", "v", "p", "_op"), "k", "p")
+    Versioned.vacuum(spark, tbl, keep = Set(1))
+    assert(Versioned.latestVersion(spark, tbl) == 2,
+      "a just-committed version newer than keep must survive the sweep")
+    assert(Versioned.readAt(spark, tbl, 2).as[(Long, Long, String)].collect().toSet ==
+      Set((1L, 11L, "a")))
+  }
+
+  test("vacuum racing a live merge: the merge publishes intact (retention shields its in-flight dir)") {
+    import spark.implicits._
+    val tbl = freshTable("vacrace")
+    Versioned.publish(spark, tbl,
+      (1L to 40L).map(k => (k, k * 10, if (k % 2 == 0) "a" else "b"))
+        .toDF("k", "v", "p"), partCol = Some("p"))
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    // Maintenance loop: sweep unreferenced dirs with a keep superset (no
+    // manifest is ever dropped) while the merge below is mid-flight. The
+    // dangerous moment is between the merge's data-dir write and its
+    // commit — without the retention grace this loop deletes that dir.
+    val sweeper = new Thread(() => {
+      try while (!done.get()) Versioned.vacuum(spark, tbl, keep = (1 to 100).toSet)
+      catch { case t: Throwable => failure.set(t) }
+    }, "graft-vacuum-sweeper")
+    sweeper.start()
+    try {
+      val v2 = Versioned.merge(spark, tbl,
+        Seq((2L, 21L, "a", "U"), (41L, 410L, "b", "I")).toDF("k", "v", "p", "_op"),
+        "k", "p")
+      assert(v2 == 2)
+    } finally { done.set(true); sweeper.join(60000) }
+    assert(failure.get() == null, s"sweeper crashed: ${failure.get()}")
+    val got = Versioned.read(spark, tbl).as[(Long, Long, String)].collect().toSet
+    val want = (1L to 40L).map(k =>
+      (k, if (k == 2) 21L else k * 10, if (k % 2 == 0) "a" else "b")).toSet +
+      ((41L, 410L, "b"))
+    assert(got == want, "merge output corrupted by the concurrent vacuum")
+  }
+
+  test("commit read-back: a claim reclaimed mid-commit raises instead of reporting a lost commit") {
+    import spark.implicits._
+    val tbl = freshTable("readback")
+    Versioned.publish(spark, tbl, Seq((1L, "x")).toDF("k", "s"))
+    // Between this writer's exclusive claim and its close, another writer
+    // deems the claim stale, deletes it, and commits its own v2 — this
+    // writer's body lands on an unlinked inode. Pre-read-back the commit
+    // "succeeded" silently; now it must detect the loss and raise.
+    Versioned.postClaimHookForTests = Some(() => {
+      Versioned.postClaimHookForTests = None // fire once, no recursion
+      val claim = new java.io.File(tbl, "_manifests/2.txt")
+      assert(claim.delete(), "test setup: claim must exist to steal")
+      java.nio.file.Files.write(claim.toPath,
+        "-\td_thief\n#commit\n".getBytes("UTF-8"))
+    })
+    try {
+      val e = intercept[ConcurrentWriteException] {
+        Versioned.publish(spark, tbl, Seq((1L, "mine")).toDF("k", "s"))
+      }
+      assert(e.getMessage.contains("reclaimed"), e.getMessage)
+    } finally Versioned.postClaimHookForTests = None
+    // the thief's manifest is what the table serves at v2
+    val mf = new java.io.File(tbl, "_manifests/2.txt")
+    assert(new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+      .contains("d_thief"))
+  }
+
+  test("merge against latest pins its base: a competing commit mid-merge fails this merge loudly") {
+    import spark.implicits._
+    val tbl = freshTable("basepin")
+    Versioned.publish(spark, tbl,
+      Seq((1L, 10L, "a"), (2L, 20L, "a")).toDF("k", "v", "p"), partCol = Some("p"))
+    // This merge reads base v1 (fromVersion = None → expectedLatest
+    // defaults to 1). At its commit entry a competing writer publishes
+    // v2 — pre-r14 the merge would commit v3 spliced from v1, silently
+    // discarding v2; now the base pin rejects it.
+    Versioned.preCommitHookForTests = Some(() => {
+      Versioned.preCommitHookForTests = None // fire once, no recursion
+      Versioned.publish(spark, tbl,
+        Seq((9L, 90L, "z")).toDF("k", "v", "p"), partCol = Some("p"))
+    })
+    try {
+      val e = intercept[ConcurrentWriteException] {
+        Versioned.merge(spark, tbl,
+          Seq((1L, 11L, "a", "U")).toDF("k", "v", "p", "_op"), "k", "p")
+      }
+      assert(e.getMessage.contains("expected"), e.getMessage)
+    } finally Versioned.preCommitHookForTests = None
+    // the competing v2 stands; the lost-update merge left no version
+    assert(Versioned.latestVersion(spark, tbl) == 2)
+    assert(Versioned.read(spark, tbl).as[(Long, Long, String)].collect().toSet ==
+      Set((9L, 90L, "z")))
+    // explicit branching (fromVersion) still works against the new latest
+    val v3 = Versioned.merge(spark, tbl,
+      Seq((9L, 91L, "z", "U")).toDF("k", "v", "p", "_op"), "k", "p",
+      fromVersion = Some(2))
+    assert(v3 == 3)
+  }
+
+  test("NULL merge keys are rejected with a diagnosable message, not an executor NPE") {
+    import spark.implicits._
+    val tbl = freshTable("nullkey")
+    Versioned.publish(spark, tbl,
+      Seq((1L, 10L, "a")).toDF("k", "v", "p"), partCol = Some("p"))
+    val bad = Seq((Some(2L), 20L, "a", "I"), (None: Option[Long], 30L, "a", "I"))
+      .toDF("k", "v", "p", "_op")
+    val e = intercept[IllegalArgumentException] {
+      Versioned.merge(spark, tbl, bad, "k", "p")
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+    // table side: a file-granular publish over a null-keyed row must fail
+    // loudly too (min/max stats would silently skip the row otherwise)
+    val tbl2 = freshTable("nullkey2")
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.publish(spark, tbl2,
+        Seq((Some(1L), 10L, "a"), (None: Option[Long], 20L, "a")).toDF("k", "v", "p"),
+        partCol = Some("p"), fileStatsKey = Some("k"))
+    }
+    assert(e2.getMessage.contains("NULL"), e2.getMessage)
+  }
+
+  test("coversAny range probe agrees with the linear scan on adversarial bounds") {
+    val keys = Array(-9L, -3L, 0L, 5L, 5L, 17L, Long.MaxValue)
+    def naive(lo: Long, hi: Long) = keys.exists(k => lo <= k && k <= hi)
+    val probes = Seq(
+      (Long.MinValue, Long.MaxValue), (Long.MinValue, -10L), (-9L, -9L),
+      (-8L, -4L), (-3L, 0L), (1L, 4L), (5L, 5L), (6L, 16L), (17L, 17L),
+      (18L, Long.MaxValue - 1), (Long.MaxValue, Long.MaxValue), (7L, 3L))
+    probes.foreach { case (lo, hi) =>
+      assert(Versioned.coversAny(lo, hi, keys) == naive(lo, hi), s"[$lo,$hi]")
+    }
+    assert(!Versioned.coversAny(0L, 10L, Array.empty[Long]))
   }
 
   test("diff digest is collision-safe: adjacent-column concatenation and NULL position both distinguish rows") {
