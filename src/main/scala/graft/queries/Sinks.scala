@@ -703,6 +703,53 @@ object Sinks {
       .orderBy("o_year")
   }
 
+  /** q217 — whole-table OPTIMIZE (`Versioned.optimizeTable`): v1 publishes
+    * orders file-granular with every year fragmented across small
+    * range-laid-out files (the state a merge-heavy table degrades into);
+    * one optimize pass bin-packs EVERY partition's files toward a target
+    * row count using only the manifest's per-file row counts — planning
+    * is metadata, the rewrite reads exactly the small files being
+    * collapsed, and single-file bins splice. The output carries both
+    * versions' aggregates, so the hash proves optimize changed ZERO rows
+    * while v1 stays readable (time travel across a layout rewrite); the
+    * layout collapse itself is pinned in SinksSpec. At 100 TB this is the
+    * nightly maintenance op: work ∝ small-file population, never ∝ table.
+    */
+  def optimizeTableQuery(spark: SparkSession, dir: String): DataFrame = {
+    // Once-per-corpus substrate (the q216 convention — maintenance runs
+    // once); reuse validation: two-version chain, layout actually
+    // collapsed, content count intact.
+    val tbl = tmpOut(dir, "optall_vt")
+    val base = orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+      year(col("o_orderdate")).as("o_year"))
+    val total = base.count()
+    val target = math.max(1L, total / 8)
+    val valid = try {
+      Versioned.latestVersion(spark, tbl) == 2 &&
+        Versioned.fileEntriesOf(spark, tbl, 2).size <
+          Versioned.fileEntriesOf(spark, tbl, 1).size &&
+        Versioned.readAt(spark, tbl, 2).count() == total
+    } catch { case _: Exception => false }
+    if (!valid) {
+      deleteTree(tbl)
+      Versioned.publish(spark, tbl,
+        base.repartitionByRange(48, col("o_year"), col("o_orderkey")),
+        partCol = Some("o_year"), fileStatsKey = Some("o_orderkey"))
+      val v2 = Versioned.optimizeTable(spark, tbl, "o_orderkey", "o_year", target)
+      require(v2 == 2, s"optimize should have found small files to collapse, got v$v2")
+    }
+    (1 to 2).map { v =>
+      Versioned.readAt(spark, tbl, v)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+             sum("o_price_c").as("sum_price_c"))
+        .select(lit(v).as("ver"), col("o_year"), col("n"),
+          col("sum_cust"), col("sum_price_c"))
+    }.reduce(_.unionByName(_)).orderBy("ver", "o_year")
+  }
+
   /** q213 — STREAMING CDC ingestion into the versioned store with
     * exactly-once, replay-idempotent publishing: three CDC batches (an
     * update band, a delete band, an insert band over disjoint key ranges)
@@ -840,6 +887,7 @@ object Sinks {
     "q214_change_feed"       -> changeFeed _,
     "q215_restore_rollback"  -> restoreRollback _,
     "q216_optimize_compact"  -> optimizeCompact _,
+    "q217_optimize_table"    -> optimizeTableQuery _,
     "q144_lines_write_roundtrip" -> linesWriteRoundtrip _,
     "q133_lines_source_roundtrip" -> linesSourceRoundtrip _,
     "q126_schema_evolution" -> schemaEvolution _,
@@ -964,6 +1012,21 @@ object Sinks {
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
         |FROM merged GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // Both versions' contents recomputed from the source alone — a
+    // whole-table OPTIMIZE may only change the file layout, never a row.
+    "q217_optimize_table" ->
+      """WITH tgt AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders),
+        |agg AS (SELECT o_year, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |         CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |       FROM tgt GROUP BY o_year)
+        |SELECT 1 AS ver, o_year, n, sum_cust, sum_price_c FROM agg
+        |UNION ALL
+        |SELECT 2 AS ver, o_year, n, sum_cust, sum_price_c FROM agg
+        |ORDER BY ver, o_year""".stripMargin,
     // Replay the merge relationally, then EXCEPT ALL both ways — the same
     // multiset semantics as the store's digest-based change feed; an
     // UPDATE surfaces as its delete+insert image pair.

@@ -778,6 +778,79 @@ object Versioned {
     commit(fsys, table, spark, entries, expectedLatest.orElse(Some(base)), Seq(dd))
   }
 
+  /** Whole-table OPTIMIZE: bin-pack EVERY partition's small files toward
+    * `targetRows` rows per output file, in one new version — the
+    * production maintenance op a merge-heavy table runs nightly (Delta
+    * OPTIMIZE / Iceberg rewrite_data_files re-derived on the manifest
+    * store). Planning is pure manifest METADATA: per partition, files are
+    * greedily packed in key order (first-fit) into bins using the
+    * manifest's per-file row counts — no data is read to decide. Bins
+    * that already hold a single file are SPLICED unchanged (a file at or
+    * above target is never rewritten — same rule as Delta), so the
+    * rewrite reads exactly the small files being collapsed and nothing
+    * else. All victim bins are rewritten in ONE Spark job: each bin's
+    * files are read and tagged with the bin id, the union is shuffled by
+    * bin, and the dynamic-partition writer emits at most one file per
+    * (partition, bin) — per-partition output file count ≤ bin count,
+    * with key-contiguous bins (packing follows kmin order) so the
+    * range-pruning property of [[mergeByFiles]] survives compaction.
+    * Content is identical by construction; every prior version stays
+    * readable; the commit pins the base (concurrent merge wins, the
+    * rerunnable maintenance loses). Returns the base version unchanged
+    * when no partition has anything to gain.
+    *
+    * Scale note: the per-bin union grows the plan with victim-bin count;
+    * victim bins are bounded by the small-file population (the thing
+    * being repaired), and a deployment compacting 10^5+ files at once
+    * would route rows through a broadcast file→bin map instead — the
+    * planning stays metadata-only either way.
+    */
+  def optimizeTable(spark: SparkSession, tablePath: String,
+                    keyCol: String, partCol: String, targetRows: Long,
+                    expectedLatest: Option[Int] = None): Int = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val (fsys, table) = fs(spark, tablePath)
+    val base = latestVersion(spark, tablePath)
+    val baseEntries = readManifest(fsys, table, base)
+    require(baseEntries.forall(e => e.file.isDefined && e.nrows.isDefined),
+      "optimizeTable needs a file-granular base with per-file row counts " +
+        "(publish with fileStatsKey on r14+, or compact/merge once to refresh stats)")
+    // First-fit pack in key order: bins stay key-contiguous per partition.
+    val bins: Seq[(String, Int, Seq[Entry])] =
+      baseEntries.groupBy(_.partDir).toSeq.sortBy(_._1).flatMap { case (p, es) =>
+        val sorted = es.sortBy(e => (e.kmin.get, e.file.get))
+        val packed = scala.collection.mutable.ListBuffer.empty[(Long, scala.collection.mutable.ListBuffer[Entry])]
+        sorted.foreach { e =>
+          val n = e.nrows.get
+          packed.lastOption match {
+            case Some((rows, b)) if rows + n <= targetRows || rows == 0L =>
+              b += e
+              packed(packed.length - 1) = (rows + n, b)
+            case _ =>
+              packed += ((n, scala.collection.mutable.ListBuffer(e)))
+          }
+        }
+        packed.toSeq.zipWithIndex.map { case ((_, b), i) => (p, i, b.toSeq) }
+      }
+    val victims = bins.filter(_._3.size >= 2)
+    if (victims.isEmpty) return base
+    val victimEntries = victims.flatMap(_._3).toSet
+    val rewrite = victims.map { case (p, i, es) =>
+      readEntries(spark, table, es).withColumn("_bin", lit(s"$p#$i"))
+    }.reduce(_.unionByName(_))
+      .repartition(col("_bin"))
+      .drop("_bin")
+    val dd = newDataDir(fsys, table)
+    rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dd.toString)
+    val written = fileStatsOf(spark, table, dd, keyCol)
+    val victimParts = victims.map(_._1).toSet
+    require(written.forall(e => victimParts.contains(e.partDir)),
+      s"optimize leaked rows outside its victim partitions: " +
+        s"${written.map(_.partDir).filterNot(victimParts).distinct.mkString(",")}")
+    val entries = baseEntries.filterNot(victimEntries) ++ written
+    commit(fsys, table, spark, entries, expectedLatest.orElse(Some(base)), Seq(dd))
+  }
+
   /** Delete every manifest NOT in `keep` plus every data dir no retained
     * manifest references. A data dir shared with a kept version survives
     * (merge versions splice entries from older dirs — those stay live

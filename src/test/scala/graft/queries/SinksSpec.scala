@@ -457,6 +457,42 @@ class SinksSpec extends SparkSpec {
       "v1->v2: +{(2,Y2),(4,w)} -{(2,y),(3,z)}")
   }
 
+  test("q217 optimizeTable bin-packs every partition's small files; big files and packed bins splice; versions stay readable") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tbl = freshTable("optall")
+    // two partitions: a = keys 1..24 fragmented into ~12 tiny files,
+    // b = keys 101..124 in ONE big file (already at/above target)
+    val frag = (1L to 24L).map(k => (k, k * 10, "a")).toDF("k", "v", "p")
+      .repartitionByRange(12, col("k"))
+    val big = (101L to 124L).map(k => (k, k * 10, "b")).toDF("k", "v", "p")
+      .coalesce(1)
+    Versioned.publish(spark, tbl, frag.unionByName(big),
+      partCol = Some("p"), fileStatsKey = Some("k"))
+    val f1 = Versioned.fileEntriesOf(spark, tbl, 1)
+    val aBefore = f1.count(_._1 == "p=a")
+    val bBefore = f1.filter(_._1 == "p=b")
+    assert(aBefore >= 8, s"fragmentation setup failed: $f1")
+    assert(bBefore.size == 1)
+    val v2 = Versioned.optimizeTable(spark, tbl, "k", "p", targetRows = 8)
+    assert(v2 == 2)
+    val f2 = Versioned.fileEntriesOf(spark, tbl, 2)
+    // a: 24 rows at target 8 → ≤ ceil(24/8)=3 bins (collisions may merge)
+    val aAfter = f2.count(_._1 == "p=a")
+    assert(aAfter <= 3 && aAfter >= 1, s"p=a should collapse to ≤3 files: $f2")
+    // b: its single file is a 1-file bin → spliced VERBATIM (same entry)
+    assert(f2.filter(_._1 == "p=b") == bBefore,
+      "a partition with nothing to gain must not be rewritten")
+    // content identical; v1 still readable post-optimize
+    val want = ((1L to 24L).map(k => (k, k * 10, "a")) ++
+      (101L to 124L).map(k => (k, k * 10, "b"))).toSet
+    assert(Versioned.readAt(spark, tbl, 2).as[(Long, Long, String)].collect().toSet == want)
+    assert(Versioned.readAt(spark, tbl, 1).as[(Long, Long, String)].collect().toSet == want)
+    // idempotence: a second pass finds nothing to gain and returns base
+    assert(Versioned.optimizeTable(spark, tbl, "k", "p", targetRows = 8) == 2,
+      "optimize over an already-optimized table must be a no-op")
+  }
+
   test("vacuum retention: a fresh claim and a young unreferenced data dir survive; aged ones are reclaimed") {
     import spark.implicits._
     val tbl = freshTable("vacret")
