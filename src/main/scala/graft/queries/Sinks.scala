@@ -750,6 +750,63 @@ object Sinks {
     }.reduce(_.unionByName(_)).orderBy("ver", "o_year")
   }
 
+  /** q218 — schema evolution INSIDE the versioned store (the Delta
+    * mergeSchema contract, vs q126's plain-parquet read-time merge): v1
+    * publishes orders without an `o_note` column; a MERGE whose source
+    * carries the new column commits v2 — updated and inserted rows get
+    * values, surviving rows and spliced pre-evolution files NULL-backfill
+    * on read, and TIME TRAVEL to v1 still serves the OLD schema (the
+    * manifest records a schema per version). The output unions both
+    * versions' aggregates plus the per-year count of noted rows, so the
+    * hash proves values, backfill, and the old-schema read at once; at
+    * 100 TB this is the weekly "add a column without rewriting the
+    * table" event.
+    */
+  def schemaEvolutionVersioned(spark: SparkSession, dir: String): DataFrame = {
+    // Once-per-corpus substrate; reuse validation: v2 carries o_note, v1
+    // does not, base count intact.
+    val tbl = tmpOut(dir, "se_vt")
+    val base = orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+      year(col("o_orderdate")).as("o_year"))
+    val valid = try {
+      Versioned.latestVersion(spark, tbl) == 2 &&
+        Versioned.readAt(spark, tbl, 2).columns.contains("o_note") &&
+        !Versioned.readAt(spark, tbl, 1).columns.contains("o_note") &&
+        Versioned.readAt(spark, tbl, 1).count() == base.count()
+    } catch { case _: Exception => false }
+    if (!valid) {
+      deleteTree(tbl)
+      Versioned.publish(spark, tbl, base, partCol = Some("o_year"))
+      def op(o: String) = lit(o).as("_op")
+      val y95 = base.filter(col("o_year") === 1995)
+      val batch = y95.filter(col("o_orderkey") % 100 === 1)
+        .withColumn("o_price_c", col("o_price_c") + 5000)
+        .withColumn("o_note", lit("BUMPED")).select(col("*"), op("U"))
+        .unionByName(y95.filter(col("o_orderkey") % 100 === 2)
+          .withColumn("o_note", lit(null).cast("string")).select(col("*"), op("D")))
+        .unionByName(y95.filter(col("o_orderkey") % 100 === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + 500000000L)
+          .withColumn("o_year", lit(1999))
+          .withColumn("o_note", lit("FRESH")).select(col("*"), op("I")))
+      Versioned.merge(spark, tbl, batch, "o_orderkey", "o_year")
+    }
+    val v2 = Versioned.readAt(spark, tbl, 2)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"), count(col("o_note")).as("n_noted"))
+      .select(lit(2).as("ver"), col("o_year"), col("n"), col("sum_cust"),
+        col("sum_price_c"), col("n_noted"))
+    val v1 = Versioned.readAt(spark, tbl, 1) // old schema: no o_note column
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .select(lit(1).as("ver"), col("o_year"), col("n"), col("sum_cust"),
+        col("sum_price_c"), lit(0L).as("n_noted"))
+    v1.unionByName(v2).orderBy("ver", "o_year")
+  }
+
   /** q213 — STREAMING CDC ingestion into the versioned store with
     * exactly-once, replay-idempotent publishing: three CDC batches (an
     * update band, a delete band, an insert band over disjoint key ranges)
@@ -888,6 +945,7 @@ object Sinks {
     "q215_restore_rollback"  -> restoreRollback _,
     "q216_optimize_compact"  -> optimizeCompact _,
     "q217_optimize_table"    -> optimizeTableQuery _,
+    "q218_schema_evolution_versioned" -> schemaEvolutionVersioned _,
     "q144_lines_write_roundtrip" -> linesWriteRoundtrip _,
     "q133_lines_source_roundtrip" -> linesSourceRoundtrip _,
     "q126_schema_evolution" -> schemaEvolution _,
@@ -1026,6 +1084,36 @@ object Sinks {
         |SELECT 1 AS ver, o_year, n, sum_cust, sum_price_c FROM agg
         |UNION ALL
         |SELECT 2 AS ver, o_year, n, sum_cust, sum_price_c FROM agg
+        |ORDER BY ver, o_year""".stripMargin,
+    // v1 = the pre-evolution projection (no o_note -> n_noted 0 by
+    // definition); v2 = the evolving merge replayed with o_note values on
+    // updated/inserted rows and NULL elsewhere (the backfill contract).
+    "q218_schema_evolution_versioned" ->
+      """WITH tgt AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders),
+        |v2 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_year = 1995 AND o_orderkey % 100 = 1
+        |              THEN o_price_c + 5000 ELSE o_price_c END AS o_price_c,
+        |         o_year,
+        |         CASE WHEN o_year = 1995 AND o_orderkey % 100 = 1
+        |              THEN 'BUMPED' END AS o_note
+        |  FROM tgt WHERE NOT (o_year = 1995 AND o_orderkey % 100 = 2)
+        |  UNION ALL
+        |  SELECT o_orderkey + 500000000, o_custkey, o_price_c, 1999, 'FRESH'
+        |  FROM tgt WHERE o_year = 1995 AND o_orderkey % 100 = 3)
+        |SELECT 1 AS ver, o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c,
+        |       CAST(0 AS BIGINT) AS n_noted
+        |FROM tgt GROUP BY o_year
+        |UNION ALL
+        |SELECT 2, o_year, CAST(count(*) AS BIGINT),
+        |       CAST(sum(o_custkey) AS BIGINT), CAST(sum(o_price_c) AS BIGINT),
+        |       CAST(count(o_note) AS BIGINT)
+        |FROM v2 GROUP BY o_year
         |ORDER BY ver, o_year""".stripMargin,
     // Replay the merge relationally, then EXCEPT ALL both ways — the same
     // multiset semantics as the store's digest-based change feed; an

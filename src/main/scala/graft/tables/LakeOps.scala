@@ -178,6 +178,44 @@ object Versioned {
     first.filter(_.startsWith("#tag\t")).map(_.substring("#tag\t".length))
   }
 
+  /** The logical schema version `v` was committed with (`#schema\t<json>`
+    * manifest line). Absent on pre-r14 manifests — readers then serve
+    * whatever the files carry, which is uniform on a never-evolved table.
+    */
+  def schemaOf(spark: SparkSession, tablePath: String, v: Int)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val (fsys, table) = fs(spark, tablePath)
+    readSchemaLine(fsys, table, v)
+  }
+
+  private def readSchemaLine(fsys: FileSystem, table: Path, v: Int)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val p = manifestPath(table, v)
+    if (!fsys.exists(p)) return None
+    val in = fsys.open(p)
+    val line = try {
+      val br = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      Iterator.continually(br.readLine()).takeWhile(_ != null)
+        .take(4) // header lines precede entries; #schema is among the first
+        .find(_.startsWith("#schema\t"))
+    } finally in.close()
+    line.map(l => org.apache.spark.sql.types.DataType
+      .fromJson(l.substring("#schema\t".length))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Present `df` in `schema`'s shape: columns the files predate become
+    * NULL (the add-column-with-NULL-backfill contract), order follows the
+    * schema, and types are pinned (partition-directory inference could
+    * otherwise drift a path-encoded column's type).
+    */
+  private def alignTo(df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val have = df.columns.toSet
+    val withAll = schema.fields.filterNot(f => have.contains(f.name))
+      .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    withAll.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
   /** The committed version carrying idempotence tag `tag`, if any — the
     * Delta txn-id lookup: a replayed writer asks before re-applying.
     */
@@ -229,7 +267,8 @@ object Versioned {
   private def commit(fsys: FileSystem, table: Path, spark: SparkSession,
                      entries: Seq[Entry], expectedLatest: Option[Int],
                      orphanDirs: Seq[Path],
-                     tag: Option[String] = None): Int = {
+                     tag: Option[String] = None,
+                     schema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
     preCommitHookForTests.foreach(_.apply())
     tag.foreach(t => require(!t.contains('\n') && !t.contains('\t'),
       s"idempotence tag must be single-line, tab-free: $t"))
@@ -254,6 +293,7 @@ object Versioned {
     }
     postClaimHookForTests.foreach(_.apply())
     val body = (tag.map(t => s"#tag\t$t\n").getOrElse("") +
+      schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
       entries.map(_.serialized).mkString("", "\n", s"\n$Terminator\n")).getBytes("UTF-8")
     try out.write(body) finally out.close()
     // Read-back verification: if a stalled writer's claim was reclaimed
@@ -329,7 +369,8 @@ object Versioned {
         df.write.mode(SaveMode.ErrorIfExists).parquet(dd.toString)
         Seq(Entry("-", dd.getName))
     }
-    commit(fsys, table, spark, entries, expectedLatest, Seq(dd))
+    commit(fsys, table, spark, entries, expectedLatest, Seq(dd),
+      schema = Some(df.schema))
   }
 
   /** Back-compat alias: unpartitioned snapshot publish. */
@@ -385,15 +426,21 @@ object Versioned {
         (if (rel.isEmpty) base else new Path(base, rel)).toString
       }
       spark.read.option("basePath", base.toString).parquet(paths: _*)
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
 
   def readAt(spark: SparkSession, tablePath: String, version: Int): DataFrame = {
     val (fsys, table) = fs(spark, tablePath)
     val entries = readManifest(fsys, table, version)
     require(entries.nonEmpty, s"version $version of $table is an empty table")
-    if (entries.forall(_.partDir == "-"))
-      spark.read.parquet(entries.map(e => new Path(table, e.dataDir).toString): _*)
-    else readEntries(spark, table, entries)
+    val raw =
+      if (entries.forall(_.partDir == "-"))
+        spark.read.parquet(entries.map(e => new Path(table, e.dataDir).toString): _*)
+      else readEntries(spark, table, entries)
+    // Align to the version's committed schema: entries spliced from
+    // pre-evolution versions lack later-added columns — they read as NULL
+    // (and, symmetrically, time travel to an old version serves the OLD
+    // schema, however evolved the files around it are).
+    readSchemaLine(fsys, table, version).map(alignTo(raw, _)).getOrElse(raw)
   }
 
   def read(spark: SparkSession, tablePath: String): DataFrame =
@@ -440,15 +487,25 @@ object Versioned {
     val base = fromVersion.getOrElse(latestVersion(spark, tablePath))
     val baseEntries = readManifest(fsys, table, base)
     val target = readAt(spark, tablePath, base)
-    require(source.columns.toSet == (target.columns :+ "_op").toSet,
-      s"merge: source must carry ${target.columns.mkString(",")} + _op, " +
-        s"got ${source.columns.mkString(",")}")
+    // Schema evolution (the Delta mergeSchema contract): the source may
+    // carry MORE columns than the target — the new version's schema gains
+    // them, pre-merge entries NULL-backfill on read, and time travel to
+    // older versions still serves the old schema. Dropping a column is
+    // refused: a narrower source usually means a wiring bug, not intent.
+    require(source.columns.contains("_op"),
+      s"merge: source must carry an _op column, got ${source.columns.mkString(",")}")
+    val dataCols = source.columns.filter(_ != "_op")
+    val missing = target.columns.filterNot(dataCols.contains)
+    require(missing.isEmpty,
+      s"merge: source is missing target columns ${missing.mkString(",")} — " +
+        "columns may be ADDED, never dropped")
+    val newCols = dataCols.filterNot(target.columns.contains)
     require(partitionableTypes.contains(target.schema(partCol).dataType),
       s"partition column $partCol has a non-path-stable type")
 
     val src = applyPrecedence(source, keyCol)
     val keyed = src.select((col(keyCol).as("_sk") +: col("_op").as("_sop") +:
-      target.columns.map(c => col(c).as(s"_s_$c"))): _*)
+      dataCols.map(c => col(c).as(s"_s_$c"))): _*)
 
     // Touched partitions: where a matched U/D row lives in the TARGET
     // (an update may also MOVE the row), where an updated row lands, and
@@ -470,17 +527,21 @@ object Versioned {
     val touched = spark.createDataFrame(
       java.util.Arrays.asList(touchedRows: _*), matchedParts.schema)
 
-    // New content of the touched partitions only.
+    // New content of the touched partitions only. Surviving target rows
+    // NULL-backfill any newly added columns; updated/inserted rows carry
+    // the source's values for them.
     val scoped = target.join(broadcast(touched), col(partCol) === col("_tp"), "left_semi")
     val joined = scoped.join(broadcast(keyed), col(keyCol) === col("_sk"), "left")
-    val survivors = joined
-      .filter(col("_sop").isNull || col("_sop") === "I") // untouched + matched-I noise
-      .select(target.columns.map(col): _*)
+    val survivors = newCols.foldLeft(
+        joined.filter(col("_sop").isNull || col("_sop") === "I") // untouched + matched-I noise
+          .select(target.columns.map(col): _*)
+      )((d, c) => d.withColumn(c, lit(null).cast(source.schema(c).dataType)))
+      .select(dataCols.map(col): _*)
     val updated = joined.filter(col("_sop") === "U")
-      .select(target.columns.map(c => col(s"_s_$c").as(c)): _*)
+      .select(dataCols.map(c => col(s"_s_$c").as(c)): _*)
     val inserts = keyed.filter(col("_sop") === "I")
       .join(target.select(col(keyCol)), col("_sk") === col(keyCol), "left_anti")
-      .select(target.columns.map(c => col(s"_s_$c").as(c)): _*)
+      .select(dataCols.map(c => col(s"_s_$c").as(c)): _*)
     val rewrite = survivors.unionByName(updated).unionByName(inserts)
 
     val dd = newDataDir(fsys, table)
@@ -495,7 +556,8 @@ object Versioned {
     val entries = baseEntries.filterNot(e => touchedDirs.contains(e.partDir)) ++
       written.map(Entry(_, dd.getName))
     val expect = expectedLatest.orElse(if (fromVersion.isEmpty) Some(base) else None)
-    commit(fsys, table, spark, entries, expect, Seq(dd), tag)
+    commit(fsys, table, spark, entries, expect, Seq(dd), tag,
+      schema = Some(rewrite.schema))
   }
 
   /** File-scoped MERGE — the q208 manifest idea applied to the merge
@@ -534,10 +596,24 @@ object Versioned {
     val baseEntries = readManifest(fsys, table, base)
     require(baseEntries.forall(_.file.isDefined),
       s"mergeByFiles needs a file-granular base — publish with fileStatsKey")
-    val target = readEntries(spark, table, baseEntries)
-    require(source.columns.toSet == (target.columns :+ "_op").toSet,
-      s"merge: source must carry ${target.columns.mkString(",")} + _op, " +
-        s"got ${source.columns.mkString(",")}")
+    // Subset reads must present the base version's schema: after an
+    // earlier schema-evolving merge, a rewrite/check subset could land
+    // entirely on pre-evolution files and silently lack the added columns.
+    val baseSchema = readSchemaLine(fsys, table, base)
+    def readAligned(es: Seq[Entry]): DataFrame = {
+      val df = readEntries(spark, table, es)
+      baseSchema.map(alignTo(df, _)).getOrElse(df)
+    }
+    val target = readAligned(baseEntries)
+    // Same evolution contract as [[merge]]: source may ADD columns.
+    require(source.columns.contains("_op"),
+      s"merge: source must carry an _op column, got ${source.columns.mkString(",")}")
+    val dataCols = source.columns.filter(_ != "_op")
+    val missingCols = target.columns.filterNot(dataCols.contains)
+    require(missingCols.isEmpty,
+      s"merge: source is missing target columns ${missingCols.mkString(",")} — " +
+        "columns may be ADDED, never dropped")
+    val newCols = dataCols.filterNot(target.columns.contains)
     import org.apache.spark.sql.types._
     require(Set[DataType](ByteType, ShortType, IntegerType, LongType)
         .contains(target.schema(keyCol).dataType),
@@ -545,7 +621,7 @@ object Versioned {
 
     val src = applyPrecedence(source, keyCol)
     val keyed = src.select((col(keyCol).as("_sk") +: col("_op").as("_sop") +:
-      target.columns.map(c => col(c).as(s"_s_$c"))): _*)
+      dataCols.map(c => col(c).as(s"_s_$c"))): _*)
     // The CDC batch is bounded: its (key, op) pairs are driver metadata.
     // applyPrecedence already rejected NULL keys, so getLong is total.
     val batch = src.select(col(keyCol).cast("long"), col("_op")).collect()
@@ -573,19 +649,21 @@ object Versioned {
           col("_sk") === col(keyCol), "left_anti")
         case None => iRows
       }
-      unmatched.select(target.columns.map(c => col(s"_s_$c").as(c)): _*)
+      unmatched.select(dataCols.map(c => col(s"_s_$c").as(c)): _*)
     }
     val rewrite = {
       val ins = inserts
       if (rewriteSet.isEmpty) ins
       else {
-        val joined = readEntries(spark, table, rewriteSet)
+        val joined = readAligned(rewriteSet)
           .join(broadcast(keyed), col(keyCol) === col("_sk"), "left")
-        val survivors = joined
-          .filter(col("_sop").isNull || col("_sop") === "I")
-          .select(target.columns.map(col): _*)
+        val survivors = newCols.foldLeft(
+            joined.filter(col("_sop").isNull || col("_sop") === "I")
+              .select(target.columns.map(col): _*)
+          )((d, c) => d.withColumn(c, lit(null).cast(source.schema(c).dataType)))
+          .select(dataCols.map(col): _*)
         val updated = joined.filter(col("_sop") === "U")
-          .select(target.columns.map(c => col(s"_s_$c").as(c)): _*)
+          .select(dataCols.map(c => col(s"_s_$c").as(c)): _*)
         survivors.unionByName(updated).unionByName(ins)
       }
     }
@@ -597,7 +675,8 @@ object Versioned {
       else Seq.empty // every affected row deleted, nothing inserted
     val entries = baseEntries.filterNot(rewriteKeys) ++ written
     val expect = expectedLatest.orElse(if (fromVersion.isEmpty) Some(base) else None)
-    commit(fsys, table, spark, entries, expect, Seq(dd), tag)
+    commit(fsys, table, spark, entries, expect, Seq(dd), tag,
+      schema = Some(rewrite.schema))
   }
 
   /** True iff `sorted` (ascending) contains a key in [lo, hi]: binary
@@ -665,8 +744,16 @@ object Versioned {
     * union-aggregate — shuffle ∝ total digests; each version scanned once.
     */
   def diff(spark: SparkSession, tablePath: String, fromV: Int, toV: Int): (Long, Long) = {
+    // Across a schema evolution both versions are compared in toV's shape
+    // (the Delta CDF convention): a row whose only difference is the
+    // NULL-backfilled added column is NOT a change.
+    val toSchema = {
+      val (fsys, table) = fs(spark, tablePath)
+      readSchemaLine(fsys, table, toV)
+    }
     def digests(v: Int): DataFrame = {
-      val df = readAt(spark, tablePath, v)
+      val raw = readAt(spark, tablePath, v)
+      val df = toSchema.map(alignTo(raw, _)).getOrElse(raw)
       df.select(md5(concat_ws("\u0001",
         df.columns.sorted.map(c =>
           coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as("d"))
@@ -712,8 +799,13 @@ object Versioned {
     val onlyTo = eTo.filterNot(common)
     val onlyFrom = eFrom.filterNot(common)
     val empty = readAt(spark, tablePath, toV).limit(0)
+    // Rows are presented in toV's schema (the Delta CDF convention): a
+    // from-side row read through an added column NULL-backfills, so a
+    // schema-evolving merge's unchanged-but-rewritten rows still cancel.
+    val toSchema = readSchemaLine(fsys, table, toV)
     def side(entries: Seq[Entry]): DataFrame = {
-      val df = if (entries.isEmpty) empty else readEntries(spark, table, entries)
+      val raw = if (entries.isEmpty) empty else readEntries(spark, table, entries)
+      val df = toSchema.map(alignTo(raw, _)).getOrElse(raw)
       df.withColumn("_d", md5(concat_ws("\u0001",
         df.columns.sorted.map(c =>
           coalesce(col(c).cast("string"), lit("\u0000"))): _*)))
@@ -737,7 +829,10 @@ object Versioned {
               expectedLatest: Option[Int] = None): Int = {
     val (fsys, table) = fs(spark, tablePath)
     val entries = readManifest(fsys, table, v)
-    commit(fsys, table, spark, entries, expectedLatest, Seq.empty)
+    // The restored version serves v's schema too — rolling back past a
+    // schema-evolving merge rolls the added columns back with it.
+    commit(fsys, table, spark, entries, expectedLatest, Seq.empty,
+      schema = readSchemaLine(fsys, table, v))
   }
 
   /** OPTIMIZE inside the store: rewrite ONE partition's files into a
@@ -764,8 +859,13 @@ object Versioned {
       "compactFiles needs a file-granular table (publish with fileStatsKey)")
     val victims = baseEntries.filter(_.partDir == partDir)
     require(victims.nonEmpty, s"no files under $partDir in v$base of $tablePath")
+    val baseSchema = readSchemaLine(fsys, table, base)
+    val victimRows = {
+      val df = readEntries(spark, table, victims)
+      baseSchema.map(alignTo(df, _)).getOrElse(df)
+    }
     val dd = newDataDir(fsys, table)
-    readEntries(spark, table, victims)
+    victimRows
       .coalesce(1)
       .write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dd.toString)
     val written = fileStatsOf(spark, table, dd, keyCol)
@@ -775,7 +875,8 @@ object Versioned {
     // Compaction always rewrites against latest: pin it, so a concurrent
     // merge that advanced the table mid-compaction fails this commit
     // (rerunnable maintenance) instead of this commit erasing the merge.
-    commit(fsys, table, spark, entries, expectedLatest.orElse(Some(base)), Seq(dd))
+    commit(fsys, table, spark, entries, expectedLatest.orElse(Some(base)), Seq(dd),
+      schema = baseSchema)
   }
 
   /** Whole-table OPTIMIZE: bin-pack EVERY partition's small files toward
@@ -835,8 +936,11 @@ object Versioned {
     val victims = bins.filter(_._3.size >= 2)
     if (victims.isEmpty) return base
     val victimEntries = victims.flatMap(_._3).toSet
+    val baseSchema = readSchemaLine(fsys, table, base)
     val rewrite = victims.map { case (p, i, es) =>
-      readEntries(spark, table, es).withColumn("_bin", lit(s"$p#$i"))
+      val df = readEntries(spark, table, es)
+      baseSchema.map(alignTo(df, _)).getOrElse(df)
+        .withColumn("_bin", lit(s"$p#$i"))
     }.reduce(_.unionByName(_))
       .repartition(col("_bin"))
       .drop("_bin")
@@ -848,7 +952,8 @@ object Versioned {
       s"optimize leaked rows outside its victim partitions: " +
         s"${written.map(_.partDir).filterNot(victimParts).distinct.mkString(",")}")
     val entries = baseEntries.filterNot(victimEntries) ++ written
-    commit(fsys, table, spark, entries, expectedLatest.orElse(Some(base)), Seq(dd))
+    commit(fsys, table, spark, entries, expectedLatest.orElse(Some(base)), Seq(dd),
+      schema = baseSchema)
   }
 
   /** Delete every manifest NOT in `keep` plus every data dir no retained

@@ -493,6 +493,81 @@ class SinksSpec extends SparkSpec {
       "optimize over an already-optimized table must be a no-op")
   }
 
+  test("q218 schema evolution: merge adds a column; survivors and spliced files NULL-backfill; time travel serves the old schema") {
+    import spark.implicits._
+    val tbl = freshTable("sevol")
+    // partition a holds k=1 (survivor in a rewritten partition) and k=2
+    // (updated); partition b holds k=3 (entirely spliced, pre-evolution file)
+    Versioned.publish(spark, tbl,
+      Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b")).toDF("k", "v", "p"),
+      partCol = Some("p"))
+    val batch = Seq(
+      (2L, 21L, "a", Some("u2"), "U"),
+      (9L, 90L, "b", Some("n9"), "I"))
+      .toDF("k", "v", "p", "note", "_op")
+    val v2 = Versioned.merge(spark, tbl, batch, "k", "p")
+    assert(v2 == 2)
+    // new schema served at v2, with NULL backfill in BOTH paths: k=1 rode
+    // the rewrite (survivor), k=3 rode the manifest splice (old file)
+    val got = Versioned.readAt(spark, tbl, 2)
+      .as[(Long, Long, String, Option[String])].collect().toSet
+    assert(got == Set(
+      (1L, 10L, "a", None), (2L, 21L, "a", Some("u2")),
+      (3L, 30L, "b", None), (9L, 90L, "b", Some("n9"))), got.toString)
+    // time travel: v1 still serves the OLD schema
+    assert(Versioned.readAt(spark, tbl, 1).columns.toSeq == Seq("k", "v", "p"),
+      "v1 must not grow the column added in v2")
+    // change feed across the evolution, presented in v2's schema: the
+    // spliced k=3 is absent; the update is a delete+insert pair with the
+    // pre-image NULL-backfilled
+    val feed = Versioned.changes(spark, tbl, 1, 2)
+      .as[(Long, Long, String, Option[String], String)].collect().toSet
+    assert(feed == Set(
+      (2L, 20L, "a", None, "delete"), (2L, 21L, "a", Some("u2"), "insert"),
+      (9L, 90L, "b", Some("n9"), "insert")), feed.toString)
+    assert(Versioned.diff(spark, tbl, 1, 2) == (2L, 1L))
+    // a column can never be DROPPED by a narrower source
+    val narrow = Seq((1L, 11L, "a", "U")).toDF("k", "v", "p", "_op")
+    val e = intercept[IllegalArgumentException] {
+      Versioned.merge(spark, tbl, narrow, "k", "p")
+    }
+    assert(e.getMessage.contains("never dropped"), e.getMessage)
+    // restore to v1 rolls the schema back with the data
+    val v3 = Versioned.restore(spark, tbl, 1)
+    assert(Versioned.readAt(spark, tbl, v3).columns.toSeq == Seq("k", "v", "p"))
+  }
+
+  test("mergeByFiles schema evolution: rewrite and check subsets read through the evolved schema") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tbl = freshTable("sevolf")
+    Versioned.publish(spark, tbl,
+      (1L to 8L).map(k => (k, k * 10, "a")).toDF("k", "v", "p")
+        .repartitionByRange(4, col("k")),
+      partCol = Some("p"), fileStatsKey = Some("k"))
+    // evolving file-scoped merge: only the file covering k=3 is rewritten
+    val v2 = Versioned.mergeByFiles(spark, tbl,
+      Seq((3L, 31L, "a", Some("u3"), "U")).toDF("k", "v", "p", "note", "_op"),
+      "k", "p")
+    val got = Versioned.readAt(spark, tbl, v2)
+      .as[(Long, Long, String, Option[String])].collect().toSet
+    assert(got == (1L to 8L).map(k =>
+      (k, if (k == 3) 31L else k * 10, "a",
+        if (k == 3) Some("u3") else None)).toSet, got.toString)
+    // a SECOND merge whose rewrite subset lands entirely on pre-evolution
+    // files (k=7's file was never rewritten) must still see the evolved
+    // schema — the aligned-subset read, not the raw file union
+    val v3 = Versioned.mergeByFiles(spark, tbl,
+      Seq((7L, 71L, "a", Some("u7"), "U")).toDF("k", "v", "p", "note", "_op"),
+      "k", "p")
+    val got3 = Versioned.readAt(spark, tbl, v3)
+      .as[(Long, Long, String, Option[String])].collect().toSet
+    assert(got3 == (1L to 8L).map(k =>
+      (k, if (k == 3) 31L else if (k == 7) 71L else k * 10, "a",
+        if (k == 3) Some("u3") else if (k == 7) Some("u7") else None)).toSet,
+      got3.toString)
+  }
+
   test("vacuum retention: a fresh claim and a young unreferenced data dir survive; aged ones are reclaimed") {
     import spark.implicits._
     val tbl = freshTable("vacret")
