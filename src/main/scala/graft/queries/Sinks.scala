@@ -807,6 +807,85 @@ object Sinks {
     v1.unionByName(v2).orderBy("ver", "o_year")
   }
 
+  // q219/q220's substrate: v1 publishes orders, then three RECORDING
+  // merges (update band v2, delete band v3, insert band v4) persist their
+  // per-row change images as c_* dirs — built once per corpus, reused
+  // across sessions behind version-chain + feed-presence validation.
+  private def ordersRecordedFeedTable(spark: SparkSession, dir: String): String = {
+    val tbl = tmpOut(dir, "rcf_vt")
+    val base = orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+      col("o_orderpriority"),
+      year(col("o_orderdate")).as("o_year"))
+    val valid = try {
+      Versioned.latestVersion(spark, tbl) == 4 &&
+        (2 to 4).forall(v => Versioned.changesDirOf(spark, tbl, v).isDefined) &&
+        Versioned.readAt(spark, tbl, 1).count() == base.count()
+    } catch { case _: Exception => false }
+    if (!valid) {
+      deleteTree(tbl)
+      Versioned.publish(spark, tbl, base, partCol = Some("o_year"))
+      def op(o: String) = lit(o).as("_op")
+      val y95 = base.filter(col("o_year") === 1995)
+      val batches = Seq(
+        y95.filter(col("o_orderkey") % 100 === 11)
+          .withColumn("o_price_c", col("o_price_c") + 111).select(col("*"), op("U")),
+        y95.filter(col("o_orderkey") % 100 === 12).select(col("*"), op("D")),
+        y95.filter(col("o_orderkey") % 100 === 13)
+          .withColumn("o_orderkey", col("o_orderkey") + 600000000L)
+          .withColumn("o_orderpriority", lit("6-RCF"))
+          .withColumn("o_year", lit(1999)).select(col("*"), op("I")))
+      batches.foreach(b =>
+        Versioned.merge(spark, tbl, b, "o_orderkey", "o_year", recordChanges = true))
+    }
+    tbl
+  }
+
+  /** q219 — RECORDED change feed (`Versioned.recordedChanges`): each
+    * recording merge persists its per-row change images (Delta CDF's
+    * _change_data convention) as batch-sized c_* files referenced by the
+    * commit's manifest, and the feed over (v1, v4] is just their union —
+    * tagged `_change` + `_version`, ZERO table scans, cost ∝ the changes
+    * themselves. This is what q214's digest feed becomes when the writer
+    * cooperates, and what incremental consumers poll on a 100 TB table.
+    * The oracle replays each band's images relationally (update =
+    * delete+insert pair, delete = pre-image, insert = post-image) with
+    * the version number each lands in.
+    */
+  def recordedChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = ordersRecordedFeedTable(spark, dir)
+    Versioned.recordedChanges(spark, tbl, 1, 4)
+      .groupBy("_version", "_change", "o_year")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .orderBy("_version", "_change", "o_year")
+  }
+
+  /** q220 — STREAMING change-feed source (`graft.sources.ChangeFeedSource`):
+    * `readStream` FROM the versioned store, offset = committed version,
+    * each micro-batch = the recorded change images of the newly committed
+    * versions — the Delta streaming-source analog that closes the CDC
+    * loop q213 (stream INTO the store) opened. Rows come only from
+    * COMMITTED manifests (a merge that lost its commit race can never
+    * leak into the stream) and are re-planned deterministically from
+    * version offsets, so delivery is exactly-once across restarts
+    * (StreamingSpec pins the restart). The aggregate matches q219's
+    * oracle exactly: the stream serves the same feed the batch API does.
+    */
+  def streamChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = ordersRecordedFeedTable(spark, dir)
+    val qn = s"graft_cfeed_${java.lang.Integer.toHexString(dir.hashCode)}"
+    val q = spark.readStream.format("graft.sources.ChangeFeedSource").load(tbl)
+      .writeStream.format("memory").queryName(qn).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qn)
+      .groupBy("_version", "_change", "o_year")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .orderBy("_version", "_change", "o_year")
+  }
+
   /** q213 — STREAMING CDC ingestion into the versioned store with
     * exactly-once, replay-idempotent publishing: three CDC batches (an
     * update band, a delete band, an insert band over disjoint key ranges)
@@ -946,6 +1025,8 @@ object Sinks {
     "q216_optimize_compact"  -> optimizeCompact _,
     "q217_optimize_table"    -> optimizeTableQuery _,
     "q218_schema_evolution_versioned" -> schemaEvolutionVersioned _,
+    "q219_recorded_change_feed" -> recordedChangeFeed _,
+    "q220_stream_change_feed"   -> streamChangeFeed _,
     "q144_lines_write_roundtrip" -> linesWriteRoundtrip _,
     "q133_lines_source_roundtrip" -> linesSourceRoundtrip _,
     "q126_schema_evolution" -> schemaEvolution _,
@@ -1115,6 +1196,53 @@ object Sinks {
         |       CAST(count(o_note) AS BIGINT)
         |FROM v2 GROUP BY o_year
         |ORDER BY ver, o_year""".stripMargin,
+    // Per-row image replay of the three recording merges: update = its
+    // delete+insert pair in v2, delete = pre-image in v3, insert =
+    // post-image in v4. q220 streams the same feed, so one SQL serves both.
+    "q219_recorded_change_feed" ->
+      """WITH tgt AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995),
+        |feed AS (
+        |  SELECT 2 AS _version, 'delete' AS _change, o_year, o_custkey, o_price_c
+        |  FROM tgt WHERE o_orderkey % 100 = 11
+        |  UNION ALL
+        |  SELECT 2, 'insert', o_year, o_custkey, o_price_c + 111
+        |  FROM tgt WHERE o_orderkey % 100 = 11
+        |  UNION ALL
+        |  SELECT 3, 'delete', o_year, o_custkey, o_price_c
+        |  FROM tgt WHERE o_orderkey % 100 = 12
+        |  UNION ALL
+        |  SELECT 4, 'insert', 1999, o_custkey, o_price_c
+        |  FROM tgt WHERE o_orderkey % 100 = 13)
+        |SELECT _version, _change, o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM feed GROUP BY _version, _change, o_year
+        |ORDER BY _version, _change, o_year""".stripMargin,
+    "q220_stream_change_feed" ->
+      """WITH tgt AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995),
+        |feed AS (
+        |  SELECT 2 AS _version, 'delete' AS _change, o_year, o_custkey, o_price_c
+        |  FROM tgt WHERE o_orderkey % 100 = 11
+        |  UNION ALL
+        |  SELECT 2, 'insert', o_year, o_custkey, o_price_c + 111
+        |  FROM tgt WHERE o_orderkey % 100 = 11
+        |  UNION ALL
+        |  SELECT 3, 'delete', o_year, o_custkey, o_price_c
+        |  FROM tgt WHERE o_orderkey % 100 = 12
+        |  UNION ALL
+        |  SELECT 4, 'insert', 1999, o_custkey, o_price_c
+        |  FROM tgt WHERE o_orderkey % 100 = 13)
+        |SELECT _version, _change, o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM feed GROUP BY _version, _change, o_year
+        |ORDER BY _version, _change, o_year""".stripMargin,
     // Replay the merge relationally, then EXCEPT ALL both ways — the same
     // multiset semantics as the store's digest-based change feed; an
     // UPDATE surfaces as its delete+insert image pair.

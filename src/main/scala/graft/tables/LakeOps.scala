@@ -188,20 +188,32 @@ object Versioned {
     readSchemaLine(fsys, table, v)
   }
 
-  private def readSchemaLine(fsys: FileSystem, table: Path, v: Int)
-      : Option[org.apache.spark.sql.types.StructType] = {
+  private def headerLine(fsys: FileSystem, table: Path, v: Int,
+                         prefix: String): Option[String] = {
     val p = manifestPath(table, v)
     if (!fsys.exists(p)) return None
     val in = fsys.open(p)
-    val line = try {
+    try {
       val br = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
       Iterator.continually(br.readLine()).takeWhile(_ != null)
-        .take(4) // header lines precede entries; #schema is among the first
-        .find(_.startsWith("#schema\t"))
+        .take(4) // header lines (#tag/#schema/#changes) precede entries
+        .find(_.startsWith(prefix))
+        .map(_.substring(prefix.length))
     } finally in.close()
-    line.map(l => org.apache.spark.sql.types.DataType
-      .fromJson(l.substring("#schema\t".length))
-      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  private def readSchemaLine(fsys: FileSystem, table: Path, v: Int)
+      : Option[org.apache.spark.sql.types.StructType] =
+    headerLine(fsys, table, v, "#schema\t").map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** The recorded change-feed dir version `v` committed with, if its merge
+    * passed `recordChanges = true` (`#changes\t<dir>` manifest line).
+    */
+  def changesDirOf(spark: SparkSession, tablePath: String, v: Int): Option[String] = {
+    val (fsys, table) = fs(spark, tablePath)
+    headerLine(fsys, table, v, "#changes\t")
   }
 
   /** Present `df` in `schema`'s shape: columns the files predate become
@@ -268,7 +280,8 @@ object Versioned {
                      entries: Seq[Entry], expectedLatest: Option[Int],
                      orphanDirs: Seq[Path],
                      tag: Option[String] = None,
-                     schema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
+                     schema: Option[org.apache.spark.sql.types.StructType] = None,
+                     changesDir: Option[String] = None): Int = {
     preCommitHookForTests.foreach(_.apply())
     tag.foreach(t => require(!t.contains('\n') && !t.contains('\t'),
       s"idempotence tag must be single-line, tab-free: $t"))
@@ -294,6 +307,7 @@ object Versioned {
     postClaimHookForTests.foreach(_.apply())
     val body = (tag.map(t => s"#tag\t$t\n").getOrElse("") +
       schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
+      changesDir.map(d => s"#changes\t$d\n").getOrElse("") +
       entries.map(_.serialized).mkString("", "\n", s"\n$Terminator\n")).getBytes("UTF-8")
     try out.write(body) finally out.close()
     // Read-back verification: if a stalled writer's claim was reclaimed
@@ -472,12 +486,21 @@ object Versioned {
     * instead of this commit silently discarding that writer's version.
     * Passing `fromVersion` opts into deliberate branching from an old
     * base (no default pin — the caller owns reconciliation).
+    *
+    * `recordChanges = true` additionally persists the merge's per-row
+    * change images (Delta CDF's _change_data convention: an update is a
+    * delete+insert image pair) to a `c_*` dir referenced by a `#changes`
+    * manifest line — the exact feed [[recordedChanges]] and the streaming
+    * change-feed source serve without ever diffing versions. Cost: one
+    * extra batch-sized write job; a failed commit removes the dir with
+    * the data-dir orphan.
     */
   def merge(spark: SparkSession, tablePath: String, source: DataFrame,
             keyCol: String, partCol: String,
             fromVersion: Option[Int] = None,
             expectedLatest: Option[Int] = None,
-            tag: Option[String] = None): Int = {
+            tag: Option[String] = None,
+            recordChanges: Boolean = false): Int = {
     val (fsys, table) = fs(spark, tablePath)
     // Idempotent replay (see mergeByFiles): an already-committed tag wins.
     tag.flatMap(taggedVersion(spark, tablePath, _)) match {
@@ -551,13 +574,38 @@ object Versioned {
       s"merge wrote partitions outside the touched set: " +
         s"${(written.toSet -- touchedDirs).mkString(",")} — partition-value " +
         "rendering drifted from Spark's writer")
+    val feedDir =
+      if (!recordChanges) None
+      else {
+        // pre-images of matched U/D rows (in the NEW schema: added
+        // columns NULL-backfill, same as any read of pre-merge rows)
+        val preImages = newCols.foldLeft(
+            joined.filter(col("_sop").isin("U", "D"))
+              .select(target.columns.map(col): _*)
+          )((d, c) => d.withColumn(c, lit(null).cast(source.schema(c).dataType)))
+          .select(dataCols.map(col): _*)
+        Some(writeChangeFeed(fsys, table, preImages, updated.unionByName(inserts)))
+      }
     // Splice: untouched entries ride the base manifest; touched partitions
     // are served from the fresh dir; an emptied partition appears nowhere.
     val entries = baseEntries.filterNot(e => touchedDirs.contains(e.partDir)) ++
       written.map(Entry(_, dd.getName))
     val expect = expectedLatest.orElse(if (fromVersion.isEmpty) Some(base) else None)
-    commit(fsys, table, spark, entries, expect, Seq(dd), tag,
-      schema = Some(rewrite.schema))
+    commit(fsys, table, spark, entries, expect, Seq(dd) ++ feedDir.toSeq, tag,
+      schema = Some(rewrite.schema), changesDir = feedDir.map(_.getName))
+  }
+
+  /** Persist a merge's change images (delete pre-images + insert
+    * post-images) to a fresh `c_*` dir — batch-sized, flat parquet.
+    */
+  private def writeChangeFeed(fsys: FileSystem, table: Path,
+                              preImages: DataFrame, postImages: DataFrame): Path = {
+    val cd = new Path(table,
+      s"c_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    preImages.withColumn("_change", lit("delete"))
+      .unionByName(postImages.withColumn("_change", lit("insert")))
+      .write.mode(SaveMode.ErrorIfExists).parquet(cd.toString)
+    cd
   }
 
   /** File-scoped MERGE — the q208 manifest idea applied to the merge
@@ -583,7 +631,8 @@ object Versioned {
                    keyCol: String, partCol: String,
                    fromVersion: Option[Int] = None,
                    expectedLatest: Option[Int] = None,
-                   tag: Option[String] = None): Int = {
+                   tag: Option[String] = None,
+                   recordChanges: Boolean = false): Int = {
     val (fsys, table) = fs(spark, tablePath)
     // Idempotent replay: a batch whose tag already committed is a no-op —
     // the exactly-once contract a streaming CDC writer needs when a
@@ -651,21 +700,21 @@ object Versioned {
       }
       unmatched.select(dataCols.map(c => col(s"_s_$c").as(c)): _*)
     }
-    val rewrite = {
-      val ins = inserts
-      if (rewriteSet.isEmpty) ins
-      else {
-        val joined = readAligned(rewriteSet)
-          .join(broadcast(keyed), col(keyCol) === col("_sk"), "left")
+    val joinedOpt =
+      if (rewriteSet.isEmpty) None
+      else Some(readAligned(rewriteSet)
+        .join(broadcast(keyed), col(keyCol) === col("_sk"), "left"))
+    val updatedImgs = joinedOpt.map(_.filter(col("_sop") === "U")
+      .select(dataCols.map(c => col(s"_s_$c").as(c)): _*))
+    val rewrite = joinedOpt match {
+      case None => inserts
+      case Some(joined) =>
         val survivors = newCols.foldLeft(
             joined.filter(col("_sop").isNull || col("_sop") === "I")
               .select(target.columns.map(col): _*)
           )((d, c) => d.withColumn(c, lit(null).cast(source.schema(c).dataType)))
           .select(dataCols.map(col): _*)
-        val updated = joined.filter(col("_sop") === "U")
-          .select(dataCols.map(c => col(s"_s_$c").as(c)): _*)
-        survivors.unionByName(updated).unionByName(ins)
-      }
+        survivors.unionByName(updatedImgs.get).unionByName(inserts)
     }
 
     val dd = newDataDir(fsys, table)
@@ -673,10 +722,22 @@ object Versioned {
     val written =
       if (fsys.listStatus(dd).exists(s => s.isDirectory)) fileStatsOf(spark, table, dd, keyCol)
       else Seq.empty // every affected row deleted, nothing inserted
+    val feedDir =
+      if (!recordChanges) None
+      else {
+        val postImages = updatedImgs.map(_.unionByName(inserts)).getOrElse(inserts)
+        val preImages = joinedOpt.map(j => newCols.foldLeft(
+            j.filter(col("_sop").isin("U", "D"))
+              .select(target.columns.map(col): _*)
+          )((d, c) => d.withColumn(c, lit(null).cast(source.schema(c).dataType)))
+          .select(dataCols.map(col): _*))
+          .getOrElse(postImages.limit(0))
+        Some(writeChangeFeed(fsys, table, preImages, postImages))
+      }
     val entries = baseEntries.filterNot(rewriteKeys) ++ written
     val expect = expectedLatest.orElse(if (fromVersion.isEmpty) Some(base) else None)
-    commit(fsys, table, spark, entries, expect, Seq(dd), tag,
-      schema = Some(rewrite.schema))
+    commit(fsys, table, spark, entries, expect, Seq(dd) ++ feedDir.toSeq, tag,
+      schema = Some(rewrite.schema), changesDir = feedDir.map(_.getName))
   }
 
   /** True iff `sorted` (ascending) contains a key in [lo, hi]: binary
@@ -817,6 +878,53 @@ object Versioned {
       .unionByName(
         b.join(a.select("_d"), Seq("_d"), "left_anti").drop("_d")
           .withColumn("_change", lit("delete")))
+  }
+
+  /** The RECORDED change feed over (fromV, toV]: the union of the per-row
+    * change images each merge in the range persisted with
+    * `recordChanges = true`, each row tagged `_change` ('insert'/'delete')
+    * and `_version` (the commit that produced it), presented in toV's
+    * schema. Unlike [[changes]] (which DIFFS two versions), this reads
+    * pre-computed batch-sized files — cost ∝ the changes themselves, zero
+    * table scans, and it composes across many versions, which is what an
+    * incremental downstream consumer polls.
+    *
+    * `strict` (default true) demands EVERY version in the range carry a
+    * recorded feed — a non-recording commit in the middle means the feed
+    * is incomplete, and silently skipping it would read as data loss.
+    * Pass `strict = false` to consume only the recorded commits (the
+    * streaming source's behavior, documented there).
+    */
+  def recordedChanges(spark: SparkSession, tablePath: String,
+                      fromV: Int, toV: Int,
+                      strict: Boolean = true): DataFrame = {
+    val (fsys, table) = fs(spark, tablePath)
+    val toSchema = readSchemaLine(fsys, table, toV)
+    val range = (fromV + 1) to toV
+    val recorded = range.flatMap(v => headerLine(fsys, table, v, "#changes\t").map((v, _)))
+    if (strict) {
+      val missing = range.toSet -- recorded.map(_._1).toSet
+      require(missing.isEmpty,
+        s"versions ${missing.toSeq.sorted.mkString(",")} of $tablePath carry no " +
+          "recorded change feed (merge ran without recordChanges=true); " +
+          "use changes() to diff across them, or strict=false to skip them")
+    }
+    val empty = readAt(spark, tablePath, toV).limit(0)
+      .withColumn("_change", lit("")).withColumn("_version", lit(0))
+    recorded.map { case (v, d) =>
+      val raw = spark.read.parquet(new Path(table, d).toString)
+      // align the data columns to toV's schema, preserving the _change tag
+      val aligned = toSchema match {
+        case Some(sch) =>
+          val have = raw.columns.toSet
+          val withAll = sch.fields.filterNot(f => have.contains(f.name))
+            .foldLeft(raw)((df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
+          withAll.select(sch.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)) :+ col("_change"): _*)
+        case None => raw
+      }
+      aligned.withColumn("_version", lit(v))
+    }.reduceOption(_.unionByName(_)).getOrElse(empty)
   }
 
   /** RESTORE: publish version `v`'s exact entry set as the NEW latest
@@ -995,14 +1103,21 @@ object Versioned {
     val protectedV = dropped.filter(v =>
       !aged(manifestPath(table, v)) &&
         (!isCommitted(fsys, table, v) || v > maxKeep))
-    val liveDirs = (kept ++ protectedV).filter(isCommitted(fsys, table, _))
-      .flatMap(v => readManifest(fsys, table, v).map(_.dataDir)).toSet
+    val liveVs = (kept ++ protectedV).filter(isCommitted(fsys, table, _))
+    val liveDirs = liveVs
+      .flatMap(v => readManifest(fsys, table, v).map(_.dataDir)).toSet ++
+      liveVs.flatMap(v => headerLine(fsys, table, v, "#changes\t")).toSet
     dropped.filterNot(protectedV.contains)
       .foreach(v => fsys.delete(manifestPath(table, v), false))
+    // c_* recorded change feeds are retired with the versions that
+    // reference them (a lagging feed consumer outlives retention at its
+    // own risk — the Delta CDF/VACUUM contract).
     fsys.listStatus(table).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d_") &&
-        !liveDirs.contains(s.getPath.getName) &&
-        now - s.getModificationTime > retentionMs)
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isDirectory && (n.startsWith("d_") || n.startsWith("c_")) &&
+          !liveDirs.contains(n) && now - s.getModificationTime > retentionMs
+      }
       .foreach(s => fsys.delete(s.getPath, true))
   }
 
