@@ -33,6 +33,12 @@ object GraftSqlBridge {
   def executedPlan(df: DataFrame): org.apache.spark.sql.execution.SparkPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.executedPlan
 
+  /** Stable per-session identifier (`private[sql]` on the classic
+    * session) — cache keys that must NOT retain the session object.
+    */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
+
   /** Deterministically release the cached RDD blocks behind a
     * `localCheckpoint()`-backed DataFrame. Dropping the last reference only
     * frees them via GC + ContextCleaner at some later point; an explicit
