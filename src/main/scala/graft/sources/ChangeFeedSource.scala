@@ -98,17 +98,28 @@ final class ChangeFeedTable(path: String, schema0: StructType)
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ChangeFeedScanBuilder(path, schema0,
-      Option(options.get("startingVersion")).map(_.toInt).getOrElse(0))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // startingVersion: a number, or "latest" = only versions committed
+    // after the stream starts (the Delta startingVersion=latest contract).
+    val starting = Option(options.get("startingVersion")) match {
+      case Some("latest") =>
+        Versioned.latestVersion(SparkSession.active, path)
+      case Some(v) => v.toInt
+      case None => 0
+    }
+    new ChangeFeedScanBuilder(path, schema0, starting,
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+  }
 }
 
-final class ChangeFeedScanBuilder(path: String, full: StructType, startingVersion: Int)
+final class ChangeFeedScanBuilder(path: String, full: StructType,
+                                  startingVersion: Int, maxVersions: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new ChangeFeedScan(path, required, startingVersion)
+  override def build(): Scan =
+    new ChangeFeedScan(path, required, startingVersion, maxVersions)
 }
 
 final case class ChangeFeedPartition(file: String, version: Int) extends InputPartition
@@ -118,7 +129,8 @@ final case class VersionOffset(v: Int) extends Offset {
   override def json(): String = v.toString
 }
 
-final class ChangeFeedScan(path: String, required: StructType, startingVersion: Int)
+final class ChangeFeedScan(path: String, required: StructType,
+                           startingVersion: Int, maxVersions: Option[Int])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -136,16 +148,30 @@ final class ChangeFeedScan(path: String, required: StructType, startingVersion: 
     new ChangeFeedReaderFactory(required)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangeFeedMicroBatchStream(path, required, startingVersion)
+    new ChangeFeedMicroBatchStream(path, required, startingVersion, maxVersions)
 }
 
 final class ChangeFeedMicroBatchStream(path: String, required: StructType,
-                                       startingVersion: Int)
-    extends MicroBatchStream {
+                                       startingVersion: Int, maxVersions: Option[Int])
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
   override def initialOffset(): Offset = VersionOffset(startingVersion)
   override def latestOffset(): Offset =
     VersionOffset(math.max(startingVersion,
       Versioned.latestVersion(SparkSession.active, path)))
+  /** Admission control (`maxVersionsPerTrigger`): cap each micro-batch at
+    * N committed versions — backlog catch-up after downtime proceeds in
+    * bounded batches instead of one giant one (the Delta
+    * maxFilesPerTrigger analog at version granularity).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[VersionOffset].v
+    val latest = latestOffset().asInstanceOf[VersionOffset].v
+    VersionOffset(maxVersions.fold(latest)(m => math.min(latest, s + math.max(1, m))))
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def deserializeOffset(json: String): Offset =
     VersionOffset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()

@@ -888,4 +888,52 @@ class StreamingSpec extends SparkSpec {
     assert(pruned.as[(Long, String)].collect().toSet ==
       Set((1L, "delete"), (1L, "insert")))
   }
+
+  test("change-feed source admission control: maxVersionsPerTrigger bounds each micro-batch; startingVersion=latest skips history") {
+    import spark.implicits._
+    import graft.tables.Versioned
+    val tmp = java.nio.file.Files.createTempDirectory("cfrate").toString
+    val tbl = s"$tmp/table"
+    Versioned.publish(spark, tbl,
+      (1L to 6L).map(k => (k, k * 10, "a")).toDF("k", "v", "p"), partCol = Some("p"))
+    (1 to 3).foreach { i =>
+      Versioned.merge(spark, tbl,
+        Seq((i.toLong, i * 100L, "a", "U")).toDF("k", "v", "p", "_op"), "k", "p",
+        recordChanges = true) // v2, v3, v4 — one changed key each
+    }
+    val versionsPerBatch = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Int]]()
+    val q = spark.readStream.format("graft.sources.ChangeFeedSource")
+      .option("maxVersionsPerTrigger", "1").load(tbl)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = b.select("_version").distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        if (vs.nonEmpty) versionsPerBatch.add(vs)
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val batches = versionsPerBatch.toArray(Array.empty[Seq[Int]]).toSeq
+    assert(batches.forall(_.size == 1),
+      s"each micro-batch must carry exactly one version: $batches")
+    assert(batches.flatten.sorted == Seq(2, 3, 4),
+      s"all three versions must arrive exactly once: $batches")
+    // startingVersion=latest: only versions committed AFTER stream start
+    val late = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val q2 = spark.readStream.format("graft.sources.ChangeFeedSource")
+      .option("startingVersion", "latest").load(tbl)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("_version").distinct().collect().foreach(r => late.add(r.getInt(0)))
+        ()
+      }.start()
+    try {
+      q2.processAllAvailable()
+      assert(late.isEmpty, s"latest must skip all history: $late")
+      Versioned.merge(spark, tbl,
+        Seq((5L, 500L, "a", "U")).toDF("k", "v", "p", "_op"), "k", "p",
+        recordChanges = true) // v5
+      q2.processAllAvailable()
+      assert(late.toArray.toSeq == Seq(5), s"only the post-start commit: $late")
+    } finally q2.stop()
+  }
 }
