@@ -460,6 +460,61 @@ object Versioned {
   def read(spark: SparkSession, tablePath: String): DataFrame =
     readAt(spark, tablePath, latestVersion(spark, tablePath))
 
+  /** The version that was latest AS OF `timestampMs` — commit time is the
+    * manifest file's mtime, the same clock Delta's TIMESTAMP AS OF uses
+    * (modulo its in-commit override). Fails loudly when the time predates
+    * every committed version (or the ones before it were vacuumed).
+    */
+  def versionAsOf(spark: SparkSession, tablePath: String, timestampMs: Long): Int = {
+    val (fsys, table) = fs(spark, tablePath)
+    val md = manifestDir(table)
+    require(fsys.exists(md), s"$tablePath has no versions")
+    val vs = fsys.listStatus(md).toSeq
+      .flatMap(_.getPath.getName.stripSuffix(".txt").toIntOption)
+      .filter(isCommitted(fsys, table, _))
+      .filter(v => fsys.getFileStatus(manifestPath(table, v)).getModificationTime
+        <= timestampMs)
+    require(vs.nonEmpty,
+      s"no committed version of $tablePath at or before $timestampMs " +
+        "(earlier versions may have been vacuumed)")
+    vs.max
+  }
+
+  /** TIMESTAMP AS OF read: the snapshot that was current at `timestampMs`. */
+  def readAsOf(spark: SparkSession, tablePath: String, timestampMs: Long): DataFrame =
+    readAt(spark, tablePath, versionAsOf(spark, tablePath, timestampMs))
+
+  /** DESCRIBE HISTORY: one row per committed version — (version, commit
+    * mtime ms, entry count, total recorded rows [file-granular tables,
+    * else null], column count [when recorded], idempotence tag, whether a
+    * recorded change feed exists). Driver metadata only — manifests, no
+    * data reads.
+    */
+  def history(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val (fsys, table) = fs(spark, tablePath)
+    val md = manifestDir(table)
+    val rows =
+      if (!fsys.exists(md)) Seq.empty
+      else fsys.listStatus(md).toSeq
+        .flatMap(_.getPath.getName.stripSuffix(".txt").toIntOption)
+        .filter(isCommitted(fsys, table, _)).sorted
+        .map { v =>
+          val entries = readManifest(fsys, table, v)
+          val nrows = if (entries.nonEmpty && entries.forall(_.nrows.isDefined))
+            Some(entries.map(_.nrows.get).sum) else None
+          (v,
+            fsys.getFileStatus(manifestPath(table, v)).getModificationTime,
+            entries.size.toLong,
+            nrows,
+            readSchemaLine(fsys, table, v).map(_.fields.length),
+            readTag(fsys, table, v),
+            headerLine(fsys, table, v, "#changes\t").isDefined)
+        }
+    rows.toDF("version", "commit_ms", "n_entries", "n_rows", "n_cols",
+      "tag", "has_change_feed")
+  }
+
   /** MERGE `source` INTO the table, against base version `fromVersion`
     * (default: latest), publishing the result as a new version.
     *

@@ -736,6 +736,37 @@ class SinksSpec extends SparkSpec {
     assert(!Versioned.coversAny(0L, 10L, Array.empty[Long]))
   }
 
+  test("TIMESTAMP AS OF and DESCRIBE HISTORY: mtime-resolved version travel; metadata-only history") {
+    import spark.implicits._
+    val tbl = freshTable("asof")
+    Versioned.publish(spark, tbl,
+      Seq((1L, 10L, "a")).toDF("k", "v", "p"), partCol = Some("p"))
+    Versioned.merge(spark, tbl,
+      Seq((1L, 11L, "a", "U")).toDF("k", "v", "p", "_op"), "k", "p",
+      recordChanges = true, tag = Some("t2"))
+    // pin commit times deterministically (mtime is the commit clock)
+    val m1 = new java.io.File(tbl, "_manifests/1.txt")
+    val m2 = new java.io.File(tbl, "_manifests/2.txt")
+    val t0 = 1700000000000L
+    assert(m1.setLastModified(t0) && m2.setLastModified(t0 + 60000))
+    assert(Versioned.versionAsOf(spark, tbl, t0) == 1)
+    assert(Versioned.versionAsOf(spark, tbl, t0 + 59999) == 1)
+    assert(Versioned.versionAsOf(spark, tbl, t0 + 60000) == 2)
+    assert(Versioned.readAsOf(spark, tbl, t0).as[(Long, Long, String)]
+      .collect().toSet == Set((1L, 10L, "a")))
+    intercept[IllegalArgumentException] {
+      Versioned.versionAsOf(spark, tbl, t0 - 1)
+    }
+    val h = Versioned.history(spark, tbl)
+      .as[(Int, Long, Long, Option[Long], Option[Int], Option[String], Boolean)]
+      .collect().sortBy(_._1)
+    assert(h.map(_._1).toSeq == Seq(1, 2))
+    assert(h(0)._2 == t0 && h(1)._2 == t0 + 60000)
+    assert(h(1)._6.contains("t2") && h(1)._7, "v2 carries its tag and a change feed")
+    assert(h(0)._6.isEmpty && !h(0)._7)
+    assert(h.forall(_._5.contains(3)), "both versions record a 3-column schema")
+  }
+
   test("diff digest is collision-safe: adjacent-column concatenation and NULL position both distinguish rows") {
     import spark.implicits._
     val tbl = freshTable("diffadv")
