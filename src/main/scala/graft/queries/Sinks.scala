@@ -818,6 +818,49 @@ object Sinks {
     v1.unionByName(v2).orderBy("ver", "o_year")
   }
 
+  /** q221 — predicate DELETE (`Versioned.deleteWhere`, Delta's
+    * DELETE FROM): every 1995 URGENT order is removed in one new version
+    * branched from the pinned v1 snapshot — the discovery pass is ONE
+    * filtered scan (the year predicate prunes partitions at the scan),
+    * only the 1995 partition is rewritten, everything else splices, and
+    * NULL-predicate rows are kept (SQL semantics, spec-pinned). At 100 TB
+    * this is the GDPR/retention op: cost ∝ partitions holding matches.
+    */
+  def deleteWhereQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = ordersVersioned(spark, dir)
+    val v = Versioned.deleteWhere(spark, tbl,
+      col("o_year") === 1995 && col("o_orderpriority") === "1-URGENT",
+      "o_year", fromVersion = Some(1))
+    Versioned.vacuum(spark, tbl, keep = Set(1, v))
+    Versioned.readAt(spark, tbl, v)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .orderBy("o_year")
+  }
+
+  /** q222 — predicate UPDATE (`Versioned.updateWhere`, Delta's UPDATE):
+    * one new version branched from the pinned v1 applies a row-derived
+    * assignment (price += custkey % 1000) to every 1996 order whose key
+    * ends in 4 — only 1996 is rewritten (the assignment does not move
+    * rows, so source = landing partitions), the rest splices, and a
+    * NULL predicate leaves rows unchanged. The oracle replays the
+    * assignment arithmetic relationally.
+    */
+  def updateWhereQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = ordersVersioned(spark, dir)
+    val v = Versioned.updateWhere(spark, tbl,
+      col("o_year") === 1996 && col("o_orderkey") % 10 === 4,
+      Map("o_price_c" -> (col("o_price_c") + col("o_custkey") % 1000)),
+      "o_year", fromVersion = Some(1))
+    Versioned.vacuum(spark, tbl, keep = Set(1, v))
+    Versioned.readAt(spark, tbl, v)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .orderBy("o_year")
+  }
+
   // q219/q220's substrate: v1 publishes orders, then three RECORDING
   // merges (update band v2, delete band v3, insert band v4) persist their
   // per-row change images as c_* dirs — built once per corpus, reused
@@ -1049,6 +1092,8 @@ object Sinks {
     "q218_schema_evolution_versioned" -> schemaEvolutionVersioned _,
     "q219_recorded_change_feed" -> recordedChangeFeed _,
     "q220_stream_change_feed"   -> streamChangeFeed _,
+    "q221_delete_where"         -> deleteWhereQuery _,
+    "q222_update_where"         -> updateWhereQuery _,
     "q144_lines_write_roundtrip" -> linesWriteRoundtrip _,
     "q133_lines_source_roundtrip" -> linesSourceRoundtrip _,
     "q126_schema_evolution" -> schemaEvolution _,
@@ -1218,6 +1263,31 @@ object Sinks {
         |       CAST(count(o_note) AS BIGINT)
         |FROM v2 GROUP BY o_year
         |ORDER BY ver, o_year""".stripMargin,
+    // SQL DELETE semantics replayed: rows where the predicate is TRUE go.
+    "q221_delete_where" ->
+      """WITH tgt AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         o_orderpriority,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders)
+        |SELECT o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM tgt WHERE NOT (o_year = 1995 AND o_orderpriority = '1-URGENT')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // SQL UPDATE semantics replayed: the row-derived assignment applied
+    // exactly where the predicate is TRUE.
+    "q222_update_where" ->
+      """WITH tgt AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders)
+        |SELECT o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(CASE WHEN o_year = 1996 AND o_orderkey % 10 = 4
+        |                     THEN o_price_c + o_custkey % 1000
+        |                     ELSE o_price_c END) AS BIGINT) AS sum_price_c
+        |FROM tgt GROUP BY o_year ORDER BY o_year""".stripMargin,
     // Per-row image replay of the three recording merges: update = its
     // delete+insert pair in v2, delete = pre-image in v3, insert =
     // post-image in v4. q220 streams the same feed, so one SQL serves both.

@@ -1,7 +1,7 @@
 package graft.tables
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -648,6 +648,110 @@ object Versioned {
     val expect = expectedLatest.orElse(if (fromVersion.isEmpty) Some(base) else None)
     commit(fsys, table, spark, entries, expect, Seq(dd) ++ feedDir.toSeq, tag,
       schema = Some(rewrite.schema), changesDir = feedDir.map(_.getName))
+  }
+
+  /** DELETE WHERE: remove every row where `predicate` IS TRUE (NULL keeps
+    * the row — SQL DELETE semantics), publishing the result as a new
+    * version. Only partitions CONTAINING a matching row are rewritten —
+    * the discovery pass is one filtered scan whose predicate Catalyst
+    * pushes down (a predicate on the partition column prunes the
+    * discovery itself), and the collected output is partition VALUES,
+    * metadata-sized. Untouched partitions splice; an emptied partition
+    * vanishes; same base pinning as [[merge]]; `recordChanges` persists
+    * the deleted pre-images for the change feed.
+    */
+  def deleteWhere(spark: SparkSession, tablePath: String, predicate: Column,
+                  partCol: String,
+                  fromVersion: Option[Int] = None,
+                  expectedLatest: Option[Int] = None,
+                  recordChanges: Boolean = false): Int = {
+    val (fsys, table) = fs(spark, tablePath)
+    val base = fromVersion.getOrElse(latestVersion(spark, tablePath))
+    val baseEntries = readManifest(fsys, table, base)
+    val target = readAt(spark, tablePath, base)
+    val isMatch = coalesce(predicate, lit(false)) // NULL predicate = keep
+    val touchedRows = target.filter(isMatch).select(col(partCol).as("_tp"))
+      .distinct().collect()
+    if (touchedRows.isEmpty && !recordChanges) return base // nothing matches
+    val touchedDirs = touchedRows.map(r => partDirName(partCol, r.get(0))).toSet
+    val touched = spark.createDataFrame(
+      java.util.Arrays.asList(touchedRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_tp", target.schema(partCol).dataType))))
+    val scoped = target.join(broadcast(touched), col(partCol) === col("_tp"), "left_semi")
+    val rewrite = scoped.filter(!isMatch)
+    val dd = newDataDir(fsys, table)
+    rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dd.toString)
+    val written = listPartDirs(fsys, dd)
+    require(written.toSet.subsetOf(touchedDirs),
+      s"deleteWhere wrote partitions outside the touched set: " +
+        s"${(written.toSet -- touchedDirs).mkString(",")}")
+    val feedDir =
+      if (!recordChanges) None
+      else Some(writeChangeFeed(fsys, table,
+        scoped.filter(isMatch), rewrite.limit(0)))
+    val entries = baseEntries.filterNot(e => touchedDirs.contains(e.partDir)) ++
+      written.map(Entry(_, dd.getName))
+    val expect = expectedLatest.orElse(if (fromVersion.isEmpty) Some(base) else None)
+    commit(fsys, table, spark, entries, expect, Seq(dd) ++ feedDir.toSeq,
+      schema = Some(target.schema), changesDir = feedDir.map(_.getName))
+  }
+
+  /** UPDATE WHERE: apply `assignments` (column → new-value expression,
+    * evaluated against the row) to every row where `predicate` IS TRUE
+    * (NULL leaves the row unchanged — SQL UPDATE semantics). Rewrites the
+    * partitions holding a matching row PLUS the partitions updated rows
+    * land in (an assignment may move rows across partitions); everything
+    * else splices. Same base pinning as [[merge]]; `recordChanges`
+    * persists the update's delete+insert image pairs.
+    */
+  def updateWhere(spark: SparkSession, tablePath: String, predicate: Column,
+                  assignments: Map[String, Column], partCol: String,
+                  fromVersion: Option[Int] = None,
+                  expectedLatest: Option[Int] = None,
+                  recordChanges: Boolean = false): Int = {
+    val (fsys, table) = fs(spark, tablePath)
+    val base = fromVersion.getOrElse(latestVersion(spark, tablePath))
+    val baseEntries = readManifest(fsys, table, base)
+    val target = readAt(spark, tablePath, base)
+    val unknown = assignments.keySet -- target.columns.toSet
+    require(unknown.isEmpty,
+      s"updateWhere: assignments to unknown columns ${unknown.mkString(",")} — " +
+        "predicate DML updates existing columns; add columns via a schema-evolving merge")
+    val isMatch = coalesce(predicate, lit(false))
+    def applied(df: DataFrame): DataFrame =
+      df.select(target.columns.map(c =>
+        assignments.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+    val srcParts = target.filter(isMatch).select(col(partCol).as("_tp"))
+    val dstParts = applied(target.filter(isMatch)).select(col(partCol).as("_tp"))
+    val touchedRows = srcParts.union(dstParts).distinct().collect()
+    if (touchedRows.isEmpty && !recordChanges) return base
+    val touchedDirs = touchedRows.map(r => partDirName(partCol, r.get(0))).toSet
+    val touched = spark.createDataFrame(
+      java.util.Arrays.asList(touchedRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_tp", target.schema(partCol).dataType))))
+    val scoped = target.join(broadcast(touched), col(partCol) === col("_tp"), "left_semi")
+    val updated = applied(scoped.filter(isMatch))
+    require(updated.schema.map(f => (f.name, f.dataType)) ==
+        target.schema.map(f => (f.name, f.dataType)),
+      "updateWhere: assignments must preserve column types " +
+        s"(got ${updated.schema.simpleString} vs ${target.schema.simpleString})")
+    val rewrite = scoped.filter(!isMatch).unionByName(updated)
+    val dd = newDataDir(fsys, table)
+    rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dd.toString)
+    val written = listPartDirs(fsys, dd)
+    require(written.toSet.subsetOf(touchedDirs),
+      s"updateWhere wrote partitions outside the touched set: " +
+        s"${(written.toSet -- touchedDirs).mkString(",")}")
+    val feedDir =
+      if (!recordChanges) None
+      else Some(writeChangeFeed(fsys, table, scoped.filter(isMatch), updated))
+    val entries = baseEntries.filterNot(e => touchedDirs.contains(e.partDir)) ++
+      written.map(Entry(_, dd.getName))
+    val expect = expectedLatest.orElse(if (fromVersion.isEmpty) Some(base) else None)
+    commit(fsys, table, spark, entries, expect, Seq(dd) ++ feedDir.toSeq,
+      schema = Some(target.schema), changesDir = feedDir.map(_.getName))
   }
 
   /** Persist a merge's change images (delete pre-images + insert

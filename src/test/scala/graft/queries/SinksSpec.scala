@@ -736,6 +736,64 @@ class SinksSpec extends SparkSpec {
     assert(!Versioned.coversAny(0L, 10L, Array.empty[Long]))
   }
 
+  test("q221/q222 predicate DML: NULL predicate keeps/leaves rows; only touched partitions rewrite; moves and feeds work") {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    import spark.implicits._
+    val tbl = freshTable("dml")
+    // v is nullable: the predicate v < 15 is NULL for k=3 — SQL semantics
+    // say a NULL predicate neither deletes nor updates that row
+    Versioned.publish(spark, tbl,
+      Seq((1L, Some(10L), "a"), (2L, Some(20L), "a"),
+          (3L, None: Option[Long], "a"), (4L, Some(40L), "b"))
+        .toDF("k", "v", "p"),
+      partCol = Some("p"))
+    val v1Entries = Versioned.dataDirsOf(spark, tbl, 1)
+    // DELETE WHERE v < 15: removes k=1 only; k=3 (NULL) stays; partition b
+    // holds no match and must be SPLICED (same data dir as v1)
+    val v2 = Versioned.deleteWhere(spark, tbl, col("v") < 15, "p",
+      recordChanges = true)
+    assert(v2 == 2)
+    assert(Versioned.readAt(spark, tbl, 2).as[(Long, Option[Long], String)]
+      .collect().toSet ==
+      Set((2L, Some(20L), "a"), (3L, None, "a"), (4L, Some(40L), "b")))
+    assert(Versioned.dataDirsOf(spark, tbl, 2).contains(v1Entries.head),
+      "untouched partition b must ride v1's data dir")
+    val feed2 = Versioned.recordedChanges(spark, tbl, 1, 2)
+      .as[(Long, Option[Long], String, String, Int)].collect().toSet
+    assert(feed2 == Set((1L, Some(10L), "a", "delete", 2)), feed2.toString)
+    // UPDATE WHERE v >= 20 SET v = v + 1, p = 'c' for k=4: moves the row
+    // across partitions; k=2 updates in place; k=3 (NULL) unchanged
+    val v3 = Versioned.updateWhere(spark, tbl, col("v") >= 40,
+      Map("v" -> (col("v") + 1), "p" -> lit("c")), "p",
+      recordChanges = true)
+    assert(Versioned.readAt(spark, tbl, v3).as[(Long, Option[Long], String)]
+      .collect().toSet ==
+      Set((2L, Some(20L), "a"), (3L, None, "a"), (4L, Some(41L), "c")),
+      "k=4 must move a→c with v+1; NULL-predicate k=3 untouched")
+    val feed3 = Versioned.recordedChanges(spark, tbl, 2, 3)
+      .as[(Long, Option[Long], String, String, Int)].collect().toSet
+    assert(feed3 == Set(
+      (4L, Some(40L), "b", "delete", 3), (4L, Some(41L), "c", "insert", 3)),
+      feed3.toString)
+    // a no-match predicate is a no-op returning the base version
+    assert(Versioned.deleteWhere(spark, tbl, col("v") > 1000, "p") == v3)
+    // unknown assignment column rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      Versioned.updateWhere(spark, tbl, col("v") > 0,
+        Map("nope" -> lit(1)), "p")
+    }
+    assert(e.getMessage.contains("unknown columns"), e.getMessage)
+    // base pin: DML against latest fails if the table advanced mid-op
+    Versioned.preCommitHookForTests = Some(() => {
+      Versioned.preCommitHookForTests = None
+      Versioned.publish(spark, tbl, Seq((9L, Some(90L), "z"))
+        .toDF("k", "v", "p"), partCol = Some("p"))
+    })
+    try intercept[ConcurrentWriteException] {
+      Versioned.deleteWhere(spark, tbl, col("v") === 20, "p")
+    } finally Versioned.preCommitHookForTests = None
+  }
+
   test("TIMESTAMP AS OF and DESCRIBE HISTORY: mtime-resolved version travel; metadata-only history") {
     import spark.implicits._
     val tbl = freshTable("asof")
