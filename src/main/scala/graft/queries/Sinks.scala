@@ -495,7 +495,10 @@ object Sinks {
         year(col("o_orderdate")).as("o_year"))
       val valid = try {
         Versioned.latestVersion(spark, tbl) >= 1 &&
-          Versioned.fileEntriesOf(spark, tbl, 1).nonEmpty && {
+          Versioned.fileEntriesOf(spark, tbl, 1).nonEmpty &&
+          // q223 reads v1 through the DSv2 connector, which needs the
+          // recorded schema — a pre-r14 on-disk table restages once
+          Versioned.schemaOf(spark, tbl, 1).isDefined && {
             val v1 = Versioned.readAt(spark, tbl, 1)
             v1.columns.toSet == base.columns.toSet && v1.count() == base.count()
           }
@@ -861,6 +864,36 @@ object Sinks {
       .orderBy("o_year")
   }
 
+  /** q223 — SQL-surface read of the versioned store
+    * (`graft.sources.VersionedSource`): the q212 file-granular table is
+    * queried through a DSv2 connector + temp view + `spark.sql` — time
+    * travel by option, column pruning pushed to the per-file readers, and
+    * a key-band predicate pruned TWICE before any data opens: partition
+    * entries by their directory-encoded value, files by the manifest's
+    * recorded [kmin, kmax] stats (parquet-footer-style skipping served
+    * from metadata; SourcesSpec pins the partition-count collapse). All
+    * filters stay residual, so correctness never depends on the stats.
+    * The oracle replays the band arithmetic relationally.
+    */
+  def versionedSqlRead(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = ordersVersionedFiles(spark, dir)
+    val base = Versioned.readAt(spark, tbl, 1)
+    val mm = base.filter(col("o_year") === 1995)
+      .agg(min("o_orderkey"), max("o_orderkey")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    def cut(i: Long) = lo + (hi - lo + 1) * i / 50
+    val view = s"graft_vorders_${java.lang.Integer.toHexString(dir.hashCode)}"
+    spark.read.format("graft.sources.VersionedSource")
+      .option("versionAsOf", "1").load(tbl)
+      .createOrReplaceTempView(view)
+    spark.sql(
+      s"""SELECT o_year, count(*) AS n, sum(o_custkey) AS sum_cust,
+         |       sum(o_price_c) AS sum_price_c
+         |FROM $view
+         |WHERE o_orderkey >= ${cut(10)} AND o_orderkey < ${cut(13)}
+         |GROUP BY o_year ORDER BY o_year""".stripMargin)
+  }
+
   // q219/q220's substrate: v1 publishes orders, then three RECORDING
   // merges (update band v2, delete band v3, insert band v4) persist their
   // per-row change images as c_* dirs — built once per corpus, reused
@@ -1094,6 +1127,7 @@ object Sinks {
     "q220_stream_change_feed"   -> streamChangeFeed _,
     "q221_delete_where"         -> deleteWhereQuery _,
     "q222_update_where"         -> updateWhereQuery _,
+    "q223_versioned_sql_read"   -> versionedSqlRead _,
     "q144_lines_write_roundtrip" -> linesWriteRoundtrip _,
     "q133_lines_source_roundtrip" -> linesSourceRoundtrip _,
     "q126_schema_evolution" -> schemaEvolution _,
@@ -1263,6 +1297,23 @@ object Sinks {
         |       CAST(count(o_note) AS BIGINT)
         |FROM v2 GROUP BY o_year
         |ORDER BY ver, o_year""".stripMargin,
+    // The key band (computed from 1995's keyspace, applied to the whole
+    // table) replayed relationally — integer arithmetic both engines
+    // compute identically (DuckDB // = Scala Long /).
+    "q223_versioned_sql_read" ->
+      """WITH tgt AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders),
+        |b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi
+        |      FROM tgt WHERE o_year = 1995)
+        |SELECT o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM tgt, b
+        |WHERE o_orderkey >= lo + (hi - lo + 1) * 10 // 50
+        |  AND o_orderkey <  lo + (hi - lo + 1) * 13 // 50
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
     // SQL DELETE semantics replayed: rows where the predicate is TRUE go.
     "q221_delete_where" ->
       """WITH tgt AS (SELECT o_orderkey, o_custkey,

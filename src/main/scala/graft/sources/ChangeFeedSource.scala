@@ -216,26 +216,8 @@ final class ChangeFeedPartitionReader(file: String, version: Int, required: Stru
     current != null
   }
 
-  private def fieldValue(g: Group, f: StructField): Any = {
-    if (f.name == "_version") return version
-    val t = g.getType
-    if (!t.containsField(f.name)) return null // pre-evolution feed file
-    val idx = t.getFieldIndex(f.name)
-    if (g.getFieldRepetitionCount(idx) == 0) return null
-    f.dataType match {
-      case LongType => g.getLong(idx, 0)
-      case IntegerType => g.getInteger(idx, 0)
-      case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
-      case BooleanType => g.getBoolean(idx, 0)
-      case DoubleType => g.getDouble(idx, 0)
-      case FloatType => g.getFloat(idx, 0)
-      case ShortType => g.getInteger(idx, 0).toShort
-      case ByteType => g.getInteger(idx, 0).toByte
-      case other => throw new UnsupportedOperationException(
-        s"graft_changefeed: unsupported feed column type $other for ${f.name} — " +
-          "the recorded feed supports int/long/short/byte/string/boolean/float/double")
-    }
-  }
+  private def fieldValue(g: Group, f: StructField): Any =
+    if (f.name == "_version") version else GroupRows.value(g, f)
 
   override def get(): InternalRow =
     new GenericInternalRow(required.fields.map(f => fieldValue(current, f)))

@@ -1,0 +1,240 @@
+package graft.sources
+
+import graft.tables.Versioned
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 READ connector over a [[Versioned]] table — the surface
+  * that lets a pure-SQL user query the store (temp view + `spark.sql`)
+  * with time travel and manifest-driven skipping, no Scala API needed:
+  *
+  * {{{
+  *   spark.read.format("graft.sources.VersionedSource")
+  *     .option("versionAsOf", "3")        // or timestampAsOf=<epoch ms>;
+  *     .load(tablePath)                   //   default = latest
+  * }}}
+  *
+  * Planning is manifest METADATA only, and two prunings happen before a
+  * single byte of data is opened:
+  *
+  *  - PARTITION pruning: predicates on the partition column (equality for
+  *    any partitionable type; ranges for integral ones) eliminate whole
+  *    `col=value` entries by their directory-encoded value;
+  *  - FILE skipping: on file-granular versions, integral predicates on
+  *    the manifest's recorded stats column (`#statskey`) eliminate files
+  *    whose [kmin, kmax] cannot contain a match — parquet-footer-style
+  *    skipping served from the manifest without touching the files.
+  *
+  * Both prunings are planning-time only: every filter is RETURNED to
+  * Spark as residual, so row-level correctness never depends on the
+  * stats (`pushedFilters` stays empty by design — prune aggressively,
+  * claim nothing). Column pruning is pushed down to the per-file Group
+  * readers; the partition column materializes from the directory name
+  * (never stored in the files, same as Spark's own layout). Rows decode
+  * through the shared [[GroupRows]] primitives; a schema-evolved
+  * version's pre-evolution files NULL-backfill by name.
+  */
+class VersionedSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    VersionedSource.schemaFor(SparkSession.active, options.get("path"),
+      VersionedSource.resolveVersion(SparkSession.active, options))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new VersionedTable(properties.get("path"), schema,
+      new CaseInsensitiveStringMap(properties))
+}
+
+object VersionedSource {
+  def resolveVersion(spark: SparkSession, options: CaseInsensitiveStringMap): Int = {
+    val path = options.get("path")
+    require(path != null, "graft_versioned: path option is required")
+    (Option(options.get("versionAsOf")), Option(options.get("timestampAsOf"))) match {
+      case (Some(v), None) => v.toInt
+      case (None, Some(ts)) => Versioned.versionAsOf(spark, path, ts.toLong)
+      case (None, None) => Versioned.latestVersion(spark, path)
+      case _ => throw new IllegalArgumentException(
+        "graft_versioned: versionAsOf and timestampAsOf are mutually exclusive")
+    }
+  }
+
+  def schemaFor(spark: SparkSession, path: String, v: Int): StructType =
+    Versioned.schemaOf(spark, path, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft_versioned: $path v$v has no recorded schema (published " +
+          "pre-r14?) — republish or merge once to record one"))
+}
+
+final class VersionedTable(path: String, schema0: StructType,
+                           options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_versioned($path)"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.active
+    val version = VersionedSource.resolveVersion(spark, options)
+    new VersionedScanBuilder(path, version, schema0,
+      Versioned.statsKeyOf(spark, path, version))
+  }
+}
+
+final class VersionedScanBuilder(path: String, version: Int, full: StructType,
+                                 statsKey: Option[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = full
+  // Conservative planning bounds per column: inclusive [lo, hi] for
+  // integral comparisons plus equality literals for strings/booleans.
+  private var longBounds = Map.empty[String, (Long, Long)]
+  private var stringEq = Map.empty[String, String]
+
+  private def tighten(c: String, lo: Long, hi: Long): Unit = {
+    val (l0, h0) = longBounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
+    longBounds += c -> (math.max(l0, lo), math.min(h0, hi))
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    filters.foreach {
+      case EqualTo(c, v: Long) => tighten(c, v, v)
+      case EqualTo(c, v: Int) => tighten(c, v.toLong, v.toLong)
+      case EqualTo(c, v: String) => stringEq += c -> v
+      case GreaterThan(c, v: Long) => if (v < Long.MaxValue) tighten(c, v + 1, Long.MaxValue)
+      case GreaterThan(c, v: Int) => tighten(c, v.toLong + 1, Long.MaxValue)
+      case GreaterThanOrEqual(c, v: Long) => tighten(c, v, Long.MaxValue)
+      case GreaterThanOrEqual(c, v: Int) => tighten(c, v.toLong, Long.MaxValue)
+      case LessThan(c, v: Long) => if (v > Long.MinValue) tighten(c, Long.MinValue, v - 1)
+      case LessThan(c, v: Int) => tighten(c, Long.MinValue, v.toLong - 1)
+      case LessThanOrEqual(c, v: Long) => tighten(c, Long.MinValue, v)
+      case LessThanOrEqual(c, v: Int) => tighten(c, Long.MinValue, v.toLong)
+      case _ => ()
+    }
+    filters // ALL residual: pruning is planning-only, Spark re-applies rows
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new VersionedScan(path, version, full, required, statsKey, longBounds, stringEq)
+}
+
+/** One parquet file plus the partition-column constant its directory
+  * encodes (name, raw string value; null string = Hive default partition).
+  */
+final case class VersionedPartition(file: String,
+                                    constCol: String,
+                                    constVal: String) extends InputPartition
+
+final class VersionedScan(path: String, version: Int, full: StructType,
+                          required: StructType, statsKey: Option[String],
+                          longBounds: Map[String, (Long, Long)],
+                          stringEq: Map[String, String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftVersioned path=$path v$version, " +
+      s"ReadSchema=${required.fieldNames.mkString(",")}, " +
+      s"PruneBounds=${longBounds.map { case (c, (l, h)) => s"$c in [$l,$h]" }.mkString(";")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fsys = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def partValue(partDir: String): (String, String) = {
+      val cut = partDir.indexOf('=')
+      val colName = partDir.substring(0, cut)
+      val raw = ExternalCatalogUtils.unescapePathName(partDir.substring(cut + 1))
+      (colName, if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null else raw)
+    }
+    // Partition-value pruning against the directory-encoded constant.
+    def partSurvives(partDir: String): Boolean = {
+      if (partDir == "-") return true
+      val (c, raw) = partValue(partDir)
+      if (raw == null) return !(longBounds.contains(c) || stringEq.contains(c))
+      stringEq.get(c).forall(_ == raw) && (longBounds.get(c) match {
+        case Some((lo, hi)) => raw.toLongOption.exists(v => lo <= v && v <= hi)
+        case None => true
+      })
+    }
+    // Manifest-stats file skipping on the recorded stats column.
+    val keyBounds = statsKey.flatMap(k => longBounds.get(k))
+    def fileSurvives(kmin: Option[Long], kmax: Option[Long]): Boolean =
+      (keyBounds, kmin, kmax) match {
+        case (Some((lo, hi)), Some(mn), Some(mx)) => mn <= hi && mx >= lo
+        case _ => true
+      }
+
+    Versioned.entriesOf(spark, path, version)
+      .filter { case (p, _, _, kmin, kmax) => partSurvives(p) && fileSurvives(kmin, kmax) }
+      .flatMap { case (p, dd, file, _, _) =>
+        val (constCol, constVal) =
+          if (p == "-") (null: String, null: String) else partValue(p)
+        file match {
+          case Some(f) =>
+            Seq(VersionedPartition(
+              new org.apache.hadoop.fs.Path(fsPath, s"$dd/$p/$f").toString,
+              constCol, constVal))
+          case None =>
+            val dir = new org.apache.hadoop.fs.Path(fsPath,
+              if (p == "-") dd else s"$dd/$p")
+            fsys.listStatus(dir).toSeq
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+              .sortBy(_.getPath.getName)
+              .map(s => VersionedPartition(s.getPath.toString, constCol, constVal))
+        }
+      }
+      .map(p => p: InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VersionedReaderFactory(required)
+}
+
+final class VersionedReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[VersionedPartition]
+    new VersionedPartitionReader(p.file, p.constCol, p.constVal, required)
+  }
+}
+
+final class VersionedPartitionReader(file: String, constCol: String,
+                                     constVal: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(file))
+      .build()
+  private var current: Group = _
+  // Resolve per-field decode strategy ONCE per reader, not per row.
+  private val getters: Array[Group => Any] = required.fields.map { f =>
+    if (f.name == constCol) {
+      val v = GroupRows.constant(constVal, f)
+      (_: Group) => v
+    } else (g: Group) => GroupRows.value(g, f)
+  }
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+  override def get(): InternalRow =
+    new GenericInternalRow(getters.map(_(current)))
+  override def close(): Unit = reader.close()
+}

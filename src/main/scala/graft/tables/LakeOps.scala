@@ -196,7 +196,7 @@ object Versioned {
     try {
       val br = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
       Iterator.continually(br.readLine()).takeWhile(_ != null)
-        .take(4) // header lines (#tag/#schema/#changes) precede entries
+        .take(6) // header lines (#tag/#schema/#changes/#statskey) precede entries
         .find(_.startsWith(prefix))
         .map(_.substring(prefix.length))
     } finally in.close()
@@ -281,7 +281,8 @@ object Versioned {
                      orphanDirs: Seq[Path],
                      tag: Option[String] = None,
                      schema: Option[org.apache.spark.sql.types.StructType] = None,
-                     changesDir: Option[String] = None): Int = {
+                     changesDir: Option[String] = None,
+                     statsKey: Option[String] = None): Int = {
     preCommitHookForTests.foreach(_.apply())
     tag.foreach(t => require(!t.contains('\n') && !t.contains('\t'),
       s"idempotence tag must be single-line, tab-free: $t"))
@@ -308,6 +309,7 @@ object Versioned {
     val body = (tag.map(t => s"#tag\t$t\n").getOrElse("") +
       schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
       changesDir.map(d => s"#changes\t$d\n").getOrElse("") +
+      statsKey.map(k => s"#statskey\t$k\n").getOrElse("") +
       entries.map(_.serialized).mkString("", "\n", s"\n$Terminator\n")).getBytes("UTF-8")
     try out.write(body) finally out.close()
     // Read-back verification: if a stalled writer's claim was reclaimed
@@ -384,7 +386,7 @@ object Versioned {
         Seq(Entry("-", dd.getName))
     }
     commit(fsys, table, spark, entries, expectedLatest, Seq(dd),
-      schema = Some(df.schema))
+      schema = Some(df.schema), statsKey = fileStatsKey)
   }
 
   /** Back-compat alias: unpartitioned snapshot publish. */
@@ -896,7 +898,8 @@ object Versioned {
     val entries = baseEntries.filterNot(rewriteKeys) ++ written
     val expect = expectedLatest.orElse(if (fromVersion.isEmpty) Some(base) else None)
     commit(fsys, table, spark, entries, expect, Seq(dd) ++ feedDir.toSeq, tag,
-      schema = Some(rewrite.schema), changesDir = feedDir.map(_.getName))
+      schema = Some(rewrite.schema), changesDir = feedDir.map(_.getName),
+      statsKey = Some(keyCol))
   }
 
   /** True iff `sorted` (ascending) contains a key in [lo, hi]: binary
@@ -910,6 +913,24 @@ object Versioned {
       if (sorted(m) < lo) l = m + 1 else r = m
     }
     l < sorted.length && sorted(l) <= hi
+  }
+
+  /** The column whose per-file min/max the version's file entries carry
+    * (`#statskey` manifest line) — what a reader may prune on.
+    */
+  def statsKeyOf(spark: SparkSession, tablePath: String, v: Int): Option[String] = {
+    val (fsys, table) = fs(spark, tablePath)
+    headerLine(fsys, table, v, "#statskey\t")
+  }
+
+  /** Raw manifest entries of a version for external readers:
+    * (partDir, dataDir, file, kmin, kmax) with file/stat fields None on
+    * partition-granular entries. Metadata only.
+    */
+  private[graft] def entriesOf(spark: SparkSession, tablePath: String, v: Int)
+      : Seq[(String, String, Option[String], Option[Long], Option[Long])] = {
+    val (fsys, table) = fs(spark, tablePath)
+    readManifest(fsys, table, v).map(e => (e.partDir, e.dataDir, e.file, e.kmin, e.kmax))
   }
 
   /** (partDir, dataDir, fileName, kmin, kmax) of a file-granular version —
@@ -1099,7 +1120,8 @@ object Versioned {
     // The restored version serves v's schema too — rolling back past a
     // schema-evolving merge rolls the added columns back with it.
     commit(fsys, table, spark, entries, expectedLatest, Seq.empty,
-      schema = readSchemaLine(fsys, table, v))
+      schema = readSchemaLine(fsys, table, v),
+      statsKey = headerLine(fsys, table, v, "#statskey\t"))
   }
 
   /** OPTIMIZE inside the store: rewrite ONE partition's files into a
@@ -1143,7 +1165,7 @@ object Versioned {
     // merge that advanced the table mid-compaction fails this commit
     // (rerunnable maintenance) instead of this commit erasing the merge.
     commit(fsys, table, spark, entries, expectedLatest.orElse(Some(base)), Seq(dd),
-      schema = baseSchema)
+      schema = baseSchema, statsKey = Some(keyCol))
   }
 
   /** Whole-table OPTIMIZE: bin-pack EVERY partition's small files toward
@@ -1220,7 +1242,7 @@ object Versioned {
         s"${written.map(_.partDir).filterNot(victimParts).distinct.mkString(",")}")
     val entries = baseEntries.filterNot(victimEntries) ++ written
     commit(fsys, table, spark, entries, expectedLatest.orElse(Some(base)), Seq(dd),
-      schema = baseSchema)
+      schema = baseSchema, statsKey = Some(keyCol))
   }
 
   /** Delete every manifest NOT in `keep` plus every data dir no retained

@@ -297,4 +297,62 @@ class SourcesSpec extends SparkSpec {
       graft.sources.AvroIO.write(arr, dir.toString + "_arr")
     }
   }
+
+  test("VersionedSource: SQL-surface reads with time travel, partition pruning, and manifest-stats file skipping") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("vsrc").toString
+    val tbl = s"$tmp/table"
+    // file-granular: keys 1..16 in one partition a (4 range files) + 101..104 in b
+    Versioned.publish(spark, tbl,
+      ((1L to 16L).map(k => (k, k * 10, "a")) ++
+       (101L to 104L).map(k => (k, k * 10, "b"))).toDF("k", "v", "p")
+        .repartitionByRange(5, col("k")),
+      partCol = Some("p"), fileStatsKey = Some("k"))
+    Versioned.merge(spark, tbl,
+      Seq((2L, 21L, "a", Some("n2"), "U")).toDF("k", "v", "p", "note", "_op"),
+      "k", "p") // v2 evolves the schema
+    def src(opts: (String, String)*) = {
+      val r = spark.read.format("graft.sources.VersionedSource")
+      opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load(tbl)
+    }
+    // latest == the store's own read, NULL backfill included
+    val latest = src().as[(Long, Long, String, Option[String])].collect().toSet
+    val direct = Versioned.read(spark, tbl)
+      .as[(Long, Long, String, Option[String])].collect().toSet
+    assert(latest == direct && latest.contains((2L, 21L, "a", Some("n2"))))
+    // time travel: v1 has no note column at all
+    val v1 = src("versionAsOf" -> "1")
+    assert(v1.columns.toSeq == Seq("k", "v", "p"))
+    assert(v1.as[(Long, Long, String)].collect().toSet ==
+      ((1L to 16L).map(k => (k, k * 10, "a")) ++
+       (101L to 104L).map(k => (k, k * 10, "b"))).toSet)
+    // timestampAsOf resolves by manifest mtime
+    val m1 = new java.io.File(tbl, "_manifests/1.txt")
+    val m2 = new java.io.File(tbl, "_manifests/2.txt")
+    val t0 = 1700000000000L
+    assert(m1.setLastModified(t0) && m2.setLastModified(t0 + 1000))
+    assert(src("timestampAsOf" -> t0.toString).columns.toSeq == Seq("k", "v", "p"))
+    // SQL surface: temp view + spark.sql
+    src("versionAsOf" -> "1").createOrReplaceTempView("vsrc_t")
+    assert(spark.sql("SELECT sum(v) FROM vsrc_t WHERE p = 'a'")
+      .head().getLong(0) == (1L to 16L).map(_ * 10).sum)
+    // partition pruning: p = 'b' scans only b's file(s)
+    val allParts = src("versionAsOf" -> "1").rdd.getNumPartitions
+    val bParts = src("versionAsOf" -> "1").filter(col("p") === "b").rdd.getNumPartitions
+    assert(allParts >= 5, s"expected >=5 input files, got $allParts")
+    assert(bParts < allParts && bParts >= 1,
+      s"partition pruning failed: $bParts of $allParts")
+    // manifest-stats file skipping: a narrow key range hits one file
+    val kParts = src("versionAsOf" -> "1")
+      .filter(col("k") >= 5L && col("k") <= 6L).rdd.getNumPartitions
+    assert(kParts < allParts,
+      s"stats skipping failed: $kParts of $allParts")
+    assert(src("versionAsOf" -> "1").filter(col("k") >= 5L && col("k") <= 6L)
+      .as[(Long, Long, String)].collect().toSet ==
+      Set((5L, 50L, "a"), (6L, 60L, "a")),
+      "row-level filtering must stay exact (filters are residual)")
+    // pruning is conservative, never wrong: an out-of-range key returns empty
+    assert(src("versionAsOf" -> "1").filter(col("k") === 999L).count() == 0)
+  }
 }
