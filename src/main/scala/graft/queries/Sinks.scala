@@ -894,6 +894,43 @@ object Sinks {
          |GROUP BY o_year ORDER BY o_year""".stripMargin)
   }
 
+  /** q224 — CHECK constraints on the versioned store (`addConstraint`):
+    * v1 publishes orders, v2 adds `o_price_c >= 0` (validating the whole
+    * table once — the ALTER TABLE price), v3 merges a price bump that the
+    * constraint ADMITS; every subsequent write validates only its NEW
+    * rows (cost ∝ changed rows), and a violating write is refused before
+    * any file lands (SinksSpec pins the refusal, NULL-pass semantics,
+    * drop, and carry-through). The oracle replays the admitted merge —
+    * the hash proves enforcement changed nothing that was legal.
+    */
+  def checkConstraintQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpOut(dir, "cons_vt")
+    val base = orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+      year(col("o_orderdate")).as("o_year"))
+    val valid = try {
+      Versioned.latestVersion(spark, tbl) == 3 &&
+        Versioned.constraintsOf(spark, tbl, 3)
+          .exists(_._1 == "price_nonneg") &&
+        Versioned.readAt(spark, tbl, 1).count() == base.count()
+    } catch { case _: Exception => false }
+    if (!valid) {
+      deleteTree(tbl)
+      Versioned.publish(spark, tbl, base, partCol = Some("o_year"))
+      Versioned.addConstraint(spark, tbl, "price_nonneg", "o_price_c >= 0")
+      val batch = base.filter(col("o_year") === 1995 && col("o_orderkey") % 100 === 21)
+        .withColumn("o_price_c", col("o_price_c") + 999)
+        .select(col("*"), lit("U").as("_op"))
+      Versioned.merge(spark, tbl, batch, "o_orderkey", "o_year")
+    }
+    Versioned.readAt(spark, tbl, 3)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .orderBy("o_year")
+  }
+
   // q219/q220's substrate: v1 publishes orders, then three RECORDING
   // merges (update band v2, delete band v3, insert band v4) persist their
   // per-row change images as c_* dirs — built once per corpus, reused
@@ -1128,6 +1165,7 @@ object Sinks {
     "q221_delete_where"         -> deleteWhereQuery _,
     "q222_update_where"         -> updateWhereQuery _,
     "q223_versioned_sql_read"   -> versionedSqlRead _,
+    "q224_check_constraint"     -> checkConstraintQuery _,
     "q144_lines_write_roundtrip" -> linesWriteRoundtrip _,
     "q133_lines_source_roundtrip" -> linesSourceRoundtrip _,
     "q126_schema_evolution" -> schemaEvolution _,
@@ -1297,6 +1335,19 @@ object Sinks {
         |       CAST(count(o_note) AS BIGINT)
         |FROM v2 GROUP BY o_year
         |ORDER BY ver, o_year""".stripMargin,
+    // The admitted price-bump merge replayed relationally; the constraint
+    // may only refuse, never alter, a legal write.
+    "q224_check_constraint" ->
+      """WITH tgt AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders)
+        |SELECT o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(CASE WHEN o_year = 1995 AND o_orderkey % 100 = 21
+        |                     THEN o_price_c + 999 ELSE o_price_c END) AS BIGINT)
+        |         AS sum_price_c
+        |FROM tgt GROUP BY o_year ORDER BY o_year""".stripMargin,
     // The key band (computed from 1995's keyspace, applied to the whole
     // table) replayed relationally — integer arithmetic both engines
     // compute identically (DuckDB // = Scala Long /).

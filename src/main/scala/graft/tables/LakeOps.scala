@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
   */
 class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
 
+/** Raised when a write would violate a table CHECK constraint. */
+class ConstraintViolationException(msg: String) extends RuntimeException(msg)
+
 /** Versioned lakehouse store over plain parquet — snapshots, partition-
   * scoped MERGE, time travel, and vacuum, built only on the public Spark
   * surface plus the Hadoop FileSystem API (no table-format dependency).
@@ -189,16 +192,24 @@ object Versioned {
   }
 
   private def headerLine(fsys: FileSystem, table: Path, v: Int,
-                         prefix: String): Option[String] = {
+                         prefix: String): Option[String] =
+    headerLines(fsys, table, v, prefix).headOption
+
+  /** All header lines with `prefix`, in order. Headers precede entries;
+    * the scan stops at the first non-`#` line, so manifests of any size
+    * cost a few reads.
+    */
+  private def headerLines(fsys: FileSystem, table: Path, v: Int,
+                          prefix: String): Seq[String] = {
     val p = manifestPath(table, v)
-    if (!fsys.exists(p)) return None
+    if (!fsys.exists(p)) return Seq.empty
     val in = fsys.open(p)
     try {
       val br = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
-      Iterator.continually(br.readLine()).takeWhile(_ != null)
-        .take(6) // header lines (#tag/#schema/#changes/#statskey) precede entries
-        .find(_.startsWith(prefix))
+      Iterator.continually(br.readLine()).takeWhile(l => l != null && l.startsWith("#"))
+        .filter(_.startsWith(prefix))
         .map(_.substring(prefix.length))
+        .toList
     } finally in.close()
   }
 
@@ -282,7 +293,8 @@ object Versioned {
                      tag: Option[String] = None,
                      schema: Option[org.apache.spark.sql.types.StructType] = None,
                      changesDir: Option[String] = None,
-                     statsKey: Option[String] = None): Int = {
+                     statsKey: Option[String] = None,
+                     constraints: Seq[(String, String)] = Seq.empty): Int = {
     preCommitHookForTests.foreach(_.apply())
     tag.foreach(t => require(!t.contains('\n') && !t.contains('\t'),
       s"idempotence tag must be single-line, tab-free: $t"))
@@ -310,6 +322,7 @@ object Versioned {
       schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
       changesDir.map(d => s"#changes\t$d\n").getOrElse("") +
       statsKey.map(k => s"#statskey\t$k\n").getOrElse("") +
+      constraints.map { case (n, e) => s"#constraint\t$n\t$e\n" }.mkString +
       entries.map(_.serialized).mkString("", "\n", s"\n$Terminator\n")).getBytes("UTF-8")
     try out.write(body) finally out.close()
     // Read-back verification: if a stalled writer's claim was reclaimed
@@ -369,6 +382,8 @@ object Versioned {
               expectedLatest: Option[Int] = None,
               fileStatsKey: Option[String] = None): Int = {
     val (fsys, table) = fs(spark, tablePath)
+    validateConstraints(df,
+      constraintLines(fsys, table, latestVersion(spark, tablePath)))
     val dd = newDataDir(fsys, table)
     val entries = partCol match {
       case Some(pc) =>
@@ -385,8 +400,9 @@ object Versioned {
         df.write.mode(SaveMode.ErrorIfExists).parquet(dd.toString)
         Seq(Entry("-", dd.getName))
     }
+    val cons = constraintLines(fsys, table, latestVersion(spark, tablePath))
     commit(fsys, table, spark, entries, expectedLatest, Seq(dd),
-      schema = Some(df.schema), statsKey = fileStatsKey)
+      schema = Some(df.schema), statsKey = fileStatsKey, constraints = cons)
   }
 
   /** Back-compat alias: unpartitioned snapshot publish. */
@@ -624,6 +640,8 @@ object Versioned {
       .select(dataCols.map(c => col(s"_s_$c").as(c)): _*)
     val rewrite = survivors.unionByName(updated).unionByName(inserts)
 
+    val cons = constraintLines(fsys, table, base)
+    validateConstraints(updated.unionByName(inserts), cons)
     val dd = newDataDir(fsys, table)
     rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dd.toString)
     val written = listPartDirs(fsys, dd)
@@ -649,7 +667,8 @@ object Versioned {
       written.map(Entry(_, dd.getName))
     val expect = expectedLatest.orElse(if (fromVersion.isEmpty) Some(base) else None)
     commit(fsys, table, spark, entries, expect, Seq(dd) ++ feedDir.toSeq, tag,
-      schema = Some(rewrite.schema), changesDir = feedDir.map(_.getName))
+      schema = Some(rewrite.schema), changesDir = feedDir.map(_.getName),
+      constraints = cons)
   }
 
   /** DELETE WHERE: remove every row where `predicate` IS TRUE (NULL keeps
@@ -695,8 +714,10 @@ object Versioned {
     val entries = baseEntries.filterNot(e => touchedDirs.contains(e.partDir)) ++
       written.map(Entry(_, dd.getName))
     val expect = expectedLatest.orElse(if (fromVersion.isEmpty) Some(base) else None)
+    // deletions add no rows — constraints cannot be violated, only carried
     commit(fsys, table, spark, entries, expect, Seq(dd) ++ feedDir.toSeq,
-      schema = Some(target.schema), changesDir = feedDir.map(_.getName))
+      schema = Some(target.schema), changesDir = feedDir.map(_.getName),
+      constraints = constraintLines(fsys, table, base))
   }
 
   /** UPDATE WHERE: apply `assignments` (column → new-value expression,
@@ -740,6 +761,8 @@ object Versioned {
       "updateWhere: assignments must preserve column types " +
         s"(got ${updated.schema.simpleString} vs ${target.schema.simpleString})")
     val rewrite = scoped.filter(!isMatch).unionByName(updated)
+    val cons = constraintLines(fsys, table, base)
+    validateConstraints(updated, cons)
     val dd = newDataDir(fsys, table)
     rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dd.toString)
     val written = listPartDirs(fsys, dd)
@@ -753,7 +776,8 @@ object Versioned {
       written.map(Entry(_, dd.getName))
     val expect = expectedLatest.orElse(if (fromVersion.isEmpty) Some(base) else None)
     commit(fsys, table, spark, entries, expect, Seq(dd) ++ feedDir.toSeq,
-      schema = Some(target.schema), changesDir = feedDir.map(_.getName))
+      schema = Some(target.schema), changesDir = feedDir.map(_.getName),
+      constraints = cons)
   }
 
   /** Persist a merge's change images (delete pre-images + insert
@@ -878,6 +902,9 @@ object Versioned {
         survivors.unionByName(updatedImgs.get).unionByName(inserts)
     }
 
+    val cons = constraintLines(fsys, table, base)
+    validateConstraints(
+      updatedImgs.map(_.unionByName(inserts)).getOrElse(inserts), cons)
     val dd = newDataDir(fsys, table)
     rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dd.toString)
     val written =
@@ -899,7 +926,7 @@ object Versioned {
     val expect = expectedLatest.orElse(if (fromVersion.isEmpty) Some(base) else None)
     commit(fsys, table, spark, entries, expect, Seq(dd) ++ feedDir.toSeq, tag,
       schema = Some(rewrite.schema), changesDir = feedDir.map(_.getName),
-      statsKey = Some(keyCol))
+      statsKey = Some(keyCol), constraints = cons)
   }
 
   /** True iff `sorted` (ascending) contains a key in [lo, hi]: binary
@@ -922,6 +949,70 @@ object Versioned {
     val (fsys, table) = fs(spark, tablePath)
     headerLine(fsys, table, v, "#statskey\t")
   }
+
+  /** The CHECK constraints version `v` carries, as (name, SQL expr). */
+  def constraintsOf(spark: SparkSession, tablePath: String, v: Int): Seq[(String, String)] = {
+    val (fsys, table) = fs(spark, tablePath)
+    constraintLines(fsys, table, v)
+  }
+
+  private def constraintLines(fsys: FileSystem, table: Path, v: Int): Seq[(String, String)] =
+    headerLines(fsys, table, v, "#constraint\t").map { l =>
+      val c = l.split("\t", 2)
+      (c(0), c(1))
+    }
+
+  /** ADD a CHECK constraint (SQL-expression CHECK, NULL = pass — the SQL
+    * standard and Delta's contract): validates the ENTIRE current table
+    * now (one scan — the ALTER TABLE ADD CONSTRAINT price), then commits
+    * a new version whose header carries it. Every subsequent
+    * publish/merge/updateWhere validates its NEW rows against the carried
+    * constraints and refuses the commit on a violation — spliced rows
+    * were validated when they were written, so enforcement cost is
+    * ∝ changed rows, never ∝ table.
+    */
+  def addConstraint(spark: SparkSession, tablePath: String,
+                    name: String, sqlExpr: String,
+                    expectedLatest: Option[Int] = None): Int = {
+    require(!name.contains('\t') && !name.contains('\n') && !sqlExpr.contains('\n'),
+      "constraint name must be tab/newline-free and the expression single-line")
+    val (fsys, table) = fs(spark, tablePath)
+    val base = latestVersion(spark, tablePath)
+    val existing = constraintLines(fsys, table, base)
+    require(!existing.exists(_._1 == name), s"constraint $name already exists")
+    validateConstraints(readAt(spark, tablePath, base), Seq((name, sqlExpr)))
+    commit(fsys, table, spark, readManifest(fsys, table, base),
+      expectedLatest.orElse(Some(base)), Seq.empty,
+      schema = readSchemaLine(fsys, table, base),
+      statsKey = headerLine(fsys, table, base, "#statskey\t"),
+      constraints = existing :+ ((name, sqlExpr)))
+  }
+
+  /** DROP a CHECK constraint by name (a new version without it). */
+  def dropConstraint(spark: SparkSession, tablePath: String, name: String,
+                     expectedLatest: Option[Int] = None): Int = {
+    val (fsys, table) = fs(spark, tablePath)
+    val base = latestVersion(spark, tablePath)
+    val existing = constraintLines(fsys, table, base)
+    require(existing.exists(_._1 == name), s"no constraint named $name")
+    commit(fsys, table, spark, readManifest(fsys, table, base),
+      expectedLatest.orElse(Some(base)), Seq.empty,
+      schema = readSchemaLine(fsys, table, base),
+      statsKey = headerLine(fsys, table, base, "#statskey\t"),
+      constraints = existing.filterNot(_._1 == name))
+  }
+
+  /** Fail loudly if any row of `df` violates a constraint (NULL passes —
+    * SQL CHECK semantics). One filter + limit(1) job per constraint,
+    * evaluated BEFORE any file is written so a refusal leaves no orphans.
+    */
+  private def validateConstraints(df: DataFrame, cs: Seq[(String, String)]): Unit =
+    cs.foreach { case (n, e) =>
+      val bad = df.filter(!coalesce(expr(e), lit(true))).limit(1).collect()
+      if (bad.nonEmpty)
+        throw new ConstraintViolationException(
+          s"CHECK constraint $n ($e) violated, e.g. by row ${bad.head}")
+    }
 
   /** Raw manifest entries of a version for external readers:
     * (partDir, dataDir, file, kmin, kmax) with file/stat fields None on
@@ -1121,7 +1212,8 @@ object Versioned {
     // schema-evolving merge rolls the added columns back with it.
     commit(fsys, table, spark, entries, expectedLatest, Seq.empty,
       schema = readSchemaLine(fsys, table, v),
-      statsKey = headerLine(fsys, table, v, "#statskey\t"))
+      statsKey = headerLine(fsys, table, v, "#statskey\t"),
+      constraints = constraintLines(fsys, table, v))
   }
 
   /** OPTIMIZE inside the store: rewrite ONE partition's files into a
@@ -1165,7 +1257,8 @@ object Versioned {
     // merge that advanced the table mid-compaction fails this commit
     // (rerunnable maintenance) instead of this commit erasing the merge.
     commit(fsys, table, spark, entries, expectedLatest.orElse(Some(base)), Seq(dd),
-      schema = baseSchema, statsKey = Some(keyCol))
+      schema = baseSchema, statsKey = Some(keyCol),
+      constraints = constraintLines(fsys, table, base))
   }
 
   /** Whole-table OPTIMIZE: bin-pack EVERY partition's small files toward
@@ -1242,7 +1335,8 @@ object Versioned {
         s"${written.map(_.partDir).filterNot(victimParts).distinct.mkString(",")}")
     val entries = baseEntries.filterNot(victimEntries) ++ written
     commit(fsys, table, spark, entries, expectedLatest.orElse(Some(base)), Seq(dd),
-      schema = baseSchema, statsKey = Some(keyCol))
+      schema = baseSchema, statsKey = Some(keyCol),
+      constraints = constraintLines(fsys, table, base))
   }
 
   /** Delete every manifest NOT in `keep` plus every data dir no retained

@@ -794,6 +794,54 @@ class SinksSpec extends SparkSpec {
     } finally Versioned.preCommitHookForTests = None
   }
 
+  test("q224 CHECK constraints: refuse violating writes pre-file, NULL passes, drop re-admits, ops carry them") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    import graft.tables.ConstraintViolationException
+    val tbl = freshTable("check")
+    Versioned.publish(spark, tbl,
+      Seq((1L, Some(10L), "a"), (2L, None: Option[Long], "b")).toDF("k", "v", "p"),
+      partCol = Some("p"))
+    // adding a constraint the CURRENT table violates is refused
+    intercept[ConstraintViolationException] {
+      Versioned.addConstraint(spark, tbl, "v_big", "v >= 100")
+    }
+    // NULL passes (SQL CHECK): k=2's NULL v does not violate v >= 0
+    val v2 = Versioned.addConstraint(spark, tbl, "v_nonneg", "v >= 0")
+    assert(v2 == 2 && Versioned.constraintsOf(spark, tbl, 2) ==
+      Seq(("v_nonneg", "v >= 0")))
+    // a violating merge is refused BEFORE any file lands: version
+    // unchanged and no orphan data dir appears
+    val dirsBefore = new java.io.File(tbl).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("d_")).map(_.getName).toSet
+    intercept[ConstraintViolationException] {
+      Versioned.merge(spark, tbl,
+        Seq((3L, Some(-5L), "a", "I")).toDF("k", "v", "p", "_op"), "k", "p")
+    }
+    assert(Versioned.latestVersion(spark, tbl) == 2)
+    assert(new java.io.File(tbl).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("d_")).map(_.getName).toSet
+      == dirsBefore, "a refused merge must leave no orphan files")
+    // a violating UPDATE WHERE is refused too
+    intercept[ConstraintViolationException] {
+      Versioned.updateWhere(spark, tbl, col("k") === 1L,
+        Map("v" -> lit(-1L)), "p")
+    }
+    // legal writes pass and carry the constraint forward
+    val v3 = Versioned.merge(spark, tbl,
+      Seq((3L, Some(30L), "a", "I")).toDF("k", "v", "p", "_op"), "k", "p")
+    assert(Versioned.constraintsOf(spark, tbl, v3) == Seq(("v_nonneg", "v >= 0")))
+    // DELETE can never violate; RESTORE carries the restored version's set
+    val v4 = Versioned.deleteWhere(spark, tbl, col("k") === 3L, "p")
+    assert(Versioned.constraintsOf(spark, tbl, v4).nonEmpty)
+    // drop re-admits the write that was refused
+    val v5 = Versioned.dropConstraint(spark, tbl, "v_nonneg")
+    assert(Versioned.constraintsOf(spark, tbl, v5).isEmpty)
+    val v6 = Versioned.merge(spark, tbl,
+      Seq((4L, Some(-5L), "a", "I")).toDF("k", "v", "p", "_op"), "k", "p")
+    assert(Versioned.readAt(spark, tbl, v6).filter(col("v") < 0).count() == 1)
+  }
+
   test("TIMESTAMP AS OF and DESCRIBE HISTORY: mtime-resolved version travel; metadata-only history") {
     import spark.implicits._
     val tbl = freshTable("asof")
