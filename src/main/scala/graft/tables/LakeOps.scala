@@ -294,7 +294,8 @@ object Versioned {
                      schema: Option[org.apache.spark.sql.types.StructType] = None,
                      changesDir: Option[String] = None,
                      statsKey: Option[String] = None,
-                     constraints: Seq[(String, String)] = Seq.empty): Int = {
+                     constraints: Seq[(String, String)] = Seq.empty,
+                     op: String = "WRITE"): Int = {
     preCommitHookForTests.foreach(_.apply())
     tag.foreach(t => require(!t.contains('\n') && !t.contains('\t'),
       s"idempotence tag must be single-line, tab-free: $t"))
@@ -323,6 +324,7 @@ object Versioned {
       changesDir.map(d => s"#changes\t$d\n").getOrElse("") +
       statsKey.map(k => s"#statskey\t$k\n").getOrElse("") +
       constraints.map { case (n, e) => s"#constraint\t$n\t$e\n" }.mkString +
+      s"#op\t$op\n" +
       entries.map(_.serialized).mkString("", "\n", s"\n$Terminator\n")).getBytes("UTF-8")
     try out.write(body) finally out.close()
     // Read-back verification: if a stalled writer's claim was reclaimed
@@ -402,7 +404,8 @@ object Versioned {
     }
     val cons = constraintLines(fsys, table, latestVersion(spark, tablePath))
     commit(fsys, table, spark, entries, expectedLatest, Seq(dd),
-      schema = Some(df.schema), statsKey = fileStatsKey, constraints = cons)
+      schema = Some(df.schema), statsKey = fileStatsKey, constraints = cons,
+      op = "PUBLISH")
   }
 
   /** Back-compat alias: unpartitioned snapshot publish. */
@@ -522,6 +525,7 @@ object Versioned {
           val nrows = if (entries.nonEmpty && entries.forall(_.nrows.isDefined))
             Some(entries.map(_.nrows.get).sum) else None
           (v,
+            headerLine(fsys, table, v, "#op\t").getOrElse("WRITE"),
             fsys.getFileStatus(manifestPath(table, v)).getModificationTime,
             entries.size.toLong,
             nrows,
@@ -529,7 +533,7 @@ object Versioned {
             readTag(fsys, table, v),
             headerLine(fsys, table, v, "#changes\t").isDefined)
         }
-    rows.toDF("version", "commit_ms", "n_entries", "n_rows", "n_cols",
+    rows.toDF("version", "op", "commit_ms", "n_entries", "n_rows", "n_cols",
       "tag", "has_change_feed")
   }
 
@@ -668,7 +672,7 @@ object Versioned {
     val expect = expectedLatest.orElse(if (fromVersion.isEmpty) Some(base) else None)
     commit(fsys, table, spark, entries, expect, Seq(dd) ++ feedDir.toSeq, tag,
       schema = Some(rewrite.schema), changesDir = feedDir.map(_.getName),
-      constraints = cons)
+      constraints = cons, op = "MERGE")
   }
 
   /** DELETE WHERE: remove every row where `predicate` IS TRUE (NULL keeps
@@ -717,7 +721,7 @@ object Versioned {
     // deletions add no rows — constraints cannot be violated, only carried
     commit(fsys, table, spark, entries, expect, Seq(dd) ++ feedDir.toSeq,
       schema = Some(target.schema), changesDir = feedDir.map(_.getName),
-      constraints = constraintLines(fsys, table, base))
+      constraints = constraintLines(fsys, table, base), op = "DELETE")
   }
 
   /** UPDATE WHERE: apply `assignments` (column → new-value expression,
@@ -777,7 +781,7 @@ object Versioned {
     val expect = expectedLatest.orElse(if (fromVersion.isEmpty) Some(base) else None)
     commit(fsys, table, spark, entries, expect, Seq(dd) ++ feedDir.toSeq,
       schema = Some(target.schema), changesDir = feedDir.map(_.getName),
-      constraints = cons)
+      constraints = cons, op = "UPDATE")
   }
 
   /** Persist a merge's change images (delete pre-images + insert
@@ -926,7 +930,7 @@ object Versioned {
     val expect = expectedLatest.orElse(if (fromVersion.isEmpty) Some(base) else None)
     commit(fsys, table, spark, entries, expect, Seq(dd) ++ feedDir.toSeq, tag,
       schema = Some(rewrite.schema), changesDir = feedDir.map(_.getName),
-      statsKey = Some(keyCol), constraints = cons)
+      statsKey = Some(keyCol), constraints = cons, op = "MERGE_FILES")
   }
 
   /** True iff `sorted` (ascending) contains a key in [lo, hi]: binary
@@ -985,7 +989,7 @@ object Versioned {
       expectedLatest.orElse(Some(base)), Seq.empty,
       schema = readSchemaLine(fsys, table, base),
       statsKey = headerLine(fsys, table, base, "#statskey\t"),
-      constraints = existing :+ ((name, sqlExpr)))
+      constraints = existing :+ ((name, sqlExpr)), op = "ADD_CONSTRAINT")
   }
 
   /** DROP a CHECK constraint by name (a new version without it). */
@@ -999,7 +1003,7 @@ object Versioned {
       expectedLatest.orElse(Some(base)), Seq.empty,
       schema = readSchemaLine(fsys, table, base),
       statsKey = headerLine(fsys, table, base, "#statskey\t"),
-      constraints = existing.filterNot(_._1 == name))
+      constraints = existing.filterNot(_._1 == name), op = "DROP_CONSTRAINT")
   }
 
   /** Fail loudly if any row of `df` violates a constraint (NULL passes —
@@ -1213,7 +1217,7 @@ object Versioned {
     commit(fsys, table, spark, entries, expectedLatest, Seq.empty,
       schema = readSchemaLine(fsys, table, v),
       statsKey = headerLine(fsys, table, v, "#statskey\t"),
-      constraints = constraintLines(fsys, table, v))
+      constraints = constraintLines(fsys, table, v), op = s"RESTORE($v)")
   }
 
   /** OPTIMIZE inside the store: rewrite ONE partition's files into a
@@ -1258,7 +1262,7 @@ object Versioned {
     // (rerunnable maintenance) instead of this commit erasing the merge.
     commit(fsys, table, spark, entries, expectedLatest.orElse(Some(base)), Seq(dd),
       schema = baseSchema, statsKey = Some(keyCol),
-      constraints = constraintLines(fsys, table, base))
+      constraints = constraintLines(fsys, table, base), op = "COMPACT")
   }
 
   /** Whole-table OPTIMIZE: bin-pack EVERY partition's small files toward
@@ -1336,7 +1340,7 @@ object Versioned {
     val entries = baseEntries.filterNot(victimEntries) ++ written
     commit(fsys, table, spark, entries, expectedLatest.orElse(Some(base)), Seq(dd),
       schema = baseSchema, statsKey = Some(keyCol),
-      constraints = constraintLines(fsys, table, base))
+      constraints = constraintLines(fsys, table, base), op = "OPTIMIZE")
   }
 
   /** Delete every manifest NOT in `keep` plus every data dir no retained

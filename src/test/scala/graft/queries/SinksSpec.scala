@@ -864,13 +864,15 @@ class SinksSpec extends SparkSpec {
       Versioned.versionAsOf(spark, tbl, t0 - 1)
     }
     val h = Versioned.history(spark, tbl)
-      .as[(Int, Long, Long, Option[Long], Option[Int], Option[String], Boolean)]
+      .as[(Int, String, Long, Long, Option[Long], Option[Int], Option[String], Boolean)]
       .collect().sortBy(_._1)
     assert(h.map(_._1).toSeq == Seq(1, 2))
-    assert(h(0)._2 == t0 && h(1)._2 == t0 + 60000)
-    assert(h(1)._6.contains("t2") && h(1)._7, "v2 carries its tag and a change feed")
-    assert(h(0)._6.isEmpty && !h(0)._7)
-    assert(h.forall(_._5.contains(3)), "both versions record a 3-column schema")
+    assert(h.map(_._2).toSeq == Seq("PUBLISH", "MERGE"),
+      s"history must name each commit's operation: ${h.map(_._2).toSeq}")
+    assert(h(0)._3 == t0 && h(1)._3 == t0 + 60000)
+    assert(h(1)._7.contains("t2") && h(1)._8, "v2 carries its tag and a change feed")
+    assert(h(0)._7.isEmpty && !h(0)._8)
+    assert(h.forall(_._6.contains(3)), "both versions record a 3-column schema")
   }
 
   test("diff digest is collision-safe: adjacent-column concatenation and NULL position both distinguish rows") {
