@@ -646,6 +646,11 @@ object Versioned {
 
     val cons = constraintLines(fsys, table, base)
     validateConstraints(updated.unionByName(inserts), cons)
+    // A file-granular base keeps its granularity: rewritten partitions get
+    // fresh per-file stats on the recorded stats key, so compaction /
+    // optimize / stats-pruned reads keep working after a partition merge.
+    val baseStatsKey = headerLine(fsys, table, base, "#statskey\t")
+      .filter(_ => baseEntries.nonEmpty && baseEntries.forall(_.file.isDefined))
     val dd = newDataDir(fsys, table)
     rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dd.toString)
     val written = listPartDirs(fsys, dd)
@@ -667,12 +672,15 @@ object Versioned {
       }
     // Splice: untouched entries ride the base manifest; touched partitions
     // are served from the fresh dir; an emptied partition appears nowhere.
-    val entries = baseEntries.filterNot(e => touchedDirs.contains(e.partDir)) ++
-      written.map(Entry(_, dd.getName))
+    val fresh = baseStatsKey match {
+      case Some(k) if written.nonEmpty => fileStatsOf(spark, table, dd, k)
+      case _ => written.map(Entry(_, dd.getName))
+    }
+    val entries = baseEntries.filterNot(e => touchedDirs.contains(e.partDir)) ++ fresh
     val expect = expectedLatest.orElse(if (fromVersion.isEmpty) Some(base) else None)
     commit(fsys, table, spark, entries, expect, Seq(dd) ++ feedDir.toSeq, tag,
       schema = Some(rewrite.schema), changesDir = feedDir.map(_.getName),
-      constraints = cons, op = "MERGE")
+      constraints = cons, op = "MERGE", statsKey = baseStatsKey)
   }
 
   /** DELETE WHERE: remove every row where `predicate` IS TRUE (NULL keeps
@@ -705,6 +713,8 @@ object Versioned {
         org.apache.spark.sql.types.StructField("_tp", target.schema(partCol).dataType))))
     val scoped = target.join(broadcast(touched), col(partCol) === col("_tp"), "left_semi")
     val rewrite = scoped.filter(!isMatch)
+    val baseStatsKey = headerLine(fsys, table, base, "#statskey\t")
+      .filter(_ => baseEntries.nonEmpty && baseEntries.forall(_.file.isDefined))
     val dd = newDataDir(fsys, table)
     rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dd.toString)
     val written = listPartDirs(fsys, dd)
@@ -715,13 +725,17 @@ object Versioned {
       if (!recordChanges) None
       else Some(writeChangeFeed(fsys, table,
         scoped.filter(isMatch), rewrite.limit(0)))
-    val entries = baseEntries.filterNot(e => touchedDirs.contains(e.partDir)) ++
-      written.map(Entry(_, dd.getName))
+    val fresh = baseStatsKey match {
+      case Some(k) if written.nonEmpty => fileStatsOf(spark, table, dd, k)
+      case _ => written.map(Entry(_, dd.getName))
+    }
+    val entries = baseEntries.filterNot(e => touchedDirs.contains(e.partDir)) ++ fresh
     val expect = expectedLatest.orElse(if (fromVersion.isEmpty) Some(base) else None)
     // deletions add no rows — constraints cannot be violated, only carried
     commit(fsys, table, spark, entries, expect, Seq(dd) ++ feedDir.toSeq,
       schema = Some(target.schema), changesDir = feedDir.map(_.getName),
-      constraints = constraintLines(fsys, table, base), op = "DELETE")
+      constraints = constraintLines(fsys, table, base), op = "DELETE",
+      statsKey = baseStatsKey)
   }
 
   /** UPDATE WHERE: apply `assignments` (column → new-value expression,
@@ -767,6 +781,8 @@ object Versioned {
     val rewrite = scoped.filter(!isMatch).unionByName(updated)
     val cons = constraintLines(fsys, table, base)
     validateConstraints(updated, cons)
+    val baseStatsKey = headerLine(fsys, table, base, "#statskey\t")
+      .filter(_ => baseEntries.nonEmpty && baseEntries.forall(_.file.isDefined))
     val dd = newDataDir(fsys, table)
     rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dd.toString)
     val written = listPartDirs(fsys, dd)
@@ -776,12 +792,15 @@ object Versioned {
     val feedDir =
       if (!recordChanges) None
       else Some(writeChangeFeed(fsys, table, scoped.filter(isMatch), updated))
-    val entries = baseEntries.filterNot(e => touchedDirs.contains(e.partDir)) ++
-      written.map(Entry(_, dd.getName))
+    val fresh = baseStatsKey match {
+      case Some(k) if written.nonEmpty => fileStatsOf(spark, table, dd, k)
+      case _ => written.map(Entry(_, dd.getName))
+    }
+    val entries = baseEntries.filterNot(e => touchedDirs.contains(e.partDir)) ++ fresh
     val expect = expectedLatest.orElse(if (fromVersion.isEmpty) Some(base) else None)
     commit(fsys, table, spark, entries, expect, Seq(dd) ++ feedDir.toSeq,
       schema = Some(target.schema), changesDir = feedDir.map(_.getName),
-      constraints = cons, op = "UPDATE")
+      constraints = cons, op = "UPDATE", statsKey = baseStatsKey)
   }
 
   /** Persist a merge's change images (delete pre-images + insert
