@@ -53,6 +53,29 @@ class LakeOpsModelSpec extends SparkSpec {
       }
     }
 
+    // CDC soundness: a recording commit's change images must transform its
+    // predecessor snapshot into its own — deletes remove exact pre-images,
+    // inserts add exact post-images, nothing else.
+    def checkFeed(opName: String, prev: Model): Unit = {
+      import spark.implicits._
+      val feed = Versioned.recordedChanges(spark, tbl, ver - 1, ver)
+        .select("k", "v", "p", "_change")
+        .as[(Long, Long, String, String)].collect()
+      val replayed = feed.foldLeft(prev) {
+        case (m, (k, fv, fp, "delete")) =>
+          assert(m.get(k).contains((fv, fp)),
+            s"$opName delete image ($k,$fv,$fp) is not the pre-image in v${ver - 1}")
+          m - k
+        case (m, _) => m
+      }
+      val rebuilt = feed.foldLeft(replayed) {
+        case (m, (k, fv, fp, "insert")) => m + (k -> (fv, fp))
+        case (m, _) => m
+      }
+      assert(rebuilt == model,
+        s"$opName feed replay diverged: images do not transform v${ver - 1} into v$ver")
+    }
+
     (1 to 30).foreach { step =>
       val op = rnd.nextInt(8)
       op match {
@@ -67,32 +90,42 @@ class LakeOpsModelSpec extends SparkSpec {
           }
           val batch = (us ++ ds ++ is).toVector
           if (batch.nonEmpty) {
+            val prev = model
             val src = batch.toDF("k", "v", "p", "_op")
             ver = if (op == 0)
-              Versioned.merge(spark, tbl, src, "k", "p")
-            else Versioned.mergeByFiles(spark, tbl, src, "k", "p")
+              Versioned.merge(spark, tbl, src, "k", "p", recordChanges = true)
+            else Versioned.mergeByFiles(spark, tbl, src, "k", "p", recordChanges = true)
             us.foreach { case (k, v, p, _) => model += k -> (v, p) }
             ds.foreach { case (k, _, _, _) => model -= k }
             is.foreach { case (k, v, p, _) => model += k -> (v, p) }
             history += ver -> model
             checkAll(s"merge(op=$op, batch=${batch.size})")
+            checkFeed(s"merge(op=$op)", prev)
           }
         case 2 => // predicate delete
           val r = rnd.nextInt(7)
-          val v2 = Versioned.deleteWhere(spark, tbl, col("v") % 7 === r, "p")
+          val prev = model
+          val v2 = Versioned.deleteWhere(spark, tbl, col("v") % 7 === r, "p",
+            recordChanges = true)
           model = model.filterNot { case (_, (v, _)) => v % 7 == r }
-          if (v2 != ver) { ver = v2; history += ver -> model }
+          val changed = v2 != ver
+          if (changed) { ver = v2; history += ver -> model }
           checkAll(s"deleteWhere(%7==$r)")
+          if (changed) checkFeed(s"deleteWhere(%7==$r)", prev)
         case 3 => // predicate update (may move partitions)
           val r = rnd.nextInt(5)
           val dst = parts(rnd.nextInt(3))
+          val prev = model
           val v2 = Versioned.updateWhere(spark, tbl, col("v") % 5 === r,
-            Map("v" -> (col("v") + 100L), "p" -> lit(dst)), "p")
+            Map("v" -> (col("v") + 100L), "p" -> lit(dst)), "p",
+            recordChanges = true)
           model = model.map { case (k, (v, p)) =>
             if (v % 5 == r) k -> (v + 100, dst) else k -> (v, p)
           }
-          if (v2 != ver) { ver = v2; history += ver -> model }
+          val changed = v2 != ver
+          if (changed) { ver = v2; history += ver -> model }
           checkAll(s"updateWhere(%5==$r -> $dst)")
+          if (changed) checkFeed(s"updateWhere(%5==$r)", prev)
         case 4 => // restore to a random retained version
           val target = history.keys.toVector.sorted.apply(
             rnd.nextInt(history.size))
