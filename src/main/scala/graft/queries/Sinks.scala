@@ -1010,6 +1010,64 @@ object Sinks {
       .orderBy("_version", "_change", "o_year")
   }
 
+  /** q225 — END-TO-END CDC REPLICATION: table B starts as a copy of A's
+    * v1 snapshot, then a `ChangeFeedSource` STREAM of A's recorded change
+    * feed (`maxVersionsPerTrigger = 1` — one source commit per
+    * micro-batch) is applied to B through `foreachBatch`, each version's
+    * images converted to a MERGE batch (insert image present in B → U,
+    * absent → I; delete-only image → D) committed under a replay-
+    * idempotent per-version tag. This closes the CDC loop the round
+    * built: q213 streams INTO a store, q220 streams OUT of one, and here
+    * the two compose into the standard cross-table replication recipe —
+    * at 100 TB this is how a serving copy tracks the primary with work ∝
+    * changes, never ∝ table. The oracle replays A's merges relationally:
+    * a hash match proves the replica CONVERGED to the primary exactly.
+    */
+  def cdcReplication(spark: SparkSession, dir: String): DataFrame = {
+    val srcTbl = ordersRecordedFeedTable(spark, dir) // A: v1 + 3 recorded merges
+    val dst = tmpOut(dir, "repl_vt")
+    val ckpt = tmpOut(dir, "repl_ck")
+    val expected = Versioned.read(spark, srcTbl).count()
+    val valid = try {
+      Versioned.latestVersion(spark, dst) >= 1 &&
+        Versioned.read(spark, dst).count() == expected
+    } catch { case _: Exception => false }
+    if (!valid) {
+      deleteTree(dst); deleteTree(ckpt)
+      Versioned.publish(spark, dst, Versioned.readAt(spark, srcTbl, 1),
+        partCol = Some("o_year"))
+      val q = spark.readStream.format("graft.sources.ChangeFeedSource")
+        .option("maxVersionsPerTrigger", "1").load(srcTbl)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val srcV = b.agg(max(col("_version"))).head().getInt(0)
+            val imgs = b.persist()
+            val ins = imgs.filter(col("_change") === "insert").drop("_change", "_version")
+            val del = imgs.filter(col("_change") === "delete").drop("_change", "_version")
+            val dstKeys = Versioned.read(spark, dst).select(col("o_orderkey").as("_bk"))
+            val updates = ins.join(dstKeys, col("o_orderkey") === col("_bk"), "left_semi")
+              .withColumn("_op", lit("U"))
+            val inserts = ins.join(dstKeys, col("o_orderkey") === col("_bk"), "left_anti")
+              .withColumn("_op", lit("I"))
+            val deletes = del.join(ins.select(col("o_orderkey").as("_ik")),
+                col("o_orderkey") === col("_ik"), "left_anti")
+              .withColumn("_op", lit("D"))
+            Versioned.merge(spark, dst, updates.unionByName(inserts).unionByName(deletes),
+              "o_orderkey", "o_year", tag = Some(s"repl_$srcV"))
+            imgs.unpersist()
+            ()
+          }
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    Versioned.read(spark, dst)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .orderBy("o_year")
+  }
+
   /** q213 — STREAMING CDC ingestion into the versioned store with
     * exactly-once, replay-idempotent publishing: three CDC batches (an
     * update band, a delete band, an insert band over disjoint key ranges)
@@ -1166,6 +1224,7 @@ object Sinks {
     "q222_update_where"         -> updateWhereQuery _,
     "q223_versioned_sql_read"   -> versionedSqlRead _,
     "q224_check_constraint"     -> checkConstraintQuery _,
+    "q225_cdc_replication"      -> cdcReplication _,
     "q144_lines_write_roundtrip" -> linesWriteRoundtrip _,
     "q133_lines_source_roundtrip" -> linesSourceRoundtrip _,
     "q126_schema_evolution" -> schemaEvolution _,
@@ -1335,6 +1394,27 @@ object Sinks {
         |       CAST(count(o_note) AS BIGINT)
         |FROM v2 GROUP BY o_year
         |ORDER BY ver, o_year""".stripMargin,
+    // The replica must CONVERGE to the primary: A's three recorded merges
+    // (update band 11, delete band 12, insert band 13) replayed
+    // relationally ARE B's mandated final state.
+    "q225_cdc_replication" ->
+      """WITH tgt AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_year = 1995 AND o_orderkey % 100 = 11
+        |              THEN o_price_c + 111 ELSE o_price_c END AS o_price_c,
+        |         o_year
+        |  FROM tgt WHERE NOT (o_year = 1995 AND o_orderkey % 100 = 12)
+        |  UNION ALL
+        |  SELECT o_orderkey + 600000000, o_custkey, o_price_c, 1999
+        |  FROM tgt WHERE o_year = 1995 AND o_orderkey % 100 = 13)
+        |SELECT o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM merged GROUP BY o_year ORDER BY o_year""".stripMargin,
     // The admitted price-bump merge replayed relationally; the constraint
     // may only refuse, never alter, a legal write.
     "q224_check_constraint" ->

@@ -794,6 +794,38 @@ class SinksSpec extends SparkSpec {
     } finally Versioned.preCommitHookForTests = None
   }
 
+  test("q225 CDC replication: the replica converges to the primary row-for-row under per-version idempotence tags") {
+    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit, md5}
+    Sinks.cdcReplication(spark, sfDir).collect()
+    val sfx = java.lang.Integer.toHexString(sfDir.hashCode)
+    val tmp = sys.props("java.io.tmpdir")
+    val srcTbl = s"$tmp/graft_rcf_vt_$sfx"
+    val dstTbl = s"$tmp/graft_repl_vt_$sfx"
+    def digest(tbl: String) = {
+      val df = graft.tables.Versioned.read(spark, tbl)
+      df.select(md5(concat_ws("", df.columns.sorted.map(c =>
+        coalesce(col(c).cast("string"), lit(" "))): _*)).as("d"))
+        .groupBy("d").count()
+    }
+    // full multiset equality, not just aggregates: replica == primary
+    assert(digest(dstTbl).exceptAll(digest(srcTbl)).isEmpty &&
+           digest(srcTbl).exceptAll(digest(dstTbl)).isEmpty,
+      "replica diverged from primary")
+    // each source commit with a NON-EMPTY feed landed exactly once under
+    // its replication tag (an empty band at tiny SFs yields an empty feed
+    // version, which the replicator correctly skips)
+    val applied = (2 to 4).filter { v =>
+      graft.tables.Versioned
+        .recordedChanges(spark, srcTbl, v - 1, v).limit(1).count() > 0
+    }
+    assert(applied.nonEmpty, "at least one source band must be non-empty")
+    applied.foreach { v =>
+      assert(graft.tables.Versioned
+        .taggedVersion(spark, dstTbl, s"repl_$v").isDefined,
+        s"source v$v not replicated under its idempotence tag")
+    }
+  }
+
   test("q224 CHECK constraints: refuse violating writes pre-file, NULL passes, drop re-admits, ops carry them") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
