@@ -564,6 +564,143 @@ object Sinks {
       .orderBy("o_year")
   }
 
+  /** q226 — MERGE with OPTIMISTIC-CONCURRENCY REBASE (`rebaseRetries`):
+    * two writers compute from the SAME pinned base and pin the same
+    * expected version. Writer A (update band at ~30% of 1995's key space)
+    * lands first; writer B (update+delete bands at ~86–90%) loses the
+    * version CAS deterministically, and instead of failing, RE-VALIDATES
+    * A's commit Delta-style against everything B read or decided on —
+    * A's entry delta touches no file B rewrote/checked and covers none of
+    * B's batch keys (per-file range + Bloom stats prove it) — then
+    * splices its already-written output onto A's manifest and commits.
+    * No re-execution, no lost update: the final version carries BOTH
+    * writers' changes, which is exactly what the oracle's relational
+    * replay of both batches demands. This is the concurrency story a
+    * multi-writer 100 TB table needs: disjoint-key writers never queue
+    * behind each other's retries.
+    */
+  def mergeOccRebase(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = ordersVersionedFiles(spark, dir)
+    val y95 = Versioned.readAt(spark, tbl, 1).filter(col("o_year") === 1995)
+    val mm = y95.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    def cut(i: Long) = lo + (hi - lo + 1) * i / 50
+    def band(i: Long) =
+      y95.filter(col("o_orderkey") >= cut(i) && col("o_orderkey") < cut(i + 1))
+    def op(o: String) = lit(o).as("_op")
+    val l0 = Versioned.latestVersion(spark, tbl)
+    val batchA = band(15).withColumn("o_price_c", col("o_price_c") + 70000)
+      .select(col("*"), op("U"))
+    Versioned.mergeByFiles(spark, tbl, batchA, "o_orderkey", "o_year",
+      fromVersion = Some(1), expectedLatest = Some(l0))
+    val batchB = band(43).withColumn("o_price_c", col("o_price_c") + 5000)
+      .select(col("*"), op("U"))
+      .unionByName(band(44).select(col("*"), op("D")))
+    // Same base, same expected version as A: the CAS loss is guaranteed,
+    // the rebase resolves it.
+    val vB = Versioned.mergeByFiles(spark, tbl, batchB, "o_orderkey", "o_year",
+      fromVersion = Some(1), expectedLatest = Some(l0), rebaseRetries = 2)
+    Versioned.vacuum(spark, tbl, keep = Set(1, vB))
+    Versioned.readAt(spark, tbl, vB)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .orderBy("o_year")
+  }
+
+  /** q227 — SHALLOW CLONE (`Versioned.cloneTable`): the clone's v1 is one
+    * metadata commit whose entries reference the source's data files IN
+    * PLACE — cloning a 100 TB table copies nothing (SinksSpec pins the
+    * clone dir holds only `_manifests` before the merge). A file-scoped
+    * merge then evolves the CLONE: its two touched files are rewritten
+    * into clone-LOCAL dirs while every untouched entry keeps pointing at
+    * still-shared source files, and the source table is byte-identical
+    * after (spec-pinned). The oracle replays the update+delete bands on
+    * the source relationally: a hash match proves the clone serves
+    * exactly source-v1 ⊕ batch — the dev/test-against-production-data
+    * workflow (Delta shallow clone) at zero storage cost.
+    */
+  def shallowClone(spark: SparkSession, dir: String): DataFrame = {
+    val src = ordersVersionedFiles(spark, dir)
+    val dst = tmpOut(dir, "clone_vt")
+    deleteTree(dst)
+    Versioned.cloneTable(spark, src, dst, version = Some(1))
+    val y95 = Versioned.readAt(spark, dst, 1).filter(col("o_year") === 1995)
+    val mm = y95.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    def cut(i: Long) = lo + (hi - lo + 1) * i / 50
+    def band(i: Long) =
+      y95.filter(col("o_orderkey") >= cut(i) && col("o_orderkey") < cut(i + 1))
+    def op(o: String) = lit(o).as("_op")
+    val batch = band(20).withColumn("o_price_c", col("o_price_c") + 333)
+      .select(col("*"), op("U"))
+      .unionByName(band(21).select(col("*"), op("D")))
+    val v = Versioned.mergeByFiles(spark, dst, batch, "o_orderkey", "o_year")
+    Versioned.readAt(spark, dst, v)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .orderBy("o_year")
+  }
+
+  // q228's substrate: orders with an EVEN surrogate key (o_key = 2 ×
+  // o_orderkey), range-laid-out and published file-granular — every odd
+  // key is in-range but guaranteed absent, the sparse-key-space shape
+  // where per-file Bloom filters beat min/max stats. Built once per
+  // corpus; reuse validated on stats column + full bloom coverage.
+  private val bloomCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def evenKeyVersionedFiles(spark: SparkSession, dir: String): String =
+    bloomCache.synchronized { bloomCache.getOrElseUpdate((sessionKey(spark), dir), {
+      val tbl = tmpOut(dir, "bloom_vt")
+      val base = orders(spark, dir).select(
+        (col("o_orderkey") * 2).as("o_key"), col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+        year(col("o_orderdate")).as("o_year"))
+      val valid = try {
+        Versioned.latestVersion(spark, tbl) >= 1 &&
+          Versioned.statsKeyOf(spark, tbl, 1).contains("o_key") &&
+          Versioned.bloomCoverage(spark, tbl, 1) == 1.0 &&
+          Versioned.readAt(spark, tbl, 1).count() == base.count()
+      } catch { case _: Exception => false }
+      if (!valid) {
+        deleteTree(tbl)
+        Versioned.publish(spark, tbl,
+          base.repartitionByRange(32, col("o_year"), col("o_key")),
+          partCol = Some("o_year"), fileStatsKey = Some("o_key"))
+      }
+      tbl
+    }) }
+
+  /** q228 — BLOOM-PRUNED point lookups (`Versioned.lookupKeys`): the
+    * manifest carries a per-file key Bloom filter next to the min/max
+    * range (the public Delta bloom-index / Iceberg-puffin idea), and a
+    * point-lookup batch reads only files that pass BOTH probes. The
+    * probe set is half real keys, half odd keys that every file's RANGE
+    * covers but no file contains — range stats alone would read a file
+    * per absent key, the blooms skip them outright (SinksSpec pins the
+    * strict file-count drop; no false negatives is pinned by the result
+    * itself: every present key's row arrives, which is also what the
+    * oracle checks). At 100 TB this is the difference between a point
+    * lookup costing one file read and costing a partition scan.
+    */
+  def bloomPointLookup(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = evenKeyVersionedFiles(spark, dir)
+    // Point batch (metadata-sized by the lookup contract): the 1995 keys
+    // with o_orderkey ≡ 41 (mod 100), i.e. o_key ≡ 82 (mod 200), plus
+    // their odd successors — in-range, provably absent.
+    val present = Versioned.readAt(spark, tbl, 1)
+      .filter(col("o_year") === 1995 && col("o_key") % 200 === 82)
+      .select("o_key").collect().map(_.getLong(0))
+    val probes = (present ++ present.map(_ + 1)).toSeq
+    Versioned.lookupKeys(spark, tbl, probes, version = Some(1))
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .orderBy("o_year")
+  }
+
   // q214's substrate: orders staged as v1, one deterministic tagged MERGE
   // applied as v2 — built once per corpus, reused across sessions behind
   // the usual validation (count + the idempotence tag present).
@@ -1225,6 +1362,9 @@ object Sinks {
     "q223_versioned_sql_read"   -> versionedSqlRead _,
     "q224_check_constraint"     -> checkConstraintQuery _,
     "q225_cdc_replication"      -> cdcReplication _,
+    "q226_merge_occ_rebase"     -> mergeOccRebase _,
+    "q227_shallow_clone"        -> shallowClone _,
+    "q228_bloom_point_lookup"   -> bloomPointLookup _,
     "q144_lines_write_roundtrip" -> linesWriteRoundtrip _,
     "q133_lines_source_roundtrip" -> linesSourceRoundtrip _,
     "q126_schema_evolution" -> schemaEvolution _,
@@ -1243,6 +1383,71 @@ object Sinks {
   )
 
   val oracles: Map[String, String] = Map(
+    // Both writers' batches replayed relationally: the hash match proves
+    // the rebased commit kept A's update (no lost update) AND applied B's.
+    "q226_merge_occ_rebase" ->
+      """WITH tgt AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders),
+        |b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi
+        |      FROM tgt WHERE o_year = 1995),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_year = 1995
+        |                   AND o_orderkey >= lo + (hi - lo + 1) * 15 // 50
+        |                   AND o_orderkey <  lo + (hi - lo + 1) * 16 // 50
+        |              THEN o_price_c + 70000
+        |              WHEN o_year = 1995
+        |                   AND o_orderkey >= lo + (hi - lo + 1) * 43 // 50
+        |                   AND o_orderkey <  lo + (hi - lo + 1) * 44 // 50
+        |              THEN o_price_c + 5000
+        |              ELSE o_price_c END AS o_price_c,
+        |         o_year
+        |  FROM tgt, b
+        |  WHERE NOT (o_year = 1995
+        |             AND o_orderkey >= lo + (hi - lo + 1) * 44 // 50
+        |             AND o_orderkey <  lo + (hi - lo + 1) * 45 // 50))
+        |SELECT o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM merged GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // The clone must serve exactly source-v1 ⊕ batch (update band 20,
+    // delete band 21) — replayed relationally on the source table.
+    "q227_shallow_clone" ->
+      """WITH tgt AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders),
+        |b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi
+        |      FROM tgt WHERE o_year = 1995),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_year = 1995
+        |                   AND o_orderkey >= lo + (hi - lo + 1) * 20 // 50
+        |                   AND o_orderkey <  lo + (hi - lo + 1) * 21 // 50
+        |              THEN o_price_c + 333 ELSE o_price_c END AS o_price_c,
+        |         o_year
+        |  FROM tgt, b
+        |  WHERE NOT (o_year = 1995
+        |             AND o_orderkey >= lo + (hi - lo + 1) * 21 // 50
+        |             AND o_orderkey <  lo + (hi - lo + 1) * 22 // 50))
+        |SELECT o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM merged GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // Only the PRESENT probes (o_orderkey ≡ 41 mod 100 in 1995) can
+    // surface rows — the odd absent probes must contribute nothing, no
+    // matter which files the blooms let through.
+    "q228_bloom_point_lookup" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS sum_price_c
+        |FROM orders
+        |WHERE EXTRACT(year FROM o_orderdate) = 1995 AND o_orderkey % 100 = 41
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Relational replay of the MERGE clause rules (update / move / delete /
     // insert; unmatched-U and matched-I fall out as no-ops by construction).
     "q210_merge_upsert" ->

@@ -169,17 +169,24 @@ final class VersionedScan(path: String, version: Int, full: StructType,
         case None => true
       })
     }
-    // Manifest-stats file skipping on the recorded stats column.
+    // Manifest-stats file skipping on the recorded stats column: the
+    // [kmin, kmax] range first, then — for a POINT equality (lo == hi) —
+    // the per-file key Bloom filter, which skips files whose range covers
+    // the key but provably don't contain it (sound: no false negatives).
     val keyBounds = statsKey.flatMap(k => longBounds.get(k))
-    def fileSurvives(kmin: Option[Long], kmax: Option[Long]): Boolean =
+    def fileSurvives(kmin: Option[Long], kmax: Option[Long],
+                     bloom: Option[String]): Boolean =
       (keyBounds, kmin, kmax) match {
-        case (Some((lo, hi)), Some(mn), Some(mx)) => mn <= hi && mx >= lo
+        case (Some((lo, hi)), Some(mn), Some(mx)) =>
+          mn <= hi && mx >= lo &&
+            (lo != hi || bloom.forall(Versioned.bloomMightContain(_, lo)))
         case _ => true
       }
 
     Versioned.entriesOf(spark, path, version)
-      .filter { case (p, _, _, kmin, kmax) => partSurvives(p) && fileSurvives(kmin, kmax) }
-      .flatMap { case (p, dd, file, _, _) =>
+      .filter { case (p, _, _, kmin, kmax, bloom) =>
+        partSurvives(p) && fileSurvives(kmin, kmax, bloom) }
+      .flatMap { case (p, dd, file, _, _, _) =>
         val (constCol, constVal) =
           if (p == "-") (null: String, null: String) else partValue(p)
         file match {

@@ -14,6 +14,100 @@ class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
 /** Raised when a write would violate a table CHECK constraint. */
 class ConstraintViolationException(msg: String) extends RuntimeException(msg)
 
+/** Per-file key Bloom filter carried in the manifest next to the min/max
+  * range — the point-lookup complement to range stats (the public idea
+  * behind Delta's Bloom-filter index / Iceberg's puffin sidecars): a
+  * file whose [kmin, kmax] RANGE covers a probed key may still not
+  * contain it (sparse key spaces, overlapping ranges after merges), and
+  * the Bloom's no-false-negative guarantee makes skipping on a negative
+  * probe SOUND — a miss can only cost an extra read, never a lost row.
+  *
+  * Fixed 4096 bits / 3 probes per key (double hashing off a splitmix64
+  * finalizer — Steele et al., "Fast Splittable Pseudorandom Number
+  * Generators", the public mixing constants): ~2% false positives at
+  * 1k keys/file. A filter past half-full carries little signal and only
+  * bloats the manifest, so it serializes as [[Saturated]] and readers
+  * fall back to range-only pruning. At 100 TB (10^5+ files, larger
+  * manifests) the production move is Delta's: the same bitsets in a
+  * sidecar keyed by file, manifest carrying only the pointer.
+  */
+private[graft] object KeyBloom {
+  val NumBits = 4096
+  val NumBytes: Int = NumBits / 8
+  val NumProbes = 3
+  /** Serialized form of "filter too dense to help" — readers treat it
+    * (and any absent bloom) as possibly-contains. */
+  val Saturated = "-"
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def add(buf: Array[Byte], key: Long): Unit = {
+    val h1 = mix(key)
+    val h2 = mix(key ^ 0x5DEECE66DL) | 1L
+    var i = 0
+    while (i < NumProbes) {
+      val bit = java.lang.Long.remainderUnsigned(h1 + i * h2, NumBits).toInt
+      buf(bit >>> 3) = (buf(bit >>> 3) | (1 << (bit & 7))).toByte
+      i += 1
+    }
+  }
+
+  def mightContain(buf: Array[Byte], key: Long): Boolean = {
+    val h1 = mix(key)
+    val h2 = mix(key ^ 0x5DEECE66DL) | 1L
+    var i = 0
+    while (i < NumProbes) {
+      val bit = java.lang.Long.remainderUnsigned(h1 + i * h2, NumBits).toInt
+      if ((buf(bit >>> 3) & (1 << (bit & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  def toHex(buf: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(buf.length * 2)
+    buf.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  def fromHex(hex: String): Array[Byte] = {
+    require(hex.length == NumBytes * 2, s"bloom hex of length ${hex.length}")
+    Array.tabulate(NumBytes)(i =>
+      Integer.parseInt(hex.substring(i * 2, i * 2 + 2), 16).toByte)
+  }
+
+  /** Hex form, or [[Saturated]] when more than half the bits are set. */
+  def serialize(buf: Array[Byte]): String = {
+    var pop = 0
+    buf.foreach(b => pop += Integer.bitCount(b & 0xff))
+    if (pop > NumBits / 2) Saturated else toHex(buf)
+  }
+}
+
+/** Builds one [[KeyBloom]] bitset per group — used per output FILE in
+  * `fileStatsOf`'s single stats scan. Merge is a bitwise OR, so the
+  * aggregation is map-side combinable like any other.
+  */
+private[graft] class KeyBloomAgg
+    extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Byte], String] {
+  import org.apache.spark.sql.{Encoder, Encoders}
+  def zero: Array[Byte] = new Array[Byte](KeyBloom.NumBytes)
+  def reduce(b: Array[Byte], key: Long): Array[Byte] = { KeyBloom.add(b, key); b }
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+    a
+  }
+  def finish(b: Array[Byte]): String = KeyBloom.serialize(b)
+  def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  def outputEncoder: Encoder[String] = Encoders.STRING
+}
+
 /** Versioned lakehouse store over plain parquet — snapshots, partition-
   * scoped MERGE, time travel, and vacuum, built only on the public Spark
   * surface plus the Hadoop FileSystem API (no table-format dependency).
@@ -134,9 +228,12 @@ object Versioned {
                            file: Option[String] = None,
                            kmin: Option[Long] = None,
                            kmax: Option[Long] = None,
-                           nrows: Option[Long] = None) {
+                           nrows: Option[Long] = None,
+                           bloom: Option[String] = None) {
     def serialized: String = (file, nrows) match {
-      case (Some(f), Some(n)) => s"$partDir\t$dataDir\t$f\t${kmin.get}\t${kmax.get}\t$n"
+      case (Some(f), Some(n)) =>
+        s"$partDir\t$dataDir\t$f\t${kmin.get}\t${kmax.get}\t$n" +
+          bloom.map("\t" + _).getOrElse("")
       case (Some(f), None) => s"$partDir\t$dataDir\t$f\t${kmin.get}\t${kmax.get}"
       case _ => s"$partDir\t$dataDir"
     }
@@ -144,7 +241,10 @@ object Versioned {
 
   private def parseEntry(l: String): Entry = {
     val f = l.split("\t", -1)
-    if (f.length >= 6) Entry(f(0), f(1), Some(f(2)), Some(f(3).toLong),
+    if (f.length >= 7) Entry(f(0), f(1), Some(f(2)), Some(f(3).toLong),
+      Some(f(4).toLong), Some(f(5).toLong),
+      Some(f(6)).filter(_ != KeyBloom.Saturated))
+    else if (f.length >= 6) Entry(f(0), f(1), Some(f(2)), Some(f(3).toLong),
       Some(f(4).toLong), Some(f(5).toLong))
     else if (f.length >= 5) Entry(f(0), f(1), Some(f(2)), Some(f(3).toLong), Some(f(4).toLong))
     else Entry(f(0), f(1))
@@ -423,11 +523,15 @@ object Versioned {
   private def fileStatsOf(spark: SparkSession, table: Path, dd: Path,
                           keyCol: String): Seq[Entry] = {
     val marker = "/" + dd.getName + "/"
+    val bloomAgg = udaf(new KeyBloomAgg)
     spark.read.parquet(dd.toString)
       .select(input_file_name().as("_f"), col(keyCol).cast("long").as("_k"))
       .groupBy("_f").agg(min("_k").as("lo"), max("_k").as("hi"),
         count(lit(1)).as("nrows"),
-        sum(when(col("_k").isNull, 1L).otherwise(0L)).as("nnull"))
+        sum(when(col("_k").isNull, 1L).otherwise(0L)).as("nnull"),
+        // NULL keys are rejected below anyway; coalescing them into the
+        // bloom as 0 can only ADD a false-positive bit, never lose one.
+        bloomAgg(coalesce(col("_k"), lit(0L))).as("bloom"))
       .collect().toSeq
       .map { r =>
         val full = r.getString(0)
@@ -440,7 +544,8 @@ object Versioned {
           s"file-stats key $keyCol contains ${r.getLong(4)} NULL(s) in $rel — " +
             "merge keys must be non-null")
         Entry(rel.substring(0, cut), dd.getName, Some(rel.substring(cut + 1)),
-          Some(r.getLong(1)), Some(r.getLong(2)), Some(r.getLong(3)))
+          Some(r.getLong(1)), Some(r.getLong(2)), Some(r.getLong(3)),
+          Some(r.getString(5)).filter(_ != KeyBloom.Saturated))
       }.sortBy(e => (e.partDir, e.file))
   }
 
@@ -840,7 +945,8 @@ object Versioned {
                    fromVersion: Option[Int] = None,
                    expectedLatest: Option[Int] = None,
                    tag: Option[String] = None,
-                   recordChanges: Boolean = false): Int = {
+                   recordChanges: Boolean = false,
+                   rebaseRetries: Int = 0): Int = {
     val (fsys, table) = fs(spark, tablePath)
     // Idempotent replay: a batch whose tag already committed is a no-op —
     // the exactly-once contract a streaming CDC writer needs when a
@@ -853,6 +959,14 @@ object Versioned {
     val baseEntries = readManifest(fsys, table, base)
     require(baseEntries.forall(_.file.isDefined),
       s"mergeByFiles needs a file-granular base — publish with fileStatsKey")
+    // The pruning below reads each entry's [kmin, kmax] as stats ON
+    // keyCol; if the base recorded stats on a DIFFERENT column, skipping
+    // a "non-covering" file could silently drop a matched update. Refuse
+    // the mismatch loudly instead.
+    val baseKeyStats = headerLine(fsys, table, base, "#statskey\t")
+    require(baseKeyStats.contains(keyCol),
+      s"base v$base carries file stats on ${baseKeyStats.getOrElse("<none>")}, " +
+        s"not $keyCol — range pruning on mismatched stats would be unsound")
     // Subset reads must present the base version's schema: after an
     // earlier schema-evolving merge, a rewrite/check subset could land
     // entirely on pre-evolution files and silently lack the added columns.
@@ -888,11 +1002,14 @@ object Versioned {
     // Range probe against SORTED keys: O(|files| log |keys|) instead of the
     // naive O(|files|·|keys|) scan — at Delta-checkpoint manifest sizes
     // (10^5 files × 10^4 batch keys) the difference is 10^9 comparisons vs
-    // 10^6, keeping the driver-side planning metadata-cheap.
-    val rewriteSet = baseEntries.filter(e => coversAny(e.kmin.get, e.kmax.get, udKeys))
+    // 10^6, keeping the driver-side planning metadata-cheap. Entries that
+    // carry a key Bloom filter additionally drop files whose range covers
+    // a batch key the file provably does not contain (sparse key spaces) —
+    // sound, because blooms have no false negatives.
+    val rewriteSet = baseEntries.filter(coversAnyKey(_, udKeys))
     val rewriteKeys = rewriteSet.toSet
     val checkSet = baseEntries.filterNot(rewriteKeys)
-      .filter(e => coversAny(e.kmin.get, e.kmax.get, iKeys))
+      .filter(coversAnyKey(_, iKeys))
 
     // Rows that can possibly match ANY batch key: the membership universe
     // for both the update join and the insert anti-join.
@@ -945,11 +1062,104 @@ object Versioned {
           .getOrElse(postImages.limit(0))
         Some(writeChangeFeed(fsys, table, preImages, postImages))
       }
-    val entries = baseEntries.filterNot(rewriteKeys) ++ written
     val expect = expectedLatest.orElse(if (fromVersion.isEmpty) Some(base) else None)
-    commit(fsys, table, spark, entries, expect, Seq(dd) ++ feedDir.toSeq, tag,
-      schema = Some(rewrite.schema), changesDir = feedDir.map(_.getName),
-      statsKey = Some(keyCol), constraints = cons, op = "MERGE_FILES")
+    val orphans = Seq(dd) ++ feedDir.toSeq
+    def commitOnto(onto: Seq[Entry], expectV: Option[Int], keepOrphans: Boolean): Int =
+      commit(fsys, table, spark, onto.filterNot(rewriteKeys) ++ written, expectV,
+        if (keepOrphans) Seq.empty else orphans, tag,
+        schema = Some(rewrite.schema), changesDir = feedDir.map(_.getName),
+        statsKey = Some(keyCol), constraints = cons, op = "MERGE_FILES")
+    if (rebaseRetries <= 0 || expect.isEmpty)
+      return commitOnto(baseEntries, expect, keepOrphans = false)
+
+    // Optimistic concurrency with REBASE (the Delta conflict-re-validation
+    // protocol re-derived on file stats): when the version CAS loses, the
+    // winner's commit is re-validated against everything THIS merge read
+    // or decided on — if the winner's entry delta neither touches a file
+    // this merge rewrote/checked nor covers any batch key (so the
+    // matched/insert classification still holds), and schema, constraints
+    // and the stats column are unchanged, the already-written output is
+    // spliced onto the winner's manifest and the commit retried — no
+    // re-execution. Anything the re-validation cannot prove disjoint
+    // conflicts loudly, exactly like the zero-retry path.
+    var attempts = 0
+    var ontoV = expect.get
+    var ontoEntries = baseEntries
+    val readSet: Set[Entry] = rewriteKeys ++ checkSet
+    val allKeys = (udKeys ++ iKeys).sorted
+    def giveUp(why: String): Nothing = {
+      orphans.foreach(d => try fsys.delete(d, true) catch { case _: Throwable => () })
+      throw new ConcurrentWriteException(why)
+    }
+    while (true) {
+      try return commitOnto(ontoEntries, Some(ontoV), keepOrphans = true)
+      catch {
+        case e: ConcurrentWriteException =>
+          if (attempts >= rebaseRetries)
+            giveUp(s"${e.getMessage} (after $attempts rebase attempt(s))")
+          attempts += 1
+          // The competing writer may have BEEN this batch (a redelivered
+          // tagged commit): honor idempotence before calling it a conflict.
+          tag.flatMap(taggedVersion(spark, tablePath, _)) match {
+            case Some(applied) =>
+              orphans.foreach(d => try fsys.delete(d, true) catch { case _: Throwable => () })
+              return applied
+            case None =>
+          }
+          val newV = latestVersion(spark, tablePath)
+          val newEntries = readManifest(fsys, table, newV)
+          // Shape = (name, type) pairs: nullability legitimately drifts
+          // between publish and merge rewrites and does not affect the
+          // splice; an ADDED column (schema evolution) does, loudly.
+          def shapeOf(v: Int) = readSchemaLine(fsys, table, v)
+            .map(_.fields.map(f => (f.name, f.dataType)).toSeq)
+          if (shapeOf(newV) != shapeOf(base))
+            giveUp(s"concurrent schema change at v$newV of $table — cannot rebase")
+          if (constraintLines(fsys, table, newV) != cons)
+            giveUp(s"concurrent constraint change at v$newV of $table — cannot rebase")
+          if (!headerLine(fsys, table, newV, "#statskey\t").contains(keyCol))
+            giveUp(s"v$newV of $table no longer carries $keyCol file stats — cannot rebase")
+          val delta = (newEntries.toSet -- ontoEntries) ++ (ontoEntries.toSet -- newEntries)
+          delta.find(readSet).foreach(d => giveUp(
+            s"concurrent writer rewrote ${d.partDir}/${d.file.getOrElse("")} " +
+              s"this merge read — cannot rebase"))
+          // Same bloom-assisted probe as the pruning: a delta file whose
+          // stats PROVE it holds none of this batch's keys cannot change
+          // the matched/insert classification, added or removed.
+          delta.find(d => d.kmin.isEmpty || coversAnyKey(d, allKeys)).foreach(d => giveUp(
+            s"concurrent writer touched this merge's key space " +
+              s"(${d.partDir}/${d.file.getOrElse("")}) — cannot rebase"))
+          ontoV = newV
+          ontoEntries = newEntries
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** True iff some key of `sorted` in the entry's [kmin, kmax] range also
+    * passes its Bloom filter (when one is carried): the range probe bounds
+    * the candidate keys, the bloom then rules out in-range keys the file
+    * provably does not contain — sparse key spaces and overlapping ranges
+    * after merges are exactly where range stats alone over-select. A
+    * bloom-negative skip is sound (no false negatives); a missing or
+    * saturated bloom degrades to the pure range probe.
+    */
+  private def coversAnyKey(e: Entry, sorted: Array[Long]): Boolean = {
+    val lo = e.kmin.get
+    val hi = e.kmax.get
+    e.bloom match {
+      case None => coversAny(lo, hi, sorted)
+      case Some(hex) =>
+        val buf = KeyBloom.fromHex(hex)
+        var l = 0
+        var r = sorted.length
+        while (l < r) { val m = (l + r) >>> 1; if (sorted(m) < lo) l = m + 1 else r = m }
+        while (l < sorted.length && sorted(l) <= hi) {
+          if (KeyBloom.mightContain(buf, sorted(l))) return true
+          l += 1
+        }
+        false
+    }
   }
 
   /** True iff `sorted` (ascending) contains a key in [lo, hi]: binary
@@ -1042,10 +1252,17 @@ object Versioned {
     * partition-granular entries. Metadata only.
     */
   private[graft] def entriesOf(spark: SparkSession, tablePath: String, v: Int)
-      : Seq[(String, String, Option[String], Option[Long], Option[Long])] = {
+      : Seq[(String, String, Option[String], Option[Long], Option[Long], Option[String])] = {
     val (fsys, table) = fs(spark, tablePath)
-    readManifest(fsys, table, v).map(e => (e.partDir, e.dataDir, e.file, e.kmin, e.kmax))
+    readManifest(fsys, table, v)
+      .map(e => (e.partDir, e.dataDir, e.file, e.kmin, e.kmax, e.bloom))
   }
+
+  /** Bloom probe over a serialized filter — planning-time helper for the
+    * DSv2 connector's point-equality file skipping.
+    */
+  private[graft] def bloomMightContain(hex: String, key: Long): Boolean =
+    KeyBloom.mightContain(KeyBloom.fromHex(hex), key)
 
   /** (partDir, dataDir, fileName, kmin, kmax) of a file-granular version —
     * spec/vacuum introspection of exactly which files a version serves.
@@ -1054,8 +1271,19 @@ object Versioned {
       : Seq[(String, String, String, Long, Long)] = {
     val (fsys, table) = fs(spark, tablePath)
     readManifest(fsys, table, v).collect {
-      case Entry(p, d, Some(f), Some(lo), Some(hi), _) => (p, d, f, lo, hi)
+      case Entry(p, d, Some(f), Some(lo), Some(hi), _, _) => (p, d, f, lo, hi)
     }
+  }
+
+  /** Fraction of a version's file entries carrying a usable key Bloom
+    * filter (saturated filters serialize as absent) — validation and
+    * spec introspection for the bloom-assisted pruning paths.
+    */
+  def bloomCoverage(spark: SparkSession, tablePath: String, v: Int): Double = {
+    val (fsys, table) = fs(spark, tablePath)
+    val files = readManifest(fsys, table, v).filter(_.file.isDefined)
+    if (files.isEmpty) 0.0
+    else files.count(_.bloom.isDefined).toDouble / files.size
   }
 
   /** Spark-writer-compatible `col=value` directory name for a partition
@@ -1239,6 +1467,100 @@ object Versioned {
       constraints = constraintLines(fsys, table, v), op = s"RESTORE($v)")
   }
 
+  /** Shallow CLONE (the public Delta `CLONE ... SHALLOW` / Iceberg
+    * snapshot-ref idea re-derived on the manifest store): `dstPath`
+    * becomes a NEW versioned table whose v1 references `srcPath`'s
+    * version-`version` data files IN PLACE — the cloned entries carry the
+    * source's fully-qualified data-dir paths, which `readEntries`
+    * resolves as-is (Hadoop path resolution keeps an absolute child). No
+    * data is copied: until its first local write the clone directory
+    * holds only `_manifests`, so cloning a 100 TB table is one metadata
+    * commit. Schema, CHECK constraints and the `#statskey` column carry
+    * over, so merge / time travel / optimize / change feeds work on the
+    * clone immediately — and write their own LOCAL data dirs, splicing
+    * the still-shared source files: the clone diverges, the source is
+    * never touched. The clone's vacuum only ever deletes dirs under the
+    * CLONE's root (absolute external refs are not deletion candidates
+    * there), so it is safe by construction.
+    *
+    * Caveat, same as Delta's shallow clone: vacuum on the SOURCE knows
+    * nothing about clones — retiring the cloned version's dirs there
+    * breaks the clone. Clone a version the source retains (the pinned-v1
+    * substrate pattern), or deep-copy before retiring.
+    */
+  def cloneTable(spark: SparkSession, srcPath: String, dstPath: String,
+                 version: Option[Int] = None): Int = {
+    val (sfs, src) = fs(spark, srcPath)
+    val srcQ = sfs.makeQualified(src)
+    val v = version.getOrElse(latestVersion(spark, srcPath))
+    val entries = readManifest(sfs, src, v)
+    require(entries.nonEmpty, s"cannot clone empty version $v of $srcPath")
+    val (dfs, dst) = fs(spark, dstPath)
+    require(latestVersion(spark, dstPath) == 0,
+      s"clone target $dstPath already has versions — clone creates tables, not branches")
+    val abs = entries.map(e => e.copy(dataDir = new Path(srcQ, e.dataDir).toString))
+    commit(dfs, dst, spark, abs, Some(0), Seq.empty,
+      schema = readSchemaLine(sfs, src, v),
+      statsKey = headerLine(sfs, src, v, "#statskey\t"),
+      constraints = constraintLines(sfs, src, v), op = "CLONE")
+  }
+
+  /** Candidate files for a point-lookup batch, by pruning mode — the
+    * planning half of [[lookupKeys]], exposed for tests to pin that the
+    * bloom probe strictly tightens the range probe.
+    */
+  private[graft] def lookupFiles(spark: SparkSession, tablePath: String,
+                                 keys: Seq[Long], version: Option[Int] = None,
+                                 useBloom: Boolean = true): Seq[String] = {
+    val (fsys, table) = fs(spark, tablePath)
+    val v = version.getOrElse(latestVersion(spark, tablePath))
+    val entries = readManifest(fsys, table, v)
+    require(entries.forall(_.file.isDefined),
+      "lookupKeys needs a file-granular table (publish with fileStatsKey)")
+    val sorted = keys.distinct.sorted.toArray
+    entries.filter(e =>
+        if (useBloom) coversAnyKey(e, sorted)
+        else coversAny(e.kmin.get, e.kmax.get, sorted))
+      .map(e => s"${e.partDir}/${e.file.get}")
+  }
+
+  /** Point lookups by key with full manifest pruning: only files whose
+    * [kmin, kmax] range covers a probed key AND whose per-file Bloom
+    * filter might contain one are read — on a sparse key space the bloom
+    * is what turns "range covers it, read the file" into a skip, the
+    * reason Delta ships a Bloom-filter index next to its footer stats.
+    * The key batch is metadata-sized by contract (a point-lookup list,
+    * not a join side — use a join against the table for that); rows are
+    * filtered exactly, so a bloom false positive costs a read, never a
+    * wrong row.
+    */
+  def lookupKeys(spark: SparkSession, tablePath: String, keys: Seq[Long],
+                 version: Option[Int] = None): DataFrame = {
+    val (fsys, table) = fs(spark, tablePath)
+    val v = version.getOrElse(latestVersion(spark, tablePath))
+    val entries = readManifest(fsys, table, v)
+    require(entries.forall(_.file.isDefined),
+      "lookupKeys needs a file-granular table (publish with fileStatsKey)")
+    val keyCol = headerLine(fsys, table, v, "#statskey\t").getOrElse(
+      throw new IllegalArgumentException(s"v$v of $tablePath carries no #statskey"))
+    val schemaLine = readSchemaLine(fsys, table, v)
+    val sorted = keys.distinct.sorted.toArray
+    val hits = entries.filter(coversAnyKey(_, sorted))
+    if (hits.isEmpty) {
+      schemaLine match {
+        case Some(s) =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        case None =>
+          readEntries(spark, table, entries.take(1)).filter(lit(false))
+      }
+    } else {
+      val df = readEntries(spark, table, hits)
+      schemaLine.map(alignTo(df, _)).getOrElse(df)
+        .filter(col(keyCol).isin(sorted.map(java.lang.Long.valueOf): _*))
+    }
+  }
+
   /** OPTIMIZE inside the store: rewrite ONE partition's files into a
     * single compacted file published as a new version — the maintenance
     * op a merge-heavy file-granular table needs as small files accumulate
@@ -1261,6 +1583,13 @@ object Versioned {
     val baseEntries = readManifest(fsys, table, base)
     require(baseEntries.forall(_.file.isDefined),
       "compactFiles needs a file-granular table (publish with fileStatsKey)")
+    // Spliced entries keep their old stats, so the recorded stats column
+    // must already BE keyCol — otherwise the new manifest would mix stats
+    // on two columns under one #statskey header.
+    val baseKeyStats = headerLine(fsys, table, base, "#statskey\t")
+    require(baseKeyStats.contains(keyCol),
+      s"base v$base carries file stats on ${baseKeyStats.getOrElse("<none>")}, " +
+        s"not $keyCol — compacting would mix stats columns")
     val victims = baseEntries.filter(_.partDir == partDir)
     require(victims.nonEmpty, s"no files under $partDir in v$base of $tablePath")
     val baseSchema = readSchemaLine(fsys, table, base)
@@ -1321,6 +1650,12 @@ object Versioned {
     require(baseEntries.forall(e => e.file.isDefined && e.nrows.isDefined),
       "optimizeTable needs a file-granular base with per-file row counts " +
         "(publish with fileStatsKey on r14+, or compact/merge once to refresh stats)")
+    // Spliced (single-file) bins keep their old stats — the recorded stats
+    // column must already BE keyCol or the manifest would mix columns.
+    val baseKeyStats = headerLine(fsys, table, base, "#statskey\t")
+    require(baseKeyStats.contains(keyCol),
+      s"base v$base carries file stats on ${baseKeyStats.getOrElse("<none>")}, " +
+        s"not $keyCol — optimizing would mix stats columns")
     // First-fit pack in key order: bins stay key-contiguous per partition.
     val bins: Seq[(String, Int, Seq[Entry])] =
       baseEntries.groupBy(_.partDir).toSeq.sortBy(_._1).flatMap { case (p, es) =>

@@ -920,4 +920,182 @@ class SinksSpec extends SparkSpec {
     // NULL-skipping digest would under-count
     assert(Versioned.diff(spark, tbl, 1, 2) == (2L, 2L))
   }
+
+  test("q226 OCC rebase: a CAS-losing writer re-validates the winner's delta and splices on top; overlaps stay loud") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tbl = freshTable("occ")
+    // 4 key-contiguous files [1,2] [3,4] [5,6] [7,8] in one partition
+    Versioned.publish(spark, tbl,
+      (1L to 8L).map(k => (k, k * 10, "a")).toDF("k", "v", "p")
+        .repartitionByRange(4, col("k")),
+      partCol = Some("p"), fileStatsKey = Some("k"))
+    // A lands first (rewrites [1,2]); B computed from the same base v1
+    // with the same expected version rewrites [7,8] — CAS loses, the
+    // re-validation proves A's delta disjoint, B splices onto A's manifest.
+    val vA = Versioned.mergeByFiles(spark, tbl,
+      Seq((1L, 11L, "a", "U")).toDF("k", "v", "p", "_op"), "k", "p")
+    assert(vA == 2)
+    val vB = Versioned.mergeByFiles(spark, tbl,
+      Seq((7L, 71L, "a", "U")).toDF("k", "v", "p", "_op"), "k", "p",
+      fromVersion = Some(1), expectedLatest = Some(1), rebaseRetries = 1)
+    assert(vB == 3, "the rebase must land on top of the winner")
+    assert(Versioned.readAt(spark, tbl, 3).as[(Long, Long, String)].collect().toSet ==
+      (1L to 8L).map(k =>
+        (k, if (k == 1) 11L else if (k == 7) 71L else k * 10, "a")).toSet,
+      "both writers' updates must survive — a lost update is the bug OCC exists to prevent")
+    // READ-SET overlap: C (from v1) rewrites the file A already replaced —
+    // no retry count may force that through.
+    val e1 = intercept[ConcurrentWriteException] {
+      Versioned.mergeByFiles(spark, tbl,
+        Seq((2L, 22L, "a", "U")).toDF("k", "v", "p", "_op"), "k", "p",
+        fromVersion = Some(1), expectedLatest = Some(1), rebaseRetries = 5)
+    }
+    assert(e1.getMessage.contains("rewrote") || e1.getMessage.contains("key space"),
+      e1.getMessage)
+    // KEY-SPACE overlap: D inserts key 1 computed against v1 (where its
+    // file still held v=10); the winner's delta CONTAINS key 1, so the
+    // matched-insert classification cannot be trusted — loud conflict.
+    val e2 = intercept[ConcurrentWriteException] {
+      Versioned.mergeByFiles(spark, tbl,
+        Seq((1L, 999L, "a", "I")).toDF("k", "v", "p", "_op"), "k", "p",
+        fromVersion = Some(1), expectedLatest = Some(1), rebaseRetries = 5)
+    }
+    assert(e2.getMessage.contains("key space") || e2.getMessage.contains("rewrote"),
+      e2.getMessage)
+    // The failed attempts must not leak orphan data dirs past their abort.
+    assert(Versioned.latestVersion(spark, tbl) == 3)
+  }
+
+  test("q226 OCC rebase honors a concurrently committed idempotence tag: the race resolves to the other writer's version") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tbl = freshTable("occtag")
+    Versioned.publish(spark, tbl,
+      (1L to 8L).map(k => (k, k * 10, "a")).toDF("k", "v", "p")
+        .repartitionByRange(4, col("k")),
+      partCol = Some("p"), fileStatsKey = Some("k"))
+    val batch = Seq((3L, 33L, "a", "U")).toDF("k", "v", "p", "_op")
+    // At this writer's commit entry, a competing delivery of the SAME
+    // tagged batch commits first (crash-replay race): the rebase loop must
+    // return the competitor's version, not conflict and not double-apply.
+    Versioned.preCommitHookForTests = Some(() => {
+      Versioned.preCommitHookForTests = None // fire once, no recursion
+      Versioned.mergeByFiles(spark, tbl, batch, "k", "p", tag = Some("b1"))
+    })
+    val v = try Versioned.mergeByFiles(spark, tbl, batch, "k", "p",
+      tag = Some("b1"), rebaseRetries = 1)
+    finally Versioned.preCommitHookForTests = None
+    assert(v == 2 && Versioned.latestVersion(spark, tbl) == 2,
+      s"redelivered tagged batch must resolve to the committed version, got v$v")
+    assert(Versioned.readAt(spark, tbl, 2).as[(Long, Long, String)]
+      .collect().toSet ==
+      (1L to 8L).map(k => (k, if (k == 3) 33L else k * 10, "a")).toSet)
+  }
+
+  test("q227 shallow clone copies zero data, carries schema/constraints/stats, diverges locally, source untouched") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val src = freshTable("clonesrc")
+    val dst = freshTable("clonedst")
+    Versioned.publish(spark, src,
+      (1L to 8L).map(k => (k, k * 10, "a")).toDF("k", "v", "p")
+        .repartitionByRange(4, col("k")),
+      partCol = Some("p"), fileStatsKey = Some("k"))
+    Versioned.addConstraint(spark, src, "v_pos", "v > 0")
+    val srcFiles = dataDirFiles(src, 1)
+    val v1 = Versioned.cloneTable(spark, src, dst)
+    assert(v1 == 1)
+    // zero copy: the clone dir holds ONLY manifests
+    assert(new java.io.File(dst).listFiles().map(_.getName).toSet == Set("_manifests"),
+      "a shallow clone must not copy a single data file")
+    assert(Versioned.readAt(spark, dst, 1).as[(Long, Long, String)].collect().toSet ==
+      (1L to 8L).map(k => (k, k * 10, "a")).toSet)
+    // metadata carried over: constraints enforce, stats column enables mergeByFiles
+    intercept[graft.tables.ConstraintViolationException] {
+      Versioned.mergeByFiles(spark, dst,
+        Seq((3L, -5L, "a", "U")).toDF("k", "v", "p", "_op"), "k", "p")
+    }
+    val v2 = Versioned.mergeByFiles(spark, dst,
+      Seq((3L, 31L, "a", "U"), (100L, 1000L, "b", "I"))
+        .toDF("k", "v", "p", "_op"), "k", "p")
+    assert(v2 == 2)
+    // the clone serves src-v1 ⊕ batch; the SOURCE is byte-identical
+    assert(Versioned.readAt(spark, dst, 2).as[(Long, Long, String)].collect().toSet ==
+      ((1L to 8L).map(k => (k, if (k == 3) 31L else k * 10, "a")).toSet + ((100L, 1000L, "b"))))
+    assert(dataDirFiles(src, 1) == srcFiles, "cloning + merging must never touch the source")
+    assert(Versioned.readAt(spark, src, 1).as[(Long, Long, String)].collect().toSet ==
+      (1L to 8L).map(k => (k, k * 10, "a")).toSet)
+    // v2 mixes shared (absolute, under src) and local (fresh d_*) dirs
+    val dirs2 = Versioned.dataDirsOf(spark, dst, 2)
+    val srcAbs = new org.apache.hadoop.fs.Path(src).toUri.getPath
+    assert(dirs2.exists(_.contains(srcAbs)) && dirs2.exists(_.startsWith("d_")),
+      s"expected shared + local dirs, got $dirs2")
+    // the clone's vacuum retires ITS versions but can never delete source files
+    Versioned.vacuum(spark, dst, keep = Set(2), retentionMs = -1)
+    assert(dataDirFiles(src, 1) == srcFiles, "clone vacuum must not reach into the source")
+    assert(Versioned.readAt(spark, dst, 2).count() == 9)
+    // clone targets must be virgin tables
+    intercept[IllegalArgumentException] {
+      Versioned.cloneTable(spark, src, dst)
+    }
+  }
+
+  test("q228 per-file key blooms: in-range absent keys skip files, no false negatives, saturated filters degrade to range") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tbl = freshTable("bloom")
+    // even keys 2..16 in 4 files [2,4] [6,8] [10,12] [14,16]: every odd
+    // key is inside some file's RANGE but in no file
+    Versioned.publish(spark, tbl,
+      (1L to 8L).map(k => (2 * k, k * 10, "a")).toDF("k", "v", "p")
+        .repartitionByRange(4, col("k")),
+      partCol = Some("p"), fileStatsKey = Some("k"))
+    assert(Versioned.bloomCoverage(spark, tbl, 1) == 1.0)
+    // absent odd key: range selects its covering file, the bloom skips it
+    val rangeOnly = Versioned.lookupFiles(spark, tbl, Seq(7L), useBloom = false)
+    val withBloom = Versioned.lookupFiles(spark, tbl, Seq(7L), useBloom = true)
+    assert(rangeOnly.size == 1, s"range must cover key 7: $rangeOnly")
+    assert(withBloom.isEmpty, s"bloom must prove key 7 absent: $withBloom")
+    // no false negatives: every present key's file survives the bloom probe
+    val present = Seq(2L, 8L, 14L)
+    assert(Versioned.lookupFiles(spark, tbl, present, useBloom = true) ==
+      Versioned.lookupFiles(spark, tbl, present, useBloom = false))
+    // lookupKeys: exact rows for mixed present/absent probes
+    assert(Versioned.lookupKeys(spark, tbl, Seq(7L, 8L))
+      .as[(Long, Long, String)].collect().toSet == Set((8L, 40L, "a")))
+    // mergeByFiles pruning: an unmatched-U on an in-range absent key
+    // rewrites NOTHING (without the bloom it would rewrite the covering
+    // file with identical content)
+    val v2 = Versioned.mergeByFiles(spark, tbl,
+      Seq((7L, 77L, "a", "U")).toDF("k", "v", "p", "_op"), "k", "p")
+    assert(Versioned.fileEntriesOf(spark, tbl, v2).toSet ==
+      Versioned.fileEntriesOf(spark, tbl, 1).toSet,
+      "bloom-negative unmatched update must splice everything")
+    // the bitset itself: no false negatives over a wide key sample
+    val buf = new Array[Byte](graft.tables.KeyBloom.NumBytes)
+    val keys = (0 until 500).map(i => i * 2654435761L + 17)
+    keys.foreach(graft.tables.KeyBloom.add(buf, _))
+    assert(keys.forall(graft.tables.KeyBloom.mightContain(buf, _)),
+      "a bloom false negative is a correctness bug, not a perf miss")
+    // the DSv2 connector plans the same skip for a point equality: an
+    // in-range absent key reads ZERO files, a present key exactly one
+    def srcEq(key: Long) = spark.read.format("graft.sources.VersionedSource")
+      .option("versionAsOf", "1").load(tbl)
+      .filter(col("k") === key)
+    assert(srcEq(7L).rdd.getNumPartitions == 0,
+      "SQL point lookup on an absent key must plan zero file splits")
+    assert(srcEq(8L).rdd.getNumPartitions == 1 && srcEq(8L).count() == 1)
+    // saturation: one file with thousands of keys serializes as '-' and
+    // the probe degrades to range-only (never a wrong skip)
+    val sat = freshTable("bloomsat")
+    Versioned.publish(spark, sat,
+      (1L to 3000L).map(k => (2 * k, k, "a")).toDF("k", "v", "p")
+        .repartitionByRange(1, col("k")),
+      partCol = Some("p"), fileStatsKey = Some("k"))
+    assert(Versioned.bloomCoverage(spark, sat, 1) == 0.0,
+      "a >half-full filter must serialize as saturated")
+    assert(Versioned.lookupFiles(spark, sat, Seq(7L), useBloom = true).size == 1,
+      "saturated blooms must fall back to the range probe")
+  }
 }
