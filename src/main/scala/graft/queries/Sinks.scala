@@ -701,6 +701,40 @@ object Sinks {
       .orderBy("o_year")
   }
 
+  /** q229 — DELETION VECTORS (`Versioned.deleteKeys`): a small point
+    * delete (one 2% key band of 1995, GDPR-shaped) against a zero-copy
+    * clone of the file-granular orders table writes NO data files — each
+    * affected entry is repointed at a metadata-sized sidecar of deleted
+    * keys and every read path subtracts them (SinksSpec pins data files
+    * byte-identical, time travel to the pre-delete version, DV merging on
+    * repeated deletes, materialization on rewrite, re-insert of a
+    * DV-deleted key, and the DSv2 reader subtracting even when the key
+    * column is projected out). This is the Delta DV / Iceberg delete-file
+    * write-amplification fix: at 100 TB, deleting a user's rows costs
+    * sidecars ∝ affected files, not file rewrites. The oracle replays the
+    * band delete relationally — the hash proves the sidecar subtraction
+    * equals a real delete.
+    */
+  def deletionVectors(spark: SparkSession, dir: String): DataFrame = {
+    val src = ordersVersionedFiles(spark, dir)
+    val dst = tmpOut(dir, "dv_vt")
+    deleteTree(dst)
+    Versioned.cloneTable(spark, src, dst, version = Some(1))
+    val y95 = Versioned.readAt(spark, dst, 1).filter(col("o_year") === 1995)
+    val mm = y95.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    def cut(i: Long) = lo + (hi - lo + 1) * i / 50
+    // The band's keys, collected as the point-delete list (metadata-sized)
+    val keys = y95.filter(col("o_orderkey") >= cut(30) && col("o_orderkey") < cut(31))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    val v = if (keys.isEmpty) 1 else Versioned.deleteKeys(spark, dst, keys)
+    Versioned.readAt(spark, dst, v)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .orderBy("o_year")
+  }
+
   // q214's substrate: orders staged as v1, one deterministic tagged MERGE
   // applied as v2 — built once per corpus, reused across sessions behind
   // the usual validation (count + the idempotence tag present).
@@ -1365,6 +1399,7 @@ object Sinks {
     "q226_merge_occ_rebase"     -> mergeOccRebase _,
     "q227_shallow_clone"        -> shallowClone _,
     "q228_bloom_point_lookup"   -> bloomPointLookup _,
+    "q229_deletion_vectors"     -> deletionVectors _,
     "q144_lines_write_roundtrip" -> linesWriteRoundtrip _,
     "q133_lines_source_roundtrip" -> linesSourceRoundtrip _,
     "q126_schema_evolution" -> schemaEvolution _,
@@ -1436,6 +1471,23 @@ object Sinks {
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
         |FROM merged GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // The band delete replayed relationally: sidecar subtraction must
+    // equal a real DELETE of exactly those keys.
+    "q229_deletion_vectors" ->
+      """WITH tgt AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders),
+        |b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi
+        |      FROM tgt WHERE o_year = 1995)
+        |SELECT o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM tgt, b
+        |WHERE NOT (o_year = 1995
+        |           AND o_orderkey >= lo + (hi - lo + 1) * 30 // 50
+        |           AND o_orderkey <  lo + (hi - lo + 1) * 31 // 50)
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
     // Only the PRESENT probes (o_orderkey ≡ 41 mod 100 in 1995) can
     // surface rows — the odd absent probes must contribute nothing, no
     // matter which files the blooms let through.

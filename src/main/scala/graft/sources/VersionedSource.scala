@@ -130,11 +130,16 @@ final class VersionedScanBuilder(path: String, version: Int, full: StructType,
 }
 
 /** One parquet file plus the partition-column constant its directory
-  * encodes (name, raw string value; null string = Hive default partition).
+  * encodes (name, raw string value; null string = Hive default partition)
+  * and, when the manifest carries a deletion vector for the file, the
+  * deleted keys to subtract (metadata-sized; `dvKeyCol` names the column).
   */
 final case class VersionedPartition(file: String,
                                     constCol: String,
-                                    constVal: String) extends InputPartition
+                                    constVal: String,
+                                    dvKeyCol: String = null,
+                                    dvKeys: Array[Long] = Array.empty)
+    extends InputPartition
 
 final class VersionedScan(path: String, version: Int, full: StructType,
                           required: StructType, statsKey: Option[String],
@@ -184,16 +189,26 @@ final class VersionedScan(path: String, version: Int, full: StructType,
       }
 
     Versioned.entriesOf(spark, path, version)
-      .filter { case (p, _, _, kmin, kmax, bloom) =>
+      .filter { case (p, _, _, kmin, kmax, bloom, _) =>
         partSurvives(p) && fileSurvives(kmin, kmax, bloom) }
-      .flatMap { case (p, dd, file, _, _, _) =>
+      .flatMap { case (p, dd, file, _, _, _, dv) =>
         val (constCol, constVal) =
           if (p == "-") (null: String, null: String) else partValue(p)
+        // Deletion vector: resolve the deleted keys at planning time
+        // (metadata-sized) so the reader can subtract them row-by-row —
+        // the scan must never serve a deleted row.
+        val (dvCol, dvKeys) = dv match {
+          case Some(d) =>
+            (statsKey.getOrElse(throw new IllegalStateException(
+              s"entry carries a deletion vector but v$version has no #statskey")),
+             Versioned.dvKeysOf(spark, path, d))
+          case None => (null: String, Array.empty[Long])
+        }
         file match {
           case Some(f) =>
             Seq(VersionedPartition(
               new org.apache.hadoop.fs.Path(fsPath, s"$dd/$p/$f").toString,
-              constCol, constVal))
+              constCol, constVal, dvCol, dvKeys))
           case None =>
             val dir = new org.apache.hadoop.fs.Path(fsPath,
               if (p == "-") dd else s"$dd/$p")
@@ -207,19 +222,22 @@ final class VersionedScan(path: String, version: Int, full: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new VersionedReaderFactory(required)
+    new VersionedReaderFactory(required, full)
 }
 
-final class VersionedReaderFactory(required: StructType)
+final class VersionedReaderFactory(required: StructType, full: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[VersionedPartition]
-    new VersionedPartitionReader(p.file, p.constCol, p.constVal, required)
+    new VersionedPartitionReader(p.file, p.constCol, p.constVal, required,
+      full, p.dvKeyCol, p.dvKeys)
   }
 }
 
 final class VersionedPartitionReader(file: String, constCol: String,
-                                     constVal: String, required: StructType)
+                                     constVal: String, required: StructType,
+                                     full: StructType, dvKeyCol: String,
+                                     dvKeys: Array[Long])
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.hadoop.ParquetReader
@@ -236,9 +254,34 @@ final class VersionedPartitionReader(file: String, constCol: String,
       (_: Group) => v
     } else (g: Group) => GroupRows.value(g, f)
   }
+  // Deletion-vector subtraction: the key is decoded from the FULL schema
+  // (it may be projected out of `required`), so a pruned scan still never
+  // serves a deleted row.
+  private val dvSet: java.util.HashSet[java.lang.Long] =
+    if (dvKeys.isEmpty) null
+    else {
+      val s = new java.util.HashSet[java.lang.Long](dvKeys.length * 2)
+      dvKeys.foreach(k => s.add(k))
+      s
+    }
+  private val dvGetter: Group => Long =
+    if (dvSet == null) null
+    else {
+      val f = full.fields(full.fieldIndex(dvKeyCol))
+      (g: Group) => GroupRows.value(g, f) match {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+        case s: java.lang.Short => s.longValue()
+        case b: java.lang.Byte => b.longValue()
+        case other => throw new IllegalStateException(
+          s"deletion-vector key $dvKeyCol decoded as non-integral $other")
+      }
+    }
 
   override def next(): Boolean = {
     current = reader.read()
+    while (current != null && dvSet != null && dvSet.contains(dvGetter(current)))
+      current = reader.read()
     current != null
   }
   override def get(): InternalRow =

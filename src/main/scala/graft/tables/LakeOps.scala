@@ -229,11 +229,14 @@ object Versioned {
                            kmin: Option[Long] = None,
                            kmax: Option[Long] = None,
                            nrows: Option[Long] = None,
-                           bloom: Option[String] = None) {
+                           bloom: Option[String] = None,
+                           dv: Option[String] = None) {
     def serialized: String = (file, nrows) match {
       case (Some(f), Some(n)) =>
         s"$partDir\t$dataDir\t$f\t${kmin.get}\t${kmax.get}\t$n" +
-          bloom.map("\t" + _).getOrElse("")
+          (if (dv.isDefined)
+            s"\t${bloom.getOrElse(KeyBloom.Saturated)}\t${dv.get}"
+          else bloom.map("\t" + _).getOrElse(""))
       case (Some(f), None) => s"$partDir\t$dataDir\t$f\t${kmin.get}\t${kmax.get}"
       case _ => s"$partDir\t$dataDir"
     }
@@ -243,7 +246,8 @@ object Versioned {
     val f = l.split("\t", -1)
     if (f.length >= 7) Entry(f(0), f(1), Some(f(2)), Some(f(3).toLong),
       Some(f(4).toLong), Some(f(5).toLong),
-      Some(f(6)).filter(_ != KeyBloom.Saturated))
+      Some(f(6)).filter(_ != KeyBloom.Saturated),
+      if (f.length >= 8) Some(f(7)) else None)
     else if (f.length >= 6) Entry(f(0), f(1), Some(f(2)), Some(f(3).toLong),
       Some(f(4).toLong), Some(f(5).toLong))
     else if (f.length >= 5) Entry(f(0), f(1), Some(f(2)), Some(f(3).toLong), Some(f(4).toLong))
@@ -552,21 +556,81 @@ object Versioned {
   /** A DataFrame over a subset of manifest entries (dir- or file-level),
     * partition column recovered via per-data-dir basePath reads.
     */
-  private def readEntries(spark: SparkSession, table: Path, entries: Seq[Entry]): DataFrame =
-    entries.groupBy(_.dataDir).toSeq.sortBy(_._1).map { case (dd, es) =>
-      val base = new Path(table, dd)
-      val paths = es.map { e =>
-        // partDir "-" = an unpartitioned snapshot entry: the data dir root
-        val rel = (e.partDir, e.file) match {
-          case ("-", Some(f)) => f
-          case ("-", None) => ""
-          case (p, Some(f)) => s"$p/$f"
-          case (p, None) => p
-        }
-        (if (rel.isEmpty) base else new Path(base, rel)).toString
+  /** Serialized deletion vector: `#key <col>` then one deleted key per
+    * line. Metadata-sized by contract (a DV exists precisely because the
+    * delete was small relative to the file).
+    */
+  private def writeDvFile(fsys: FileSystem, path: Path,
+                          keyCol: String, keys: Seq[Long]): Unit = {
+    fsys.mkdirs(path.getParent)
+    val out = fsys.create(path, false)
+    try out.write((s"#key\t$keyCol\n" + keys.sorted.mkString("", "\n", "\n"))
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[graft] def readDvFile(fsys: FileSystem, path: Path): (String, Array[Long]) = {
+    val in = fsys.open(path)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+    val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
+    require(lines.headOption.exists(_.startsWith("#key\t")),
+      s"malformed deletion vector at $path")
+    (lines.head.stripPrefix("#key\t"), lines.tail.map(_.toLong).toArray)
+  }
+
+  private def readEntries(spark: SparkSession, table: Path, entries: Seq[Entry]): DataFrame = {
+    def pathOf(e: Entry): Path = {
+      val base = new Path(table, e.dataDir)
+      // partDir "-" = an unpartitioned snapshot entry: the data dir root
+      val rel = (e.partDir, e.file) match {
+        case ("-", Some(f)) => f
+        case ("-", None) => ""
+        case (p, Some(f)) => s"$p/$f"
+        case (p, None) => p
       }
-      spark.read.option("basePath", base.toString).parquet(paths: _*)
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+      if (rel.isEmpty) base else new Path(base, rel)
+    }
+    // Deletion vectors are scoped to THEIR file: the subtraction must be
+    // per-entry, never a global anti-filter — after a DV delete of key k,
+    // a later merge may legitimately re-insert k into a NEW file, and a
+    // global filter would wrongly kill the live reincarnation. So DV'd
+    // entries read individually (their count is bounded by the DV
+    // contract: point deletes, drained by the next rewrite/compaction)
+    // while DV-free entries keep the bulk per-data-dir fast path.
+    val (dvd, clean) = entries.partition(_.dv.isDefined)
+    val bulk = clean.groupBy(_.dataDir).toSeq.sortBy(_._1).map { case (dd, es) =>
+      val base = new Path(table, dd)
+      spark.read.option("basePath", base.toString)
+        .parquet(es.map(pathOf(_).toString): _*)
+    }
+    val subtracted = if (dvd.isEmpty) Seq.empty else {
+      val fsys = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      dvd.sortBy(e => (e.dataDir, e.partDir, e.file)).map { e =>
+        val (keyCol, keys) = readDvFile(fsys, new Path(table, e.dv.get))
+        val df = spark.read
+          .option("basePath", new Path(table, e.dataDir).toString)
+          .parquet(pathOf(e).toString)
+        if (keys.isEmpty) df
+        else {
+          val keyed = col(keyCol).cast("long")
+          if (keys.length <= 64)
+            df.filter(!keyed.isin(keys.map(java.lang.Long.valueOf): _*))
+          else {
+            import spark.implicits._
+            df.join(broadcast(keys.toSeq.toDF("_dv_k")),
+              keyed === col("_dv_k"), "left_anti")
+          }
+        }
+      }
+    }
+    (bulk ++ subtracted).reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   def readAt(spark: SparkSession, tablePath: String, version: Int): DataFrame = {
     val (fsys, table) = fs(spark, tablePath)
@@ -921,6 +985,72 @@ object Versioned {
     cd
   }
 
+  /** DELETE by key via DELETION VECTORS — the public Delta DV / Iceberg
+    * delete-file idea re-derived key-based under the store's unique-key
+    * contract: instead of rewriting a whole file to drop a few rows, the
+    * new version's manifest points the affected entries at a sidecar
+    * listing the deleted keys, and every read path subtracts them
+    * (`readEntries` applies one global anti-filter — sound because a key
+    * lives in at most one file). The data files are NOT touched: a small
+    * delete on a 100 TB table costs one metadata-sized sidecar per
+    * affected file instead of a file rewrite — the write-amplification
+    * fix that makes frequent GDPR-style point deletes affordable. DVs are
+    * MATERIALIZED away by any rewrite of the file (merge, compact,
+    * optimize all read through the DV), deletes on an already-DV'd file
+    * merge into a fresh sidecar (versions stay immutable), time travel
+    * before the delete still serves the rows, and vacuum retires sidecar
+    * dirs with the manifests that reference them. The key list is
+    * metadata-sized by contract — a large delete wants [[deleteWhere]] /
+    * [[mergeByFiles]], which rewrite.
+    */
+  def deleteKeys(spark: SparkSession, tablePath: String, keys: Seq[Long],
+                 expectedLatest: Option[Int] = None,
+                 recordChanges: Boolean = false): Int = {
+    val (fsys, table) = fs(spark, tablePath)
+    val base = latestVersion(spark, tablePath)
+    val baseEntries = readManifest(fsys, table, base)
+    require(baseEntries.forall(_.file.isDefined),
+      "deleteKeys needs a file-granular table (publish with fileStatsKey)")
+    val keyCol = headerLine(fsys, table, base, "#statskey\t").getOrElse(
+      throw new IllegalArgumentException(
+        s"v$base of $tablePath carries no #statskey — deletion vectors key on it"))
+    val sorted = keys.distinct.sorted.toArray
+    require(sorted.nonEmpty, "deleteKeys: empty key list")
+    // Only files that can HOLD a deleted key need a sidecar (range +
+    // bloom probe); a key beyond every file is a no-op by construction.
+    val victims = baseEntries.filter(coversAnyKey(_, sorted))
+    if (victims.isEmpty) return base
+    val victimSet = victims.toSet
+    // Recorded pre-images must be captured BEFORE the new DVs exist:
+    // readEntries applies the victims' OLD sidecars, so re-deleted keys
+    // (already absent) contribute no image.
+    val feedDir =
+      if (!recordChanges) None
+      else {
+        val pre = readEntries(spark, table, victims).filter(
+          col(keyCol).cast("long").isin(sorted.map(java.lang.Long.valueOf): _*))
+        Some(writeChangeFeed(fsys, table, pre, pre.limit(0)))
+      }
+    val dvDir = newDataDir(fsys, table)
+    val fresh = victims.map { e =>
+      val mine = sorted.filter(k => e.kmin.get <= k && k <= e.kmax.get &&
+        e.bloom.forall(b => KeyBloom.mightContain(KeyBloom.fromHex(b), k))).toSeq
+      val merged = e.dv match {
+        case Some(old) => (readDvFile(fsys, new Path(table, old))._2 ++ mine).distinct.toSeq
+        case None => mine
+      }
+      val rel = s"${dvDir.getName}/${e.partDir}/${e.file.get}.dv"
+      writeDvFile(fsys, new Path(table, rel), keyCol, merged)
+      e.copy(dv = Some(rel))
+    }
+    commit(fsys, table, spark, baseEntries.filterNot(victimSet) ++ fresh,
+      expectedLatest.orElse(Some(base)), Seq(dvDir) ++ feedDir.toSeq,
+      schema = readSchemaLine(fsys, table, base),
+      changesDir = feedDir.map(_.getName),
+      statsKey = Some(keyCol),
+      constraints = constraintLines(fsys, table, base), op = "DELETE_DV")
+  }
+
   /** File-scoped MERGE — the q208 manifest idea applied to the merge
     * scope (Delta/Iceberg rewrite only AFFECTED FILES, not partitions):
     * against a file-granular base version, only the files whose
@@ -1252,10 +1382,20 @@ object Versioned {
     * partition-granular entries. Metadata only.
     */
   private[graft] def entriesOf(spark: SparkSession, tablePath: String, v: Int)
-      : Seq[(String, String, Option[String], Option[Long], Option[Long], Option[String])] = {
+      : Seq[(String, String, Option[String], Option[Long], Option[Long],
+             Option[String], Option[String])] = {
     val (fsys, table) = fs(spark, tablePath)
     readManifest(fsys, table, v)
-      .map(e => (e.partDir, e.dataDir, e.file, e.kmin, e.kmax, e.bloom))
+      .map(e => (e.partDir, e.dataDir, e.file, e.kmin, e.kmax, e.bloom, e.dv))
+  }
+
+  /** Deleted keys of a serialized deletion-vector path — planning-time
+    * helper for the DSv2 connector (metadata-sized by the DV contract).
+    */
+  private[graft] def dvKeysOf(spark: SparkSession, tablePath: String,
+                              dvPath: String): Array[Long] = {
+    val (fsys, table) = fs(spark, tablePath)
+    readDvFile(fsys, new Path(table, dvPath))._2
   }
 
   /** Bloom probe over a serialized filter — planning-time helper for the
@@ -1271,7 +1411,7 @@ object Versioned {
       : Seq[(String, String, String, Long, Long)] = {
     val (fsys, table) = fs(spark, tablePath)
     readManifest(fsys, table, v).collect {
-      case Entry(p, d, Some(f), Some(lo), Some(hi), _, _) => (p, d, f, lo, hi)
+      case Entry(p, d, Some(f), Some(lo), Some(hi), _, _, _) => (p, d, f, lo, hi)
     }
   }
 
@@ -1498,7 +1638,9 @@ object Versioned {
     val (dfs, dst) = fs(spark, dstPath)
     require(latestVersion(spark, dstPath) == 0,
       s"clone target $dstPath already has versions — clone creates tables, not branches")
-    val abs = entries.map(e => e.copy(dataDir = new Path(srcQ, e.dataDir).toString))
+    val abs = entries.map(e => e.copy(
+      dataDir = new Path(srcQ, e.dataDir).toString,
+      dv = e.dv.map(d => new Path(srcQ, d).toString)))
     commit(dfs, dst, spark, abs, Some(0), Seq.empty,
       schema = readSchemaLine(sfs, src, v),
       statsKey = headerLine(sfs, src, v, "#statskey\t"),
@@ -1738,7 +1880,10 @@ object Versioned {
         (!isCommitted(fsys, table, v) || v > maxKeep))
     val liveVs = (kept ++ protectedV).filter(isCommitted(fsys, table, _))
     val liveDirs = liveVs
-      .flatMap(v => readManifest(fsys, table, v).map(_.dataDir)).toSet ++
+      .flatMap(v => readManifest(fsys, table, v).flatMap(e =>
+        // a deletion-vector sidecar dir is live while any kept manifest's
+        // entry points into it
+        e.dataDir +: e.dv.map(_.split('/').head).toSeq)).toSet ++
       liveVs.flatMap(v => headerLine(fsys, table, v, "#changes\t")).toSet
     dropped.filterNot(protectedV.contains)
       .foreach(v => fsys.delete(manifestPath(table, v), false))

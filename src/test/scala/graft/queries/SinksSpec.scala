@@ -1098,4 +1098,66 @@ class SinksSpec extends SparkSpec {
     assert(Versioned.lookupFiles(spark, sat, Seq(7L), useBloom = true).size == 1,
       "saturated blooms must fall back to the range probe")
   }
+
+  test("q229 deletion vectors: data files untouched, reads subtract, DVs merge, rewrites materialize, re-insert lands") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tbl = freshTable("dv")
+    Versioned.publish(spark, tbl,
+      (1L to 8L).map(k => (k, k * 10, "a")).toDF("k", "v", "p")
+        .repartitionByRange(4, col("k")),
+      partCol = Some("p"), fileStatsKey = Some("k"))
+    val files1 = dataDirFiles(tbl, 1)
+    // delete keys 3 and 7 (two different files) + 999 (beyond every range)
+    val v2 = Versioned.deleteKeys(spark, tbl, Seq(3L, 7L, 999L),
+      recordChanges = true)
+    assert(v2 == 2)
+    // THE deletion-vector property: not one parquet byte changed
+    assert(dataDirFiles(tbl, 2) == files1,
+      "a DV delete must not rewrite or add any data file")
+    assert(Versioned.readAt(spark, tbl, 2).as[(Long, Long, String)].collect().toSet ==
+      (1L to 8L).filterNot(k => k == 3 || k == 7).map(k => (k, k * 10, "a")).toSet)
+    // time travel still serves the deleted rows
+    assert(Versioned.readAt(spark, tbl, 1).count() == 8)
+    // recorded feed carries exactly the deleted pre-images
+    assert(Versioned.recordedChanges(spark, tbl, 1, 2)
+      .select("k", "_change").as[(Long, String)].collect().toSet ==
+      Set((3L, "delete"), (7L, "delete")))
+    // lookupKeys and the DSv2 reader both subtract — the latter even with
+    // the key column projected away
+    assert(Versioned.lookupKeys(spark, tbl, Seq(3L, 4L))
+      .as[(Long, Long, String)].collect().toSet == Set((4L, 40L, "a")))
+    val viaSql = spark.read.format("graft.sources.VersionedSource")
+      .option("versionAsOf", "2").load(tbl).select("v")
+      .as[Long].collect().toSet
+    assert(viaSql == (1L to 8L).filterNot(k => k == 3 || k == 7).map(_ * 10).toSet,
+      s"DSv2 scan served a deleted row: $viaSql")
+    // a second delete on an already-DV'd file merges the sidecars
+    val v3 = Versioned.deleteKeys(spark, tbl, Seq(4L))
+    assert(Versioned.readAt(spark, tbl, v3).as[(Long, Long, String)].collect().toSet ==
+      Set((1L, 10L, "a"), (2L, 20L, "a"), (5L, 50L, "a"), (6L, 60L, "a"),
+          (8L, 80L, "a")))
+    // a rewrite MATERIALIZES the DV: update key 8 rewrites [7,8]; 7 stays
+    // gone and the fresh entry carries no sidecar
+    val v4 = Versioned.mergeByFiles(spark, tbl,
+      Seq((8L, 88L, "a", "U")).toDF("k", "v", "p", "_op"), "k", "p")
+    assert(Versioned.readAt(spark, tbl, v4).as[(Long, Long, String)].collect().toSet ==
+      Set((1L, 10L, "a"), (2L, 20L, "a"), (5L, 50L, "a"), (6L, 60L, "a"),
+          (8L, 88L, "a")))
+    // a DV-deleted key is really gone: re-INSERT must land (the membership
+    // check reads through the sidecar)
+    val v5 = Versioned.mergeByFiles(spark, tbl,
+      Seq((3L, 333L, "a", "I")).toDF("k", "v", "p", "_op"), "k", "p")
+    assert(Versioned.readAt(spark, tbl, v5).as[(Long, Long, String)].collect().toSet
+      .contains((3L, 333L, "a")))
+    // compaction drains every sidecar: all entries fresh, rows preserved
+    val v6 = Versioned.compactFiles(spark, tbl, "p=a", "k", "p")
+    assert(Versioned.readAt(spark, tbl, v6).as[(Long, Long, String)].collect().toSet ==
+      Versioned.readAt(spark, tbl, v5).as[(Long, Long, String)].collect().toSet)
+    // vacuum retires sidecar dirs with their manifests; the compacted
+    // version (no DV refs left) survives intact
+    Versioned.vacuum(spark, tbl, keep = Set(v6), retentionMs = -1)
+    assert(Versioned.readAt(spark, tbl, v6).count() == 6)
+    intercept[Exception] { Versioned.readAt(spark, tbl, 2).count() }
+  }
 }
