@@ -735,6 +735,125 @@ object Sinks {
       .orderBy("o_year")
   }
 
+  /** q230 — DSv2 STREAMING SINK into the store
+    * (`graft.sources.VersionedSink`): the engine-native
+    * `writeStream.format(...)` surface replaces q213's hand-rolled
+    * foreachBatch recipe — 1995's orders arrive as a 3-shard file stream
+    * (`maxFilesPerTrigger = 1`) and each micro-batch epoch commits as ONE
+    * tagged APPEND version: executors write the epoch's parquet files
+    * straight into a staged layout (one file per partition value per
+    * task, the same `col=value` shape Spark's writer produces, per-file
+    * key stats + blooms recorded on adoption), and the driver promotes
+    * exactly the files named in the epoch's commit messages before the
+    * manifest CAS — a failed attempt's orphans die with the staging dir,
+    * and a replayed epoch finds its `sink_<query>_<epoch>` tag and is a
+    * no-op (SourcesSpec pins the mid-stream checkpointed restart and the
+    * adoption idempotence). The oracle aggregates the source: batch base
+    * + streamed year must equal the table exactly.
+    */
+  def streamSinkAppend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tbl = tmpOut(dir, "sink_vt")
+    val stage = tmpOut(dir, "sink_shards")
+    val ckpt = tmpOut(dir, "sink_ck")
+    val base = orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+      year(col("o_orderdate")).as("o_year"))
+    val expected = base.count()
+    val valid = try {
+      Versioned.latestVersion(spark, tbl) >= 2 &&
+        Versioned.read(spark, tbl).count() == expected
+    } catch { case _: Exception => false }
+    if (!valid) {
+      deleteTree(tbl); deleteTree(stage); deleteTree(ckpt)
+      Versioned.publish(spark, tbl, base.filter(col("o_year") =!= 1995),
+        partCol = Some("o_year"), fileStatsKey = Some("o_orderkey"))
+      val y95 = base.filter(col("o_year") === 1995)
+      (0 until 3).foreach(i => y95.filter(col("o_orderkey") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(stage))
+      val sch = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_price_c", LongType), StructField("o_year", IntegerType)))
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .writeStream.format("graft.sources.VersionedSink")
+        .option("checkpointLocation", ckpt)
+        .option("partCol", "o_year")
+        .option("fileStatsKey", "o_orderkey")
+        .start(tbl)
+      try q.processAllAvailable() finally q.stop()
+    }
+    Versioned.read(spark, tbl)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .orderBy("o_year")
+  }
+
+  // q231's substrate: orders published file-granular (v1, range layout on
+  // the key), then OPTIMIZE ZORDER BY (o_orderkey, o_custkey) as v2 —
+  // per-file bounds recorded on BOTH columns. Built once per corpus,
+  // reuse validated on the #statskey2 header + row count.
+  private val zorderCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def ordersZOrdered(spark: SparkSession, dir: String): String =
+    zorderCache.synchronized { zorderCache.getOrElseUpdate((sessionKey(spark), dir), {
+      val tbl = tmpOut(dir, "zorder_vt")
+      val base = orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+        year(col("o_orderdate")).as("o_year"))
+      val valid = try {
+        Versioned.latestVersion(spark, tbl) >= 2 &&
+          Versioned.statsKey2Of(spark, tbl, 2).contains("o_custkey") &&
+          Versioned.readAt(spark, tbl, 2).count() == base.count()
+      } catch { case _: Exception => false }
+      if (!valid) {
+        deleteTree(tbl)
+        Versioned.publish(spark, tbl,
+          base.repartitionByRange(32, col("o_year"), col("o_orderkey")),
+          partCol = Some("o_year"), fileStatsKey = Some("o_orderkey"))
+        Versioned.optimizeZOrder(spark, tbl, "o_orderkey", "o_year",
+          "o_custkey", filesPerPart = 6)
+      }
+      tbl
+    }) }
+
+  /** q231 — OPTIMIZE ZORDER + 2-D file skipping
+    * (`Versioned.optimizeZOrder` + the DSv2 scan's `#statskey2` bounds):
+    * the table is rewritten clustered on the Morton interleave of
+    * (o_orderkey, o_custkey) — rows close in BOTH dimensions share files,
+    * so per-file bounds tighten on both columns — and a 2-D box query
+    * through the SQL connector skips every file whose rectangle misses
+    * the box (SinksSpec pins that the box plans strictly fewer file
+    * splits than the pre-z-order layout AND that a second-dimension-only
+    * predicate prunes where the linear layout cannot; merges after
+    * z-order drop the second-dimension stats SAFELY — off, never wrong).
+    * This is the layout maintenance a 100 TB fact table runs to make
+    * multi-dimension dashboards skip instead of scan. The oracle replays
+    * the box relationally — z-order may change layout, never content.
+    */
+  def zorderBoxQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = ordersZOrdered(spark, dir)
+    val v1 = Versioned.readAt(spark, tbl, 1)
+    val mm = v1.agg(min("o_orderkey"), max("o_orderkey"),
+      min("o_custkey"), max("o_custkey")).head()
+    val (klo, khi, clo, chi) =
+      (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+    def kcut(i: Long) = klo + (khi - klo + 1) * i / 50
+    def ccut(i: Long) = clo + (chi - clo + 1) * i / 50
+    spark.read.format("graft.sources.VersionedSource")
+      .option("versionAsOf", "2").load(tbl)
+      .filter(col("o_orderkey") >= kcut(20) && col("o_orderkey") < kcut(30) &&
+              col("o_custkey") >= ccut(20) && col("o_custkey") < ccut(30))
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .orderBy("o_year")
+  }
+
   // q214's substrate: orders staged as v1, one deterministic tagged MERGE
   // applied as v2 — built once per corpus, reused across sessions behind
   // the usual validation (count + the idempotence tag present).
@@ -1400,6 +1519,8 @@ object Sinks {
     "q227_shallow_clone"        -> shallowClone _,
     "q228_bloom_point_lookup"   -> bloomPointLookup _,
     "q229_deletion_vectors"     -> deletionVectors _,
+    "q230_stream_sink_append"   -> streamSinkAppend _,
+    "q231_zorder_box"           -> zorderBoxQuery _,
     "q144_lines_write_roundtrip" -> linesWriteRoundtrip _,
     "q133_lines_source_roundtrip" -> linesSourceRoundtrip _,
     "q126_schema_evolution" -> schemaEvolution _,
@@ -1471,6 +1592,33 @@ object Sinks {
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
         |FROM merged GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // The 2-D box replayed relationally — z-order changes layout only;
+    // cuts are the same integer arithmetic both engines compute.
+    "q231_zorder_box" ->
+      """WITH tgt AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders),
+        |b AS (SELECT min(o_orderkey) AS klo, max(o_orderkey) AS khi,
+        |             min(o_custkey) AS clo, max(o_custkey) AS chi FROM tgt)
+        |SELECT o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM tgt, b
+        |WHERE o_orderkey >= klo + (khi - klo + 1) * 20 // 50
+        |  AND o_orderkey <  klo + (khi - klo + 1) * 30 // 50
+        |  AND o_custkey >= clo + (chi - clo + 1) * 20 // 50
+        |  AND o_custkey <  clo + (chi - clo + 1) * 30 // 50
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // Batch base (≠1995) plus the streamed year must reassemble the
+    // source exactly — any lost or doubled epoch shifts a 1995 sum.
+    "q230_stream_sink_append" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS sum_price_c
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // The band delete replayed relationally: sidecar subtraction must
     // equal a real DELETE of exactly those keys.
     "q229_deletion_vectors" ->

@@ -1,0 +1,250 @@
+package graft.sources
+
+import graft.tables.Versioned
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, PhysicalWriteInfo, DataWriter, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 STREAMING SINK into a [[Versioned]] table — the standard
+  * `writeStream.format(...)` surface for continuous ingestion, replacing
+  * the hand-rolled foreachBatch recipe with the engine-native API:
+  *
+  * {{{
+  *   df.writeStream.format("graft.sources.VersionedSink")
+  *     .option("checkpointLocation", ckpt)
+  *     .option("partCol", "o_year")          // required: layout column
+  *     .option("fileStatsKey", "o_orderkey") // optional: keep file stats
+  *     .start(tablePath)                     // table must exist (v1 published)
+  * }}}
+  *
+  * Semantics (the public Delta streaming-sink design re-derived):
+  *  - each micro-batch epoch commits as ONE new table VERSION — an
+  *    append whose manifest splices the previous latest and adds exactly
+  *    the epoch's files;
+  *  - EXACTLY-ONCE across failures and restarts, twice over: the commit
+  *    adopts only the files named in the epoch's task commit MESSAGES
+  *    (a failed attempt's orphans are dropped with the staging dir), and
+  *    the version carries a `sink_<queryId>_<epochId>` idempotence tag —
+  *    a replayed epoch finds its tag committed and is a no-op;
+  *  - executors write parquet directly (parquet-hadoop Group writer, one
+  *    open file per partition VALUE per task — same `col=value` layout
+  *    as Spark's own partitioned writer, so every store read path, stats
+  *    scan and merge works on sink-written versions unchanged);
+  *  - readers are never blocked: until the manifest commit lands, the
+  *    staged files are invisible.
+  *
+  * Scale shape: the write itself is embarrassingly parallel (no shuffle
+  * — each task writes its partition values locally; pre-partition the
+  * stream by `partCol` upstream if small-files-per-epoch matter, then
+  * OPTIMIZE inside the store compacts what accumulates). The driver
+  * handles only file names and the manifest CAS.
+  *
+  * Scope: local/HDFS-default Hadoop configuration on executors (the
+  * writer opens files with a fresh `Configuration()`); supported column
+  * types are the store's partitionable scalars plus double — refuse
+  * anything else loudly at plan time, not mid-stream.
+  */
+class VersionedSink extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    require(path != null, "VersionedSink needs a table path")
+    val spark = SparkSession.active
+    val v = Versioned.latestVersion(spark, path)
+    require(v >= 1,
+      s"VersionedSink appends to an existing table — publish v1 of $path first")
+    Versioned.schemaOf(spark, path, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"v$v of $path records no schema — republish with a current writer"))
+  }
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new VersionedSinkTable(properties.get("path"), schema)
+}
+
+final class VersionedSinkTable(path: String, schema: StructType)
+    extends Table with SupportsWrite {
+  override def name(): String = s"graft-versioned-sink($path)"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.STREAMING_WRITE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new VersionedSinkWrite(
+        path, info.schema(), info.options(), info.queryId())
+    }
+}
+
+final class VersionedSinkWrite(path: String, schema: StructType,
+                               options: CaseInsensitiveStringMap,
+                               queryId: String)
+    extends Write with StreamingWrite {
+  private val partCol = {
+    val p = options.get("partCol")
+    require(p != null && schema.fieldNames.contains(p),
+      s"VersionedSink needs partCol among ${schema.fieldNames.mkString(",")}")
+    p
+  }
+  private val fileStatsKey = Option(options.get("fileStatsKey"))
+  // Fail unsupported column types at PLAN time.
+  VersionedSinkWriter.messageTypeOf(schema, partCol)
+
+  override def toStreaming: StreamingWrite = this
+
+  private def stagingRoot = new Path(path,
+    s"_sink_stage/${queryId.replaceAll("[^0-9a-zA-Z-]", "_")}")
+  private def fs(spark: SparkSession): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new VersionedSinkWriterFactory(stagingRoot.toString, schema, partCol)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fsys = fs(spark)
+    val epochDir = new Path(stagingRoot, epochId.toString)
+    val files = messages.flatMap(_.asInstanceOf[VersionedSinkFiles].files)
+    if (files.nonEmpty) {
+      // Adopt ONLY the committing attempt's files: a failed prior
+      // attempt's leftovers stay in the staging dir and die with it.
+      val dd = new Path(path,
+        s"d_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      files.foreach { case (partDir, name) =>
+        val to = new Path(dd, s"$partDir/$name")
+        fsys.mkdirs(to.getParent)
+        require(fsys.rename(new Path(epochDir, s"$partDir/$name"), to),
+          s"failed to promote staged file $partDir/$name for epoch $epochId")
+      }
+      Versioned.adoptStaged(spark, path, dd.getName,
+        tag = Some(s"sink_${queryId}_$epochId"), fileStatsKey = fileStatsKey)
+    }
+    fsys.delete(epochDir, true)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    fs(spark).delete(new Path(stagingRoot, epochId.toString), true)
+  }
+}
+
+final case class VersionedSinkFiles(files: Seq[(String, String)])
+    extends WriterCommitMessage
+
+final class VersionedSinkWriterFactory(stagingRoot: String, schema: StructType,
+                                       partCol: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new VersionedSinkWriter(stagingRoot, schema, partCol,
+      partitionId, taskId, epochId)
+}
+
+object VersionedSinkWriter {
+  import org.apache.parquet.schema.{MessageType, Types, LogicalTypeAnnotation}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  /** Data-file schema: every column EXCEPT the partition column (it is
+    * directory-encoded, exactly like Spark's partitioned writer).
+    */
+  private[graft] def messageTypeOf(schema: StructType, partCol: String): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.filter(_.name != partCol).foreach { f =>
+      f.dataType match {
+        case LongType => b.addField(Types.optional(INT64).named(f.name))
+        case IntegerType => b.addField(Types.optional(INT32).named(f.name))
+        case DoubleType => b.addField(Types.optional(DOUBLE).named(f.name))
+        case BooleanType => b.addField(Types.optional(BOOLEAN).named(f.name))
+        case StringType => b.addField(Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case other => throw new IllegalArgumentException(
+          s"VersionedSink does not write ${f.name}: $other — " +
+            "supported: long, int, double, boolean, string")
+      }
+    }
+    b.named("graft_sink")
+  }
+}
+
+final class VersionedSinkWriter(stagingRoot: String, schema: StructType,
+                                partCol: String, partitionId: Int,
+                                taskId: Long, epochId: Long)
+    extends DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.ParquetWriter
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.hadoop.metadata.CompressionCodecName
+  import org.apache.parquet.io.api.Binary
+
+  private val msgType = VersionedSinkWriter.messageTypeOf(schema, partCol)
+  private val factory = new SimpleGroupFactory(msgType)
+  private val partIdx = schema.fieldIndex(partCol)
+  private val dataFields = schema.fields.zipWithIndex.filter(_._1.name != partCol)
+  private val conf = new org.apache.hadoop.conf.Configuration()
+
+  // One open file per partition VALUE seen by this task.
+  private val open = scala.collection.mutable.LinkedHashMap
+    .empty[String, ParquetWriter[org.apache.parquet.example.data.Group]]
+  private val written = scala.collection.mutable.ListBuffer.empty[(String, String)]
+
+  private def fileName = s"part-$epochId-$partitionId-$taskId.parquet"
+
+  private def partDirOf(row: InternalRow): String = {
+    val raw =
+      if (row.isNullAt(partIdx)) null
+      else schema.fields(partIdx).dataType match {
+        case StringType => row.getUTF8String(partIdx).toString
+        case LongType => String.valueOf(row.getLong(partIdx))
+        case IntegerType => String.valueOf(row.getInt(partIdx))
+        case BooleanType => String.valueOf(row.getBoolean(partIdx))
+        case other => throw new IllegalArgumentException(
+          s"partition column $partCol: unsupported type $other")
+      }
+    ExternalCatalogUtils.getPartitionPathString(partCol, raw)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val partDir = partDirOf(row)
+    val w = open.getOrElseUpdate(partDir, {
+      val p = new Path(stagingRoot, s"$epochId/$partDir/$fileName")
+      written += ((partDir, fileName))
+      ExampleParquetWriter.builder(p).withConf(conf).withType(msgType)
+        .withCompressionCodec(CompressionCodecName.SNAPPY).build()
+    })
+    val g = factory.newGroup()
+    dataFields.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) f.dataType match {
+        case LongType => g.append(f.name, row.getLong(i))
+        case IntegerType => g.append(f.name, row.getInt(i))
+        case DoubleType => g.append(f.name, row.getDouble(i))
+        case BooleanType => g.append(f.name, row.getBoolean(i))
+        case StringType =>
+          g.append(f.name, Binary.fromString(row.getUTF8String(i).toString))
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+    }
+    w.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.values.foreach(_.close())
+    VersionedSinkFiles(written.toList)
+  }
+
+  override def abort(): Unit = {
+    open.values.foreach(w => try w.close() catch { case _: Throwable => () })
+    val fsys = new Path(stagingRoot).getFileSystem(conf)
+    written.foreach { case (partDir, name) =>
+      try fsys.delete(new Path(stagingRoot, s"$epochId/$partDir/$name"), false)
+      catch { case _: Throwable => () }
+    }
+  }
+
+  override def close(): Unit = ()
+}

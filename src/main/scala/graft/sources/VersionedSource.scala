@@ -83,12 +83,14 @@ final class VersionedTable(path: String, schema0: StructType,
     val spark = SparkSession.active
     val version = VersionedSource.resolveVersion(spark, options)
     new VersionedScanBuilder(path, version, schema0,
-      Versioned.statsKeyOf(spark, path, version))
+      Versioned.statsKeyOf(spark, path, version),
+      Versioned.statsKey2Of(spark, path, version))
   }
 }
 
 final class VersionedScanBuilder(path: String, version: Int, full: StructType,
-                                 statsKey: Option[String])
+                                 statsKey: Option[String],
+                                 statsKey2: Option[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -126,7 +128,8 @@ final class VersionedScanBuilder(path: String, version: Int, full: StructType,
     required = requiredSchema
 
   override def build(): Scan =
-    new VersionedScan(path, version, full, required, statsKey, longBounds, stringEq)
+    new VersionedScan(path, version, full, required, statsKey, statsKey2,
+      longBounds, stringEq)
 }
 
 /** One parquet file plus the partition-column constant its directory
@@ -143,9 +146,10 @@ final case class VersionedPartition(file: String,
 
 final class VersionedScan(path: String, version: Int, full: StructType,
                           required: StructType, statsKey: Option[String],
+                          statsKey2: Option[String],
                           longBounds: Map[String, (Long, Long)],
                           stringEq: Map[String, String])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -153,65 +157,116 @@ final class VersionedScan(path: String, version: Int, full: StructType,
       s"ReadSchema=${required.fieldNames.mkString(",")}, " +
       s"PruneBounds=${longBounds.map { case (c, (l, h)) => s"$c in [$l,$h]" }.mkString(";")}"
 
+  private def partValue(partDir: String): (String, String) = {
+    val cut = partDir.indexOf('=')
+    val colName = partDir.substring(0, cut)
+    val raw = ExternalCatalogUtils.unescapePathName(partDir.substring(cut + 1))
+    (colName, if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null else raw)
+  }
+  // Partition-value pruning against the directory-encoded constant.
+  private def partSurvives(partDir: String): Boolean = {
+    if (partDir == "-") return true
+    val (c, raw) = partValue(partDir)
+    if (raw == null) return !(longBounds.contains(c) || stringEq.contains(c))
+    stringEq.get(c).forall(_ == raw) && (longBounds.get(c) match {
+      case Some((lo, hi)) => raw.toLongOption.exists(v => lo <= v && v <= hi)
+      case None => true
+    })
+  }
+  // Manifest-stats file skipping on the recorded stats column: the
+  // [kmin, kmax] range first, then — for a POINT equality (lo == hi) —
+  // the per-file key Bloom filter, which skips files whose range covers
+  // the key but provably don't contain it (sound: no false negatives).
+  // A z-ordered version additionally carries per-file bounds on a SECOND
+  // column (`#statskey2`): a predicate there prunes on the same terms —
+  // entries lacking the bounds (post-z-order merge rewrites) survive.
+  private val keyBounds = statsKey.flatMap(k => longBounds.get(k))
+  private val key2Bounds = statsKey2.flatMap(k => longBounds.get(k))
+  private def fileSurvives(e: Versioned.EntryView): Boolean = {
+    val dim1 = (keyBounds, e.kmin, e.kmax) match {
+      case (Some((lo, hi)), Some(mn), Some(mx)) =>
+        mn <= hi && mx >= lo &&
+          (lo != hi || e.bloom.forall(Versioned.bloomMightContain(_, lo)))
+      case _ => true
+    }
+    val dim2 = (key2Bounds, e.k2min, e.k2max) match {
+      case (Some((lo, hi)), Some(mn), Some(mx)) => mn <= hi && mx >= lo
+      case _ => true
+    }
+    dim1 && dim2
+  }
+
+  // Entries left after ALL prunings — what the scan will actually open.
+  private lazy val survivors = Versioned
+    .entriesOf(SparkSession.active, path, version)
+    .filter(e => partSurvives(e.partDir) && fileSurvives(e))
+
+  /** Post-pruning size/row statistics from manifest metadata alone (the
+    * Delta/Iceberg pattern): row counts come from the per-file manifest
+    * entries minus their deletion vectors' key counts, bytes from one
+    * FileStatus per surviving file. Catalyst's join planning sees a
+    * PRUNED versioned table as exactly as small as it is — a dimension
+    * slice joins broadcast instead of shuffling both sides (pinned in
+    * SourcesSpec), which at 100 TB is the difference between a map-side
+    * join and a full shuffle of the fact table.
+    */
+  override def estimateStatistics(): Statistics = {
+    val spark = SparkSession.active
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fsys = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var bytes = 0L
+    var fileGranular = true
+    survivors.foreach { e =>
+      e.file match {
+        case Some(f) =>
+          bytes += fsys.getFileStatus(
+            new org.apache.hadoop.fs.Path(fsPath, s"${e.dataDir}/${e.partDir}/$f")).getLen
+        case None =>
+          fileGranular = false // dir-level entry: no per-file row counts
+          bytes += fsys.getContentSummary(new org.apache.hadoop.fs.Path(fsPath,
+            if (e.partDir == "-") e.dataDir else s"${e.dataDir}/${e.partDir}")).getLength
+      }
+    }
+    val rows =
+      if (!fileGranular) None
+      else Versioned.fileRowCounts(spark, path, version,
+        survivors.map(e => (e.partDir, e.file.get)).toSet)
+    val b = bytes
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(b)
+      override def numRows(): java.util.OptionalLong =
+        rows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fsys = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-    def partValue(partDir: String): (String, String) = {
-      val cut = partDir.indexOf('=')
-      val colName = partDir.substring(0, cut)
-      val raw = ExternalCatalogUtils.unescapePathName(partDir.substring(cut + 1))
-      (colName, if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null else raw)
-    }
-    // Partition-value pruning against the directory-encoded constant.
-    def partSurvives(partDir: String): Boolean = {
-      if (partDir == "-") return true
-      val (c, raw) = partValue(partDir)
-      if (raw == null) return !(longBounds.contains(c) || stringEq.contains(c))
-      stringEq.get(c).forall(_ == raw) && (longBounds.get(c) match {
-        case Some((lo, hi)) => raw.toLongOption.exists(v => lo <= v && v <= hi)
-        case None => true
-      })
-    }
-    // Manifest-stats file skipping on the recorded stats column: the
-    // [kmin, kmax] range first, then — for a POINT equality (lo == hi) —
-    // the per-file key Bloom filter, which skips files whose range covers
-    // the key but provably don't contain it (sound: no false negatives).
-    val keyBounds = statsKey.flatMap(k => longBounds.get(k))
-    def fileSurvives(kmin: Option[Long], kmax: Option[Long],
-                     bloom: Option[String]): Boolean =
-      (keyBounds, kmin, kmax) match {
-        case (Some((lo, hi)), Some(mn), Some(mx)) =>
-          mn <= hi && mx >= lo &&
-            (lo != hi || bloom.forall(Versioned.bloomMightContain(_, lo)))
-        case _ => true
-      }
-
-    Versioned.entriesOf(spark, path, version)
-      .filter { case (p, _, _, kmin, kmax, bloom, _) =>
-        partSurvives(p) && fileSurvives(kmin, kmax, bloom) }
-      .flatMap { case (p, dd, file, _, _, _, dv) =>
+    survivors
+      .flatMap { e =>
         val (constCol, constVal) =
-          if (p == "-") (null: String, null: String) else partValue(p)
+          if (e.partDir == "-") (null: String, null: String) else partValue(e.partDir)
         // Deletion vector: resolve the deleted keys at planning time
         // (metadata-sized) so the reader can subtract them row-by-row —
         // the scan must never serve a deleted row.
-        val (dvCol, dvKeys) = dv match {
+        val (dvCol, dvKeys) = e.dv match {
           case Some(d) =>
             (statsKey.getOrElse(throw new IllegalStateException(
               s"entry carries a deletion vector but v$version has no #statskey")),
              Versioned.dvKeysOf(spark, path, d))
           case None => (null: String, Array.empty[Long])
         }
-        file match {
+        e.file match {
           case Some(f) =>
             Seq(VersionedPartition(
-              new org.apache.hadoop.fs.Path(fsPath, s"$dd/$p/$f").toString,
+              new org.apache.hadoop.fs.Path(fsPath,
+                s"${e.dataDir}/${e.partDir}/$f").toString,
               constCol, constVal, dvCol, dvKeys))
           case None =>
             val dir = new org.apache.hadoop.fs.Path(fsPath,
-              if (p == "-") dd else s"$dd/$p")
+              if (e.partDir == "-") e.dataDir else s"${e.dataDir}/${e.partDir}")
             fsys.listStatus(dir).toSeq
               .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
               .sortBy(_.getPath.getName)

@@ -230,13 +230,24 @@ object Versioned {
                            kmax: Option[Long] = None,
                            nrows: Option[Long] = None,
                            bloom: Option[String] = None,
-                           dv: Option[String] = None) {
+                           dv: Option[String] = None,
+                           k2min: Option[Long] = None,
+                           k2max: Option[Long] = None) {
+    // Optional tail fields (bloom, dv, second-column bounds) serialize
+    // positionally with "-" padding so later fields stay addressable.
     def serialized: String = (file, nrows) match {
       case (Some(f), Some(n)) =>
+        val tail = scala.collection.mutable.ListBuffer.empty[String]
+        if (bloom.isDefined || dv.isDefined || k2min.isDefined)
+          tail += bloom.getOrElse(KeyBloom.Saturated)
+        if (dv.isDefined || k2min.isDefined)
+          tail += dv.getOrElse("-")
+        if (k2min.isDefined) {
+          tail += k2min.get.toString
+          tail += k2max.get.toString
+        }
         s"$partDir\t$dataDir\t$f\t${kmin.get}\t${kmax.get}\t$n" +
-          (if (dv.isDefined)
-            s"\t${bloom.getOrElse(KeyBloom.Saturated)}\t${dv.get}"
-          else bloom.map("\t" + _).getOrElse(""))
+          tail.map("\t" + _).mkString
       case (Some(f), None) => s"$partDir\t$dataDir\t$f\t${kmin.get}\t${kmax.get}"
       case _ => s"$partDir\t$dataDir"
     }
@@ -247,7 +258,9 @@ object Versioned {
     if (f.length >= 7) Entry(f(0), f(1), Some(f(2)), Some(f(3).toLong),
       Some(f(4).toLong), Some(f(5).toLong),
       Some(f(6)).filter(_ != KeyBloom.Saturated),
-      if (f.length >= 8) Some(f(7)) else None)
+      if (f.length >= 8) Some(f(7)).filter(_ != "-") else None,
+      if (f.length >= 10) Some(f(8).toLong) else None,
+      if (f.length >= 10) Some(f(9).toLong) else None)
     else if (f.length >= 6) Entry(f(0), f(1), Some(f(2)), Some(f(3).toLong),
       Some(f(4).toLong), Some(f(5).toLong))
     else if (f.length >= 5) Entry(f(0), f(1), Some(f(2)), Some(f(3).toLong), Some(f(4).toLong))
@@ -398,6 +411,7 @@ object Versioned {
                      schema: Option[org.apache.spark.sql.types.StructType] = None,
                      changesDir: Option[String] = None,
                      statsKey: Option[String] = None,
+                     statsKey2: Option[String] = None,
                      constraints: Seq[(String, String)] = Seq.empty,
                      op: String = "WRITE"): Int = {
     preCommitHookForTests.foreach(_.apply())
@@ -427,6 +441,7 @@ object Versioned {
       schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
       changesDir.map(d => s"#changes\t$d\n").getOrElse("") +
       statsKey.map(k => s"#statskey\t$k\n").getOrElse("") +
+      statsKey2.map(k => s"#statskey2\t$k\n").getOrElse("") +
       constraints.map { case (n, e) => s"#constraint\t$n\t$e\n" }.mkString +
       s"#op\t$op\n" +
       entries.map(_.serialized).mkString("", "\n", s"\n$Terminator\n")).getBytes("UTF-8")
@@ -516,6 +531,74 @@ object Versioned {
   def write(spark: SparkSession, tablePath: String, df: DataFrame): Int =
     publish(spark, tablePath, df)
 
+  /** Adopt an externally STAGED data dir (already laid out
+    * `<partCol>=<value>/file.parquet` under `<tablePath>/<dataDirName>`)
+    * as an APPEND version — the commit half of a distributed writer such
+    * as the [[graft.sources.VersionedSink]] streaming sink: executors
+    * write the files, the driver turns exactly those files into a
+    * version. Appends rebase trivially (their fresh entries just
+    * re-splice onto whatever the new latest is), so a lost CAS retries
+    * internally up to `retries` times; schema must match the existing
+    * table's columns (appends never evolve); CHECK constraints validate
+    * the staged rows only; an already-committed `tag` deletes the stage
+    * and returns the committed version — the exactly-once anchor for
+    * epoch replays. On a fresh table the staged dir BECOMES v1.
+    */
+  def adoptStaged(spark: SparkSession, tablePath: String, dataDirName: String,
+                  tag: Option[String] = None,
+                  fileStatsKey: Option[String] = None,
+                  retries: Int = 3): Int = {
+    val (fsys, table) = fs(spark, tablePath)
+    val dd = new Path(table, dataDirName)
+    tag.flatMap(taggedVersion(spark, tablePath, _)) match {
+      case Some(applied) => fsys.delete(dd, true); return applied
+      case None =>
+    }
+    require(fsys.exists(dd), s"staged dir $dd does not exist")
+    val df = spark.read.parquet(dd.toString) // partition col inferred from layout
+    var attempts = 0
+    while (true) {
+      val base = latestVersion(spark, tablePath)
+      val baseSchema = if (base == 0) None else readSchemaLine(fsys, table, base)
+      baseSchema.foreach { s =>
+        require(df.columns.toSet == s.fieldNames.toSet,
+          s"staged columns ${df.columns.mkString(",")} do not match the " +
+            s"table's ${s.fieldNames.mkString(",")} — appends never evolve schema")
+      }
+      // Keep the table's file granularity: stats must stay on the base's
+      // recorded column (or establish one on a fresh table).
+      val baseKey = if (base == 0) None else headerLine(fsys, table, base, "#statskey\t")
+      val effKey = (baseKey, fileStatsKey) match {
+        case (Some(b), Some(k)) =>
+          require(b == k, s"table stats are on $b, staged stats on $k"); Some(b)
+        case (Some(b), None) => Some(b)
+        case (None, k) => k
+      }
+      val fresh = effKey match {
+        case Some(k) => fileStatsOf(spark, table, dd, k)
+        case None => listPartDirs(fsys, dd).map(Entry(_, dataDirName))
+      }
+      val baseEntries = if (base == 0) Seq.empty else readManifest(fsys, table, base)
+      val cons = constraintLines(fsys, table, base)
+      validateConstraints(df, cons)
+      try {
+        return commit(fsys, table, spark, baseEntries ++ fresh, Some(base),
+          if (attempts >= retries) Seq(dd) else Seq.empty, tag,
+          schema = baseSchema.orElse(Some(df.schema)),
+          statsKey = effKey, constraints = cons, op = "APPEND")
+      } catch {
+        case e: ConcurrentWriteException =>
+          if (attempts >= retries) throw e
+          attempts += 1
+          tag.flatMap(taggedVersion(spark, tablePath, _)) match {
+            case Some(applied) => fsys.delete(dd, true); return applied
+            case None =>
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def listPartDirs(fsys: FileSystem, dataDir: Path): Seq[String] =
     fsys.listStatus(dataDir).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
 
@@ -525,17 +608,25 @@ object Versioned {
     * bounded by the write's task count, so the collect is metadata-sized.
     */
   private def fileStatsOf(spark: SparkSession, table: Path, dd: Path,
-                          keyCol: String): Seq[Entry] = {
+                          keyCol: String,
+                          stats2Col: Option[String] = None): Seq[Entry] = {
     val marker = "/" + dd.getName + "/"
     val bloomAgg = udaf(new KeyBloomAgg)
+    // Second-dimension bounds (the z-order skipping column) ride the same
+    // single stats scan when requested; NULLs in that column simply widen
+    // nothing (min/max skip them) — it is a skipping hint, not a key.
+    val stats2 = stats2Col.toSeq.flatMap(c => Seq(
+      min(col(c).cast("long")).as("lo2"), max(col(c).cast("long")).as("hi2")))
+    val aggs = Seq(min("_k").as("lo"), max("_k").as("hi"),
+      count(lit(1)).as("nrows"),
+      sum(when(col("_k").isNull, 1L).otherwise(0L)).as("nnull"),
+      // NULL keys are rejected below anyway; coalescing them into the
+      // bloom as 0 can only ADD a false-positive bit, never lose one.
+      bloomAgg(coalesce(col("_k"), lit(0L))).as("bloom")) ++ stats2
     spark.read.parquet(dd.toString)
-      .select(input_file_name().as("_f"), col(keyCol).cast("long").as("_k"))
-      .groupBy("_f").agg(min("_k").as("lo"), max("_k").as("hi"),
-        count(lit(1)).as("nrows"),
-        sum(when(col("_k").isNull, 1L).otherwise(0L)).as("nnull"),
-        // NULL keys are rejected below anyway; coalescing them into the
-        // bloom as 0 can only ADD a false-positive bit, never lose one.
-        bloomAgg(coalesce(col("_k"), lit(0L))).as("bloom"))
+      .select((Seq(input_file_name().as("_f"), col(keyCol).cast("long").as("_k")) ++
+        stats2Col.map(col)): _*)
+      .groupBy("_f").agg(aggs.head, aggs.tail: _*)
       .collect().toSeq
       .map { r =>
         val full = r.getString(0)
@@ -549,7 +640,9 @@ object Versioned {
             "merge keys must be non-null")
         Entry(rel.substring(0, cut), dd.getName, Some(rel.substring(cut + 1)),
           Some(r.getLong(1)), Some(r.getLong(2)), Some(r.getLong(3)),
-          Some(r.getString(5)).filter(_ != KeyBloom.Saturated))
+          Some(r.getString(5)).filter(_ != KeyBloom.Saturated),
+          k2min = if (stats2Col.isDefined && !r.isNullAt(6)) Some(r.getLong(6)) else None,
+          k2max = if (stats2Col.isDefined && !r.isNullAt(7)) Some(r.getLong(7)) else None)
       }.sortBy(e => (e.partDir, e.file))
   }
 
@@ -1381,12 +1474,18 @@ object Versioned {
     * (partDir, dataDir, file, kmin, kmax) with file/stat fields None on
     * partition-granular entries. Metadata only.
     */
+  /** Planning view of a manifest entry for the DSv2 connector. */
+  private[graft] case class EntryView(partDir: String, dataDir: String,
+                                      file: Option[String],
+                                      kmin: Option[Long], kmax: Option[Long],
+                                      bloom: Option[String], dv: Option[String],
+                                      k2min: Option[Long], k2max: Option[Long])
+
   private[graft] def entriesOf(spark: SparkSession, tablePath: String, v: Int)
-      : Seq[(String, String, Option[String], Option[Long], Option[Long],
-             Option[String], Option[String])] = {
+      : Seq[EntryView] = {
     val (fsys, table) = fs(spark, tablePath)
-    readManifest(fsys, table, v)
-      .map(e => (e.partDir, e.dataDir, e.file, e.kmin, e.kmax, e.bloom, e.dv))
+    readManifest(fsys, table, v).map(e => EntryView(e.partDir, e.dataDir,
+      e.file, e.kmin, e.kmax, e.bloom, e.dv, e.k2min, e.k2max))
   }
 
   /** Deleted keys of a serialized deletion-vector path — planning-time
@@ -1396,6 +1495,21 @@ object Versioned {
                               dvPath: String): Array[Long] = {
     val (fsys, table) = fs(spark, tablePath)
     readDvFile(fsys, new Path(table, dvPath))._2
+  }
+
+  /** Live row count of the given (partDir, file) entries from manifest
+    * metadata alone: recorded physical rows minus their deletion vectors'
+    * key counts. None when any entry lacks a recorded count (pre-nrows
+    * manifests) — the caller reports row stats as unknown, never wrong.
+    */
+  private[graft] def fileRowCounts(spark: SparkSession, tablePath: String,
+                                   v: Int, keep: Set[(String, String)]): Option[Long] = {
+    val (fsys, table) = fs(spark, tablePath)
+    val es = readManifest(fsys, table, v).filter(e =>
+      e.file.isDefined && keep.contains((e.partDir, e.file.get)))
+    if (es.exists(_.nrows.isEmpty)) None
+    else Some(es.flatMap(_.nrows).sum - es.flatMap(_.dv)
+      .map(d => readDvFile(fsys, new Path(table, d))._2.length.toLong).sum)
   }
 
   /** Bloom probe over a serialized filter — planning-time helper for the
@@ -1411,7 +1525,8 @@ object Versioned {
       : Seq[(String, String, String, Long, Long)] = {
     val (fsys, table) = fs(spark, tablePath)
     readManifest(fsys, table, v).collect {
-      case Entry(p, d, Some(f), Some(lo), Some(hi), _, _, _) => (p, d, f, lo, hi)
+      case e @ Entry(p, d, Some(f), Some(lo), Some(hi), _, _, _, _, _) =>
+        (p, d, f, lo, hi)
     }
   }
 
@@ -1837,6 +1952,89 @@ object Versioned {
     commit(fsys, table, spark, entries, expectedLatest.orElse(Some(base)), Seq(dd),
       schema = baseSchema, statsKey = Some(keyCol),
       constraints = constraintLines(fsys, table, base), op = "OPTIMIZE")
+  }
+
+  /** The column whose per-file bounds a version's entries ADDITIONALLY
+    * carry (`#statskey2`, written by [[optimizeZOrder]]) — the second
+    * pruning dimension.
+    */
+  def statsKey2Of(spark: SparkSession, tablePath: String, v: Int): Option[String] = {
+    val (fsys, table) = fs(spark, tablePath)
+    headerLine(fsys, table, v, "#statskey2\t")
+  }
+
+  /** 32-bit Morton interleave of two 16-bit-quantized integral columns —
+    * the z-order clustering value (public Delta `OPTIMIZE ZORDER BY` /
+    * the classic Morton curve). Quantization is integer-only:
+    * `(v - min) / scale` with `scale = ceil(range / 2^16)`, so identical
+    * arithmetic replays exactly on any engine.
+    */
+  private def mortonCol(a: Column, aMin: Long, aMax: Long,
+                        b: Column, bMin: Long, bMax: Long): Column = {
+    // Power-of-two quantization: drop just enough LOW bits that the
+    // range fits 16 bits — pure integer shifts, no float division.
+    def shiftOf(lo: Long, hi: Long): Int =
+      math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(hi - lo) - 16)
+    def quant(c: Column, lo: Long, hi: Long): Column =
+      shiftright(c.cast("long") - lit(lo), shiftOf(lo, hi))
+    val qa = quant(a, aMin, aMax)
+    val qb = quant(b, bMin, bMax)
+    (0 until 16).map { i =>
+      shiftleft(shiftright(qa, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(qb, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** OPTIMIZE ZORDER inside the store: rewrite the whole table CLUSTERED
+    * on the Morton interleave of (`keyCol`, `col2`) — rows close in BOTH
+    * dimensions land in the same files, so each file's bounds tighten on
+    * both columns at once — and record per-file bounds for BOTH
+    * (`#statskey` + the new `#statskey2` header): a 2-D box predicate
+    * through [[graft.sources.VersionedSource]] then skips every file
+    * whose rectangle misses the box, which one-dimensional layout
+    * cannot do for the second column (its per-file spread stays ~full
+    * range). Content is identical by construction (the oracle proves
+    * it); all prior versions stay readable; the commit pins the base.
+    * A later merge rewrite records keyCol stats only (its commit carries
+    * no `#statskey2`), so second-dimension skipping degrades SAFELY to
+    * off until the next re-optimize — stats may disappear, never lie.
+    */
+  def optimizeZOrder(spark: SparkSession, tablePath: String,
+                     keyCol: String, partCol: String, col2: String,
+                     filesPerPart: Int = 8,
+                     expectedLatest: Option[Int] = None): Int = {
+    require(filesPerPart > 0, s"filesPerPart must be positive: $filesPerPart")
+    val (fsys, table) = fs(spark, tablePath)
+    val base = latestVersion(spark, tablePath)
+    val baseKeyStats = headerLine(fsys, table, base, "#statskey\t")
+    require(baseKeyStats.forall(_ == keyCol),
+      s"base v$base carries file stats on ${baseKeyStats.getOrElse("<none>")}, not $keyCol")
+    val baseSchema = readSchemaLine(fsys, table, base)
+    val df = {
+      val raw = readAt(spark, tablePath, base)
+      import org.apache.spark.sql.types._
+      Seq(keyCol, col2).foreach(c => require(
+        Set[DataType](ByteType, ShortType, IntegerType, LongType)
+          .contains(raw.schema(c).dataType),
+        s"z-order column $c is ${raw.schema(c).dataType}; integral required"))
+      raw
+    }
+    val mm = df.agg(min(col(keyCol).cast("long")), max(col(keyCol).cast("long")),
+      min(col(col2).cast("long")), max(col(col2).cast("long"))).head()
+    require(!mm.isNullAt(0), s"cannot z-order an empty table")
+    val z = mortonCol(col(keyCol), mm.getLong(0), mm.getLong(1),
+      col(col2), mm.getLong(2), mm.getLong(3))
+    val parts = df.select(col(partCol)).distinct().count().toInt
+    val dd = newDataDir(fsys, table)
+    df.withColumn("_z", z)
+      .repartitionByRange(math.max(1, parts * filesPerPart), col(partCol), col("_z"))
+      .sortWithinPartitions(col(partCol), col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dd.toString)
+    val written = fileStatsOf(spark, table, dd, keyCol, stats2Col = Some(col2))
+    commit(fsys, table, spark, written, expectedLatest.orElse(Some(base)), Seq(dd),
+      schema = baseSchema, statsKey = Some(keyCol), statsKey2 = Some(col2),
+      constraints = constraintLines(fsys, table, base), op = s"ZORDER($col2)")
   }
 
   /** Delete every manifest NOT in `keep` plus every data dir no retained

@@ -1160,4 +1160,45 @@ class SinksSpec extends SparkSpec {
     assert(Versioned.readAt(spark, tbl, v6).count() == 6)
     intercept[Exception] { Versioned.readAt(spark, tbl, 2).count() }
   }
+
+  test("q231 z-order: 2-D box prunes to a few cells, second-dimension predicates prune where linear layout cannot, merge degrades stats safely") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tbl = freshTable("zorder")
+    // 64x64 grid, one partition; v1 = linear x layout in 64 files
+    val grid = for { x <- 0L until 64L; y <- 0L until 64L } yield (x, y, x * 64 + y, "a")
+    Versioned.publish(spark, tbl,
+      grid.toDF("x", "y", "v", "p").repartitionByRange(64, col("x")),
+      partCol = Some("p"), fileStatsKey = Some("x"))
+    val v2 = Versioned.optimizeZOrder(spark, tbl, "x", "p", "y", filesPerPart = 64)
+    assert(v2 == 2 && Versioned.statsKey2Of(spark, tbl, 2).contains("y"))
+    // layout changed, content identical
+    assert(Versioned.readAt(spark, tbl, 2).as[(Long, Long, Long, String)]
+      .collect().toSet == grid.toSet)
+    def src(v: Int) = spark.read.format("graft.sources.VersionedSource")
+      .option("versionAsOf", v.toString).load(tbl)
+    def planned(df: org.apache.spark.sql.DataFrame): Int = df.rdd.getNumPartitions
+    val box = (v: Int) => src(v).filter(
+      col("x") >= 16 && col("x") <= 31 && col("y") >= 16 && col("y") <= 31)
+    // both layouts hold ~64 files of ~64 rows, so planned-split counts
+    // compare like-for-like: the box is 2x2 z-cells (~4 files) vs ~16
+    // x-slices on the linear layout
+    assert(planned(box(1)) >= 12, s"linear layout: ${planned(box(1))}")
+    assert(planned(box(2)) <= 8,
+      s"z-order should collapse the box to a few cells: ${planned(box(2))}")
+    assert(box(2).count() == 256 && box(1).count() == 256)
+    // a second-dimension-ONLY predicate: prunes on v2, cannot on v1
+    val yOnly = (v: Int) => src(v).filter(col("y") <= 7)
+    assert(planned(yOnly(1)) == planned(src(1)),
+      "linear layout has no y stats — nothing to prune")
+    assert(planned(yOnly(2)) < planned(src(2)) / 2,
+      s"z-order y-stats must prune: ${planned(yOnly(2))} of ${planned(src(2))}")
+    assert(yOnly(2).count() == 512)
+    // a rewrite after z-order DROPS the second-dimension stats (its
+    // commit records keyCol stats only): skipping turns off, never lies
+    val v3 = Versioned.deleteWhere(spark, tbl, col("y") === 63, "p")
+    assert(Versioned.statsKey2Of(spark, tbl, v3).isEmpty)
+    assert(src(v3).filter(col("y") <= 7).count() == 512)
+    assert(Versioned.read(spark, tbl).count() == 64L * 63L)
+  }
 }

@@ -355,4 +355,110 @@ class SourcesSpec extends SparkSpec {
     // pruning is conservative, never wrong: an out-of-range key returns empty
     assert(src("versionAsOf" -> "1").filter(col("k") === 999L).count() == 0)
   }
+
+  test("VersionedSource reports post-pruning statistics: a pruned slice broadcasts, the full table does not") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("vstats").toString
+    val tbl = s"$tmp/table"
+    // partition a: ~20k rows (well past a 64KB broadcast threshold on
+    // disk); partition b: 10 rows
+    Versioned.publish(spark, tbl,
+      ((1L to 20000L).map(k => (k, k * 3, "a")) ++
+       (30001L to 30010L).map(k => (k, k * 3, "b"))).toDF("k", "v", "p")
+        .repartitionByRange(4, col("k")),
+      partCol = Some("p"), fileStatsKey = Some("k"))
+    def src() = spark.read.format("graft.sources.VersionedSource").load(tbl)
+    val fact = spark.range(1, 50000).select(col("id").as("fk"), lit(1L).as("m"))
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+    try {
+      // the partition-pruned slice reports ~10 rows / a few KB → broadcast
+      val pruned = src().filter(col("p") === "b")
+        .join(fact, col("k") === col("fk"))
+      pruned.collect()
+      val prunedPlan = org.apache.spark.sql.GraftSqlBridge.executedPlan(pruned).toString
+      assert(prunedPlan.contains("BroadcastHashJoin"),
+        s"pruned slice should broadcast on reported stats:\n${prunedPlan.take(1200)}")
+      // the unpruned table reports its full size → no broadcast of the scan
+      val full = src().join(fact, col("k") === col("fk"))
+      full.collect()
+      val fullPlan = org.apache.spark.sql.GraftSqlBridge.executedPlan(full).toString
+      assert(!fullPlan.contains("BroadcastHashJoin"),
+        s"full table must not broadcast under a 64KB threshold:\n${fullPlan.take(1200)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("VersionedSink: one tagged APPEND version per epoch; checkpointed restart resumes exactly-once; adoption replays are no-ops") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("vsink").toString
+    val (tbl, stage, ckpt) = (s"$tmp/table", s"$tmp/shards", s"$tmp/ckpt")
+    Versioned.publish(spark, tbl,
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "p")
+        .repartitionByRange(2, col("k")),
+      partCol = Some("p"), fileStatsKey = Some("k"))
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("v", LongType), StructField("p", StringType)))
+    def shard(rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("k", "v", "p").coalesce(1).write.mode("append").parquet(stage)
+    def run(): Unit = {
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .writeStream.format("graft.sources.VersionedSink")
+        .option("checkpointLocation", ckpt)
+        .option("partCol", "p").option("fileStatsKey", "k")
+        .start(tbl)
+      try q.processAllAvailable() finally q.stop()
+    }
+    shard(Seq((3L, 30L, "a"), (4L, 40L, "b")))
+    shard(Seq((5L, 50L, "a")))
+    run()
+    // one APPEND version per epoch, each carrying its idempotence tag
+    assert(Versioned.latestVersion(spark, tbl) == 3)
+    val hist = Versioned.history(spark, tbl).collect()
+    assert(hist.count(_.getString(1) == "APPEND") == 2, hist.mkString(";"))
+    // restart on the SAME checkpoint with two NEW shards: only the new
+    // epochs commit — nothing from before replays
+    shard(Seq((6L, 60L, "b")))
+    shard(Seq((7L, 70L, "a")))
+    run()
+    assert(Versioned.latestVersion(spark, tbl) == 5)
+    assert(Versioned.read(spark, tbl).as[(Long, Long, String)].collect().toSet ==
+      Set((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "a"), (4L, 40L, "b"),
+          (5L, 50L, "a"), (6L, 60L, "b"), (7L, 70L, "a")))
+    // sink-written versions keep file granularity: per-file key stats +
+    // blooms recorded, so the store's file-scoped DML keeps working
+    assert(Versioned.fileEntriesOf(spark, tbl, 5).nonEmpty)
+    assert(Versioned.bloomCoverage(spark, tbl, 5) == 1.0)
+    val v6 = Versioned.mergeByFiles(spark, tbl,
+      Seq((7L, 77L, "a", "U")).toDF("k", "v", "p", "_op"), "k", "p")
+    assert(Versioned.readAt(spark, tbl, v6).as[(Long, Long, String)]
+      .collect().toSet.contains((7L, 77L, "a")))
+    // the adoption primitive is replay-idempotent: a second adoptStaged
+    // under a committed tag is a no-op that cleans its stage
+    val dd = s"d_replay${System.nanoTime()}"
+    Seq((99L, 990L, "a")).toDF("k", "v", "p")
+      .write.partitionBy("p").parquet(s"$tbl/$dd")
+    val vA = Versioned.adoptStaged(spark, tbl, dd, tag = Some("replay_t1"),
+      fileStatsKey = Some("k"))
+    val dd2 = s"d_replay2${System.nanoTime()}"
+    Seq((99L, 991L, "a")).toDF("k", "v", "p")
+      .write.partitionBy("p").parquet(s"$tbl/$dd2")
+    val vB = Versioned.adoptStaged(spark, tbl, dd2, tag = Some("replay_t1"),
+      fileStatsKey = Some("k"))
+    assert(vA == vB && Versioned.latestVersion(spark, tbl) == vA,
+      "a replayed tag must return the committed version, not append again")
+    assert(!new java.io.File(s"$tbl/$dd2").exists(),
+      "the replayed stage must be cleaned up")
+    // unsupported column types are refused at PLAN time (the write
+    // builder derives the parquet schema up front), not mid-stream
+    val bad = intercept[IllegalArgumentException] {
+      graft.sources.VersionedSinkWriter.messageTypeOf(StructType(Seq(
+        StructField("k", LongType), StructField("arr", ArrayType(LongType)),
+        StructField("p", StringType))), "p")
+    }
+    assert(bad.getMessage.contains("supported"), bad.getMessage)
+  }
 }
