@@ -854,6 +854,48 @@ object Sinks {
       .orderBy("o_year")
   }
 
+  /** q232 — SQL CATALOG over the store (`graft.sources.GraftCatalog`):
+    * the whole lifecycle in PURE SQL, no Scala API — CREATE TABLE
+    * (empty v1 recording schema/partition/stats columns), INSERT INTO
+    * (executors stage parquet, one tagged-less APPEND version adopts
+    * exactly the committed task files), DELETE FROM (pushed filters →
+    * the store's partition-scoped rewrite), and a time-travelling
+    * INSERT ... SELECT ... VERSION AS OF that restores the deleted
+    * year's rows with a price bump — four versions, every one readable,
+    * interleavable with the Scala API on the same manifests (SourcesSpec
+    * pins DDL round-trips, rename, unconvertible-DELETE refusal, and
+    * Scala-merge-after-SQL-write). The oracle replays the DML
+    * relationally: base rows with 1993 re-inserted at +777.
+    */
+  def sqlCatalogDml(spark: SparkSession, dir: String): DataFrame = {
+    val wh = tmpOut(dir, "warehouse")
+    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_lake.warehouse", wh)
+    val view = s"graft_sql_src_${java.lang.Integer.toHexString(dir.hashCode)}"
+    orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+      year(col("o_orderdate")).as("o_year")).createOrReplaceTempView(view)
+    val tbl = "graft_lake.sqlns.orders_sql"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_lake.sqlns")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(
+      s"""CREATE TABLE $tbl (
+         |  o_orderkey BIGINT, o_custkey BIGINT, o_price_c BIGINT, o_year INT)
+         |PARTITIONED BY (o_year) TBLPROPERTIES ('statskey' = 'o_orderkey')
+         |""".stripMargin)
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM $view")
+    spark.sql(s"DELETE FROM $tbl WHERE o_year = 1993")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT o_orderkey, o_custkey, o_price_c + 777, o_year
+         |FROM $tbl VERSION AS OF 2 WHERE o_year = 1993""".stripMargin)
+    spark.sql(
+      s"""SELECT o_year, count(*) AS n, sum(o_custkey) AS sum_cust,
+         |       sum(o_price_c) AS sum_price_c
+         |FROM $tbl GROUP BY o_year ORDER BY o_year""".stripMargin)
+  }
+
   // q214's substrate: orders staged as v1, one deterministic tagged MERGE
   // applied as v2 — built once per corpus, reused across sessions behind
   // the usual validation (count + the idempotence tag present).
@@ -1521,6 +1563,7 @@ object Sinks {
     "q229_deletion_vectors"     -> deletionVectors _,
     "q230_stream_sink_append"   -> streamSinkAppend _,
     "q231_zorder_box"           -> zorderBoxQuery _,
+    "q232_sql_catalog_dml"      -> sqlCatalogDml _,
     "q144_lines_write_roundtrip" -> linesWriteRoundtrip _,
     "q133_lines_source_roundtrip" -> linesSourceRoundtrip _,
     "q126_schema_evolution" -> schemaEvolution _,
@@ -1592,6 +1635,18 @@ object Sinks {
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
         |FROM merged GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // The SQL lifecycle replayed relationally: all rows, 1993's
+    // re-inserted (post-delete) at +777.
+    "q232_sql_catalog_dml" ->
+      """WITH tgt AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders)
+        |SELECT o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(CASE WHEN o_year = 1993 THEN o_price_c + 777
+        |                     ELSE o_price_c END) AS BIGINT) AS sum_price_c
+        |FROM tgt GROUP BY o_year ORDER BY o_year""".stripMargin,
     // The 2-D box replayed relationally — z-order changes layout only;
     // cuts are the same integer arithmetic both engines compute.
     "q231_zorder_box" ->

@@ -1,0 +1,291 @@
+package graft.sources
+
+import graft.tables.Versioned
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL catalog over [[Versioned]] tables — the surface that makes the
+  * store a first-class SQL citizen, no Scala API in sight:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.lake.warehouse", "/data/warehouse")
+  *
+  *   CREATE TABLE lake.ns.orders (o_orderkey BIGINT, ..., o_year INT)
+  *     PARTITIONED BY (o_year) TBLPROPERTIES ('statskey' = 'o_orderkey')
+  *   INSERT INTO lake.ns.orders SELECT ...
+  *   DELETE FROM lake.ns.orders WHERE o_year = 1993
+  *   SELECT * FROM lake.ns.orders VERSION AS OF 2
+  *   SELECT * FROM lake.ns.orders TIMESTAMP AS OF '...'
+  * }}}
+  *
+  * Identifier → path mapping is `warehouse/<namespace…>/<table>`; a
+  * table EXISTS iff it has a committed version. CREATE commits an empty
+  * v1 recording schema, partition column and stats column; INSERT goes
+  * through the same staged-files + adopt commit as the streaming sink
+  * (executors write parquet, the driver commits ONE append version);
+  * DELETE maps Spark's pushed filters onto [[Versioned.deleteWhere]]
+  * (partition-scoped rewrite, NULL-safe SQL semantics); time travel
+  * resolves VERSION AS OF to a pinned manifest and TIMESTAMP AS OF via
+  * manifest mtimes. Everything lands in the SAME manifests the Scala
+  * API writes, so SQL and programmatic users interleave safely under
+  * the store's CAS commit.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catName: String = _
+  private var warehouse: String = _
+
+  override def name(): String = catName
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"GraftCatalog needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  private def spark = SparkSession.active
+  private def fsys = new Path(warehouse)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def sane(part: String): String = {
+    require(part.nonEmpty && !part.contains("/") && !part.contains("..") &&
+      !part.startsWith("."), s"illegal identifier part: $part")
+    part
+  }
+  private def pathOf(ident: Identifier): String =
+    (warehouse +: (ident.namespace().toSeq :+ ident.name()).map(sane)).mkString("/")
+  private def pathOf(ns: Seq[String]): String =
+    (warehouse +: ns.map(sane)).mkString("/")
+
+  override def tableExists(ident: Identifier): Boolean =
+    try Versioned.latestVersion(spark, pathOf(ident)) >= 1
+    catch { case _: Exception => false }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new VersionedCatalogTable(pathOf(ident), None)
+  }
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new VersionedCatalogTable(pathOf(ident), Some(version.toInt))
+  }
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val p = pathOf(ident)
+    new VersionedCatalogTable(p,
+      Some(Versioned.versionAsOf(spark, p, timestampMicros / 1000L)))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path(pathOf(namespace.toSeq))
+    if (!fsys.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fsys.listStatus(dir).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => fsys.exists(new Path(dir, s"$n/_manifests")))
+      .map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references().length == 1 =>
+        t.references()(0).fieldNames().mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"GraftCatalog partitions by identity columns only, got $other")
+    }
+    require(partCols.size <= 1,
+      s"GraftCatalog supports at most one partition column, got $partCols")
+    Versioned.createEmpty(spark, pathOf(ident), schema,
+      partCol = partCols.headOption,
+      statsKey = Option(properties.get("statskey")))
+    new VersionedCatalogTable(pathOf(ident), None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE: use the store's schema-evolving merge / addConstraint APIs")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(pathOf(ident))
+    if (!tableExists(ident)) false
+    else fsys.delete(p, true)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    require(fsys.rename(new Path(pathOf(from)), new Path(pathOf(to))),
+      s"rename $from -> $to failed")
+  }
+
+  // Namespaces are warehouse directories — enough for multi-part
+  // identifiers; no properties are stored.
+  override def listNamespaces(): Array[Array[String]] =
+    if (!fsys.exists(new Path(warehouse))) Array.empty
+    else fsys.listStatus(new Path(warehouse)).toSeq.filter(_.isDirectory)
+      .filterNot(s => fsys.exists(new Path(s.getPath, "_manifests")))
+      .map(s => Array(s.getPath.getName)).toArray
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || fsys.exists(new Path(pathOf(namespace.toSeq)))
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit =
+    fsys.mkdirs(new Path(pathOf(namespace.toSeq)))
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespace properties are not stored")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = new Path(pathOf(namespace.toSeq))
+    if (!fsys.exists(p)) false
+    else {
+      require(cascade || fsys.listStatus(p).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty")
+      fsys.delete(p, true)
+    }
+  }
+}
+
+/** Pushed-filter → Column translation for the catalog's DELETE path.
+  * Only translations with EXACT SQL semantics are attempted — anything
+  * else makes `canDeleteWhere` false and the DELETE fails loudly rather
+  * than deleting the wrong rows.
+  */
+private[sources] object FilterColumns {
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(c, v) => Some(col(c) === lit(v))
+    case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+    case GreaterThan(c, v) => Some(col(c) > lit(v))
+    case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+    case LessThan(c, v) => Some(col(c) < lit(v))
+    case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+    case In(c, vs) => Some(col(c).isin(vs.toSeq.map(lit(_)): _*))
+    case IsNull(c) => Some(col(c).isNull)
+    case IsNotNull(c) => Some(col(c).isNotNull)
+    case And(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a && b
+    case Or(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    case Not(g) => toColumn(g).map(!_)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case StringStartsWith(c, v) => Some(col(c).startsWith(lit(v)))
+    case StringEndsWith(c, v) => Some(col(c).endsWith(lit(v)))
+    case StringContains(c, v) => Some(col(c).contains(lit(v)))
+    case _ => None
+  }
+}
+
+/** A catalog-resolved versioned table: reads plan through the same
+  * pruned [[VersionedScanBuilder]] as the path-based connector; INSERT
+  * stages parquet on executors and adopts one append version; DELETE
+  * maps pushed filters onto the store's partition-scoped rewrite. A
+  * time-travelled instance (`VERSION AS OF`) is read-only by
+  * construction — Spark resolves writes against the un-pinned table.
+  */
+final class VersionedCatalogTable(path: String, pinned: Option[Int])
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  private def spark = SparkSession.active
+  private def resolvedV: Int =
+    pinned.getOrElse(Versioned.latestVersion(spark, path))
+
+  override def name(): String =
+    s"graft_versioned($path${pinned.map("@v" + _).getOrElse("")})"
+  override def schema(): StructType =
+    VersionedSource.schemaFor(spark, path, resolvedV)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    val v = resolvedV
+    new VersionedScanBuilder(path, v, VersionedSource.schemaFor(spark, path, v),
+      Versioned.statsKeyOf(spark, path, v), Versioned.statsKey2Of(spark, path, v))
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinned.isEmpty, "cannot write to a time-travelled table")
+    val latest = Versioned.latestVersion(spark, path)
+    val partCol = Versioned.partColOf(spark, path, latest).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path records no partition column — INSERT needs one (CREATE with PARTITIONED BY)"))
+    val statsKey = Versioned.statsKeyOf(spark, path, latest)
+    new WriteBuilder {
+      override def build(): Write =
+        new VersionedBatchWrite(path, info.schema(), partCol, statsKey)
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinned.isEmpty && filters.forall(FilterColumns.toColumn(_).isDefined) &&
+      Versioned.partColOf(spark, path, resolvedV).isDefined
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pinned.isEmpty, "cannot delete from a time-travelled table")
+    val predicate = filters.flatMap(FilterColumns.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val partCol = Versioned.partColOf(spark, path, resolvedV).getOrElse(
+      throw new IllegalArgumentException(s"$path records no partition column"))
+    Versioned.deleteWhere(spark, path, predicate, partCol)
+  }
+}
+
+/** Batch INSERT INTO: the streaming sink's staged-files + adopt commit,
+  * epoch-less — executors write `col=value`-laid-out parquet under a
+  * per-write staging dir, the driver promotes exactly the files named
+  * in the task commit messages and commits ONE append version.
+  */
+final class VersionedBatchWrite(path: String, schema: StructType,
+                                partCol: String, statsKey: Option[String])
+    extends Write with BatchWrite {
+  private val writeId = java.util.UUID.randomUUID().toString.replace("-", "")
+  private def stagingRoot = new Path(path, s"_sink_stage/batch_$writeId")
+  // Fail unsupported types at plan time.
+  VersionedSinkWriter.messageTypeOf(schema, partCol)
+
+  override def toBatch: BatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new VersionedBatchWriterFactory(stagingRoot.toString, schema, partCol)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fsys = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochDir = new Path(stagingRoot, "0")
+    val files = messages.flatMap(_.asInstanceOf[VersionedSinkFiles].files)
+    if (files.nonEmpty) {
+      val dd = new Path(path,
+        s"d_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      files.foreach { case (partDir, name) =>
+        val to = new Path(dd, s"$partDir/$name")
+        fsys.mkdirs(to.getParent)
+        require(fsys.rename(new Path(epochDir, s"$partDir/$name"), to),
+          s"failed to promote staged file $partDir/$name")
+      }
+      Versioned.adoptStaged(spark, path, dd.getName, fileStatsKey = statsKey)
+    }
+    fsys.delete(stagingRoot, true)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fsys = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(stagingRoot, true)
+  }
+}
+
+final class VersionedBatchWriterFactory(stagingRoot: String, schema: StructType,
+                                        partCol: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new VersionedSinkWriter(stagingRoot, schema, partCol, partitionId, taskId, 0L)
+}

@@ -412,6 +412,7 @@ object Versioned {
                      changesDir: Option[String] = None,
                      statsKey: Option[String] = None,
                      statsKey2: Option[String] = None,
+                     partColHeader: Option[String] = None,
                      constraints: Seq[(String, String)] = Seq.empty,
                      op: String = "WRITE"): Int = {
     preCommitHookForTests.foreach(_.apply())
@@ -442,6 +443,7 @@ object Versioned {
       changesDir.map(d => s"#changes\t$d\n").getOrElse("") +
       statsKey.map(k => s"#statskey\t$k\n").getOrElse("") +
       statsKey2.map(k => s"#statskey2\t$k\n").getOrElse("") +
+      partColHeader.map(c => s"#partcol\t$c\n").getOrElse("") +
       constraints.map { case (n, e) => s"#constraint\t$n\t$e\n" }.mkString +
       s"#op\t$op\n" +
       entries.map(_.serialized).mkString("", "\n", s"\n$Terminator\n")).getBytes("UTF-8")
@@ -531,6 +533,39 @@ object Versioned {
   def write(spark: SparkSession, tablePath: String, df: DataFrame): Int =
     publish(spark, tablePath, df)
 
+  /** CREATE TABLE: commit an EMPTY v1 that records schema, partition
+    * column and (optionally) the stats column — the DDL half of the SQL
+    * catalog's CREATE-then-INSERT flow. Reads of the empty version serve
+    * zero rows in the recorded schema; the first append establishes the
+    * file layout under the declared headers.
+    */
+  def createEmpty(spark: SparkSession, tablePath: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  partCol: Option[String] = None,
+                  statsKey: Option[String] = None): Int = {
+    val (fsys, table) = fs(spark, tablePath)
+    require(latestVersion(spark, tablePath) == 0,
+      s"$tablePath already has versions")
+    partCol.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not in ${schema.fieldNames.mkString(",")}"))
+    statsKey.foreach(c => require(schema.fieldNames.contains(c),
+      s"stats column $c not in ${schema.fieldNames.mkString(",")}"))
+    commit(fsys, table, spark, Seq.empty, Some(0), Seq.empty,
+      schema = Some(schema), statsKey = statsKey, partColHeader = partCol,
+      op = "CREATE")
+  }
+
+  /** The table's partition column: the `#partcol` header (recorded by
+    * CREATE) or, absent one, derived from the first partitioned entry's
+    * directory name. None for unpartitioned snapshots.
+    */
+  def partColOf(spark: SparkSession, tablePath: String, v: Int): Option[String] = {
+    val (fsys, table) = fs(spark, tablePath)
+    headerLine(fsys, table, v, "#partcol\t").orElse(
+      readManifest(fsys, table, v).find(_.partDir != "-")
+        .map(_.partDir.takeWhile(_ != '=')))
+  }
+
   /** Adopt an externally STAGED data dir (already laid out
     * `<partCol>=<value>/file.parquet` under `<tablePath>/<dataDirName>`)
     * as an APPEND version — the commit half of a distributed writer such
@@ -585,7 +620,10 @@ object Versioned {
         return commit(fsys, table, spark, baseEntries ++ fresh, Some(base),
           if (attempts >= retries) Seq(dd) else Seq.empty, tag,
           schema = baseSchema.orElse(Some(df.schema)),
-          statsKey = effKey, constraints = cons, op = "APPEND")
+          statsKey = effKey,
+          partColHeader =
+            if (base == 0) None else headerLine(fsys, table, base, "#partcol\t"),
+          constraints = cons, op = "APPEND")
       } catch {
         case e: ConcurrentWriteException =>
           if (attempts >= retries) throw e
@@ -728,7 +766,15 @@ object Versioned {
   def readAt(spark: SparkSession, tablePath: String, version: Int): DataFrame = {
     val (fsys, table) = fs(spark, tablePath)
     val entries = readManifest(fsys, table, version)
-    require(entries.nonEmpty, s"version $version of $table is an empty table")
+    if (entries.isEmpty) {
+      // A freshly CREATEd (or fully emptied) version: serve its recorded
+      // schema with zero rows — the SQL catalog's CREATE-then-INSERT flow.
+      val schema = readSchemaLine(fsys, table, version).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $version of $table is empty and records no schema"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     val raw =
       if (entries.forall(_.partDir == "-"))
         spark.read.parquet(entries.map(e => new Path(table, e.dataDir).toString): _*)
@@ -942,7 +988,8 @@ object Versioned {
     val expect = expectedLatest.orElse(if (fromVersion.isEmpty) Some(base) else None)
     commit(fsys, table, spark, entries, expect, Seq(dd) ++ feedDir.toSeq, tag,
       schema = Some(rewrite.schema), changesDir = feedDir.map(_.getName),
-      constraints = cons, op = "MERGE", statsKey = baseStatsKey)
+      constraints = cons, op = "MERGE", statsKey = baseStatsKey,
+      partColHeader = headerLine(fsys, table, base, "#partcol\t"))
   }
 
   /** DELETE WHERE: remove every row where `predicate` IS TRUE (NULL keeps
@@ -997,6 +1044,7 @@ object Versioned {
     commit(fsys, table, spark, entries, expect, Seq(dd) ++ feedDir.toSeq,
       schema = Some(target.schema), changesDir = feedDir.map(_.getName),
       constraints = constraintLines(fsys, table, base), op = "DELETE",
+      partColHeader = headerLine(fsys, table, base, "#partcol\t"),
       statsKey = baseStatsKey)
   }
 
@@ -1062,7 +1110,8 @@ object Versioned {
     val expect = expectedLatest.orElse(if (fromVersion.isEmpty) Some(base) else None)
     commit(fsys, table, spark, entries, expect, Seq(dd) ++ feedDir.toSeq,
       schema = Some(target.schema), changesDir = feedDir.map(_.getName),
-      constraints = cons, op = "UPDATE", statsKey = baseStatsKey)
+      constraints = cons, op = "UPDATE", statsKey = baseStatsKey,
+      partColHeader = headerLine(fsys, table, base, "#partcol\t"))
   }
 
   /** Persist a merge's change images (delete pre-images + insert

@@ -461,4 +461,51 @@ class SourcesSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("supported"), bad.getMessage)
   }
+
+  test("GraftCatalog: SQL DDL/DML lifecycle, time travel, rename, loud refusals, Scala-API interleaving") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graftcat").toString
+    spark.conf.set("spark.sql.catalog.gcat_t", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat_t.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat_t.ns1")
+    spark.sql(
+      """CREATE TABLE gcat_t.ns1.t (k BIGINT, v BIGINT, p STRING)
+        |PARTITIONED BY (p) TBLPROPERTIES ('statskey' = 'k')""".stripMargin)
+    // CREATE = empty v1 with the declared schema
+    assert(spark.sql("SELECT * FROM gcat_t.ns1.t").count() == 0)
+    assert(Versioned.latestVersion(spark, s"$wh/ns1/t") == 1)
+    Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"))
+      .toDF("k", "v", "p").createOrReplaceTempView("gcat_src")
+    spark.sql("INSERT INTO gcat_t.ns1.t SELECT * FROM gcat_src")
+    assert(spark.sql("SELECT sum(v) FROM gcat_t.ns1.t").head().getLong(0) == 60)
+    // the INSERT kept file granularity on the declared stats column
+    assert(Versioned.statsKeyOf(spark, s"$wh/ns1/t", 2).contains("k"))
+    assert(Versioned.fileEntriesOf(spark, s"$wh/ns1/t", 2).nonEmpty)
+    // DELETE via pushed filters; VERSION AS OF still serves v2
+    spark.sql("DELETE FROM gcat_t.ns1.t WHERE p = 'a' AND k > 1")
+    assert(spark.sql("SELECT * FROM gcat_t.ns1.t").as[(Long, Long, String)]
+      .collect().toSet == Set((1L, 10L, "a"), (3L, 30L, "b")))
+    assert(spark.sql("SELECT * FROM gcat_t.ns1.t VERSION AS OF 2").count() == 3)
+    // an unconvertible DELETE predicate is refused, never mis-deleted
+    intercept[Exception] {
+      spark.sql("DELETE FROM gcat_t.ns1.t WHERE k % 2 = 0")
+    }
+    assert(spark.sql("SELECT * FROM gcat_t.ns1.t").count() == 2)
+    // the SAME table keeps working through the Scala API (one manifest
+    // lineage): a file-scoped merge lands as the next version
+    val v = Versioned.mergeByFiles(spark, s"$wh/ns1/t",
+      Seq((1L, 11L, "a", "U")).toDF("k", "v", "p", "_op"), "k", "p")
+    assert(spark.sql("SELECT * FROM gcat_t.ns1.t").as[(Long, Long, String)]
+      .collect().toSet == Set((1L, 11L, "a"), (3L, 30L, "b")))
+    assert(Versioned.latestVersion(spark, s"$wh/ns1/t") == v)
+    // catalog inventory + rename + drop
+    assert(spark.sql("SHOW TABLES IN gcat_t.ns1").collect()
+      .exists(_.getString(1) == "t"))
+    spark.sql("ALTER TABLE gcat_t.ns1.t RENAME TO ns1.t2")
+    assert(spark.sql("SELECT count(*) FROM gcat_t.ns1.t2").head().getLong(0) == 2)
+    intercept[Exception] { spark.sql("SELECT * FROM gcat_t.ns1.t").collect() }
+    spark.sql("DROP TABLE gcat_t.ns1.t2")
+    assert(spark.sql("SHOW TABLES IN gcat_t.ns1").isEmpty)
+  }
 }
