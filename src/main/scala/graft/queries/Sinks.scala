@@ -890,6 +890,17 @@ object Sinks {
       s"""INSERT INTO $tbl
          |SELECT o_orderkey, o_custkey, o_price_c + 777, o_year
          |FROM $tbl VERSION AS OF 2 WHERE o_year = 1993""".stripMargin)
+    // Row-level SQL: UPDATE and MERGE INTO rewrite only the groups the
+    // operation's scan planned (copy-on-write), one version each.
+    spark.sql(s"UPDATE $tbl SET o_price_c = o_price_c + 3 WHERE o_orderkey % 10 = 5")
+    spark.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT o_orderkey + 700000000 AS o_orderkey, o_custkey,
+         |              o_price_c, 1998 AS o_year
+         |       FROM $view WHERE o_year = 1992) s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     spark.sql(
       s"""SELECT o_year, count(*) AS n, sum(o_custkey) AS sum_cust,
          |       sum(o_price_c) AS sum_price_c
@@ -1635,18 +1646,28 @@ object Sinks {
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
         |FROM merged GROUP BY o_year ORDER BY o_year""".stripMargin,
-    // The SQL lifecycle replayed relationally: all rows, 1993's
-    // re-inserted (post-delete) at +777.
+    // The SQL lifecycle replayed relationally: 1993 re-inserted at +777,
+    // then keys ≡5 (mod 10) updated +3, then 1992's rows merged in as
+    // fresh 1998 keys (+7e8) at their source prices.
     "q232_sql_catalog_dml" ->
       """WITH tgt AS (SELECT o_orderkey, o_custkey,
         |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
         |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
-        |       FROM orders)
+        |       FROM orders),
+        |updated AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_year = 1993 THEN o_price_c + 777
+        |              ELSE o_price_c END
+        |           + CASE WHEN o_orderkey % 10 = 5 THEN 3 ELSE 0 END AS o_price_c,
+        |         o_year
+        |  FROM tgt
+        |  UNION ALL
+        |  SELECT o_orderkey + 700000000, o_custkey, o_price_c, 1998
+        |  FROM tgt WHERE o_year = 1992)
         |SELECT o_year, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
-        |       CAST(sum(CASE WHEN o_year = 1993 THEN o_price_c + 777
-        |                     ELSE o_price_c END) AS BIGINT) AS sum_price_c
-        |FROM tgt GROUP BY o_year ORDER BY o_year""".stripMargin,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM updated GROUP BY o_year ORDER BY o_year""".stripMargin,
     // The 2-D box replayed relationally — z-order changes layout only;
     // cuts are the same integer arithmetic both engines compute.
     "q231_zorder_box" ->

@@ -198,7 +198,8 @@ private[sources] object FilterColumns {
   * construction — Spark resolves writes against the un-pinned table.
   */
 final class VersionedCatalogTable(path: String, pinned: Option[Int])
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
   private def spark = SparkSession.active
   private def resolvedV: Int =
     pinned.getOrElse(Versioned.latestVersion(spark, path))
@@ -227,6 +228,22 @@ final class VersionedCatalogTable(path: String, pinned: Option[Int])
       override def build(): Write =
         new VersionedBatchWrite(path, info.schema(), partCol, statsKey)
     }
+  }
+
+  /** SQL MERGE INTO / UPDATE / rewriting DELETE: the group-based
+    * copy-on-write protocol — the operation's scan records exactly which
+    * manifest entries it planned (after partition/stats/bloom pruning of
+    * the pushed condition), Spark streams the affected groups' REPLACED
+    * rows through the operation's write, and the commit swaps precisely
+    * the scanned entries for the staged replacement under a CAS pinned
+    * to the scanned version. Untouched files splice; a concurrent commit
+    * between scan and replace fails loudly.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinned.isEmpty, "cannot modify a time-travelled table")
+    () => new VersionedRowLevelOperation(path, info.command())
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
@@ -288,4 +305,83 @@ final class VersionedBatchWriterFactory(stagingRoot: String, schema: StructType,
                                         partCol: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
     new VersionedSinkWriter(stagingRoot, schema, partCol, partitionId, taskId, 0L)
+}
+
+/** One SQL row-level statement (MERGE INTO / UPDATE / rewriting DELETE):
+  * the scan half records the planned entry set and the version it was
+  * planned against; the write half replaces exactly that set.
+  */
+final class VersionedRowLevelOperation(
+    path: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  import graft.tables.Versioned
+
+  @volatile private[sources] var scannedVersion: Int = -1
+  @volatile private[sources] var scanned: Set[(String, String, Option[String])] = Set.empty
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.active
+    val v = Versioned.latestVersion(spark, path)
+    scannedVersion = v
+    new VersionedScanBuilder(path, v, VersionedSource.schemaFor(spark, path, v),
+      Versioned.statsKeyOf(spark, path, v), Versioned.statsKey2Of(spark, path, v),
+      planListener = Some(es =>
+        scanned = es.map(e => (e.partDir, e.dataDir, e.file)).toSet))
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val spark = SparkSession.active
+    val partCol = Versioned.partColOf(spark, path, scannedVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path records no partition column — row-level SQL needs one"))
+    new WriteBuilder {
+      override def build(): Write = new VersionedReplaceDataWrite(
+        path, info.schema(), partCol, VersionedRowLevelOperation.this)
+    }
+  }
+}
+
+/** The replacement write of a row-level statement: stage the rewritten
+  * groups' rows like any sink write, then commit base-minus-scanned plus
+  * the staged dir, CAS-pinned to the scanned version.
+  */
+final class VersionedReplaceDataWrite(path: String, schema: StructType,
+                                      partCol: String,
+                                      op: VersionedRowLevelOperation)
+    extends Write with BatchWrite {
+  private val writeId = java.util.UUID.randomUUID().toString.replace("-", "")
+  private def stagingRoot = new Path(path, s"_sink_stage/rlo_$writeId")
+  VersionedSinkWriter.messageTypeOf(schema, partCol)
+
+  override def toBatch: BatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new VersionedBatchWriterFactory(stagingRoot.toString, schema, partCol)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fsys = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochDir = new Path(stagingRoot, "0")
+    val files = messages.flatMap(_.asInstanceOf[VersionedSinkFiles].files)
+    require(op.scannedVersion >= 1,
+      "row-level write committed before its scan planned — unsupported plan shape")
+    val dd = new Path(path,
+      s"d_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    files.foreach { case (partDir, name) =>
+      val to = new Path(dd, s"$partDir/$name")
+      fsys.mkdirs(to.getParent)
+      require(fsys.rename(new Path(epochDir, s"$partDir/$name"), to),
+        s"failed to promote staged file $partDir/$name")
+    }
+    try graft.tables.Versioned.replaceEntries(spark, path, op.scannedVersion,
+      op.scanned, dd.getName, op.command().toString)
+    finally fsys.delete(stagingRoot, true)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fsys = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(stagingRoot, true)
+  }
 }

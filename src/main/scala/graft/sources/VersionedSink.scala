@@ -195,14 +195,29 @@ final class VersionedSinkWriter(stagingRoot: String, schema: StructType,
 
   private def fileName = s"part-$epochId-$partitionId-$taskId.parquet"
 
+  // A group-based row-level rewrite (SQL MERGE/UPDATE/DELETE) hands the
+  // writer rows PREFIXED with Spark's `__row_operation` marker column
+  // (RowDeltaUtils; 5/6 = whole-row writes); plain appends hand exactly
+  // the declared schema. Resolve the ordinal shift from the first row,
+  // loudly — anything other than 0 or 1 extra leading fields, or a
+  // delta-style marker (1/2/3 = per-row delete/update/insert), is a plan
+  // shape this group-replacing writer must NOT silently misread.
+  private var shift = -1
+  private def resolveShift(row: InternalRow): Unit = {
+    shift = row.numFields - schema.size
+    require(shift == 0 || shift == 1,
+      s"row carries ${row.numFields} fields for a ${schema.size}-column schema")
+  }
+
   private def partDirOf(row: InternalRow): String = {
+    val i = partIdx + shift
     val raw =
-      if (row.isNullAt(partIdx)) null
+      if (row.isNullAt(i)) null
       else schema.fields(partIdx).dataType match {
-        case StringType => row.getUTF8String(partIdx).toString
-        case LongType => String.valueOf(row.getLong(partIdx))
-        case IntegerType => String.valueOf(row.getInt(partIdx))
-        case BooleanType => String.valueOf(row.getBoolean(partIdx))
+        case StringType => row.getUTF8String(i).toString
+        case LongType => String.valueOf(row.getLong(i))
+        case IntegerType => String.valueOf(row.getInt(i))
+        case BooleanType => String.valueOf(row.getBoolean(i))
         case other => throw new IllegalArgumentException(
           s"partition column $partCol: unsupported type $other")
       }
@@ -210,6 +225,13 @@ final class VersionedSinkWriter(stagingRoot: String, schema: StructType,
   }
 
   override def write(row: InternalRow): Unit = {
+    if (shift < 0) resolveShift(row)
+    if (shift == 1) {
+      val op = row.getInt(0)
+      require(op == 5 || op == 6,
+        s"unexpected __row_operation marker $op — delta-based row-level " +
+          "writes are not supported by this group-replacing sink")
+    }
     val partDir = partDirOf(row)
     val w = open.getOrElseUpdate(partDir, {
       val p = new Path(stagingRoot, s"$epochId/$partDir/$fileName")
@@ -218,7 +240,8 @@ final class VersionedSinkWriter(stagingRoot: String, schema: StructType,
         .withCompressionCodec(CompressionCodecName.SNAPPY).build()
     })
     val g = factory.newGroup()
-    dataFields.foreach { case (f, i) =>
+    dataFields.foreach { case (f, i0) =>
+      val i = i0 + shift
       if (!row.isNullAt(i)) f.dataType match {
         case LongType => g.append(f.name, row.getLong(i))
         case IntegerType => g.append(f.name, row.getInt(i))

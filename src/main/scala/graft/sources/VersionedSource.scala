@@ -90,7 +90,8 @@ final class VersionedTable(path: String, schema0: StructType,
 
 final class VersionedScanBuilder(path: String, version: Int, full: StructType,
                                  statsKey: Option[String],
-                                 statsKey2: Option[String])
+                                 statsKey2: Option[String],
+                                 planListener: Option[Seq[Versioned.EntryView] => Unit] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -129,7 +130,7 @@ final class VersionedScanBuilder(path: String, version: Int, full: StructType,
 
   override def build(): Scan =
     new VersionedScan(path, version, full, required, statsKey, statsKey2,
-      longBounds, stringEq)
+      longBounds, stringEq, planListener)
 }
 
 /** One parquet file plus the partition-column constant its directory
@@ -148,7 +149,8 @@ final class VersionedScan(path: String, version: Int, full: StructType,
                           required: StructType, statsKey: Option[String],
                           statsKey2: Option[String],
                           longBounds: Map[String, (Long, Long)],
-                          stringEq: Map[String, String])
+                          stringEq: Map[String, String],
+                          planListener: Option[Seq[Versioned.EntryView] => Unit] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -244,6 +246,9 @@ final class VersionedScan(path: String, version: Int, full: StructType,
     val spark = SparkSession.active
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fsys = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Row-level rewrites need to know EXACTLY which entries this scan
+    // planned: the replacement commit displaces precisely that set.
+    planListener.foreach(_(survivors))
     survivors
       .flatMap { e =>
         val (constCol, constVal) =

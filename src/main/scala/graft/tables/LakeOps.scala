@@ -555,6 +555,42 @@ object Versioned {
       op = "CREATE")
   }
 
+  /** REPLACE a scanned entry set with freshly staged files — the commit
+    * half of a SQL row-level rewrite (MERGE INTO / UPDATE / rewriting
+    * DELETE): Spark re-wrote the affected groups' rows through the
+    * operation's write, and the new version is base-minus-scanned plus
+    * the replacement dir. The CAS pins the version the rewrite SCANNED —
+    * a concurrent commit between scan and replace conflicts loudly
+    * instead of silently resurrecting rows the winner changed.
+    */
+  private[graft] def replaceEntries(spark: SparkSession, tablePath: String,
+                                    baseV: Int,
+                                    drop: Set[(String, String, Option[String])],
+                                    dataDirName: String, op: String): Int = {
+    val (fsys, table) = fs(spark, tablePath)
+    val baseEntries = readManifest(fsys, table, baseV)
+    val dd = new Path(table, dataDirName)
+    val baseKey = headerLine(fsys, table, baseV, "#statskey\t")
+    val cons = constraintLines(fsys, table, baseV)
+    val fresh =
+      if (!fsys.exists(dd)) Seq.empty
+      else {
+        if (cons.nonEmpty) validateConstraints(spark.read.parquet(dd.toString), cons)
+        baseKey match {
+          case Some(k) => fileStatsOf(spark, table, dd, k)
+          case None => listPartDirs(fsys, dd).map(Entry(_, dataDirName))
+        }
+      }
+    val entries = baseEntries
+      .filterNot(e => drop.contains((e.partDir, e.dataDir, e.file))) ++ fresh
+    commit(fsys, table, spark, entries, Some(baseV),
+      if (fsys.exists(dd)) Seq(dd) else Seq.empty,
+      schema = readSchemaLine(fsys, table, baseV),
+      statsKey = baseKey,
+      partColHeader = headerLine(fsys, table, baseV, "#partcol\t"),
+      constraints = cons, op = op)
+  }
+
   /** The table's partition column: the `#partcol` header (recorded by
     * CREATE) or, absent one, derived from the first partitioned entry's
     * directory name. None for unpartitioned snapshots.

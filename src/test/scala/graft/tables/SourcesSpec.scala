@@ -487,17 +487,33 @@ class SourcesSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM gcat_t.ns1.t").as[(Long, Long, String)]
       .collect().toSet == Set((1L, 10L, "a"), (3L, 30L, "b")))
     assert(spark.sql("SELECT * FROM gcat_t.ns1.t VERSION AS OF 2").count() == 3)
-    // an unconvertible DELETE predicate is refused, never mis-deleted
-    intercept[Exception] {
-      spark.sql("DELETE FROM gcat_t.ns1.t WHERE k % 2 = 0")
-    }
-    assert(spark.sql("SELECT * FROM gcat_t.ns1.t").count() == 2)
+    // an UNCONVERTIBLE DELETE predicate routes through the row-level
+    // REWRITE (SupportsRowLevelOperations) instead of failing: k=3 is
+    // the only odd key left
+    spark.sql("DELETE FROM gcat_t.ns1.t WHERE k % 2 = 1 AND k > 2")
+    assert(spark.sql("SELECT * FROM gcat_t.ns1.t").as[(Long, Long, String)]
+      .collect().toSet == Set((1L, 10L, "a")))
+    // SQL UPDATE and MERGE INTO: group-based copy-on-write rewrites
+    spark.sql("UPDATE gcat_t.ns1.t SET v = v * 7 WHERE k = 1")
+    assert(spark.sql("SELECT v FROM gcat_t.ns1.t WHERE k = 1")
+      .head().getLong(0) == 70)
+    Seq((1L, 1000L, "a"), (5L, 50L, "c")).toDF("k", "v", "p")
+      .createOrReplaceTempView("gcat_merge_src")
+    spark.sql(
+      """MERGE INTO gcat_t.ns1.t t USING gcat_merge_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT * FROM gcat_t.ns1.t").as[(Long, Long, String)]
+      .collect().toSet == Set((1L, 1000L, "a"), (5L, 50L, "c")))
+    // every SQL statement is one committed version with its op recorded
+    assert(Versioned.history(spark, s"$wh/ns1/t").collect()
+      .map(_.getString(1)).toSeq.takeRight(3) == Seq("DELETE", "UPDATE", "MERGE"))
     // the SAME table keeps working through the Scala API (one manifest
     // lineage): a file-scoped merge lands as the next version
     val v = Versioned.mergeByFiles(spark, s"$wh/ns1/t",
       Seq((1L, 11L, "a", "U")).toDF("k", "v", "p", "_op"), "k", "p")
     assert(spark.sql("SELECT * FROM gcat_t.ns1.t").as[(Long, Long, String)]
-      .collect().toSet == Set((1L, 11L, "a"), (3L, 30L, "b")))
+      .collect().toSet == Set((1L, 11L, "a"), (5L, 50L, "c")))
     assert(Versioned.latestVersion(spark, s"$wh/ns1/t") == v)
     // catalog inventory + rename + drop
     assert(spark.sql("SHOW TABLES IN gcat_t.ns1").collect()
