@@ -7,6 +7,8 @@ import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -151,7 +153,8 @@ final class VersionedScan(path: String, version: Int, full: StructType,
                           longBounds: Map[String, (Long, Long)],
                           stringEq: Map[String, String],
                           planListener: Option[Seq[Versioned.EntryView] => Unit] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -198,10 +201,65 @@ final class VersionedScan(path: String, version: Int, full: StructType,
     dim1 && dim2
   }
 
-  // Entries left after ALL prunings — what the scan will actually open.
+  // Entries left after the STATIC prunings; runtime filters (dynamic
+  // partition pruning, row-level-operation group filtering) subtract
+  // further below, before any file opens.
   private lazy val survivors = Versioned
     .entriesOf(SparkSession.active, path, version)
     .filter(e => partSurvives(e.partDir) && fileSurvives(e))
+
+  /** Runtime (dynamic) filtering — what turns a SQL MERGE INTO from a
+    * whole-table rewrite into a file-scoped one: Spark's row-level-
+    * operation group filtering (and regular DPP) collects the matching
+    * keys / partition values at RUNTIME and hands them to the scan as IN
+    * predicates; files whose range+bloom stats cannot contain any
+    * runtime key, and partitions outside the runtime value set, drop
+    * from the planned (and therefore REPLACED) group set. Unrecognized
+    * predicates are ignored — runtime filtering may only shrink the set
+    * it is given, so ignoring is always safe.
+    */
+  private lazy val partColName: Option[String] =
+    Versioned.partColOf(SparkSession.active, path, version)
+  @volatile private var runtimeKeys: Option[Array[Long]] = None
+  @volatile private var runtimeParts: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    // ONE attribute only: Spark keys the runtime group filter on a
+    // struct of ALL filter attributes, and a struct-typed IN cannot
+    // translate to a pushable V2 predicate (it then degrades to a no-op
+    // hint). The stats key gives file-level pruning — the sharpest cut;
+    // partition-only tables fall back to the partition column.
+    statsKey.orElse(partColName).map(Expressions.column).toArray
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    predicates.foreach { p =>
+      if (p.name() == "IN" && p.children().nonEmpty) {
+        (p.children()(0), p.children().drop(1).toSeq) match {
+          case (f: NamedReference, lits) if lits.forall(_.isInstanceOf[Literal[_]]) =>
+            val colName = f.fieldNames().mkString(".")
+            val values = lits.map(_.asInstanceOf[Literal[_]].value())
+            if (statsKey.contains(colName) &&
+                values.forall(v => v.isInstanceOf[java.lang.Long] ||
+                  v.isInstanceOf[java.lang.Integer])) {
+              runtimeKeys = Some(values.map {
+                case l: java.lang.Long => l.longValue()
+                case i: java.lang.Integer => i.longValue()
+              }.distinct.sorted.toArray)
+            } else if (partColName.contains(colName)) {
+              runtimeParts = Some(values.map(v =>
+                ExternalCatalogUtils.getPartitionPathString(colName,
+                  if (v == null) null else String.valueOf(v))).toSet)
+            }
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  private def runtimeSurvivors: Seq[Versioned.EntryView] =
+    survivors
+      .filter(e => runtimeKeys.forall(ks => Versioned.viewMayContainKeys(e, ks)))
+      .filter(e => runtimeParts.forall(ps => e.partDir == "-" || ps.contains(e.partDir)))
 
   /** Post-pruning size/row statistics from manifest metadata alone (the
     * Delta/Iceberg pattern): row counts come from the per-file manifest
@@ -246,10 +304,11 @@ final class VersionedScan(path: String, version: Int, full: StructType,
     val spark = SparkSession.active
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fsys = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val planned = runtimeSurvivors
     // Row-level rewrites need to know EXACTLY which entries this scan
     // planned: the replacement commit displaces precisely that set.
-    planListener.foreach(_(survivors))
-    survivors
+    planListener.foreach(_(planned))
+    planned
       .flatMap { e =>
         val (constCol, constVal) =
           if (e.partDir == "-") (null: String, null: String) else partValue(e.partDir)

@@ -1566,6 +1566,18 @@ object Versioned {
                                       bloom: Option[String], dv: Option[String],
                                       k2min: Option[Long], k2max: Option[Long])
 
+  /** Range + bloom probe of a planning view against a sorted key set —
+    * the runtime-filter variant of the pruning [[mergeByFiles]] uses.
+    * Views without stats conservatively survive.
+    */
+  private[graft] def viewMayContainKeys(e: EntryView, sorted: Array[Long]): Boolean =
+    (e.kmin, e.kmax) match {
+      case (Some(lo), Some(hi)) =>
+        coversAnyKey(Entry(e.partDir, e.dataDir, e.file, Some(lo), Some(hi),
+          None, e.bloom), sorted)
+      case _ => true
+    }
+
   private[graft] def entriesOf(spark: SparkSession, tablePath: String, v: Int)
       : Seq[EntryView] = {
     val (fsys, table) = fs(spark, tablePath)

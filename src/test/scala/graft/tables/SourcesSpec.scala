@@ -524,4 +524,37 @@ class SourcesSpec extends SparkSpec {
     spark.sql("DROP TABLE gcat_t.ns1.t2")
     assert(spark.sql("SHOW TABLES IN gcat_t.ns1").isEmpty)
   }
+
+  test("SQL MERGE INTO is file-scoped: the runtime group filter keeps unmatched files spliced") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graftrgf").toString
+    spark.conf.set("spark.sql.catalog.gcat_r", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat_r.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gcat_r.ns")
+    spark.sql(
+      """CREATE TABLE gcat_r.ns.m (k BIGINT, v BIGINT, p STRING)
+        |PARTITIONED BY (p) TBLPROPERTIES ('statskey' = 'k')""".stripMargin)
+    (1L to 64L).map(k => (k, k * 10, "a")).toDF("k", "v", "p")
+      .repartition(8).createOrReplaceTempView("rgf_src")
+    spark.sql("INSERT INTO gcat_r.ns.m SELECT * FROM rgf_src")
+    val before = Versioned.fileEntriesOf(spark, s"$wh/ns/m", 2).toSet
+    assert(before.size >= 4, s"need several files to prove scoping: $before")
+    // source touches ONE key: the runtime group filter must confine the
+    // copy-on-write rewrite to the file(s) that can contain it
+    Seq((7L, 777L, "a")).toDF("k", "v", "p").createOrReplaceTempView("rgf_batch")
+    spark.sql(
+      """MERGE INTO gcat_r.ns.m t USING rgf_batch s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = Versioned.fileEntriesOf(spark, s"$wh/ns/m", 3).toSet
+    val spliced = before intersect after
+    val replaced = before -- after
+    assert(replaced.nonEmpty && spliced.nonEmpty &&
+      replaced.size <= math.max(2, before.size / 2),
+      s"merge of one key must not rewrite the table: replaced ${replaced.size} " +
+        s"of ${before.size} files")
+    // and the content is exact
+    assert(spark.sql("SELECT sum(v) FROM gcat_r.ns.m").head().getLong(0) ==
+      (1L to 64L).map(_ * 10).sum - 70 + 777)
+  }
 }
