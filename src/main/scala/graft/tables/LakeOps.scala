@@ -635,6 +635,18 @@ object Versioned {
         require(df.columns.toSet == s.fieldNames.toSet,
           s"staged columns ${df.columns.mkString(",")} do not match the " +
             s"table's ${s.fieldNames.mkString(",")} — appends never evolve schema")
+        // Name match is not enough: adopting a wrong-typed stage would
+        // commit files later reads can only mis-cast. Partition columns
+        // are exempt — their type is directory-inferred on the staged
+        // side (int where the table says long) and readEntries re-derives
+        // it from the recorded schema anyway.
+        val partC = headerLine(fsys, table, base, "#partcol\t")
+        s.fields.filterNot(f => partC.contains(f.name)).foreach { f =>
+          val got = df.schema(f.name).dataType
+          require(got == f.dataType,
+            s"staged column ${f.name} is $got, table records ${f.dataType} — " +
+              "appends never change types")
+        }
       }
       // Keep the table's file granularity: stats must stay on the base's
       // recorded column (or establish one on a fresh table).

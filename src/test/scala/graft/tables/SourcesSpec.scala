@@ -556,5 +556,12 @@ class SourcesSpec extends SparkSpec {
     // and the content is exact
     assert(spark.sql("SELECT sum(v) FROM gcat_r.ns.m").head().getLong(0) ==
       (1L to 64L).map(_ * 10).sum - 70 + 777)
+    // TRUNCATE rides the delete path (AlwaysTrue); the emptied version
+    // still serves the schema, and the table accepts fresh INSERTs
+    spark.sql("TRUNCATE TABLE gcat_r.ns.m")
+    assert(spark.sql("SELECT * FROM gcat_r.ns.m").count() == 0)
+    assert(spark.sql("SELECT * FROM gcat_r.ns.m").columns.toSeq == Seq("k", "v", "p"))
+    spark.sql("INSERT INTO gcat_r.ns.m VALUES (100L, 1L, 'z')")
+    assert(spark.sql("SELECT * FROM gcat_r.ns.m").count() == 1)
   }
 }
