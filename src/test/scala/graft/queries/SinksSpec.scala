@@ -967,6 +967,39 @@ class SinksSpec extends SparkSpec {
     assert(Versioned.latestVersion(spark, tbl) == 3)
   }
 
+  test("q226 OCC rebase under TRULY CONCURRENT writers: disjoint-key merges all land, none lost") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tbl = freshTable("occpar")
+    // 8 key-contiguous files over 1..32: four writers each rewrite one
+    // well-separated band — every CAS loser must rebase, never give up,
+    // never lose another writer's update
+    Versioned.publish(spark, tbl,
+      (1L to 32L).map(k => (k, k * 10, "a")).toDF("k", "v", "p")
+        .repartitionByRange(8, col("k")),
+      partCol = Some("p"), fileStatsKey = Some("k"))
+    val bands = Seq(2L, 10L, 18L, 26L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val done = scala.concurrent.Future.traverse(bands) { b =>
+      scala.concurrent.Future {
+        Versioned.mergeByFiles(spark, tbl,
+          Seq((b, b * 1000, "a", "U")).toDF("k", "v", "p", "_op"), "k", "p",
+          fromVersion = Some(1), expectedLatest = Some(1), rebaseRetries = 8)
+      }
+    }
+    val versions = try scala.concurrent.Await.result(
+      done, scala.concurrent.duration.Duration(120, "s"))
+    finally pool.shutdown()
+    assert(versions.toSet == Set(2, 3, 4, 5),
+      s"four writers must land four consecutive versions, got $versions")
+    assert(Versioned.read(spark, tbl).as[(Long, Long, String)].collect().toSet ==
+      (1L to 32L).map(k =>
+        (k, if (bands.contains(k)) k * 1000 else k * 10, "a")).toSet,
+      "every concurrent writer's update must survive the rebase storm")
+  }
+
   test("q226 OCC rebase honors a concurrently committed idempotence tag: the race resolves to the other writer's version") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
