@@ -512,6 +512,17 @@ object Sinks {
       tbl
     }) }
 
+  // (lo, hi) of the merge key within one partition of a FILE-GRANULAR
+  // version, from manifest metadata alone: per-file [kmin, kmax] are
+  // exact min/max, so their fold equals the data scan's agg(min, max) —
+  // zero Spark jobs where the band queries used to burn one each.
+  private def keyBoundsOf(spark: SparkSession, tbl: String, v: Int,
+                          partDir: String): (Long, Long) = {
+    val es = Versioned.fileEntriesOf(spark, tbl, v).filter(_._1 == partDir)
+    require(es.nonEmpty, s"no $partDir files in v$v of $tbl")
+    (es.map(_._4).min, es.map(_._5).max)
+  }
+
   /** q212 — FILE-scoped MERGE (`Versioned.mergeByFiles`): the q208
     * manifest idea applied to the merge scope. The target is published
     * file-granular (range-layout on the key, per-file key min/max in the
@@ -533,11 +544,11 @@ object Sinks {
     val tbl = ordersVersionedFiles(spark, dir)
     val base = Versioned.readAt(spark, tbl, 1)
     val y95 = base.filter(col("o_year") === 1995)
-    // Bottom-8% of 1995's key space in four 2% bands (driver metadata: one
-    // min/max row, the q69 convention). Integer arithmetic mirrors the
-    // oracle's `lo + (hi - lo + 1) * i // 50`.
-    val mm = y95.agg(min("o_orderkey"), max("o_orderkey")).head()
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    // Bottom-8% of 1995's key space in four 2% bands. The bounds come
+    // from the manifest's per-file stats (exact min/max — identical to
+    // the data scan's agg the oracle replays); integer arithmetic mirrors
+    // the oracle's `lo + (hi - lo + 1) * i // 50`.
+    val (lo, hi) = keyBoundsOf(spark, tbl, 1, "o_year=1995")
     def cut(i: Long) = lo + (hi - lo + 1) * i / 50
     def band(df: DataFrame, i: Long) =
       df.filter(col("o_orderkey") >= cut(i) && col("o_orderkey") < cut(i + 1))
@@ -582,8 +593,7 @@ object Sinks {
   def mergeOccRebase(spark: SparkSession, dir: String): DataFrame = {
     val tbl = ordersVersionedFiles(spark, dir)
     val y95 = Versioned.readAt(spark, tbl, 1).filter(col("o_year") === 1995)
-    val mm = y95.agg(min("o_orderkey"), max("o_orderkey")).head()
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val (lo, hi) = keyBoundsOf(spark, tbl, 1, "o_year=1995")
     def cut(i: Long) = lo + (hi - lo + 1) * i / 50
     def band(i: Long) =
       y95.filter(col("o_orderkey") >= cut(i) && col("o_orderkey") < cut(i + 1))
@@ -600,7 +610,9 @@ object Sinks {
     // the rebase resolves it.
     val vB = Versioned.mergeByFiles(spark, tbl, batchB, "o_orderkey", "o_year",
       fromVersion = Some(1), expectedLatest = Some(l0), rebaseRetries = 2)
-    Versioned.vacuum(spark, tbl, keep = Set(1, vB))
+    // No per-invocation vacuum: the demonstration is the rebase, and each
+    // run adds two small dirs (bands of one partition) — q210/q212 cover
+    // vacuum-after-merge; the racing-vacuum spec covers its safety.
     Versioned.readAt(spark, tbl, vB)
       .groupBy("o_year")
       .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
@@ -626,8 +638,7 @@ object Sinks {
     deleteTree(dst)
     Versioned.cloneTable(spark, src, dst, version = Some(1))
     val y95 = Versioned.readAt(spark, dst, 1).filter(col("o_year") === 1995)
-    val mm = y95.agg(min("o_orderkey"), max("o_orderkey")).head()
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val (lo, hi) = keyBoundsOf(spark, dst, 1, "o_year=1995")
     def cut(i: Long) = lo + (hi - lo + 1) * i / 50
     def band(i: Long) =
       y95.filter(col("o_orderkey") >= cut(i) && col("o_orderkey") < cut(i + 1))
@@ -721,8 +732,7 @@ object Sinks {
     deleteTree(dst)
     Versioned.cloneTable(spark, src, dst, version = Some(1))
     val y95 = Versioned.readAt(spark, dst, 1).filter(col("o_year") === 1995)
-    val mm = y95.agg(min("o_orderkey"), max("o_orderkey")).head()
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val (lo, hi) = keyBoundsOf(spark, dst, 1, "o_year=1995")
     def cut(i: Long) = lo + (hi - lo + 1) * i / 50
     // The band's keys, collected as the point-delete list (metadata-sized)
     val keys = y95.filter(col("o_orderkey") >= cut(30) && col("o_orderkey") < cut(31))

@@ -274,7 +274,8 @@ final class VersionedBatchWrite(path: String, schema: StructType,
 
   override def toBatch: BatchWrite = this
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new VersionedBatchWriterFactory(stagingRoot.toString, schema, partCol)
+    new VersionedBatchWriterFactory(stagingRoot.toString, schema, partCol,
+      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -302,9 +303,11 @@ final class VersionedBatchWrite(path: String, schema: StructType,
 }
 
 final class VersionedBatchWriterFactory(stagingRoot: String, schema: StructType,
-                                        partCol: String) extends DataWriterFactory {
+                                        partCol: String,
+                                        conf: SerializableHadoopConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
-    new VersionedSinkWriter(stagingRoot, schema, partCol, partitionId, taskId, 0L)
+    new VersionedSinkWriter(stagingRoot, schema, partCol, partitionId, taskId, 0L,
+      conf.value)
 }
 
 /** One SQL row-level statement (MERGE INTO / UPDATE / rewriting DELETE):
@@ -358,7 +361,8 @@ final class VersionedReplaceDataWrite(path: String, schema: StructType,
 
   override def toBatch: BatchWrite = this
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new VersionedBatchWriterFactory(stagingRoot.toString, schema, partCol)
+    new VersionedBatchWriterFactory(stagingRoot.toString, schema, partCol,
+      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active

@@ -46,10 +46,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * OPTIMIZE inside the store compacts what accumulates). The driver
   * handles only file names and the manifest CAS.
   *
-  * Scope: local/HDFS-default Hadoop configuration on executors (the
-  * writer opens files with a fresh `Configuration()`); supported column
-  * types are the store's partitionable scalars plus double — refuse
-  * anything else loudly at plan time, not mid-stream.
+  * Scope: the DRIVER's session Hadoop configuration rides to executors
+  * via a serializable envelope (object-store credentials and fs
+  * implementations apply on the task side); supported column types are
+  * the store's partitionable scalars plus double — refused loudly at
+  * plan time, not mid-stream, for data and partition columns alike.
   */
 class VersionedSink extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
@@ -93,8 +94,17 @@ final class VersionedSinkWrite(path: String, schema: StructType,
     p
   }
   private val fileStatsKey = Option(options.get("fileStatsKey"))
-  // Fail unsupported column types at PLAN time.
+  // Fail unsupported column types at PLAN time — data columns via the
+  // parquet message type, the partition column via the directory-encoding
+  // whitelist (messageTypeOf excludes it, so e.g. a double partCol would
+  // otherwise only fail per-row in partDirOf mid-stream).
   VersionedSinkWriter.messageTypeOf(schema, partCol)
+  require(Set[org.apache.spark.sql.types.DataType](
+      StringType, LongType, IntegerType, BooleanType)
+      .contains(schema(partCol).dataType),
+    s"VersionedSink partition column $partCol: type " +
+      s"${schema(partCol).dataType} renders format-dependent directory " +
+      "names; use int/long/string/boolean")
 
   override def toStreaming: StreamingWrite = this
 
@@ -104,7 +114,11 @@ final class VersionedSinkWrite(path: String, schema: StructType,
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new VersionedSinkWriterFactory(stagingRoot.toString, schema, partCol)
+    // The session's Hadoop conf rides to the executors (object-store
+    // credentials, fs implementations) — a fresh Configuration() on the
+    // task side would silently drop them.
+    new VersionedSinkWriterFactory(stagingRoot.toString, schema, partCol,
+      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -137,13 +151,31 @@ final class VersionedSinkWrite(path: String, schema: StructType,
 final case class VersionedSinkFiles(files: Seq[(String, String)])
     extends WriterCommitMessage
 
+/** Java-serializable Hadoop `Configuration` envelope (the Configuration
+  * class itself is Writable, not Serializable) — ships the DRIVER's
+  * session conf into write tasks.
+  */
+final class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 final class VersionedSinkWriterFactory(stagingRoot: String, schema: StructType,
-                                       partCol: String)
+                                       partCol: String,
+                                       conf: SerializableHadoopConf)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new VersionedSinkWriter(stagingRoot, schema, partCol,
-      partitionId, taskId, epochId)
+      partitionId, taskId, epochId, conf.value)
 }
 
 object VersionedSinkWriter {
@@ -174,7 +206,8 @@ object VersionedSinkWriter {
 
 final class VersionedSinkWriter(stagingRoot: String, schema: StructType,
                                 partCol: String, partitionId: Int,
-                                taskId: Long, epochId: Long)
+                                taskId: Long, epochId: Long,
+                                conf: org.apache.hadoop.conf.Configuration)
     extends DataWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.ParquetWriter
@@ -186,7 +219,6 @@ final class VersionedSinkWriter(stagingRoot: String, schema: StructType,
   private val factory = new SimpleGroupFactory(msgType)
   private val partIdx = schema.fieldIndex(partCol)
   private val dataFields = schema.fields.zipWithIndex.filter(_._1.name != partCol)
-  private val conf = new org.apache.hadoop.conf.Configuration()
 
   // One open file per partition VALUE seen by this task.
   private val open = scala.collection.mutable.LinkedHashMap

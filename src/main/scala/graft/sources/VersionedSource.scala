@@ -273,15 +273,20 @@ final class VersionedScan(path: String, version: Int, full: StructType,
   override def estimateStatistics(): Statistics = {
     val spark = SparkSession.active
     val fsPath = new org.apache.hadoop.fs.Path(path)
-    val fsys = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Byte sizes come from the manifest (recorded at write time); only
+    // legacy entries that predate the size field (and dir-granular
+    // entries) fall back to filesystem RPCs — planning on a current
+    // 10^5-file manifest issues zero per-file round-trips.
+    lazy val fsys = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var bytes = 0L
     var fileGranular = true
     survivors.foreach { e =>
-      e.file match {
-        case Some(f) =>
+      (e.file, e.fsize) match {
+        case (Some(_), Some(sz)) => bytes += sz
+        case (Some(f), None) =>
           bytes += fsys.getFileStatus(
             new org.apache.hadoop.fs.Path(fsPath, s"${e.dataDir}/${e.partDir}/$f")).getLen
-        case None =>
+        case (None, _) =>
           fileGranular = false // dir-level entry: no per-file row counts
           bytes += fsys.getContentSummary(new org.apache.hadoop.fs.Path(fsPath,
             if (e.partDir == "-") e.dataDir else s"${e.dataDir}/${e.partDir}")).getLength

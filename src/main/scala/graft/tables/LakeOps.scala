@@ -128,6 +128,23 @@ private[graft] class KeyBloomAgg
   * sync, so a crash between any two steps leaves the table readable at
   * the previous version.
   *
+  * DELTA COMMITS + CHECKPOINTS (the public Delta-log design: JSON delta
+  * actions per commit, a periodic full checkpoint, `_last_checkpoint`
+  * resolution — re-derived on the manifest store): a commit whose entry
+  * delta against the PREVIOUS version is smaller than the full list
+  * writes only `#base\t<prev>\t<depth>` + `#rm\t<entry>` removal lines +
+  * the added entries; readers resolve base-then-apply, recursively, so
+  * commit bytes and commit parse cost are ∝ CHANGED entries, not ∝
+  * table. Every [[MaxChainDepth]]-th commit (and any commit whose delta
+  * would not be smaller) writes the FULL entry list — the checkpoint
+  * that bounds resolution to ≤ MaxChainDepth small reads however long
+  * the table's history grows. At 10^6 files this is the difference
+  * between ~100 MB of driver manifest I/O per merge and a few KB.
+  * Vacuum keeps every manifest in a retained version's resolution chain
+  * (the Delta log-retention analog: a chain-retained manifest may
+  * outlive its own data dirs — reading such a version fails at data
+  * time, exactly like Delta time travel past the data retention).
+  *
   * Why this shape (the Delta/Iceberg argument, minimally):
   *  - data files are IMMUTABLE — no in-place partition rewrite, no
   *    directory deletion on merge, so a reader holding version N keeps a
@@ -191,6 +208,12 @@ object Versioned {
   private def manifestPath(table: Path, v: Int) = new Path(manifestDir(table), s"$v.txt")
 
   private val Terminator = "#commit"
+  /** Longest `#base` resolution chain a delta commit may extend: the
+    * commit that would make the chain longer writes a full entry list (a
+    * checkpoint) instead, so resolving any version reads at most this
+    * many manifest files regardless of history length.
+    */
+  private[graft] val MaxChainDepth = 16
   /** An uncommitted manifest older than this is a crashed writer's claim
     * and may be reclaimed by the next writer.
     */
@@ -220,9 +243,14 @@ object Versioned {
     * [[mergeByFiles]]) additionally name one parquet file inside it plus
     * the file's min/max of the merge key — the footer-stats surrogate a
     * file-skipping MERGE prunes with — and (since r14) the file's row
-    * count, which drives [[optimizeTable]]'s bin packing. Entries parsed
-    * from pre-r14 manifests lack the count (5-field form) and re-serialize
-    * in the same form, so splices stay byte-stable across versions.
+    * count, which drives [[optimizeTable]]'s bin packing, plus (r15) the
+    * file's byte size, which serves `estimateStatistics` from metadata
+    * instead of one FileStatus RPC per file per planning pass. Entries
+    * parsed from pre-r14 manifests lack the count (5-field form); every
+    * optional field from nrows on serializes positionally with "-"
+    * padding, so a legacy entry that GAINS a tail field (a deletion
+    * vector on a pre-nrows file) keeps it addressable instead of
+    * silently dropping it.
     */
   private case class Entry(partDir: String, dataDir: String,
                            file: Option[String] = None,
@@ -232,42 +260,63 @@ object Versioned {
                            bloom: Option[String] = None,
                            dv: Option[String] = None,
                            k2min: Option[Long] = None,
-                           k2max: Option[Long] = None) {
-    // Optional tail fields (bloom, dv, second-column bounds) serialize
-    // positionally with "-" padding so later fields stay addressable.
-    def serialized: String = (file, nrows) match {
-      case (Some(f), Some(n)) =>
-        val tail = scala.collection.mutable.ListBuffer.empty[String]
-        if (bloom.isDefined || dv.isDefined || k2min.isDefined)
-          tail += bloom.getOrElse(KeyBloom.Saturated)
-        if (dv.isDefined || k2min.isDefined)
-          tail += dv.getOrElse("-")
-        if (k2min.isDefined) {
-          tail += k2min.get.toString
-          tail += k2max.get.toString
-        }
-        s"$partDir\t$dataDir\t$f\t${kmin.get}\t${kmax.get}\t$n" +
-          tail.map("\t" + _).mkString
-      case (Some(f), None) => s"$partDir\t$dataDir\t$f\t${kmin.get}\t${kmax.get}"
+                           k2max: Option[Long] = None,
+                           fsize: Option[Long] = None) {
+    // Optional tail fields serialize positionally with "-" padding,
+    // trimmed after the last defined one so existing manifests stay
+    // byte-stable. Note bloom's absent form IS KeyBloom.Saturated ("-"):
+    // absent and saturated read identically (possibly-contains).
+    def serialized: String = file match {
+      case Some(f) =>
+        val slots = Seq(
+          nrows.map(_.toString).getOrElse("-"),
+          bloom.getOrElse(KeyBloom.Saturated),
+          dv.getOrElse("-"),
+          k2min.map(_.toString).getOrElse("-"),
+          k2max.map(_.toString).getOrElse("-"),
+          fsize.map(_.toString).getOrElse("-"))
+        val keep = slots.lastIndexWhere(_ != "-") + 1
+        s"$partDir\t$dataDir\t$f\t${kmin.get}\t${kmax.get}" +
+          slots.take(keep).map("\t" + _).mkString
       case _ => s"$partDir\t$dataDir"
     }
   }
 
   private def parseEntry(l: String): Entry = {
     val f = l.split("\t", -1)
-    if (f.length >= 7) Entry(f(0), f(1), Some(f(2)), Some(f(3).toLong),
-      Some(f(4).toLong), Some(f(5).toLong),
-      Some(f(6)).filter(_ != KeyBloom.Saturated),
-      if (f.length >= 8) Some(f(7)).filter(_ != "-") else None,
-      if (f.length >= 10) Some(f(8).toLong) else None,
-      if (f.length >= 10) Some(f(9).toLong) else None)
-    else if (f.length >= 6) Entry(f(0), f(1), Some(f(2)), Some(f(3).toLong),
-      Some(f(4).toLong), Some(f(5).toLong))
-    else if (f.length >= 5) Entry(f(0), f(1), Some(f(2)), Some(f(3).toLong), Some(f(4).toLong))
+    def longAt(i: Int): Option[Long] =
+      if (f.length > i && f(i) != "-") Some(f(i).toLong) else None
+    if (f.length >= 5) Entry(f(0), f(1), Some(f(2)), Some(f(3).toLong),
+      Some(f(4).toLong), longAt(5),
+      if (f.length > 6) Some(f(6)).filter(_ != KeyBloom.Saturated) else None,
+      if (f.length > 7) Some(f(7)).filter(_ != "-") else None,
+      longAt(8), longAt(9), longAt(10))
     else Entry(f(0), f(1))
   }
 
+  /** Entries of version `v`, resolving `#base` delta chains: a delta
+    * manifest holds its base version, `#rm` removal lines (the removed
+    * entry's exact serialized form — parse↔serialize is byte-stable, so
+    * identity by string is exact) and added entries; resolution is
+    * base-minus-removed-plus-added, recursively, ≤ [[MaxChainDepth]]
+    * reads by the checkpoint rule.
+    */
   private def readManifest(fsys: FileSystem, table: Path, v: Int): Seq[Entry] = {
+    val body = manifestBody(fsys, table, v)
+    val own = body.filterNot(_.startsWith("#")).map(parseEntry)
+    body.find(_.startsWith("#base\t")) match {
+      case None => own
+      case Some(bl) =>
+        val bv = bl.split("\t")(1).toInt
+        val removed = body.filter(_.startsWith("#rm\t"))
+          .map(_.substring("#rm\t".length)).toSet
+        readManifest(fsys, table, bv)
+          .filterNot(e => removed(e.serialized)) ++ own
+    }
+  }
+
+  /** Raw committed manifest lines of `v` minus the terminator. */
+  private def manifestBody(fsys: FileSystem, table: Path, v: Int): Seq[String] = {
     val p = manifestPath(table, v)
     require(fsys.exists(p), s"version $v does not exist (or was vacuumed) at $table")
     val in = fsys.open(p)
@@ -281,7 +330,26 @@ object Versioned {
     val lines = text.split("\n", -1).toSeq.map(_.stripSuffix("\r")).filter(_.nonEmpty)
     require(lines.lastOption.contains(Terminator),
       s"version $v at $table is not committed (writer crashed mid-publish?)")
-    lines.dropRight(1).filterNot(_.startsWith("#")).map(parseEntry)
+    lines.dropRight(1)
+  }
+
+  /** (base version, chain depth) of `v`'s manifest; None for a full
+    * (checkpoint) manifest, whose depth is 0.
+    */
+  private[graft] def chainBaseOf(fsys: FileSystem, table: Path, v: Int)
+      : Option[(Int, Int)] =
+    headerLine(fsys, table, v, "#base\t").map { l =>
+      val f = l.split("\t")
+      (f(0).toInt, f(1).toInt)
+    }
+
+  /** Spec introspection: (base version, depth) of a committed version's
+    * manifest, None when it is a full checkpoint.
+    */
+  def manifestChainOf(spark: SparkSession, tablePath: String, v: Int)
+      : Option[(Int, Int)] = {
+    val (fsys, table) = fs(spark, tablePath)
+    chainBaseOf(fsys, table, v)
   }
 
   /** The idempotence tag a version was committed with, if any (the first
@@ -438,6 +506,33 @@ object Versioned {
         abort(s"version $next at $table already claimed by a concurrent writer")
     }
     postClaimHookForTests.foreach(_.apply())
+    // Delta-vs-previous commit (headers always write in full — they are a
+    // few lines — only the ENTRY list deltas): smaller of the two forms
+    // wins; the depth cap forces a periodic full checkpoint so resolution
+    // stays bounded. A racing vacuum of the previous manifest degrades to
+    // a full write — never a broken chain.
+    val (deltaLines, ownEntries) = {
+      val full = ("", entries)
+      if (latest < 1) full
+      else {
+        val prevDepth = chainBaseOf(fsys, table, latest).map(_._2).getOrElse(0)
+        if (prevDepth + 1 > MaxChainDepth) full
+        else {
+          try {
+            val prev = readManifest(fsys, table, latest)
+            val prevSer = prev.map(_.serialized)
+            val newSet = entries.map(_.serialized).toSet
+            val prevSet = prevSer.toSet
+            val removed = prevSer.filterNot(newSet)
+            val added = entries.filterNot(e => prevSet(e.serialized))
+            if (removed.size + added.size < entries.size)
+              (s"#base\t$latest\t${prevDepth + 1}\n" +
+                removed.map(r => s"#rm\t$r\n").mkString, added)
+            else full
+          } catch { case _: Exception => full }
+        }
+      }
+    }
     val body = (tag.map(t => s"#tag\t$t\n").getOrElse("") +
       schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
       changesDir.map(d => s"#changes\t$d\n").getOrElse("") +
@@ -445,8 +540,8 @@ object Versioned {
       statsKey2.map(k => s"#statskey2\t$k\n").getOrElse("") +
       partColHeader.map(c => s"#partcol\t$c\n").getOrElse("") +
       constraints.map { case (n, e) => s"#constraint\t$n\t$e\n" }.mkString +
-      s"#op\t$op\n" +
-      entries.map(_.serialized).mkString("", "\n", s"\n$Terminator\n")).getBytes("UTF-8")
+      s"#op\t$op\n" + deltaLines +
+      ownEntries.map(_.serialized).mkString("", "\n", s"\n$Terminator\n")).getBytes("UTF-8")
     try out.write(body) finally out.close()
     // Read-back verification: if a stalled writer's claim was reclaimed
     // (deleted + recreated) between our exclusiveCreate and close, our body
@@ -697,6 +792,15 @@ object Versioned {
                           keyCol: String,
                           stats2Col: Option[String] = None): Seq[Entry] = {
     val marker = "/" + dd.getName + "/"
+    // Byte sizes recorded at WRITE time (one listing per fresh partition
+    // dir, ∝ files just written) so every later planning pass serves
+    // sizeInBytes from the manifest instead of per-file FileStatus RPCs.
+    val fsys = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizeOf: Map[(String, String), Long] =
+      fsys.listStatus(dd).toSeq.filter(_.isDirectory).flatMap { p =>
+        fsys.listStatus(p.getPath).toSeq.filter(_.isFile)
+          .map(s => (p.getPath.getName, s.getPath.getName) -> s.getLen)
+      }.toMap
     val bloomAgg = udaf(new KeyBloomAgg)
     // Second-dimension bounds (the z-order skipping column) ride the same
     // single stats scan when requested; NULLs in that column simply widen
@@ -728,7 +832,8 @@ object Versioned {
           Some(r.getLong(1)), Some(r.getLong(2)), Some(r.getLong(3)),
           Some(r.getString(5)).filter(_ != KeyBloom.Saturated),
           k2min = if (stats2Col.isDefined && !r.isNullAt(6)) Some(r.getLong(6)) else None,
-          k2max = if (stats2Col.isDefined && !r.isNullAt(7)) Some(r.getLong(7)) else None)
+          k2max = if (stats2Col.isDefined && !r.isNullAt(7)) Some(r.getLong(7)) else None,
+          fsize = sizeOf.get((rel.substring(0, cut), rel.substring(cut + 1))))
       }.sortBy(e => (e.partDir, e.file))
   }
 
@@ -1180,8 +1285,10 @@ object Versioned {
     * contract: instead of rewriting a whole file to drop a few rows, the
     * new version's manifest points the affected entries at a sidecar
     * listing the deleted keys, and every read path subtracts them
-    * (`readEntries` applies one global anti-filter — sound because a key
-    * lives in at most one file). The data files are NOT touched: a small
+    * (`readEntries` subtracts each sidecar from ITS OWN file only — a
+    * global anti-filter would be unsound: a later merge may legitimately
+    * re-insert a DV-deleted key into a NEW file, and the reincarnation
+    * must be served; q229's spec pins this). The data files are NOT touched: a small
     * delete on a 100 TB table costs one metadata-sized sidecar per
     * affected file instead of a file rewrite — the write-amplification
     * fix that makes frequent GDPR-style point deletes affordable. DVs are
@@ -1238,6 +1345,9 @@ object Versioned {
       schema = readSchemaLine(fsys, table, base),
       changesDir = feedDir.map(_.getName),
       statsKey = Some(keyCol),
+      // DV commits rewrite no file, so second-dimension bounds stay valid
+      statsKey2 = headerLine(fsys, table, base, "#statskey2\t"),
+      partColHeader = headerLine(fsys, table, base, "#partcol\t"),
       constraints = constraintLines(fsys, table, base), op = "DELETE_DV")
   }
 
@@ -1515,6 +1625,66 @@ object Versioned {
       (c(0), c(1))
     }
 
+  /** ALTER TABLE ADD COLUMN: commit a new version with the SAME entries
+    * and an evolved `#schema` — pure metadata, no file is touched.
+    * Existing rows NULL-backfill on read (the same alignment contract a
+    * schema-evolving merge establishes) and time travel before the ALTER
+    * serves the old schema. New fields must be nullable (every existing
+    * row lacks a value) and must not collide with existing columns.
+    */
+  def addColumns(spark: SparkSession, tablePath: String,
+                 fields: Seq[org.apache.spark.sql.types.StructField],
+                 expectedLatest: Option[Int] = None): Int = {
+    require(fields.nonEmpty, "addColumns: no fields given")
+    val (fsys, table) = fs(spark, tablePath)
+    val base = latestVersion(spark, tablePath)
+    require(base >= 1, s"$tablePath has no committed version")
+    val baseSchema = readSchemaLine(fsys, table, base).getOrElse(
+      throw new IllegalArgumentException(
+        s"v$base of $tablePath records no schema — republish once to record one"))
+    fields.foreach { f =>
+      require(!baseSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+        s"column ${f.name} already exists in ${baseSchema.fieldNames.mkString(",")}")
+      require(f.nullable,
+        s"added column ${f.name} must be nullable — existing rows have no value")
+    }
+    val evolved = org.apache.spark.sql.types.StructType(baseSchema.fields ++ fields)
+    commit(fsys, table, spark, readManifest(fsys, table, base),
+      expectedLatest.orElse(Some(base)), Seq.empty,
+      schema = Some(evolved),
+      statsKey = headerLine(fsys, table, base, "#statskey\t"),
+      statsKey2 = headerLine(fsys, table, base, "#statskey2\t"),
+      partColHeader = headerLine(fsys, table, base, "#partcol\t"),
+      constraints = constraintLines(fsys, table, base),
+      op = s"ADD_COLUMN(${fields.map(_.name).mkString(",")})")
+  }
+
+  /** The operation that committed version `v` (`#op` header); "WRITE" on
+    * pre-header manifests. Streaming consumers gate on it: a table tail
+    * accepts APPEND versions and fails loudly on anything that could
+    * change or remove already-delivered rows.
+    */
+  def opOf(spark: SparkSession, tablePath: String, v: Int): String = {
+    val (fsys, table) = fs(spark, tablePath)
+    headerLine(fsys, table, v, "#op\t").getOrElse("WRITE")
+  }
+
+  /** The entries version `v` ADDED relative to `v - 1` (serialized-form
+    * set difference — exact, since parse↔serialize is byte-stable): for
+    * an APPEND commit this is precisely the appended files. Planning
+    * metadata for the append-tail streaming source.
+    */
+  private[graft] def appendedEntriesOf(spark: SparkSession, tablePath: String,
+                                       v: Int): Seq[EntryView] = {
+    val (fsys, table) = fs(spark, tablePath)
+    val prev = if (v <= 1) Set.empty[String]
+      else readManifest(fsys, table, v - 1).map(_.serialized).toSet
+    readManifest(fsys, table, v)
+      .filterNot(e => prev(e.serialized))
+      .map(e => EntryView(e.partDir, e.dataDir, e.file, e.kmin, e.kmax,
+        e.bloom, e.dv, e.k2min, e.k2max, e.fsize))
+  }
+
   /** ADD a CHECK constraint (SQL-expression CHECK, NULL = pass — the SQL
     * standard and Delta's contract): validates the ENTIRE current table
     * now (one scan — the ALTER TABLE ADD CONSTRAINT price), then commits
@@ -1576,7 +1746,8 @@ object Versioned {
                                       file: Option[String],
                                       kmin: Option[Long], kmax: Option[Long],
                                       bloom: Option[String], dv: Option[String],
-                                      k2min: Option[Long], k2max: Option[Long])
+                                      k2min: Option[Long], k2max: Option[Long],
+                                      fsize: Option[Long] = None)
 
   /** Range + bloom probe of a planning view against a sorted key set —
     * the runtime-filter variant of the pruning [[mergeByFiles]] uses.
@@ -1594,7 +1765,7 @@ object Versioned {
       : Seq[EntryView] = {
     val (fsys, table) = fs(spark, tablePath)
     readManifest(fsys, table, v).map(e => EntryView(e.partDir, e.dataDir,
-      e.file, e.kmin, e.kmax, e.bloom, e.dv, e.k2min, e.k2max))
+      e.file, e.kmin, e.kmax, e.bloom, e.dv, e.k2min, e.k2max, e.fsize))
   }
 
   /** Deleted keys of a serialized deletion-vector path — planning-time
@@ -1634,7 +1805,7 @@ object Versioned {
       : Seq[(String, String, String, Long, Long)] = {
     val (fsys, table) = fs(spark, tablePath)
     readManifest(fsys, table, v).collect {
-      case e @ Entry(p, d, Some(f), Some(lo), Some(hi), _, _, _, _, _) =>
+      case e @ Entry(p, d, Some(f), Some(lo), Some(hi), _, _, _, _, _, _) =>
         (p, d, f, lo, hi)
     }
   }
@@ -1828,6 +1999,8 @@ object Versioned {
     commit(fsys, table, spark, entries, expectedLatest, Seq.empty,
       schema = readSchemaLine(fsys, table, v),
       statsKey = headerLine(fsys, table, v, "#statskey\t"),
+      statsKey2 = headerLine(fsys, table, v, "#statskey2\t"),
+      partColHeader = headerLine(fsys, table, v, "#partcol\t"),
       constraints = constraintLines(fsys, table, v), op = s"RESTORE($v)")
   }
 
@@ -1868,6 +2041,8 @@ object Versioned {
     commit(dfs, dst, spark, abs, Some(0), Seq.empty,
       schema = readSchemaLine(sfs, src, v),
       statsKey = headerLine(sfs, src, v, "#statskey\t"),
+      statsKey2 = headerLine(sfs, src, v, "#statskey2\t"),
+      partColHeader = headerLine(sfs, src, v, "#partcol\t"),
       constraints = constraintLines(sfs, src, v), op = "CLONE")
   }
 
@@ -1976,6 +2151,7 @@ object Versioned {
     // (rerunnable maintenance) instead of this commit erasing the merge.
     commit(fsys, table, spark, entries, expectedLatest.orElse(Some(base)), Seq(dd),
       schema = baseSchema, statsKey = Some(keyCol),
+      partColHeader = headerLine(fsys, table, base, "#partcol\t"),
       constraints = constraintLines(fsys, table, base), op = "COMPACT")
   }
 
@@ -2060,6 +2236,7 @@ object Versioned {
     val entries = baseEntries.filterNot(victimEntries) ++ written
     commit(fsys, table, spark, entries, expectedLatest.orElse(Some(base)), Seq(dd),
       schema = baseSchema, statsKey = Some(keyCol),
+      partColHeader = headerLine(fsys, table, base, "#partcol\t"),
       constraints = constraintLines(fsys, table, base), op = "OPTIMIZE")
   }
 
@@ -2143,6 +2320,7 @@ object Versioned {
     val written = fileStatsOf(spark, table, dd, keyCol, stats2Col = Some(col2))
     commit(fsys, table, spark, written, expectedLatest.orElse(Some(base)), Seq(dd),
       schema = baseSchema, statsKey = Some(keyCol), statsKey2 = Some(col2),
+      partColHeader = headerLine(fsys, table, base, "#partcol\t"),
       constraints = constraintLines(fsys, table, base), op = s"ZORDER($col2)")
   }
 
@@ -2192,7 +2370,17 @@ object Versioned {
         // entry points into it
         e.dataDir +: e.dv.map(_.split('/').head).toSeq)).toSet ++
       liveVs.flatMap(v => headerLine(fsys, table, v, "#changes\t")).toSet
-    dropped.filterNot(protectedV.contains)
+    // A kept version's DELTA manifest resolves through its #base chain:
+    // every manifest on a live chain must survive the sweep (the Delta
+    // log-retention analog) or the kept version becomes unreadable. A
+    // chain-retained manifest may outlive its data dirs — reading it then
+    // fails at data time, like Delta time travel past data retention.
+    val chainKeep: Set[Int] = liveVs.flatMap { v0 =>
+      Iterator.iterate(Option(v0))(_.flatMap(v =>
+        chainBaseOf(fsys, table, v).map(_._1)))
+        .takeWhile(_.isDefined).take(MaxChainDepth + 2).flatten
+    }.toSet
+    dropped.filterNot(protectedV.contains).filterNot(chainKeep)
       .foreach(v => fsys.delete(manifestPath(table, v), false))
     // c_* recorded change feeds are retired with the versions that
     // reference them (a lagging feed consumer outlives retention at its
