@@ -917,6 +917,231 @@ object Sinks {
          |FROM $tbl GROUP BY o_year ORDER BY o_year""".stripMargin)
   }
 
+  /** q233 — MANIFEST DELTA LOG + CHECKPOINT (`#base`/`#rm` commits): 18
+    * single-key deletion-vector commits against a zero-copy clone build a
+    * delta chain that CROSSES the forced full checkpoint (depth cap 16 →
+    * v18 re-serializes the full entry list), and the final read resolves
+    * base-then-apply through the post-checkpoint tail. This is the Delta
+    * log design (JSON delta actions + periodic checkpoint +
+    * `_last_checkpoint` resolution) that turns commit bytes and manifest
+    * parse cost from O(table files) into O(changed entries) — at 10^6
+    * files the difference between ~100 MB of driver I/O per commit and a
+    * few KB (LakeSqlSpec pins delta bytes < full/3 and the chain shape).
+    * Victims are each bottom-2% key band's MIN key in 1995 — pure integer
+    * arithmetic the oracle replays; the hash match proves a snapshot
+    * assembled from one checkpoint plus 3 deltas plus 17 pre-checkpoint
+    * commits equals the relational delete of exactly those 18 keys.
+    */
+  def manifestLog(spark: SparkSession, dir: String): DataFrame = {
+    val src = ordersVersionedFiles(spark, dir)
+    val dst = tmpOut(dir, "mlog_vt")
+    deleteTree(dst)
+    Versioned.cloneTable(spark, src, dst, version = Some(1))
+    val (lo, hi) = keyBoundsOf(spark, dst, 1, "o_year=1995")
+    def cut(i: Long) = lo + (hi - lo + 1) * i / 50
+    import spark.implicits._
+    val bands = (0L until 18L).map(i => (i, cut(i), cut(i + 1)))
+      .toDF("_i", "_clo", "_chi")
+    // One job: the min existing key of each band (driver gets ≤18 longs).
+    val victims = Versioned.readAt(spark, dst, 1)
+      .filter(col("o_year") === 1995)
+      .join(broadcast(bands),
+        col("o_orderkey") >= col("_clo") && col("o_orderkey") < col("_chi"))
+      .groupBy("_i").agg(min("o_orderkey").as("_k"))
+      .collect().map(_.getLong(1)).sorted
+    // 18 separate commits — the POINT is the chain, not the batch — all
+    // driver metadata + one tiny sidecar each, no Spark job.
+    victims.foreach(k => Versioned.deleteKeys(spark, dst, Seq(k)))
+    Versioned.read(spark, dst)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .orderBy("o_year")
+  }
+
+  /** q234 — SQL-ONLY MAINTENANCE LIFECYCLE (CTAS + CALL procedures): the
+    * warehouse-operator surface. `CREATE TABLE ... AS SELECT` stages and
+    * commits atomically (StagingTableCatalog — an aborted CTAS leaves no
+    * table, LakeSqlSpec pins it), then `CALL sys.optimize` bin-packs,
+    * `CALL sys.zorder` re-clusters recording 2-D bounds, SQL DELETE drops
+    * 1994, `CALL sys.restore` rolls it back as a forward commit, and
+    * `CALL sys.vacuum` retires the retired versions — every step a SQL
+    * statement, no Scala API. Built once per corpus (maintenance is not
+    * per-query work — the q215 convention); each invocation re-reads the
+    * latest AND the time-travelled deleted state, so the hash proves the
+    * whole chain: optimize/zorder preserved content exactly, restore
+    * undid the delete, and the pre-restore version still serves.
+    */
+  def sqlMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val wh = tmpOut(dir, "warehouse")
+    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_lake.warehouse", wh)
+    val tbl = "graft_lake.sqlns.orders_maint"
+    val path = s"$wh/sqlns/orders_maint"
+    val expectOps = Seq("CREATE", "APPEND", "OPTIMIZE", "ZORDER(o_custkey)",
+      "DELETE", "RESTORE(4)")
+    val valid = try {
+      Versioned.latestVersion(spark, path) == 6 &&
+        (1 to 6).map(Versioned.opOf(spark, path, _)) == expectOps
+    } catch { case _: Exception => false }
+    if (!valid) {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_lake.sqlns")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val view = s"graft_maint_src_${java.lang.Integer.toHexString(dir.hashCode)}"
+      orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+        year(col("o_orderdate")).as("o_year"))
+        .createOrReplaceTempView(view)
+      // CTAS repartitioned so every partition has files to bin-pack
+      spark.sql(
+        s"""CREATE TABLE $tbl PARTITIONED BY (o_year)
+           |TBLPROPERTIES ('statskey' = 'o_orderkey')
+           |AS SELECT /*+ REPARTITION(8) */ * FROM $view""".stripMargin)
+      val vOpt = spark.sql(
+        s"CALL graft_lake.sys.optimize(tbl => 'sqlns.orders_maint', " +
+          "target_rows => 1000000)").head().getInt(0)
+      require(vOpt == 3, s"optimize found nothing to pack (v$vOpt) — widen the CTAS layout")
+      spark.sql("CALL graft_lake.sys.zorder('sqlns.orders_maint', 'o_custkey', 2)")
+      spark.sql(s"DELETE FROM $tbl WHERE o_year = 1994")
+      spark.sql("CALL graft_lake.sys.restore('sqlns.orders_maint', 4)")
+    }
+    spark.sql(
+      s"""SELECT '1_latest' AS phase, o_year, count(*) AS n,
+         |       sum(o_custkey) AS sum_cust, sum(o_price_c) AS sum_price_c
+         |FROM $tbl GROUP BY o_year
+         |UNION ALL
+         |SELECT '2_deleted' AS phase, o_year, count(*) AS n,
+         |       sum(o_custkey) AS sum_cust, sum(o_price_c) AS sum_price_c
+         |FROM $tbl VERSION AS OF 5 GROUP BY o_year
+         |ORDER BY phase, o_year""".stripMargin)
+  }
+
+  /** q235 — SQL `ALTER TABLE ADD COLUMN` (pure-metadata schema
+    * evolution): the column lands as one header-only commit (no file
+    * touched — `Versioned.addColumns`), pre-ALTER rows NULL-backfill on
+    * read, post-ALTER inserts carry values, and `VERSION AS OF` before
+    * the ALTER still serves the OLD content (the per-version-schema
+    * contract q218 established for merge-driven evolution, now reachable
+    * from SQL). The oracle replays both phases relationally: the flag
+    * count separates backfilled NULLs from inserted values, and the
+    * pre-alter phase is the base content with the sentinel count.
+    */
+  def sqlAddColumn(spark: SparkSession, dir: String): DataFrame = {
+    val wh = tmpOut(dir, "warehouse")
+    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_lake.warehouse", wh)
+    val tbl = "graft_lake.sqlns.orders_addcol"
+    val path = s"$wh/sqlns/orders_addcol"
+    val valid = try {
+      Versioned.latestVersion(spark, path) == 4 &&
+        Versioned.opOf(spark, path, 3).startsWith("ADD_COLUMN") &&
+        Versioned.schemaOf(spark, path, 4).exists(_.fieldNames.contains("o_flag"))
+    } catch { case _: Exception => false }
+    if (!valid) {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_lake.sqlns")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val view = s"graft_addcol_src_${java.lang.Integer.toHexString(dir.hashCode)}"
+      orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+        year(col("o_orderdate")).as("o_year"))
+        .createOrReplaceTempView(view)
+      spark.sql(
+        s"""CREATE TABLE $tbl (
+           |  o_orderkey BIGINT, o_custkey BIGINT, o_price_c BIGINT, o_year INT)
+           |PARTITIONED BY (o_year) TBLPROPERTIES ('statskey' = 'o_orderkey')
+           |""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl SELECT * FROM $view")
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMN o_flag STRING")
+      spark.sql(
+        s"""INSERT INTO $tbl
+           |SELECT o_orderkey + 900000000, o_custkey, o_price_c, o_year,
+           |       'X' AS o_flag
+           |FROM $view WHERE o_year = 1992""".stripMargin)
+    }
+    spark.sql(
+      s"""SELECT '1_latest' AS phase, o_year, count(*) AS n,
+         |       sum(o_custkey) AS sum_cust, count(o_flag) AS n_flag
+         |FROM $tbl GROUP BY o_year
+         |UNION ALL
+         |SELECT '2_prealter' AS phase, o_year, count(*) AS n,
+         |       sum(o_custkey) AS sum_cust, CAST(-1 AS BIGINT) AS n_flag
+         |FROM $tbl VERSION AS OF 2 GROUP BY o_year
+         |ORDER BY phase, o_year""".stripMargin)
+  }
+
+  // q236's substrate: orders WITHOUT 1995, published file-granular — the
+  // snapshot half of the tail (the 1995 appends stream per invocation).
+  private val tailBaseCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def ordersTailBase(spark: SparkSession, dir: String): String =
+    tailBaseCache.synchronized { tailBaseCache.getOrElseUpdate((sessionKey(spark), dir), {
+      val tbl = tmpOut(dir, "tail_vt")
+      val base = orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+        year(col("o_orderdate")).as("o_year"))
+        .filter(col("o_year") =!= 1995)
+      val valid = try {
+        Versioned.latestVersion(spark, tbl) >= 1 && {
+          val v1 = Versioned.readAt(spark, tbl, 1)
+          v1.columns.toSet == base.columns.toSet && v1.count() == base.count()
+        }
+      } catch { case _: Exception => false }
+      if (!valid) {
+        deleteTree(tbl)
+        Versioned.publish(spark, tbl, base,
+          partCol = Some("o_year"), fileStatsKey = Some("o_orderkey"))
+      }
+      tbl
+    }) }
+
+  /** q236 — APPEND-MODE STREAMING READ of the table itself
+    * (`graft.sources.TableTailSource`): `readStream` of a versioned table
+    * with NO change-feed recording — the default Delta streaming source,
+    * the common "tail the table" consumer. Per invocation a zero-copy
+    * clone of the 1995-less snapshot takes two APPEND commits (1995 split
+    * by key parity), and the stream — capped at one version per trigger —
+    * delivers the v1 snapshot plus each append's files exactly once into
+    * a parquet sink; a non-append commit fails the stream loudly
+    * (LakeSqlSpec pins restart exactly-once and the refusal). The oracle
+    * is the whole orders table: a lost or doubled micro-batch shifts a
+    * 1995 sum.
+    */
+  def streamTableTail(spark: SparkSession, dir: String): DataFrame = {
+    val src = ordersTailBase(spark, dir)
+    val dst = tmpOut(dir, "tail_run_vt")
+    val out = tmpOut(dir, "tail_out")
+    val ckpt = tmpOut(dir, "tail_ckpt")
+    deleteTree(dst); deleteTree(out); deleteTree(ckpt)
+    Versioned.cloneTable(spark, src, dst, version = Some(1))
+    val y95 = orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+      year(col("o_orderdate")).as("o_year"))
+      .filter(col("o_year") === 1995)
+    Seq(0, 1).foreach { par =>
+      val dd = s"d_tail$par"
+      y95.filter(col("o_orderkey") % 2 === par)
+        .write.partitionBy("o_year").parquet(s"$dst/$dd")
+      Versioned.adoptStaged(spark, dst, dd, fileStatsKey = Some("o_orderkey"))
+    }
+    val q = spark.readStream.format("graft.sources.TableTailSource")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .load(dst)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .orderBy("o_year")
+  }
+
   // q214's substrate: orders staged as v1, one deterministic tagged MERGE
   // applied as v2 — built once per corpus, reused across sessions behind
   // the usual validation (count + the idempotence tag present).
@@ -1585,6 +1810,10 @@ object Sinks {
     "q230_stream_sink_append"   -> streamSinkAppend _,
     "q231_zorder_box"           -> zorderBoxQuery _,
     "q232_sql_catalog_dml"      -> sqlCatalogDml _,
+    "q233_manifest_log"         -> manifestLog _,
+    "q234_sql_maintenance"      -> sqlMaintenance _,
+    "q235_sql_add_column"       -> sqlAddColumn _,
+    "q236_stream_table_tail"    -> streamTableTail _,
     "q144_lines_write_roundtrip" -> linesWriteRoundtrip _,
     "q133_lines_source_roundtrip" -> linesSourceRoundtrip _,
     "q126_schema_evolution" -> schemaEvolution _,
@@ -1659,6 +1888,75 @@ object Sinks {
     // The SQL lifecycle replayed relationally: 1993 re-inserted at +777,
     // then keys ≡5 (mod 10) updated +3, then 1992's rows merged in as
     // fresh 1998 keys (+7e8) at their source prices.
+    // 18 per-band-min keys deleted through the delta-log chain: the
+    // snapshot resolved through checkpoint + deltas must equal the
+    // relational delete of exactly those keys.
+    "q233_manifest_log" ->
+      """WITH tgt AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders),
+        |b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi
+        |      FROM tgt WHERE o_year = 1995),
+        |victims AS (
+        |  SELECT min(o_orderkey) AS k
+        |  FROM tgt, b, range(18) r(i)
+        |  WHERE o_year = 1995
+        |    AND o_orderkey >= lo + (hi - lo + 1) * i // 50
+        |    AND o_orderkey <  lo + (hi - lo + 1) * (i + 1) // 50
+        |  GROUP BY i)
+        |SELECT o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM tgt WHERE o_orderkey NOT IN (SELECT k FROM victims)
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // CTAS → optimize → zorder → DELETE 1994 → restore: latest must equal
+    // the source exactly (maintenance preserved content, restore undid
+    // the delete); the pre-restore version is the source minus 1994.
+    "q234_sql_maintenance" ->
+      """WITH tgt AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders)
+        |SELECT '1_latest' AS phase, o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM tgt GROUP BY o_year
+        |UNION ALL
+        |SELECT '2_deleted' AS phase, o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM tgt WHERE o_year <> 1994 GROUP BY o_year
+        |ORDER BY phase, o_year""".stripMargin,
+    // ADD COLUMN backfill: latest = base (flag NULL) plus the 1992 copies
+    // carrying 'X'; the pre-alter version is the base with the sentinel.
+    "q235_sql_add_column" ->
+      """WITH tgt AS (SELECT o_orderkey, o_custkey,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders),
+        |latest AS (
+        |  SELECT o_custkey, o_year, NULL AS o_flag FROM tgt
+        |  UNION ALL
+        |  SELECT o_custkey, o_year, 'X' AS o_flag FROM tgt WHERE o_year = 1992)
+        |SELECT '1_latest' AS phase, o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(count(o_flag) AS BIGINT) AS n_flag
+        |FROM latest GROUP BY o_year
+        |UNION ALL
+        |SELECT '2_prealter' AS phase, o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(-1 AS BIGINT) AS n_flag
+        |FROM tgt GROUP BY o_year
+        |ORDER BY phase, o_year""".stripMargin,
+    // Snapshot + two appended versions tailed exactly once must
+    // reassemble the source — a lost or doubled micro-batch shifts a sum.
+    "q236_stream_table_tail" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS sum_price_c
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q232_sql_catalog_dml" ->
       """WITH tgt AS (SELECT o_orderkey, o_custkey,
         |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,

@@ -40,7 +40,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * API writes, so SQL and programmatic users interleave safely under
   * the store's CAS commit.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog with StagingTableCatalog {
   private var catName: String = _
   private var warehouse: String = _
 
@@ -112,9 +113,69 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new VersionedCatalogTable(pathOf(ident), None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+  /** SQL `ALTER TABLE ADD COLUMN(S)`: a pure-metadata commit evolving the
+    * recorded schema ([[Versioned.addColumns]] — same semantics a
+    * schema-evolving merge establishes: NULL backfill on read, per-version
+    * time-travel schemas). Appended top-level nullable columns only; any
+    * other change keeps failing loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    require(adds.size == changes.size,
+      s"GraftCatalog ALTER TABLE supports ADD COLUMN(S) only, got " +
+        changes.filterNot(adds.contains).mkString(","))
+    val fields = adds.map { a =>
+      require(a.fieldNames().length == 1,
+        s"nested ADD COLUMN ${a.fieldNames().mkString(".")} is not supported")
+      require(a.position() == null,
+        "ADD COLUMN appends at the end; FIRST/AFTER are not supported")
+      val f = org.apache.spark.sql.types.StructField(
+        a.fieldNames()(0), a.dataType(), a.isNullable())
+      Option(a.comment()).map(c => f.withComment(c)).getOrElse(f)
+    }
+    Versioned.addColumns(spark, pathOf(ident), fields)
+    new VersionedCatalogTable(pathOf(ident), None)
+  }
+
+  // ---- stored procedures (`CALL <cat>.<ns>.<proc>(...)`) ----
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(n => pathOf(Identifier.of(
+      n.split('.').dropRight(1), n.split('.').last)), ident.name())
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(Identifier.of(namespace, _)).toArray
+
+  // ---- atomic CTAS (`CREATE TABLE ... AS SELECT`) ----
+  /** Nothing becomes visible until the SELECT's write commits: the staged
+    * table's write creates the table (empty v1 with the declared layout
+    * headers) and adopts the staged files as v2 in its own commit; an
+    * aborted CTAS deletes the table directory it owned, leaving no trace.
+    */
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references().length == 1 =>
+        t.references()(0).fieldNames().mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"GraftCatalog partitions by identity columns only, got $other")
+    }
+    require(partCols.size == 1,
+      "GraftCatalog CTAS needs exactly one PARTITIONED BY column (the store's layout unit)")
+    new StagedVersionedTable(pathOf(ident), schema, partCols.head,
+      Option(properties.get("statskey")))
+  }
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: java.util.Map[String, String]): StagedTable =
     throw new UnsupportedOperationException(
-      "ALTER TABLE: use the store's schema-evolving merge / addConstraint APIs")
+      "REPLACE TABLE is not supported — versioned tables evolve by commit, not replacement")
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: java.util.Map[String, String]): StagedTable =
+    stageCreate(ident, schema, partitions, properties)
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(pathOf(ident))
@@ -308,6 +369,76 @@ final class VersionedBatchWriterFactory(stagingRoot: String, schema: StructType,
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
     new VersionedSinkWriter(stagingRoot, schema, partCol, partitionId, taskId, 0L,
       conf.value)
+}
+
+/** The table a CTAS stages into: nothing on disk is a committed table
+  * until the SELECT's write commits CREATE (empty v1, declared headers)
+  * plus APPEND (the staged files) back-to-back; `commitStagedChanges` has
+  * nothing left to do, and an abort deletes the owned directory.
+  */
+final class StagedVersionedTable(path: String, schema0: StructType,
+                                 partCol: String, statsKey: Option[String])
+    extends StagedTable with SupportsWrite {
+  override def name(): String = s"graft_staged($path)"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new VersionedCtasWrite(path, info.schema(), partCol, statsKey)
+    }
+  override def commitStagedChanges(): Unit = ()
+  override def abortStagedChanges(): Unit = {
+    val spark = SparkSession.active
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+}
+
+/** CTAS write: stage parquet on executors like any sink write, then
+  * commit the table into existence — CREATE with the declared partition/
+  * stats headers, APPEND adopting exactly the task-committed files.
+  */
+final class VersionedCtasWrite(path: String, schema: StructType,
+                               partCol: String, statsKey: Option[String])
+    extends Write with BatchWrite {
+  private val writeId = java.util.UUID.randomUUID().toString.replace("-", "")
+  private def stagingRoot = new Path(path, s"_sink_stage/ctas_$writeId")
+  VersionedSinkWriter.messageTypeOf(schema, partCol)
+  require(schema.fieldNames.contains(partCol),
+    s"CTAS partition column $partCol not in ${schema.fieldNames.mkString(",")}")
+
+  override def toBatch: BatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new VersionedBatchWriterFactory(stagingRoot.toString, schema, partCol,
+      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fsys = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochDir = new Path(stagingRoot, "0")
+    val files = messages.flatMap(_.asInstanceOf[VersionedSinkFiles].files)
+    Versioned.createEmpty(spark, path, schema,
+      partCol = Some(partCol), statsKey = statsKey)
+    if (files.nonEmpty) {
+      val dd = new Path(path,
+        s"d_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      files.foreach { case (partDir, name) =>
+        val to = new Path(dd, s"$partDir/$name")
+        fsys.mkdirs(to.getParent)
+        require(fsys.rename(new Path(epochDir, s"$partDir/$name"), to),
+          s"failed to promote staged file $partDir/$name")
+      }
+      Versioned.adoptStaged(spark, path, dd.getName, fileStatsKey = statsKey)
+    }
+    fsys.delete(stagingRoot, true)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fsys = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(stagingRoot, true)
+  }
 }
 
 /** One SQL row-level statement (MERGE INTO / UPDATE / rewriting DELETE):

@@ -1,0 +1,200 @@
+package graft.tables
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions.col
+
+/** Round-15 surfaces: manifest delta commits + checkpoints, the
+  * SQL-callable maintenance procedures (CALL), atomic CTAS, SQL ALTER
+  * TABLE ADD COLUMN, and the append-mode table-tail streaming source.
+  */
+class LakeSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("delta commits: commit bytes ∝ changed entries, checkpoint bounds the chain, snapshots read across the boundary, vacuum keeps live chains") {
+    val tbl = Files.createTempDirectory("mlog").toString + "/t"
+    val base = (1L to 200L).map(k => (k, k * 10, (k % 4).toString))
+    Versioned.publish(spark, tbl, base.toDF("k", "v", "p")
+        .repartitionByRange(4, col("k")),
+      partCol = Some("p"), fileStatsKey = Some("k"))
+    // 20 single-key DV deletes: each commit's entry delta is a couple of
+    // entries out of ~16, so every commit but the forced checkpoint
+    // should write a DELTA manifest.
+    (1 to 20).foreach(i => Versioned.deleteKeys(spark, tbl, Seq(i * 7L)))
+    assert(Versioned.latestVersion(spark, tbl) == 21)
+    def mlen(v: Int) = new java.io.File(tbl, s"_manifests/$v.txt").length()
+    // v2 is a delta on v1; bytes well under the full form
+    assert(Versioned.manifestChainOf(spark, tbl, 2).contains((1, 1)))
+    assert(mlen(2) < mlen(1) / 3,
+      s"delta manifest ${mlen(2)}B should be far under the full ${mlen(1)}B")
+    // depth grows 1..MaxChainDepth, then the next commit checkpoints
+    assert(Versioned.manifestChainOf(spark, tbl, 17).contains((16, Versioned.MaxChainDepth)))
+    assert(Versioned.manifestChainOf(spark, tbl, 18).isEmpty, "v18 must be a full checkpoint")
+    assert(Versioned.manifestChainOf(spark, tbl, 19).contains((18, 1)))
+    // snapshot correctness across the checkpoint boundary, and time travel
+    val gone = (1 to 20).map(_ * 7L).toSet
+    def state(v: Int) = Versioned.readAt(spark, tbl, v)
+      .as[(Long, Long, String)].collect()
+      .map { case (k, v2, p) => k -> (v2, p) }.toMap
+    assert(state(21).keySet == base.map(_._1).toSet -- gone)
+    assert(state(18).keySet == base.map(_._1).toSet -- (1 to 17).map(_ * 7L))
+    assert(state(1).keySet == base.map(_._1).toSet)
+    // vacuum to the latest only: its resolution chain (21→20→19→18) keeps
+    // its manifests; everything older is swept; content is unaffected
+    Versioned.vacuum(spark, tbl, keep = Set(21), retentionMs = 0)
+    assert(state(21).keySet == base.map(_._1).toSet -- gone)
+    Seq(18, 19, 20).foreach(v => assert(
+      new java.io.File(tbl, s"_manifests/$v.txt").exists(), s"chain link v$v swept"))
+    Seq(1, 2, 17).foreach(v => assert(
+      !new java.io.File(tbl, s"_manifests/$v.txt").exists(), s"v$v should be vacuumed"))
+    val err = intercept[IllegalArgumentException](Versioned.readAt(spark, tbl, 17))
+    assert(err.getMessage.contains("vacuumed"), err.getMessage)
+  }
+
+  test("CALL procedures: history, optimize, zorder, restore, vacuum, table_changes over a catalog table") {
+    val wh = Files.createTempDirectory("gwh").toString
+    spark.conf.set("spark.sql.catalog.gproc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gproc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gproc.ns")
+    spark.sql("CREATE TABLE gproc.ns.t (k BIGINT, v BIGINT, p BIGINT) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('statskey' = 'k')")
+    // Two small inserts → small files for optimize to pack
+    spark.sql("INSERT INTO gproc.ns.t SELECT id AS k, id * 10 AS v, id % 2 AS p FROM range(0, 40)")
+    spark.sql("INSERT INTO gproc.ns.t SELECT id AS k, id * 10 AS v, id % 2 AS p FROM range(40, 80)")
+    val path = s"$wh/ns/t"
+    assert(Versioned.latestVersion(spark, path) == 3)
+    // history: one row per committed version, driver metadata only
+    val hist = spark.sql("CALL gproc.sys.history('ns.t')").collect()
+    assert(hist.length == 3 && hist.map(_.getString(1)).count(_ == "APPEND") == 2)
+    // optimize: packs the two appends' files; content identical
+    val vOpt = spark.sql("CALL gproc.sys.optimize(tbl => 'ns.t', target_rows => 1000)")
+      .head().getInt(0)
+    assert(vOpt == 4)
+    assert(spark.sql("SELECT sum(v) FROM gproc.ns.t").head().getLong(0) ==
+      (0L until 80L).map(_ * 10).sum)
+    assert(Versioned.fileEntriesOf(spark, path, vOpt).size <
+      Versioned.fileEntriesOf(spark, path, 3).size)
+    // zorder: clustered rewrite recording bounds for BOTH columns
+    val vZ = spark.sql("CALL gproc.sys.zorder('ns.t', 'v', 2)").head().getInt(0)
+    assert(vZ == 5 && Versioned.statsKey2Of(spark, path, vZ).contains("v"))
+    // restore: roll back to the pre-optimize state as a NEW version
+    val vR = spark.sql("CALL gproc.sys.restore('ns.t', 3)").head().getInt(0)
+    assert(vR == 6)
+    assert(spark.sql("SELECT count(*) FROM gproc.ns.t").head().getLong(0) == 80L)
+    // table_changes: recorded CDC images via a Scala-side recording merge
+    // (SQL and Scala users share the same manifests)
+    val vM = Versioned.merge(spark, path,
+      Seq((0L, 999L, 0L, "U"), (1000L, 1L, 1L, "I")).toDF("k", "v", "p", "_op"),
+      "k", "p", recordChanges = true)
+    val feed = spark.sql(s"CALL gproc.sys.table_changes('ns.t', ${vM - 1}, $vM)").collect()
+    assert(feed.map(r => (r.getLong(0), r.getString(3))).toSet ==
+      Set((0L, "delete"), (0L, "insert"), (1000L, "insert")))
+    // vacuum: retire everything but the newest two versions, eagerly
+    spark.sql("CALL gproc.sys.vacuum('ns.t', 2, 0)").collect()
+    assert(spark.sql("SELECT count(*) FROM gproc.ns.t").head().getLong(0) == 81L)
+    val gone = intercept[Exception](Versioned.readAt(spark, path, 2).count())
+    assert(gone.getMessage != null)
+  }
+
+  test("CTAS is atomic: success commits CREATE+APPEND with declared headers; a failing SELECT leaves no table") {
+    val wh = Files.createTempDirectory("gwh2").toString
+    spark.conf.set("spark.sql.catalog.gctas", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gctas.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gctas.ns")
+    spark.sql("CREATE TABLE gctas.ns.c PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('statskey' = 'k') AS " +
+      "SELECT id AS k, id * 2 AS v, id % 3 AS p FROM range(0, 30)")
+    val path = s"$wh/ns/c"
+    assert(spark.sql("SELECT sum(v) FROM gctas.ns.c").head().getLong(0) ==
+      (0L until 30L).map(_ * 2).sum)
+    assert(Versioned.partColOf(spark, path,
+      Versioned.latestVersion(spark, path)).contains("p"))
+    assert(Versioned.statsKeyOf(spark, path,
+      Versioned.latestVersion(spark, path)).contains("k"))
+    val ops = Versioned.history(spark, path).collect().map(_.getString(1)).toSeq
+    assert(ops == Seq("CREATE", "APPEND"), ops.mkString(","))
+    // failing SELECT: no table, no directory, next CTAS under the name works
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gctas.ns.bad PARTITIONED BY (p) AS " +
+        "SELECT id AS k, raise_error('boom') AS v, id % 3 AS p FROM range(0, 10)")
+    }
+    assert(!spark.catalog.tableExists("gctas.ns.bad"))
+    assert(!new java.io.File(s"$wh/ns/bad/_manifests").exists(),
+      "aborted CTAS must leave no committed table")
+  }
+
+  test("SQL ALTER TABLE ADD COLUMN: NULL backfill, per-version time-travel schemas, loud refusals") {
+    val wh = Files.createTempDirectory("gwh3").toString
+    spark.conf.set("spark.sql.catalog.galter", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.galter.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS galter.ns")
+    spark.sql("CREATE TABLE galter.ns.t (k BIGINT, p BIGINT) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO galter.ns.t SELECT id AS k, id % 2 AS p FROM range(0, 6)")
+    spark.sql("ALTER TABLE galter.ns.t ADD COLUMN note STRING")
+    val path = s"$wh/ns/t"
+    val vAfter = Versioned.latestVersion(spark, path)
+    assert(Versioned.opOf(spark, path, vAfter).startsWith("ADD_COLUMN"))
+    // pre-ALTER rows serve NULL; new inserts carry values
+    spark.sql("INSERT INTO galter.ns.t SELECT 100 AS k, 0 AS p, 'n1' AS note")
+    val rows = spark.sql("SELECT k, note FROM galter.ns.t").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(rows.contains((100L, Some("n1"))) && rows.contains((0L, None)))
+    // time travel BEFORE the alter: the old schema, no note column
+    assert(spark.sql(s"SELECT * FROM galter.ns.t VERSION AS OF 2")
+      .columns.toSeq == Seq("k", "p"))
+    // refusals: non-nullable add, duplicate name, non-ADD change
+    intercept[Exception](Versioned.addColumns(spark, path, Seq(
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+    intercept[Exception](spark.sql("ALTER TABLE galter.ns.t ADD COLUMN note STRING"))
+    intercept[Exception](spark.sql("ALTER TABLE galter.ns.t RENAME COLUMN k TO kk"))
+  }
+
+  test("TableTailSource: batch parity, appended-files-only micro-batches, exactly-once restart, non-append commits fail the stream") {
+    val tmp = Files.createTempDirectory("ttail").toString
+    val (tbl, ckpt) = (s"$tmp/t", s"$tmp/ckpt")
+    Versioned.publish(spark, tbl,
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "p"),
+      partCol = Some("p"), fileStatsKey = Some("k"))
+    def append(rows: Seq[(Long, Long, String)]): Int = {
+      val dd = s"d_app${System.nanoTime()}"
+      rows.toDF("k", "v", "p").write.partitionBy("p").parquet(s"$tbl/$dd")
+      Versioned.adoptStaged(spark, tbl, dd, fileStatsKey = Some("k"))
+    }
+    append(Seq((3L, 30L, "a")))
+    // batch read = v1 snapshot + appends
+    val batch = spark.read.format("graft.sources.TableTailSource")
+      .option("startingVersion", "0").load(tbl)
+      .as[(Long, Long, String)].collect().toSet
+    assert(batch == Set((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "a")))
+    val out = s"$tmp/out"
+    def run(): Seq[(Long, Long, String)] = {
+      val q = spark.readStream.format("graft.sources.TableTailSource")
+        .option("startingVersion", "0").load(tbl)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(out).as[(Long, Long, String)].collect().toSeq
+    }
+    val first = run()
+    assert(first.toSet == batch && first.size == batch.size,
+      s"first run must deliver snapshot + appends exactly once: $first")
+    // restart on the same checkpoint: ONLY the new append lands — every
+    // row appears exactly once in the output across both runs
+    append(Seq((4L, 40L, "b")))
+    val second = run()
+    assert(second.toSet == batch + ((4L, 40L, "b")) && second.size == batch.size + 1,
+      s"restart must not replay delivered versions: $second")
+    // a non-append commit fails the stream loudly
+    Versioned.deleteWhere(spark, tbl, col("k") === 1L, "p")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft.sources.TableTailSource")
+        .option("startingVersion", "0").load(tbl)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse(""))
+      .contains("table tail"), err.getMessage)
+  }
+}
