@@ -1142,6 +1142,81 @@ object Sinks {
       .orderBy("o_year")
   }
 
+  // q237's substrate: orders keyed by a STRING surrogate ('K' +
+  // zero-padded orderkey — fixed width, so string order equals numeric
+  // order and the oracle can replay bands numerically), published
+  // file-granular with per-file stats ON THE STRING column.
+  private val mergeStrCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def ordersVersionedString(spark: SparkSession, dir: String): String =
+    mergeStrCache.synchronized { mergeStrCache.getOrElseUpdate((sessionKey(spark), dir), {
+      val tbl = tmpOut(dir, "merge_st")
+      val base = orders(spark, dir).select(
+        concat(lit("K"), lpad(col("o_orderkey").cast("string"), 12, "0")).as("o_skey"),
+        col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+        year(col("o_orderdate")).as("o_year"))
+      val valid = try {
+        Versioned.latestVersion(spark, tbl) >= 1 &&
+          Versioned.statsKeyOf(spark, tbl, 1).contains("o_skey") && {
+            val v1 = Versioned.readAt(spark, tbl, 1)
+            v1.columns.toSet == base.columns.toSet && v1.count() == base.count()
+          }
+      } catch { case _: Exception => false }
+      if (!valid) {
+        deleteTree(tbl)
+        Versioned.publish(spark, tbl,
+          base.repartitionByRange(32, col("o_year"), col("o_skey")),
+          partCol = Some("o_year"), fileStatsKey = Some("o_skey"))
+      }
+      tbl
+    }) }
+
+  /** q237 — FILE-scoped MERGE on a STRING key (`Versioned.mergeByFiles`
+    * over [[graft.tables.Versioned]]'s ordered-surrogate stats): the q212
+    * property — rewrite only the files whose stats cover a batch key —
+    * without the integral-key restriction. Per-file [kmin, kmax] carry
+    * the string's truncated big-endian prefix encoding (the
+    * Delta/Iceberg string-stats truncation convention: monotone, so a
+    * range probe over-selects on shared prefixes but never misses) and
+    * the Bloom filter hashes the FULL string, keeping point probes sharp.
+    * The batch touches two narrow key bands of 1995 (update + delete) and
+    * inserts 'Z'-prefixed keys that sort above every existing key — no
+    * file's range covers them, so they cost zero reads (LakeSqlSpec pins
+    * the exact spliced-vs-replaced file sets). The oracle replays the
+    * bands numerically — the zero-padded key is order-isomorphic to the
+    * number, so both engines compute identical band membership.
+    */
+  def mergeStringKey(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = ordersVersionedString(spark, dir)
+    val y95 = Versioned.readAt(spark, tbl, 1).filter(col("o_year") === 1995)
+    // Numeric band cuts from the q212 substrate's manifest (same orders
+    // keys), rendered into the fixed-width string domain.
+    val (lo, hi) = keyBoundsOf(spark, ordersVersionedFiles(spark, dir), 1, "o_year=1995")
+    def cut(i: Long) = lo + (hi - lo + 1) * i / 50
+    def skey(k: Long) = "K" + ("%012d".format(k))
+    def band(df: DataFrame, i: Long) =
+      df.filter(col("o_skey") >= skey(cut(i)) && col("o_skey") < skey(cut(i + 1)))
+    def op(o: String) = lit(o).as("_op")
+    val updates = band(y95, 10)
+      .withColumn("o_price_c", col("o_price_c") + 50000).select(col("*"), op("U"))
+    val deletes = band(y95, 11).select(col("*"), op("D"))
+    val inserts = band(y95, 12)
+      .withColumn("o_skey", concat(lit("Z"), col("o_skey")))
+      .withColumn("o_year", lit(1999)).select(col("*"), op("I"))
+    val noiseI = band(y95, 13).select(col("*"), op("I"))
+    val v = Versioned.mergeByFiles(spark, tbl,
+      updates.unionByName(deletes).unionByName(inserts).unionByName(noiseI),
+      "o_skey", "o_year", fromVersion = Some(1))
+    Versioned.vacuum(spark, tbl, keep = Set(1, v))
+    Versioned.readAt(spark, tbl, v)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .orderBy("o_year")
+  }
+
   // q214's substrate: orders staged as v1, one deterministic tagged MERGE
   // applied as v2 — built once per corpus, reused across sessions behind
   // the usual validation (count + the idempotence tag present).
@@ -1814,6 +1889,7 @@ object Sinks {
     "q234_sql_maintenance"      -> sqlMaintenance _,
     "q235_sql_add_column"       -> sqlAddColumn _,
     "q236_stream_table_tail"    -> streamTableTail _,
+    "q237_merge_string_key"     -> mergeStringKey _,
     "q144_lines_write_roundtrip" -> linesWriteRoundtrip _,
     "q133_lines_source_roundtrip" -> linesSourceRoundtrip _,
     "q126_schema_evolution" -> schemaEvolution _,
@@ -1948,6 +2024,36 @@ object Sinks {
         |       CAST(-1 AS BIGINT) AS n_flag
         |FROM tgt GROUP BY o_year
         |ORDER BY phase, o_year""".stripMargin,
+    // The string-keyed bands replayed numerically: the zero-padded key is
+    // order-isomorphic to the number, so band membership is identical.
+    "q237_merge_string_key" ->
+      """WITH tgt AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders),
+        |b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi
+        |      FROM tgt WHERE o_year = 1995),
+        |merged AS (
+        |  SELECT o_custkey,
+        |         CASE WHEN o_year = 1995
+        |                AND o_orderkey >= lo + (hi - lo + 1) * 10 // 50
+        |                AND o_orderkey <  lo + (hi - lo + 1) * 11 // 50
+        |              THEN o_price_c + 50000 ELSE o_price_c END AS o_price_c,
+        |         o_year
+        |  FROM tgt, b
+        |  WHERE NOT (o_year = 1995
+        |             AND o_orderkey >= lo + (hi - lo + 1) * 11 // 50
+        |             AND o_orderkey <  lo + (hi - lo + 1) * 12 // 50)
+        |  UNION ALL
+        |  SELECT o_custkey, o_price_c, 1999 AS o_year
+        |  FROM tgt, b
+        |  WHERE o_year = 1995
+        |    AND o_orderkey >= lo + (hi - lo + 1) * 12 // 50
+        |    AND o_orderkey <  lo + (hi - lo + 1) * 13 // 50)
+        |SELECT o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM merged GROUP BY o_year ORDER BY o_year""".stripMargin,
     // Snapshot + two appended versions tailed exactly once must
     // reassemble the source — a lost or doubled micro-batch shifts a sum.
     "q236_stream_table_tail" ->

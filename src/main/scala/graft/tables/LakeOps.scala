@@ -108,6 +108,65 @@ private[graft] class KeyBloomAgg
   def outputEncoder: Encoder[String] = Encoders.STRING
 }
 
+/** Ordered-Long SURROGATE encoding of file-stats keys — what lets the
+  * manifest's per-file [kmin, kmax] Longs carry stats for STRING and
+  * DATE keys, not just integral ones (the Delta/Iceberg truncated
+  * string-stats convention re-derived):
+  *
+  *  - integral: the value itself (back-compatible with every existing
+  *    manifest);
+  *  - date: days since epoch — exact and order-isomorphic;
+  *  - string: the first 8 UTF-8 bytes, big-endian, zero-padded, mapped
+  *    from unsigned to signed Long order (top bit flip). The encoding is
+  *    MONOTONE wrt Spark's binary UTF8String order (s1 ≤ s2 ⇒ enc(s1) ≤
+  *    enc(s2)), so `k ∈ [min, max] ⇒ enc(k) ∈ [enc(min), enc(max)]` — a
+  *    range probe on encodings over-selects on shared 8-byte prefixes
+  *    but never skips a file that holds the key. The per-file Bloom
+  *    filter hashes the FULL string (FNV-1a 64, public constants), so
+  *    point probes stay sharp where the truncated range is blunt.
+  *
+  * Membership itself is always decided by real key equality in the merge
+  * joins — encodings only PRUNE, so truncation can cost a read, never a
+  * row.
+  */
+private[graft] object KeyEnc {
+  import org.apache.spark.sql.types._
+
+  val Integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+  def supported(dt: DataType): Boolean =
+    Integral.contains(dt) || dt == StringType || dt == DateType
+
+  def encodeString(s: String): Long = {
+    val b = s.getBytes("UTF-8")
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L); i += 1 }
+    v ^ Long.MinValue
+  }
+
+  /** Full-string hash for the Bloom filter (FNV-1a 64). */
+  def hashString(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val b = s.getBytes("UTF-8")
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** (range-encoding, bloom-key) of one collected key value. */
+  def probeOf(v: Any): (Long, Long) = v match {
+    case l: java.lang.Long => (l.longValue(), l.longValue())
+    case i: java.lang.Integer => (i.longValue(), i.longValue())
+    case s: java.lang.Short => (s.longValue(), s.longValue())
+    case b: java.lang.Byte => (b.longValue(), b.longValue())
+    case s: String => (encodeString(s), hashString(s))
+    case d: java.sql.Date => val e = d.toLocalDate.toEpochDay; (e, e)
+    case d: java.time.LocalDate => val e = d.toEpochDay; (e, e)
+    case other => throw new IllegalArgumentException(
+      s"unsupported file-stats key value $other (${other.getClass.getName})")
+  }
+}
+
 /** Versioned lakehouse store over plain parquet — snapshots, partition-
   * scoped MERGE, time travel, and vacuum, built only on the public Spark
   * surface plus the Hadoop FileSystem API (no table-format dependency).
@@ -812,9 +871,31 @@ object Versioned {
       sum(when(col("_k").isNull, 1L).otherwise(0L)).as("nnull"),
       // NULL keys are rejected below anyway; coalescing them into the
       // bloom as 0 can only ADD a false-positive bit, never lose one.
-      bloomAgg(coalesce(col("_k"), lit(0L))).as("bloom")) ++ stats2
-    spark.read.parquet(dd.toString)
-      .select((Seq(input_file_name().as("_f"), col(keyCol).cast("long").as("_k")) ++
+      bloomAgg(coalesce(col("_bk"), lit(0L))).as("bloom")) ++ stats2
+    val raw = spark.read.parquet(dd.toString)
+    // Key columns encode to an ordered-Long surrogate ([[KeyEnc]]):
+    // integral = identity, date = epoch days, string = truncated
+    // big-endian prefix for the RANGE plus a full-string hash for the
+    // BLOOM. Encoding is monotone, so min/max of encodings equal the
+    // encodings of min/max.
+    val (encK, bloomK) = raw.schema(keyCol).dataType match {
+      case dt if KeyEnc.Integral.contains(dt) =>
+        (col(keyCol).cast("long"), col(keyCol).cast("long"))
+      case org.apache.spark.sql.types.DateType =>
+        val days = unix_date(col(keyCol)).cast("long")
+        (days, days)
+      case org.apache.spark.sql.types.StringType =>
+        val encU = udf((s: String) => if (s == null) null
+          else java.lang.Long.valueOf(KeyEnc.encodeString(s)))
+        val hashU = udf((s: String) => if (s == null) null
+          else java.lang.Long.valueOf(KeyEnc.hashString(s)))
+        (encU(col(keyCol)), hashU(col(keyCol)))
+      case other => throw new IllegalArgumentException(
+        s"file-stats key $keyCol: unsupported type $other — " +
+          "use an integral, string, or date column")
+    }
+    raw
+      .select((Seq(input_file_name().as("_f"), encK.as("_k"), bloomK.as("_bk")) ++
         stats2Col.map(col)): _*)
       .groupBy("_f").agg(aggs.head, aggs.tail: _*)
       .collect().toSeq
@@ -1313,9 +1394,17 @@ object Versioned {
         s"v$base of $tablePath carries no #statskey — deletion vectors key on it"))
     val sorted = keys.distinct.sorted.toArray
     require(sorted.nonEmpty, "deleteKeys: empty key list")
+    // Long-keyed probes are only meaningful against integral-key stats:
+    // a string/date-keyed table's [kmin, kmax] are ordered surrogates
+    // ([[KeyEnc]]), and raw longs would probe the wrong domain.
+    readSchemaLine(fsys, table, base).foreach { s =>
+      require(KeyEnc.Integral.contains(s(keyCol).dataType),
+        s"deleteKeys takes Long keys; $keyCol is ${s(keyCol).dataType} — " +
+          "use deleteWhere/mergeByFiles for non-integral keys")
+    }
     // Only files that can HOLD a deleted key need a sidecar (range +
     // bloom probe); a key beyond every file is a no-op by construction.
-    val victims = baseEntries.filter(coversAnyKey(_, sorted))
+    val victims = baseEntries.filter(coversAnyKey(_, sorted.map(k => (k, k))))
     if (victims.isEmpty) return base
     val victimSet = victims.toSet
     // Recorded pre-images must be captured BEFORE the new DVs exist:
@@ -1415,20 +1504,22 @@ object Versioned {
       s"merge: source is missing target columns ${missingCols.mkString(",")} — " +
         "columns may be ADDED, never dropped")
     val newCols = dataCols.filterNot(target.columns.contains)
-    import org.apache.spark.sql.types._
-    require(Set[DataType](ByteType, ShortType, IntegerType, LongType)
-        .contains(target.schema(keyCol).dataType),
-      s"mergeByFiles prunes on integral key stats; $keyCol is ${target.schema(keyCol).dataType}")
+    require(KeyEnc.supported(target.schema(keyCol).dataType),
+      s"mergeByFiles prunes on ordered key stats; $keyCol is " +
+        s"${target.schema(keyCol).dataType} — use an integral, string, or date column")
 
     val src = applyPrecedence(source, keyCol)
     val keyed = src.select((col(keyCol).as("_sk") +: col("_op").as("_sop") +:
       dataCols.map(c => col(c).as(s"_s_$c"))): _*)
     // The CDC batch is bounded: its (key, op) pairs are driver metadata.
-    // applyPrecedence already rejected NULL keys, so getLong is total.
-    val batch = src.select(col(keyCol).cast("long"), col("_op")).collect()
-      .map(r => (r.getLong(0), r.getString(1)))
-    val udKeys = batch.collect { case (k, op) if op == "U" || op == "D" => k }.sorted
-    val iKeys = batch.collect { case (k, "I") => k }.sorted
+    // applyPrecedence already rejected NULL keys. Keys encode to (range
+    // surrogate, bloom key) probe pairs ([[KeyEnc]]) so the same manifest
+    // pruning covers integral, string, and date keys; membership is still
+    // decided by real key equality in the joins below.
+    val batch = src.select(col(keyCol), col("_op")).collect()
+      .map(r => (KeyEnc.probeOf(r.get(0)), r.getString(1)))
+    val udKeys = batch.collect { case (p, op) if op == "U" || op == "D" => p }.sortBy(_._1)
+    val iKeys = batch.collect { case (p, "I") => p }.sortBy(_._1)
     // Range probe against SORTED keys: O(|files| log |keys|) instead of the
     // naive O(|files|·|keys|) scan — at Delta-checkpoint manifest sizes
     // (10^5 files × 10^4 batch keys) the difference is 10^9 comparisons vs
@@ -1516,7 +1607,7 @@ object Versioned {
     var ontoV = expect.get
     var ontoEntries = baseEntries
     val readSet: Set[Entry] = rewriteKeys ++ checkSet
-    val allKeys = (udKeys ++ iKeys).sorted
+    val allKeys = (udKeys ++ iKeys).sortBy(_._1)
     def giveUp(why: String): Nothing = {
       orphans.foreach(d => try fsys.delete(d, true) catch { case _: Throwable => () })
       throw new ConcurrentWriteException(why)
@@ -1566,30 +1657,42 @@ object Versioned {
     throw new IllegalStateException("unreachable")
   }
 
-  /** True iff some key of `sorted` in the entry's [kmin, kmax] range also
-    * passes its Bloom filter (when one is carried): the range probe bounds
-    * the candidate keys, the bloom then rules out in-range keys the file
+  /** True iff some probe of `sorted` — (range encoding, bloom key) pairs
+    * ascending by encoding ([[KeyEnc.probeOf]]; for integral keys both
+    * are the value) — lands in the entry's [kmin, kmax] range AND passes
+    * its Bloom filter (when one is carried): the range probe bounds the
+    * candidate keys, the bloom then rules out in-range keys the file
     * provably does not contain — sparse key spaces and overlapping ranges
     * after merges are exactly where range stats alone over-select. A
     * bloom-negative skip is sound (no false negatives); a missing or
     * saturated bloom degrades to the pure range probe.
     */
-  private def coversAnyKey(e: Entry, sorted: Array[Long]): Boolean = {
+  private def coversAnyKey(e: Entry, sorted: Array[(Long, Long)]): Boolean = {
     val lo = e.kmin.get
     val hi = e.kmax.get
     e.bloom match {
-      case None => coversAny(lo, hi, sorted)
+      case None => coversAnyEnc(lo, hi, sorted)
       case Some(hex) =>
         val buf = KeyBloom.fromHex(hex)
         var l = 0
         var r = sorted.length
-        while (l < r) { val m = (l + r) >>> 1; if (sorted(m) < lo) l = m + 1 else r = m }
-        while (l < sorted.length && sorted(l) <= hi) {
-          if (KeyBloom.mightContain(buf, sorted(l))) return true
+        while (l < r) { val m = (l + r) >>> 1; if (sorted(m)._1 < lo) l = m + 1 else r = m }
+        while (l < sorted.length && sorted(l)._1 <= hi) {
+          if (KeyBloom.mightContain(buf, sorted(l)._2)) return true
           l += 1
         }
         false
     }
+  }
+
+  private def coversAnyEnc(lo: Long, hi: Long, sorted: Array[(Long, Long)]): Boolean = {
+    var l = 0
+    var r = sorted.length
+    while (l < r) {
+      val m = (l + r) >>> 1
+      if (sorted(m)._1 < lo) l = m + 1 else r = m
+    }
+    l < sorted.length && sorted(l)._1 <= hi
   }
 
   /** True iff `sorted` (ascending) contains a key in [lo, hi]: binary
@@ -1757,7 +1860,7 @@ object Versioned {
     (e.kmin, e.kmax) match {
       case (Some(lo), Some(hi)) =>
         coversAnyKey(Entry(e.partDir, e.dataDir, e.file, Some(lo), Some(hi),
-          None, e.bloom), sorted)
+          None, e.bloom), sorted.map(k => (k, k)))
       case _ => true
     }
 
@@ -2060,7 +2163,7 @@ object Versioned {
       "lookupKeys needs a file-granular table (publish with fileStatsKey)")
     val sorted = keys.distinct.sorted.toArray
     entries.filter(e =>
-        if (useBloom) coversAnyKey(e, sorted)
+        if (useBloom) coversAnyKey(e, sorted.map(k => (k, k)))
         else coversAny(e.kmin.get, e.kmax.get, sorted))
       .map(e => s"${e.partDir}/${e.file.get}")
   }
@@ -2085,8 +2188,12 @@ object Versioned {
     val keyCol = headerLine(fsys, table, v, "#statskey\t").getOrElse(
       throw new IllegalArgumentException(s"v$v of $tablePath carries no #statskey"))
     val schemaLine = readSchemaLine(fsys, table, v)
+    schemaLine.foreach { s =>
+      require(KeyEnc.Integral.contains(s(keyCol).dataType),
+        s"lookupKeys takes Long keys; $keyCol is ${s(keyCol).dataType}")
+    }
     val sorted = keys.distinct.sorted.toArray
-    val hits = entries.filter(coversAnyKey(_, sorted))
+    val hits = entries.filter(coversAnyKey(_, sorted.map(k => (k, k))))
     if (hits.isEmpty) {
       schemaLine match {
         case Some(s) =>

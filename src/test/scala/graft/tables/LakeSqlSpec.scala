@@ -150,6 +150,78 @@ class LakeSqlSpec extends SparkSpec {
     intercept[Exception](spark.sql("ALTER TABLE galter.ns.t RENAME COLUMN k TO kk"))
   }
 
+  test("string-key file-scoped MERGE: only range+bloom-covering files are replaced, the rest splice; encoding is order-monotone") {
+    // Monotone surrogate: s1 <= s2 in UTF-8 byte order implies
+    // enc(s1) <= enc(s2) — the property that makes range pruning sound.
+    val rnd = new scala.util.Random(20260816L)
+    def bytesLe(a: String, b: String): Boolean = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length <= y.length
+    }
+    (1 to 500).foreach { _ =>
+      val s1 = rnd.alphanumeric.take(rnd.nextInt(12)).mkString + (if (rnd.nextBoolean()) "é" else "")
+      val s2 = rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+      val (lo, hi) = if (bytesLe(s1, s2)) (s1, s2) else (s2, s1)
+      assert(KeyEnc.encodeString(lo) <= KeyEnc.encodeString(hi), s"'$lo' vs '$hi'")
+    }
+
+    val tbl = Files.createTempDirectory("strkey").toString + "/t"
+    // 40 keys k000..k039 across 2 partitions, range-laid so each file
+    // holds a contiguous key band
+    val base = (0 until 40).map(i => (f"k$i%03d", i.toLong, (i % 2).toString))
+    Versioned.publish(spark, tbl, base.toDF("sk", "v", "p")
+        .repartitionByRange(8, col("p"), col("sk")),
+      partCol = Some("p"), fileStatsKey = Some("sk"))
+    val before = Versioned.fileEntriesOf(spark, tbl, 1)
+    assert(before.size >= 6, s"want several files, got ${before.size}")
+    // one-key update + one out-of-range insert ('z...' sorts above all)
+    val v2 = Versioned.mergeByFiles(spark, tbl,
+      Seq(("k010", 999L, "0", "U"), ("zzz", 1000L, "1", "I"))
+        .toDF("sk", "v", "p", "_op"), "sk", "p")
+    val after = Versioned.fileEntriesOf(spark, tbl, v2)
+    val beforeSet = before.map(e => (e._1, e._2, e._3)).toSet
+    val afterSet = after.map(e => (e._1, e._2, e._3)).toSet
+    val replaced = beforeSet -- afterSet
+    val enc10 = KeyEnc.encodeString("k010")
+    val covering = before.filter(e => e._4 <= enc10 && enc10 <= e._5)
+      .map(e => (e._1, e._2, e._3)).toSet
+    assert(replaced.nonEmpty && replaced.subsetOf(covering),
+      s"replaced $replaced must be covering files only ($covering)")
+    assert((beforeSet -- covering).subsetOf(afterSet),
+      "every non-covering file must splice unchanged")
+    // content: update applied, insert landed, everything else intact
+    val got = Versioned.readAt(spark, tbl, v2).as[(String, Long, String)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got("k010") == ((999L, "0")) && got("zzz") == ((1000L, "1")) &&
+      got.size == 41 && got("k011") == ((11L, "1")))
+
+    // DATE keys: epoch-day surrogate, exact
+    val dtbl = Files.createTempDirectory("datekey").toString + "/t"
+    val days = (0 until 20).map(i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+       i.toLong, (i % 2).toString))
+    Versioned.publish(spark, dtbl, days.toDF("d", "v", "p")
+        .repartitionByRange(4, col("p"), col("d")),
+      partCol = Some("p"), fileStatsKey = Some("d"))
+    val dv2 = Versioned.mergeByFiles(spark, dtbl,
+      Seq((java.sql.Date.valueOf("2024-01-05"), 555L, "0", "U"))
+        .toDF("d", "v", "p", "_op"), "d", "p")
+    val dgot = Versioned.readAt(spark, dtbl, dv2)
+      .filter(col("d") === "2024-01-05").head()
+    assert(dgot.getLong(1) == 555L)
+    // deleteKeys refuses non-integral stats keys loudly
+    val dkErr = intercept[Exception](Versioned.deleteKeys(spark, tbl, Seq(1L)))
+    assert(dkErr.getMessage.contains("integral") ||
+      dkErr.getMessage.contains("Long keys"), dkErr.getMessage)
+  }
+
   test("TableTailSource: batch parity, appended-files-only micro-batches, exactly-once restart, non-append commits fail the stream") {
     val tmp = Files.createTempDirectory("ttail").toString
     val (tbl, ckpt) = (s"$tmp/t", s"$tmp/ckpt")
