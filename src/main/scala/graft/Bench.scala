@@ -40,7 +40,9 @@ object Bench {
     // change). The timed pass still performs every per-invocation
     // operation live: merges, rebases, clones, DV writes, SQL DML all
     // commit fresh versions each run.
-    graft.queries.Sinks.all.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    val substrateQueries = graft.queries.Sinks.all ++
+      graft.queries.Pipeline.all.view.filterKeys(_ == "q208_zorder_pruned_scan")
+    substrateQueries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // Drop the warm corpus's materialized indexes: the timed run must build

@@ -1006,6 +1006,10 @@ object Sinks {
       spark.sql(s"DELETE FROM $tbl WHERE o_year = 1994")
       spark.sql("CALL graft_lake.sys.restore('sqlns.orders_maint', 4)")
     }
+    // Phase 2 probes the pre-restore version around the deleted year only
+    // — 1994 absent, neighbors intact — and the o_year predicate prunes
+    // the scan to those partitions at planning time (phase 1 already
+    // proves full-content equality with the source).
     spark.sql(
       s"""SELECT '1_latest' AS phase, o_year, count(*) AS n,
          |       sum(o_custkey) AS sum_cust, sum(o_price_c) AS sum_price_c
@@ -1013,7 +1017,8 @@ object Sinks {
          |UNION ALL
          |SELECT '2_deleted' AS phase, o_year, count(*) AS n,
          |       sum(o_custkey) AS sum_cust, sum(o_price_c) AS sum_price_c
-         |FROM $tbl VERSION AS OF 5 GROUP BY o_year
+         |FROM $tbl VERSION AS OF 5
+         |WHERE o_year BETWEEN 1993 AND 1995 GROUP BY o_year
          |ORDER BY phase, o_year""".stripMargin)
   }
 
@@ -2002,7 +2007,8 @@ object Sinks {
         |SELECT '2_deleted' AS phase, o_year, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
-        |FROM tgt WHERE o_year <> 1994 GROUP BY o_year
+        |FROM tgt WHERE o_year <> 1994 AND o_year BETWEEN 1993 AND 1995
+        |GROUP BY o_year
         |ORDER BY phase, o_year""".stripMargin,
     // ADD COLUMN backfill: latest = base (flag NULL) plus the 1992 copies
     // carrying 'X'; the pre-alter version is the base with the sentinel.

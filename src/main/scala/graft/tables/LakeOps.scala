@@ -496,18 +496,38 @@ object Versioned {
       .sorted.lastOption
   }
 
+  // Committed-manifest memo: a committed manifest's BYTES are immutable
+  // (only vacuum unlinks it), so a positive verdict can be cached
+  // process-wide keyed on the exact (path, length, mtime) observation —
+  // a deleted-and-recreated path (substrate rebuilds, vacuum + regrow)
+  // presents a different length/mtime and misses. latestVersion() is on
+  // every operation's path and otherwise re-opens each manifest tail,
+  // O(versions) seeks per call. Bounded; negatives are never cached (an
+  // in-flight claim becomes committed moments later).
+  private val committedMemo =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
   private def isCommitted(fsys: FileSystem, table: Path, v: Int): Boolean = {
     val p = manifestPath(table, v)
     if (!fsys.exists(p)) return false
+    val st = try fsys.getFileStatus(p) catch { case _: java.io.IOException => return false }
+    val len = st.getLen
+    if (len < Terminator.length + 1) return false
+    val memoKey = s"$p#$len#${st.getModificationTime}"
+    if (committedMemo.contains(memoKey)) return true
     val in = fsys.open(p)
-    try {
-      val len = fsys.getFileStatus(p).getLen
-      if (len < Terminator.length + 1) return false
+    val ok = try {
       val tail = new Array[Byte](Terminator.length + 1)
       in.seek(len - tail.length)
       in.readFully(tail)
       new String(tail, "UTF-8") == Terminator + "\n"
     } finally in.close()
+    if (ok) {
+      if (committedMemo.size > 65536) committedMemo.clear()
+      committedMemo.add(memoKey)
+    }
+    ok
   }
 
   /** Highest committed version, 0 if the table is empty/nonexistent. */
@@ -651,14 +671,23 @@ object Versioned {
     * the data dir is laid out by Spark's partitioned writer (so merges can
     * later splice at partition granularity); without, it's a flat table.
     * With `fileStatsKey` (requires `partCol`) the manifest carries one
-    * entry per FILE with that integral column's min/max — the base layout
-    * [[mergeByFiles]] prunes against. Returns the committed version.
+    * entry per FILE with that column's ordered min/max surrogate
+    * ([[KeyEnc]]: integral, string, or date) — the base layout
+    * [[mergeByFiles]] prunes against. `fileStatsKey2` records a SECOND
+    * integral column's per-file bounds in the same stats scan (the
+    * Delta/Iceberg leading-columns convention): the DSv2 reader then
+    * box-prunes on both dimensions without a z-order rewrite — useful
+    * when the write is already clustered on both (e.g. range-partitioned
+    * on (key, key2)). Returns the committed version.
     */
   def publish(spark: SparkSession, tablePath: String, df: DataFrame,
               partCol: Option[String] = None,
               expectedLatest: Option[Int] = None,
-              fileStatsKey: Option[String] = None): Int = {
+              fileStatsKey: Option[String] = None,
+              fileStatsKey2: Option[String] = None): Int = {
     val (fsys, table) = fs(spark, tablePath)
+    require(fileStatsKey2.isEmpty || fileStatsKey.isDefined,
+      "fileStatsKey2 requires fileStatsKey")
     validateConstraints(df,
       constraintLines(fsys, table, latestVersion(spark, tablePath)))
     val dd = newDataDir(fsys, table)
@@ -669,7 +698,7 @@ object Versioned {
             "format-dependent directory names; use int/long/string/boolean")
         df.write.mode(SaveMode.ErrorIfExists).partitionBy(pc).parquet(dd.toString)
         fileStatsKey match {
-          case Some(k) => fileStatsOf(spark, table, dd, k)
+          case Some(k) => fileStatsOf(spark, table, dd, k, stats2Col = fileStatsKey2)
           case None => listPartDirs(fsys, dd).map(Entry(_, dd.getName))
         }
       case None =>
@@ -679,7 +708,8 @@ object Versioned {
     }
     val cons = constraintLines(fsys, table, latestVersion(spark, tablePath))
     commit(fsys, table, spark, entries, expectedLatest, Seq(dd),
-      schema = Some(df.schema), statsKey = fileStatsKey, constraints = cons,
+      schema = Some(df.schema), statsKey = fileStatsKey,
+      statsKey2 = fileStatsKey2, constraints = cons,
       op = "PUBLISH")
   }
 
@@ -873,6 +903,8 @@ object Versioned {
       // bloom as 0 can only ADD a false-positive bit, never lose one.
       bloomAgg(coalesce(col("_bk"), lit(0L))).as("bloom")) ++ stats2
     val raw = spark.read.parquet(dd.toString)
+    stats2Col.foreach(c => require(KeyEnc.Integral.contains(raw.schema(c).dataType),
+      s"second stats column $c must be integral, is ${raw.schema(c).dataType}"))
     // Key columns encode to an ordered-Long surrogate ([[KeyEnc]]):
     // integral = identity, date = epoch days, string = truncated
     // big-endian prefix for the RANGE plus a full-string hash for the
@@ -961,13 +993,18 @@ object Versioned {
       }
       if (rel.isEmpty) base else new Path(base, rel)
     }
-    // Deletion vectors are scoped to THEIR file: the subtraction must be
-    // per-entry, never a global anti-filter — after a DV delete of key k,
-    // a later merge may legitimately re-insert k into a NEW file, and a
-    // global filter would wrongly kill the live reincarnation. So DV'd
-    // entries read individually (their count is bounded by the DV
-    // contract: point deletes, drained by the next rewrite/compaction)
-    // while DV-free entries keep the bulk per-data-dir fast path.
+    // Deletion vectors are scoped to their OWN WRITE: the subtraction
+    // must never be a global anti-filter — after a DV delete of key k, a
+    // later merge may legitimately re-insert k into a new file, which
+    // always lands in a NEW data dir (every write job gets a fresh
+    // d_uuid), and the reincarnation must be served (q229 pins it). So
+    // DV'd entries anti-join their sidecars' keys PER DATA DIR: within
+    // one data dir — one write job — the store's unique-key contract
+    // means a DV'd key has exactly one row there, so the per-dir join is
+    // equivalent to per-file subtraction at ONE plan per data dir instead
+    // of one plan per sidecar (a 20-sidecar version used to cost 20
+    // driver-side plan/footer rounds). DV-free entries keep the plain
+    // bulk path.
     val (dvd, clean) = entries.partition(_.dv.isDefined)
     val bulk = clean.groupBy(_.dataDir).toSeq.sortBy(_._1).map { case (dd, es) =>
       val base = new Path(table, dd)
@@ -976,22 +1013,24 @@ object Versioned {
     }
     val subtracted = if (dvd.isEmpty) Seq.empty else {
       val fsys = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      dvd.sortBy(e => (e.dataDir, e.partDir, e.file)).map { e =>
-        val (keyCol, keys) = readDvFile(fsys, new Path(table, e.dv.get))
+      import spark.implicits._
+      dvd.groupBy(_.dataDir).toSeq.sortBy(_._1).map { case (dd, es0) =>
+        val es = es0.sortBy(e => (e.partDir, e.file))
+        val loaded = es.map(e => readDvFile(fsys, new Path(table, e.dv.get)))
+        val keyCols = loaded.map(_._1).distinct
+        require(keyCols.size == 1,
+          s"deletion vectors of $dd key on multiple columns: ${keyCols.mkString(",")}")
+        val keyCol = keyCols.head
+        val keys = loaded.flatMap(_._2).distinct
         val df = spark.read
-          .option("basePath", new Path(table, e.dataDir).toString)
-          .parquet(pathOf(e).toString)
+          .option("basePath", new Path(table, dd).toString)
+          .parquet(es.map(pathOf(_).toString): _*)
+        val keyed = col(keyCol).cast("long")
         if (keys.isEmpty) df
-        else {
-          val keyed = col(keyCol).cast("long")
-          if (keys.length <= 64)
-            df.filter(!keyed.isin(keys.map(java.lang.Long.valueOf): _*))
-          else {
-            import spark.implicits._
-            df.join(broadcast(keys.toSeq.toDF("_dv_k")),
-              keyed === col("_dv_k"), "left_anti")
-          }
-        }
+        else if (keys.length <= 64)
+          df.filter(!keyed.isin(keys.map(java.lang.Long.valueOf): _*))
+        else df.join(broadcast(keys.toDF("_dv_k")),
+          keyed === col("_dv_k"), "left_anti")
       }
     }
     (bulk ++ subtracted).reduce(_.unionByName(_, allowMissingColumns = true))

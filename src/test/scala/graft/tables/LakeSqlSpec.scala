@@ -222,6 +222,26 @@ class LakeSqlSpec extends SparkSpec {
       dkErr.getMessage.contains("Long keys"), dkErr.getMessage)
   }
 
+  test("publish with a second stats column: 2-D file skipping without a z-order rewrite") {
+    val tbl = Files.createTempDirectory("stats2").toString + "/t"
+    // clustered on BOTH columns at write time (c rides k), so per-file
+    // bounds are tight in both dimensions straight from publish
+    val df = (0L until 400L).map(k => (k, 1000L - k, (k % 2).toString))
+      .toDF("k", "c", "p")
+    Versioned.publish(spark, tbl, df.repartitionByRange(8, col("p"), col("k")),
+      partCol = Some("p"), fileStatsKey = Some("k"), fileStatsKey2 = Some("c"))
+    assert(Versioned.statsKey2Of(spark, tbl, 1).contains("c"))
+    def parts(d: org.apache.spark.sql.DataFrame) = d.rdd.getNumPartitions
+    val src = spark.read.format("graft.sources.VersionedSource").load(tbl)
+    val all = parts(src)
+    assert(all >= 6, s"want several files, got $all")
+    // predicate on the SECOND column alone prunes files by its bounds
+    val prunedC = parts(src.filter(col("c") >= 990L))
+    assert(prunedC < all && prunedC >= 1, s"c-bounds pruning failed: $prunedC of $all")
+    // correctness: pruned read returns exactly the matching rows
+    assert(src.filter(col("c") >= 990L).count() == 11L) // c = 1000 - k ≥ 990 ⇔ k ≤ 10
+  }
+
   test("TableTailSource: batch parity, appended-files-only micro-batches, exactly-once restart, non-append commits fail the stream") {
     val tmp = Files.createTempDirectory("ttail").toString
     val (tbl, ckpt) = (s"$tmp/t", s"$tmp/ckpt")
