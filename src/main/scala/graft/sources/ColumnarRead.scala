@@ -1,0 +1,158 @@
+package graft.sources
+
+import org.apache.parquet.column.ColumnReader
+import org.apache.parquet.column.impl.ColumnReadStoreImpl
+import org.apache.parquet.column.page.PageReadStore
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.execution.vectorized.{ConstantColumnVector, OnHeapColumnVector}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** VECTORIZED decode for the versioned store's DSv2 readers: fills Spark
+  * `ColumnarBatch`es straight from parquet column pages (parquet-column's
+  * public `ColumnReadStoreImpl`/`ColumnReader` — dictionary decoding
+  * included) instead of materializing one `Group` object per row. The
+  * row-at-a-time example reader costs ~µs per FIELD (the dominant CPU of
+  * every catalog SQL read at sf0.1: q234 spent 4.7 s of task CPU in
+  * Group decode); the columnar path hands Spark 4096-row batches that
+  * whole-stage codegen consumes directly.
+  *
+  * Scope mirrors [[GroupRows]]: flat schemas (the store writes flat
+  * tables — max repetition level 0), the store's primitive types, by-name
+  * projection with NULL backfill for pre-evolution files, and the
+  * partition column served as a constant vector from the directory name.
+  * Files carrying a deletion vector keep the row path (the DV subtraction
+  * is a per-row filter); [[VersionedReaderFactory]] gates per partition.
+  */
+object ColumnarRead {
+  val BatchRows = 4096
+
+  /** Types the vectorized path fills — the [[GroupRows.value]] set. */
+  def supportedType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | StringType | BooleanType |
+         DoubleType | FloatType | ShortType | ByteType => true
+    case _ => false
+  }
+}
+
+final class VersionedColumnarReader(file: String, constCol: String,
+                                    constVal: String, required: StructType)
+    extends PartitionReader[ColumnarBatch] {
+
+  private val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+    new org.apache.hadoop.fs.Path(file),
+    new org.apache.hadoop.conf.Configuration()))
+  private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+  private val createdBy = reader.getFooter.getFileMetaData.getCreatedBy
+
+  // Per required field: Some(descriptor index into fileSchema's columns)
+  // when the file carries it; None = constant or NULL backfill.
+  private val fieldPlans: Array[Either[ColumnVector, Int]] =
+    required.fields.map { f =>
+      if (f.name == constCol) {
+        val v = new ConstantColumnVector(ColumnarRead.BatchRows, f.dataType)
+        GroupRows.constant(constVal, f) match {
+          case null => v.setNull()
+          case l: Long => v.setLong(l)
+          case i: Int => v.setInt(i)
+          case s: UTF8String => v.setUtf8String(s)
+          case b: Boolean => v.setBoolean(b)
+          case s: Short => v.setShort(s)
+          case b: Byte => v.setByte(b)
+          case other => throw new IllegalStateException(s"constant $other")
+        }
+        Left(v)
+      } else if (!fileSchema.containsField(f.name)) {
+        // pre-evolution file: the column reads as NULL
+        val v = new ConstantColumnVector(ColumnarRead.BatchRows, f.dataType)
+        v.setNull()
+        Left(v)
+      } else {
+        val idx = (0 until fileSchema.getColumns.size).find(i =>
+          fileSchema.getColumns.get(i).getPath()(0) == f.name).getOrElse(
+          throw new IllegalStateException(s"column ${f.name} not flat in $file"))
+        Right(idx)
+      }
+    }
+
+  private val writable: Array[OnHeapColumnVector] = required.fields.map(f =>
+    new OnHeapColumnVector(ColumnarRead.BatchRows, f.dataType))
+  private val vectors: Array[ColumnVector] =
+    fieldPlans.zip(writable).map {
+      case (Left(const), _) => const
+      case (Right(_), w) => w
+    }
+  private val batch = new ColumnarBatch(vectors)
+
+  private var pages: PageReadStore = _
+  private var readers: Array[ColumnReader] = _
+  private var maxDefs: Array[Int] = _
+  private var rowsLeftInGroup = 0L
+
+  private def nextRowGroup(): Boolean = {
+    pages = reader.readNextRowGroup()
+    if (pages == null) return false
+    val store = new ColumnReadStoreImpl(pages,
+      new GroupRecordConverter(fileSchema).getRootConverter, fileSchema, createdBy)
+    readers = fieldPlans.map {
+      case Right(idx) => store.getColumnReader(fileSchema.getColumns.get(idx))
+      case Left(_) => null
+    }
+    maxDefs = fieldPlans.map {
+      case Right(idx) => fileSchema.getColumns.get(idx).getMaxDefinitionLevel
+      case Left(_) => 0
+    }
+    rowsLeftInGroup = pages.getRowCount
+    true
+  }
+
+  override def next(): Boolean = {
+    while (rowsLeftInGroup == 0L) if (!nextRowGroup()) return false
+    val n = math.min(ColumnarRead.BatchRows.toLong, rowsLeftInGroup).toInt
+    var fi = 0
+    while (fi < fieldPlans.length) {
+      fieldPlans(fi) match {
+        case Left(_) => ()
+        case Right(_) =>
+          val cr = readers(fi)
+          val maxDef = maxDefs(fi)
+          val vec = writable(fi)
+          vec.reset()
+          val dt = required.fields(fi).dataType
+          var i = 0
+          while (i < n) {
+            if (cr.getCurrentDefinitionLevel < maxDef) vec.putNull(i)
+            else dt match {
+              case LongType => vec.putLong(i, cr.getLong)
+              case IntegerType => vec.putInt(i, cr.getInteger)
+              case StringType =>
+                val b = cr.getBinary.getBytes
+                vec.putByteArray(i, b, 0, b.length)
+              case DoubleType => vec.putDouble(i, cr.getDouble)
+              case BooleanType => vec.putBoolean(i, cr.getBoolean)
+              case FloatType => vec.putFloat(i, cr.getFloat)
+              case ShortType => vec.putShort(i, cr.getInteger.toShort)
+              case ByteType => vec.putByte(i, cr.getInteger.toByte)
+              case other => throw new IllegalStateException(s"unreachable: $other")
+            }
+            cr.consume()
+            i += 1
+          }
+      }
+      fi += 1
+    }
+    batch.setNumRows(n)
+    rowsLeftInGroup -= n
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = {
+    batch.close()
+    reader.close()
+  }
+}

@@ -151,7 +151,7 @@ final class TableTailScan(path: String, full: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new VersionedReaderFactory(required, full)
+    new VersionedReaderFactory(required, full, columnarOk = true) // appends never carry DVs (gated in appendPartitions)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new TableTailMicroBatchStream(path, full, required, startingVersion, maxVersions)
@@ -190,5 +190,5 @@ final class TableTailMicroBatchStream(path: String, full: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new VersionedReaderFactory(required, full)
+    new VersionedReaderFactory(required, full, columnarOk = true) // appends never carry DVs (gated in appendPartitions)
 }

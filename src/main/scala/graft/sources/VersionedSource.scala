@@ -346,15 +346,38 @@ final class VersionedScan(path: String, version: Int, full: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new VersionedReaderFactory(required, full)
+    // Columnar only when no surviving entry carries a deletion vector —
+    // runtime filters can only SHRINK the set, so a static no-DV verdict
+    // stays valid at execution.
+    new VersionedReaderFactory(required, full,
+      columnarOk = !survivors.exists(_.dv.isDefined))
 }
 
-final class VersionedReaderFactory(required: StructType, full: StructType)
+final class VersionedReaderFactory(required: StructType, full: StructType,
+                                   columnarOk: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[VersionedPartition]
     new VersionedPartitionReader(p.file, p.constCol, p.constVal, required,
       full, p.dvKeyCol, p.dvKeys)
+  }
+
+  /** Vectorized path when the WHOLE SCAN qualifies (Spark requires a
+    * uniform answer across a scan's partitions): no planned file carries
+    * a deletion vector (the subtraction is a per-row filter) and every
+    * required type is in the store's primitive set — the common case of
+    * every catalog SQL read. 4096-row ColumnarBatches fill straight from
+    * parquet pages instead of per-row Group decode.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnarOk && required.fields.forall(f =>
+      ColumnarRead.supportedType(f.dataType))
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[VersionedPartition]
+    require(p.dvKeys.isEmpty, s"columnar read planned for DV'd file ${p.file}")
+    new VersionedColumnarReader(p.file, p.constCol, p.constVal, required)
   }
 }
 

@@ -242,6 +242,40 @@ class LakeSqlSpec extends SparkSpec {
     assert(src.filter(col("c") >= 990L).count() == 11L) // c = 1000 - k ≥ 990 ⇔ k ≤ 10
   }
 
+  test("columnar DSv2 read: multi-batch files, NULLs, evolution backfill, and DV'd scans fall back to the row path") {
+    val tbl = Files.createTempDirectory("colread").toString + "/t"
+    // 10k rows in ONE file → three 4096-row batches; s NULL every 7th row
+    val df = spark.range(0, 10000).selectExpr("id AS k",
+      "CASE WHEN id % 7 = 0 THEN CAST(NULL AS STRING) ELSE concat('s', id) END AS s",
+      "CAST(0 AS LONG) AS p")
+    Versioned.publish(spark, tbl, df.coalesce(1),
+      partCol = Some("p"), fileStatsKey = Some("k"))
+    def src = spark.read.format("graft.sources.VersionedSource").load(tbl)
+    // the scan runs columnar (no DVs, primitive types)
+    val plan = src.queryExecution.executedPlan
+    assert(plan.toString.contains("ColumnarToRow"),
+      s"expected a columnar scan, got:\n$plan")
+    val got = src.as[(Long, Option[String], Long)].collect()
+    assert(got.length == 10000)
+    assert(got.count(_._2.isEmpty) == (0 until 10000).count(_ % 7 == 0))
+    assert(got.find(_._1 == 8191L).flatMap(_._2).contains("s8191"))
+    // schema evolution: the added column NULL-backfills through the
+    // columnar reader (constant-null vector for pre-evolution files)
+    val v2 = Versioned.merge(spark, tbl,
+      Seq((20000L, "x", 0L, "note1", "I")).toDF("k", "s", "p", "note", "_op"),
+      "k", "p")
+    val evolved = spark.read.format("graft.sources.VersionedSource").load(tbl)
+    assert(evolved.filter(col("k") === 1L).select("note").head().isNullAt(0))
+    assert(evolved.filter(col("k") === 20000L).select("note").head().getString(0) == "note1")
+    // a DV anywhere in the scan drops the WHOLE scan to the row path
+    // (Spark needs a uniform columnar answer), same results
+    Versioned.deleteKeys(spark, tbl, Seq(3L))
+    val dvScan = spark.read.format("graft.sources.VersionedSource").load(tbl)
+    assert(!dvScan.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "DV'd scan must use the row reader")
+    assert(dvScan.count() == 10000L) // 10001 rows minus the deleted key
+  }
+
   test("TableTailSource: batch parity, appended-files-only micro-batches, exactly-once restart, non-append commits fail the stream") {
     val tmp = Files.createTempDirectory("ttail").toString
     val (tbl, ckpt) = (s"$tmp/t", s"$tmp/ckpt")
