@@ -710,6 +710,11 @@ object Versioned {
     commit(fsys, table, spark, entries, expectedLatest, Seq(dd),
       schema = Some(df.schema), statsKey = fileStatsKey,
       statsKey2 = fileStatsKey2, constraints = cons,
+      // Record the partition column (CREATE already does): partColOf
+      // stops depending on the directory-name fallback, and adoptStaged
+      // can exempt it from the staged-type check (its type is
+      // directory-inferred on the staged side).
+      partColHeader = partCol,
       op = "PUBLISH")
   }
 
@@ -2264,7 +2269,8 @@ object Versioned {
     */
   def compactFiles(spark: SparkSession, tablePath: String, partDir: String,
                    keyCol: String, partCol: String,
-                   expectedLatest: Option[Int] = None): Int = {
+                   expectedLatest: Option[Int] = None,
+                   rebaseRetries: Int = 0): Int = {
     val (fsys, table) = fs(spark, tablePath)
     val base = latestVersion(spark, tablePath)
     val baseEntries = readManifest(fsys, table, base)
@@ -2291,14 +2297,11 @@ object Versioned {
     val written = fileStatsOf(spark, table, dd, keyCol)
     require(written.forall(_.partDir == partDir),
       s"compaction leaked rows outside $partDir: ${written.map(_.partDir)}")
-    val entries = baseEntries.filterNot(victims.toSet) ++ written
-    // Compaction always rewrites against latest: pin it, so a concurrent
-    // merge that advanced the table mid-compaction fails this commit
-    // (rerunnable maintenance) instead of this commit erasing the merge.
-    commit(fsys, table, spark, entries, expectedLatest.orElse(Some(base)), Seq(dd),
-      schema = baseSchema, statsKey = Some(keyCol),
-      partColHeader = headerLine(fsys, table, base, "#partcol\t"),
-      constraints = constraintLines(fsys, table, base), op = "COMPACT")
+    // Compaction pins the base it rewrote: a concurrent commit either
+    // rebases (disjoint, rebaseRetries > 0) or fails this rerunnable
+    // maintenance loudly — never erases the competitor.
+    maintenanceCommit(spark, fsys, table, base, baseEntries, victims.toSet,
+      written, dd, baseSchema, keyCol, expectedLatest, rebaseRetries, "COMPACT")
   }
 
   /** Whole-table OPTIMIZE: bin-pack EVERY partition's small files toward
@@ -2330,7 +2333,8 @@ object Versioned {
     */
   def optimizeTable(spark: SparkSession, tablePath: String,
                     keyCol: String, partCol: String, targetRows: Long,
-                    expectedLatest: Option[Int] = None): Int = {
+                    expectedLatest: Option[Int] = None,
+                    rebaseRetries: Int = 0): Int = {
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
     val (fsys, table) = fs(spark, tablePath)
     val base = latestVersion(spark, tablePath)
@@ -2379,11 +2383,70 @@ object Versioned {
     require(written.forall(e => victimParts.contains(e.partDir)),
       s"optimize leaked rows outside its victim partitions: " +
         s"${written.map(_.partDir).filterNot(victimParts).distinct.mkString(",")}")
-    val entries = baseEntries.filterNot(victimEntries) ++ written
-    commit(fsys, table, spark, entries, expectedLatest.orElse(Some(base)), Seq(dd),
-      schema = baseSchema, statsKey = Some(keyCol),
-      partColHeader = headerLine(fsys, table, base, "#partcol\t"),
-      constraints = constraintLines(fsys, table, base), op = "OPTIMIZE")
+    maintenanceCommit(spark, fsys, table, base, baseEntries, victimEntries,
+      written, dd, baseSchema, keyCol, expectedLatest, rebaseRetries, "OPTIMIZE")
+  }
+
+  /** Commit half of a CONTENT-PRESERVING maintenance rewrite (optimize /
+    * compact): base-minus-victims plus the rewritten files, CAS-pinned.
+    * With `rebaseRetries` > 0, a lost CAS re-validates the competitor
+    * Delta-style: maintenance preserves exactly the victim entries'
+    * content, so as long as the competing commit did not touch a VICTIM
+    * (by exact entry identity) and left schema/constraints/stats-column
+    * alone, the rewritten output splices onto the competitor's manifest
+    * unchanged — maintenance never loses a race to a disjoint writer and
+    * never needs re-execution. Anything the re-validation cannot prove
+    * disjoint conflicts loudly, exactly like the zero-retry path.
+    */
+  private def maintenanceCommit(spark: SparkSession, fsys: FileSystem,
+                                table: Path, base: Int,
+                                baseEntries: Seq[Entry], victims: Set[Entry],
+                                written: Seq[Entry], dd: Path,
+                                baseSchema: Option[org.apache.spark.sql.types.StructType],
+                                keyCol: String, expectedLatest: Option[Int],
+                                rebaseRetries: Int, op: String): Int = {
+    val cons = constraintLines(fsys, table, base)
+    def commitOnto(onto: Seq[Entry], v: Int, keepOrphans: Boolean): Int =
+      commit(fsys, table, spark, onto.filterNot(victims) ++ written,
+        expectedLatest.orElse(Some(v)),
+        if (keepOrphans) Seq.empty else Seq(dd),
+        schema = baseSchema, statsKey = Some(keyCol),
+        partColHeader = headerLine(fsys, table, base, "#partcol\t"),
+        constraints = cons, op = op)
+    if (rebaseRetries <= 0) return commitOnto(baseEntries, base, keepOrphans = false)
+    var attempts = 0
+    var ontoV = base
+    var ontoEntries = baseEntries
+    def giveUp(why: String): Nothing = {
+      try fsys.delete(dd, true) catch { case _: Throwable => () }
+      throw new ConcurrentWriteException(why)
+    }
+    while (true) {
+      try return commitOnto(ontoEntries, ontoV, keepOrphans = true)
+      catch {
+        case e: ConcurrentWriteException =>
+          if (attempts >= rebaseRetries)
+            giveUp(s"${e.getMessage} (after $attempts rebase attempt(s))")
+          attempts += 1
+          val newV = latestVersion(spark, table.toString)
+          val newEntries = readManifest(fsys, table, newV)
+          def shapeOf(v: Int) = readSchemaLine(fsys, table, v)
+            .map(_.fields.map(f => (f.name, f.dataType)).toSeq)
+          if (shapeOf(newV) != shapeOf(base))
+            giveUp(s"concurrent schema change at v$newV of $table — cannot rebase $op")
+          if (constraintLines(fsys, table, newV) != cons)
+            giveUp(s"concurrent constraint change at v$newV of $table — cannot rebase $op")
+          if (!headerLine(fsys, table, newV, "#statskey\t").contains(keyCol))
+            giveUp(s"v$newV of $table no longer carries $keyCol stats — cannot rebase $op")
+          val delta = (newEntries.toSet -- ontoEntries) ++ (ontoEntries.toSet -- newEntries)
+          delta.find(victims).foreach(d => giveUp(
+            s"concurrent writer touched ${d.partDir}/${d.file.getOrElse("")} " +
+              s"this $op rewrote — cannot rebase"))
+          ontoV = newV
+          ontoEntries = newEntries
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** The column whose per-file bounds a version's entries ADDITIONALLY

@@ -242,6 +242,55 @@ class LakeSqlSpec extends SparkSpec {
     assert(src.filter(col("c") >= 990L).count() == 11L) // c = 1000 - k ≥ 990 ⇔ k ≤ 10
   }
 
+  test("maintenance OCC rebase: optimize splices onto a disjoint concurrent append; a victim-touching competitor conflicts loudly") {
+    val tbl = Files.createTempDirectory("maintreb").toString + "/t"
+    val base = (0L until 40L).map(k => (k, k * 10, (k % 2).toString))
+    Versioned.publish(spark, tbl, base.toDF("k", "v", "p")
+        .repartitionByRange(8, col("p"), col("k")),
+      partCol = Some("p"), fileStatsKey = Some("k"))
+    def appendRows(rows: Seq[(Long, Long, String)]): Unit = {
+      val dd = s"d_reb${System.nanoTime()}"
+      rows.toDF("k", "v", "p").write.partitionBy("p").parquet(s"$tbl/$dd")
+      Versioned.adoptStaged(spark, tbl, dd, fileStatsKey = Some("k"))
+    }
+    // DISJOINT race: an append lands between optimize's planning and its
+    // commit — with rebaseRetries the already-written compaction splices
+    // onto the competitor's manifest, no re-execution, nobody loses.
+    Versioned.preCommitHookForTests = Some(() => {
+      Versioned.preCommitHookForTests = None // one-shot: not for the competitor
+      appendRows(Seq((100L, 1000L, "0")))
+    })
+    try {
+      val v = Versioned.optimizeTable(spark, tbl, "k", "p",
+        targetRows = 1000, rebaseRetries = 2)
+      val got = Versioned.readAt(spark, tbl, v).as[(Long, Long, String)]
+        .collect().map(t => t._1 -> t._2).toMap
+      assert(got.size == 41 && got(100L) == 1000L && got(7L) == 70L,
+        "rebased optimize must carry BOTH the compaction and the append")
+      assert(Versioned.fileEntriesOf(spark, tbl, v).size < 8 + 1 + 8,
+        "the compaction must actually have packed files")
+    } finally Versioned.preCommitHookForTests = None
+    // CLASHING race: the competitor rewrites a file the compaction read —
+    // the rebase cannot prove disjointness and must fail loudly, and the
+    // competitor's update must survive (no lost update).
+    // key 8 lives in partition 0's multi-file bin — a VICTIM of this
+    // optimize (partition 1 collapsed to a single file above and splices)
+    Versioned.preCommitHookForTests = Some(() => {
+      Versioned.preCommitHookForTests = None
+      Versioned.mergeByFiles(spark, tbl,
+        Seq((8L, 888L, "0", "U")).toDF("k", "v", "p", "_op"), "k", "p")
+    })
+    try {
+      intercept[ConcurrentWriteException] {
+        Versioned.optimizeTable(spark, tbl, "k", "p",
+          targetRows = 1000, rebaseRetries = 2)
+      }
+    } finally Versioned.preCommitHookForTests = None
+    val after = Versioned.read(spark, tbl).as[(Long, Long, String)]
+      .collect().map(t => t._1 -> t._2).toMap
+    assert(after(8L) == 888L, "the competing merge must survive the failed optimize")
+  }
+
   test("columnar DSv2 read: multi-batch files, NULLs, evolution backfill, and DV'd scans fall back to the row path") {
     val tbl = Files.createTempDirectory("colread").toString + "/t"
     // 10k rows in ONE file → three 4096-row batches; s NULL every 7th row
