@@ -89,6 +89,13 @@ class LakeSqlSpec extends SparkSpec {
     val feed = spark.sql(s"CALL gproc.sys.table_changes('ns.t', ${vM - 1}, $vM)").collect()
     assert(feed.map(r => (r.getLong(0), r.getString(3))).toSet ==
       Set((0L, "delete"), (0L, "insert"), (1000L, "insert")))
+    // the procedure registry is introspectable from SQL
+    val shown = spark.sql("SHOW PROCEDURES IN gproc.sys").collect()
+      .flatMap(_.toSeq.map(String.valueOf)).toSet
+    assert(Set("optimize", "zorder", "vacuum", "restore", "history",
+      "table_changes").subsetOf(shown), shown.mkString(","))
+    assert(spark.sql("DESCRIBE PROCEDURE gproc.sys.optimize").collect()
+      .map(_.getString(0)).mkString(" ").contains("optimize"))
     // vacuum: retire everything but the newest two versions, eagerly
     spark.sql("CALL gproc.sys.vacuum('ns.t', 2, 0)").collect()
     assert(spark.sql("SELECT count(*) FROM gproc.ns.t").head().getLong(0) == 81L)
@@ -360,6 +367,20 @@ class LakeSqlSpec extends SparkSpec {
     val second = run()
     assert(second.toSet == batch + ((4L, 40L, "b")) && second.size == batch.size + 1,
       s"restart must not replay delivered versions: $second")
+    // startingVersion=latest: only appends AFTER the stream starts flow
+    val lateOut = s"$tmp/late_out"
+    val lateCkpt = s"$tmp/late_ckpt"
+    val q2 = spark.readStream.format("graft.sources.TableTailSource")
+      .option("startingVersion", "latest").load(tbl)
+      .writeStream.format("parquet").option("path", lateOut)
+      .option("checkpointLocation", lateCkpt).start()
+    try {
+      q2.processAllAvailable()
+      append(Seq((5L, 50L, "a")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(lateOut).as[(Long, Long, String)].collect().toSet ==
+      Set((5L, 50L, "a")), "latest-start must skip the existing snapshot")
     // a non-append commit fails the stream loudly
     Versioned.deleteWhere(spark, tbl, col("k") === 1L, "p")
     val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
