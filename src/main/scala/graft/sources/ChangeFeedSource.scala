@@ -189,9 +189,13 @@ final class ChangeFeedMicroBatchStream(path: String, required: StructType,
 
 final class ChangeFeedReaderFactory(required: StructType)
     extends PartitionReaderFactory {
+  // Ship the driver's session Hadoop conf to read tasks (same contract
+  // as the sink's writer factory and the versioned reader factory).
+  private val conf = new SerializableHadoopConf(
+    SparkSession.active.sparkContext.hadoopConfiguration)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ChangeFeedPartition]
-    new ChangeFeedPartitionReader(p.file, p.version, required)
+    new ChangeFeedPartitionReader(p.file, p.version, required, conf.value)
   }
 }
 
@@ -200,7 +204,9 @@ final class ChangeFeedReaderFactory(required: StructType)
   * schema-evolution backfill). Runs on executors — no Spark session, no
   * driver state, just the file.
   */
-final class ChangeFeedPartitionReader(file: String, version: Int, required: StructType)
+final class ChangeFeedPartitionReader(file: String, version: Int, required: StructType,
+                                      conf: org.apache.hadoop.conf.Configuration =
+                                        new org.apache.hadoop.conf.Configuration())
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.hadoop.ParquetReader
@@ -208,6 +214,7 @@ final class ChangeFeedPartitionReader(file: String, version: Int, required: Stru
 
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(file))
+      .withConf(conf)
       .build()
   private var current: Group = _
 

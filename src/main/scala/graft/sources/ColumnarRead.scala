@@ -40,12 +40,13 @@ object ColumnarRead {
 }
 
 final class VersionedColumnarReader(file: String, constCol: String,
-                                    constVal: String, required: StructType)
+                                    constVal: String, required: StructType,
+                                    conf: org.apache.hadoop.conf.Configuration =
+                                      new org.apache.hadoop.conf.Configuration())
     extends PartitionReader[ColumnarBatch] {
 
   private val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-    new org.apache.hadoop.fs.Path(file),
-    new org.apache.hadoop.conf.Configuration()))
+    new org.apache.hadoop.fs.Path(file), conf))
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
   private val createdBy = reader.getFooter.getFileMetaData.getCreatedBy
 

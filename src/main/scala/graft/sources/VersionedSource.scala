@@ -356,10 +356,16 @@ final class VersionedScan(path: String, version: Int, full: StructType,
 final class VersionedReaderFactory(required: StructType, full: StructType,
                                    columnarOk: Boolean = false)
     extends PartitionReaderFactory {
+  // The DRIVER's session Hadoop conf rides to the read tasks (the same
+  // contract as the sink's writer factory): object-store credentials and
+  // fs implementations apply where the file is actually opened.
+  private val conf = new SerializableHadoopConf(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[VersionedPartition]
     new VersionedPartitionReader(p.file, p.constCol, p.constVal, required,
-      full, p.dvKeyCol, p.dvKeys)
+      full, p.dvKeyCol, p.dvKeys, conf.value)
   }
 
   /** Vectorized path when the WHOLE SCAN qualifies (Spark requires a
@@ -377,14 +383,16 @@ final class VersionedReaderFactory(required: StructType, full: StructType,
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[VersionedPartition]
     require(p.dvKeys.isEmpty, s"columnar read planned for DV'd file ${p.file}")
-    new VersionedColumnarReader(p.file, p.constCol, p.constVal, required)
+    new VersionedColumnarReader(p.file, p.constCol, p.constVal, required, conf.value)
   }
 }
 
 final class VersionedPartitionReader(file: String, constCol: String,
                                      constVal: String, required: StructType,
                                      full: StructType, dvKeyCol: String,
-                                     dvKeys: Array[Long])
+                                     dvKeys: Array[Long],
+                                     conf: org.apache.hadoop.conf.Configuration =
+                                       new org.apache.hadoop.conf.Configuration())
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.hadoop.ParquetReader
@@ -392,6 +400,7 @@ final class VersionedPartitionReader(file: String, constCol: String,
 
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(file))
+      .withConf(conf)
       .build()
   private var current: Group = _
   // Resolve per-field decode strategy ONCE per reader, not per row.
