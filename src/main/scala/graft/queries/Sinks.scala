@@ -877,17 +877,29 @@ object Sinks {
     * Scala-merge-after-SQL-write). The oracle replays the DML
     * relationally: base rows with 1993 re-inserted at +777.
     */
+  /** The SQL catalog bound to `dir`'s warehouse, NAMED PER DIR: Spark's
+    * CatalogManager caches a catalog instance with the warehouse it was
+    * FIRST initialized with, so reusing one name across corpus dirs
+    * (Bench warms at sf0.001, then times at sf0.1) would silently keep
+    * every statement on the first warehouse — per-dir names make the
+    * binding visible and correct.
+    */
+  private def lakeCatalog(spark: SparkSession, dir: String): String = {
+    val cat = s"graft_lake_${java.lang.Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmpOut(dir, "warehouse"))
+    cat
+  }
+
   def sqlCatalogDml(spark: SparkSession, dir: String): DataFrame = {
-    val wh = tmpOut(dir, "warehouse")
-    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sources.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.graft_lake.warehouse", wh)
+    val cat = lakeCatalog(spark, dir)
     val view = s"graft_sql_src_${java.lang.Integer.toHexString(dir.hashCode)}"
     orders(spark, dir).select(
       col("o_orderkey"), col("o_custkey"),
       floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
       year(col("o_orderdate")).as("o_year")).createOrReplaceTempView(view)
-    val tbl = "graft_lake.sqlns.orders_sql"
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_lake.sqlns")
+    val tbl = s"$cat.sqlns.orders_sql"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sqlns")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.sql(
       s"""CREATE TABLE $tbl (
@@ -929,8 +941,9 @@ object Sinks {
     * few KB (LakeSqlSpec pins delta bytes < full/3 and the chain shape).
     * Victims are each bottom-2% key band's MIN key in 1995 — pure integer
     * arithmetic the oracle replays; the hash match proves a snapshot
-    * assembled from one checkpoint plus 3 deltas plus 17 pre-checkpoint
-    * commits equals the relational delete of exactly those 18 keys.
+    * assembled from the forced checkpoint (v18) plus its post-checkpoint
+    * delta (v19) — itself standing on 16 pre-checkpoint deltas — equals
+    * the relational delete of exactly those 18 keys.
     */
   def manifestLog(spark: SparkSession, dir: String): DataFrame = {
     val src = ordersVersionedFiles(spark, dir)
@@ -973,10 +986,9 @@ object Sinks {
     * undid the delete, and the pre-restore version still serves.
     */
   def sqlMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val cat = lakeCatalog(spark, dir)
     val wh = tmpOut(dir, "warehouse")
-    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sources.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.graft_lake.warehouse", wh)
-    val tbl = "graft_lake.sqlns.orders_maint"
+    val tbl = s"$cat.sqlns.orders_maint"
     val path = s"$wh/sqlns/orders_maint"
     val expectOps = Seq("CREATE", "APPEND", "OPTIMIZE", "ZORDER(o_custkey)",
       "DELETE", "RESTORE(4)")
@@ -985,7 +997,7 @@ object Sinks {
         (1 to 6).map(Versioned.opOf(spark, path, _)) == expectOps
     } catch { case _: Exception => false }
     if (!valid) {
-      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_lake.sqlns")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sqlns")
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       val view = s"graft_maint_src_${java.lang.Integer.toHexString(dir.hashCode)}"
       orders(spark, dir).select(
@@ -999,12 +1011,16 @@ object Sinks {
            |TBLPROPERTIES ('statskey' = 'o_orderkey')
            |AS SELECT /*+ REPARTITION(8) */ * FROM $view""".stripMargin)
       val vOpt = spark.sql(
-        s"CALL graft_lake.sys.optimize(tbl => 'sqlns.orders_maint', " +
+        s"CALL $cat.sys.optimize(tbl => 'sqlns.orders_maint', " +
           "target_rows => 1000000)").head().getInt(0)
       require(vOpt == 3, s"optimize found nothing to pack (v$vOpt) — widen the CTAS layout")
-      spark.sql("CALL graft_lake.sys.zorder('sqlns.orders_maint', 'o_custkey', 2)")
+      spark.sql(s"CALL $cat.sys.zorder('sqlns.orders_maint', 'o_custkey', 2)")
       spark.sql(s"DELETE FROM $tbl WHERE o_year = 1994")
-      spark.sql("CALL graft_lake.sys.restore('sqlns.orders_maint', 4)")
+      spark.sql(s"CALL $cat.sys.restore('sqlns.orders_maint', 4)")
+      // Retire everything the lifecycle no longer serves (keep-last-4 =
+      // v3..v6; v5's time-travel read below stays inside the window, and
+      // v1/v2's manifests survive as v3's resolution chain).
+      spark.sql(s"CALL $cat.sys.vacuum('sqlns.orders_maint', 4, 0)")
     }
     // Phase 2 probes the pre-restore version around the deleted year only
     // — 1994 absent, neighbors intact — and the o_year predicate prunes
@@ -1033,10 +1049,9 @@ object Sinks {
     * pre-alter phase is the base content with the sentinel count.
     */
   def sqlAddColumn(spark: SparkSession, dir: String): DataFrame = {
+    val cat = lakeCatalog(spark, dir)
     val wh = tmpOut(dir, "warehouse")
-    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sources.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.graft_lake.warehouse", wh)
-    val tbl = "graft_lake.sqlns.orders_addcol"
+    val tbl = s"$cat.sqlns.orders_addcol"
     val path = s"$wh/sqlns/orders_addcol"
     val valid = try {
       Versioned.latestVersion(spark, path) == 4 &&
@@ -1044,7 +1059,7 @@ object Sinks {
         Versioned.schemaOf(spark, path, 4).exists(_.fieldNames.contains("o_flag"))
     } catch { case _: Exception => false }
     if (!valid) {
-      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_lake.sqlns")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sqlns")
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       val view = s"graft_addcol_src_${java.lang.Integer.toHexString(dir.hashCode)}"
       orders(spark, dir).select(

@@ -129,6 +129,39 @@ final case class VersionOffset(v: Int) extends Offset {
   override def json(): String = v.toString
 }
 
+/** Shared offset + admission-control mechanics for streaming sources
+  * whose offset is a committed VERSION number ([[ChangeFeedSource]],
+  * [[TableTailSource]]): `latestOffset` tracks the table's committed
+  * head, and `maxVersionsPerTrigger` caps each micro-batch at N
+  * versions — backlog catch-up after downtime proceeds in bounded
+  * batches instead of one giant one (the Delta maxFilesPerTrigger
+  * analog at version granularity). Offsets re-plan deterministically
+  * from the manifests, so delivery is exactly-once across restarts.
+  */
+private[sources] trait VersionOffsetStream
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+  protected def tablePath: String
+  protected def startingVersion: Int
+  protected def maxVersions: Option[Int]
+
+  override def initialOffset(): Offset = VersionOffset(startingVersion)
+  override def latestOffset(): Offset =
+    VersionOffset(math.max(startingVersion,
+      Versioned.latestVersion(SparkSession.active, tablePath)))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[VersionOffset].v
+    val latest = latestOffset().asInstanceOf[VersionOffset].v
+    VersionOffset(maxVersions.fold(latest)(m => math.min(latest, s + math.max(1, m))))
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
 final class ChangeFeedScan(path: String, required: StructType,
                            startingVersion: Int, maxVersions: Option[Int])
     extends Scan with Batch {
@@ -152,30 +185,10 @@ final class ChangeFeedScan(path: String, required: StructType,
 }
 
 final class ChangeFeedMicroBatchStream(path: String, required: StructType,
-                                       startingVersion: Int, maxVersions: Option[Int])
-    extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
-  import org.apache.spark.sql.connector.read.streaming.ReadLimit
-
-  override def initialOffset(): Offset = VersionOffset(startingVersion)
-  override def latestOffset(): Offset =
-    VersionOffset(math.max(startingVersion,
-      Versioned.latestVersion(SparkSession.active, path)))
-  /** Admission control (`maxVersionsPerTrigger`): cap each micro-batch at
-    * N committed versions — backlog catch-up after downtime proceeds in
-    * bounded batches instead of one giant one (the Delta
-    * maxFilesPerTrigger analog at version granularity).
-    */
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[VersionOffset].v
-    val latest = latestOffset().asInstanceOf[VersionOffset].v
-    VersionOffset(maxVersions.fold(latest)(m => math.min(latest, s + math.max(1, m))))
-  }
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def deserializeOffset(json: String): Offset =
-    VersionOffset(json.trim.toInt)
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+                                       protected val startingVersion: Int,
+                                       protected val maxVersions: Option[Int])
+    extends VersionOffsetStream {
+  protected def tablePath: String = path
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v)

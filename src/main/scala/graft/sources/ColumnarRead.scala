@@ -80,14 +80,40 @@ final class VersionedColumnarReader(file: String, constCol: String,
       }
     }
 
-  private val writable: Array[OnHeapColumnVector] = required.fields.map(f =>
-    new OnHeapColumnVector(ColumnarRead.BatchRows, f.dataType))
+  // Writable vectors only for fields actually decoded from pages;
+  // constant/backfill fields serve their ConstantColumnVector directly.
+  private val writable: Array[OnHeapColumnVector] =
+    fieldPlans.zip(required.fields).map {
+      case (Right(_), f) => new OnHeapColumnVector(ColumnarRead.BatchRows, f.dataType)
+      case (Left(_), _) => null
+    }
   private val vectors: Array[ColumnVector] =
     fieldPlans.zip(writable).map {
       case (Left(const), _) => const
       case (Right(_), w) => w
     }
   private val batch = new ColumnarBatch(vectors)
+
+  // Per-field decode strategy resolved ONCE (the row reader's own
+  // convention) — no per-value DataType match in the hot loop.
+  private val fillers: Array[(ColumnReader, OnHeapColumnVector, Int) => Unit] =
+    required.fields.map { f =>
+      f.dataType match {
+        case LongType => (cr, vec, i) => vec.putLong(i, cr.getLong)
+        case IntegerType => (cr, vec, i) => vec.putInt(i, cr.getInteger)
+        case StringType => (cr, vec, i) => {
+          val b = cr.getBinary.getBytes
+          vec.putByteArray(i, b, 0, b.length)
+          ()
+        }
+        case DoubleType => (cr, vec, i) => vec.putDouble(i, cr.getDouble)
+        case BooleanType => (cr, vec, i) => vec.putBoolean(i, cr.getBoolean)
+        case FloatType => (cr, vec, i) => vec.putFloat(i, cr.getFloat)
+        case ShortType => (cr, vec, i) => vec.putShort(i, cr.getInteger.toShort)
+        case ByteType => (cr, vec, i) => vec.putByte(i, cr.getInteger.toByte)
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+    }
 
   private var pages: PageReadStore = _
   private var readers: Array[ColumnReader] = _
@@ -122,24 +148,12 @@ final class VersionedColumnarReader(file: String, constCol: String,
           val cr = readers(fi)
           val maxDef = maxDefs(fi)
           val vec = writable(fi)
+          val fill = fillers(fi)
           vec.reset()
-          val dt = required.fields(fi).dataType
           var i = 0
           while (i < n) {
             if (cr.getCurrentDefinitionLevel < maxDef) vec.putNull(i)
-            else dt match {
-              case LongType => vec.putLong(i, cr.getLong)
-              case IntegerType => vec.putInt(i, cr.getInteger)
-              case StringType =>
-                val b = cr.getBinary.getBytes
-                vec.putByteArray(i, b, 0, b.length)
-              case DoubleType => vec.putDouble(i, cr.getDouble)
-              case BooleanType => vec.putBoolean(i, cr.getBoolean)
-              case FloatType => vec.putFloat(i, cr.getFloat)
-              case ShortType => vec.putShort(i, cr.getInteger.toShort)
-              case ByteType => vec.putByte(i, cr.getInteger.toByte)
-              case other => throw new IllegalStateException(s"unreachable: $other")
-            }
+            else fill(cr, vec, i)
             cr.consume()
             i += 1
           }

@@ -174,8 +174,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "REPLACE TABLE is not supported — versioned tables evolve by commit, not replacement")
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
                                     partitions: Array[Transform],
-                                    properties: java.util.Map[String, String]): StagedTable =
+                                    properties: java.util.Map[String, String]): StagedTable = {
+    // OR REPLACE on an existing table would be a replacement — give the
+    // store's actual position, not a misleading "already exists".
+    if (tableExists(ident)) throw new UnsupportedOperationException(
+      "REPLACE TABLE is not supported — versioned tables evolve by commit, not replacement")
     stageCreate(ident, schema, partitions, properties)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(pathOf(ident))
@@ -408,6 +413,17 @@ final class VersionedCtasWrite(path: String, schema: StructType,
   VersionedSinkWriter.messageTypeOf(schema, partCol)
   require(schema.fieldNames.contains(partCol),
     s"CTAS partition column $partCol not in ${schema.fieldNames.mkString(",")}")
+  // Refuse unsupported partition types at PLAN time, before the SELECT
+  // runs — messageTypeOf excludes the partition column, and createEmpty's
+  // own check only fires in commit(), after the whole job executed.
+  require(Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.BooleanType)
+      .contains(schema(partCol).dataType),
+    s"CTAS partition column $partCol: type ${schema(partCol).dataType} " +
+      "renders format-dependent directory names; use int/long/string/boolean")
 
   override def toBatch: BatchWrite = this
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =

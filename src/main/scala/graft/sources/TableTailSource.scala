@@ -159,29 +159,10 @@ final class TableTailScan(path: String, full: StructType, required: StructType,
 
 final class TableTailMicroBatchStream(path: String, full: StructType,
                                       required: StructType,
-                                      startingVersion: Int,
-                                      maxVersions: Option[Int])
-    extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
-  import org.apache.spark.sql.connector.read.streaming.ReadLimit
-
-  override def initialOffset(): Offset = VersionOffset(startingVersion)
-  override def latestOffset(): Offset =
-    VersionOffset(math.max(startingVersion,
-      Versioned.latestVersion(SparkSession.active, path)))
-  /** `maxVersionsPerTrigger`: bounded catch-up after downtime, the Delta
-    * maxFilesPerTrigger analog at version granularity.
-    */
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[VersionOffset].v
-    val latest = latestOffset().asInstanceOf[VersionOffset].v
-    VersionOffset(maxVersions.fold(latest)(m => math.min(latest, s + math.max(1, m))))
-  }
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def deserializeOffset(json: String): Offset =
-    VersionOffset(json.trim.toInt)
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+                                      protected val startingVersion: Int,
+                                      protected val maxVersions: Option[Int])
+    extends VersionOffsetStream {
+  protected def tablePath: String = path
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v)

@@ -735,8 +735,13 @@ object Versioned {
     val (fsys, table) = fs(spark, tablePath)
     require(latestVersion(spark, tablePath) == 0,
       s"$tablePath already has versions")
-    partCol.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column $c not in ${schema.fieldNames.mkString(",")}"))
+    partCol.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"partition column $c not in ${schema.fieldNames.mkString(",")}")
+      require(partitionableTypes.contains(schema(c).dataType),
+        s"partition column $c: type ${schema(c).dataType} renders " +
+          "format-dependent directory names; use int/long/string/boolean")
+    }
     statsKey.foreach(c => require(schema.fieldNames.contains(c),
       s"stats column $c not in ${schema.fieldNames.mkString(",")}"))
     commit(fsys, table, spark, Seq.empty, Some(0), Seq.empty,
@@ -1813,6 +1818,10 @@ object Versioned {
     */
   def opOf(spark: SparkSession, tablePath: String, v: Int): String = {
     val (fsys, table) = fs(spark, tablePath)
+    // A missing manifest must say so (a lagging tail stream probing a
+    // vacuumed version should hear "vacuumed", not a default op).
+    require(fsys.exists(manifestPath(table, v)),
+      s"version $v does not exist (or was vacuumed) at $table")
     headerLine(fsys, table, v, "#op\t").getOrElse("WRITE")
   }
 
@@ -2406,23 +2415,27 @@ object Versioned {
                                 keyCol: String, expectedLatest: Option[Int],
                                 rebaseRetries: Int, op: String): Int = {
     val cons = constraintLines(fsys, table, base)
-    def commitOnto(onto: Seq[Entry], v: Int, keepOrphans: Boolean): Int =
+    // First attempt honors the caller's pin; REBASED retries pin the
+    // version actually spliced onto (mirroring mergeByFiles) — pinning
+    // the stale caller value would make every retry lose the same CAS.
+    def commitOnto(onto: Seq[Entry], expectV: Option[Int], keepOrphans: Boolean): Int =
       commit(fsys, table, spark, onto.filterNot(victims) ++ written,
-        expectedLatest.orElse(Some(v)),
+        expectV,
         if (keepOrphans) Seq.empty else Seq(dd),
         schema = baseSchema, statsKey = Some(keyCol),
         partColHeader = headerLine(fsys, table, base, "#partcol\t"),
         constraints = cons, op = op)
-    if (rebaseRetries <= 0) return commitOnto(baseEntries, base, keepOrphans = false)
+    if (rebaseRetries <= 0)
+      return commitOnto(baseEntries, expectedLatest.orElse(Some(base)), keepOrphans = false)
     var attempts = 0
-    var ontoV = base
+    var ontoV = expectedLatest.getOrElse(base)
     var ontoEntries = baseEntries
     def giveUp(why: String): Nothing = {
       try fsys.delete(dd, true) catch { case _: Throwable => () }
       throw new ConcurrentWriteException(why)
     }
     while (true) {
-      try return commitOnto(ontoEntries, ontoV, keepOrphans = true)
+      try return commitOnto(ontoEntries, Some(ontoV), keepOrphans = true)
       catch {
         case e: ConcurrentWriteException =>
           if (attempts >= rebaseRetries)
