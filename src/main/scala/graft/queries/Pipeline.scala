@@ -192,8 +192,10 @@ object Pipeline {
     */
   private def zorderSubstrate(spark: SparkSession, dir: String): (String, Seq[org.apache.spark.sql.Row]) =
     zorderCache.synchronized { zorderCache.getOrElseUpdate((spark, dir), {
+      // hashCode+length tag, not hashCode alone — same collision rationale
+      // as Sinks.dirTag (a collision would bind two corpora to one layout).
       val out = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_zorder_${java.lang.Integer.toHexString(dir.hashCode)}").getPath
+        s"graft_zorder_${Sinks.dirTag(dir)}").getPath
       val li = lineitem(spark, dir)
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
       // Quantize each dim to the 16-bit z-domain by its own min/max — what

@@ -34,7 +34,7 @@ object ColumnarRead {
   /** Types the vectorized path fills — the [[GroupRows.value]] set. */
   def supportedType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | StringType | BooleanType |
-         DoubleType | FloatType | ShortType | ByteType => true
+         DoubleType | FloatType | ShortType | ByteType | DateType => true
     case _ => false
   }
 }
@@ -111,6 +111,8 @@ final class VersionedColumnarReader(file: String, constCol: String,
         case FloatType => (cr, vec, i) => vec.putFloat(i, cr.getFloat)
         case ShortType => (cr, vec, i) => vec.putShort(i, cr.getInteger.toShort)
         case ByteType => (cr, vec, i) => vec.putByte(i, cr.getInteger.toByte)
+        // parquet DATE = int32 epoch days, Spark's internal date form
+        case DateType => (cr, vec, i) => vec.putInt(i, cr.getInteger)
         case other => throw new IllegalStateException(s"unreachable: $other")
       }
     }

@@ -377,9 +377,9 @@ final class VersionedBatchWriterFactory(stagingRoot: String, schema: StructType,
 }
 
 /** The table a CTAS stages into: nothing on disk is a committed table
-  * until the SELECT's write commits CREATE (empty v1, declared headers)
-  * plus APPEND (the staged files) back-to-back; `commitStagedChanges` has
-  * nothing left to do, and an abort deletes the owned directory.
+  * until the SELECT's write commits ONE CTAS manifest (declared headers +
+  * the staged files, `Versioned.createAsSelect`); `commitStagedChanges`
+  * has nothing left to do, and an abort deletes the owned directory.
   */
 final class StagedVersionedTable(path: String, schema0: StructType,
                                  partCol: String, statsKey: Option[String])
@@ -402,8 +402,8 @@ final class StagedVersionedTable(path: String, schema0: StructType,
 }
 
 /** CTAS write: stage parquet on executors like any sink write, then
-  * commit the table into existence — CREATE with the declared partition/
-  * stats headers, APPEND adopting exactly the task-committed files.
+  * commit the table into existence as ONE CTAS manifest — the declared
+  * partition/stats headers plus exactly the task-committed files.
   */
 final class VersionedCtasWrite(path: String, schema: StructType,
                                partCol: String, statsKey: Option[String])
@@ -435,9 +435,11 @@ final class VersionedCtasWrite(path: String, schema: StructType,
     val fsys = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val epochDir = new Path(stagingRoot, "0")
     val files = messages.flatMap(_.asInstanceOf[VersionedSinkFiles].files)
-    Versioned.createEmpty(spark, path, schema,
-      partCol = Some(partCol), statsKey = statsKey)
-    if (files.nonEmpty) {
+    // ONE manifest commit (op CTAS) adopting the promoted files with the
+    // declared headers: a createEmpty-then-adoptStaged pair would leave a
+    // committed, visible, EMPTY table if the JVM died between the two
+    // commits — the CTAS contract is all-or-nothing.
+    val dataDir = if (files.isEmpty) None else {
       val dd = new Path(path,
         s"d_${java.util.UUID.randomUUID().toString.replace("-", "")}")
       files.foreach { case (partDir, name) =>
@@ -446,8 +448,10 @@ final class VersionedCtasWrite(path: String, schema: StructType,
         require(fsys.rename(new Path(epochDir, s"$partDir/$name"), to),
           s"failed to promote staged file $partDir/$name")
       }
-      Versioned.adoptStaged(spark, path, dd.getName, fileStatsKey = statsKey)
+      Some(dd.getName)
     }
+    Versioned.createAsSelect(spark, path, schema, dataDir,
+      partCol = Some(partCol), statsKey = statsKey)
     fsys.delete(stagingRoot, true)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

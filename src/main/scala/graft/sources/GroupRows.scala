@@ -28,9 +28,11 @@ object GroupRows {
       case FloatType => g.getFloat(idx, 0)
       case ShortType => g.getInteger(idx, 0).toShort
       case ByteType => g.getInteger(idx, 0).toByte
+      // parquet DATE is int32 epoch days — exactly Spark's internal form
+      case DateType => g.getInteger(idx, 0)
       case other => throw new UnsupportedOperationException(
         s"graft group reader: unsupported column type $other for ${f.name} — " +
-          "supported: int/long/short/byte/string/boolean/float/double")
+          "supported: int/long/short/byte/string/boolean/float/double/date")
     }
   }
 

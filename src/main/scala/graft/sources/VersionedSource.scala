@@ -99,13 +99,29 @@ final class VersionedScanBuilder(path: String, version: Int, full: StructType,
 
   private var required: StructType = full
   // Conservative planning bounds per column: inclusive [lo, hi] for
-  // integral comparisons plus equality literals for strings/booleans.
+  // integral (and date — epoch-day surrogate, the KeyEnc domain the
+  // manifest records) comparisons, plus equality literals and inclusive
+  // lexicographic ranges for strings.
   private var longBounds = Map.empty[String, (Long, Long)]
   private var stringEq = Map.empty[String, String]
+  private var stringLo = Map.empty[String, String]
+  private var stringHi = Map.empty[String, String]
 
   private def tighten(c: String, lo: Long, hi: Long): Unit = {
     val (l0, h0) = longBounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
     longBounds += c -> (math.max(l0, lo), math.min(h0, hi))
+  }
+  // String ranges stay CLOSED even for strict comparisons: the manifest's
+  // 8-byte-prefix surrogate is monotone but not strict, so the sound
+  // tightening for `c > v` is still lo = v (prefix ties may straddle v).
+  private def sLo(c: String, v: String): Unit =
+    stringLo += c -> stringLo.get(c).filter(_ >= v).getOrElse(v)
+  private def sHi(c: String, v: String): Unit =
+    stringHi += c -> stringHi.get(c).filter(_ <= v).getOrElse(v)
+  private def daysOf(v: Any): Option[Long] = v match {
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -113,14 +129,23 @@ final class VersionedScanBuilder(path: String, version: Int, full: StructType,
       case EqualTo(c, v: Long) => tighten(c, v, v)
       case EqualTo(c, v: Int) => tighten(c, v.toLong, v.toLong)
       case EqualTo(c, v: String) => stringEq += c -> v
+      case EqualTo(c, v) => daysOf(v).foreach(d => tighten(c, d, d))
       case GreaterThan(c, v: Long) => if (v < Long.MaxValue) tighten(c, v + 1, Long.MaxValue)
       case GreaterThan(c, v: Int) => tighten(c, v.toLong + 1, Long.MaxValue)
+      case GreaterThan(c, v: String) => sLo(c, v)
+      case GreaterThan(c, v) => daysOf(v).foreach(d => tighten(c, d + 1, Long.MaxValue))
       case GreaterThanOrEqual(c, v: Long) => tighten(c, v, Long.MaxValue)
       case GreaterThanOrEqual(c, v: Int) => tighten(c, v.toLong, Long.MaxValue)
+      case GreaterThanOrEqual(c, v: String) => sLo(c, v)
+      case GreaterThanOrEqual(c, v) => daysOf(v).foreach(d => tighten(c, d, Long.MaxValue))
       case LessThan(c, v: Long) => if (v > Long.MinValue) tighten(c, Long.MinValue, v - 1)
       case LessThan(c, v: Int) => tighten(c, Long.MinValue, v.toLong - 1)
+      case LessThan(c, v: String) => sHi(c, v)
+      case LessThan(c, v) => daysOf(v).foreach(d => tighten(c, Long.MinValue, d - 1))
       case LessThanOrEqual(c, v: Long) => tighten(c, Long.MinValue, v)
       case LessThanOrEqual(c, v: Int) => tighten(c, Long.MinValue, v.toLong)
+      case LessThanOrEqual(c, v: String) => sHi(c, v)
+      case LessThanOrEqual(c, v) => daysOf(v).foreach(d => tighten(c, Long.MinValue, d))
       case _ => ()
     }
     filters // ALL residual: pruning is planning-only, Spark re-applies rows
@@ -132,7 +157,7 @@ final class VersionedScanBuilder(path: String, version: Int, full: StructType,
 
   override def build(): Scan =
     new VersionedScan(path, version, full, required, statsKey, statsKey2,
-      longBounds, stringEq, planListener)
+      longBounds, stringEq, stringLo, stringHi, planListener)
 }
 
 /** One parquet file plus the partition-column constant its directory
@@ -152,6 +177,8 @@ final class VersionedScan(path: String, version: Int, full: StructType,
                           statsKey2: Option[String],
                           longBounds: Map[String, (Long, Long)],
                           stringEq: Map[String, String],
+                          stringLo: Map[String, String] = Map.empty,
+                          stringHi: Map[String, String] = Map.empty,
                           planListener: Option[Seq[Versioned.EntryView] => Unit] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
@@ -178,20 +205,51 @@ final class VersionedScan(path: String, version: Int, full: StructType,
       case None => true
     })
   }
-  // Manifest-stats file skipping on the recorded stats column: the
-  // [kmin, kmax] range first, then — for a POINT equality (lo == hi) —
-  // the per-file key Bloom filter, which skips files whose range covers
-  // the key but provably don't contain it (sound: no false negatives).
-  // A z-ordered version additionally carries per-file bounds on a SECOND
-  // column (`#statskey2`): a predicate there prunes on the same terms —
-  // entries lacking the bounds (post-z-order merge rewrites) survive.
-  private val keyBounds = statsKey.flatMap(k => longBounds.get(k))
-  private val key2Bounds = statsKey2.flatMap(k => longBounds.get(k))
+  // Manifest-stats file skipping on the recorded stats column(s): the
+  // [kmin, kmax] range first, then — for a POINT equality — the per-file
+  // key Bloom filter, which skips files whose range covers the key but
+  // provably don't contain it (sound: no false negatives). Bounds live
+  // in the manifest's SURROGATE domain ([[graft.tables.KeyEnc]]): raw
+  // longs for integral columns, epoch days for dates, the monotone
+  // 8-byte prefix for strings (bloom = full-string FNV hash — only a
+  // true equality literal may probe it; a range that happens to collapse
+  // to one surrogate must not). A version carrying bounds on a SECOND
+  // column (`#statskey2`, z-order or publish-time) prunes there on the
+  // same terms; entries lacking the bounds (post-z-order merge rewrites)
+  // survive.
+  private def dimBounds(cOpt: Option[String])
+      : (Option[(Long, Long)], Option[Long]) = cOpt match {
+    case None => (None, None)
+    case Some(c) =>
+      val dt = if (full.fieldNames.contains(c)) Some(full(c).dataType) else None
+      dt match {
+        case Some(StringType) =>
+          import graft.tables.KeyEnc
+          stringEq.get(c) match {
+            case Some(s) =>
+              val enc = KeyEnc.encodeString(s)
+              (Some((enc, enc)), Some(KeyEnc.hashString(s)))
+            case None =>
+              val lo = stringLo.get(c).map(KeyEnc.encodeString)
+              val hi = stringHi.get(c).map(KeyEnc.encodeString)
+              if (lo.isEmpty && hi.isEmpty) (None, None)
+              else (Some((lo.getOrElse(Long.MinValue),
+                          hi.getOrElse(Long.MaxValue))), None)
+          }
+        case _ =>
+          // integral and date bounds are already in the surrogate domain
+          // (dates tightened as epoch days at push time)
+          val b = longBounds.get(c)
+          (b, b.collect { case (lo, hi) if lo == hi => lo })
+      }
+  }
+  private val (keyBounds, keyProbe) = dimBounds(statsKey)
+  private val (key2Bounds, _) = dimBounds(statsKey2)
   private def fileSurvives(e: Versioned.EntryView): Boolean = {
     val dim1 = (keyBounds, e.kmin, e.kmax) match {
       case (Some((lo, hi)), Some(mn), Some(mx)) =>
         mn <= hi && mx >= lo &&
-          (lo != hi || e.bloom.forall(Versioned.bloomMightContain(_, lo)))
+          keyProbe.forall(p => e.bloom.forall(Versioned.bloomMightContain(_, p)))
       case _ => true
     }
     val dim2 = (key2Bounds, e.k2min, e.k2max) match {
@@ -221,6 +279,9 @@ final class VersionedScan(path: String, version: Int, full: StructType,
   private lazy val partColName: Option[String] =
     Versioned.partColOf(SparkSession.active, path, version)
   @volatile private var runtimeKeys: Option[Array[Long]] = None
+  // String-keyed tables: runtime IN values as (range-surrogate, bloom
+  // hash) probes in the manifest's KeyEnc domain.
+  @volatile private var runtimeProbes: Option[Array[(Long, Long)]] = None
   @volatile private var runtimeParts: Option[Set[String]] = None
 
   override def filterAttributes(): Array[NamedReference] =
@@ -245,6 +306,15 @@ final class VersionedScan(path: String, version: Int, full: StructType,
                 case l: java.lang.Long => l.longValue()
                 case i: java.lang.Integer => i.longValue()
               }.distinct.sorted.toArray)
+            } else if (statsKey.contains(colName) && values.nonEmpty &&
+                values.forall(v =>
+                  v.isInstanceOf[org.apache.spark.unsafe.types.UTF8String] ||
+                  v.isInstanceOf[String])) {
+              // string-keyed group filtering: each runtime key becomes a
+              // (prefix-surrogate, FNV-hash) probe against range + bloom
+              runtimeProbes = Some(values.map(v =>
+                graft.tables.KeyEnc.probeOf(String.valueOf(v)))
+                .distinct.sortBy(_._1).toArray)
             } else if (partColName.contains(colName)) {
               runtimeParts = Some(values.map(v =>
                 ExternalCatalogUtils.getPartitionPathString(colName,
@@ -259,6 +329,7 @@ final class VersionedScan(path: String, version: Int, full: StructType,
   private def runtimeSurvivors: Seq[Versioned.EntryView] =
     survivors
       .filter(e => runtimeKeys.forall(ks => Versioned.viewMayContainKeys(e, ks)))
+      .filter(e => runtimeProbes.forall(ps => Versioned.viewMayContainProbes(e, ps)))
       .filter(e => runtimeParts.forall(ps => e.partDir == "-" || ps.contains(e.partDir)))
 
   /** Post-pruning size/row statistics from manifest metadata alone (the

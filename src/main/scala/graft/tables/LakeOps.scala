@@ -508,6 +508,22 @@ object Versioned {
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
 
+  /** Drop memoized committed verdicts for manifests under `tablePath`.
+    * The memo key is (path, length, mtime); a deleteTree + republish that
+    * recreates the same manifest paths can — on filesystems with coarse
+    * mtime granularity — present an equal-length IN-FLIGHT claim that
+    * false-positives as committed (readManifest still demands the
+    * #commit terminator, so the failure is loud, but latestVersion can
+    * transiently report an uncommitted version). Rebuild paths call this
+    * after deleting a table tree so recreated paths are re-verified.
+    */
+  private[graft] def invalidateCommittedMemo(tablePath: String): Unit = {
+    // contains, not startsWith: memoized paths carry the FileSystem
+    // scheme ("file:/tmp/...") while callers pass the raw local path.
+    val it = committedMemo.iterator()
+    while (it.hasNext) if (it.next().contains(tablePath)) it.remove()
+  }
+
   private def isCommitted(fsys: FileSystem, table: Path, v: Int): Boolean = {
     val p = manifestPath(table, v)
     if (!fsys.exists(p)) return false
@@ -674,7 +690,8 @@ object Versioned {
     * entry per FILE with that column's ordered min/max surrogate
     * ([[KeyEnc]]: integral, string, or date) — the base layout
     * [[mergeByFiles]] prunes against. `fileStatsKey2` records a SECOND
-    * integral column's per-file bounds in the same stats scan (the
+    * column's per-file bounds in the same stats scan — integral, string,
+    * or date, encoded by the same [[KeyEnc]] surrogate (the
     * Delta/Iceberg leading-columns convention): the DSv2 reader then
     * box-prunes on both dimensions without a z-order rewrite — useful
     * when the write is already clustered on both (e.g. range-partitioned
@@ -747,6 +764,50 @@ object Versioned {
     commit(fsys, table, spark, Seq.empty, Some(0), Seq.empty,
       schema = Some(schema), statsKey = statsKey, partColHeader = partCol,
       op = "CREATE")
+  }
+
+  /** CTAS: CREATE + first data as ONE manifest commit (`op = CTAS`) —
+    * the staged dir's adopted files and the declared schema/partition/
+    * stats headers land atomically in v1. The alternative (createEmpty
+    * then adoptStaged, the pre-r16 shape) has a crash window between the
+    * two commits in which a committed, visible, EMPTY table exists under
+    * the CTAS name — weaker than the documented "an aborted CTAS leaves
+    * no trace". `dataDirName = None` commits a schema-only v1 (a CTAS
+    * whose SELECT produced zero rows still creates the table).
+    */
+  def createAsSelect(spark: SparkSession, tablePath: String,
+                     schema: org.apache.spark.sql.types.StructType,
+                     dataDirName: Option[String],
+                     partCol: Option[String] = None,
+                     statsKey: Option[String] = None): Int = {
+    val (fsys, table) = fs(spark, tablePath)
+    require(latestVersion(spark, tablePath) == 0,
+      s"$tablePath already has versions")
+    partCol.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"partition column $c not in ${schema.fieldNames.mkString(",")}")
+      require(partitionableTypes.contains(schema(c).dataType),
+        s"partition column $c: type ${schema(c).dataType} renders " +
+          "format-dependent directory names; use int/long/string/boolean")
+    }
+    statsKey.foreach(c => require(schema.fieldNames.contains(c),
+      s"stats column $c not in ${schema.fieldNames.mkString(",")}"))
+    require(statsKey.isEmpty || partCol.nonEmpty, "statsKey requires partCol")
+    val entries = dataDirName match {
+      case None => Seq.empty
+      case Some(n) =>
+        val dd = new Path(table, n)
+        require(fsys.exists(dd), s"staged dir $dd does not exist")
+        (statsKey, partCol) match {
+          case (Some(k), _) => fileStatsOf(spark, table, dd, k)
+          case (None, Some(_)) => listPartDirs(fsys, dd).map(Entry(_, n))
+          case _ => Seq(Entry("-", n))
+        }
+    }
+    commit(fsys, table, spark, entries, Some(0),
+      dataDirName.map(n => new Path(table, n)).toSeq,
+      schema = Some(schema), statsKey = statsKey, partColHeader = partCol,
+      op = "CTAS")
   }
 
   /** REPLACE a scanned entry set with freshly staged files — the commit
@@ -882,6 +943,29 @@ object Versioned {
   private def listPartDirs(fsys: FileSystem, dataDir: Path): Seq[String] =
     fsys.listStatus(dataDir).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
 
+  /** (range-surrogate, bloom-key) Columns for a stats column of any
+    * [[KeyEnc]]-supported type: integral = identity, date = epoch days,
+    * string = monotone 8-byte big-endian prefix for the range plus the
+    * full-string FNV hash for the bloom. Shared by both stats dimensions.
+    */
+  private def keyEncCols(dt: org.apache.spark.sql.types.DataType,
+                         c: String): (Column, Column) = dt match {
+    case t if KeyEnc.Integral.contains(t) =>
+      (col(c).cast("long"), col(c).cast("long"))
+    case org.apache.spark.sql.types.DateType =>
+      val days = unix_date(col(c)).cast("long")
+      (days, days)
+    case org.apache.spark.sql.types.StringType =>
+      val encU = udf((s: String) => if (s == null) null
+        else java.lang.Long.valueOf(KeyEnc.encodeString(s)))
+      val hashU = udf((s: String) => if (s == null) null
+        else java.lang.Long.valueOf(KeyEnc.hashString(s)))
+      (encU(col(c)), hashU(col(c)))
+    case other => throw new IllegalArgumentException(
+      s"file-stats column $c: unsupported type $other — " +
+        "use an integral, string, or date column")
+  }
+
   /** Per-file manifest entries for a freshly written data dir: one scan of
     * the key column grouped by `input_file_name()` — the parquet-footer
     * min/max surrogate, computed with public API only. File count is
@@ -904,8 +988,10 @@ object Versioned {
     // Second-dimension bounds (the z-order skipping column) ride the same
     // single stats scan when requested; NULLs in that column simply widen
     // nothing (min/max skip them) — it is a skipping hint, not a key.
-    val stats2 = stats2Col.toSeq.flatMap(c => Seq(
-      min(col(c).cast("long")).as("lo2"), max(col(c).cast("long")).as("hi2")))
+    // Bounds are KeyEnc SURROGATES (like the key's), so string/date
+    // second dimensions skip too.
+    val stats2 = stats2Col.toSeq.flatMap(_ => Seq(
+      min(col("_k2")).as("lo2"), max(col("_k2")).as("hi2")))
     val aggs = Seq(min("_k").as("lo"), max("_k").as("hi"),
       count(lit(1)).as("nrows"),
       sum(when(col("_k").isNull, 1L).otherwise(0L)).as("nnull"),
@@ -913,32 +999,21 @@ object Versioned {
       // bloom as 0 can only ADD a false-positive bit, never lose one.
       bloomAgg(coalesce(col("_bk"), lit(0L))).as("bloom")) ++ stats2
     val raw = spark.read.parquet(dd.toString)
-    stats2Col.foreach(c => require(KeyEnc.Integral.contains(raw.schema(c).dataType),
-      s"second stats column $c must be integral, is ${raw.schema(c).dataType}"))
+    stats2Col.foreach(c => require(KeyEnc.supported(raw.schema(c).dataType),
+      s"second stats column $c must be integral, string, or date — " +
+        s"is ${raw.schema(c).dataType}"))
     // Key columns encode to an ordered-Long surrogate ([[KeyEnc]]):
     // integral = identity, date = epoch days, string = truncated
     // big-endian prefix for the RANGE plus a full-string hash for the
     // BLOOM. Encoding is monotone, so min/max of encodings equal the
-    // encodings of min/max.
-    val (encK, bloomK) = raw.schema(keyCol).dataType match {
-      case dt if KeyEnc.Integral.contains(dt) =>
-        (col(keyCol).cast("long"), col(keyCol).cast("long"))
-      case org.apache.spark.sql.types.DateType =>
-        val days = unix_date(col(keyCol)).cast("long")
-        (days, days)
-      case org.apache.spark.sql.types.StringType =>
-        val encU = udf((s: String) => if (s == null) null
-          else java.lang.Long.valueOf(KeyEnc.encodeString(s)))
-        val hashU = udf((s: String) => if (s == null) null
-          else java.lang.Long.valueOf(KeyEnc.hashString(s)))
-        (encU(col(keyCol)), hashU(col(keyCol)))
-      case other => throw new IllegalArgumentException(
-        s"file-stats key $keyCol: unsupported type $other — " +
-          "use an integral, string, or date column")
-    }
+    // encodings of min/max. Both stats dimensions share the encoder —
+    // since r16 the SECOND dimension may be string/date too (the Delta
+    // leading-columns convention has no integral restriction).
+    val (encK, bloomK) = keyEncCols(raw.schema(keyCol).dataType, keyCol)
+    val enc2 = stats2Col.map(c => keyEncCols(raw.schema(c).dataType, c)._1.as("_k2"))
     raw
       .select((Seq(input_file_name().as("_f"), encK.as("_k"), bloomK.as("_bk")) ++
-        stats2Col.map(col)): _*)
+        enc2): _*)
       .groupBy("_f").agg(aggs.head, aggs.tail: _*)
       .collect().toSeq
       .map { r =>
@@ -1910,10 +1985,18 @@ object Versioned {
     * Views without stats conservatively survive.
     */
   private[graft] def viewMayContainKeys(e: EntryView, sorted: Array[Long]): Boolean =
+    viewMayContainProbes(e, sorted.map(k => (k, k)))
+
+  /** Range + bloom check of an entry against (range-surrogate, bloom-key)
+    * probes ([[KeyEnc.probeOf]]) — the string-keyed runtime-filter analog
+    * of [[viewMayContainKeys]], sorted by the range surrogate.
+    */
+  private[graft] def viewMayContainProbes(e: EntryView,
+                                          sorted: Array[(Long, Long)]): Boolean =
     (e.kmin, e.kmax) match {
       case (Some(lo), Some(hi)) =>
         coversAnyKey(Entry(e.partDir, e.dataDir, e.file, Some(lo), Some(hi),
-          None, e.bloom), sorted.map(k => (k, k)))
+          None, e.bloom), sorted)
       case _ => true
     }
 
@@ -2592,16 +2675,27 @@ object Versioned {
         // entry points into it
         e.dataDir +: e.dv.map(_.split('/').head).toSeq)).toSet ++
       liveVs.flatMap(v => headerLine(fsys, table, v, "#changes\t")).toSet
+    // A tail stream's appended-set for kept version v diffs against
+    // v-1's manifest (appendedEntriesOf), so each kept version's
+    // PREDECESSOR manifest survives too — manifest text only, its
+    // exclusive data dirs may still be reclaimed. Without this, a tail
+    // whose next batch starts at the oldest kept version fails loudly
+    // whenever that version's manifest happens to be a full checkpoint
+    // (no #base chain would have retained v-1), even though every
+    // version the stream still needs is inside the kept window.
+    val predKeep: Set[Int] = liveVs.collect { case v if v > 1 => v - 1 }.toSet
+      .filter(v => fsys.exists(manifestPath(table, v)))
     // A kept version's DELTA manifest resolves through its #base chain:
     // every manifest on a live chain must survive the sweep (the Delta
-    // log-retention analog) or the kept version becomes unreadable. A
-    // chain-retained manifest may outlive its data dirs — reading it then
-    // fails at data time, like Delta time travel past data retention.
-    val chainKeep: Set[Int] = liveVs.flatMap { v0 =>
+    // log-retention analog) or the kept version becomes unreadable — the
+    // same applies to retained predecessors, which must stay PARSEABLE.
+    // A chain-retained manifest may outlive its data dirs — reading it
+    // then fails at data time, like Delta time travel past data retention.
+    val chainKeep: Set[Int] = (liveVs.toSet ++ predKeep).flatMap { v0 =>
       Iterator.iterate(Option(v0))(_.flatMap(v =>
         chainBaseOf(fsys, table, v).map(_._1)))
         .takeWhile(_.isDefined).take(MaxChainDepth + 2).flatten
-    }.toSet
+    }
     dropped.filterNot(protectedV.contains).filterNot(chainKeep)
       .foreach(v => fsys.delete(manifestPath(table, v), false))
     // c_* recorded change feeds are retired with the versions that

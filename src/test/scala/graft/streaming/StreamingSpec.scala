@@ -887,6 +887,13 @@ class StreamingSpec extends SparkSpec {
     assert(plan.contains("ReadSchema=k,_change"), s"pruning not pushed:\n$plan")
     assert(pruned.as[(Long, String)].collect().toSet ==
       Set((1L, "delete"), (1L, "insert")))
+    // the feed read is VECTORIZED (VersionedColumnarReader; _version a
+    // constant vector) — plan shows the columnar-to-row boundary
+    val full = spark.read.format("graft.sources.ChangeFeedSource").load(tbl)
+    assert(org.apache.spark.sql.GraftSqlBridge.executedPlan(full).toString
+      .contains("ColumnarToRow"), "change-feed scan must be columnar")
+    assert(full.as[(Long, Long, String, String, Int)].collect().toSet ==
+      Set((1L, 10L, "a", "delete", 2), (1L, 11L, "a", "insert", 2)))
   }
 
   test("change-feed source admission control: maxVersionsPerTrigger bounds each micro-batch; startingVersion=latest skips history") {

@@ -103,7 +103,7 @@ class LakeSqlSpec extends SparkSpec {
     assert(gone.getMessage != null)
   }
 
-  test("CTAS is atomic: success commits CREATE+APPEND with declared headers; a failing SELECT leaves no table") {
+  test("CTAS is atomic: success is ONE CTAS commit with declared headers; a failing SELECT leaves no table") {
     val wh = Files.createTempDirectory("gwh2").toString
     spark.conf.set("spark.sql.catalog.gctas", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.gctas.warehouse", wh)
@@ -118,8 +118,10 @@ class LakeSqlSpec extends SparkSpec {
       Versioned.latestVersion(spark, path)).contains("p"))
     assert(Versioned.statsKeyOf(spark, path,
       Versioned.latestVersion(spark, path)).contains("k"))
+    // ONE commit: a crash can never expose a committed-but-empty table
+    // under the CTAS name (the pre-r16 CREATE-then-APPEND window).
     val ops = Versioned.history(spark, path).collect().map(_.getString(1)).toSeq
-    assert(ops == Seq("CREATE", "APPEND"), ops.mkString(","))
+    assert(ops == Seq("CTAS"), ops.mkString(","))
     // failing SELECT: no table, no directory, next CTAS under the name works
     intercept[Exception] {
       spark.sql("CREATE TABLE gctas.ns.bad PARTITIONED BY (p) AS " +

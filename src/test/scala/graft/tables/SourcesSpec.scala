@@ -356,6 +356,52 @@ class SourcesSpec extends SparkSpec {
     assert(src("versionAsOf" -> "1").filter(col("k") === 999L).count() == 0)
   }
 
+  test("2-D file skipping on (date, string) stats: box predicates prune on both dimensions; point probes stay exact") {
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("vsrc2d").toString
+    val tbl = s"$tmp/table"
+    // 4 priorities × 60 dates, clustered priority-major then by date:
+    // each file is a tight (priority, date-range) cell
+    val rows = for {
+      p <- Seq("A", "B", "C", "D"); m <- 1 to 12; d <- Seq(3, 9, 15, 21, 27)
+    } yield (java.sql.Date.valueOf(f"1995-$m%02d-$d%02d"), p, m * 100L + d, 0L)
+    val df = rows.toDF("dt", "prio", "v", "part")
+    Versioned.publish(spark, tbl,
+      df.repartitionByRange(16, col("prio"), col("dt")),
+      partCol = Some("part"), fileStatsKey = Some("dt"),
+      fileStatsKey2 = Some("prio"))
+    def src = spark.read.format("graft.sources.VersionedSource").load(tbl)
+    val all = src.rdd.getNumPartitions
+    assert(all >= 8, s"want many files, got $all")
+    // date range alone prunes (epoch-day surrogate bounds)
+    val dRange = src.filter(col("dt") >= to_date(lit("1995-03-01")) &&
+      col("dt") <= to_date(lit("1995-04-30")))
+    val dParts = dRange.rdd.getNumPartitions
+    assert(dParts < all, s"date skipping failed: $dParts of $all")
+    // 2-D box: the STRING second dimension prunes FURTHER (prefix
+    // surrogate bounds on #statskey2 — no z-order rewrite involved)
+    val box = dRange.filter(col("prio") === "B")
+    val boxParts = box.rdd.getNumPartitions
+    assert(boxParts < dParts, s"string dim-2 skipping failed: $boxParts vs $dParts")
+    // exactness: skipping is planning-only, filters stay residual
+    assert(box.as[(java.sql.Date, String, Long, Long)].collect()
+      .map(_._3).sorted.toSeq ==
+      rows.filter(r => r._2 == "B" &&
+        !r._1.before(java.sql.Date.valueOf("1995-03-01")) &&
+        !r._1.after(java.sql.Date.valueOf("1995-04-30")))
+        .map(_._3).sorted)
+    // a date POINT equality prunes and serves exactly one row per priority
+    val pt = src.filter(col("dt") === to_date(lit("1995-06-09")))
+    assert(pt.rdd.getNumPartitions < all)
+    assert(pt.count() == 4)
+    // conservative, never wrong: absent values return empty
+    assert(src.filter(col("dt") === to_date(lit("1996-01-01"))).count() == 0)
+    assert(src.filter(col("prio") > lit("D")).count() == 0)
+    // string range on dim 2 alone prunes the low-priority cells
+    assert(src.filter(col("prio") >= lit("C")).rdd.getNumPartitions < all)
+  }
+
   test("VersionedSource reports post-pruning statistics: a pruned slice broadcasts, the full table does not") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
