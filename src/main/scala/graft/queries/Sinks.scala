@@ -890,7 +890,7 @@ object Sinks {
     * interleavable with the Scala API on the same manifests (SourcesSpec
     * pins DDL round-trips, rename, unconvertible-DELETE refusal, and
     * Scala-merge-after-SQL-write). The oracle replays the DML
-    * relationally: base rows with 1993 re-inserted at +777.
+    * relationally: base rows with 1996 re-inserted at +777.
     */
   /** The SQL catalog bound to `dir`'s warehouse, NAMED PER DIR: Spark's
     * CatalogManager caches a catalog instance with the warehouse it was
@@ -922,19 +922,19 @@ object Sinks {
          |PARTITIONED BY (o_year) TBLPROPERTIES ('statskey' = 'o_orderkey')
          |""".stripMargin)
     spark.sql(s"INSERT INTO $tbl SELECT * FROM $view")
-    spark.sql(s"DELETE FROM $tbl WHERE o_year = 1993")
+    spark.sql(s"DELETE FROM $tbl WHERE o_year = 1996")
     spark.sql(
       s"""INSERT INTO $tbl
          |SELECT o_orderkey, o_custkey, o_price_c + 777, o_year
-         |FROM $tbl VERSION AS OF 2 WHERE o_year = 1993""".stripMargin)
+         |FROM $tbl VERSION AS OF 2 WHERE o_year = 1996""".stripMargin)
     // Row-level SQL: UPDATE and MERGE INTO rewrite only the groups the
     // operation's scan planned (copy-on-write), one version each.
     spark.sql(s"UPDATE $tbl SET o_price_c = o_price_c + 3 WHERE o_orderkey % 10 = 5")
     spark.sql(
       s"""MERGE INTO $tbl t
          |USING (SELECT o_orderkey + 700000000 AS o_orderkey, o_custkey,
-         |              o_price_c, 1998 AS o_year
-         |       FROM $view WHERE o_year = 1992) s
+         |              o_price_c, 2005 AS o_year
+         |       FROM $view WHERE o_year = 1995) s
          |ON t.o_orderkey = s.o_orderkey
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
@@ -992,7 +992,7 @@ object Sinks {
     * commits atomically (StagingTableCatalog — an aborted CTAS leaves no
     * table, LakeSqlSpec pins it), then `CALL sys.optimize` bin-packs,
     * `CALL sys.zorder` re-clusters recording 2-D bounds, SQL DELETE drops
-    * 1994, `CALL sys.restore` rolls it back as a forward commit, and
+    * 1996, `CALL sys.restore` rolls it back as a forward commit, and
     * `CALL sys.vacuum` retires the retired versions — every step a SQL
     * statement, no Scala API. Built once per corpus (maintenance is not
     * per-query work — the q215 convention); each invocation re-reads the
@@ -1023,7 +1023,12 @@ object Sinks {
     val valid = try {
       Versioned.latestVersion(spark, path) == 5 &&
         (2 to 5).map(Versioned.opOf(spark, path, _)) == expectOps.drop(1) &&
-        Versioned.schemaOf(spark, path, 4).nonEmpty
+        Versioned.schemaOf(spark, path, 4).nonEmpty &&
+        // the DELETE must have actually emptied 1996 at v4 (manifest
+        // metadata only) — also invalidates pre-r16 substrates whose
+        // delete targeted a year outside the fixture's 1995-2001 span
+        !Versioned.fileEntriesOf(spark, path, 4).exists(_._1 == "o_year=1996") &&
+        Versioned.fileEntriesOf(spark, path, 3).exists(_._1 == "o_year=1996")
     } catch { case _: Exception => false }
     if (!valid) {
       spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sqlns")
@@ -1044,7 +1049,7 @@ object Sinks {
           "target_rows => 1000000)").head().getInt(0)
       require(vOpt == 2, s"optimize found nothing to pack (v$vOpt) — widen the CTAS layout")
       spark.sql(s"CALL $cat.sys.zorder('sqlns.orders_maint', 'o_custkey', 2)")
-      spark.sql(s"DELETE FROM $tbl WHERE o_year = 1994")
+      spark.sql(s"DELETE FROM $tbl WHERE o_year = 1996")
       spark.sql(s"CALL $cat.sys.restore('sqlns.orders_maint', 3)")
       // Retire everything the lifecycle no longer serves (keep-last-4 =
       // v2..v5; v4's time-travel read below stays inside the window).
@@ -1053,7 +1058,7 @@ object Sinks {
       spark.sql(s"CALL $cat.sys.vacuum('sqlns.orders_maint', 4, 0)")
     }
     // Phase 2 probes the pre-restore version around the deleted year only
-    // — 1994 absent, neighbors intact — and the o_year predicate prunes
+    // — 1996 absent, neighbors intact — and the o_year predicate prunes
     // the scan to those partitions at planning time (phase 1 already
     // proves full-content equality with the source).
     spark.sql(
@@ -1064,7 +1069,7 @@ object Sinks {
          |SELECT '2_deleted' AS phase, o_year, count(*) AS n,
          |       sum(o_custkey) AS sum_cust, sum(o_price_c) AS sum_price_c
          |FROM $tbl VERSION AS OF 4
-         |WHERE o_year BETWEEN 1993 AND 1995 GROUP BY o_year
+         |WHERE o_year BETWEEN 1995 AND 1997 GROUP BY o_year
          |ORDER BY phase, o_year""".stripMargin)
   }
 
@@ -1108,7 +1113,7 @@ object Sinks {
         s"""INSERT INTO $tbl
            |SELECT o_orderkey + 900000000, o_custkey, o_price_c, o_year,
            |       'X' AS o_flag
-           |FROM $view WHERE o_year = 1992""".stripMargin)
+           |FROM $view WHERE o_year = 1996""".stripMargin)
     }
     spark.sql(
       s"""SELECT '1_latest' AS phase, o_year, count(*) AS n,
@@ -1119,6 +1124,78 @@ object Sinks {
          |       sum(o_custkey) AS sum_cust, CAST(-1 AS BIGINT) AS n_flag
          |FROM $tbl VERSION AS OF 2 GROUP BY o_year
          |ORDER BY phase, o_year""".stripMargin)
+  }
+
+  /** q239 — SQL `ALTER TABLE RENAME/DROP COLUMN` (header-only COLUMN
+    * MAPPING, the Delta name-mapping idea re-derived): RENAME records the
+    * former name in the manifest's `#colmap` header — no file is
+    * rewritten; reads resolve each logical column to the first name a
+    * file actually carries (pre-rename files serve through the alias,
+    * post-rename files through the new name, one plan) — and DROP
+    * removes the column from the schema leaving every file untouched.
+    * Re-using a renamed-away or dropped name is refused (the tombstone
+    * contract: old bytes must never resurrect into a new column). Phase
+    * 1 reads the post-drop latest over MIXED pre/post-rename files,
+    * phase 2 time-travels to the pre-rename schema (old name, old
+    * content), phase 3 proves the dropped column still serves under time
+    * travel. LakeSqlSpec pins the header-only property (no new data
+    * dirs), columnar reads through the alias, and the refusals.
+    */
+  def sqlColumnMapping(spark: SparkSession, dir: String): DataFrame = {
+    val cat = lakeCatalog(spark, dir)
+    val wh = tmpOut(dir, "warehouse")
+    val tbl = s"$cat.sqlns.orders_colmap"
+    val path = s"$wh/sqlns/orders_colmap"
+    val valid = try {
+      Versioned.latestVersion(spark, path) == 5 &&
+        Versioned.opOf(spark, path, 3) == "RENAME_COLUMN(o_price_c->o_cents)" &&
+        Versioned.opOf(spark, path, 5) == "DROP_COLUMN(o_status)" &&
+        Versioned.schemaOf(spark, path, 5).exists(s =>
+          s.fieldNames.contains("o_cents") && !s.fieldNames.contains("o_status"))
+    } catch { case _: Exception => false }
+    if (!valid) {
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sqlns")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val view = s"graft_colmap_src_${dirTag(dir)}"
+      orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+        col("o_orderstatus").as("o_status"),
+        year(col("o_orderdate")).as("o_year"))
+        .createOrReplaceTempView(view)
+      spark.sql(
+        s"""CREATE TABLE $tbl (
+           |  o_orderkey BIGINT, o_custkey BIGINT, o_price_c BIGINT,
+           |  o_status STRING, o_year INT)
+           |PARTITIONED BY (o_year) TBLPROPERTIES ('statskey' = 'o_orderkey')
+           |""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl SELECT * FROM $view")
+      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN o_price_c TO o_cents")
+      // post-rename rows write the NEW name — the latest read mixes them
+      // with pre-rename files and resolves both through the map
+      spark.sql(
+        s"""INSERT INTO $tbl
+           |SELECT o_orderkey + 500000000, o_custkey, o_price_c + 111,
+           |       'N' AS o_status, 2005 AS o_year
+           |FROM $view WHERE o_year = 1996""".stripMargin)
+      spark.sql(s"ALTER TABLE $tbl DROP COLUMN o_status")
+    }
+    spark.sql(
+      s"""SELECT '1_latest' AS phase, CAST(o_year AS STRING) AS grp,
+         |       count(*) AS n, sum(o_custkey) AS sum_cust,
+         |       sum(o_cents) AS sum_cents
+         |FROM $tbl GROUP BY o_year
+         |UNION ALL
+         |SELECT '2_pre' AS phase, CAST(o_year AS STRING) AS grp,
+         |       count(*) AS n, sum(o_custkey) AS sum_cust,
+         |       sum(o_price_c) AS sum_cents
+         |FROM $tbl VERSION AS OF 2 GROUP BY o_year
+         |UNION ALL
+         |SELECT '3_status' AS phase, o_status AS grp,
+         |       count(*) AS n, sum(o_custkey) AS sum_cust,
+         |       sum(o_cents) AS sum_cents
+         |FROM $tbl VERSION AS OF 4 WHERE o_status = 'N' GROUP BY o_status
+         |ORDER BY phase, grp""".stripMargin)
   }
 
   // q236's substrate: orders WITHOUT 1995, published file-granular — the
@@ -2015,6 +2092,7 @@ object Sinks {
     "q236_stream_table_tail"    -> streamTableTail _,
     "q237_merge_string_key"     -> mergeStringKey _,
     "q238_box_2d_skipping"      -> box2dSkipping _,
+    "q239_sql_column_mapping"   -> sqlColumnMapping _,
     "q144_lines_write_roundtrip" -> linesWriteRoundtrip _,
     "q133_lines_source_roundtrip" -> linesSourceRoundtrip _,
     "q126_schema_evolution" -> schemaEvolution _,
@@ -2086,8 +2164,8 @@ object Sinks {
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
         |FROM merged GROUP BY o_year ORDER BY o_year""".stripMargin,
-    // The SQL lifecycle replayed relationally: 1993 re-inserted at +777,
-    // then keys ≡5 (mod 10) updated +3, then 1992's rows merged in as
+    // The SQL lifecycle replayed relationally: 1996 re-inserted at +777,
+    // then keys ≡5 (mod 10) updated +3, then 1995's rows merged in as
     // fresh 1998 keys (+7e8) at their source prices.
     // 18 per-band-min keys deleted through the delta-log chain: the
     // snapshot resolved through checkpoint + deltas must equal the
@@ -2111,9 +2189,9 @@ object Sinks {
         |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
         |FROM tgt WHERE o_orderkey NOT IN (SELECT k FROM victims)
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
-    // CTAS → optimize → zorder → DELETE 1994 → restore: latest must equal
+    // CTAS → optimize → zorder → DELETE 1996 → restore: latest must equal
     // the source exactly (maintenance preserved content, restore undid
-    // the delete); the pre-restore version is the source minus 1994.
+    // the delete); the pre-restore version is the source minus 1996.
     "q234_sql_maintenance" ->
       """WITH tgt AS (SELECT o_orderkey, o_custkey,
         |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
@@ -2127,10 +2205,10 @@ object Sinks {
         |SELECT '2_deleted' AS phase, o_year, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
-        |FROM tgt WHERE o_year <> 1994 AND o_year BETWEEN 1993 AND 1995
+        |FROM tgt WHERE o_year <> 1996 AND o_year BETWEEN 1995 AND 1997
         |GROUP BY o_year
         |ORDER BY phase, o_year""".stripMargin,
-    // ADD COLUMN backfill: latest = base (flag NULL) plus the 1992 copies
+    // ADD COLUMN backfill: latest = base (flag NULL) plus the 1996 copies
     // carrying 'X'; the pre-alter version is the base with the sentinel.
     "q235_sql_add_column" ->
       """WITH tgt AS (SELECT o_orderkey, o_custkey,
@@ -2139,7 +2217,7 @@ object Sinks {
         |latest AS (
         |  SELECT o_custkey, o_year, NULL AS o_flag FROM tgt
         |  UNION ALL
-        |  SELECT o_custkey, o_year, 'X' AS o_flag FROM tgt WHERE o_year = 1992)
+        |  SELECT o_custkey, o_year, 'X' AS o_flag FROM tgt WHERE o_year = 1996)
         |SELECT '1_latest' AS phase, o_year, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |       CAST(count(o_flag) AS BIGINT) AS n_flag
@@ -2203,6 +2281,38 @@ object Sinks {
         |  AND o_orderpriority BETWEEN '1-URGENT' AND '2-HIGH'
         |GROUP BY 1, 2
         |ORDER BY phase, grp""".stripMargin,
+    // Rename/drop are metadata-only: the oracle replays the whole
+    // lifecycle relationally — if the alias resolution lost a pre-rename
+    // file (or a post-rename file), a 1_latest sum shifts.
+    "q239_sql_column_mapping" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_cents,
+        |         o_orderstatus AS o_status,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders),
+        |ins AS (SELECT o_orderkey + 500000000 AS o_orderkey, o_custkey,
+        |               o_cents + 111 AS o_cents, 'N' AS o_status,
+        |               2005 AS o_year
+        |        FROM b WHERE o_year = 1996),
+        |v4 AS (SELECT * FROM b UNION ALL SELECT * FROM ins)
+        |SELECT '1_latest' AS phase, CAST(o_year AS VARCHAR) AS grp,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_cents) AS BIGINT) AS sum_cents
+        |FROM v4 GROUP BY 1, 2
+        |UNION ALL
+        |SELECT '2_pre' AS phase, CAST(o_year AS VARCHAR) AS grp,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_cents) AS BIGINT) AS sum_cents
+        |FROM b GROUP BY 1, 2
+        |UNION ALL
+        |SELECT '3_status' AS phase, o_status AS grp,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_cents) AS BIGINT) AS sum_cents
+        |FROM v4 WHERE o_status = 'N' GROUP BY 1, 2
+        |ORDER BY phase, grp""".stripMargin,
     // Snapshot + two appended versions tailed exactly once must
     // reassemble the source — a lost or doubled micro-batch shifts a sum.
     "q236_stream_table_tail" ->
@@ -2219,14 +2329,14 @@ object Sinks {
         |       FROM orders),
         |updated AS (
         |  SELECT o_orderkey, o_custkey,
-        |         CASE WHEN o_year = 1993 THEN o_price_c + 777
+        |         CASE WHEN o_year = 1996 THEN o_price_c + 777
         |              ELSE o_price_c END
         |           + CASE WHEN o_orderkey % 10 = 5 THEN 3 ELSE 0 END AS o_price_c,
         |         o_year
         |  FROM tgt
         |  UNION ALL
-        |  SELECT o_orderkey + 700000000, o_custkey, o_price_c, 1998
-        |  FROM tgt WHERE o_year = 1992)
+        |  SELECT o_orderkey + 700000000, o_custkey, o_price_c, 2005
+        |  FROM tgt WHERE o_year = 1995)
         |SELECT o_year, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c

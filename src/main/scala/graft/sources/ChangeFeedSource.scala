@@ -74,6 +74,16 @@ object ChangeFeedSource {
       .add("_version", IntegerType, nullable = false)
   }
 
+  /** Feed files predating a RENAME carry the column's former name:
+    * stamp the read schema with the latest version's alias map so the
+    * per-file readers resolve it (same mechanism as the table scan).
+    */
+  def withLatestAliases(tablePath: String, st: StructType): StructType = {
+    val spark = SparkSession.active
+    GroupRows.withAliases(st, Versioned.columnAliasesOf(spark, tablePath,
+      Versioned.latestVersion(spark, tablePath)))
+  }
+
   /** The feed files of committed versions in (start, end]: one entry per
     * parquet file, with the version that produced it. Driver metadata.
     */
@@ -177,7 +187,7 @@ final class ChangeFeedScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangeFeedReaderFactory(required)
+    new ChangeFeedReaderFactory(ChangeFeedSource.withLatestAliases(path, required))
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ChangeFeedMicroBatchStream(path, required, startingVersion, maxVersions)
@@ -196,7 +206,7 @@ final class ChangeFeedMicroBatchStream(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangeFeedReaderFactory(required)
+    new ChangeFeedReaderFactory(ChangeFeedSource.withLatestAliases(path, required))
 }
 
 final class ChangeFeedReaderFactory(required: StructType)

@@ -67,16 +67,17 @@ final class VersionedColumnarReader(file: String, constCol: String,
           case other => throw new IllegalStateException(s"constant $other")
         }
         Left(v)
-      } else if (!fileSchema.containsField(f.name)) {
-        // pre-evolution file: the column reads as NULL
-        val v = new ConstantColumnVector(ColumnarRead.BatchRows, f.dataType)
-        v.setNull()
-        Left(v)
-      } else {
-        val idx = (0 until fileSchema.getColumns.size).find(i =>
-          fileSchema.getColumns.get(i).getPath()(0) == f.name).getOrElse(
-          throw new IllegalStateException(s"column ${f.name} not flat in $file"))
-        Right(idx)
+      } else GroupRows.onFileName(fileSchema.containsField, f) match {
+        case None =>
+          // pre-evolution (or post-drop) file: the column reads as NULL
+          val v = new ConstantColumnVector(ColumnarRead.BatchRows, f.dataType)
+          v.setNull()
+          Left(v)
+        case Some(name) => // logical name or a rename's former name
+          val idx = (0 until fileSchema.getColumns.size).find(i =>
+            fileSchema.getColumns.get(i).getPath()(0) == name).getOrElse(
+            throw new IllegalStateException(s"column $name not flat in $file"))
+          Right(idx)
       }
     }
 

@@ -113,29 +113,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new VersionedCatalogTable(pathOf(ident), None)
   }
 
-  /** SQL `ALTER TABLE ADD COLUMN(S)`: a pure-metadata commit evolving the
-    * recorded schema ([[Versioned.addColumns]] — same semantics a
-    * schema-evolving merge establishes: NULL backfill on read, per-version
-    * time-travel schemas). Appended top-level nullable columns only; any
-    * other change keeps failing loudly.
+  /** SQL `ALTER TABLE ADD / RENAME / DROP COLUMN`: pure-metadata commits
+    * evolving the recorded schema — ADD appends nullable columns
+    * ([[Versioned.addColumns]], NULL backfill on read), RENAME records
+    * the former name in the column map so old files keep serving
+    * ([[Versioned.renameColumn]]), DROP removes the column from the
+    * schema leaving files untouched ([[Versioned.dropColumn]]). All give
+    * per-version time-travel schemas; name reuse after a rename/drop is
+    * refused (the tombstone contract). Anything else fails loudly.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val adds = changes.collect { case a: TableChange.AddColumn => a }
-    require(adds.size == changes.size,
-      s"GraftCatalog ALTER TABLE supports ADD COLUMN(S) only, got " +
-        changes.filterNot(adds.contains).mkString(","))
-    val fields = adds.map { a =>
-      require(a.fieldNames().length == 1,
-        s"nested ADD COLUMN ${a.fieldNames().mkString(".")} is not supported")
-      require(a.position() == null,
-        "ADD COLUMN appends at the end; FIRST/AFTER are not supported")
-      val f = org.apache.spark.sql.types.StructField(
-        a.fieldNames()(0), a.dataType(), a.isNullable())
-      Option(a.comment()).map(c => f.withComment(c)).getOrElse(f)
+    val path = pathOf(ident)
+    def single(names: Array[String], what: String): String = {
+      require(names.length == 1,
+        s"nested $what ${names.mkString(".")} is not supported")
+      names(0)
     }
-    Versioned.addColumns(spark, pathOf(ident), fields)
-    new VersionedCatalogTable(pathOf(ident), None)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.position() == null,
+          "ADD COLUMN appends at the end; FIRST/AFTER are not supported")
+        val f = org.apache.spark.sql.types.StructField(
+          single(a.fieldNames(), "ADD COLUMN"), a.dataType(), a.isNullable())
+        Versioned.addColumns(spark, path,
+          Seq(Option(a.comment()).map(f.withComment).getOrElse(f)))
+      case r: TableChange.RenameColumn =>
+        Versioned.renameColumn(spark, path,
+          single(r.fieldNames(), "RENAME COLUMN"), r.newName())
+      case d: TableChange.DeleteColumn =>
+        Versioned.dropColumn(spark, path,
+          single(d.fieldNames(), "DROP COLUMN"))
+      case other => throw new IllegalArgumentException(
+        s"GraftCatalog ALTER TABLE supports ADD/RENAME/DROP COLUMN only, got $other")
+    }
+    new VersionedCatalogTable(path, None)
   }
 
   // ---- stored procedures (`CALL <cat>.<ns>.<proc>(...)`) ----

@@ -13,11 +13,45 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GroupRows {
 
+  /** Metadata key carrying a renamed column's FORMER on-file names
+    * (comma-joined, newest first) — set by the scan from the manifest's
+    * `#colmap` header, consulted by both the row and columnar readers.
+    */
+  val AliasesKey = "graft_aliases"
+
+  /** Stamp each mapped field of `st` with its alias metadata — the scan
+    * does this once at planning time from the manifest's `#colmap`.
+    */
+  def withAliases(st: StructType, m: Map[String, Seq[String]]): StructType =
+    if (m.isEmpty) st
+    else StructType(st.fields.map { f =>
+      m.get(f.name).filter(_.nonEmpty) match {
+        case Some(as) => f.copy(metadata = new MetadataBuilder()
+          .withMetadata(f.metadata).putString(AliasesKey, as.mkString(",")).build())
+        case None => f
+      }
+    })
+
+  /** The former names `f`'s bytes may carry in pre-rename files. */
+  def aliasesOf(f: StructField): Seq[String] =
+    if (f.metadata.contains(AliasesKey))
+      f.metadata.getString(AliasesKey).split(",").toSeq.filter(_.nonEmpty)
+    else Seq.empty
+
+  /** `f`'s name as this file carries it: the logical name, or the first
+    * alias present (a rename's former name), or None (pre-evolution or
+    * post-drop file — NULL backfill).
+    */
+  def onFileName(hasField: String => Boolean, f: StructField): Option[String] =
+    if (hasField(f.name)) Some(f.name)
+    else aliasesOf(f).find(hasField)
+
   /** Decode one field of `g` as the Spark-internal value for `f`. */
   def value(g: Group, f: StructField): Any = {
     val t = g.getType
-    if (!t.containsField(f.name)) return null // pre-evolution file
-    val idx = t.getFieldIndex(f.name)
+    val name = onFileName(t.containsField, f).getOrElse(
+      return null) // pre-evolution file
+    val idx = t.getFieldIndex(name)
     if (g.getFieldRepetitionCount(idx) == 0) return null
     f.dataType match {
       case LongType => g.getLong(idx, 0)

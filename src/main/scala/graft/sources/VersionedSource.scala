@@ -416,12 +416,18 @@ final class VersionedScan(path: String, version: Int, full: StructType,
       .map(p => p: InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Rename mapping: stamp each mapped field with the former names its
+    // bytes carry in pre-rename files (metadata — both readers consult it
+    // per file; no signature rides along).
+    val aliases = Versioned.columnAliasesOf(SparkSession.active, path, version)
     // Columnar only when no surviving entry carries a deletion vector —
     // runtime filters can only SHRINK the set, so a static no-DV verdict
     // stays valid at execution.
-    new VersionedReaderFactory(required, full,
+    new VersionedReaderFactory(GroupRows.withAliases(required, aliases),
+      GroupRows.withAliases(full, aliases),
       columnarOk = !survivors.exists(_.dv.isDefined))
+  }
 }
 
 final class VersionedReaderFactory(required: StructType, full: StructType,

@@ -577,12 +577,23 @@ object Versioned {
                      statsKey2: Option[String] = None,
                      partColHeader: Option[String] = None,
                      constraints: Seq[(String, String)] = Seq.empty,
+                     colMap: Option[Seq[(String, Seq[String])]] = None,
+                     droppedCols: Option[Seq[String]] = None,
                      op: String = "WRITE"): Int = {
     preCommitHookForTests.foreach(_.apply())
     tag.foreach(t => require(!t.contains('\n') && !t.contains('\t'),
       s"idempotence tag must be single-line, tab-free: $t"))
     fsys.mkdirs(manifestDir(table))
     val latest = latestVersion(spark, table.toString)
+    // Column-mapping headers INHERIT from the base by default: unlike
+    // #partcol (threaded explicitly through every commit site — and
+    // historically dropped by some), a rename/drop must survive every
+    // subsequent commit or old files' bytes silently vanish from reads.
+    // Only the ALTER operations themselves pass an override.
+    val effColMap = colMap.getOrElse(
+      if (latest < 1) Seq.empty else colMapOf(fsys, table, latest).toSeq.sortBy(_._1))
+    val effDropped = droppedCols.getOrElse(
+      if (latest < 1) Seq.empty else droppedColsOf(fsys, table, latest).toSeq.sorted)
     def abort(why: String): Nothing = {
       orphanDirs.foreach(d => try fsys.delete(d, true) catch { case _: Throwable => () })
       throw new ConcurrentWriteException(why)
@@ -634,6 +645,8 @@ object Versioned {
       statsKey.map(k => s"#statskey\t$k\n").getOrElse("") +
       statsKey2.map(k => s"#statskey2\t$k\n").getOrElse("") +
       partColHeader.map(c => s"#partcol\t$c\n").getOrElse("") +
+      effColMap.map { case (l, as) => s"#colmap\t$l\t${as.mkString(",")}\n" }.mkString +
+      effDropped.map(n => s"#coldropped\t$n\n").mkString +
       constraints.map { case (n, e) => s"#constraint\t$n\t$e\n" }.mkString +
       s"#op\t$op\n" + deltaLines +
       ownEntries.map(_.serialized).mkString("", "\n", s"\n$Terminator\n")).getBytes("UTF-8")
@@ -1137,12 +1150,34 @@ object Versioned {
       if (entries.forall(_.partDir == "-"))
         spark.read.parquet(entries.map(e => new Path(table, e.dataDir).toString): _*)
       else readEntries(spark, table, entries)
+    // Column mapping: a renamed column's bytes live under its FORMER
+    // name in pre-rename files — resolve each mapped logical column to
+    // the first populated alias (per row exactly one alias can be
+    // populated: name reuse is refused, so no file carries two).
+    val mapped = applyColMap(raw, colMapOf(fsys, table, version))
     // Align to the version's committed schema: entries spliced from
     // pre-evolution versions lack later-added columns — they read as NULL
     // (and, symmetrically, time travel to an old version serves the OLD
-    // schema, however evolved the files around it are).
-    readSchemaLine(fsys, table, version).map(alignTo(raw, _)).getOrElse(raw)
+    // schema, however evolved the files around it are). Dropped columns
+    // fall away here: the projection is exactly the schema's fields.
+    readSchemaLine(fsys, table, version).map(alignTo(mapped, _)).getOrElse(mapped)
   }
+
+  /** Resolve mapped logical columns against whatever names the scanned
+    * files actually carried: `coalesce(logical?, former1?, former2?)`
+    * over the PRESENT columns, then drop the former names.
+    */
+  private def applyColMap(df: DataFrame,
+                          m: Map[String, Seq[String]]): DataFrame =
+    m.foldLeft(df) { case (d, (logical, aliases)) =>
+      val present = aliases.filter(d.columns.contains)
+      if (present.isEmpty) d
+      else {
+        val srcs = (if (d.columns.contains(logical)) Seq(col(logical))
+                    else Seq.empty) ++ present.map(col)
+        d.withColumn(logical, coalesce(srcs: _*)).drop(present: _*)
+      }
+    }
 
   def read(spark: SparkSession, tablePath: String): DataFrame =
     readAt(spark, tablePath, latestVersion(spark, tablePath))
@@ -1852,6 +1887,142 @@ object Versioned {
       (c(0), c(1))
     }
 
+  /** COLUMN MAPPING (`#colmap\t<logical>\t<former1>,<former2>` headers):
+    * logical column → the FORMER names its bytes may carry in files
+    * written before a rename, newest first. The store's rename/drop are
+    * header-only (Delta's name-mapping re-derived without physical
+    * UUIDs): files are never rewritten, writers always write CURRENT
+    * logical names, and reads resolve each logical column to the first
+    * of (logical, aliases...) present in a file. Soundness rests on a
+    * NAME-REUSE REFUSAL: a name that ever left the schema (renamed away
+    * or dropped) is tombstoned (`#coldropped`) and can never be re-added
+    * — otherwise old files' bytes under that name would resurrect into
+    * the new column instead of NULL-backfilling.
+    */
+  private def colMapOf(fsys: FileSystem, table: Path, v: Int): Map[String, Seq[String]] =
+    headerLines(fsys, table, v, "#colmap\t").map { l =>
+      val p = l.split("\t", 2)
+      p(0) -> p(1).split(",").toSeq.filter(_.nonEmpty)
+    }.toMap
+
+  private def droppedColsOf(fsys: FileSystem, table: Path, v: Int): Set[String] =
+    headerLines(fsys, table, v, "#coldropped\t").toSet
+
+  /** Public alias view for the DSv2 readers: logical column → former
+    * on-file names, for version `v`.
+    */
+  def columnAliasesOf(spark: SparkSession, tablePath: String, v: Int)
+      : Map[String, Seq[String]] = {
+    val (fsys, table) = fs(spark, tablePath)
+    colMapOf(fsys, table, v)
+  }
+
+  /** Names banned from re-introduction at version `v` (spec/DDL
+    * introspection): every tombstoned former name.
+    */
+  def tombstonedColumnsOf(spark: SparkSession, tablePath: String, v: Int)
+      : Set[String] = {
+    val (fsys, table) = fs(spark, tablePath)
+    droppedColsOf(fsys, table, v)
+  }
+
+  // A column is load-bearing when a header or constraint names it — the
+  // partition layout, the stats domain, and constraint expressions all
+  // break under a rename/drop, so those are refused loudly.
+  private def requireNotLoadBearing(fsys: FileSystem, table: Path, base: Int,
+                                    name: String, what: String): Unit = {
+    headerLine(fsys, table, base, "#partcol\t").foreach(pc =>
+      require(!pc.split(",").map(_.trim).contains(name),
+        s"cannot $what $name: it is the partition column"))
+    headerLine(fsys, table, base, "#statskey\t").foreach(k =>
+      require(k != name, s"cannot $what $name: it is the file-stats key"))
+    headerLine(fsys, table, base, "#statskey2\t").foreach(k =>
+      require(k != name, s"cannot $what $name: it is the second stats column"))
+    constraintLines(fsys, table, base).foreach { case (cn, expr) =>
+      require(!s"\\b${java.util.regex.Pattern.quote(name)}\\b".r
+          .findFirstIn(expr).isDefined,
+        s"cannot $what $name: CHECK constraint $cn references it ($expr)")
+    }
+  }
+
+  /** ALTER TABLE RENAME COLUMN — header-only commit: the schema renames
+    * the field in place, the column map gains the old name as an alias
+    * (old files keep serving through it), and the old name is tombstoned
+    * against re-introduction. Time travel before the rename serves the
+    * OLD schema and resolves with the OLD map.
+    */
+  def renameColumn(spark: SparkSession, tablePath: String,
+                   oldName: String, newName: String,
+                   expectedLatest: Option[Int] = None): Int = {
+    Seq(oldName, newName).foreach(n => require(
+      !n.exists(c => c == '\t' || c == '\n' || c == ','),
+      s"column name must be tab/newline/comma-free: $n"))
+    val (fsys, table) = fs(spark, tablePath)
+    val base = latestVersion(spark, tablePath)
+    require(base >= 1, s"$tablePath has no committed version")
+    val baseSchema = readSchemaLine(fsys, table, base).getOrElse(
+      throw new IllegalArgumentException(
+        s"v$base of $tablePath records no schema — republish once to record one"))
+    require(baseSchema.fieldNames.contains(oldName),
+      s"no such column $oldName in ${baseSchema.fieldNames.mkString(",")}")
+    require(!baseSchema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column $newName already exists")
+    requireNotLoadBearing(fsys, table, base, oldName, "rename")
+    val map = colMapOf(fsys, table, base)
+    val dropped = droppedColsOf(fsys, table, base)
+    val taken = dropped ++ map.values.flatten
+    require(!taken.contains(newName),
+      s"column name $newName was previously used (files may still carry " +
+        "its bytes) — pick a fresh name")
+    val evolved = org.apache.spark.sql.types.StructType(baseSchema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val newMap = (map - oldName) +
+      (newName -> (oldName +: map.getOrElse(oldName, Seq.empty)))
+    commit(fsys, table, spark, readManifest(fsys, table, base),
+      expectedLatest.orElse(Some(base)), Seq.empty,
+      schema = Some(evolved),
+      statsKey = headerLine(fsys, table, base, "#statskey\t"),
+      statsKey2 = headerLine(fsys, table, base, "#statskey2\t"),
+      partColHeader = headerLine(fsys, table, base, "#partcol\t"),
+      constraints = constraintLines(fsys, table, base),
+      colMap = Some(newMap.toSeq.sortBy(_._1)),
+      droppedCols = Some((dropped + oldName).toSeq.sorted),
+      op = s"RENAME_COLUMN($oldName->$newName)")
+  }
+
+  /** ALTER TABLE DROP COLUMN — header-only commit: the schema loses the
+    * field, files are untouched (the bytes stay, unprojected), the name
+    * and every alias it carried are tombstoned against re-introduction.
+    * Time travel before the drop still serves the column.
+    */
+  def dropColumn(spark: SparkSession, tablePath: String, name: String,
+                 expectedLatest: Option[Int] = None): Int = {
+    val (fsys, table) = fs(spark, tablePath)
+    val base = latestVersion(spark, tablePath)
+    require(base >= 1, s"$tablePath has no committed version")
+    val baseSchema = readSchemaLine(fsys, table, base).getOrElse(
+      throw new IllegalArgumentException(
+        s"v$base of $tablePath records no schema — republish once to record one"))
+    require(baseSchema.fieldNames.contains(name),
+      s"no such column $name in ${baseSchema.fieldNames.mkString(",")}")
+    require(baseSchema.fields.length > 1, "cannot drop the last column")
+    requireNotLoadBearing(fsys, table, base, name, "drop")
+    val map = colMapOf(fsys, table, base)
+    val dropped = droppedColsOf(fsys, table, base)
+    val evolved = org.apache.spark.sql.types.StructType(
+      baseSchema.fields.filterNot(_.name == name))
+    commit(fsys, table, spark, readManifest(fsys, table, base),
+      expectedLatest.orElse(Some(base)), Seq.empty,
+      schema = Some(evolved),
+      statsKey = headerLine(fsys, table, base, "#statskey\t"),
+      statsKey2 = headerLine(fsys, table, base, "#statskey2\t"),
+      partColHeader = headerLine(fsys, table, base, "#partcol\t"),
+      constraints = constraintLines(fsys, table, base),
+      colMap = Some((map - name).toSeq.sortBy(_._1)),
+      droppedCols = Some((dropped ++ map.getOrElse(name, Seq.empty) + name).toSeq.sorted),
+      op = s"DROP_COLUMN($name)")
+  }
+
   /** ALTER TABLE ADD COLUMN: commit a new version with the SAME entries
     * and an evolved `#schema` — pure metadata, no file is touched.
     * Existing rows NULL-backfill on read (the same alignment contract a
@@ -1869,11 +2040,18 @@ object Versioned {
     val baseSchema = readSchemaLine(fsys, table, base).getOrElse(
       throw new IllegalArgumentException(
         s"v$base of $tablePath records no schema — republish once to record one"))
+    val unusable = droppedColsOf(fsys, table, base) ++
+      colMapOf(fsys, table, base).values.flatten
     fields.foreach { f =>
       require(!baseSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
         s"column ${f.name} already exists in ${baseSchema.fieldNames.mkString(",")}")
       require(f.nullable,
         s"added column ${f.name} must be nullable — existing rows have no value")
+      // name-reuse refusal: old files may still carry bytes under this
+      // name — re-adding it would resurrect them instead of NULLs
+      require(!unusable.contains(f.name),
+        s"column name ${f.name} was previously renamed away or dropped — " +
+          "pick a fresh name")
     }
     val evolved = org.apache.spark.sql.types.StructType(baseSchema.fields ++ fields)
     commit(fsys, table, spark, readManifest(fsys, table, base),
@@ -2240,7 +2418,15 @@ object Versioned {
       statsKey = headerLine(fsys, table, v, "#statskey\t"),
       statsKey2 = headerLine(fsys, table, v, "#statskey2\t"),
       partColHeader = headerLine(fsys, table, v, "#partcol\t"),
-      constraints = constraintLines(fsys, table, v), op = s"RESTORE($v)")
+      constraints = constraintLines(fsys, table, v),
+      // the restored schema resolves with the restored MAP, not the
+      // latest one (rolling back past a rename rolls the map back too);
+      // tombstones stay UNIONED with the latest — a name once used in
+      // files is never safe to re-introduce, whatever version serves
+      colMap = Some(colMapOf(fsys, table, v).toSeq.sortBy(_._1)),
+      droppedCols = Some((droppedColsOf(fsys, table, v) ++
+        droppedColsOf(fsys, table, latestVersion(spark, tablePath))).toSeq.sorted),
+      op = s"RESTORE($v)")
   }
 
   /** Shallow CLONE (the public Delta `CLONE ... SHALLOW` / Iceberg
@@ -2282,7 +2468,12 @@ object Versioned {
       statsKey = headerLine(sfs, src, v, "#statskey\t"),
       statsKey2 = headerLine(sfs, src, v, "#statskey2\t"),
       partColHeader = headerLine(sfs, src, v, "#partcol\t"),
-      constraints = constraintLines(sfs, src, v), op = "CLONE")
+      constraints = constraintLines(sfs, src, v),
+      // the clone references the source's files — its column map (and
+      // the name-reuse tombstones protecting those files) carry over
+      colMap = Some(colMapOf(sfs, src, v).toSeq.sortBy(_._1)),
+      droppedCols = Some(droppedColsOf(sfs, src, v).toSeq.sorted),
+      op = "CLONE")
   }
 
   /** Candidate files for a point-lookup batch, by pruning mode — the

@@ -151,12 +151,13 @@ class LakeSqlSpec extends SparkSpec {
     // time travel BEFORE the alter: the old schema, no note column
     assert(spark.sql(s"SELECT * FROM galter.ns.t VERSION AS OF 2")
       .columns.toSeq == Seq("k", "p"))
-    // refusals: non-nullable add, duplicate name, non-ADD change
+    // refusals: non-nullable add, duplicate name, unsupported change kind
+    // (RENAME/DROP are supported since r16 — LakeSqlSpec pins them below)
     intercept[Exception](Versioned.addColumns(spark, path, Seq(
       org.apache.spark.sql.types.StructField("x",
         org.apache.spark.sql.types.LongType, nullable = false))))
     intercept[Exception](spark.sql("ALTER TABLE galter.ns.t ADD COLUMN note STRING"))
-    intercept[Exception](spark.sql("ALTER TABLE galter.ns.t RENAME COLUMN k TO kk"))
+    intercept[Exception](spark.sql("ALTER TABLE galter.ns.t ALTER COLUMN k TYPE INT"))
   }
 
   test("string-key file-scoped MERGE: only range+bloom-covering files are replaced, the rest splice; encoding is order-monotone") {
@@ -394,5 +395,76 @@ class LakeSqlSpec extends SparkSpec {
     }
     assert((err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse(""))
       .contains("table tail"), err.getMessage)
+  }
+
+  test("SQL ALTER RENAME/DROP COLUMN: header-only column mapping, mixed files resolve, time travel, tombstone refusals") {
+    val wh = Files.createTempDirectory("gwh5").toString
+    spark.conf.set("spark.sql.catalog.gmap", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmap.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmap.ns")
+    spark.sql("CREATE TABLE gmap.ns.t (k BIGINT, v BIGINT, note STRING, p BIGINT) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('statskey' = 'k')")
+    spark.sql("INSERT INTO gmap.ns.t SELECT id, id * 10, concat('n', id), id % 2 FROM range(0, 6)")
+    val path = s"$wh/ns/t"
+    // RENAME is header-only: no new data dir, same entries
+    val dirsBefore = Versioned.dataDirsOf(spark, path,
+      Versioned.latestVersion(spark, path)).toSet
+    spark.sql("ALTER TABLE gmap.ns.t RENAME COLUMN v TO val")
+    val vRen = Versioned.latestVersion(spark, path)
+    assert(Versioned.opOf(spark, path, vRen) == "RENAME_COLUMN(v->val)")
+    assert(Versioned.dataDirsOf(spark, path, vRen).toSet == dirsBefore,
+      "rename must not rewrite data")
+    assert(Versioned.columnAliasesOf(spark, path, vRen) == Map("val" -> Seq("v")))
+    assert(spark.sql("SELECT sum(val) FROM gmap.ns.t").head().getLong(0) ==
+      (0 to 5).map(_ * 10).sum)
+    // the aliased read stays COLUMNAR (the reader resolves the former
+    // name per file from the alias metadata)
+    val scan = spark.sql("SELECT k, val FROM gmap.ns.t WHERE val = 20")
+    assert(scan.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "aliased scan must stay columnar")
+    assert(scan.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 20L)))
+    // post-rename writes carry the NEW name; mixed files resolve in one plan
+    spark.sql("INSERT INTO gmap.ns.t SELECT 100, 1000, 'x', 0")
+    assert(spark.sql("SELECT sum(val) FROM gmap.ns.t").head().getLong(0) ==
+      (0 to 5).map(_ * 10).sum + 1000)
+    assert(Versioned.read(spark, path).filter(col("k") === 100L)
+      .select("val").head().getLong(0) == 1000L)
+    // time travel serves the OLD schema and resolves with the OLD map
+    val pre = spark.sql(s"SELECT * FROM gmap.ns.t VERSION AS OF ${vRen - 1}")
+    assert(pre.columns.contains("v") && !pre.columns.contains("val"))
+    assert(pre.selectExpr("sum(v)").head().getLong(0) == (0 to 5).map(_ * 10).sum)
+    // DROP removes the column from the schema, files untouched
+    val dirsBeforeDrop = Versioned.dataDirsOf(spark, path,
+      Versioned.latestVersion(spark, path)).toSet
+    spark.sql("ALTER TABLE gmap.ns.t DROP COLUMN note")
+    val vDrop = Versioned.latestVersion(spark, path)
+    assert(Versioned.opOf(spark, path, vDrop) == "DROP_COLUMN(note)")
+    assert(Versioned.dataDirsOf(spark, path, vDrop).toSet == dirsBeforeDrop)
+    assert(!spark.table("gmap.ns.t").columns.contains("note"))
+    // ... but still serves under time travel
+    assert(spark.sql(s"SELECT count(note) FROM gmap.ns.t VERSION AS OF $vRen")
+      .head().getLong(0) == 6L)
+    // tombstones: renamed-away and dropped names can never come back
+    intercept[Exception](spark.sql("ALTER TABLE gmap.ns.t ADD COLUMN v BIGINT"))
+    intercept[Exception](spark.sql("ALTER TABLE gmap.ns.t ADD COLUMN note STRING"))
+    // load-bearing columns are protected
+    intercept[Exception](spark.sql("ALTER TABLE gmap.ns.t RENAME COLUMN k TO kk"))
+    intercept[Exception](spark.sql("ALTER TABLE gmap.ns.t DROP COLUMN p"))
+    // a MERGE after the rename rewrites its partition with NEW names and
+    // the spliced old files still resolve
+    Versioned.merge(spark, path,
+      Seq((2L, 999L, 0L, "U")).toDF("k", "val", "p", "_op"), "k", "p")
+    assert(spark.sql("SELECT val FROM gmap.ns.t WHERE k = 2").head().getLong(0) == 999L)
+    assert(spark.sql("SELECT sum(val) FROM gmap.ns.t").head().getLong(0) ==
+      0 + 10 + 999 + 30 + 40 + 50 + 1000)
+    // restore to the pre-rename version rolls schema AND map back
+    val vR = Versioned.restore(spark, path, vRen - 1)
+    assert(spark.table("gmap.ns.t").columns.toSeq == Seq("k", "v", "note", "p"))
+    assert(spark.sql("SELECT sum(v) FROM gmap.ns.t").head().getLong(0) ==
+      (0 to 5).map(_ * 10).sum)
+    // ...and the tombstones survive the restore (old bytes stay unsafe)
+    assert(Versioned.tombstonedColumnsOf(spark, path, vR).contains("v") ||
+      Versioned.tombstonedColumnsOf(spark, path, vR).contains("note"))
   }
 }
