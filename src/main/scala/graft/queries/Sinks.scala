@@ -1198,6 +1198,65 @@ object Sinks {
          |ORDER BY phase, grp""".stripMargin)
   }
 
+  /** q240 — CATALOG-INTEGRATED STREAMING WRITE (`writeStream.toTable`):
+    * a SQL-first user streams into `cat.ns.tbl` BY NAME — the partition
+    * column and stats key come from the table's OWN recorded headers, no
+    * path or layout options (the path-based q230 sink needs both). Three
+    * staged shards of 1995 stream in at one file per trigger → three
+    * tagged APPEND versions with per-file stats, exactly-once across
+    * restarts on the same `sink_<queryId>_<epoch>` idempotence tags
+    * (StreamingSpec pins the restart + the per-epoch versions). The
+    * oracle is the whole orders table: a lost or doubled micro-batch
+    * shifts a 1995 sum.
+    */
+  def streamToTable(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cat = lakeCatalog(spark, dir)
+    val wh = tmpOut(dir, "warehouse")
+    val tbl = s"$cat.sqlns.orders_stream"
+    val path = s"$wh/sqlns/orders_stream"
+    val stage = tmpOut(dir, "stt_shards")
+    val ckpt = tmpOut(dir, "stt_ck")
+    val view = s"graft_stt_src_${dirTag(dir)}"
+    val base = orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+      year(col("o_orderdate")).as("o_year"))
+    val expected = base.count()
+    val valid = try {
+      Versioned.latestVersion(spark, path) >= 5 &&
+        Versioned.read(spark, path).count() == expected
+    } catch { case _: Exception => false }
+    if (!valid) {
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sqlns")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      deleteTree(stage); deleteTree(ckpt)
+      base.filter(col("o_year") =!= 1995).createOrReplaceTempView(view)
+      spark.sql(
+        s"""CREATE TABLE $tbl (
+           |  o_orderkey BIGINT, o_custkey BIGINT, o_price_c BIGINT, o_year INT)
+           |PARTITIONED BY (o_year) TBLPROPERTIES ('statskey' = 'o_orderkey')
+           |""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl SELECT * FROM $view")
+      val y95 = base.filter(col("o_year") === 1995)
+      (0 until 3).foreach(i => y95.filter(col("o_orderkey") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(stage))
+      val sch = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_price_c", LongType), StructField("o_year", IntegerType)))
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .toTable(tbl)
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.sql(
+      s"""SELECT o_year, count(*) AS n, sum(o_custkey) AS sum_cust,
+         |       sum(o_price_c) AS sum_price_c
+         |FROM $tbl GROUP BY o_year ORDER BY o_year""".stripMargin)
+  }
+
   // q236's substrate: orders WITHOUT 1995, published file-granular — the
   // snapshot half of the tail (the 1995 appends stream per invocation).
   private val tailBaseCache =
@@ -2093,6 +2152,7 @@ object Sinks {
     "q237_merge_string_key"     -> mergeStringKey _,
     "q238_box_2d_skipping"      -> box2dSkipping _,
     "q239_sql_column_mapping"   -> sqlColumnMapping _,
+    "q240_stream_to_table"      -> streamToTable _,
     "q144_lines_write_roundtrip" -> linesWriteRoundtrip _,
     "q133_lines_source_roundtrip" -> linesSourceRoundtrip _,
     "q126_schema_evolution" -> schemaEvolution _,
@@ -2361,6 +2421,15 @@ object Sinks {
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
     // Batch base (≠1995) plus the streamed year must reassemble the
     // source exactly — any lost or doubled epoch shifts a 1995 sum.
+    // toTable streams by NAME into the same store: the whole orders
+    // table must reassemble — a lost or doubled epoch shifts a 1995 sum.
+    "q240_stream_to_table" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS sum_price_c
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q230_stream_sink_append" ->
       """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
         |       CAST(count(*) AS BIGINT) AS n,

@@ -287,7 +287,8 @@ final class VersionedCatalogTable(path: String, pinned: Option[Int])
   override def schema(): StructType =
     VersionedSource.schemaFor(spark, path, resolvedV)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val v = resolvedV
@@ -295,16 +296,28 @@ final class VersionedCatalogTable(path: String, pinned: Option[Int])
       Versioned.statsKeyOf(spark, path, v), Versioned.statsKey2Of(spark, path, v))
   }
 
+  /** Batch INSERT and streaming `writeStream.toTable` share one builder:
+    * partition column and stats key come from the table's OWN recorded
+    * headers, so a SQL-first user streams into `cat.ns.tbl` without
+    * knowing the path or the layout options the path-based sink needs.
+    * Each micro-batch epoch commits as one tagged APPEND version — the
+    * same exactly-once contract as [[VersionedSink]].
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty, "cannot write to a time-travelled table")
     val latest = Versioned.latestVersion(spark, path)
     val partCol = Versioned.partColOf(spark, path, latest).getOrElse(
       throw new IllegalArgumentException(
-        s"$path records no partition column — INSERT needs one (CREATE with PARTITIONED BY)"))
+        s"$path records no partition column — writes need one (CREATE with PARTITIONED BY)"))
     val statsKey = Versioned.statsKeyOf(spark, path, latest)
     new WriteBuilder {
-      override def build(): Write =
-        new VersionedBatchWrite(path, info.schema(), partCol, statsKey)
+      override def build(): Write = new Write {
+        override def toBatch =
+          new VersionedBatchWrite(path, info.schema(), partCol, statsKey).toBatch
+        override def toStreaming =
+          new VersionedSinkWrite(path, info.schema(), partCol, statsKey,
+            info.queryId()).toStreaming
+      }
     }
   }
 

@@ -84,16 +84,28 @@ final class VersionedSinkTable(path: String, schema: StructType)
 }
 
 final class VersionedSinkWrite(path: String, schema: StructType,
-                               options: CaseInsensitiveStringMap,
+                               partCol: String,
+                               fileStatsKey: Option[String],
                                queryId: String)
     extends Write with StreamingWrite {
-  private val partCol = {
-    val p = options.get("partCol")
-    require(p != null && schema.fieldNames.contains(p),
-      s"VersionedSink needs partCol among ${schema.fieldNames.mkString(",")}")
-    p
-  }
-  private val fileStatsKey = Option(options.get("fileStatsKey"))
+
+  /** Path-route constructor: partCol/fileStatsKey from writer options
+    * (`writeStream.format(...).option("partCol", ...)`). The catalog
+    * route (`writeStream.toTable`) passes them from the table's own
+    * recorded headers instead.
+    */
+  def this(path: String, schema: StructType,
+           options: CaseInsensitiveStringMap, queryId: String) =
+    this(path, schema,
+      {
+        val p = options.get("partCol")
+        require(p != null, "VersionedSink needs a partCol option")
+        p
+      },
+      Option(options.get("fileStatsKey")), queryId)
+
+  require(schema.fieldNames.contains(partCol),
+    s"VersionedSink needs partCol among ${schema.fieldNames.mkString(",")}")
   // Fail unsupported column types at PLAN time — data columns via the
   // parquet message type, the partition column via the directory-encoding
   // whitelist (messageTypeOf excludes it, so e.g. a double partCol would

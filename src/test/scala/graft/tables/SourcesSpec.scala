@@ -435,6 +435,55 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("writeStream.toTable streams into a catalog table by NAME: headers supply the layout, restart resumes exactly-once") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("vstt").toString
+    val (stage, ckpt) = (s"$tmp/shards", s"$tmp/ckpt")
+    spark.conf.set("spark.sql.catalog.gstt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gstt.warehouse", s"$tmp/wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gstt.ns")
+    spark.sql("CREATE TABLE gstt.ns.t (k BIGINT, v BIGINT, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('statskey' = 'k')")
+    val path = s"$tmp/wh/ns/t"
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("v", LongType), StructField("p", StringType)))
+    def shard(rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("k", "v", "p").coalesce(1).write.mode("append").parquet(stage)
+    def run(): Unit = {
+      // by NAME: no partCol/fileStatsKey options — the table's recorded
+      // headers supply both
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .writeStream.option("checkpointLocation", ckpt)
+        .toTable("gstt.ns.t")
+      try q.processAllAvailable() finally q.stop()
+    }
+    shard(Seq((1L, 10L, "a"), (2L, 20L, "b")))
+    shard(Seq((3L, 30L, "a")))
+    run()
+    // one tagged APPEND version per epoch (after the CREATE v1)
+    assert(Versioned.latestVersion(spark, path) == 3)
+    // restart on the same checkpoint: only the new shard commits
+    shard(Seq((4L, 40L, "b")))
+    run()
+    assert(Versioned.latestVersion(spark, path) == 4)
+    assert(spark.sql("SELECT sum(v) FROM gstt.ns.t").head().getLong(0) == 100L)
+    // header-derived stats: sink-written versions keep file granularity
+    assert(Versioned.fileEntriesOf(spark, path, 4).nonEmpty)
+    // a table WITHOUT a partition column refuses the stream loudly
+    spark.sql("CREATE TABLE gstt.ns.flat (k BIGINT, v BIGINT)")
+    val err = intercept[Exception] {
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .writeStream.option("checkpointLocation", s"$tmp/ckpt2")
+        .toTable("gstt.ns.flat")
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("VersionedSink: one tagged APPEND version per epoch; checkpointed restart resumes exactly-once; adoption replays are no-ops") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._
