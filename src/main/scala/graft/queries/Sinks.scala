@@ -1257,6 +1257,57 @@ object Sinks {
          |FROM $tbl GROUP BY o_year ORDER BY o_year""".stripMargin)
   }
 
+  /** q241 — MULTI-COLUMN PARTITIONING (`PARTITIONED BY (o_year, o_prio)`,
+    * the `#partcol` comma list): directories nest `o_year=…/o_prio=…`
+    * exactly like Spark's own layout, every DML stays scoped to the
+    * touched LEAF partitions (a delete of one (year, priority) cell
+    * rewrites only that cell — SourcesSpec pins the file counts), and a
+    * predicate on ANY combination of partition columns prunes whole
+    * entries at planning time. Built per invocation (DML is the point);
+    * phase 1 is the post-DML content, phase 2 a both-dims pruned slice.
+    * At 100 TB this is the (date, source) layout every real fact table
+    * ships with — one partition dimension cannot express it.
+    */
+  def multiPartition(spark: SparkSession, dir: String): DataFrame = {
+    val cat = lakeCatalog(spark, dir)
+    val tbl = s"$cat.sqlns.orders_mpart"
+    val view = s"graft_mpart_src_${dirTag(dir)}"
+    orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+      col("o_orderpriority").as("o_prio"),
+      year(col("o_orderdate")).as("o_year"))
+      .createOrReplaceTempView(view)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sqlns")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(
+      s"""CREATE TABLE $tbl (
+         |  o_orderkey BIGINT, o_custkey BIGINT, o_price_c BIGINT,
+         |  o_prio STRING, o_year INT)
+         |PARTITIONED BY (o_year, o_prio)
+         |TBLPROPERTIES ('statskey' = 'o_orderkey')
+         |""".stripMargin)
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM $view")
+    // leaf-scoped DML: only the (1996, 3-MEDIUM) cell is rewritten away,
+    // and the (1997, 1-URGENT) cell gets a price bump
+    spark.sql(s"DELETE FROM $tbl WHERE o_year = 1996 AND o_prio = '3-MEDIUM'")
+    spark.sql(
+      s"""UPDATE $tbl SET o_price_c = o_price_c + 99
+         |WHERE o_year = 1997 AND o_prio = '1-URGENT'""".stripMargin)
+    spark.sql(
+      s"""SELECT '1_latest' AS phase, CAST(o_year AS STRING) AS grp,
+         |       count(*) AS n, sum(o_custkey) AS sum_cust,
+         |       sum(o_price_c) AS sum_price_c
+         |FROM $tbl GROUP BY o_year
+         |UNION ALL
+         |SELECT '2_slice' AS phase, o_prio AS grp,
+         |       count(*) AS n, sum(o_custkey) AS sum_cust,
+         |       sum(o_price_c) AS sum_price_c
+         |FROM $tbl WHERE o_year = 1997 AND o_prio = '1-URGENT'
+         |GROUP BY o_prio
+         |ORDER BY phase, grp""".stripMargin)
+  }
+
   // q236's substrate: orders WITHOUT 1995, published file-granular — the
   // snapshot half of the tail (the 1995 appends stream per invocation).
   private val tailBaseCache =
@@ -2153,6 +2204,7 @@ object Sinks {
     "q238_box_2d_skipping"      -> box2dSkipping _,
     "q239_sql_column_mapping"   -> sqlColumnMapping _,
     "q240_stream_to_table"      -> streamToTable _,
+    "q241_multi_partition"      -> multiPartition _,
     "q144_lines_write_roundtrip" -> linesWriteRoundtrip _,
     "q133_lines_source_roundtrip" -> linesSourceRoundtrip _,
     "q126_schema_evolution" -> schemaEvolution _,
@@ -2421,6 +2473,31 @@ object Sinks {
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
     // Batch base (≠1995) plus the streamed year must reassemble the
     // source exactly — any lost or doubled epoch shifts a 1995 sum.
+    // Multi-column partitioning replayed relationally: the deleted cell
+    // and the bumped cell shift exactly one year's sums each.
+    "q241_multi_partition" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         o_orderpriority AS o_prio,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders),
+        |v AS (SELECT o_orderkey, o_custkey,
+        |             o_price_c + CASE WHEN o_year = 1997 AND o_prio = '1-URGENT'
+        |                              THEN 99 ELSE 0 END AS o_price_c,
+        |             o_prio, o_year
+        |      FROM b WHERE NOT (o_year = 1996 AND o_prio = '3-MEDIUM'))
+        |SELECT '1_latest' AS phase, CAST(o_year AS VARCHAR) AS grp,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM v GROUP BY 1, 2
+        |UNION ALL
+        |SELECT '2_slice' AS phase, o_prio AS grp,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM v WHERE o_year = 1997 AND o_prio = '1-URGENT' GROUP BY 1, 2
+        |ORDER BY phase, grp""".stripMargin,
     // toTable streams by NAME into the same store: the whole orders
     // table must reassemble — a lost or doubled epoch shifts a 1995 sum.
     "q240_stream_to_table" ->

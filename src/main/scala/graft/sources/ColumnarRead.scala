@@ -39,11 +39,16 @@ object ColumnarRead {
   }
 }
 
-final class VersionedColumnarReader(file: String, constCol: String,
-                                    constVal: String, required: StructType,
+final class VersionedColumnarReader(file: String, constCols: Array[String],
+                                    constVals: Array[String], required: StructType,
                                     conf: org.apache.hadoop.conf.Configuration =
                                       new org.apache.hadoop.conf.Configuration())
     extends PartitionReader[ColumnarBatch] {
+
+  /** Single-constant convenience (the change feed's `_version` slot). */
+  def this(file: String, constCol: String, constVal: String,
+           required: StructType, conf: org.apache.hadoop.conf.Configuration) =
+    this(file, Array(constCol), Array(constVal), required, conf)
 
   private val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
     new org.apache.hadoop.fs.Path(file), conf))
@@ -54,9 +59,10 @@ final class VersionedColumnarReader(file: String, constCol: String,
   // when the file carries it; None = constant or NULL backfill.
   private val fieldPlans: Array[Either[ColumnVector, Int]] =
     required.fields.map { f =>
-      if (f.name == constCol) {
+      val ci = constCols.indexOf(f.name)
+      if (ci >= 0) {
         val v = new ConstantColumnVector(ColumnarRead.BatchRows, f.dataType)
-        GroupRows.constant(constVal, f) match {
+        GroupRows.constant(constVals(ci), f) match {
           case null => v.setNull()
           case l: Long => v.setLong(l)
           case i: Int => v.setInt(i)

@@ -105,10 +105,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog partitions by identity columns only, got $other")
     }
-    require(partCols.size <= 1,
-      s"GraftCatalog supports at most one partition column, got $partCols")
+    // Multi-column partitioning: the comma list lands in the #partcol
+    // header; directories nest a=1/b=x, exactly Spark's own layout.
     Versioned.createEmpty(spark, pathOf(ident), schema,
-      partCol = partCols.headOption,
+      partCol = if (partCols.isEmpty) None else Some(partCols.mkString(",")),
       statsKey = Option(properties.get("statskey")))
     new VersionedCatalogTable(pathOf(ident), None)
   }
@@ -174,9 +174,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog partitions by identity columns only, got $other")
     }
-    require(partCols.size == 1,
-      "GraftCatalog CTAS needs exactly one PARTITIONED BY column (the store's layout unit)")
-    new StagedVersionedTable(pathOf(ident), schema, partCols.head,
+    require(partCols.nonEmpty,
+      "GraftCatalog CTAS needs PARTITIONED BY column(s) (the store's layout unit)")
+    new StagedVersionedTable(pathOf(ident), schema, partCols.mkString(","),
       Option(properties.get("statskey")))
   }
   override def stageReplace(ident: Identifier, schema: StructType,
@@ -436,19 +436,22 @@ final class VersionedCtasWrite(path: String, schema: StructType,
   private val writeId = java.util.UUID.randomUUID().toString.replace("-", "")
   private def stagingRoot = new Path(path, s"_sink_stage/ctas_$writeId")
   VersionedSinkWriter.messageTypeOf(schema, partCol)
-  require(schema.fieldNames.contains(partCol),
-    s"CTAS partition column $partCol not in ${schema.fieldNames.mkString(",")}")
-  // Refuse unsupported partition types at PLAN time, before the SELECT
-  // runs — messageTypeOf excludes the partition column, and createEmpty's
-  // own check only fires in commit(), after the whole job executed.
-  require(Set[org.apache.spark.sql.types.DataType](
-      org.apache.spark.sql.types.StringType,
-      org.apache.spark.sql.types.LongType,
-      org.apache.spark.sql.types.IntegerType,
-      org.apache.spark.sql.types.BooleanType)
-      .contains(schema(partCol).dataType),
-    s"CTAS partition column $partCol: type ${schema(partCol).dataType} " +
-      "renders format-dependent directory names; use int/long/string/boolean")
+  Versioned.partColsOf(partCol).foreach { c =>
+    require(schema.fieldNames.contains(c),
+      s"CTAS partition column $c not in ${schema.fieldNames.mkString(",")}")
+    // Refuse unsupported partition types at PLAN time, before the SELECT
+    // runs — messageTypeOf excludes the partition columns, and
+    // createAsSelect's own check only fires in commit(), after the whole
+    // job executed.
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.BooleanType)
+        .contains(schema(c).dataType),
+      s"CTAS partition column $c: type ${schema(c).dataType} " +
+        "renders format-dependent directory names; use int/long/string/boolean")
+  }
 
   override def toBatch: BatchWrite = this
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =

@@ -79,28 +79,31 @@ object TableTailSource {
         require(e.dv.isEmpty,
           s"graft_tabletail: appended entry ${e.partDir}/${e.file.getOrElse("")} " +
             "carries a deletion vector — not an append")
-        val (constCol, constVal) =
-          if (e.partDir == "-") (null: String, null: String)
+        val (constCols, constVals) =
+          if (e.partDir == "-") (Array.empty[String], Array.empty[String])
           else {
-            val cut = e.partDir.indexOf('=')
-            val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .unescapePathName(e.partDir.substring(cut + 1))
-            (e.partDir.substring(0, cut),
-             if (raw == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-               .DEFAULT_PARTITION_NAME) null else raw)
+            val kvs = e.partDir.split('/').toSeq.map { seg =>
+              val cut = seg.indexOf('=')
+              val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .unescapePathName(seg.substring(cut + 1))
+              (seg.substring(0, cut),
+               if (raw == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                 .DEFAULT_PARTITION_NAME) null else raw)
+            }
+            (kvs.map(_._1).toArray, kvs.map(_._2).toArray)
           }
         e.file match {
           case Some(f) =>
             Seq(VersionedPartition(
               new org.apache.hadoop.fs.Path(fsPath,
-                s"${e.dataDir}/${e.partDir}/$f").toString, constCol, constVal))
+                s"${e.dataDir}/${e.partDir}/$f").toString, constCols, constVals))
           case None =>
             val dir = new org.apache.hadoop.fs.Path(fsPath,
               if (e.partDir == "-") e.dataDir else s"${e.dataDir}/${e.partDir}")
             fsys.listStatus(dir).toSeq
               .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
               .sortBy(_.getPath.getName)
-              .map(s => VersionedPartition(s.getPath.toString, constCol, constVal))
+              .map(s => VersionedPartition(s.getPath.toString, constCols, constVals))
         }
       }
     }

@@ -104,19 +104,21 @@ final class VersionedSinkWrite(path: String, schema: StructType,
       },
       Option(options.get("fileStatsKey")), queryId)
 
-  require(schema.fieldNames.contains(partCol),
-    s"VersionedSink needs partCol among ${schema.fieldNames.mkString(",")}")
-  // Fail unsupported column types at PLAN time — data columns via the
-  // parquet message type, the partition column via the directory-encoding
-  // whitelist (messageTypeOf excludes it, so e.g. a double partCol would
-  // otherwise only fail per-row in partDirOf mid-stream).
+  graft.tables.Versioned.partColsOf(partCol).foreach { c =>
+    require(schema.fieldNames.contains(c),
+      s"VersionedSink needs partCol $c among ${schema.fieldNames.mkString(",")}")
+    // Fail unsupported types at PLAN time — the partition columns via
+    // the directory-encoding whitelist (messageTypeOf excludes them, so
+    // e.g. a double partCol would otherwise only fail per-row mid-stream).
+    require(Set[org.apache.spark.sql.types.DataType](
+        StringType, LongType, IntegerType, BooleanType)
+        .contains(schema(c).dataType),
+      s"VersionedSink partition column $c: type " +
+        s"${schema(c).dataType} renders format-dependent directory " +
+        "names; use int/long/string/boolean")
+  }
+  // ... and the data columns via the parquet message type.
   VersionedSinkWriter.messageTypeOf(schema, partCol)
-  require(Set[org.apache.spark.sql.types.DataType](
-      StringType, LongType, IntegerType, BooleanType)
-      .contains(schema(partCol).dataType),
-    s"VersionedSink partition column $partCol: type " +
-      s"${schema(partCol).dataType} renders format-dependent directory " +
-      "names; use int/long/string/boolean")
 
   override def toStreaming: StreamingWrite = this
 
@@ -198,8 +200,9 @@ object VersionedSinkWriter {
     * directory-encoded, exactly like Spark's partitioned writer).
     */
   private[graft] def messageTypeOf(schema: StructType, partCol: String): MessageType = {
+    val pcs = graft.tables.Versioned.partColsOf(partCol).toSet
     val b = Types.buildMessage()
-    schema.fields.filter(_.name != partCol).foreach { f =>
+    schema.fields.filterNot(f => pcs.contains(f.name)).foreach { f =>
       f.dataType match {
         case LongType => b.addField(Types.optional(INT64).named(f.name))
         case IntegerType => b.addField(Types.optional(INT32).named(f.name))
@@ -229,8 +232,10 @@ final class VersionedSinkWriter(stagingRoot: String, schema: StructType,
 
   private val msgType = VersionedSinkWriter.messageTypeOf(schema, partCol)
   private val factory = new SimpleGroupFactory(msgType)
-  private val partIdx = schema.fieldIndex(partCol)
-  private val dataFields = schema.fields.zipWithIndex.filter(_._1.name != partCol)
+  private val partCols = graft.tables.Versioned.partColsOf(partCol)
+  private val partIdxs = partCols.map(schema.fieldIndex)
+  private val dataFields = schema.fields.zipWithIndex
+    .filterNot { case (f, _) => partCols.contains(f.name) }
 
   // One open file per partition VALUE seen by this task.
   private val open = scala.collection.mutable.LinkedHashMap
@@ -253,20 +258,22 @@ final class VersionedSinkWriter(stagingRoot: String, schema: StructType,
       s"row carries ${row.numFields} fields for a ${schema.size}-column schema")
   }
 
-  private def partDirOf(row: InternalRow): String = {
-    val i = partIdx + shift
-    val raw =
-      if (row.isNullAt(i)) null
-      else schema.fields(partIdx).dataType match {
-        case StringType => row.getUTF8String(i).toString
-        case LongType => String.valueOf(row.getLong(i))
-        case IntegerType => String.valueOf(row.getInt(i))
-        case BooleanType => String.valueOf(row.getBoolean(i))
-        case other => throw new IllegalArgumentException(
-          s"partition column $partCol: unsupported type $other")
-      }
-    ExternalCatalogUtils.getPartitionPathString(partCol, raw)
-  }
+  // Nested multi-column layouts render one `col=value` level per column.
+  private def partDirOf(row: InternalRow): String =
+    partCols.zip(partIdxs).map { case (c, i0) =>
+      val i = i0 + shift
+      val raw =
+        if (row.isNullAt(i)) null
+        else schema.fields(i0).dataType match {
+          case StringType => row.getUTF8String(i).toString
+          case LongType => String.valueOf(row.getLong(i))
+          case IntegerType => String.valueOf(row.getInt(i))
+          case BooleanType => String.valueOf(row.getBoolean(i))
+          case other => throw new IllegalArgumentException(
+            s"partition column $c: unsupported type $other")
+        }
+      ExternalCatalogUtils.getPartitionPathString(c, raw)
+    }.mkString("/")
 
   override def write(row: InternalRow): Unit = {
     if (shift < 0) resolveShift(row)

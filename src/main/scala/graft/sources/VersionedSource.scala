@@ -160,17 +160,26 @@ final class VersionedScanBuilder(path: String, version: Int, full: StructType,
       longBounds, stringEq, stringLo, stringHi, planListener)
 }
 
-/** One parquet file plus the partition-column constant its directory
-  * encodes (name, raw string value; null string = Hive default partition)
-  * and, when the manifest carries a deletion vector for the file, the
-  * deleted keys to subtract (metadata-sized; `dvKeyCol` names the column).
+/** One parquet file plus the partition-column constants its directory
+  * path encodes (parallel name/raw-value arrays, one slot per nesting
+  * level; a null value = Hive default partition) and, when the manifest
+  * carries a deletion vector for the file, the deleted keys to subtract
+  * (metadata-sized; `dvKeyCol` names the column).
   */
 final case class VersionedPartition(file: String,
-                                    constCol: String,
-                                    constVal: String,
+                                    constCols: Array[String],
+                                    constVals: Array[String],
                                     dvKeyCol: String = null,
                                     dvKeys: Array[Long] = Array.empty)
     extends InputPartition
+
+object VersionedPartition {
+  /** Single-constant convenience (the change feed's `_version` slot). */
+  def one(file: String, constCol: String, constVal: String): VersionedPartition =
+    VersionedPartition(file,
+      if (constCol == null) Array.empty else Array(constCol),
+      if (constCol == null) Array.empty else Array(constVal))
+}
 
 final class VersionedScan(path: String, version: Int, full: StructType,
                           required: StructType, statsKey: Option[String],
@@ -189,21 +198,26 @@ final class VersionedScan(path: String, version: Int, full: StructType,
       s"ReadSchema=${required.fieldNames.mkString(",")}, " +
       s"PruneBounds=${longBounds.map { case (c, (l, h)) => s"$c in [$l,$h]" }.mkString(";")}"
 
-  private def partValue(partDir: String): (String, String) = {
-    val cut = partDir.indexOf('=')
-    val colName = partDir.substring(0, cut)
-    val raw = ExternalCatalogUtils.unescapePathName(partDir.substring(cut + 1))
-    (colName, if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null else raw)
-  }
-  // Partition-value pruning against the directory-encoded constant.
+  // Every `col=value` level the (possibly nested) partition dir encodes.
+  private def partValues(partDir: String): Seq[(String, String)] =
+    partDir.split('/').toSeq.map { seg =>
+      val cut = seg.indexOf('=')
+      val colName = seg.substring(0, cut)
+      val raw = ExternalCatalogUtils.unescapePathName(seg.substring(cut + 1))
+      (colName, if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null else raw)
+    }
+  // Partition-value pruning against the directory-encoded constants:
+  // every level must pass its own bounds (multi-column layouts prune on
+  // any combination of partition predicates).
   private def partSurvives(partDir: String): Boolean = {
     if (partDir == "-") return true
-    val (c, raw) = partValue(partDir)
-    if (raw == null) return !(longBounds.contains(c) || stringEq.contains(c))
-    stringEq.get(c).forall(_ == raw) && (longBounds.get(c) match {
-      case Some((lo, hi)) => raw.toLongOption.exists(v => lo <= v && v <= hi)
-      case None => true
-    })
+    partValues(partDir).forall { case (c, raw) =>
+      if (raw == null) !(longBounds.contains(c) || stringEq.contains(c))
+      else stringEq.get(c).forall(_ == raw) && (longBounds.get(c) match {
+        case Some((lo, hi)) => raw.toLongOption.exists(v => lo <= v && v <= hi)
+        case None => true
+      })
+    }
   }
   // Manifest-stats file skipping on the recorded stats column(s): the
   // [kmin, kmax] range first, then — for a POINT equality — the per-file
@@ -276,8 +290,12 @@ final class VersionedScan(path: String, version: Int, full: StructType,
     * predicates are ignored — runtime filtering may only shrink the set
     * it is given, so ignoring is always safe.
     */
+  // FIRST partition column only: runtime filtering keys on one
+  // attribute (see filterAttributes), and on a multi-column layout the
+  // leading column is the coarsest, highest-value cut.
   private lazy val partColName: Option[String] =
     Versioned.partColOf(SparkSession.active, path, version)
+      .flatMap(spec => Versioned.partColsOf(spec).headOption)
   @volatile private var runtimeKeys: Option[Array[Long]] = None
   // String-keyed tables: runtime IN values as (range-surrogate, bloom
   // hash) probes in the manifest's KeyEnc domain.
@@ -330,7 +348,8 @@ final class VersionedScan(path: String, version: Int, full: StructType,
     survivors
       .filter(e => runtimeKeys.forall(ks => Versioned.viewMayContainKeys(e, ks)))
       .filter(e => runtimeProbes.forall(ps => Versioned.viewMayContainProbes(e, ps)))
-      .filter(e => runtimeParts.forall(ps => e.partDir == "-" || ps.contains(e.partDir)))
+      .filter(e => runtimeParts.forall(ps =>
+        e.partDir == "-" || ps.contains(e.partDir.split('/').head)))
 
   /** Post-pruning size/row statistics from manifest metadata alone (the
     * Delta/Iceberg pattern): row counts come from the per-file manifest
@@ -386,8 +405,12 @@ final class VersionedScan(path: String, version: Int, full: StructType,
     planListener.foreach(_(planned))
     planned
       .flatMap { e =>
-        val (constCol, constVal) =
-          if (e.partDir == "-") (null: String, null: String) else partValue(e.partDir)
+        val (constCols, constVals) =
+          if (e.partDir == "-") (Array.empty[String], Array.empty[String])
+          else {
+            val kvs = partValues(e.partDir)
+            (kvs.map(_._1).toArray, kvs.map(_._2).toArray)
+          }
         // Deletion vector: resolve the deleted keys at planning time
         // (metadata-sized) so the reader can subtract them row-by-row —
         // the scan must never serve a deleted row.
@@ -403,14 +426,14 @@ final class VersionedScan(path: String, version: Int, full: StructType,
             Seq(VersionedPartition(
               new org.apache.hadoop.fs.Path(fsPath,
                 s"${e.dataDir}/${e.partDir}/$f").toString,
-              constCol, constVal, dvCol, dvKeys))
+              constCols, constVals, dvCol, dvKeys))
           case None =>
             val dir = new org.apache.hadoop.fs.Path(fsPath,
               if (e.partDir == "-") e.dataDir else s"${e.dataDir}/${e.partDir}")
             fsys.listStatus(dir).toSeq
               .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
               .sortBy(_.getPath.getName)
-              .map(s => VersionedPartition(s.getPath.toString, constCol, constVal))
+              .map(s => VersionedPartition(s.getPath.toString, constCols, constVals))
         }
       }
       .map(p => p: InputPartition).toArray
@@ -441,7 +464,7 @@ final class VersionedReaderFactory(required: StructType, full: StructType,
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[VersionedPartition]
-    new VersionedPartitionReader(p.file, p.constCol, p.constVal, required,
+    new VersionedPartitionReader(p.file, p.constCols, p.constVals, required,
       full, p.dvKeyCol, p.dvKeys, conf.value)
   }
 
@@ -460,12 +483,12 @@ final class VersionedReaderFactory(required: StructType, full: StructType,
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[VersionedPartition]
     require(p.dvKeys.isEmpty, s"columnar read planned for DV'd file ${p.file}")
-    new VersionedColumnarReader(p.file, p.constCol, p.constVal, required, conf.value)
+    new VersionedColumnarReader(p.file, p.constCols, p.constVals, required, conf.value)
   }
 }
 
-final class VersionedPartitionReader(file: String, constCol: String,
-                                     constVal: String, required: StructType,
+final class VersionedPartitionReader(file: String, constCols: Array[String],
+                                     constVals: Array[String], required: StructType,
                                      full: StructType, dvKeyCol: String,
                                      dvKeys: Array[Long],
                                      conf: org.apache.hadoop.conf.Configuration =
@@ -482,8 +505,9 @@ final class VersionedPartitionReader(file: String, constCol: String,
   private var current: Group = _
   // Resolve per-field decode strategy ONCE per reader, not per row.
   private val getters: Array[Group => Any] = required.fields.map { f =>
-    if (f.name == constCol) {
-      val v = GroupRows.constant(constVal, f)
+    val ci = constCols.indexOf(f.name)
+    if (ci >= 0) {
+      val v = GroupRows.constant(constVals(ci), f)
       (_: Group) => v
     } else (g: Group) => GroupRows.value(g, f)
   }

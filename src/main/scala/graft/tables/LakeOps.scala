@@ -723,13 +723,14 @@ object Versioned {
     val dd = newDataDir(fsys, table)
     val entries = partCol match {
       case Some(pc) =>
-        require(partitionableTypes.contains(df.schema(pc).dataType),
-          s"partition column $pc: type ${df.schema(pc).dataType} renders " +
-            "format-dependent directory names; use int/long/string/boolean")
-        df.write.mode(SaveMode.ErrorIfExists).partitionBy(pc).parquet(dd.toString)
+        val cols = partColsOf(pc)
+        cols.foreach(c => require(partitionableTypes.contains(df.schema(c).dataType),
+          s"partition column $c: type ${df.schema(c).dataType} renders " +
+            "format-dependent directory names; use int/long/string/boolean"))
+        df.write.mode(SaveMode.ErrorIfExists).partitionBy(cols: _*).parquet(dd.toString)
         fileStatsKey match {
           case Some(k) => fileStatsOf(spark, table, dd, k, stats2Col = fileStatsKey2)
-          case None => listPartDirs(fsys, dd).map(Entry(_, dd.getName))
+          case None => listPartDirs(fsys, dd, cols.length).map(Entry(_, dd.getName))
         }
       case None =>
         require(fileStatsKey.isEmpty, "fileStatsKey requires partCol")
@@ -765,7 +766,7 @@ object Versioned {
     val (fsys, table) = fs(spark, tablePath)
     require(latestVersion(spark, tablePath) == 0,
       s"$tablePath already has versions")
-    partCol.foreach { c =>
+    partCol.toSeq.flatMap(partColsOf).foreach { c =>
       require(schema.fieldNames.contains(c),
         s"partition column $c not in ${schema.fieldNames.mkString(",")}")
       require(partitionableTypes.contains(schema(c).dataType),
@@ -796,7 +797,7 @@ object Versioned {
     val (fsys, table) = fs(spark, tablePath)
     require(latestVersion(spark, tablePath) == 0,
       s"$tablePath already has versions")
-    partCol.foreach { c =>
+    partCol.toSeq.flatMap(partColsOf).foreach { c =>
       require(schema.fieldNames.contains(c),
         s"partition column $c not in ${schema.fieldNames.mkString(",")}")
       require(partitionableTypes.contains(schema(c).dataType),
@@ -813,7 +814,8 @@ object Versioned {
         require(fsys.exists(dd), s"staged dir $dd does not exist")
         (statsKey, partCol) match {
           case (Some(k), _) => fileStatsOf(spark, table, dd, k)
-          case (None, Some(_)) => listPartDirs(fsys, dd).map(Entry(_, n))
+          case (None, Some(pc)) =>
+            listPartDirs(fsys, dd, partColsOf(pc).length).map(Entry(_, n))
           case _ => Seq(Entry("-", n))
         }
     }
@@ -846,7 +848,10 @@ object Versioned {
         if (cons.nonEmpty) validateConstraints(spark.read.parquet(dd.toString), cons)
         baseKey match {
           case Some(k) => fileStatsOf(spark, table, dd, k)
-          case None => listPartDirs(fsys, dd).map(Entry(_, dataDirName))
+          case None =>
+            val depth = headerLine(fsys, table, baseV, "#partcol\t")
+              .map(partColsOf(_).length).getOrElse(1)
+            listPartDirs(fsys, dd, depth).map(Entry(_, dataDirName))
         }
       }
     val entries = baseEntries
@@ -867,7 +872,7 @@ object Versioned {
     val (fsys, table) = fs(spark, tablePath)
     headerLine(fsys, table, v, "#partcol\t").orElse(
       readManifest(fsys, table, v).find(_.partDir != "-")
-        .map(_.partDir.takeWhile(_ != '=')))
+        .map(_.partDir.split('/').map(_.takeWhile(_ != '=')).mkString(",")))
   }
 
   /** Adopt an externally STAGED data dir (already laid out
@@ -909,6 +914,7 @@ object Versioned {
         // side (int where the table says long) and readEntries re-derives
         // it from the recorded schema anyway.
         val partC = headerLine(fsys, table, base, "#partcol\t")
+          .toSeq.flatMap(partColsOf)
         s.fields.filterNot(f => partC.contains(f.name)).foreach { f =>
           val got = df.schema(f.name).dataType
           require(got == f.dataType,
@@ -927,7 +933,12 @@ object Versioned {
       }
       val fresh = effKey match {
         case Some(k) => fileStatsOf(spark, table, dd, k)
-        case None => listPartDirs(fsys, dd).map(Entry(_, dataDirName))
+        case None =>
+          val depth =
+            if (base == 0) 1
+            else headerLine(fsys, table, base, "#partcol\t")
+              .map(partColsOf(_).length).getOrElse(1)
+          listPartDirs(fsys, dd, depth).map(Entry(_, dataDirName))
       }
       val baseEntries = if (base == 0) Seq.empty else readManifest(fsys, table, base)
       val cons = constraintLines(fsys, table, base)
@@ -953,8 +964,25 @@ object Versioned {
     throw new IllegalStateException("unreachable")
   }
 
-  private def listPartDirs(fsys: FileSystem, dataDir: Path): Seq[String] =
-    fsys.listStatus(dataDir).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
+  /** Split a partition-column spec: `"a"` or the multi-column comma list
+    * `"a,b"` (the `#partcol` header form). Directory encoding nests
+    * level by level — `a=1/b=x` — exactly Spark's own layout.
+    */
+  private[graft] def partColsOf(spec: String): Seq[String] =
+    spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Leaf partition dirs of a freshly written data dir, as RELATIVE
+    * paths `a=1/b=x`, one level per partition column.
+    */
+  private def listPartDirs(fsys: FileSystem, dataDir: Path,
+                           depth: Int = 1): Seq[String] = {
+    def walk(p: Path, d: Int): Seq[String] =
+      fsys.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath).flatMap { c =>
+        if (d <= 1) Seq(c.getName)
+        else walk(c, d - 1).map(rest => s"${c.getName}/$rest")
+      }
+    walk(dataDir, depth).sorted
+  }
 
   /** (range-surrogate, bloom-key) Columns for a stats column of any
     * [[KeyEnc]]-supported type: integral = identity, date = epoch days,
@@ -988,15 +1016,22 @@ object Versioned {
                           keyCol: String,
                           stats2Col: Option[String] = None): Seq[Entry] = {
     val marker = "/" + dd.getName + "/"
-    // Byte sizes recorded at WRITE time (one listing per fresh partition
-    // dir, ∝ files just written) so every later planning pass serves
+    // Byte sizes recorded at WRITE time (one walk of the fresh data dir,
+    // ∝ files just written) so every later planning pass serves
     // sizeInBytes from the manifest instead of per-file FileStatus RPCs.
+    // The walk follows nested multi-column layouts (a=1/b=x/file).
     val fsys = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sizeOf: Map[(String, String), Long] =
-      fsys.listStatus(dd).toSeq.filter(_.isDirectory).flatMap { p =>
-        fsys.listStatus(p.getPath).toSeq.filter(_.isFile)
-          .map(s => (p.getPath.getName, s.getPath.getName) -> s.getLen)
-      }.toMap
+    val sizeOf: Map[(String, String), Long] = {
+      def walk(p: Path, rel: String): Seq[((String, String), Long)] =
+        fsys.listStatus(p).toSeq.flatMap { st =>
+          if (st.isDirectory)
+            walk(st.getPath,
+              if (rel.isEmpty) st.getPath.getName else s"$rel/${st.getPath.getName}")
+          else if (rel.nonEmpty) Seq((rel, st.getPath.getName) -> st.getLen)
+          else Seq.empty
+        }
+      walk(dd, "").toMap
+    }
     val bloomAgg = udaf(new KeyBloomAgg)
     // Second-dimension bounds (the z-order skipping column) ride the same
     // single stats scan when requested; NULLs in that column simply widen
@@ -1030,9 +1065,17 @@ object Versioned {
       .groupBy("_f").agg(aggs.head, aggs.tail: _*)
       .collect().toSeq
       .map { r =>
-        val full = r.getString(0)
+        // input_file_name() returns the URI-ENCODED form ("%20" for a
+        // space in a partition value like "4-NOT SPECIFIED") — decode to
+        // the literal on-disk name or the manifest records a path that
+        // exists nowhere. URI.getPath decodes every escape correctly
+        // (a literal '%' on disk arrives as %25 and round-trips).
+        val full = try new java.net.URI(r.getString(0)).getPath
+          catch { case _: java.net.URISyntaxException => r.getString(0) }
         val rel = full.substring(full.indexOf(marker) + marker.length)
-        val cut = rel.indexOf('/')
+        // partDir = everything up to the file name — one OR MORE nested
+        // `col=value` levels (multi-column layouts)
+        val cut = rel.lastIndexOf('/')
         require(cut > 0, s"unpartitioned file $rel in partitioned data dir $dd")
         // min/max silently IGNORE nulls: a null-keyed row would escape the
         // stats and dodge every range-scoped rewrite — reject it loudly.
@@ -1301,8 +1344,9 @@ object Versioned {
       s"merge: source is missing target columns ${missing.mkString(",")} — " +
         "columns may be ADDED, never dropped")
     val newCols = dataCols.filterNot(target.columns.contains)
-    require(partitionableTypes.contains(target.schema(partCol).dataType),
-      s"partition column $partCol has a non-path-stable type")
+    val partCols = partColsOf(partCol)
+    partCols.foreach(c => require(partitionableTypes.contains(target.schema(c).dataType),
+      s"partition column $c has a non-path-stable type"))
 
     val src = applyPrecedence(source, keyCol)
     val keyed = src.select((col(keyCol).as("_sk") +: col("_op").as("_sop") +:
@@ -1312,26 +1356,31 @@ object Versioned {
     // (an update may also MOVE the row), where an updated row lands, and
     // where inserts land. Distinct over a bounded CDC batch → a small
     // list, collected as metadata and broadcast into the pruning semi-join.
+    // Multi-column layouts track every level (one _tpN per column).
+    val tpCols = partCols.indices.map(i => s"_tp$i")
+    def asTp(cs: Seq[Column]) = cs.zip(tpCols).map { case (c, n) => c.as(n) }
     val matchedParts = target.join(
         keyed.filter(col("_sop").isin("U", "D")), col(keyCol) === col("_sk"))
-      .select(col(partCol).as("_tp"))
+      .select(asTp(partCols.map(col)): _*)
     val landingParts = keyed.filter(col("_sop") === "U")
       .join(target.select(col(keyCol)), col("_sk") === col(keyCol), "left_semi")
-      .select(col(s"_s_$partCol").as("_tp"))
+      .select(asTp(partCols.map(c => col(s"_s_$c"))): _*)
     val insertParts = keyed.filter(col("_sop") === "I")
       .join(target.select(col(keyCol)), col("_sk") === col(keyCol), "left_anti")
-      .select(col(s"_s_$partCol").as("_tp"))
+      .select(asTp(partCols.map(c => col(s"_s_$c"))): _*)
     val touchedRows = matchedParts.union(landingParts).union(insertParts)
       .distinct().collect()
     val touchedDirs = touchedRows
-      .map(r => partDirName(partCol, r.get(0))).toSet
+      .map(r => partDirName(partCols, partCols.indices.map(r.get))).toSet
     val touched = spark.createDataFrame(
       java.util.Arrays.asList(touchedRows: _*), matchedParts.schema)
 
     // New content of the touched partitions only. Surviving target rows
     // NULL-backfill any newly added columns; updated/inserted rows carry
     // the source's values for them.
-    val scoped = target.join(broadcast(touched), col(partCol) === col("_tp"), "left_semi")
+    val scoped = target.join(broadcast(touched),
+      partCols.zip(tpCols).map { case (c, n) => col(c) === col(n) }
+        .reduce(_ && _), "left_semi")
     val joined = scoped.join(broadcast(keyed), col(keyCol) === col("_sk"), "left")
     val survivors = newCols.foldLeft(
         joined.filter(col("_sop").isNull || col("_sop") === "I") // untouched + matched-I noise
@@ -1353,8 +1402,8 @@ object Versioned {
     val baseStatsKey = headerLine(fsys, table, base, "#statskey\t")
       .filter(_ => baseEntries.nonEmpty && baseEntries.forall(_.file.isDefined))
     val dd = newDataDir(fsys, table)
-    rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dd.toString)
-    val written = listPartDirs(fsys, dd)
+    rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partCols: _*).parquet(dd.toString)
+    val written = listPartDirs(fsys, dd, partCols.length)
     require(written.toSet.subsetOf(touchedDirs),
       s"merge wrote partitions outside the touched set: " +
         s"${(written.toSet -- touchedDirs).mkString(",")} — partition-value " +
@@ -1405,21 +1454,29 @@ object Versioned {
     val baseEntries = readManifest(fsys, table, base)
     val target = readAt(spark, tablePath, base)
     val isMatch = coalesce(predicate, lit(false)) // NULL predicate = keep
-    val touchedRows = target.filter(isMatch).select(col(partCol).as("_tp"))
+    val partCols = partColsOf(partCol)
+    val tpCols = partCols.indices.map(i => s"_tp$i")
+    def asTp(cs: Seq[Column]) = cs.zip(tpCols).map { case (c, n) => c.as(n) }
+    val touchedRows = target.filter(isMatch)
+      .select(asTp(partCols.map(col)): _*)
       .distinct().collect()
     if (touchedRows.isEmpty && !recordChanges) return base // nothing matches
-    val touchedDirs = touchedRows.map(r => partDirName(partCol, r.get(0))).toSet
+    val touchedDirs = touchedRows
+      .map(r => partDirName(partCols, partCols.indices.map(r.get))).toSet
     val touched = spark.createDataFrame(
       java.util.Arrays.asList(touchedRows: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("_tp", target.schema(partCol).dataType))))
-    val scoped = target.join(broadcast(touched), col(partCol) === col("_tp"), "left_semi")
+      org.apache.spark.sql.types.StructType(partCols.zip(tpCols).map {
+        case (c, n) => org.apache.spark.sql.types.StructField(n, target.schema(c).dataType)
+      }))
+    val scoped = target.join(broadcast(touched),
+      partCols.zip(tpCols).map { case (c, n) => col(c) === col(n) }
+        .reduce(_ && _), "left_semi")
     val rewrite = scoped.filter(!isMatch)
     val baseStatsKey = headerLine(fsys, table, base, "#statskey\t")
       .filter(_ => baseEntries.nonEmpty && baseEntries.forall(_.file.isDefined))
     val dd = newDataDir(fsys, table)
-    rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dd.toString)
-    val written = listPartDirs(fsys, dd)
+    rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partCols: _*).parquet(dd.toString)
+    val written = listPartDirs(fsys, dd, partCols.length)
     require(written.toSet.subsetOf(touchedDirs),
       s"deleteWhere wrote partitions outside the touched set: " +
         s"${(written.toSet -- touchedDirs).mkString(",")}")
@@ -1466,16 +1523,23 @@ object Versioned {
     def applied(df: DataFrame): DataFrame =
       df.select(target.columns.map(c =>
         assignments.get(c).map(_.as(c)).getOrElse(col(c))): _*)
-    val srcParts = target.filter(isMatch).select(col(partCol).as("_tp"))
-    val dstParts = applied(target.filter(isMatch)).select(col(partCol).as("_tp"))
+    val partCols = partColsOf(partCol)
+    val tpCols = partCols.indices.map(i => s"_tp$i")
+    def asTp(cs: Seq[Column]) = cs.zip(tpCols).map { case (c, n) => c.as(n) }
+    val srcParts = target.filter(isMatch).select(asTp(partCols.map(col)): _*)
+    val dstParts = applied(target.filter(isMatch)).select(asTp(partCols.map(col)): _*)
     val touchedRows = srcParts.union(dstParts).distinct().collect()
     if (touchedRows.isEmpty && !recordChanges) return base
-    val touchedDirs = touchedRows.map(r => partDirName(partCol, r.get(0))).toSet
+    val touchedDirs = touchedRows
+      .map(r => partDirName(partCols, partCols.indices.map(r.get))).toSet
     val touched = spark.createDataFrame(
       java.util.Arrays.asList(touchedRows: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("_tp", target.schema(partCol).dataType))))
-    val scoped = target.join(broadcast(touched), col(partCol) === col("_tp"), "left_semi")
+      org.apache.spark.sql.types.StructType(partCols.zip(tpCols).map {
+        case (c, n) => org.apache.spark.sql.types.StructField(n, target.schema(c).dataType)
+      }))
+    val scoped = target.join(broadcast(touched),
+      partCols.zip(tpCols).map { case (c, n) => col(c) === col(n) }
+        .reduce(_ && _), "left_semi")
     val updated = applied(scoped.filter(isMatch))
     require(updated.schema.map(f => (f.name, f.dataType)) ==
         target.schema.map(f => (f.name, f.dataType)),
@@ -1487,8 +1551,8 @@ object Versioned {
     val baseStatsKey = headerLine(fsys, table, base, "#statskey\t")
       .filter(_ => baseEntries.nonEmpty && baseEntries.forall(_.file.isDefined))
     val dd = newDataDir(fsys, table)
-    rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dd.toString)
-    val written = listPartDirs(fsys, dd)
+    rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partCols: _*).parquet(dd.toString)
+    val written = listPartDirs(fsys, dd, partCols.length)
     require(written.toSet.subsetOf(touchedDirs),
       s"updateWhere wrote partitions outside the touched set: " +
         s"${(written.toSet -- touchedDirs).mkString(",")}")
@@ -1726,7 +1790,7 @@ object Versioned {
     validateConstraints(
       updatedImgs.map(_.unionByName(inserts)).getOrElse(inserts), cons)
     val dd = newDataDir(fsys, table)
-    rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dd.toString)
+    rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partColsOf(partCol): _*).parquet(dd.toString)
     val written =
       if (fsys.listStatus(dd).exists(s => s.isDirectory)) fileStatsOf(spark, table, dd, keyCol)
       else Seq.empty // every affected row deleted, nothing inserted
@@ -2245,6 +2309,12 @@ object Versioned {
     ExternalCatalogUtils.getPartitionPathString(
       partCol, if (value == null) null else String.valueOf(value))
 
+  /** Nested multi-column form: `a=1/b=x`, one level per column — the
+    * exact relative path Spark's partitioned writer produces.
+    */
+  private def partDirName(cols: Seq[String], values: Seq[Any]): String =
+    cols.zip(values).map { case (c, v) => partDirName(c, v) }.mkString("/")
+
   /** Per key keep one source row by op precedence D > U > I; reject two
     * rows with the same (key, op) — no silent image-picking. A NULL merge
     * key is rejected here too (same validation job): NULL never equals
@@ -2576,7 +2646,7 @@ object Versioned {
     val dd = newDataDir(fsys, table)
     victimRows
       .coalesce(1)
-      .write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dd.toString)
+      .write.mode(SaveMode.ErrorIfExists).partitionBy(partColsOf(partCol): _*).parquet(dd.toString)
     val written = fileStatsOf(spark, table, dd, keyCol)
     require(written.forall(_.partDir == partDir),
       s"compaction leaked rows outside $partDir: ${written.map(_.partDir)}")
@@ -2660,7 +2730,7 @@ object Versioned {
       .repartition(col("_bin"))
       .drop("_bin")
     val dd = newDataDir(fsys, table)
-    rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dd.toString)
+    rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partColsOf(partCol): _*).parquet(dd.toString)
     val written = fileStatsOf(spark, table, dd, keyCol)
     val victimParts = victims.map(_._1).toSet
     require(written.forall(e => victimParts.contains(e.partDir)),
@@ -2806,13 +2876,14 @@ object Versioned {
     require(!mm.isNullAt(0), s"cannot z-order an empty table")
     val z = mortonCol(col(keyCol), mm.getLong(0), mm.getLong(1),
       col(col2), mm.getLong(2), mm.getLong(3))
-    val parts = df.select(col(partCol)).distinct().count().toInt
+    val pCols = partColsOf(partCol).map(col)
+    val parts = df.select(pCols: _*).distinct().count().toInt
     val dd = newDataDir(fsys, table)
     df.withColumn("_z", z)
-      .repartitionByRange(math.max(1, parts * filesPerPart), col(partCol), col("_z"))
-      .sortWithinPartitions(col(partCol), col("_z"))
+      .repartitionByRange(math.max(1, parts * filesPerPart), pCols :+ col("_z"): _*)
+      .sortWithinPartitions(pCols :+ col("_z"): _*)
       .drop("_z")
-      .write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dd.toString)
+      .write.mode(SaveMode.ErrorIfExists).partitionBy(partColsOf(partCol): _*).parquet(dd.toString)
     val written = fileStatsOf(spark, table, dd, keyCol, stats2Col = Some(col2))
     commit(fsys, table, spark, written, expectedLatest.orElse(Some(base)), Seq(dd),
       schema = baseSchema, statsKey = Some(keyCol), statsKey2 = Some(col2),

@@ -292,9 +292,13 @@ class SinksSpec extends SparkSpec {
     // retentionMs = 0: eager single-writer maintenance (the retention
     // window itself is pinned by the dedicated vacuum-retention tests)
     Versioned.vacuum(spark, tbl, keep = Set(1, 3), retentionMs = 0)
-    // v2 unreadable; v1 and v3 intact — including v3's partition b served
-    // from v1's shared data dir, which vacuum must NOT have deleted
-    intercept[IllegalArgumentException] { Versioned.readAt(spark, tbl, 2).collect() }
+    // v2 unreadable: its MANIFEST survives only as v3's tail-diff
+    // predecessor (the r16 retention rule — appendedEntriesOf(v3) diffs
+    // against it), but its private data dir is reclaimed, so the read
+    // fails at DATA time — like Delta time travel past data retention.
+    // v1 and v3 stay intact — including v3's partition b served from
+    // v1's shared data dir, which vacuum must NOT have deleted.
+    intercept[Exception] { Versioned.readAt(spark, tbl, 2).collect() }
     assert(Versioned.readAt(spark, tbl, 1).as[(Long, Long, String)].collect().toSet ==
       Set((1L, 10L, "a"), (2L, 20L, "b")))
     assert(Versioned.readAt(spark, tbl, 3).as[(Long, Long, String)].collect().toSet ==

@@ -402,6 +402,56 @@ class SourcesSpec extends SparkSpec {
     assert(src.filter(col("prio") >= lit("C")).rdd.getNumPartitions < all)
   }
 
+  test("multi-column partitioning: nested a=1/b=x layout, pruning on any dim, leaf-scoped merge splice, escaped values") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("vmp").toString
+    val tbl = s"$tmp/table"
+    // 3 years × 2 sources — one source value carries a SPACE (the
+    // input_file_name %20-encoding regression: the manifest must record
+    // the literal on-disk name)
+    // keys UNIQUE across leaves (the store's unique-key contract): a
+    // shared key would legitimately pull both sources' cells into a merge
+    val rows = for { (src, si) <- Seq("web", "NOT SPECIFIED").zipWithIndex;
+                     y <- 1995 to 1997; i <- 1 to 4 }
+      yield (y.toLong * 1000 + si * 100 + i, y * 10L + i, y, src)
+    Versioned.publish(spark, tbl, rows.toDF("k", "v", "y", "src"),
+      partCol = Some("y,src"), fileStatsKey = Some("k"))
+    assert(Versioned.partColOf(spark, tbl, 1).contains("y,src"))
+    // nested layout on disk + leaf-granular manifest entries
+    assert(Versioned.fileEntriesOf(spark, tbl, 1)
+      .forall(e => e._1.matches("y=\\d+/src=.*")), "entries must be leaf dirs")
+    assert(Versioned.read(spark, tbl).count() == rows.length)
+    def src0 = spark.read.format("graft.sources.VersionedSource").load(tbl)
+    val all = src0.rdd.getNumPartitions
+    // pruning on EITHER dimension (and both)
+    val y1 = src0.filter(col("y") === 1996).rdd.getNumPartitions
+    val s1 = src0.filter(col("src") === "web").rdd.getNumPartitions
+    val both = src0.filter(col("y") === 1996 && col("src") === "web")
+    assert(y1 < all && s1 < all, s"partition pruning failed: $y1/$s1 of $all")
+    assert(both.rdd.getNumPartitions <= math.min(y1, s1))
+    assert(both.as[(Long, Long, Int, String)].collect().map(_._1).sorted.toSeq ==
+      rows.filter(r => r._3 == 1996 && r._4 == "web").map(_._1).sorted)
+    // the escaped value reads back exactly
+    assert(src0.filter(col("src") === "NOT SPECIFIED").count() == 12)
+    // a merge touches only its LEAF cell; every other leaf splices
+    val before = Versioned.fileEntriesOf(spark, tbl, 1).map(e => (e._1, e._3)).toSet
+    val v2 = Versioned.merge(spark, tbl,
+      Seq((1996001L, 999L, 1996, "web", "U")).toDF("k", "v", "y", "src", "_op"),
+      "k", "y,src")
+    val after = Versioned.fileEntriesOf(spark, tbl, v2).map(e => (e._1, e._3)).toSet
+    val replaced = before -- after
+    assert(replaced.nonEmpty && replaced.forall(_._1 == "y=1996/src=web"),
+      s"merge must replace only the touched leaf, replaced: $replaced")
+    assert((after -- before).forall(_._1 == "y=1996/src=web"))
+    assert(Versioned.read(spark, tbl).filter(col("k") === 1996001L)
+      .select("v").head().getLong(0) == 999L)
+    // SQL DELETE of one leaf cell through the catalog path works the same
+    Versioned.deleteWhere(spark, tbl,
+      col("y") === 1995 && col("src") === "NOT SPECIFIED", "y,src")
+    assert(Versioned.read(spark, tbl).count() == rows.length - 4)
+  }
+
   test("VersionedSource reports post-pruning statistics: a pruned slice broadcasts, the full table does not") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
