@@ -173,14 +173,6 @@ final case class VersionedPartition(file: String,
                                     dvKeys: Array[Long] = Array.empty)
     extends InputPartition
 
-object VersionedPartition {
-  /** Single-constant convenience (the change feed's `_version` slot). */
-  def one(file: String, constCol: String, constVal: String): VersionedPartition =
-    VersionedPartition(file,
-      if (constCol == null) Array.empty else Array(constCol),
-      if (constCol == null) Array.empty else Array(constVal))
-}
-
 final class VersionedScan(path: String, version: Int, full: StructType,
                           required: StructType, statsKey: Option[String],
                           statsKey2: Option[String],

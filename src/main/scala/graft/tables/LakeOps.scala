@@ -174,7 +174,8 @@ private[graft] object KeyEnc {
   * Layout (everything under `tablePath`):
   * {{{
   *   d_<uuid>/                immutable data dirs; partitioned tables hold
-  *                            Spark-written `<partCol>=<escaped>` subdirs
+  *                            Spark-written `<col>=<escaped>` subdirs,
+  *                            nested one level per partition column
   *   _manifests/<N>.txt       one manifest per version; the EXCLUSIVE
   *                            CREATE of this file is the commit point
   * }}}
@@ -353,6 +354,56 @@ object Versioned {
     else Entry(f(0), f(1))
   }
 
+  /** A full checkpoint with at least this many entries writes a parquet
+    * SIDECAR instead of text lines (the Delta checkpoint-file design).
+    * `var` as a test seam — specs lower it to force tiny checkpoints.
+    */
+  private[graft] var ParquetCheckpointMinEntries = 512
+
+  private lazy val EntriesFileType = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY
+    Types.buildMessage().addField(
+      Types.required(BINARY).as(LogicalTypeAnnotation.stringType()).named("l"))
+      .named("graft_manifest_entries")
+  }
+
+  /** Stream a checkpoint's entries into a compressed parquet sidecar —
+    * one SERIALIZED LINE per row, so parse↔serialize byte-stability (the
+    * identity the `#rm` delta lines rely on) is untouched, and the
+    * heavily repeated partDir/dataDir prefixes dictionary-compress. The
+    * driver never holds an O(table) string.
+    */
+  private def writeEntriesFile(fsys: FileSystem, p: Path, es: Seq[Entry]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.io.api.Binary
+    val factory = new SimpleGroupFactory(EntriesFileType)
+    val w = ExampleParquetWriter.builder(p).withConf(fsys.getConf)
+      .withType(EntriesFileType)
+      .withCompressionCodec(CompressionCodecName.SNAPPY).build()
+    try es.foreach { e =>
+      val g = factory.newGroup()
+      g.append("l", Binary.fromString(e.serialized))
+      w.write(g)
+    } finally w.close()
+  }
+
+  private def readEntriesFile(fsys: FileSystem, p: Path): Seq[Entry] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    require(fsys.exists(p), s"checkpoint sidecar $p does not exist (or was vacuumed)")
+    val r = ParquetReader.builder(new GroupReadSupport(), p)
+      .withConf(fsys.getConf).build()
+    val buf = scala.collection.mutable.ListBuffer.empty[Entry]
+    try {
+      var g = r.read()
+      while (g != null) { buf += parseEntry(g.getString("l", 0)); g = r.read() }
+    } finally r.close()
+    buf.toList
+  }
+
   /** Entries of version `v`, resolving `#base` delta chains: a delta
     * manifest holds its base version, `#rm` removal lines (the removed
     * entry's exact serialized form — parse↔serialize is byte-stable, so
@@ -362,7 +413,14 @@ object Versioned {
     */
   private def readManifest(fsys: FileSystem, table: Path, v: Int): Seq[Entry] = {
     val body = manifestBody(fsys, table, v)
-    val own = body.filterNot(_.startsWith("#")).map(parseEntry)
+    val textOwn = body.filterNot(_.startsWith("#")).map(parseEntry)
+    // Parquet-checkpoint manifests hold their entries in a sidecar
+    // (`#entriesfile` header) — the text body is headers only.
+    val own = body.find(_.startsWith("#entriesfile\t")) match {
+      case Some(l) => readEntriesFile(fsys, new Path(manifestDir(table),
+        l.substring("#entriesfile\t".length))) ++ textOwn
+      case None => textOwn
+    }
     body.find(_.startsWith("#base\t")) match {
       case None => own
       case Some(bl) =>
@@ -639,6 +697,34 @@ object Versioned {
         }
       }
     }
+    // PARQUET CHECKPOINTS (the Delta checkpoint-file design): a FULL
+    // entry list at or above the threshold streams into a compressed
+    // parquet SIDECAR (one serialized line per row — dictionary-coded
+    // partDir/dataDir repeats compress ~10×) and the text manifest
+    // carries only headers + `#entriesfile`. The driver never builds an
+    // O(table) string: the writer streams one entry at a time. Delta
+    // commits still read the previous version through the same API, so
+    // the every-16th-commit checkpoint stops being O(table) text I/O.
+    // The sidecar is written AFTER the exclusive claim (the version
+    // number is ours) and under a unique name; an abort deletes it.
+    val useEntriesFile =
+      deltaLines.isEmpty && ownEntries.size >= ParquetCheckpointMinEntries
+    val entriesFile: Option[String] =
+      if (!useEntriesFile) None
+      else {
+        val name = s"$next-${java.util.UUID.randomUUID().toString.replace("-", "")}.entries.parquet"
+        try {
+          writeEntriesFile(fsys, new Path(manifestDir(table), name), ownEntries)
+          Some(name)
+        } catch {
+          case e: Throwable =>
+            try out.close() catch { case _: Throwable => () }
+            try fsys.delete(new Path(manifestDir(table), name), false)
+            catch { case _: Throwable => () }
+            try fsys.delete(mf, false) catch { case _: Throwable => () }
+            abort(s"failed to write checkpoint sidecar for v$next: ${e.getMessage}")
+        }
+      }
     val body = (tag.map(t => s"#tag\t$t\n").getOrElse("") +
       schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
       changesDir.map(d => s"#changes\t$d\n").getOrElse("") +
@@ -649,7 +735,10 @@ object Versioned {
       effDropped.map(n => s"#coldropped\t$n\n").mkString +
       constraints.map { case (n, e) => s"#constraint\t$n\t$e\n" }.mkString +
       s"#op\t$op\n" + deltaLines +
-      ownEntries.map(_.serialized).mkString("", "\n", s"\n$Terminator\n")).getBytes("UTF-8")
+      entriesFile.map(n => s"#entriesfile\t$n\n").getOrElse("") +
+      (if (entriesFile.isDefined) s"$Terminator\n"
+       else ownEntries.map(_.serialized).mkString("", "\n", s"\n$Terminator\n")))
+      .getBytes("UTF-8")
     try out.write(body) finally out.close()
     // Read-back verification: if a stalled writer's claim was reclaimed
     // (deleted + recreated) between our exclusiveCreate and close, our body
@@ -997,11 +1086,12 @@ object Versioned {
       val days = unix_date(col(c)).cast("long")
       (days, days)
     case org.apache.spark.sql.types.StringType =>
-      val encU = udf((s: String) => if (s == null) null
-        else java.lang.Long.valueOf(KeyEnc.encodeString(s)))
-      val hashU = udf((s: String) => if (s == null) null
-        else java.lang.Long.valueOf(KeyEnc.hashString(s)))
-      (encU(col(c)), hashU(col(c)))
+      // codegen'd kernels (graft.functions.StringKeyEnc — byte-parity
+      // with KeyEnc pinned by StringKeyEncSpec): the stats scan runs
+      // over every written file's rows on each string-keyed rewrite,
+      // and the former per-row UDFs boxed a String + Long per value
+      (graft.functions.StringKeyEnc.prefixCol(col(c)),
+       graft.functions.StringKeyEnc.fnvCol(col(c)))
     case other => throw new IllegalArgumentException(
       s"file-stats column $c: unsupported type $other — " +
         "use an integral, string, or date column")
@@ -2960,6 +3050,19 @@ object Versioned {
     }
     dropped.filterNot(protectedV.contains).filterNot(chainKeep)
       .foreach(v => fsys.delete(manifestPath(table, v), false))
+    // Checkpoint sidecars die with their manifests; a crashed claim's
+    // orphan sidecar ages out like any claim (retention window).
+    fsys.listStatus(md).toSeq.filter(_.isFile).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".entries.parquet")) {
+        val ownerAlive = n.takeWhile(_ != '-').toIntOption.exists { x =>
+          fsys.exists(manifestPath(table, x)) &&
+            headerLine(fsys, table, x, "#entriesfile\t").contains(n)
+        }
+        if (!ownerAlive && now - st.getModificationTime > retentionMs)
+          fsys.delete(st.getPath, false)
+      }
+    }
     // c_* recorded change feeds are retired with the versions that
     // reference them (a lagging feed consumer outlives retention at its
     // own risk — the Delta CDF/VACUUM contract).

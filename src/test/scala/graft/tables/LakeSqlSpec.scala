@@ -4,9 +4,10 @@ import graft.SparkSpec
 import java.nio.file.Files
 import org.apache.spark.sql.functions.col
 
-/** Round-15 surfaces: manifest delta commits + checkpoints, the
-  * SQL-callable maintenance procedures (CALL), atomic CTAS, SQL ALTER
-  * TABLE ADD COLUMN, and the append-mode table-tail streaming source.
+/** Round-15/16 surfaces: manifest delta commits + (parquet) checkpoints,
+  * the SQL-callable maintenance procedures (CALL), atomic CTAS, SQL
+  * ALTER TABLE ADD/RENAME/DROP COLUMN (column mapping), and the
+  * append-mode table-tail streaming source.
   */
 class LakeSqlSpec extends SparkSpec {
   import spark.implicits._
@@ -466,5 +467,50 @@ class LakeSqlSpec extends SparkSpec {
     // ...and the tombstones survive the restore (old bytes stay unsafe)
     assert(Versioned.tombstonedColumnsOf(spark, path, vR).contains("v") ||
       Versioned.tombstonedColumnsOf(spark, path, vR).contains("note"))
+  }
+
+  test("parquet checkpoint manifests: big full entry lists stream to a compressed sidecar; deltas, reads, vacuum ride it") {
+    val tbl = Files.createTempDirectory("pckpt").toString + "/t"
+    val saved = Versioned.ParquetCheckpointMinEntries
+    Versioned.ParquetCheckpointMinEntries = 4
+    try {
+      val base = (1L to 64L).map(k => (k, k * 10, (k % 4).toString))
+      Versioned.publish(spark, tbl, base.toDF("k", "v", "p")
+          .repartitionByRange(4, col("k")),
+        partCol = Some("p"), fileStatsKey = Some("k"))
+      val md = new java.io.File(tbl, "_manifests")
+      def sidecars = md.listFiles().filter(_.getName.endsWith(".entries.parquet"))
+      // v1 is a full checkpoint above the (lowered) threshold → sidecar,
+      // text manifest holds HEADERS ONLY
+      assert(sidecars.length == 1, sidecars.mkString(","))
+      val m1 = scala.io.Source.fromFile(s"$tbl/_manifests/1.txt").mkString
+      assert(m1.contains("#entriesfile\t"))
+      assert(m1.split("\n").forall(l => l.isEmpty || l.startsWith("#")),
+        "checkpoint text must hold headers only")
+      // reads resolve through the sidecar; a small DV delete is a DELTA
+      assert(Versioned.read(spark, tbl).count() == 64)
+      Versioned.deleteKeys(spark, tbl, Seq(7L))
+      assert(Versioned.manifestChainOf(spark, tbl, 2).contains((1, 1)))
+      assert(Versioned.read(spark, tbl).count() == 63)
+      // the depth cap forces the NEXT checkpoint — another sidecar
+      (20L until 36L).foreach(k => Versioned.deleteKeys(spark, tbl, Seq(k)))
+      val latest = Versioned.latestVersion(spark, tbl)
+      assert(Versioned.manifestChainOf(spark, tbl, latest).isEmpty,
+        "depth cap must have forced a full checkpoint")
+      assert(sidecars.length == 2, sidecars.mkString(","))
+      assert(Versioned.read(spark, tbl).count() == 64 - 17)
+      // the serialized-line round trip is exact: snapshot equals relational
+      import org.apache.spark.sql.functions.col
+      assert(Versioned.read(spark, tbl).agg(org.apache.spark.sql.functions.sum("v"))
+        .head().getLong(0) ==
+        base.filterNot(r => r._1 == 7L || (r._1 >= 20L && r._1 < 36L)).map(_._2).sum)
+      // vacuum: a planted ORPHAN sidecar (crashed claim) is reclaimed; a
+      // live checkpoint's sidecar survives
+      val orphan = new java.io.File(md, "99-dead.entries.parquet")
+      assert(orphan.createNewFile())
+      Versioned.vacuum(spark, tbl, keep = Set(latest), retentionMs = 0)
+      assert(!orphan.exists(), "orphan sidecar must be reclaimed")
+      assert(Versioned.read(spark, tbl).count() == 64 - 17)
+    } finally Versioned.ParquetCheckpointMinEntries = saved
   }
 }
