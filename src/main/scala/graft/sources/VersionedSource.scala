@@ -27,22 +27,30 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Planning is manifest METADATA only, and two prunings happen before a
   * single byte of data is opened:
   *
-  *  - PARTITION pruning: predicates on the partition column (equality for
-  *    any partitionable type; ranges for integral ones) eliminate whole
-  *    `col=value` entries by their directory-encoded value;
-  *  - FILE skipping: on file-granular versions, integral predicates on
-  *    the manifest's recorded stats column (`#statskey`) eliminate files
-  *    whose [kmin, kmax] cannot contain a match — parquet-footer-style
-  *    skipping served from the manifest without touching the files.
+  *  - PARTITION pruning: predicates on ANY of the partition columns
+  *    (equality for any partitionable type; ranges for integral ones)
+  *    eliminate whole entries by their directory-encoded values — every
+  *    level of a nested `a=1/b=x` multi-column layout prunes;
+  *  - FILE skipping: on file-granular versions, predicates on the
+  *    manifest's recorded stats columns (`#statskey` + optional
+  *    `#statskey2`) eliminate files whose [kmin, kmax] cannot contain a
+  *    match — parquet-footer-style skipping served from the manifest
+  *    without touching the files. Bounds live in the KeyEnc surrogate
+  *    domain: raw longs (integral), epoch days (date), the monotone
+  *    8-byte prefix (string ranges); string/date POINT equality
+  *    additionally probes the per-file bloom.
   *
   * Both prunings are planning-time only: every filter is RETURNED to
   * Spark as residual, so row-level correctness never depends on the
   * stats (`pushedFilters` stays empty by design — prune aggressively,
-  * claim nothing). Column pruning is pushed down to the per-file Group
-  * readers; the partition column materializes from the directory name
-  * (never stored in the files, same as Spark's own layout). Rows decode
-  * through the shared [[GroupRows]] primitives; a schema-evolved
-  * version's pre-evolution files NULL-backfill by name.
+  * claim nothing). Column pruning is pushed down to the per-file
+  * readers (vectorized [[VersionedColumnarReader]] when no deletion
+  * vector survives and every type is in the primitive set; the
+  * [[GroupRows]] row path otherwise); partition columns materialize as
+  * constant vectors from the directory names (never stored in the
+  * files, same as Spark's own layout). A schema-evolved version's
+  * pre-evolution files NULL-backfill by name, and renamed columns
+  * resolve through the `#colmap` alias metadata per file.
   */
 class VersionedSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -185,10 +193,14 @@ final class VersionedScan(path: String, version: Int, full: StructType,
     with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
+  override def description(): String = {
+    val sb = stringEq.map { case (c, v) => s"$c = '$v'" } ++
+      stringLo.map { case (c, v) => s"$c >= '$v'" } ++
+      stringHi.map { case (c, v) => s"$c <= '$v'" }
     s"GraftVersioned path=$path v$version, " +
       s"ReadSchema=${required.fieldNames.mkString(",")}, " +
-      s"PruneBounds=${longBounds.map { case (c, (l, h)) => s"$c in [$l,$h]" }.mkString(";")}"
+      s"PruneBounds=${(longBounds.map { case (c, (l, h)) => s"$c in [$l,$h]" } ++ sb).mkString(";")}"
+  }
 
   // Every `col=value` level the (possibly nested) partition dir encodes.
   private def partValues(partDir: String): Seq[(String, String)] =
