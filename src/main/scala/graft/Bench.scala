@@ -26,6 +26,25 @@ object Bench {
       (kv.getOrElse("Buffers", 0L) + kv.getOrElse("Cached", 0L)) / 1048576.0
     } catch { case _: Throwable => -1.0 }
 
+  /** /tmp write throughput in MB/s from one 8 MiB probe file: the r16
+    * degraded-host mechanism was DISK THROTTLING (29.5 MB/s measured on
+    * the same host that writes ~500 MB/s calm) — it inflates every
+    * write-heavy lake query while loadavg and page cache look fine, so
+    * the artifact needs its own receipt for it.
+    */
+  private def tmpWriteMbps(): Double =
+    try {
+      val f = java.io.File.createTempFile("graft_bench_disk", ".probe")
+      val buf = new Array[Byte](1 << 20)
+      val t0 = System.nanoTime()
+      val out = new java.io.FileOutputStream(f)
+      try { var i = 0; while (i < 8) { out.write(buf); i += 1 }; out.getFD.sync() }
+      finally out.close()
+      val mbps = 8.0 / ((System.nanoTime() - t0) / 1e9)
+      f.delete()
+      math.rint(mbps * 10) / 10
+    } catch { case _: Throwable => -1.0 }
+
   /** One timed pass over every registered query, sorted by name so
     * per-query numbers are comparable across rounds regardless of Map
     * iteration order.
@@ -50,6 +69,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     val loadBefore = loadavg(); val cacheBefore = buffCacheGb()
+    val diskBefore = tmpWriteMbps()
     // Warm the session, then warm EVERY query once at the smallest SF:
     // the first execution of each query pays Catalyst planning + janino
     // codegen + JIT that is per-process fixed cost, not throughput —
@@ -116,6 +136,7 @@ object Bench {
       if (secondTotal < total) { results = second; total = secondTotal }
     }
     val loadAfter = loadavg(); val cacheAfter = buffCacheGb()
+    val diskAfter = tmpWriteMbps()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Per-family subtotals (registry-size honesty): with 200+ queries the
@@ -135,6 +156,7 @@ object Bench {
       .mkString("{", ",", "}")
     val env = s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"""" +
       s""","buff_cache_gb_before":$cacheBefore,"buff_cache_gb_after":$cacheAfter""" +
+      s""","tmp_write_mbps_before":$diskBefore,"tmp_write_mbps_after":$diskAfter""" +
       s""","first_pass_total":$firstTotal,"second_pass_total":$secondTotal""" +
       s""","rerun":${secondTotal >= 0}"""
     // metric/value/unit go LAST: the driver keeps only the tail of stdout,

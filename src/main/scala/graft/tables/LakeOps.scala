@@ -718,11 +718,17 @@ object Versioned {
           Some(name)
         } catch {
           case e: Throwable =>
+            // IO failure, NOT a lost race: clean the claim + orphans and
+            // surface as such — a ConcurrentWriteException here would
+            // send rebase-retry loops chasing a non-conflict.
             try out.close() catch { case _: Throwable => () }
             try fsys.delete(new Path(manifestDir(table), name), false)
             catch { case _: Throwable => () }
             try fsys.delete(mf, false) catch { case _: Throwable => () }
-            abort(s"failed to write checkpoint sidecar for v$next: ${e.getMessage}")
+            orphanDirs.foreach(d =>
+              try fsys.delete(d, true) catch { case _: Throwable => () })
+            throw new IllegalStateException(
+              s"failed to write checkpoint sidecar for v$next", e)
         }
       }
     val body = (tag.map(t => s"#tag\t$t\n").getOrElse("") +
@@ -1286,14 +1292,20 @@ object Versioned {
     // Column mapping: a renamed column's bytes live under its FORMER
     // name in pre-rename files — resolve each mapped logical column to
     // the first populated alias (per row exactly one alias can be
-    // populated: name reuse is refused, so no file carries two).
-    val mapped = applyColMap(raw, colMapOf(fsys, table, version))
+    // populated: name reuse is refused, so no file carries two). Only
+    // entries whose LOGICAL name is in THIS version's schema apply: a
+    // branch-merge (`fromVersion`) from a pre-rename base records the
+    // OLD schema while the inherited map still carries the rename —
+    // applying it would drop the old-name column the schema projects.
+    val schemaLine = readSchemaLine(fsys, table, version)
+    val mapped = applyColMap(raw, colMapOf(fsys, table, version)
+      .filter { case (l, _) => schemaLine.forall(_.fieldNames.contains(l)) })
     // Align to the version's committed schema: entries spliced from
     // pre-evolution versions lack later-added columns — they read as NULL
     // (and, symmetrically, time travel to an old version serves the OLD
     // schema, however evolved the files around it are). Dropped columns
     // fall away here: the projection is exactly the schema's fields.
-    readSchemaLine(fsys, table, version).map(alignTo(mapped, _)).getOrElse(mapped)
+    schemaLine.map(alignTo(mapped, _)).getOrElse(mapped)
   }
 
   /** Resolve mapped logical columns against whatever names the scanned

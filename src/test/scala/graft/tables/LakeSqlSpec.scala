@@ -459,6 +459,18 @@ class LakeSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT val FROM gmap.ns.t WHERE k = 2").head().getLong(0) == 999L)
     assert(spark.sql("SELECT sum(val) FROM gmap.ns.t").head().getLong(0) ==
       0 + 10 + 999 + 30 + 40 + 50 + 1000)
+    // a BRANCH merge from the pre-rename base records the OLD schema; the
+    // inherited rename map must NOT apply to it (only entries whose
+    // logical name is in the version's own schema do) — otherwise the
+    // old-name column the schema projects would coalesce away and
+    // NULL-backfill
+    val vB = Versioned.merge(spark, path,
+      Seq((3L, 333L, 1L, "n3b", "U")).toDF("k", "v", "p", "note", "_op"),
+      "k", "p", fromVersion = Some(vRen - 1))
+    val branched = Versioned.readAt(spark, path, vB)
+    assert(branched.columns.contains("v") && !branched.columns.contains("val"))
+    assert(branched.filter(col("k") === 3L).select("v").head().getLong(0) == 333L)
+    assert(branched.filter(col("k") === 2L).select("v").head().getLong(0) == 20L)
     // restore to the pre-rename version rolls schema AND map back
     val vR = Versioned.restore(spark, path, vRen - 1)
     assert(spark.table("gmap.ns.t").columns.toSeq == Seq("k", "v", "note", "p"))
