@@ -1308,6 +1308,86 @@ object Sinks {
          |ORDER BY phase, grp""".stripMargin)
   }
 
+  // q242's substrate: a SQL-created table with `'statscols' =
+  // 'o_odate,o_prio'` — N extra per-file stat dimensions beyond the key
+  // — ingested clustered priority-major then by date, so every file is a
+  // tight (priority, date-range) cell in the xstats domain.
+  private val ndimCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def ordersNdimTable(spark: SparkSession, dir: String): String =
+    ndimCache.synchronized { ndimCache.getOrElseUpdate((sessionKey(spark), dir), {
+      val cat = lakeCatalog(spark, dir)
+      val wh = tmpOut(dir, "warehouse")
+      val tbl = s"$cat.sqlns.orders_ndim"
+      val path = s"$wh/sqlns/orders_ndim"
+      val base = orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+        to_date(col("o_orderdate")).as("o_odate"),
+        col("o_orderpriority").as("o_prio"),
+        year(col("o_orderdate")).as("o_year"))
+      val valid = try {
+        Versioned.latestVersion(spark, path) == 2 &&
+          Versioned.statsColsOf(spark, path, 2) == Seq("o_odate", "o_prio") &&
+          Versioned.readAt(spark, path, 2).count() == base.count()
+      } catch { case _: Exception => false }
+      if (!valid) {
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sqlns")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        val view = s"graft_ndim_src_${dirTag(dir)}"
+        base.createOrReplaceTempView(view)
+        spark.sql(
+          s"""CREATE TABLE $tbl (
+             |  o_orderkey BIGINT, o_custkey BIGINT, o_price_c BIGINT,
+             |  o_odate DATE, o_prio STRING, o_year INT)
+             |PARTITIONED BY (o_year)
+             |TBLPROPERTIES ('statskey' = 'o_orderkey',
+             |               'statscols' = 'o_odate,o_prio')
+             |""".stripMargin)
+        spark.sql(
+          s"""INSERT INTO $tbl
+             |SELECT /*+ REPARTITION_BY_RANGE(32, o_year, o_prio, o_odate) */ *
+             |FROM $view""".stripMargin)
+      }
+      path
+    }) }
+
+  /** q242 — N-DIMENSION FILE STATS (`'statscols'`, the Delta
+    * collect-stats-on-leading-columns convention): beyond the first-class
+    * key (+ optional z-order second key), the manifest records per-file
+    * `lo:hi` surrogate bounds for ANY list of typed columns — here a
+    * DATE and a STRING — computed in the ingest's single stats scan and
+    * recomputed on every append (`adoptStaged`), so skipping never
+    * degrades on ingest; rewrites that drop them degrade SAFELY (stats
+    * may disappear, never lie). Phase 1 proves full parity, phase 2 is a
+    * (date × priority) box over dimensions NEITHER of which is the key —
+    * pruned purely from the xstats slots (LakeSqlSpec pins the
+    * file-count reduction and the degrade path). This closes the last
+    * gap to "stats on the first 32 columns": a 100 TB table prunes on
+    * whatever its queries actually filter by, not only its merge key.
+    */
+  def ndimStatsSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val path = ordersNdimTable(spark, dir)
+    def src = spark.read.format("graft.sources.VersionedSource").load(path)
+    val full = src.groupBy(col("o_year").cast("string").as("grp"))
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .select(lit("1_full").as("phase"), col("grp"), col("n"),
+        col("sum_cust"), col("sum_price_c"))
+    val box = src
+      .filter(col("o_odate") >= to_date(lit("1996-02-01")) &&
+              col("o_odate") <= to_date(lit("1996-07-31")) &&
+              col("o_prio") === "5-LOW")
+      .groupBy(col("o_prio").as("grp"))
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .select(lit("2_box").as("phase"), col("grp"), col("n"),
+        col("sum_cust"), col("sum_price_c"))
+    full.unionByName(box).orderBy("phase", "grp")
+  }
+
+  // q236's substrate: orders WITHOUT 1995, published file-granular — the
   // q236's substrate: orders WITHOUT 1995, published file-granular — the
   // snapshot half of the tail (the 1995 appends stream per invocation).
   private val tailBaseCache =
@@ -2205,6 +2285,7 @@ object Sinks {
     "q239_sql_column_mapping"   -> sqlColumnMapping _,
     "q240_stream_to_table"      -> streamToTable _,
     "q241_multi_partition"      -> multiPartition _,
+    "q242_ndim_stats_skipping"  -> ndimStatsSkipping _,
     "q144_lines_write_roundtrip" -> linesWriteRoundtrip _,
     "q133_lines_source_roundtrip" -> linesSourceRoundtrip _,
     "q126_schema_evolution" -> schemaEvolution _,
@@ -2473,6 +2554,30 @@ object Sinks {
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
     // Batch base (≠1995) plus the streamed year must reassemble the
     // source exactly — any lost or doubled epoch shifts a 1995 sum.
+    // N-dim stats parity: skipping from the xstats slots must never
+    // change results — phase 2 replayed relationally.
+    "q242_ndim_stats_skipping" ->
+      """WITH b AS (SELECT o_custkey,
+        |         CAST(o_orderdate AS DATE) AS o_odate,
+        |         o_orderpriority AS o_prio,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders)
+        |SELECT '1_full' AS phase, CAST(o_year AS VARCHAR) AS grp,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM b GROUP BY 1, 2
+        |UNION ALL
+        |SELECT '2_box' AS phase, o_prio AS grp,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM b
+        |WHERE o_odate BETWEEN DATE '1996-02-01' AND DATE '1996-07-31'
+        |  AND o_prio = '5-LOW'
+        |GROUP BY 1, 2
+        |ORDER BY phase, grp""".stripMargin,
     // Multi-column partitioning replayed relationally: the deleted cell
     // and the bumped cell shift exactly one year's sums each.
     "q241_multi_partition" ->

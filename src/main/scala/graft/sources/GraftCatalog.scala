@@ -109,7 +109,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // header; directories nest a=1/b=x, exactly Spark's own layout.
     Versioned.createEmpty(spark, pathOf(ident), schema,
       partCol = if (partCols.isEmpty) None else Some(partCols.mkString(",")),
-      statsKey = Option(properties.get("statskey")))
+      statsKey = Option(properties.get("statskey")),
+      // 'statscols': N extra stat dimensions recorded per file on every
+      // append (the Delta leading-columns convention) — comma list
+      statsCols = Option(properties.get("statscols"))
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq.empty))
     new VersionedCatalogTable(pathOf(ident), None)
   }
 

@@ -210,9 +210,12 @@ object VersionedSinkWriter {
         case BooleanType => b.addField(Types.optional(BOOLEAN).named(f.name))
         case StringType => b.addField(Types.optional(BINARY)
           .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        // parquet DATE = int32 epoch days (Spark's internal form)
+        case DateType => b.addField(Types.optional(INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name))
         case other => throw new IllegalArgumentException(
           s"VersionedSink does not write ${f.name}: $other — " +
-            "supported: long, int, double, boolean, string")
+            "supported: long, int, double, boolean, string, date")
       }
     }
     b.named("graft_sink")
@@ -300,6 +303,7 @@ final class VersionedSinkWriter(stagingRoot: String, schema: StructType,
         case BooleanType => g.append(f.name, row.getBoolean(i))
         case StringType =>
           g.append(f.name, Binary.fromString(row.getUTF8String(i).toString))
+        case DateType => g.append(f.name, row.getInt(i))
         case other => throw new IllegalStateException(s"unreachable: $other")
       }
     }

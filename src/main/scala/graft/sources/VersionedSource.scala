@@ -94,13 +94,15 @@ final class VersionedTable(path: String, schema0: StructType,
     val version = VersionedSource.resolveVersion(spark, options)
     new VersionedScanBuilder(path, version, schema0,
       Versioned.statsKeyOf(spark, path, version),
-      Versioned.statsKey2Of(spark, path, version))
+      Versioned.statsKey2Of(spark, path, version),
+      Versioned.statsColsOf(spark, path, version))
   }
 }
 
 final class VersionedScanBuilder(path: String, version: Int, full: StructType,
                                  statsKey: Option[String],
                                  statsKey2: Option[String],
+                                 statsCols: Seq[String] = Seq.empty,
                                  planListener: Option[Seq[Versioned.EntryView] => Unit] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -165,7 +167,7 @@ final class VersionedScanBuilder(path: String, version: Int, full: StructType,
 
   override def build(): Scan =
     new VersionedScan(path, version, full, required, statsKey, statsKey2,
-      longBounds, stringEq, stringLo, stringHi, planListener)
+      statsCols, longBounds, stringEq, stringLo, stringHi, planListener)
 }
 
 /** One parquet file plus the partition-column constants its directory
@@ -184,8 +186,9 @@ final case class VersionedPartition(file: String,
 final class VersionedScan(path: String, version: Int, full: StructType,
                           required: StructType, statsKey: Option[String],
                           statsKey2: Option[String],
-                          longBounds: Map[String, (Long, Long)],
-                          stringEq: Map[String, String],
+                          statsCols: Seq[String] = Seq.empty,
+                          longBounds: Map[String, (Long, Long)] = Map.empty,
+                          stringEq: Map[String, String] = Map.empty,
                           stringLo: Map[String, String] = Map.empty,
                           stringHi: Map[String, String] = Map.empty,
                           planListener: Option[Seq[Versioned.EntryView] => Unit] = None)
@@ -263,6 +266,10 @@ final class VersionedScan(path: String, version: Int, full: StructType,
   }
   private val (keyBounds, keyProbe) = dimBounds(statsKey)
   private val (key2Bounds, _) = dimBounds(statsKey2)
+  // N EXTRA dimensions (`#statscols` → per-entry `xstats` slot): one
+  // conservative bound per recorded column, same surrogate domain.
+  private val extraBounds: Seq[Option[(Long, Long)]] =
+    statsCols.map(c => dimBounds(Some(c))._1)
   private def fileSurvives(e: Versioned.EntryView): Boolean = {
     val dim1 = (keyBounds, e.kmin, e.kmax) match {
       case (Some((lo, hi)), Some(mn), Some(mx)) =>
@@ -274,7 +281,21 @@ final class VersionedScan(path: String, version: Int, full: StructType,
       case (Some((lo, hi)), Some(mn), Some(mx)) => mn <= hi && mx >= lo
       case _ => true
     }
-    dim1 && dim2
+    val dimX = extraBounds.forall(_.isEmpty) || {
+      e.xstats match {
+        case None => true // entry predates the stats (or a rewrite dropped them)
+        case Some(x) =>
+          val bs = Versioned.parseXStats(x)
+          extraBounds.zipWithIndex.forall { case (bOpt, i) =>
+            (bOpt, bs.lift(i)) match {
+              case (Some((lo, hi)), Some((Some(mn), Some(mx)))) =>
+                mn <= hi && mx >= lo
+              case _ => true // no predicate, no bounds, or an all-null file
+            }
+          }
+      }
+    }
+    dim1 && dim2 && dimX
   }
 
   // Entries left after the STATIC prunings; runtime filters (dynamic

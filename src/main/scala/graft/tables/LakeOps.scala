@@ -321,11 +321,16 @@ object Versioned {
                            dv: Option[String] = None,
                            k2min: Option[Long] = None,
                            k2max: Option[Long] = None,
-                           fsize: Option[Long] = None) {
+                           fsize: Option[Long] = None,
+                           xstats: Option[String] = None) {
     // Optional tail fields serialize positionally with "-" padding,
     // trimmed after the last defined one so existing manifests stay
     // byte-stable. Note bloom's absent form IS KeyBloom.Saturated ("-"):
     // absent and saturated read identically (possibly-contains).
+    // `xstats` (r16) holds N EXTRA stat dimensions as `lo:hi` surrogate
+    // pairs, comma-joined, ordered by the `#statscols` header — the
+    // Delta collect-stats-on-leading-columns convention beyond the two
+    // first-class key columns.
     def serialized: String = file match {
       case Some(f) =>
         val slots = Seq(
@@ -334,7 +339,8 @@ object Versioned {
           dv.getOrElse("-"),
           k2min.map(_.toString).getOrElse("-"),
           k2max.map(_.toString).getOrElse("-"),
-          fsize.map(_.toString).getOrElse("-"))
+          fsize.map(_.toString).getOrElse("-"),
+          xstats.getOrElse("-"))
         val keep = slots.lastIndexWhere(_ != "-") + 1
         s"$partDir\t$dataDir\t$f\t${kmin.get}\t${kmax.get}" +
           slots.take(keep).map("\t" + _).mkString
@@ -350,9 +356,21 @@ object Versioned {
       Some(f(4).toLong), longAt(5),
       if (f.length > 6) Some(f(6)).filter(_ != KeyBloom.Saturated) else None,
       if (f.length > 7) Some(f(7)).filter(_ != "-") else None,
-      longAt(8), longAt(9), longAt(10))
+      longAt(8), longAt(9), longAt(10),
+      if (f.length > 11) Some(f(11)).filter(_ != "-") else None)
     else Entry(f(0), f(1))
   }
+
+  /** Parse an `xstats` slot into per-dimension surrogate bounds:
+    * `lo:hi` pairs comma-joined, an empty side = that file holds only
+    * NULLs in the dimension (no bound — never prune on it).
+    */
+  private[graft] def parseXStats(x: String): Array[(Option[Long], Option[Long])] =
+    x.split(",", -1).map { p =>
+      val c = p.split(":", -1)
+      (c.lift(0).filter(_.nonEmpty).map(_.toLong),
+       c.lift(1).filter(_.nonEmpty).map(_.toLong))
+    }
 
   /** A full checkpoint with at least this many entries writes a parquet
     * SIDECAR instead of text lines (the Delta checkpoint-file design).
@@ -633,6 +651,7 @@ object Versioned {
                      changesDir: Option[String] = None,
                      statsKey: Option[String] = None,
                      statsKey2: Option[String] = None,
+                     statsCols: Seq[String] = Seq.empty,
                      partColHeader: Option[String] = None,
                      constraints: Seq[(String, String)] = Seq.empty,
                      colMap: Option[Seq[(String, Seq[String])]] = None,
@@ -736,6 +755,8 @@ object Versioned {
       changesDir.map(d => s"#changes\t$d\n").getOrElse("") +
       statsKey.map(k => s"#statskey\t$k\n").getOrElse("") +
       statsKey2.map(k => s"#statskey2\t$k\n").getOrElse("") +
+      (if (statsCols.isEmpty) ""
+       else s"#statscols\t${statsCols.mkString(",")}\n") +
       partColHeader.map(c => s"#partcol\t$c\n").getOrElse("") +
       effColMap.map { case (l, as) => s"#colmap\t$l\t${as.mkString(",")}\n" }.mkString +
       effDropped.map(n => s"#coldropped\t$n\n").mkString +
@@ -809,10 +830,13 @@ object Versioned {
               partCol: Option[String] = None,
               expectedLatest: Option[Int] = None,
               fileStatsKey: Option[String] = None,
-              fileStatsKey2: Option[String] = None): Int = {
+              fileStatsKey2: Option[String] = None,
+              fileStatsCols: Seq[String] = Seq.empty): Int = {
     val (fsys, table) = fs(spark, tablePath)
     require(fileStatsKey2.isEmpty || fileStatsKey.isDefined,
       "fileStatsKey2 requires fileStatsKey")
+    require(fileStatsCols.isEmpty || fileStatsKey.isDefined,
+      "fileStatsCols requires fileStatsKey")
     validateConstraints(df,
       constraintLines(fsys, table, latestVersion(spark, tablePath)))
     val dd = newDataDir(fsys, table)
@@ -824,7 +848,8 @@ object Versioned {
             "format-dependent directory names; use int/long/string/boolean"))
         df.write.mode(SaveMode.ErrorIfExists).partitionBy(cols: _*).parquet(dd.toString)
         fileStatsKey match {
-          case Some(k) => fileStatsOf(spark, table, dd, k, stats2Col = fileStatsKey2)
+          case Some(k) => fileStatsOf(spark, table, dd, k,
+            stats2Col = fileStatsKey2, extraCols = fileStatsCols)
           case None => listPartDirs(fsys, dd, cols.length).map(Entry(_, dd.getName))
         }
       case None =>
@@ -835,7 +860,8 @@ object Versioned {
     val cons = constraintLines(fsys, table, latestVersion(spark, tablePath))
     commit(fsys, table, spark, entries, expectedLatest, Seq(dd),
       schema = Some(df.schema), statsKey = fileStatsKey,
-      statsKey2 = fileStatsKey2, constraints = cons,
+      statsKey2 = fileStatsKey2, statsCols = fileStatsCols,
+      constraints = cons,
       // Record the partition column (CREATE already does): partColOf
       // stops depending on the directory-name fallback, and adoptStaged
       // can exempt it from the staged-type check (its type is
@@ -857,7 +883,8 @@ object Versioned {
   def createEmpty(spark: SparkSession, tablePath: String,
                   schema: org.apache.spark.sql.types.StructType,
                   partCol: Option[String] = None,
-                  statsKey: Option[String] = None): Int = {
+                  statsKey: Option[String] = None,
+                  statsCols: Seq[String] = Seq.empty): Int = {
     val (fsys, table) = fs(spark, tablePath)
     require(latestVersion(spark, tablePath) == 0,
       s"$tablePath already has versions")
@@ -870,9 +897,16 @@ object Versioned {
     }
     statsKey.foreach(c => require(schema.fieldNames.contains(c),
       s"stats column $c not in ${schema.fieldNames.mkString(",")}"))
+    require(statsCols.isEmpty || statsKey.isDefined, "statsCols requires statsKey")
+    statsCols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"stats column $c not in ${schema.fieldNames.mkString(",")}")
+      require(KeyEnc.supported(schema(c).dataType),
+        s"stats column $c must be integral, string, or date")
+    }
     commit(fsys, table, spark, Seq.empty, Some(0), Seq.empty,
-      schema = Some(schema), statsKey = statsKey, partColHeader = partCol,
-      op = "CREATE")
+      schema = Some(schema), statsKey = statsKey, statsCols = statsCols,
+      partColHeader = partCol, op = "CREATE")
   }
 
   /** CTAS: CREATE + first data as ONE manifest commit (`op = CTAS`) —
@@ -1026,8 +1060,15 @@ object Versioned {
         case (Some(b), None) => Some(b)
         case (None, k) => k
       }
+      // Appends keep the table's FULL stats granularity: the extra
+      // `#statscols` dimensions are recomputed for the staged files in
+      // the same scan, so N-dim skipping never degrades on ingest.
+      val baseXCols =
+        if (base == 0) Seq.empty[String]
+        else headerLine(fsys, table, base, "#statscols\t")
+          .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
       val fresh = effKey match {
-        case Some(k) => fileStatsOf(spark, table, dd, k)
+        case Some(k) => fileStatsOf(spark, table, dd, k, extraCols = baseXCols)
         case None =>
           val depth =
             if (base == 0) 1
@@ -1043,6 +1084,7 @@ object Versioned {
           if (attempts >= retries) Seq(dd) else Seq.empty, tag,
           schema = baseSchema.orElse(Some(df.schema)),
           statsKey = effKey,
+          statsCols = baseXCols,
           partColHeader =
             if (base == 0) None else headerLine(fsys, table, base, "#partcol\t"),
           constraints = cons, op = "APPEND")
@@ -1110,7 +1152,8 @@ object Versioned {
     */
   private def fileStatsOf(spark: SparkSession, table: Path, dd: Path,
                           keyCol: String,
-                          stats2Col: Option[String] = None): Seq[Entry] = {
+                          stats2Col: Option[String] = None,
+                          extraCols: Seq[String] = Seq.empty): Seq[Entry] = {
     val marker = "/" + dd.getName + "/"
     // Byte sizes recorded at WRITE time (one walk of the fresh data dir,
     // ∝ files just written) so every later planning pass serves
@@ -1136,16 +1179,21 @@ object Versioned {
     // second dimensions skip too.
     val stats2 = stats2Col.toSeq.flatMap(_ => Seq(
       min(col("_k2")).as("lo2"), max(col("_k2")).as("hi2")))
+    // N EXTRA stat dimensions (`#statscols`) ride the same single scan:
+    // one surrogate min/max pair per column, all KeyEnc-encoded.
+    val xAggs = extraCols.zipWithIndex.flatMap { case (_, i) => Seq(
+      min(col(s"_x$i")).as(s"xlo$i"), max(col(s"_x$i")).as(s"xhi$i")) }
     val aggs = Seq(min("_k").as("lo"), max("_k").as("hi"),
       count(lit(1)).as("nrows"),
       sum(when(col("_k").isNull, 1L).otherwise(0L)).as("nnull"),
       // NULL keys are rejected below anyway; coalescing them into the
       // bloom as 0 can only ADD a false-positive bit, never lose one.
-      bloomAgg(coalesce(col("_bk"), lit(0L))).as("bloom")) ++ stats2
+      bloomAgg(coalesce(col("_bk"), lit(0L))).as("bloom")) ++ stats2 ++ xAggs
     val raw = spark.read.parquet(dd.toString)
-    stats2Col.foreach(c => require(KeyEnc.supported(raw.schema(c).dataType),
-      s"second stats column $c must be integral, string, or date — " +
-        s"is ${raw.schema(c).dataType}"))
+    (stats2Col.toSeq ++ extraCols).foreach(c =>
+      require(KeyEnc.supported(raw.schema(c).dataType),
+        s"stats column $c must be integral, string, or date — " +
+          s"is ${raw.schema(c).dataType}"))
     // Key columns encode to an ordered-Long surrogate ([[KeyEnc]]):
     // integral = identity, date = epoch days, string = truncated
     // big-endian prefix for the RANGE plus a full-string hash for the
@@ -1155,9 +1203,11 @@ object Versioned {
     // leading-columns convention has no integral restriction).
     val (encK, bloomK) = keyEncCols(raw.schema(keyCol).dataType, keyCol)
     val enc2 = stats2Col.map(c => keyEncCols(raw.schema(c).dataType, c)._1.as("_k2"))
+    val encX = extraCols.zipWithIndex.map { case (c, i) =>
+      keyEncCols(raw.schema(c).dataType, c)._1.as(s"_x$i") }
     raw
       .select((Seq(input_file_name().as("_f"), encK.as("_k"), bloomK.as("_bk")) ++
-        enc2): _*)
+        enc2 ++ encX): _*)
       .groupBy("_f").agg(aggs.head, aggs.tail: _*)
       .collect().toSeq
       .map { r =>
@@ -1178,12 +1228,21 @@ object Versioned {
         require(r.getLong(4) == 0L,
           s"file-stats key $keyCol contains ${r.getLong(4)} NULL(s) in $rel — " +
             "merge keys must be non-null")
+        val xBase = if (stats2Col.isDefined) 8 else 6
+        val xs =
+          if (extraCols.isEmpty) None
+          else Some(extraCols.indices.map { i =>
+            val (lo, hi) = (xBase + 2 * i, xBase + 2 * i + 1)
+            (if (r.isNullAt(lo)) "" else r.getLong(lo).toString) + ":" +
+              (if (r.isNullAt(hi)) "" else r.getLong(hi).toString)
+          }.mkString(","))
         Entry(rel.substring(0, cut), dd.getName, Some(rel.substring(cut + 1)),
           Some(r.getLong(1)), Some(r.getLong(2)), Some(r.getLong(3)),
           Some(r.getString(5)).filter(_ != KeyBloom.Saturated),
           k2min = if (stats2Col.isDefined && !r.isNullAt(6)) Some(r.getLong(6)) else None,
           k2max = if (stats2Col.isDefined && !r.isNullAt(7)) Some(r.getLong(7)) else None,
-          fsize = sizeOf.get((rel.substring(0, cut), rel.substring(cut + 1))))
+          fsize = sizeOf.get((rel.substring(0, cut), rel.substring(cut + 1))),
+          xstats = xs)
       }.sortBy(e => (e.partDir, e.file))
   }
 
@@ -1761,6 +1820,8 @@ object Versioned {
       statsKey = Some(keyCol),
       // DV commits rewrite no file, so second-dimension bounds stay valid
       statsKey2 = headerLine(fsys, table, base, "#statskey2\t"),
+      statsCols = headerLine(fsys, table, base, "#statscols\t")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty),
       partColHeader = headerLine(fsys, table, base, "#partcol\t"),
       constraints = constraintLines(fsys, table, base), op = "DELETE_DV")
   }
@@ -2149,6 +2210,8 @@ object Versioned {
       schema = Some(evolved),
       statsKey = headerLine(fsys, table, base, "#statskey\t"),
       statsKey2 = headerLine(fsys, table, base, "#statskey2\t"),
+      statsCols = headerLine(fsys, table, base, "#statscols\t")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty),
       partColHeader = headerLine(fsys, table, base, "#partcol\t"),
       constraints = constraintLines(fsys, table, base),
       colMap = Some(newMap.toSeq.sortBy(_._1)),
@@ -2182,6 +2245,8 @@ object Versioned {
       schema = Some(evolved),
       statsKey = headerLine(fsys, table, base, "#statskey\t"),
       statsKey2 = headerLine(fsys, table, base, "#statskey2\t"),
+      statsCols = headerLine(fsys, table, base, "#statscols\t")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty),
       partColHeader = headerLine(fsys, table, base, "#partcol\t"),
       constraints = constraintLines(fsys, table, base),
       colMap = Some((map - name).toSeq.sortBy(_._1)),
@@ -2225,6 +2290,8 @@ object Versioned {
       schema = Some(evolved),
       statsKey = headerLine(fsys, table, base, "#statskey\t"),
       statsKey2 = headerLine(fsys, table, base, "#statskey2\t"),
+      statsCols = headerLine(fsys, table, base, "#statscols\t")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty),
       partColHeader = headerLine(fsys, table, base, "#partcol\t"),
       constraints = constraintLines(fsys, table, base),
       op = s"ADD_COLUMN(${fields.map(_.name).mkString(",")})")
@@ -2257,7 +2324,7 @@ object Versioned {
     readManifest(fsys, table, v)
       .filterNot(e => prev(e.serialized))
       .map(e => EntryView(e.partDir, e.dataDir, e.file, e.kmin, e.kmax,
-        e.bloom, e.dv, e.k2min, e.k2max, e.fsize))
+        e.bloom, e.dv, e.k2min, e.k2max, e.fsize, e.xstats))
   }
 
   /** ADD a CHECK constraint (SQL-expression CHECK, NULL = pass — the SQL
@@ -2322,7 +2389,8 @@ object Versioned {
                                       kmin: Option[Long], kmax: Option[Long],
                                       bloom: Option[String], dv: Option[String],
                                       k2min: Option[Long], k2max: Option[Long],
-                                      fsize: Option[Long] = None)
+                                      fsize: Option[Long] = None,
+                                      xstats: Option[String] = None)
 
   /** Range + bloom probe of a planning view against a sorted key set —
     * the runtime-filter variant of the pruning [[mergeByFiles]] uses.
@@ -2348,7 +2416,8 @@ object Versioned {
       : Seq[EntryView] = {
     val (fsys, table) = fs(spark, tablePath)
     readManifest(fsys, table, v).map(e => EntryView(e.partDir, e.dataDir,
-      e.file, e.kmin, e.kmax, e.bloom, e.dv, e.k2min, e.k2max, e.fsize))
+      e.file, e.kmin, e.kmax, e.bloom, e.dv, e.k2min, e.k2max, e.fsize,
+      e.xstats))
   }
 
   /** Deleted keys of a serialized deletion-vector path — planning-time
@@ -2388,7 +2457,7 @@ object Versioned {
       : Seq[(String, String, String, Long, Long)] = {
     val (fsys, table) = fs(spark, tablePath)
     readManifest(fsys, table, v).collect {
-      case e @ Entry(p, d, Some(f), Some(lo), Some(hi), _, _, _, _, _, _) =>
+      case e @ Entry(p, d, Some(f), Some(lo), Some(hi), _, _, _, _, _, _, _) =>
         (p, d, f, lo, hi)
     }
   }
@@ -2589,6 +2658,8 @@ object Versioned {
       schema = readSchemaLine(fsys, table, v),
       statsKey = headerLine(fsys, table, v, "#statskey\t"),
       statsKey2 = headerLine(fsys, table, v, "#statskey2\t"),
+      statsCols = headerLine(fsys, table, v, "#statscols\t")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty),
       partColHeader = headerLine(fsys, table, v, "#partcol\t"),
       constraints = constraintLines(fsys, table, v),
       // the restored schema resolves with the restored MAP, not the
@@ -2639,6 +2710,8 @@ object Versioned {
       schema = readSchemaLine(sfs, src, v),
       statsKey = headerLine(sfs, src, v, "#statskey\t"),
       statsKey2 = headerLine(sfs, src, v, "#statskey2\t"),
+      statsCols = headerLine(sfs, src, v, "#statscols\t")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty),
       partColHeader = headerLine(sfs, src, v, "#partcol\t"),
       constraints = constraintLines(sfs, src, v),
       // the clone references the source's files — its column map (and
@@ -2915,6 +2988,15 @@ object Versioned {
   def statsKey2Of(spark: SparkSession, tablePath: String, v: Int): Option[String] = {
     val (fsys, table) = fs(spark, tablePath)
     headerLine(fsys, table, v, "#statskey2\t")
+  }
+
+  /** Extra stat columns of version `v` (`#statscols` header) — the
+    * dimensions each entry's `xstats` slot records, in order.
+    */
+  def statsColsOf(spark: SparkSession, tablePath: String, v: Int): Seq[String] = {
+    val (fsys, table) = fs(spark, tablePath)
+    headerLine(fsys, table, v, "#statscols\t")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
   }
 
   /** 32-bit Morton interleave of two 16-bit-quantized integral columns —

@@ -525,4 +525,61 @@ class LakeSqlSpec extends SparkSpec {
       assert(Versioned.read(spark, tbl).count() == 64 - 17)
     } finally Versioned.ParquetCheckpointMinEntries = saved
   }
+
+  test("N-dim file stats ('statscols'): xstats prune boxes on non-key dims; appends recompute, rewrites degrade safely") {
+    val wh = Files.createTempDirectory("gwh6").toString
+    spark.conf.set("spark.sql.catalog.gnd", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gnd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gnd.ns")
+    spark.sql("CREATE TABLE gnd.ns.t (k BIGINT, dt DATE, s STRING, p BIGINT) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('statskey' = 'k', 'statscols' = 'dt,s')")
+    val path = s"$wh/ns/t"
+    // clustered ingest (s-major, then date): every task file is a tight
+    // (s, date-range) cell in the xstats domain
+    spark.sql(
+      """INSERT INTO gnd.ns.t
+        |SELECT /*+ REPARTITION_BY_RANGE(8, s, dt) */
+        |       id AS k,
+        |       date_add(DATE '1995-01-01', CAST(id % 360 AS INT)) AS dt,
+        |       CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END AS s,
+        |       CAST(0 AS BIGINT) AS p
+        |FROM range(0, 4000)""".stripMargin)
+    assert(Versioned.statsColsOf(spark, path, 2) == Seq("dt", "s"))
+    def src = spark.read.format("graft.sources.VersionedSource").load(path)
+    val all = src.rdd.getNumPartitions
+    assert(all >= 4, s"want several files, got $all")
+    // a box on (dt, s) — NEITHER is the stats key — prunes from xstats
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    def box = src.filter(col("dt") >= to_date(lit("1995-03-01")) &&
+      col("dt") <= to_date(lit("1995-04-30")) && col("s") === "A")
+    assert(box.rdd.getNumPartitions < all,
+      s"xstats skipping failed: ${box.rdd.getNumPartitions} of $all")
+    // exactness: residual filters keep correctness independent of stats
+    val expect = (0L until 4000L).count { id =>
+      val d = java.time.LocalDate.of(1995, 1, 1).plusDays(id % 360)
+      id % 2 == 0 &&
+        !d.isBefore(java.time.LocalDate.of(1995, 3, 1)) &&
+        !d.isAfter(java.time.LocalDate.of(1995, 4, 30))
+    }
+    assert(box.count() == expect)
+    // an APPEND recomputes xstats for its own files (adoptStaged rides
+    // the base header): the new range prunes too
+    spark.sql(
+      """INSERT INTO gnd.ns.t
+        |SELECT id AS k, date_add(DATE '2001-06-01', CAST(id % 5 AS INT)) AS dt,
+        |       'Z' AS s, CAST(0 AS BIGINT) AS p
+        |FROM range(10000, 10040)""".stripMargin)
+    val all2 = src.rdd.getNumPartitions
+    val zOnly = src.filter(col("s") === "Z").rdd.getNumPartitions
+    assert(zOnly < all2, s"appended xstats did not prune: $zOnly of $all2")
+    assert(src.filter(col("s") === "Z").count() == 40)
+    // a REWRITE (merge) drops the header — skipping degrades to off,
+    // results stay exact (stats may disappear, never lie)
+    val vM = Versioned.merge(spark, path,
+      Seq((0L, java.sql.Date.valueOf("1995-01-01"), "A", 0L, "U"))
+        .toDF("k", "dt", "s", "p", "_op"), "k", "p")
+    assert(Versioned.statsColsOf(spark, path, vM).isEmpty)
+    assert(src.filter(col("s") === "Z").count() == 40)
+    assert(src.count() == 4040)
+  }
 }
