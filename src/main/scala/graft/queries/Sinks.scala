@@ -1359,7 +1359,8 @@ object Sinks {
     * `lo:hi` surrogate bounds for ANY list of typed columns — here a
     * DATE and a STRING — computed in the ingest's single stats scan and
     * recomputed on every append (`adoptStaged`), so skipping never
-    * degrades on ingest; rewrites that drop them degrade SAFELY (stats
+    * degrades on ingest; rewrites RECOMPUTE them for the files they
+    * write (r17), and anything that still lacks them degrades SAFELY (stats
     * may disappear, never lie). Phase 1 proves full parity, phase 2 is a
     * (date × priority) box over dimensions NEITHER of which is the key —
     * pruned purely from the xstats slots (LakeSqlSpec pins the
@@ -2252,7 +2253,177 @@ object Sinks {
     summarize(ver1, n1, 0L).unionByName(summarize(ver2, a2, r2)).orderBy("ver")
   }
 
+  /** q243 — MERGE `WHEN NOT MATCHED BY SOURCE` (full-sync/mirror merge,
+    * `Versioned.merge(notMatchedBySource = Delete)`): the SQL standard's
+    * third merge clause — target rows whose key appears NOWHERE in the
+    * source are deleted, making the table exactly mirror the source's key
+    * set. One merge against the pinned v1 applies all three clauses at
+    * once: matched-UPDATE (price bump on keys ending in 1, identity
+    * update elsewhere), not-matched-INSERT (a 2003 batch), and
+    * NOT-MATCHED-BY-SOURCE DELETE (keys ending in 3 or 7 are absent from
+    * the source and vanish). The clause's discovery is one anti-join scan
+    * (inherent — source absence needs every row looked at), but the
+    * rewrite stays scoped to partitions actually holding matched or
+    * unmatched rows: SourcesSpec pins that an all-keys-present source
+    * rewrites nothing extra. The oracle replays the mirror relationally.
+    */
+  def mergeMirrorSync(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = ordersVersioned(spark, dir)
+    val base = Versioned.readAt(spark, tbl, 1)
+    def op(o: String) = lit(o).as("_op")
+    // the DESIRED state: every key to keep rides as an upsert image
+    val keep = base.filter(col("o_orderkey") % 10 =!= 3 && col("o_orderkey") % 10 =!= 7)
+      .withColumn("o_price_c",
+        when(col("o_orderkey") % 10 === 1, col("o_price_c") + 55)
+          .otherwise(col("o_price_c")))
+      .select(col("*"), op("U"))
+    val fresh = base.filter(col("o_year") === 1995 && col("o_orderkey") % 100 === 6)
+      .withColumn("o_orderkey", col("o_orderkey") + 40000000L)
+      .withColumn("o_year", lit(2003))
+      .select(col("*"), op("I"))
+    val v = Versioned.merge(spark, tbl, keep.unionByName(fresh),
+      "o_orderkey", "o_year", fromVersion = Some(1),
+      notMatchedBySource = Some(Versioned.NotMatchedBySource.Delete))
+    Versioned.vacuum(spark, tbl, keep = Set(1, v))
+    Versioned.readAt(spark, tbl, v)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .orderBy("o_year")
+  }
+
+  // q244's substrate: a table whose extra stats column (`'statscols' =
+  // 'o_ship'`) is NULLABLE by construction — urgent orders carry no ship
+  // date — ingested priority-major so whole files are all-null or
+  // null-free in the dimension, the shape null-count skipping prunes.
+  private val nullStatsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def ordersNullTable(spark: SparkSession, dir: String): String =
+    nullStatsCache.synchronized { nullStatsCache.getOrElseUpdate((sessionKey(spark), dir), {
+      val cat = lakeCatalog(spark, dir)
+      val wh = tmpOut(dir, "warehouse")
+      val tbl = s"$cat.sqlns.orders_nullx"
+      val path = s"$wh/sqlns/orders_nullx"
+      val base = orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+        when(col("o_orderpriority") === "1-URGENT", lit(null))
+          .otherwise(to_date(col("o_orderdate"))).as("o_ship"),
+        col("o_orderpriority").as("o_prio"),
+        year(col("o_orderdate")).as("o_year"))
+      val valid = try {
+        Versioned.latestVersion(spark, path) == 2 &&
+          Versioned.statsColsOf(spark, path, 2) == Seq("o_ship") &&
+          Versioned.readAt(spark, path, 2).count() == base.count()
+      } catch { case _: Exception => false }
+      if (!valid) {
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sqlns")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        val view = s"graft_nullx_src_${dirTag(dir)}"
+        base.createOrReplaceTempView(view)
+        spark.sql(
+          s"""CREATE TABLE $tbl (
+             |  o_orderkey BIGINT, o_custkey BIGINT, o_price_c BIGINT,
+             |  o_ship DATE, o_prio STRING, o_year INT)
+             |PARTITIONED BY (o_year)
+             |TBLPROPERTIES ('statskey' = 'o_orderkey', 'statscols' = 'o_ship')
+             |""".stripMargin)
+        spark.sql(
+          s"""INSERT INTO $tbl
+             |SELECT /*+ REPARTITION_BY_RANGE(32, o_year, o_prio, o_ship) */ *
+             |FROM $view""".stripMargin)
+      }
+      path
+    }) }
+
+  /** q244 — NULL-COUNT FILE SKIPPING (per-dimension null counts in the
+    * manifest's `xstats` slots, the Delta/Iceberg nullCount convention):
+    * each file records how many rows are NULL in every extra stats
+    * dimension, so `IS NULL` skips null-free files (count = 0),
+    * `IS NOT NULL` skips all-null files (count = rows), and a RANGE
+    * predicate skips provably all-null files outright. The substrate's
+    * ship-date column is null exactly for urgent orders and the ingest
+    * clusters priority-major, so whole files sit on each side. Phase 1
+    * aggregates the null side, phase 2 a date band of the non-null side —
+    * both prune (SourcesSpec pins the file counts); correctness never
+    * depends on it (all filters stay residual). The oracle replays the
+    * null rule relationally.
+    */
+  def nullStatsSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val path = ordersNullTable(spark, dir)
+    def src = spark.read.format("graft.sources.VersionedSource").load(path)
+    val nullSide = src.filter(col("o_ship").isNull)
+      .groupBy(col("o_year").cast("string").as("grp"))
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .select(lit("1_null").as("phase"), col("grp"), col("n"),
+        col("sum_cust"), col("sum_price_c"))
+    val band = src.filter(col("o_ship").isNotNull &&
+        col("o_ship") >= to_date(lit("1996-03-01")) &&
+        col("o_ship") <= to_date(lit("1996-08-31")))
+      .groupBy(col("o_prio").as("grp"))
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+           sum("o_price_c").as("sum_price_c"))
+      .select(lit("2_band").as("phase"), col("grp"), col("n"),
+        col("sum_cust"), col("sum_price_c"))
+    nullSide.unionByName(band).orderBy("phase", "grp")
+  }
+
+  /** q245 — SQL `ALTER TABLE ALTER COLUMN TYPE` WIDENING (int→bigint via
+    * `Versioned.widenColumnType`, the public Delta type-widening table):
+    * a header-only commit records the wider type; files are never
+    * rewritten — pre-widen files keep their narrow bytes and every read
+    * path widens per file from parquet-footer truth (both DSv2 decode
+    * paths consult the file's physical type; LakeSqlSpec pins the
+    * round-trip, float→double, and the narrowing refusal). After the
+    * ALTER, an append writes values only the wide type can hold; the
+    * final aggregate spans narrow and wide files in one scan, and a
+    * time-travel phase proves the pre-widen version still serves the
+    * ORIGINAL int type. The oracle replays both phases relationally.
+    */
+  def sqlWidenColumn(spark: SparkSession, dir: String): DataFrame = {
+    val cat = lakeCatalog(spark, dir)
+    val tbl = s"$cat.sqlns.orders_widen"
+    val view = s"graft_widen_src_${dirTag(dir)}"
+    orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("int").as("o_price_i"),
+      year(col("o_orderdate")).as("o_year"))
+      .createOrReplaceTempView(view)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sqlns")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(
+      s"""CREATE TABLE $tbl (
+         |  o_orderkey BIGINT, o_custkey BIGINT, o_price_i INT, o_year INT)
+         |PARTITIONED BY (o_year) TBLPROPERTIES ('statskey' = 'o_orderkey')
+         |""".stripMargin)
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM $view")
+    spark.sql(s"ALTER TABLE $tbl ALTER COLUMN o_price_i TYPE BIGINT")
+    // values beyond Int range land ONLY because the column widened; keys
+    // shift out of the existing space, years to a fresh partition
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT o_orderkey + 50000000, o_custkey,
+         |       CAST(o_price_i AS BIGINT) * 1000000, 2004
+         |FROM $view WHERE o_year = 1995 AND o_orderkey % 100 = 9""".stripMargin)
+    spark.sql(
+      s"""SELECT '1_wide' AS phase, o_year,
+         |       count(*) AS n, sum(o_custkey) AS sum_cust,
+         |       sum(o_price_i) AS sum_price
+         |FROM $tbl GROUP BY o_year
+         |UNION ALL
+         |SELECT '2_prewiden' AS phase, o_year,
+         |       count(*) AS n, sum(o_custkey) AS sum_cust,
+         |       sum(o_price_i) AS sum_price
+         |FROM $tbl VERSION AS OF 2 GROUP BY o_year
+         |ORDER BY phase, o_year""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_merge_not_matched_by_source" -> mergeMirrorSync _,
+    "q244_null_count_skipping" -> nullStatsSkipping _,
+    "q245_sql_widen_column" -> sqlWidenColumn _,
     "q210_merge_upsert" -> mergeUpsert _,
     "q211_time_travel"  -> timeTravel _,
     "q212_merge_file_scoped" -> mergeFileScoped _,
@@ -2304,6 +2475,79 @@ object Sinks {
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirror-sync replayed relationally: keep-set upserted (with the
+    // %10=1 bump), keys absent from the source (%10 in 3,7) deleted by
+    // the NOT-MATCHED-BY-SOURCE clause, the 2003 batch inserted.
+    "q243_merge_not_matched_by_source" ->
+      """WITH tgt AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders),
+        |kept AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         o_price_c + CASE WHEN o_orderkey % 10 = 1 THEN 55 ELSE 0 END
+        |           AS o_price_c,
+        |         o_year
+        |  FROM tgt WHERE o_orderkey % 10 NOT IN (3, 7)),
+        |ins AS (
+        |  SELECT o_orderkey + 40000000 AS o_orderkey, o_custkey, o_price_c,
+        |         2003 AS o_year
+        |  FROM tgt WHERE o_year = 1995 AND o_orderkey % 100 = 6),
+        |merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |SELECT o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM merged GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // The null rule replayed relationally: ship date is NULL exactly for
+    // urgent orders; both phases must agree with the pruned scans.
+    "q244_null_count_skipping" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+        |              ELSE CAST(o_orderdate AS DATE) END AS o_ship,
+        |         o_orderpriority AS o_prio,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders)
+        |SELECT '1_null' AS phase, CAST(o_year AS VARCHAR) AS grp,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM b WHERE o_ship IS NULL GROUP BY 1, 2
+        |UNION ALL
+        |SELECT '2_band' AS phase, o_prio AS grp,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM b
+        |WHERE o_ship IS NOT NULL
+        |  AND o_ship >= DATE '1996-03-01' AND o_ship <= DATE '1996-08-31'
+        |GROUP BY 1, 2
+        |ORDER BY phase, grp""".stripMargin,
+    // Widening replayed relationally: phase 1 is the table after the
+    // wide append, phase 2 the pre-widen snapshot (int column) — both
+    // from the same source rows.
+    "q245_sql_widen_column" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS INT) AS o_price_i,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders),
+        |wide AS (
+        |  SELECT o_orderkey, o_custkey, CAST(o_price_i AS BIGINT) AS o_price,
+        |         o_year FROM b
+        |  UNION ALL
+        |  SELECT o_orderkey + 50000000, o_custkey,
+        |         CAST(o_price_i AS BIGINT) * 1000000, 2004
+        |  FROM b WHERE o_year = 1995 AND o_orderkey % 100 = 9)
+        |SELECT '1_wide' AS phase, o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price) AS BIGINT) AS sum_price
+        |FROM wide GROUP BY 1, 2
+        |UNION ALL
+        |SELECT '2_prewiden' AS phase, o_year, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_i) AS BIGINT) AS sum_price
+        |FROM b GROUP BY 1, 2
+        |ORDER BY phase, o_year""".stripMargin,
     // Both writers' batches replayed relationally: the hash match proves
     // the rebased commit kept A's update (no lost update) AND applied B's.
     "q226_merge_occ_rebase" ->

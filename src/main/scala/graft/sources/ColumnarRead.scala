@@ -102,11 +102,22 @@ final class VersionedColumnarReader(file: String, constCols: Array[String],
   private val batch = new ColumnarBatch(vectors)
 
   // Per-field decode strategy resolved ONCE (the row reader's own
-  // convention) — no per-value DataType match in the hot loop.
+  // convention) — no per-value DataType match in the hot loop. Resolved
+  // against the file's PHYSICAL primitive type where they can differ:
+  // a type-widened column (ALTER COLUMN TYPE) reads pre-widen files'
+  // narrow bytes and widens per value.
   private val fillers: Array[(ColumnReader, OnHeapColumnVector, Int) => Unit] =
-    required.fields.map { f =>
+    fieldPlans.zip(required.fields).map {
+      case (Left(_), _) => null // constant / NULL backfill: no page decode
+      case (Right(idx), f) =>
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      val phys = fileSchema.getColumns.get(idx).getPrimitiveType.getPrimitiveTypeName
       f.dataType match {
+        case LongType if phys == PrimitiveTypeName.INT32 =>
+          (cr, vec, i) => vec.putLong(i, cr.getInteger.toLong)
         case LongType => (cr, vec, i) => vec.putLong(i, cr.getLong)
+        case DoubleType if phys == PrimitiveTypeName.FLOAT =>
+          (cr, vec, i) => vec.putDouble(i, cr.getFloat.toDouble)
         case IntegerType => (cr, vec, i) => vec.putInt(i, cr.getInteger)
         case StringType => (cr, vec, i) => {
           val b = cr.getBinary.getBytes

@@ -110,6 +110,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Versioned.createEmpty(spark, pathOf(ident), schema,
       partCol = if (partCols.isEmpty) None else Some(partCols.mkString(",")),
       statsKey = Option(properties.get("statskey")),
+      statsKey2 = Option(properties.get("statskey2")),
       // 'statscols': N extra stat dimensions recorded per file on every
       // append (the Delta leading-columns convention) — comma list
       statsCols = Option(properties.get("statscols"))
@@ -135,22 +136,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"nested $what ${names.mkString(".")} is not supported")
       names(0)
     }
-    changes.foreach {
-      case a: TableChange.AddColumn =>
-        require(a.position() == null,
-          "ADD COLUMN appends at the end; FIRST/AFTER are not supported")
-        val f = org.apache.spark.sql.types.StructField(
-          single(a.fieldNames(), "ADD COLUMN"), a.dataType(), a.isNullable())
-        Versioned.addColumns(spark, path,
-          Seq(Option(a.comment()).map(f.withComment).getOrElse(f)))
-      case r: TableChange.RenameColumn =>
+    // ONE statement = ONE commit: a multi-change statement must not leave
+    // earlier changes committed when a later one is refused. ADD COLUMNS
+    // with several fields is Spark's one multi-change statement — batch it
+    // into the single addColumns commit; any other combination is one
+    // change per statement by the SQL grammar, refused here if not.
+    changes.toSeq match {
+      case adds if adds.nonEmpty && adds.forall(_.isInstanceOf[TableChange.AddColumn]) =>
+        val fields = adds.map(_.asInstanceOf[TableChange.AddColumn]).map { a =>
+          require(a.position() == null,
+            "ADD COLUMN appends at the end; FIRST/AFTER are not supported")
+          val f = org.apache.spark.sql.types.StructField(
+            single(a.fieldNames(), "ADD COLUMN"), a.dataType(), a.isNullable())
+          Option(a.comment()).map(f.withComment).getOrElse(f)
+        }
+        Versioned.addColumns(spark, path, fields)
+      case Seq(r: TableChange.RenameColumn) =>
         Versioned.renameColumn(spark, path,
           single(r.fieldNames(), "RENAME COLUMN"), r.newName())
-      case d: TableChange.DeleteColumn =>
+      case Seq(d: TableChange.DeleteColumn) =>
         Versioned.dropColumn(spark, path,
           single(d.fieldNames(), "DROP COLUMN"))
-      case other => throw new IllegalArgumentException(
-        s"GraftCatalog ALTER TABLE supports ADD/RENAME/DROP COLUMN only, got $other")
+      case Seq(u: TableChange.UpdateColumnType) =>
+        Versioned.widenColumnType(spark, path,
+          single(u.fieldNames(), "ALTER COLUMN TYPE"), u.newDataType())
+      case Seq(other) => throw new IllegalArgumentException(
+        s"GraftCatalog ALTER TABLE supports ADD/RENAME/DROP COLUMN and " +
+          s"ALTER COLUMN TYPE (widening) only, got $other")
+      case mixed => throw new IllegalArgumentException(
+        "GraftCatalog applies each ALTER TABLE statement as one atomic " +
+          s"commit — ${mixed.length} heterogeneous changes in one statement " +
+          "are not supported; issue separate statements")
     }
     new VersionedCatalogTable(path, None)
   }
@@ -181,8 +197,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     require(partCols.nonEmpty,
       "GraftCatalog CTAS needs PARTITIONED BY column(s) (the store's layout unit)")
+    // EVERY declared stats property lands in the CTAS commit — silently
+    // dropping one would create the table without its stat dimensions.
     new StagedVersionedTable(pathOf(ident), schema, partCols.mkString(","),
-      Option(properties.get("statskey")))
+      Option(properties.get("statskey")),
+      Option(properties.get("statskey2")),
+      Option(properties.get("statscols"))
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq.empty))
   }
   override def stageReplace(ident: Identifier, schema: StructType,
                             partitions: Array[Transform],
@@ -412,7 +434,9 @@ final class VersionedBatchWriterFactory(stagingRoot: String, schema: StructType,
   * has nothing left to do, and an abort deletes the owned directory.
   */
 final class StagedVersionedTable(path: String, schema0: StructType,
-                                 partCol: String, statsKey: Option[String])
+                                 partCol: String, statsKey: Option[String],
+                                 statsKey2: Option[String] = None,
+                                 statsCols: Seq[String] = Seq.empty)
     extends StagedTable with SupportsWrite {
   override def name(): String = s"graft_staged($path)"
   override def schema(): StructType = schema0
@@ -421,7 +445,8 @@ final class StagedVersionedTable(path: String, schema0: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
-        new VersionedCtasWrite(path, info.schema(), partCol, statsKey)
+        new VersionedCtasWrite(path, info.schema(), partCol, statsKey,
+          statsKey2, statsCols)
     }
   override def commitStagedChanges(): Unit = ()
   override def abortStagedChanges(): Unit = {
@@ -436,7 +461,9 @@ final class StagedVersionedTable(path: String, schema0: StructType,
   * partition/stats headers plus exactly the task-committed files.
   */
 final class VersionedCtasWrite(path: String, schema: StructType,
-                               partCol: String, statsKey: Option[String])
+                               partCol: String, statsKey: Option[String],
+                               statsKey2: Option[String] = None,
+                               statsCols: Seq[String] = Seq.empty)
     extends Write with BatchWrite {
   private val writeId = java.util.UUID.randomUUID().toString.replace("-", "")
   private def stagingRoot = new Path(path, s"_sink_stage/ctas_$writeId")
@@ -484,7 +511,8 @@ final class VersionedCtasWrite(path: String, schema: StructType,
       Some(dd.getName)
     }
     Versioned.createAsSelect(spark, path, schema, dataDir,
-      partCol = Some(partCol), statsKey = statsKey)
+      partCol = Some(partCol), statsKey = statsKey,
+      statsKey2 = statsKey2, statsCols = statsCols)
     fsys.delete(stagingRoot, true)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

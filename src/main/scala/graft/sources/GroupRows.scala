@@ -53,12 +53,21 @@ object GroupRows {
       return null) // pre-evolution file
     val idx = t.getFieldIndex(name)
     if (g.getFieldRepetitionCount(idx) == 0) return null
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    // Type-widened columns (ALTER COLUMN TYPE): files written before the
+    // widen carry the NARROW physical type — decode by the file's own
+    // primitive type and widen, exactly parquet-footer truth.
+    def phys = t.getType(idx).asPrimitiveType().getPrimitiveTypeName
     f.dataType match {
-      case LongType => g.getLong(idx, 0)
+      case LongType =>
+        if (phys == PrimitiveTypeName.INT32) g.getInteger(idx, 0).toLong
+        else g.getLong(idx, 0)
       case IntegerType => g.getInteger(idx, 0)
       case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
       case BooleanType => g.getBoolean(idx, 0)
-      case DoubleType => g.getDouble(idx, 0)
+      case DoubleType =>
+        if (phys == PrimitiveTypeName.FLOAT) g.getFloat(idx, 0).toDouble
+        else g.getDouble(idx, 0)
       case FloatType => g.getFloat(idx, 0)
       case ShortType => g.getInteger(idx, 0).toShort
       case ByteType => g.getInteger(idx, 0).toByte

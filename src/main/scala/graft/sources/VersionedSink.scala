@@ -207,6 +207,11 @@ object VersionedSinkWriter {
         case LongType => b.addField(Types.optional(INT64).named(f.name))
         case IntegerType => b.addField(Types.optional(INT32).named(f.name))
         case DoubleType => b.addField(Types.optional(DOUBLE).named(f.name))
+        case FloatType => b.addField(Types.optional(FLOAT).named(f.name))
+        case ShortType => b.addField(Types.optional(INT32)
+          .as(LogicalTypeAnnotation.intType(16, true)).named(f.name))
+        case ByteType => b.addField(Types.optional(INT32)
+          .as(LogicalTypeAnnotation.intType(8, true)).named(f.name))
         case BooleanType => b.addField(Types.optional(BOOLEAN).named(f.name))
         case StringType => b.addField(Types.optional(BINARY)
           .as(LogicalTypeAnnotation.stringType()).named(f.name))
@@ -215,7 +220,7 @@ object VersionedSinkWriter {
           .as(LogicalTypeAnnotation.dateType()).named(f.name))
         case other => throw new IllegalArgumentException(
           s"VersionedSink does not write ${f.name}: $other — " +
-            "supported: long, int, double, boolean, string, date")
+            "supported: long, int, short, byte, double, float, boolean, string, date")
       }
     }
     b.named("graft_sink")
@@ -300,6 +305,9 @@ final class VersionedSinkWriter(stagingRoot: String, schema: StructType,
         case LongType => g.append(f.name, row.getLong(i))
         case IntegerType => g.append(f.name, row.getInt(i))
         case DoubleType => g.append(f.name, row.getDouble(i))
+        case FloatType => g.append(f.name, row.getFloat(i))
+        case ShortType => g.append(f.name, row.getShort(i).toInt)
+        case ByteType => g.append(f.name, row.getByte(i).toInt)
         case BooleanType => g.append(f.name, row.getBoolean(i))
         case StringType =>
           g.append(f.name, Binary.fromString(row.getUTF8String(i).toString))

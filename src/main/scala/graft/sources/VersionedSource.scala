@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -116,6 +116,10 @@ final class VersionedScanBuilder(path: String, version: Int, full: StructType,
   private var stringEq = Map.empty[String, String]
   private var stringLo = Map.empty[String, String]
   private var stringHi = Map.empty[String, String]
+  // Null-ness predicates: `c IS NULL` prunes files whose recorded null
+  // count for c is 0, `c IS NOT NULL` prunes files entirely null in c.
+  private var nullCols = Set.empty[String]
+  private var notNullCols = Set.empty[String]
 
   private def tighten(c: String, lo: Long, hi: Long): Unit = {
     val (l0, h0) = longBounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
@@ -156,6 +160,8 @@ final class VersionedScanBuilder(path: String, version: Int, full: StructType,
       case LessThanOrEqual(c, v: Int) => tighten(c, Long.MinValue, v.toLong)
       case LessThanOrEqual(c, v: String) => sHi(c, v)
       case LessThanOrEqual(c, v) => daysOf(v).foreach(d => tighten(c, Long.MinValue, d))
+      case IsNull(c) => nullCols += c
+      case IsNotNull(c) => notNullCols += c
       case _ => ()
     }
     filters // ALL residual: pruning is planning-only, Spark re-applies rows
@@ -167,7 +173,8 @@ final class VersionedScanBuilder(path: String, version: Int, full: StructType,
 
   override def build(): Scan =
     new VersionedScan(path, version, full, required, statsKey, statsKey2,
-      statsCols, longBounds, stringEq, stringLo, stringHi, planListener)
+      statsCols, longBounds, stringEq, stringLo, stringHi,
+      nullCols, notNullCols, planListener)
 }
 
 /** One parquet file plus the partition-column constants its directory
@@ -191,6 +198,8 @@ final class VersionedScan(path: String, version: Int, full: StructType,
                           stringEq: Map[String, String] = Map.empty,
                           stringLo: Map[String, String] = Map.empty,
                           stringHi: Map[String, String] = Map.empty,
+                          nullCols: Set[String] = Set.empty,
+                          notNullCols: Set[String] = Set.empty,
                           planListener: Option[Seq[Versioned.EntryView] => Unit] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
@@ -199,7 +208,9 @@ final class VersionedScan(path: String, version: Int, full: StructType,
   override def description(): String = {
     val sb = stringEq.map { case (c, v) => s"$c = '$v'" } ++
       stringLo.map { case (c, v) => s"$c >= '$v'" } ++
-      stringHi.map { case (c, v) => s"$c <= '$v'" }
+      stringHi.map { case (c, v) => s"$c <= '$v'" } ++
+      nullCols.map(c => s"$c IS NULL") ++
+      notNullCols.map(c => s"$c IS NOT NULL")
     s"GraftVersioned path=$path v$version, " +
       s"ReadSchema=${required.fieldNames.mkString(",")}, " +
       s"PruneBounds=${(longBounds.map { case (c, (l, h)) => s"$c in [$l,$h]" } ++ sb).mkString(";")}"
@@ -215,15 +226,25 @@ final class VersionedScan(path: String, version: Int, full: StructType,
     }
   // Partition-value pruning against the directory-encoded constants:
   // every level must pass its own bounds (multi-column layouts prune on
-  // any combination of partition predicates).
+  // any combination of partition predicates). Directory values are EXACT
+  // strings, so string ranges compare raw (no surrogate slack) and
+  // null-ness predicates decide a whole leaf: a default-partition leaf
+  // cannot satisfy any bound or IS NOT NULL, a valued leaf cannot
+  // satisfy IS NULL.
   private def partSurvives(partDir: String): Boolean = {
     if (partDir == "-") return true
     partValues(partDir).forall { case (c, raw) =>
-      if (raw == null) !(longBounds.contains(c) || stringEq.contains(c))
-      else stringEq.get(c).forall(_ == raw) && (longBounds.get(c) match {
-        case Some((lo, hi)) => raw.toLongOption.exists(v => lo <= v && v <= hi)
-        case None => true
-      })
+      if (raw == null)
+        !(longBounds.contains(c) || stringEq.contains(c) ||
+          stringLo.contains(c) || stringHi.contains(c) || notNullCols(c))
+      else !nullCols(c) &&
+        stringEq.get(c).forall(_ == raw) &&
+        stringLo.get(c).forall(raw >= _) &&
+        stringHi.get(c).forall(raw <= _) &&
+        (longBounds.get(c) match {
+          case Some((lo, hi)) => raw.toLongOption.exists(v => lo <= v && v <= hi)
+          case None => true
+        })
     }
   }
   // Manifest-stats file skipping on the recorded stats column(s): the
@@ -270,6 +291,8 @@ final class VersionedScan(path: String, version: Int, full: StructType,
   // conservative bound per recorded column, same surrogate domain.
   private val extraBounds: Seq[Option[(Long, Long)]] =
     statsCols.map(c => dimBounds(Some(c))._1)
+  private val anyExtraPredicate = extraBounds.exists(_.isDefined) ||
+    statsCols.exists(c => nullCols(c) || notNullCols(c))
   private def fileSurvives(e: Versioned.EntryView): Boolean = {
     val dim1 = (keyBounds, e.kmin, e.kmax) match {
       case (Some((lo, hi)), Some(mn), Some(mx)) =>
@@ -277,25 +300,46 @@ final class VersionedScan(path: String, version: Int, full: StructType,
           keyProbe.forall(p => e.bloom.forall(Versioned.bloomMightContain(_, p)))
       case _ => true
     }
+    // the stats key is non-null by the store's contract (fileStatsOf
+    // rejects null keys loudly), so `key IS NULL` matches no row of any
+    // file-granular entry
+    val keyNull = !statsKey.exists(nullCols) || e.kmin.isEmpty
     val dim2 = (key2Bounds, e.k2min, e.k2max) match {
       case (Some((lo, hi)), Some(mn), Some(mx)) => mn <= hi && mx >= lo
       case _ => true
     }
-    val dimX = extraBounds.forall(_.isEmpty) || {
+    val dimX = !anyExtraPredicate || {
       e.xstats match {
         case None => true // entry predates the stats (or a rewrite dropped them)
         case Some(x) =>
           val bs = Versioned.parseXStats(x)
-          extraBounds.zipWithIndex.forall { case (bOpt, i) =>
-            (bOpt, bs.lift(i)) match {
-              case (Some((lo, hi)), Some((Some(mn), Some(mx)))) =>
-                mn <= hi && mx >= lo
-              case _ => true // no predicate, no bounds, or an all-null file
+          statsCols.zipWithIndex.forall { case (c, i) =>
+            bs.lift(i) match {
+              case None => true // degraded slot: fail open
+              case Some((mn, mx, nn)) =>
+                // all-null-in-this-file is provable two ways: recorded
+                // bounds absent with a known null count == rows, or the
+                // null count alone
+                val allNull =
+                  nn.isDefined && e.nrows.isDefined && nn == e.nrows
+                val rangeOk = extraBounds(i) match {
+                  case Some((lo, hi)) => (mn, mx) match {
+                    case (Some(a), Some(b)) => a <= hi && b >= lo
+                    case _ => !allNull // no bounds recorded: only a provably all-null file can skip a range
+                  }
+                  case None => true
+                }
+                // `c IS NULL`: a file with zero nulls has no matching row;
+                // `c IS NOT NULL`: an all-null file has none. Unknown null
+                // counts (pre-r17 entries) fail open.
+                val isNullOk = !nullCols(c) || nn.forall(_ > 0)
+                val notNullOk = !notNullCols(c) || !allNull
+                rangeOk && isNullOk && notNullOk
             }
           }
       }
     }
-    dim1 && dim2 && dimX
+    dim1 && keyNull && dim2 && dimX
   }
 
   // Entries left after the STATIC prunings; runtime filters (dynamic

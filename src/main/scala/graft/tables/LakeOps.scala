@@ -361,15 +361,21 @@ object Versioned {
     else Entry(f(0), f(1))
   }
 
-  /** Parse an `xstats` slot into per-dimension surrogate bounds:
-    * `lo:hi` pairs comma-joined, an empty side = that file holds only
-    * NULLs in the dimension (no bound — never prune on it).
+  /** Parse an `xstats` slot into per-dimension surrogate bounds plus the
+    * dimension's NULL count: `lo:hi[:n]` triples comma-joined. An empty
+    * bound side = that file holds only NULLs in the dimension (no bound —
+    * never range-prune on it); a missing third component (pre-r17
+    * entries) = null count unknown (never null-prune on it). The null
+    * count drives `IS NULL` skipping (n = 0 → no row matches) and
+    * `IS NOT NULL` skipping (n = rows → no row matches).
     */
-  private[graft] def parseXStats(x: String): Array[(Option[Long], Option[Long])] =
+  private[graft] def parseXStats(x: String)
+      : Array[(Option[Long], Option[Long], Option[Long])] =
     x.split(",", -1).map { p =>
       val c = p.split(":", -1)
       (c.lift(0).filter(_.nonEmpty).map(_.toLong),
-       c.lift(1).filter(_.nonEmpty).map(_.toLong))
+       c.lift(1).filter(_.nonEmpty).map(_.toLong),
+       c.lift(2).filter(_.nonEmpty).map(_.toLong))
     }
 
   /** A full checkpoint with at least this many entries writes a parquet
@@ -784,9 +790,16 @@ object Versioned {
         } finally in.close()
       }
     } catch { case _: java.io.IOException => None }
-    if (!onDisk.exists(java.util.Arrays.equals(_, body)))
+    if (!onDisk.exists(java.util.Arrays.equals(_, body))) {
+      // The claim now belongs to the OTHER writer (do not touch it), but
+      // the checkpoint sidecar is OURS (uniquely named) — delete it here
+      // rather than leaving it to age out of a later vacuum.
+      entriesFile.foreach(n =>
+        try fsys.delete(new Path(manifestDir(table), n), false)
+        catch { case _: Throwable => () })
       abort(s"version $next at $table was reclaimed by a concurrent writer " +
         "while this commit was in flight (stalled past the claim lease)")
+    }
     next
   }
 
@@ -884,6 +897,7 @@ object Versioned {
                   schema: org.apache.spark.sql.types.StructType,
                   partCol: Option[String] = None,
                   statsKey: Option[String] = None,
+                  statsKey2: Option[String] = None,
                   statsCols: Seq[String] = Seq.empty): Int = {
     val (fsys, table) = fs(spark, tablePath)
     require(latestVersion(spark, tablePath) == 0,
@@ -897,15 +911,17 @@ object Versioned {
     }
     statsKey.foreach(c => require(schema.fieldNames.contains(c),
       s"stats column $c not in ${schema.fieldNames.mkString(",")}"))
+    require(statsKey2.isEmpty || statsKey.isDefined, "statsKey2 requires statsKey")
     require(statsCols.isEmpty || statsKey.isDefined, "statsCols requires statsKey")
-    statsCols.foreach { c =>
+    (statsKey2.toSeq ++ statsCols).foreach { c =>
       require(schema.fieldNames.contains(c),
         s"stats column $c not in ${schema.fieldNames.mkString(",")}")
       require(KeyEnc.supported(schema(c).dataType),
         s"stats column $c must be integral, string, or date")
     }
     commit(fsys, table, spark, Seq.empty, Some(0), Seq.empty,
-      schema = Some(schema), statsKey = statsKey, statsCols = statsCols,
+      schema = Some(schema), statsKey = statsKey, statsKey2 = statsKey2,
+      statsCols = statsCols,
       partColHeader = partCol, op = "CREATE")
   }
 
@@ -922,7 +938,9 @@ object Versioned {
                      schema: org.apache.spark.sql.types.StructType,
                      dataDirName: Option[String],
                      partCol: Option[String] = None,
-                     statsKey: Option[String] = None): Int = {
+                     statsKey: Option[String] = None,
+                     statsKey2: Option[String] = None,
+                     statsCols: Seq[String] = Seq.empty): Int = {
     val (fsys, table) = fs(spark, tablePath)
     require(latestVersion(spark, tablePath) == 0,
       s"$tablePath already has versions")
@@ -936,13 +954,23 @@ object Versioned {
     statsKey.foreach(c => require(schema.fieldNames.contains(c),
       s"stats column $c not in ${schema.fieldNames.mkString(",")}"))
     require(statsKey.isEmpty || partCol.nonEmpty, "statsKey requires partCol")
+    require(statsKey2.isEmpty || statsKey.isDefined, "statsKey2 requires statsKey")
+    require(statsCols.isEmpty || statsKey.isDefined, "statsCols requires statsKey")
+    (statsKey2.toSeq ++ statsCols).foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"stats column $c not in ${schema.fieldNames.mkString(",")}")
+      require(KeyEnc.supported(schema(c).dataType),
+        s"stats column $c must be integral, string, or date")
+    }
     val entries = dataDirName match {
       case None => Seq.empty
       case Some(n) =>
         val dd = new Path(table, n)
         require(fsys.exists(dd), s"staged dir $dd does not exist")
         (statsKey, partCol) match {
-          case (Some(k), _) => fileStatsOf(spark, table, dd, k)
+          case (Some(k), _) =>
+            fileStatsOf(spark, table, dd, k, stats2Col = statsKey2,
+              extraCols = statsCols)
           case (None, Some(pc)) =>
             listPartDirs(fsys, dd, partColsOf(pc).length).map(Entry(_, n))
           case _ => Seq(Entry("-", n))
@@ -950,7 +978,8 @@ object Versioned {
     }
     commit(fsys, table, spark, entries, Some(0),
       dataDirName.map(n => new Path(table, n)).toSeq,
-      schema = Some(schema), statsKey = statsKey, partColHeader = partCol,
+      schema = Some(schema), statsKey = statsKey, statsKey2 = statsKey2,
+      statsCols = statsCols, partColHeader = partCol,
       op = "CTAS")
   }
 
@@ -970,13 +999,17 @@ object Versioned {
     val baseEntries = readManifest(fsys, table, baseV)
     val dd = new Path(table, dataDirName)
     val baseKey = headerLine(fsys, table, baseV, "#statskey\t")
+    val (baseKey2, baseXCols) =
+      if (baseKey.isEmpty) (None, Seq.empty[String])
+      else statsDimsOf(fsys, table, baseV)
     val cons = constraintLines(fsys, table, baseV)
     val fresh =
       if (!fsys.exists(dd)) Seq.empty
       else {
         if (cons.nonEmpty) validateConstraints(spark.read.parquet(dd.toString), cons)
         baseKey match {
-          case Some(k) => fileStatsOf(spark, table, dd, k)
+          case Some(k) =>
+            fileStatsOf(spark, table, dd, k, stats2Col = baseKey2, extraCols = baseXCols)
           case None =>
             val depth = headerLine(fsys, table, baseV, "#partcol\t")
               .map(partColsOf(_).length).getOrElse(1)
@@ -988,7 +1021,7 @@ object Versioned {
     commit(fsys, table, spark, entries, Some(baseV),
       if (fsys.exists(dd)) Seq(dd) else Seq.empty,
       schema = readSchemaLine(fsys, table, baseV),
-      statsKey = baseKey,
+      statsKey = baseKey, statsKey2 = baseKey2, statsCols = baseXCols,
       partColHeader = headerLine(fsys, table, baseV, "#partcol\t"),
       constraints = cons, op = op)
   }
@@ -1060,15 +1093,16 @@ object Versioned {
         case (Some(b), None) => Some(b)
         case (None, k) => k
       }
-      // Appends keep the table's FULL stats granularity: the extra
-      // `#statscols` dimensions are recomputed for the staged files in
-      // the same scan, so N-dim skipping never degrades on ingest.
-      val baseXCols =
-        if (base == 0) Seq.empty[String]
-        else headerLine(fsys, table, base, "#statscols\t")
-          .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+      // Appends keep the table's FULL stats granularity: the second key
+      // and the extra `#statscols` dimensions are recomputed for the
+      // staged files in the same scan, so 2-D/N-dim skipping never
+      // degrades on ingest.
+      val (baseKey2, baseXCols) =
+        if (effKey.isEmpty) (None, Seq.empty[String])
+        else statsDimsOf(fsys, table, base)
       val fresh = effKey match {
-        case Some(k) => fileStatsOf(spark, table, dd, k, extraCols = baseXCols)
+        case Some(k) =>
+          fileStatsOf(spark, table, dd, k, stats2Col = baseKey2, extraCols = baseXCols)
         case None =>
           val depth =
             if (base == 0) 1
@@ -1084,6 +1118,7 @@ object Versioned {
           if (attempts >= retries) Seq(dd) else Seq.empty, tag,
           schema = baseSchema.orElse(Some(df.schema)),
           statsKey = effKey,
+          statsKey2 = baseKey2,
           statsCols = baseXCols,
           partColHeader =
             if (base == 0) None else headerLine(fsys, table, base, "#partcol\t"),
@@ -1145,6 +1180,20 @@ object Versioned {
         "use an integral, string, or date column")
   }
 
+  /** The FULL stats granularity a base version records beyond the first
+    * key: (`#statskey2`, `#statscols`). Every rewrite — DML, merge,
+    * compaction, optimize — recomputes ALL recorded dimensions for the
+    * files it writes (the rewrite scans every row it writes anyway), so
+    * multi-dimension skipping survives routine maintenance instead of
+    * degrading to off until the next re-optimize.
+    */
+  private def statsDimsOf(fsys: FileSystem, table: Path, v: Int)
+      : (Option[String], Seq[String]) =
+    if (v < 1) (None, Seq.empty)
+    else (headerLine(fsys, table, v, "#statskey2\t"),
+      headerLine(fsys, table, v, "#statscols\t")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty))
+
   /** Per-file manifest entries for a freshly written data dir: one scan of
     * the key column grouped by `input_file_name()` — the parquet-footer
     * min/max surrogate, computed with public API only. File count is
@@ -1180,9 +1229,11 @@ object Versioned {
     val stats2 = stats2Col.toSeq.flatMap(_ => Seq(
       min(col("_k2")).as("lo2"), max(col("_k2")).as("hi2")))
     // N EXTRA stat dimensions (`#statscols`) ride the same single scan:
-    // one surrogate min/max pair per column, all KeyEnc-encoded.
+    // one surrogate min/max pair per column plus its NULL count (IS NULL /
+    // IS NOT NULL skipping), all KeyEnc-encoded.
     val xAggs = extraCols.zipWithIndex.flatMap { case (_, i) => Seq(
-      min(col(s"_x$i")).as(s"xlo$i"), max(col(s"_x$i")).as(s"xhi$i")) }
+      min(col(s"_x$i")).as(s"xlo$i"), max(col(s"_x$i")).as(s"xhi$i"),
+      sum(when(col(s"_x$i").isNull, 1L).otherwise(0L)).as(s"xn$i")) }
     val aggs = Seq(min("_k").as("lo"), max("_k").as("hi"),
       count(lit(1)).as("nrows"),
       sum(when(col("_k").isNull, 1L).otherwise(0L)).as("nnull"),
@@ -1232,9 +1283,10 @@ object Versioned {
         val xs =
           if (extraCols.isEmpty) None
           else Some(extraCols.indices.map { i =>
-            val (lo, hi) = (xBase + 2 * i, xBase + 2 * i + 1)
+            val (lo, hi, nn) = (xBase + 3 * i, xBase + 3 * i + 1, xBase + 3 * i + 2)
             (if (r.isNullAt(lo)) "" else r.getLong(lo).toString) + ":" +
-              (if (r.isNullAt(hi)) "" else r.getLong(hi).toString)
+              (if (r.isNullAt(hi)) "" else r.getLong(hi).toString) + ":" +
+              r.getLong(nn).toString
           }.mkString(","))
         Entry(rel.substring(0, cut), dd.getName, Some(rel.substring(cut + 1)),
           Some(r.getLong(1)), Some(r.getLong(2)), Some(r.getLong(3)),
@@ -1446,11 +1498,14 @@ object Versioned {
     * (default: latest), publishing the result as a new version.
     *
     * `source` carries the table's columns plus `_op` ('U' update / 'D'
-    * delete / 'I' insert). Per key, AT MOST ONE operation applies: if the
-    * batch carries several rows for a key, precedence is D > U > I (a
-    * batch that says both "update" and "delete" deletes); two rows with
-    * the SAME op for one key are rejected loudly — silently picking one
-    * image is how upserts corrupt tables.
+    * delete / 'I' insert / 'K' keep). Per key, AT MOST ONE operation
+    * applies: if the batch carries several rows for a key, precedence is
+    * D > U > I > K (a batch that says both "update" and "delete"
+    * deletes); two rows with the SAME op for one key are rejected loudly
+    * — silently picking one image is how upserts corrupt tables. 'K'
+    * rewrites nothing: it only asserts the key's MEMBERSHIP in the
+    * source, so a full-sync merge (`notMatchedBySource`) can cover its
+    * unchanged keys without rewriting their partitions.
     *
     * Scale shape: only partitions containing a matched or inserted row
     * are rewritten, into a FRESH data dir; every other partition's entry
@@ -1476,13 +1531,35 @@ object Versioned {
     * change-feed source serve without ever diffing versions. Cost: one
     * extra batch-sized write job; a failed commit removes the dir with
     * the data-dir orphan.
+    *
+    * `notMatchedBySource` adds the SQL standard's third clause — WHEN NOT
+    * MATCHED BY SOURCE THEN DELETE/UPDATE — applied to target rows whose
+    * key appears nowhere in the source (full-sync/mirror merges). Its
+    * discovery is one anti-join scan of the target (inherent: source
+    * absence is undecidable without seeing every row), but the REWRITE
+    * stays scoped to partitions actually holding unmatched rows — a
+    * source covering every key rewrites nothing extra.
     */
+  /** `WHEN NOT MATCHED BY SOURCE` clause of a full-sync MERGE: what
+    * happens to TARGET rows whose key appears nowhere in the source —
+    * delete them (mirror sync: target becomes exactly the source's key
+    * set) or update them in place (e.g. flag stale rows). The SQL
+    * standard's third merge clause, applied by [[Versioned.merge]].
+    */
+  sealed trait NotMatchedBySource
+  object NotMatchedBySource {
+    case object Delete extends NotMatchedBySource
+    final case class Update(assignments: Map[String, Column])
+        extends NotMatchedBySource
+  }
+
   def merge(spark: SparkSession, tablePath: String, source: DataFrame,
             keyCol: String, partCol: String,
             fromVersion: Option[Int] = None,
             expectedLatest: Option[Int] = None,
             tag: Option[String] = None,
-            recordChanges: Boolean = false): Int = {
+            recordChanges: Boolean = false,
+            notMatchedBySource: Option[NotMatchedBySource] = None): Int = {
     val (fsys, table) = fs(spark, tablePath)
     // Idempotent replay (see mergeByFiles): an already-committed tag wins.
     tag.flatMap(taggedVersion(spark, tablePath, _)) match {
@@ -1509,7 +1586,7 @@ object Versioned {
     partCols.foreach(c => require(partitionableTypes.contains(target.schema(c).dataType),
       s"partition column $c has a non-path-stable type"))
 
-    val src = applyPrecedence(source, keyCol)
+    val src = applyPrecedence(source, keyCol, allowedOps = Seq("U", "D", "I", "K"))
     val keyed = src.select((col(keyCol).as("_sk") +: col("_op").as("_sop") +:
       dataCols.map(c => col(c).as(s"_s_$c"))): _*)
 
@@ -1529,7 +1606,42 @@ object Versioned {
     val insertParts = keyed.filter(col("_sop") === "I")
       .join(target.select(col(keyCol)), col("_sk") === col(keyCol), "left_anti")
       .select(asTp(partCols.map(c => col(s"_s_$c"))): _*)
-    val touchedRows = matchedParts.union(landingParts).union(insertParts)
+    // WHEN NOT MATCHED BY SOURCE: validate the clause's assignments, and
+    // add the partitions holding any target row with NO source key (plus,
+    // for an updating clause, the partitions those rows move to). The
+    // discovery anti-join scans the target once — the clause's inherent
+    // cost ("absent from the source" is undecidable without looking at
+    // every row) — but the REWRITE stays scoped to partitions actually
+    // holding unmatched rows: a source covering every key adds nothing.
+    def nmsApplied(df: DataFrame, as: Map[String, Column]): DataFrame =
+      df.select(target.columns.map(c =>
+        as.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+    notMatchedBySource.foreach {
+      case NotMatchedBySource.Update(as) =>
+        val unknown = as.keySet -- target.columns.toSet
+        require(unknown.isEmpty, "merge notMatchedBySource: assignments to " +
+          s"unknown columns ${unknown.mkString(",")}")
+        val shaped = nmsApplied(target.limit(0), as)
+        require(shaped.schema.map(f => (f.name, f.dataType)) ==
+            target.schema.map(f => (f.name, f.dataType)),
+          "merge notMatchedBySource: assignments must preserve column types " +
+            s"(got ${shaped.schema.simpleString} vs ${target.schema.simpleString})")
+      case NotMatchedBySource.Delete => ()
+    }
+    val unmatchedSrcParts: Seq[DataFrame] = notMatchedBySource match {
+      case None => Seq.empty
+      case Some(nms) =>
+        val unmatched = target.join(broadcast(keyed.select(col("_sk"))),
+          col(keyCol) === col("_sk"), "left_anti")
+        val from = unmatched.select(asTp(partCols.map(col)): _*)
+        nms match {
+          case NotMatchedBySource.Delete => Seq(from)
+          case NotMatchedBySource.Update(as) =>
+            Seq(from, nmsApplied(unmatched, as).select(asTp(partCols.map(col)): _*))
+        }
+    }
+    val touchedRows = (Seq(matchedParts, landingParts, insertParts) ++
+      unmatchedSrcParts).reduce(_.union(_))
       .distinct().collect()
     val touchedDirs = touchedRows
       .map(r => partDirName(partCols, partCols.indices.map(r.get))).toSet
@@ -1543,9 +1655,15 @@ object Versioned {
       partCols.zip(tpCols).map { case (c, n) => col(c) === col(n) }
         .reduce(_ && _), "left_semi")
     val joined = scoped.join(broadcast(keyed), col(keyCol) === col("_sk"), "left")
+    // With a NOT-MATCHED-BY-SOURCE clause, source-less rows no longer
+    // survive untouched: Delete drops them, Update rewrites them below.
+    // Matched K (membership-only) and matched-I noise always survive.
+    val keepCond =
+      if (notMatchedBySource.isEmpty)
+        col("_sop").isNull || col("_sop").isin("I", "K")
+      else col("_sop").isin("I", "K")
     val survivors = newCols.foldLeft(
-        joined.filter(col("_sop").isNull || col("_sop") === "I") // untouched + matched-I noise
-          .select(target.columns.map(col): _*)
+        joined.filter(keepCond).select(target.columns.map(col): _*)
       )((d, c) => d.withColumn(c, lit(null).cast(source.schema(c).dataType)))
       .select(dataCols.map(col): _*)
     val updated = joined.filter(col("_sop") === "U")
@@ -1553,10 +1671,21 @@ object Versioned {
     val inserts = keyed.filter(col("_sop") === "I")
       .join(target.select(col(keyCol)), col("_sk") === col(keyCol), "left_anti")
       .select(dataCols.map(c => col(s"_s_$c").as(c)): _*)
-    val rewrite = survivors.unionByName(updated).unionByName(inserts)
+    val nmsUpdatedRows: Option[DataFrame] = notMatchedBySource match {
+      case Some(NotMatchedBySource.Update(as)) =>
+        val u = nmsApplied(joined.filter(col("_sop").isNull)
+          .select(target.columns.map(col): _*), as)
+        Some(newCols.foldLeft(u)((d, c) =>
+            d.withColumn(c, lit(null).cast(source.schema(c).dataType)))
+          .select(dataCols.map(col): _*))
+      case _ => None
+    }
+    val rewrite = (Seq(survivors, updated, inserts) ++ nmsUpdatedRows)
+      .reduce(_.unionByName(_))
 
     val cons = constraintLines(fsys, table, base)
-    validateConstraints(updated.unionByName(inserts), cons)
+    validateConstraints((Seq(updated, inserts) ++ nmsUpdatedRows)
+      .reduce(_.unionByName(_)), cons)
     // A file-granular base keeps its granularity: rewritten partitions get
     // fresh per-file stats on the recorded stats key, so compaction /
     // optimize / stats-pruned reads keep working after a partition merge.
@@ -1572,19 +1701,30 @@ object Versioned {
     val feedDir =
       if (!recordChanges) None
       else {
-        // pre-images of matched U/D rows (in the NEW schema: added
-        // columns NULL-backfill, same as any read of pre-merge rows)
+        // pre-images of matched U/D rows — plus, under a NOT-MATCHED-BY-
+        // SOURCE clause, of the source-less rows it deletes/updates (in
+        // the NEW schema: added columns NULL-backfill)
+        val preCond =
+          if (notMatchedBySource.isEmpty) col("_sop").isin("U", "D")
+          else col("_sop").isin("U", "D") || col("_sop").isNull
         val preImages = newCols.foldLeft(
-            joined.filter(col("_sop").isin("U", "D"))
+            joined.filter(preCond)
               .select(target.columns.map(col): _*)
           )((d, c) => d.withColumn(c, lit(null).cast(source.schema(c).dataType)))
           .select(dataCols.map(col): _*)
-        Some(writeChangeFeed(fsys, table, preImages, updated.unionByName(inserts)))
+        Some(writeChangeFeed(fsys, table, preImages,
+          (Seq(updated, inserts) ++ nmsUpdatedRows).reduce(_.unionByName(_))))
       }
     // Splice: untouched entries ride the base manifest; touched partitions
     // are served from the fresh dir; an emptied partition appears nowhere.
+    // ALL recorded stats dimensions recompute in the one stats scan, so
+    // 2-D / N-D skipping survives the merge on the rewritten files.
+    val (baseKey2, baseXCols) =
+      if (baseStatsKey.isEmpty) (None, Seq.empty[String])
+      else statsDimsOf(fsys, table, base)
     val fresh = baseStatsKey match {
-      case Some(k) if written.nonEmpty => fileStatsOf(spark, table, dd, k)
+      case Some(k) if written.nonEmpty =>
+        fileStatsOf(spark, table, dd, k, stats2Col = baseKey2, extraCols = baseXCols)
       case _ => written.map(Entry(_, dd.getName))
     }
     val entries = baseEntries.filterNot(e => touchedDirs.contains(e.partDir)) ++ fresh
@@ -1592,6 +1732,7 @@ object Versioned {
     commit(fsys, table, spark, entries, expect, Seq(dd) ++ feedDir.toSeq, tag,
       schema = Some(rewrite.schema), changesDir = feedDir.map(_.getName),
       constraints = cons, op = "MERGE", statsKey = baseStatsKey,
+      statsKey2 = baseKey2, statsCols = baseXCols,
       partColHeader = headerLine(fsys, table, base, "#partcol\t"))
   }
 
@@ -1645,8 +1786,12 @@ object Versioned {
       if (!recordChanges) None
       else Some(writeChangeFeed(fsys, table,
         scoped.filter(isMatch), rewrite.limit(0)))
+    val (baseKey2, baseXCols) =
+      if (baseStatsKey.isEmpty) (None, Seq.empty[String])
+      else statsDimsOf(fsys, table, base)
     val fresh = baseStatsKey match {
-      case Some(k) if written.nonEmpty => fileStatsOf(spark, table, dd, k)
+      case Some(k) if written.nonEmpty =>
+        fileStatsOf(spark, table, dd, k, stats2Col = baseKey2, extraCols = baseXCols)
       case _ => written.map(Entry(_, dd.getName))
     }
     val entries = baseEntries.filterNot(e => touchedDirs.contains(e.partDir)) ++ fresh
@@ -1656,7 +1801,7 @@ object Versioned {
       schema = Some(target.schema), changesDir = feedDir.map(_.getName),
       constraints = constraintLines(fsys, table, base), op = "DELETE",
       partColHeader = headerLine(fsys, table, base, "#partcol\t"),
-      statsKey = baseStatsKey)
+      statsKey = baseStatsKey, statsKey2 = baseKey2, statsCols = baseXCols)
   }
 
   /** UPDATE WHERE: apply `assignments` (column → new-value expression,
@@ -1720,8 +1865,12 @@ object Versioned {
     val feedDir =
       if (!recordChanges) None
       else Some(writeChangeFeed(fsys, table, scoped.filter(isMatch), updated))
+    val (baseKey2, baseXCols) =
+      if (baseStatsKey.isEmpty) (None, Seq.empty[String])
+      else statsDimsOf(fsys, table, base)
     val fresh = baseStatsKey match {
-      case Some(k) if written.nonEmpty => fileStatsOf(spark, table, dd, k)
+      case Some(k) if written.nonEmpty =>
+        fileStatsOf(spark, table, dd, k, stats2Col = baseKey2, extraCols = baseXCols)
       case _ => written.map(Entry(_, dd.getName))
     }
     val entries = baseEntries.filterNot(e => touchedDirs.contains(e.partDir)) ++ fresh
@@ -1729,6 +1878,7 @@ object Versioned {
     commit(fsys, table, spark, entries, expect, Seq(dd) ++ feedDir.toSeq,
       schema = Some(target.schema), changesDir = feedDir.map(_.getName),
       constraints = cons, op = "UPDATE", statsKey = baseStatsKey,
+      statsKey2 = baseKey2, statsCols = baseXCols,
       partColHeader = headerLine(fsys, table, base, "#partcol\t"))
   }
 
@@ -1954,8 +2104,13 @@ object Versioned {
       updatedImgs.map(_.unionByName(inserts)).getOrElse(inserts), cons)
     val dd = newDataDir(fsys, table)
     rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partColsOf(partCol): _*).parquet(dd.toString)
+    // Recompute EVERY recorded stats dimension for the rewritten files in
+    // the one stats scan — z-order 2-D bounds and N-dim xstats survive a
+    // file-scoped merge instead of degrading to off on the touched files.
+    val (baseKey2, baseXCols) = statsDimsOf(fsys, table, base)
     val written =
-      if (fsys.listStatus(dd).exists(s => s.isDirectory)) fileStatsOf(spark, table, dd, keyCol)
+      if (fsys.listStatus(dd).exists(s => s.isDirectory))
+        fileStatsOf(spark, table, dd, keyCol, stats2Col = baseKey2, extraCols = baseXCols)
       else Seq.empty // every affected row deleted, nothing inserted
     val feedDir =
       if (!recordChanges) None
@@ -1975,7 +2130,9 @@ object Versioned {
       commit(fsys, table, spark, onto.filterNot(rewriteKeys) ++ written, expectV,
         if (keepOrphans) Seq.empty else orphans, tag,
         schema = Some(rewrite.schema), changesDir = feedDir.map(_.getName),
-        statsKey = Some(keyCol), constraints = cons, op = "MERGE_FILES")
+        statsKey = Some(keyCol), statsKey2 = baseKey2, statsCols = baseXCols,
+        partColHeader = headerLine(fsys, table, base, "#partcol\t"),
+        constraints = cons, op = "MERGE_FILES")
     if (rebaseRetries <= 0 || expect.isEmpty)
       return commitOnto(baseEntries, expect, keepOrphans = false)
 
@@ -2026,6 +2183,10 @@ object Versioned {
             giveUp(s"concurrent constraint change at v$newV of $table — cannot rebase")
           if (!headerLine(fsys, table, newV, "#statskey\t").contains(keyCol))
             giveUp(s"v$newV of $table no longer carries $keyCol file stats — cannot rebase")
+          // The rebased commit re-asserts OUR stats-dimension headers; a
+          // competitor that changed them would get them silently reverted.
+          if (statsDimsOf(fsys, table, newV) != ((baseKey2, baseXCols)))
+            giveUp(s"concurrent stats-dimension change at v$newV of $table — cannot rebase")
           val delta = (newEntries.toSet -- ontoEntries) ++ (ontoEntries.toSet -- newEntries)
           delta.find(readSet).foreach(d => giveUp(
             s"concurrent writer rewrote ${d.partDir}/${d.file.getOrElse("")} " +
@@ -2205,13 +2366,20 @@ object Versioned {
       if (f.name == oldName) f.copy(name = newName) else f))
     val newMap = (map - oldName) +
       (newName -> (oldName +: map.getOrElse(oldName, Seq.empty)))
+    // An EXTRA stats dimension renames WITH the column (same position, so
+    // every entry's positional xstats bounds stay valid — they are bounds
+    // over values, not names); unlike the first-class stats keys this is
+    // not load-bearing for merges, so refusing would be needless friction.
+    val renamedStatsCols = headerLine(fsys, table, base, "#statscols\t")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+      .map(c => if (c == oldName) newName else c)
     commit(fsys, table, spark, readManifest(fsys, table, base),
       expectedLatest.orElse(Some(base)), Seq.empty,
       schema = Some(evolved),
       statsKey = headerLine(fsys, table, base, "#statskey\t"),
       statsKey2 = headerLine(fsys, table, base, "#statskey2\t"),
-      statsCols = headerLine(fsys, table, base, "#statscols\t")
-        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty),
+      statsCols = renamedStatsCols,
       partColHeader = headerLine(fsys, table, base, "#partcol\t"),
       constraints = constraintLines(fsys, table, base),
       colMap = Some(newMap.toSeq.sortBy(_._1)),
@@ -2240,13 +2408,31 @@ object Versioned {
     val dropped = droppedColsOf(fsys, table, base)
     val evolved = org.apache.spark.sql.types.StructType(
       baseSchema.fields.filterNot(_.name == name))
-    commit(fsys, table, spark, readManifest(fsys, table, base),
+    // Dropping an EXTRA stats dimension drops it from the header AND
+    // strips its positional slot from every entry's xstats — leaving the
+    // stale name would permanently break ingest (every later append's
+    // stats scan would look the dropped column up), and leaving the slot
+    // would misalign the surviving dimensions' positional bounds.
+    val baseStatsCols = headerLine(fsys, table, base, "#statscols\t")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+    val dimIdx = baseStatsCols.indexOf(name)
+    val keptStatsCols =
+      if (dimIdx < 0) baseStatsCols else baseStatsCols.filterNot(_ == name)
+    val entries = readManifest(fsys, table, base).map { e =>
+      if (dimIdx < 0) e
+      else e.copy(xstats = e.xstats.flatMap { x =>
+        val slots = x.split(",", -1).toSeq
+        val kept = slots.take(dimIdx) ++ slots.drop(dimIdx + 1)
+        if (kept.forall(s => s == ":" || s.isEmpty)) None
+        else Some(kept.mkString(","))
+      })
+    }
+    commit(fsys, table, spark, entries,
       expectedLatest.orElse(Some(base)), Seq.empty,
       schema = Some(evolved),
       statsKey = headerLine(fsys, table, base, "#statskey\t"),
       statsKey2 = headerLine(fsys, table, base, "#statskey2\t"),
-      statsCols = headerLine(fsys, table, base, "#statscols\t")
-        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty),
+      statsCols = keptStatsCols,
       partColHeader = headerLine(fsys, table, base, "#partcol\t"),
       constraints = constraintLines(fsys, table, base),
       colMap = Some((map - name).toSeq.sortBy(_._1)),
@@ -2297,6 +2483,60 @@ object Versioned {
       op = s"ADD_COLUMN(${fields.map(_.name).mkString(",")})")
   }
 
+  /** ALTER TABLE ALTER COLUMN TYPE — WIDENING only (int family upward,
+    * float→double; the public Delta type-widening table): a header-only
+    * commit whose evolved `#schema` records the wider type, files are
+    * never rewritten. Old files keep their narrow bytes; every read path
+    * widens per file — the DSv2 readers consult each file's PHYSICAL
+    * parquet type ([[graft.sources.GroupRows.value]] /
+    * [[graft.sources.VersionedColumnarReader]]), and the Scala read path
+    * reads per data dir (one write job each, so types are uniform within
+    * a dir) and lets union coercion + the schema alignment cast widen.
+    * Narrowing is refused (it could truncate committed values); time
+    * travel before the ALTER serves the old type. Widening the stats
+    * key / stats columns is sound: the manifest's KeyEnc surrogates are
+    * the identity on every integral width.
+    */
+  def widenColumnType(spark: SparkSession, tablePath: String, name: String,
+                      newType: org.apache.spark.sql.types.DataType,
+                      expectedLatest: Option[Int] = None): Int = {
+    import org.apache.spark.sql.types._
+    val (fsys, table) = fs(spark, tablePath)
+    val base = latestVersion(spark, tablePath)
+    require(base >= 1, s"$tablePath has no committed version")
+    val baseSchema = readSchemaLine(fsys, table, base).getOrElse(
+      throw new IllegalArgumentException(
+        s"v$base of $tablePath records no schema — republish once to record one"))
+    require(baseSchema.fieldNames.contains(name),
+      s"no such column $name in ${baseSchema.fieldNames.mkString(",")}")
+    val oldType = baseSchema(name).dataType
+    val widenings: Map[DataType, Set[DataType]] = Map(
+      ByteType -> Set(ShortType, IntegerType, LongType),
+      ShortType -> Set(IntegerType, LongType),
+      IntegerType -> Set(LongType),
+      FloatType -> Set(DoubleType))
+    require(widenings.get(oldType).exists(_.contains(newType)),
+      s"cannot alter $name: $oldType -> $newType is not a supported widening " +
+        "(byte/short/int upward within the integral family, float -> double)")
+    // Partition values are directory strings typed by the recorded schema;
+    // widening one buys nothing and complicates the layout contract.
+    headerLine(fsys, table, base, "#partcol\t").foreach(pc =>
+      require(!partColsOf(pc).contains(name),
+        s"cannot alter $name: it is a partition column"))
+    val evolved = org.apache.spark.sql.types.StructType(baseSchema.fields.map(f =>
+      if (f.name == name) f.copy(dataType = newType) else f))
+    commit(fsys, table, spark, readManifest(fsys, table, base),
+      expectedLatest.orElse(Some(base)), Seq.empty,
+      schema = Some(evolved),
+      statsKey = headerLine(fsys, table, base, "#statskey\t"),
+      statsKey2 = headerLine(fsys, table, base, "#statskey2\t"),
+      statsCols = headerLine(fsys, table, base, "#statscols\t")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty),
+      partColHeader = headerLine(fsys, table, base, "#partcol\t"),
+      constraints = constraintLines(fsys, table, base),
+      op = s"WIDEN_COLUMN($name:${oldType.simpleString}->${newType.simpleString})")
+  }
+
   /** The operation that committed version `v` (`#op` header); "WRITE" on
     * pre-header manifests. Streaming consumers gate on it: a table tail
     * accepts APPEND versions and fails loudly on anything that could
@@ -2324,7 +2564,7 @@ object Versioned {
     readManifest(fsys, table, v)
       .filterNot(e => prev(e.serialized))
       .map(e => EntryView(e.partDir, e.dataDir, e.file, e.kmin, e.kmax,
-        e.bloom, e.dv, e.k2min, e.k2max, e.fsize, e.xstats))
+        e.bloom, e.dv, e.k2min, e.k2max, e.fsize, e.xstats, e.nrows))
   }
 
   /** ADD a CHECK constraint (SQL-expression CHECK, NULL = pass — the SQL
@@ -2390,7 +2630,8 @@ object Versioned {
                                       bloom: Option[String], dv: Option[String],
                                       k2min: Option[Long], k2max: Option[Long],
                                       fsize: Option[Long] = None,
-                                      xstats: Option[String] = None)
+                                      xstats: Option[String] = None,
+                                      nrows: Option[Long] = None)
 
   /** Range + bloom probe of a planning view against a sorted key set —
     * the runtime-filter variant of the pruning [[mergeByFiles]] uses.
@@ -2417,7 +2658,7 @@ object Versioned {
     val (fsys, table) = fs(spark, tablePath)
     readManifest(fsys, table, v).map(e => EntryView(e.partDir, e.dataDir,
       e.file, e.kmin, e.kmax, e.bloom, e.dv, e.k2min, e.k2max, e.fsize,
-      e.xstats))
+      e.xstats, e.nrows))
   }
 
   /** Deleted keys of a serialized deletion-vector path — planning-time
@@ -2486,24 +2727,32 @@ object Versioned {
   private def partDirName(cols: Seq[String], values: Seq[Any]): String =
     cols.zip(values).map { case (c, v) => partDirName(c, v) }.mkString("/")
 
-  /** Per key keep one source row by op precedence D > U > I; reject two
-    * rows with the same (key, op) — no silent image-picking. A NULL merge
-    * key is rejected here too (same validation job): NULL never equals
-    * anything, so a null-keyed op could neither match nor be pruned — it
-    * would surface later as a bare NPE in the stats collect.
+  /** Per key keep one source row by op precedence D > U > I > K; reject
+    * two rows with the same (key, op) — no silent image-picking — and any
+    * op outside `allowedOps`. A NULL merge key is rejected here too (same
+    * validation job): NULL never equals anything, so a null-keyed op
+    * could neither match nor be pruned — it would surface later as a bare
+    * NPE in the stats collect.
     */
-  private def applyPrecedence(source: DataFrame, keyCol: String): DataFrame = {
+  private def applyPrecedence(source: DataFrame, keyCol: String,
+                              allowedOps: Seq[String] = Seq("U", "D", "I")): DataFrame = {
     val dup = source.groupBy(col(keyCol), col("_op"))
       .agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1 || col(keyCol).isNull).limit(1).collect()
+      .filter(col("n") > 1 || col(keyCol).isNull ||
+        !col("_op").isin(allowedOps.map(lit(_)): _*))
+      .limit(1).collect()
     require(dup.isEmpty, if (dup.nonEmpty && dup.head.isNullAt(0))
       s"merge: source batch carries a NULL $keyCol — merge keys must be non-null"
+    else if (dup.nonEmpty && !allowedOps.contains(dup.head.getString(1)))
+      s"merge: source batch carries _op=${dup.head.get(1)} — " +
+        s"allowed: ${allowedOps.mkString(",")}"
     else
       s"merge: source batch carries ${dup.head.getLong(2)} rows for " +
         s"($keyCol=${dup.head.get(0)}, _op=${dup.head.get(1)}) — at most one " +
         "row per (key, op) is allowed")
     val prec = when(col("_op") === "D", 3)
-      .when(col("_op") === "U", 2).otherwise(1)
+      .when(col("_op") === "U", 2)
+      .when(col("_op") === "I", 1).otherwise(0)
     source.withColumn("_prec", prec)
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col(keyCol)).orderBy(col("_prec").desc)))
@@ -2822,7 +3071,10 @@ object Versioned {
     victimRows
       .coalesce(1)
       .write.mode(SaveMode.ErrorIfExists).partitionBy(partColsOf(partCol): _*).parquet(dd.toString)
-    val written = fileStatsOf(spark, table, dd, keyCol)
+    val written = {
+      val (k2, xc) = statsDimsOf(fsys, table, base)
+      fileStatsOf(spark, table, dd, keyCol, stats2Col = k2, extraCols = xc)
+    }
     require(written.forall(_.partDir == partDir),
       s"compaction leaked rows outside $partDir: ${written.map(_.partDir)}")
     // Compaction pins the base it rewrote: a concurrent commit either
@@ -2897,16 +3149,26 @@ object Versioned {
     if (victims.isEmpty) return base
     val victimEntries = victims.flatMap(_._3).toSet
     val baseSchema = readSchemaLine(fsys, table, base)
-    val rewrite = victims.map { case (p, i, es) =>
+    // One task per bin: ordinal bin ids (already (partition, key) ordered)
+    // range-repartitioned with an EXPLICIT partition count — an implicit
+    // `repartition(col)` lets AQE coalesce the tiny shuffle into one task,
+    // which would fuse every bin into one file and erase the packing's
+    // key-contiguity (and with it the post-optimize stats tightness). If
+    // range sampling ever fuses two bins into a task they are ADJACENT in
+    // key order, so the merged file's bounds stay contiguous.
+    val rewrite = victims.zipWithIndex.map { case ((_, _, es), ord) =>
       val df = readEntries(spark, table, es)
       baseSchema.map(alignTo(df, _)).getOrElse(df)
-        .withColumn("_bin", lit(s"$p#$i"))
+        .withColumn("_bin", lit(ord))
     }.reduce(_.unionByName(_))
-      .repartition(col("_bin"))
+      .repartitionByRange(victims.size, col("_bin"))
       .drop("_bin")
     val dd = newDataDir(fsys, table)
     rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partColsOf(partCol): _*).parquet(dd.toString)
-    val written = fileStatsOf(spark, table, dd, keyCol)
+    val written = {
+      val (k2, xc) = statsDimsOf(fsys, table, base)
+      fileStatsOf(spark, table, dd, keyCol, stats2Col = k2, extraCols = xc)
+    }
     val victimParts = victims.map(_._1).toSet
     require(written.forall(e => victimParts.contains(e.partDir)),
       s"optimize leaked rows outside its victim partitions: " +
@@ -2934,6 +3196,7 @@ object Versioned {
                                 keyCol: String, expectedLatest: Option[Int],
                                 rebaseRetries: Int, op: String): Int = {
     val cons = constraintLines(fsys, table, base)
+    val (baseKey2, baseXCols) = statsDimsOf(fsys, table, base)
     // First attempt honors the caller's pin; REBASED retries pin the
     // version actually spliced onto (mirroring mergeByFiles) — pinning
     // the stale caller value would make every retry lose the same CAS.
@@ -2942,6 +3205,7 @@ object Versioned {
         expectV,
         if (keepOrphans) Seq.empty else Seq(dd),
         schema = baseSchema, statsKey = Some(keyCol),
+        statsKey2 = baseKey2, statsCols = baseXCols,
         partColHeader = headerLine(fsys, table, base, "#partcol\t"),
         constraints = cons, op = op)
     if (rebaseRetries <= 0)
@@ -2970,6 +3234,8 @@ object Versioned {
             giveUp(s"concurrent constraint change at v$newV of $table — cannot rebase $op")
           if (!headerLine(fsys, table, newV, "#statskey\t").contains(keyCol))
             giveUp(s"v$newV of $table no longer carries $keyCol stats — cannot rebase $op")
+          if (statsDimsOf(fsys, table, newV) != ((baseKey2, baseXCols)))
+            giveUp(s"concurrent stats-dimension change at v$newV of $table — cannot rebase $op")
           val delta = (newEntries.toSet -- ontoEntries) ++ (ontoEntries.toSet -- newEntries)
           delta.find(victims).foreach(d => giveUp(
             s"concurrent writer touched ${d.partDir}/${d.file.getOrElse("")} " +
@@ -3031,9 +3297,10 @@ object Versioned {
     * cannot do for the second column (its per-file spread stays ~full
     * range). Content is identical by construction (the oracle proves
     * it); all prior versions stay readable; the commit pins the base.
-    * A later merge rewrite records keyCol stats only (its commit carries
-    * no `#statskey2`), so second-dimension skipping degrades SAFELY to
-    * off until the next re-optimize — stats may disappear, never lie.
+    * Later rewrites (merge/DML/optimize) RECOMPUTE the second-dimension
+    * bounds for the files they write (r17) — the bounds are only loose
+    * on rewritten files until the next re-optimize re-clusters, never
+    * absent and never lying.
     */
   def optimizeZOrder(spark: SparkSession, tablePath: String,
                      keyCol: String, partCol: String, col2: String,
@@ -3068,9 +3335,14 @@ object Versioned {
       .sortWithinPartitions(pCols :+ col("_z"): _*)
       .drop("_z")
       .write.mode(SaveMode.ErrorIfExists).partitionBy(partColsOf(partCol): _*).parquet(dd.toString)
-    val written = fileStatsOf(spark, table, dd, keyCol, stats2Col = Some(col2))
+    // z-order establishes/replaces the SECOND key; extra `#statscols`
+    // dimensions carry through and recompute in the same stats scan.
+    val baseXCols = statsDimsOf(fsys, table, base)._2
+    val written = fileStatsOf(spark, table, dd, keyCol, stats2Col = Some(col2),
+      extraCols = baseXCols)
     commit(fsys, table, spark, written, expectedLatest.orElse(Some(base)), Seq(dd),
       schema = baseSchema, statsKey = Some(keyCol), statsKey2 = Some(col2),
+      statsCols = baseXCols,
       partColHeader = headerLine(fsys, table, base, "#partcol\t"),
       constraints = constraintLines(fsys, table, base), op = s"ZORDER($col2)")
   }

@@ -1198,7 +1198,7 @@ class SinksSpec extends SparkSpec {
     intercept[Exception] { Versioned.readAt(spark, tbl, 2).count() }
   }
 
-  test("q231 z-order: 2-D box prunes to a few cells, second-dimension predicates prune where linear layout cannot, merge degrades stats safely") {
+  test("q231 z-order: 2-D box prunes to a few cells, second-dimension predicates prune where linear layout cannot, rewrites keep the stats") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val tbl = freshTable("zorder")
@@ -1231,10 +1231,14 @@ class SinksSpec extends SparkSpec {
     assert(planned(yOnly(2)) < planned(src(2)) / 2,
       s"z-order y-stats must prune: ${planned(yOnly(2))} of ${planned(src(2))}")
     assert(yOnly(2).count() == 512)
-    // a rewrite after z-order DROPS the second-dimension stats (its
-    // commit records keyCol stats only): skipping turns off, never lies
+    // a rewrite after z-order KEEPS the second-dimension stats (r17: the
+    // DML recomputes k2 bounds for the files it writes) — rewritten files
+    // carry loose-but-true fresh bounds, spliced files keep their tight
+    // ones, and second-dimension skipping stays ON
     val v3 = Versioned.deleteWhere(spark, tbl, col("y") === 63, "p")
-    assert(Versioned.statsKey2Of(spark, tbl, v3).isEmpty)
+    assert(Versioned.statsKey2Of(spark, tbl, v3).contains("y"))
+    assert(planned(src(v3).filter(col("y") <= 7)) < planned(src(v3)),
+      "second-dimension skipping must survive the rewrite")
     assert(src(v3).filter(col("y") <= 7).count() == 512)
     assert(Versioned.read(spark, tbl).count() == 64L * 63L)
   }

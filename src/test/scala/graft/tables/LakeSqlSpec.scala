@@ -526,7 +526,7 @@ class LakeSqlSpec extends SparkSpec {
     } finally Versioned.ParquetCheckpointMinEntries = saved
   }
 
-  test("N-dim file stats ('statscols'): xstats prune boxes on non-key dims; appends recompute, rewrites degrade safely") {
+  test("N-dim file stats ('statscols'): xstats prune boxes on non-key dims; appends and rewrites recompute") {
     val wh = Files.createTempDirectory("gwh6").toString
     spark.conf.set("spark.sql.catalog.gnd", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.gnd.warehouse", wh)
@@ -573,13 +573,188 @@ class LakeSqlSpec extends SparkSpec {
     val zOnly = src.filter(col("s") === "Z").rdd.getNumPartitions
     assert(zOnly < all2, s"appended xstats did not prune: $zOnly of $all2")
     assert(src.filter(col("s") === "Z").count() == 40)
-    // a REWRITE (merge) drops the header — skipping degrades to off,
-    // results stay exact (stats may disappear, never lie)
+    // a REWRITE (merge) KEEPS the header and RECOMPUTES xstats for the
+    // files it writes (r17) — skipping survives DML, results stay exact
     val vM = Versioned.merge(spark, path,
       Seq((0L, java.sql.Date.valueOf("1995-01-01"), "A", 0L, "U"))
         .toDF("k", "dt", "s", "p", "_op"), "k", "p")
-    assert(Versioned.statsColsOf(spark, path, vM).isEmpty)
+    assert(Versioned.statsColsOf(spark, path, vM) == Seq("dt", "s"))
+    assert(Versioned.entriesOf(spark, path, vM).forall(_.xstats.isDefined),
+      "every post-merge file entry must carry recomputed xstats")
     assert(src.filter(col("s") === "Z").count() == 40)
     assert(src.count() == 4040)
+  }
+
+  test("rewrites recompute stats dimensions: optimize keeps the xstats prune, DML keeps header + bounds") {
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    val wh = Files.createTempDirectory("gwh7").toString
+    spark.conf.set("spark.sql.catalog.gn7", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gn7.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gn7.ns")
+    spark.sql("CREATE TABLE gn7.ns.t (k BIGINT, dt DATE, s STRING, p BIGINT) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('statskey' = 'k', 'statscols' = 'dt,s')")
+    val path = s"$wh/ns/t"
+    // KEY-correlated box dims: s and dt are monotone in k, so optimize's
+    // key-ordered bin packing preserves each output file's (s, dt)
+    // tightness — the layout a production table keeps by range ingest.
+    spark.sql(
+      """INSERT INTO gn7.ns.t
+        |SELECT /*+ REPARTITION_BY_RANGE(16, id) */
+        |       id AS k,
+        |       date_add(DATE '1995-01-01', CAST(id / 10 AS INT) % 2000) AS dt,
+        |       CASE WHEN id < 2000 THEN 'A' ELSE 'B' END AS s,
+        |       CAST(0 AS BIGINT) AS p
+        |FROM range(0, 4000)""".stripMargin)
+    def src = spark.read.format("graft.sources.VersionedSource").load(path)
+    def boxParts = src.filter(col("s") === "A" &&
+      col("dt") >= to_date(lit("1995-02-01")) &&
+      col("dt") <= to_date(lit("1995-03-31"))).rdd.getNumPartitions
+    val all = src.rdd.getNumPartitions
+    assert(all >= 8, s"want many small files, got $all")
+    assert(boxParts < all, s"pre-optimize prune failed: $boxParts of $all")
+    // OPTIMIZE bin-packs small files; the rewrite recomputes ALL stats
+    // dimensions in its stats scan — the box still prunes afterwards
+    val vOpt = Versioned.optimizeTable(spark, path, "k", "p", targetRows = 600)
+    assert(Versioned.statsColsOf(spark, path, vOpt) == Seq("dt", "s"))
+    assert(Versioned.entriesOf(spark, path, vOpt).forall(_.xstats.isDefined),
+      "post-optimize entries must carry recomputed xstats")
+    val allOpt = src.rdd.getNumPartitions
+    assert(allOpt < all, "optimize must have packed files")
+    assert(boxParts < allOpt,
+      s"post-optimize xstats prune failed: $boxParts of $allOpt")
+    val expect = (0L until 4000L).count { id =>
+      val d = java.time.LocalDate.of(1995, 1, 1).plusDays((id / 10) % 2000)
+      id < 2000 &&
+        !d.isBefore(java.time.LocalDate.of(1995, 2, 1)) &&
+        !d.isAfter(java.time.LocalDate.of(1995, 3, 31))
+    }
+    assert(src.filter(col("s") === "A" &&
+      col("dt") >= to_date(lit("1995-02-01")) &&
+      col("dt") <= to_date(lit("1995-03-31"))).count() == expect)
+    // predicate DML (deleteWhere / updateWhere) carries and recomputes too
+    val vDel = Versioned.deleteWhere(spark, path, col("k") === 17L, "p")
+    assert(Versioned.statsColsOf(spark, path, vDel) == Seq("dt", "s"))
+    assert(Versioned.entriesOf(spark, path, vDel).forall(_.xstats.isDefined))
+    val vUpd = Versioned.updateWhere(spark, path, col("k") === 18L,
+      Map("s" -> lit("A")), "p")
+    assert(Versioned.statsColsOf(spark, path, vUpd) == Seq("dt", "s"))
+    assert(Versioned.entriesOf(spark, path, vUpd).forall(_.xstats.isDefined))
+    assert(src.count() == 3999)
+  }
+
+  test("RENAME of an extra stats column follows the header; DROP removes its dimension and realigns xstats") {
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    val wh = Files.createTempDirectory("gwh8").toString
+    spark.conf.set("spark.sql.catalog.gn8", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gn8.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gn8.ns")
+    spark.sql("CREATE TABLE gn8.ns.t (k BIGINT, dt DATE, s STRING, p BIGINT) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('statskey' = 'k', 'statscols' = 'dt,s')")
+    val path = s"$wh/ns/t"
+    spark.sql(
+      """INSERT INTO gn8.ns.t
+        |SELECT /*+ REPARTITION_BY_RANGE(8, s, dt) */
+        |       id AS k,
+        |       date_add(DATE '1995-01-01', CAST(id % 360 AS INT)) AS dt,
+        |       CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END AS s,
+        |       CAST(0 AS BIGINT) AS p
+        |FROM range(0, 2000)""".stripMargin)
+    // RENAME a stats dimension: same position in the header, so every
+    // entry's positional bounds stay valid — and ingest stays WORKING
+    // (the r16 gap: the stale header name broke every later append)
+    spark.sql("ALTER TABLE gn8.ns.t RENAME COLUMN dt TO event_dt")
+    val v3 = Versioned.latestVersion(spark, path)
+    assert(Versioned.statsColsOf(spark, path, v3) == Seq("event_dt", "s"))
+    def src = spark.read.format("graft.sources.VersionedSource").load(path)
+    val all = src.rdd.getNumPartitions
+    // bounds survive the rename: a box on the NEW name prunes
+    val boxed = src.filter(col("event_dt") >= to_date(lit("1995-02-01")) &&
+      col("event_dt") <= to_date(lit("1995-03-31")) && col("s") === "A")
+    assert(boxed.rdd.getNumPartitions < all,
+      s"rename lost the xstats prune: ${boxed.rdd.getNumPartitions} of $all")
+    // ingest still works — the append recomputes stats under the new name
+    spark.sql(
+      """INSERT INTO gn8.ns.t
+        |SELECT id AS k, DATE '2002-01-01' AS event_dt, 'Z' AS s,
+        |       CAST(0 AS BIGINT) AS p
+        |FROM range(9000, 9020)""".stripMargin)
+    assert(src.count() == 2020)
+    // DROP a stats dimension: header loses it AND every entry's xstats
+    // slot realigns — pruning on the surviving dimension must stay SOUND
+    spark.sql("ALTER TABLE gn8.ns.t DROP COLUMN event_dt")
+    val v5 = Versioned.latestVersion(spark, path)
+    assert(Versioned.statsColsOf(spark, path, v5) == Seq("s"))
+    val zCnt = src.filter(col("s") === "Z").count()
+    assert(zCnt == 20, s"misaligned xstats after drop: got $zCnt of 20")
+    val aCnt = src.filter(col("s") === "A").count()
+    assert(aCnt == 1000, s"misaligned xstats after drop: got $aCnt of 1000")
+    assert(src.filter(col("s") === "Z").rdd.getNumPartitions <
+      src.rdd.getNumPartitions, "surviving dimension must still prune")
+    // and ingest still works without the dropped dimension
+    spark.sql(
+      """INSERT INTO gn8.ns.t
+        |SELECT id AS k, 'Q' AS s, CAST(0 AS BIGINT) AS p
+        |FROM range(9500, 9510)""".stripMargin)
+    assert(src.count() == 2030)
+    // time travel BEFORE the drop still serves the renamed column
+    assert(spark.read.format("graft.sources.VersionedSource")
+      .option("versionAsOf", v3.toString).load(path)
+      .columns.contains("event_dt"))
+  }
+
+  test("ALTER COLUMN TYPE widening: old narrow files read back wide, time travel serves the old type, narrowing refused") {
+    import org.apache.spark.sql.functions.col
+    val wh = Files.createTempDirectory("gwh9").toString
+    spark.conf.set("spark.sql.catalog.gn9", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gn9.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gn9.ns")
+    spark.sql("CREATE TABLE gn9.ns.t (k BIGINT, v INT, f FLOAT, p BIGINT) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('statskey' = 'k')")
+    val path = s"$wh/ns/t"
+    spark.sql("INSERT INTO gn9.ns.t SELECT id AS k, CAST(id * 3 AS INT) AS v, " +
+      "CAST(id AS FLOAT) / 2 AS f, id % 2 AS p FROM range(0, 100)")
+    val preWiden = Versioned.latestVersion(spark, path)
+    // header-only commits: int -> bigint, float -> double; no file rewritten
+    spark.sql("ALTER TABLE gn9.ns.t ALTER COLUMN v TYPE BIGINT")
+    spark.sql("ALTER TABLE gn9.ns.t ALTER COLUMN f TYPE DOUBLE")
+    val tSchema = spark.table("gn9.ns.t").schema
+    assert(tSchema("v").dataType == org.apache.spark.sql.types.LongType)
+    assert(tSchema("f").dataType == org.apache.spark.sql.types.DoubleType)
+    // old files' NARROW bytes decode through both DSv2 paths (this read is
+    // columnar-eligible: no DV, primitive types)
+    assert(spark.sql("SELECT sum(v) FROM gn9.ns.t").head().getLong(0) ==
+      (0L until 100L).map(_ * 3).sum)
+    // values only a wide column can hold append next to the narrow files
+    val big = 9000000000000000L // > Int.MaxValue: needs the widened type
+    spark.sql(s"INSERT INTO gn9.ns.t VALUES (1000, $big, 1.5E300, 0)")
+    assert(spark.sql("SELECT max(v) FROM gn9.ns.t").head().getLong(0) == big)
+    assert(spark.sql("SELECT max(f) FROM gn9.ns.t").head().getDouble(0) == 1.5e300)
+    // mixed narrow+wide files in ONE aggregate — the Scala read path too
+    assert(Versioned.read(spark, path).agg(
+      org.apache.spark.sql.functions.sum(col("v"))).head().getLong(0) ==
+      (0L until 100L).map(_ * 3).sum + big)
+    // time travel BEFORE the widen serves the ORIGINAL narrow type
+    val old = spark.read.format("graft.sources.VersionedSource")
+      .option("versionAsOf", preWiden.toString).load(path)
+    assert(old.schema("v").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(old.agg(org.apache.spark.sql.functions.sum(col("v")))
+      .head().getLong(0) == (0L until 100L).map(_ * 3).sum)
+    // NARROWING is refused loudly (bigint -> int could truncate): Spark's
+    // analyzer refuses the un-upcastable SQL change before the catalog,
+    // and the store's own guard refuses a direct programmatic call too
+    val err = intercept[Exception](
+      spark.sql("ALTER TABLE gn9.ns.t ALTER COLUMN v TYPE INT"))
+    assert(err.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      err.getMessage.contains("widening"), err.getMessage)
+    val err2 = intercept[IllegalArgumentException](Versioned.widenColumnType(
+      spark, path, "v", org.apache.spark.sql.types.IntegerType))
+    assert(err2.getMessage.contains("widening"), err2.getMessage)
+    // multi-field ADD COLUMNS is still ONE atomic commit
+    val before = Versioned.latestVersion(spark, path)
+    spark.sql("ALTER TABLE gn9.ns.t ADD COLUMNS (a INT, b STRING)")
+    assert(Versioned.latestVersion(spark, path) == before + 1,
+      "multi-column ADD must commit exactly one version")
+    assert(spark.table("gn9.ns.t").columns.toSeq ==
+      Seq("k", "v", "f", "p", "a", "b"))
   }
 }

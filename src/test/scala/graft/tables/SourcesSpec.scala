@@ -709,4 +709,180 @@ class SourcesSpec extends SparkSpec {
     spark.sql("INSERT INTO gcat_r.ns.m VALUES (100L, 1L, 'z')")
     assert(spark.sql("SELECT * FROM gcat_r.ns.m").count() == 1)
   }
+
+  test("SQL MERGE WHEN NOT MATCHED BY SOURCE: Spark's native clause drives the group-based rewrite exactly") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graftnmbs").toString
+    spark.conf.set("spark.sql.catalog.gcat_n", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat_n.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gcat_n.ns")
+    spark.sql(
+      """CREATE TABLE gcat_n.ns.m (k BIGINT, v BIGINT, p STRING)
+        |PARTITIONED BY (p) TBLPROPERTIES ('statskey' = 'k')""".stripMargin)
+    (1L to 40L).map(k => (k, k * 10, if (k <= 20) "a" else "b"))
+      .toDF("k", "v", "p").repartition(4).createOrReplaceTempView("nmbs_seed")
+    spark.sql("INSERT INTO gcat_n.ns.m SELECT * FROM nmbs_seed")
+    // mirror: keep keys 1..25 (bump 7), insert 100, delete 26..40
+    (1L to 25L).map(k => (k, if (k == 7) 777L else k * 10,
+      if (k <= 20) "a" else "b")).toDF("k", "v", "p")
+      .union(Seq((100L, 1000L, "c")).toDF("k", "v", "p"))
+      .createOrReplaceTempView("nmbs_src")
+    spark.sql(
+      """MERGE INTO gcat_n.ns.m t USING nmbs_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM gcat_n.ns.m ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+    val want = (1L to 25L).map(k => (k, if (k == 7) 777L else k * 10)) :+
+      ((100L, 1000L))
+    assert(got == want, s"mirror mismatch: $got")
+    // the UPDATE variant of the clause
+    spark.sql(
+      """MERGE INTO gcat_n.ns.m t USING (SELECT * FROM nmbs_src WHERE k <= 10) s
+        |ON t.k = s.k
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -1""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM gcat_n.ns.m WHERE v = -1")
+      .head().getLong(0) == 16) // keys 11..25 + 100
+  }
+
+  test("merge NOT MATCHED BY SOURCE: mirror delete / flag update, and an all-keys-present source rewrites nothing extra") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("vnms").toString
+    val tbl = s"$tmp/table"
+    val rows = for { y <- 1995 to 1998; i <- 1 to 8 }
+      yield (y.toLong * 100 + i, y * 10L + i, y)
+    Versioned.publish(spark, tbl, rows.toDF("k", "v", "y"),
+      partCol = Some("y"), fileStatsKey = Some("k"))
+    def entriesOf(v: Int) =
+      Versioned.fileEntriesOf(spark, tbl, v).map(e => (e._1, e._2, e._3)).toSet
+    val before = entriesOf(1)
+    // 1) THE SCOPING PIN: a full-sync source covering EVERY key ('K'
+    //    membership rows, one real 'U' in 1996) with the DELETE clause —
+    //    only 1996's files rewrite; every other partition SPLICES
+    val full = rows.map { case (k, v, y) =>
+      (k, if (k == 199601L) 999L else v, y, if (k == 199601L) "U" else "K") }
+      .toDF("k", "v", "y", "_op")
+    val v2 = Versioned.merge(spark, tbl, full, "k", "y",
+      notMatchedBySource = Some(Versioned.NotMatchedBySource.Delete))
+    val replaced = before -- entriesOf(v2)
+    assert(replaced.nonEmpty && replaced.forall(_._1 == "y=1996"),
+      s"all-keys-present full sync must rewrite ONLY the updated " +
+        s"partition, replaced: $replaced")
+    assert(Versioned.read(spark, tbl).count() == rows.length,
+      "all-keys-present source must delete nothing")
+    assert(Versioned.read(spark, tbl).filter(col("k") === 199601L)
+      .head().getLong(1) == 999L)
+    // 2) mirror sync: the source names only 1995's odd keys — everything
+    //    else is NOT MATCHED BY SOURCE and vanishes
+    val keepHalf = rows.filter { case (k, _, y) => y == 1995 && k % 2 == 1 }
+      .map { case (k, v, y) => (k, v, y, "K") }.toDF("k", "v", "y", "_op")
+    Versioned.merge(spark, tbl, keepHalf, "k", "y",
+      notMatchedBySource = Some(Versioned.NotMatchedBySource.Delete))
+    assert(Versioned.read(spark, tbl).as[(Long, Long, Int)].collect()
+      .map(_._1).sorted.toSeq ==
+      rows.filter { case (k, _, y) => y == 1995 && k % 2 == 1 }.map(_._1).sorted,
+      "mirror sync must leave exactly the source's key set")
+    // 3) the UPDATE variant: flag rows absent from the source; only the
+    //    partitions HOLDING unmatched rows rewrite
+    val t2 = s"$tmp/table2"
+    Versioned.publish(spark, t2, rows.toDF("k", "v", "y"),
+      partCol = Some("y"), fileStatsKey = Some("k"))
+    val srcAll = rows.filter(_._3 != 1997)
+      .map { case (k, v, y) => (k, v, y, "K") }.toDF("k", "v", "y", "_op")
+    val t2before = Versioned.fileEntriesOf(spark, t2, 1)
+      .map(e => (e._1, e._2, e._3)).toSet
+    val v2b = Versioned.merge(spark, t2, srcAll, "k", "y",
+      notMatchedBySource = Some(Versioned.NotMatchedBySource.Update(
+        Map("v" -> lit(-1L)))))
+    val t2replaced = t2before -- Versioned.fileEntriesOf(spark, t2, v2b)
+      .map(e => (e._1, e._2, e._3)).toSet
+    assert(t2replaced.nonEmpty && t2replaced.forall(_._1 == "y=1997"),
+      s"flag update must rewrite only the unmatched partition: $t2replaced")
+    val flagged = Versioned.read(spark, t2).filter(col("v") === -1L)
+      .as[(Long, Long, Int)].collect()
+    assert(flagged.map(_._1).sorted.toSeq ==
+      rows.filter(_._3 == 1997).map(_._1).sorted,
+      "exactly the source-less rows must be flagged")
+    assert(Versioned.read(spark, t2).count() == rows.length)
+    // type-changing assignments and unknown ops are refused loudly
+    val err = intercept[IllegalArgumentException](Versioned.merge(spark, t2,
+      srcAll, "k", "y",
+      notMatchedBySource = Some(Versioned.NotMatchedBySource.Update(
+        Map("v" -> lit("oops"))))))
+    assert(err.getMessage.contains("preserve column types"), err.getMessage)
+    val err2 = intercept[IllegalArgumentException](Versioned.mergeByFiles(
+      spark, tbl, keepHalf, "k", "y"))
+    assert(err2.getMessage.contains("allowed"), err2.getMessage)
+  }
+
+  test("null-count file skipping: IS NULL skips null-free files, IS NOT NULL and ranges skip all-null files") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("vnull").toString
+    val tbl = s"$tmp/table"
+    // one partition, two planted task files: keys 1..50 with dt VALUES,
+    // keys 51..100 with dt NULL — repartitionByRange on k splits them
+    val rows = (1L to 100L).map(k =>
+      (k, if (k <= 50) java.sql.Date.valueOf(java.time.LocalDate.of(1995, 1, 1)
+        .plusDays(k).toString) else null, 0L))
+    Versioned.publish(spark, tbl,
+      rows.toDF("k", "dt", "p").repartitionByRange(2, col("k")),
+      partCol = Some("p"), fileStatsKey = Some("k"),
+      fileStatsCols = Seq("dt"))
+    def src = spark.read.format("graft.sources.VersionedSource").load(tbl)
+    val all = src.rdd.getNumPartitions
+    assert(all == 2, s"want exactly the two planted files, got $all")
+    // IS NULL: the null-free file (nullCount = 0) skips
+    val isNull = src.filter(col("dt").isNull)
+    assert(isNull.rdd.getNumPartitions == 1,
+      s"IS NULL must skip the null-free file: ${isNull.rdd.getNumPartitions}")
+    assert(isNull.count() == 50)
+    // IS NOT NULL: the all-null file (nullCount = rows) skips
+    val notNull = src.filter(col("dt").isNotNull)
+    assert(notNull.rdd.getNumPartitions == 1,
+      s"IS NOT NULL must skip the all-null file: ${notNull.rdd.getNumPartitions}")
+    assert(notNull.count() == 50)
+    // a RANGE on the dimension skips the provably all-null file too
+    val band = src.filter(col("dt") >= java.sql.Date.valueOf("1995-01-10"))
+    assert(band.rdd.getNumPartitions == 1,
+      s"range must skip the all-null file: ${band.rdd.getNumPartitions}")
+    assert(band.count() == 42) // k in 9..50 (1995-01-01 + k >= 1995-01-10)
+    // `key IS NULL` matches nothing on a file-granular table (keys are
+    // non-null by contract): every file skips
+    assert(src.filter(col("k").isNull).rdd.getNumPartitions == 0)
+  }
+
+  test("string-range partition pruning: directory values compare raw, null leaves obey bounds and null-ness") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("vsrp").toString
+    val tbl = s"$tmp/table"
+    val rows = for { pr <- Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW");
+                     i <- 1 to 4 }
+      yield (pr.head.toLong * 100 + i, i.toLong, pr)
+    val withNull = rows.toDF("k", "v", "prio")
+      .unionByName(Seq((900L, 9L, null.asInstanceOf[String]))
+        .toDF("k", "v", "prio"))
+    Versioned.publish(spark, tbl, withNull, partCol = Some("prio"))
+    def src = spark.read.format("graft.sources.VersionedSource").load(tbl)
+    val all = src.rdd.getNumPartitions
+    // upper/lower bounds prune leaves by RAW string comparison
+    val hi = src.filter(col("prio") >= "4")
+    assert(hi.rdd.getNumPartitions < all,
+      s"string lower bound must prune: ${hi.rdd.getNumPartitions} of $all")
+    assert(hi.count() == 8) // 4-NOT SPECIFIED + 5-LOW
+    val lo = src.filter(col("prio") <= "2-HIGH")
+    assert(lo.rdd.getNumPartitions < all)
+    assert(lo.count() == 8) // 1-URGENT + 2-HIGH
+    val mid = src.filter(col("prio") > "1-URGENT" && col("prio") < "4")
+    assert(mid.count() == 8) // 2-HIGH + 3-MEDIUM (closed-bound slack keeps boundary leaves planned, rows stay exact)
+    // the NULL leaf: excluded by any bound, kept only by IS NULL
+    assert(src.filter(col("prio").isNull).count() == 1)
+    assert(src.filter(col("prio").isNull).rdd.getNumPartitions == 1,
+      "IS NULL must plan only the default-partition leaf")
+    assert(src.filter(col("prio").isNotNull).rdd.getNumPartitions == all - 1,
+      "IS NOT NULL must drop the default-partition leaf")
+  }
 }
