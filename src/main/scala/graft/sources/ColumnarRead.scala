@@ -118,6 +118,8 @@ final class VersionedColumnarReader(file: String, constCols: Array[String],
         case LongType => (cr, vec, i) => vec.putLong(i, cr.getLong)
         case DoubleType if phys == PrimitiveTypeName.FLOAT =>
           (cr, vec, i) => vec.putDouble(i, cr.getFloat.toDouble)
+        case DoubleType if phys == PrimitiveTypeName.INT32 =>
+          (cr, vec, i) => vec.putDouble(i, cr.getInteger.toDouble)
         case IntegerType => (cr, vec, i) => vec.putInt(i, cr.getInteger)
         case StringType => (cr, vec, i) => {
           val b = cr.getBinary.getBytes

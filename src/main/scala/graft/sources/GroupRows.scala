@@ -67,6 +67,7 @@ object GroupRows {
       case BooleanType => g.getBoolean(idx, 0)
       case DoubleType =>
         if (phys == PrimitiveTypeName.FLOAT) g.getFloat(idx, 0).toDouble
+        else if (phys == PrimitiveTypeName.INT32) g.getInteger(idx, 0).toDouble
         else g.getDouble(idx, 0)
       case FloatType => g.getFloat(idx, 0)
       case ShortType => g.getInteger(idx, 0).toShort

@@ -2510,14 +2510,19 @@ object Versioned {
     require(baseSchema.fieldNames.contains(name),
       s"no such column $name in ${baseSchema.fieldNames.mkString(",")}")
     val oldType = baseSchema(name).dataType
+    // Exact widenings only (every old value representable in the new
+    // type): the integral family upward, float -> double, and the small
+    // integrals -> double (int32 is exact in an IEEE double). long ->
+    // double is EXCLUDED — it silently loses precision above 2^53.
     val widenings: Map[DataType, Set[DataType]] = Map(
-      ByteType -> Set(ShortType, IntegerType, LongType),
-      ShortType -> Set(IntegerType, LongType),
-      IntegerType -> Set(LongType),
+      ByteType -> Set(ShortType, IntegerType, LongType, DoubleType),
+      ShortType -> Set(IntegerType, LongType, DoubleType),
+      IntegerType -> Set(LongType, DoubleType),
       FloatType -> Set(DoubleType))
     require(widenings.get(oldType).exists(_.contains(newType)),
       s"cannot alter $name: $oldType -> $newType is not a supported widening " +
-        "(byte/short/int upward within the integral family, float -> double)")
+        "(byte/short/int upward within the integral family or to double, " +
+        "float -> double)")
     // Partition values are directory strings typed by the recorded schema;
     // widening one buys nothing and complicates the layout contract.
     headerLine(fsys, table, base, "#partcol\t").foreach(pc =>
@@ -3315,18 +3320,24 @@ object Versioned {
     val baseSchema = readSchemaLine(fsys, table, base)
     val df = {
       val raw = readAt(spark, tablePath, base)
-      import org.apache.spark.sql.types._
-      Seq(keyCol, col2).foreach(c => require(
-        Set[DataType](ByteType, ShortType, IntegerType, LongType)
-          .contains(raw.schema(c).dataType),
-        s"z-order column $c is ${raw.schema(c).dataType}; integral required"))
+      Seq(keyCol, col2).foreach(c => require(KeyEnc.supported(raw.schema(c).dataType),
+        s"z-order column $c is ${raw.schema(c).dataType}; " +
+          "integral, string, or date required"))
       raw
     }
-    val mm = df.agg(min(col(keyCol).cast("long")), max(col(keyCol).cast("long")),
-      min(col(col2).cast("long")), max(col(col2).cast("long"))).head()
+    // The Morton interleave runs in the KeyEnc SURROGATE domain (identity
+    // for integral, epoch days for date, the monotone 8-byte prefix for
+    // string — r17) — the same ordered-long space the manifest bounds
+    // live in, so the z-cells the layout forms are exactly the boxes the
+    // scan later prunes. NULLs in col2 carry a NULL z-value and cluster
+    // together at the range partitioner's edge.
+    val zk = keyEncCols(df.schema(keyCol).dataType, keyCol)._1
+    val z2 = keyEncCols(df.schema(col2).dataType, col2)._1
+    val mm = df.agg(min(zk), max(zk), min(z2), max(z2)).head()
     require(!mm.isNullAt(0), s"cannot z-order an empty table")
-    val z = mortonCol(col(keyCol), mm.getLong(0), mm.getLong(1),
-      col(col2), mm.getLong(2), mm.getLong(3))
+    require(!mm.isNullAt(2), s"cannot z-order: $col2 is entirely NULL")
+    val z = mortonCol(zk, mm.getLong(0), mm.getLong(1),
+      z2, mm.getLong(2), mm.getLong(3))
     val pCols = partColsOf(partCol).map(col)
     val parts = df.select(pCols: _*).distinct().count().toInt
     val dd = newDataDir(fsys, table)

@@ -702,31 +702,69 @@ class LakeSqlSpec extends SparkSpec {
       .columns.contains("event_dt"))
   }
 
+  test("z-order on a STRING second dimension: surrogate Morton layout, the string box prunes") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("vzstr").toString
+    val tbl = s"$tmp/table"
+    // s is key-UNCORRELATED (id * 37 mod 8): linear key layout spreads
+    // every s value across every file — only a 2-D clustering can tighten
+    // the per-file s spread
+    val rows = (0L until 4096L).map(id =>
+      (id, ('A' + (id * 37 % 8).toInt).toChar.toString, 0L))
+    Versioned.publish(spark, tbl,
+      rows.toDF("k", "s", "p").repartitionByRange(16, col("k")),
+      partCol = Some("p"), fileStatsKey = Some("k"))
+    def src = spark.read.format("graft.sources.VersionedSource").load(tbl)
+    val linear = src.filter(col("s") === "C").rdd.getNumPartitions
+    assert(linear == src.rdd.getNumPartitions,
+      "linear layout has no s stats — nothing to prune")
+    val v2 = Versioned.optimizeZOrder(spark, tbl, "k", "p", "s", filesPerPart = 16)
+    assert(Versioned.statsKey2Of(spark, tbl, v2).contains("s"))
+    val all = src.rdd.getNumPartitions
+    val cOnly = src.filter(col("s") === "C").rdd.getNumPartitions
+    assert(cOnly < all / 2,
+      s"string z-order must prune the equality box: $cOnly of $all")
+    assert(src.filter(col("s") === "C").count() == 512)
+    // content identical across the rewrite
+    assert(src.as[(Long, String, Long)].collect().toSet == rows.toSet)
+    // a 2-D (key band × string) box prunes harder than either alone
+    val box = src.filter(col("k") >= 1024 && col("k") < 2048 && col("s") === "C")
+    assert(box.rdd.getNumPartitions <= cOnly)
+    assert(box.count() == 128)
+  }
+
   test("ALTER COLUMN TYPE widening: old narrow files read back wide, time travel serves the old type, narrowing refused") {
     import org.apache.spark.sql.functions.col
     val wh = Files.createTempDirectory("gwh9").toString
     spark.conf.set("spark.sql.catalog.gn9", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.gn9.warehouse", wh)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gn9.ns")
-    spark.sql("CREATE TABLE gn9.ns.t (k BIGINT, v INT, f FLOAT, p BIGINT) " +
+    spark.sql("CREATE TABLE gn9.ns.t (k BIGINT, v INT, f FLOAT, w INT, p BIGINT) " +
       "PARTITIONED BY (p) TBLPROPERTIES ('statskey' = 'k')")
     val path = s"$wh/ns/t"
     spark.sql("INSERT INTO gn9.ns.t SELECT id AS k, CAST(id * 3 AS INT) AS v, " +
-      "CAST(id AS FLOAT) / 2 AS f, id % 2 AS p FROM range(0, 100)")
+      "CAST(id AS FLOAT) / 2 AS f, CAST(id AS INT) AS w, id % 2 AS p " +
+      "FROM range(0, 100)")
     val preWiden = Versioned.latestVersion(spark, path)
-    // header-only commits: int -> bigint, float -> double; no file rewritten
+    // header-only commits: int -> bigint, float -> double, int -> double;
+    // no file rewritten
     spark.sql("ALTER TABLE gn9.ns.t ALTER COLUMN v TYPE BIGINT")
     spark.sql("ALTER TABLE gn9.ns.t ALTER COLUMN f TYPE DOUBLE")
+    spark.sql("ALTER TABLE gn9.ns.t ALTER COLUMN w TYPE DOUBLE")
     val tSchema = spark.table("gn9.ns.t").schema
     assert(tSchema("v").dataType == org.apache.spark.sql.types.LongType)
     assert(tSchema("f").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(tSchema("w").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(spark.sql("SELECT sum(w) FROM gn9.ns.t").head().getDouble(0) ==
+      (0 until 100).sum.toDouble)
     // old files' NARROW bytes decode through both DSv2 paths (this read is
     // columnar-eligible: no DV, primitive types)
     assert(spark.sql("SELECT sum(v) FROM gn9.ns.t").head().getLong(0) ==
       (0L until 100L).map(_ * 3).sum)
     // values only a wide column can hold append next to the narrow files
     val big = 9000000000000000L // > Int.MaxValue: needs the widened type
-    spark.sql(s"INSERT INTO gn9.ns.t VALUES (1000, $big, 1.5E300, 0)")
+    spark.sql(s"INSERT INTO gn9.ns.t VALUES (1000, $big, 1.5E300, 0.5D, 0)")
     assert(spark.sql("SELECT max(v) FROM gn9.ns.t").head().getLong(0) == big)
     assert(spark.sql("SELECT max(f) FROM gn9.ns.t").head().getDouble(0) == 1.5e300)
     // mixed narrow+wide files in ONE aggregate — the Scala read path too
@@ -755,6 +793,6 @@ class LakeSqlSpec extends SparkSpec {
     assert(Versioned.latestVersion(spark, path) == before + 1,
       "multi-column ADD must commit exactly one version")
     assert(spark.table("gn9.ns.t").columns.toSeq ==
-      Seq("k", "v", "f", "p", "a", "b"))
+      Seq("k", "v", "f", "w", "p", "a", "b"))
   }
 }
