@@ -37,18 +37,106 @@ object ColumnarRead {
          DoubleType | FloatType | ShortType | ByteType | DateType => true
     case _ => false
   }
+
+  /** Row groups actually DECODED process-wide — a test seam proving
+    * row-group skipping (specs reset, read, and compare against the
+    * file's total group count; local[k] runs tasks in this JVM).
+    */
+  val decodedRowGroups = new java.util.concurrent.atomic.AtomicLong(0)
+  val skippedRowGroups = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
+/** The scan's pushed planning bounds, re-checked against EACH ROW
+  * GROUP's parquet footer statistics before its pages are decoded — the
+  * second skipping tier below manifest file pruning: a 1 GB file whose
+  * manifest range covers the predicate still skips the ~90% of its row
+  * groups whose chunk stats miss it. All domains are the RAW column
+  * domain (parquet stats are raw values): epoch days for dates, UTF-8
+  * byte order for strings (code-point order — exactly Spark's own
+  * string comparison), widened columns compare via Number. Fail-open
+  * everywhere: missing stats, unknown columns, or a pre-rename file
+  * (the bound resolves through the alias metadata) just decode.
+  */
+final case class RowGroupBounds(
+    longBounds: Map[String, (Long, Long)] = Map.empty,
+    strLo: Map[String, String] = Map.empty,
+    strHi: Map[String, String] = Map.empty,
+    isNull: Set[String] = Set.empty,
+    isNotNull: Set[String] = Set.empty,
+    aliases: Map[String, Seq[String]] = Map.empty) {
+  def isEmpty: Boolean =
+    longBounds.isEmpty && strLo.isEmpty && strHi.isEmpty &&
+      isNull.isEmpty && isNotNull.isEmpty
+
+  /** May this row group contain a matching row? Conservative per column:
+    * every bound must be contradicted by a present, non-empty statistic
+    * to skip.
+    */
+  def survives(block: org.apache.parquet.hadoop.metadata.BlockMetaData): Boolean = {
+    if (isEmpty) return true
+    val byName = new scala.collection.mutable.HashMap[String,
+      org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]()
+    val it = block.getColumns.iterator()
+    while (it.hasNext) { val c = it.next(); byName(c.getPath.toDotString) = c }
+    def chunkOf(logical: String) =
+      (logical +: aliases.getOrElse(logical, Seq.empty)).iterator
+        .flatMap(byName.get).nextOption()
+    def statsOf(logical: String) = chunkOf(logical).flatMap(c =>
+      Option(c.getStatistics)).filter(!_.isEmpty)
+    val rows = block.getRowCount
+    val longOk = longBounds.forall { case (c, (lo, hi)) =>
+      statsOf(c).forall { st =>
+        if (!st.hasNonNullValue) true // all-null chunk: range can't match, but prove it via numNulls below
+        else (st.genericGetMin, st.genericGetMax) match {
+          case (mn: Number, mx: Number) =>
+            mn.longValue() <= hi && mx.longValue() >= lo
+          case _ => true
+        }
+      } && statsOf(c).forall(st =>
+        !(st.isNumNullsSet && st.getNumNulls == rows)) // provably all-null: no value in range
+    }
+    def strCmp(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    def strOk(c: String, bound: String, lower: Boolean): Boolean =
+      statsOf(c).forall { st =>
+        if (!st.hasNonNullValue) !(st.isNumNullsSet && st.getNumNulls == rows)
+        else (st.genericGetMin, st.genericGetMax) match {
+          case (mn: org.apache.parquet.io.api.Binary,
+                mx: org.apache.parquet.io.api.Binary) =>
+            val b = bound.getBytes("UTF-8")
+            if (lower) strCmp(mx.getBytes, b) >= 0 else strCmp(mn.getBytes, b) <= 0
+          case _ => true
+        }
+      }
+    val sOk = strLo.forall { case (c, v) => strOk(c, v, lower = true) } &&
+      strHi.forall { case (c, v) => strOk(c, v, lower = false) }
+    val nullOk = isNull.forall(c => statsOf(c).forall(st =>
+      !st.isNumNullsSet || st.getNumNulls > 0))
+    val notNullOk = isNotNull.forall(c => statsOf(c).forall(st =>
+      !(st.isNumNullsSet && st.getNumNulls == rows)))
+    longOk && sOk && nullOk && notNullOk
+  }
 }
 
 final class VersionedColumnarReader(file: String, constCols: Array[String],
                                     constVals: Array[String], required: StructType,
                                     conf: org.apache.hadoop.conf.Configuration =
-                                      new org.apache.hadoop.conf.Configuration())
+                                      new org.apache.hadoop.conf.Configuration(),
+                                    rgBounds: RowGroupBounds = RowGroupBounds())
     extends PartitionReader[ColumnarBatch] {
 
   /** Single-constant convenience (the change feed's `_version` slot). */
   def this(file: String, constCol: String, constVal: String,
            required: StructType, conf: org.apache.hadoop.conf.Configuration) =
-    this(file, Array(constCol), Array(constVal), required, conf)
+    this(file, Array(constCol), Array(constVal), required, conf, RowGroupBounds())
 
   private val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
     new org.apache.hadoop.fs.Path(file), conf))
@@ -142,21 +230,39 @@ final class VersionedColumnarReader(file: String, constCols: Array[String],
   private var maxDefs: Array[Int] = _
   private var rowsLeftInGroup = 0L
 
+  // ROW-GROUP SKIPPING: before decoding a group's pages, its footer
+  // chunk statistics are checked against the scan's pushed bounds — the
+  // skipping tier below manifest file pruning. A skipped group's pages
+  // are never read from disk (skipNextRowGroup advances the reader's
+  // cursor without I/O beyond the already-loaded footer).
+  private val blocks = reader.getRowGroups
+  private var blockIdx = -1
+
   private def nextRowGroup(): Boolean = {
-    pages = reader.readNextRowGroup()
-    if (pages == null) return false
-    val store = new ColumnReadStoreImpl(pages,
-      new GroupRecordConverter(fileSchema).getRootConverter, fileSchema, createdBy)
-    readers = fieldPlans.map {
-      case Right(idx) => store.getColumnReader(fileSchema.getColumns.get(idx))
-      case Left(_) => null
+    while (blockIdx + 1 < blocks.size()) {
+      blockIdx += 1
+      if (rgBounds.survives(blocks.get(blockIdx))) {
+        pages = reader.readNextRowGroup()
+        if (pages == null) return false
+        ColumnarRead.decodedRowGroups.incrementAndGet()
+        val store = new ColumnReadStoreImpl(pages,
+          new GroupRecordConverter(fileSchema).getRootConverter, fileSchema, createdBy)
+        readers = fieldPlans.map {
+          case Right(idx) => store.getColumnReader(fileSchema.getColumns.get(idx))
+          case Left(_) => null
+        }
+        maxDefs = fieldPlans.map {
+          case Right(idx) => fileSchema.getColumns.get(idx).getMaxDefinitionLevel
+          case Left(_) => 0
+        }
+        rowsLeftInGroup = pages.getRowCount
+        return true
+      } else {
+        ColumnarRead.skippedRowGroups.incrementAndGet()
+        reader.skipNextRowGroup()
+      }
     }
-    maxDefs = fieldPlans.map {
-      case Right(idx) => fileSchema.getColumns.get(idx).getMaxDefinitionLevel
-      case Left(_) => 0
-    }
-    rowsLeftInGroup = pages.getRowCount
-    true
+    false
   }
 
   override def next(): Boolean = {

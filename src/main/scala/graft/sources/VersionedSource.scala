@@ -513,17 +513,33 @@ final class VersionedScan(path: String, version: Int, full: StructType,
     // bytes carry in pre-rename files (metadata — both readers consult it
     // per file; no signature rides along).
     val aliases = Versioned.columnAliasesOf(SparkSession.active, path, version)
+    // The SAME pushed planning bounds recheck against EACH row group's
+    // parquet footer stats inside the vectorized reader — the skipping
+    // tier below manifest file pruning. Scan-level maps are already in
+    // the raw column domain (epoch days for dates, raw strings), which
+    // is the domain parquet statistics live in. Point equality folds
+    // into a closed [v, v] range.
+    val rgBounds = RowGroupBounds(
+      longBounds = longBounds,
+      strLo = stringEq ++ stringLo.map { case (c, v) =>
+        c -> stringEq.get(c).map(e => if (e > v) e else v).getOrElse(v) },
+      strHi = stringEq ++ stringHi.map { case (c, v) =>
+        c -> stringEq.get(c).map(e => if (e < v) e else v).getOrElse(v) },
+      isNull = nullCols, isNotNull = notNullCols,
+      aliases = aliases)
     // Columnar only when no surviving entry carries a deletion vector —
     // runtime filters can only SHRINK the set, so a static no-DV verdict
     // stays valid at execution.
     new VersionedReaderFactory(GroupRows.withAliases(required, aliases),
       GroupRows.withAliases(full, aliases),
-      columnarOk = !survivors.exists(_.dv.isDefined))
+      columnarOk = !survivors.exists(_.dv.isDefined),
+      rgBounds = rgBounds)
   }
 }
 
 final class VersionedReaderFactory(required: StructType, full: StructType,
-                                   columnarOk: Boolean = false)
+                                   columnarOk: Boolean = false,
+                                   rgBounds: RowGroupBounds = RowGroupBounds())
     extends PartitionReaderFactory {
   // The DRIVER's session Hadoop conf rides to the read tasks (the same
   // contract as the sink's writer factory): object-store credentials and
@@ -552,7 +568,8 @@ final class VersionedReaderFactory(required: StructType, full: StructType,
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[VersionedPartition]
     require(p.dvKeys.isEmpty, s"columnar read planned for DV'd file ${p.file}")
-    new VersionedColumnarReader(p.file, p.constCols, p.constVals, required, conf.value)
+    new VersionedColumnarReader(p.file, p.constCols, p.constVals, required,
+      conf.value, rgBounds)
   }
 }
 

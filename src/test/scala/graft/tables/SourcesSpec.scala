@@ -854,6 +854,56 @@ class SourcesSpec extends SparkSpec {
     assert(src.filter(col("k").isNull).rdd.getNumPartitions == 0)
   }
 
+  test("row-group skipping: pushed bounds skip row groups inside a surviving file from footer stats alone") {
+    import graft.sources.ColumnarRead
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("vrg").toString
+    val tbl = s"$tmp/table"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 4096) // force MANY row groups per file
+    try {
+      val rows = (0L until 20000L).map(k =>
+        (k, if (k < 10000) null else "Z" + (k % 7), 0L))
+      Versioned.publish(spark, tbl,
+        rows.toDF("k", "s", "p")
+          .repartitionByRange(1, col("k")).sortWithinPartitions("k"),
+        partCol = Some("p"), fileStatsKey = Some("k"),
+        fileStatsCols = Seq("s"))
+      def src = spark.read.format("graft.sources.VersionedSource").load(tbl)
+      assert(src.rdd.getNumPartitions == 1, "want exactly one planned file")
+      ColumnarRead.decodedRowGroups.set(0); ColumnarRead.skippedRowGroups.set(0)
+      assert(src.count() == 20000)
+      val totalGroups = ColumnarRead.decodedRowGroups.get
+      assert(totalGroups >= 4, s"need several row groups, got $totalGroups")
+      assert(ColumnarRead.skippedRowGroups.get == 0)
+      // a key band covering ~1.5% of the file decodes a fraction of its
+      // groups — the footer-stats tier below manifest file pruning
+      ColumnarRead.decodedRowGroups.set(0); ColumnarRead.skippedRowGroups.set(0)
+      assert(src.filter(col("k") >= 100 && col("k") <= 400).count() == 301)
+      assert(ColumnarRead.decodedRowGroups.get < totalGroups / 2,
+        s"row groups not skipped: ${ColumnarRead.decodedRowGroups.get} of $totalGroups")
+      assert(ColumnarRead.skippedRowGroups.get > 0)
+      // string lower bound: only the non-null tail's groups decode
+      ColumnarRead.decodedRowGroups.set(0)
+      assert(src.filter(col("s") >= "Z").count() == 10000)
+      assert(ColumnarRead.decodedRowGroups.get < totalGroups,
+        "string bound must skip the null-prefix groups")
+      // IS NOT NULL: the all-null half's groups skip on numNulls alone
+      ColumnarRead.decodedRowGroups.set(0)
+      assert(src.filter(col("s").isNotNull).count() == 10000)
+      assert(ColumnarRead.decodedRowGroups.get < totalGroups)
+      // IS NULL: the all-valued half's groups skip
+      ColumnarRead.decodedRowGroups.set(0)
+      assert(src.filter(col("s").isNull).count() == 10000)
+      assert(ColumnarRead.decodedRowGroups.get < totalGroups)
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+    }
+  }
+
   test("string-range partition pruning: directory values compare raw, null leaves obey bounds and null-ness") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
