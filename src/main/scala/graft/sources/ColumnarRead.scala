@@ -130,7 +130,9 @@ final class VersionedColumnarReader(file: String, constCols: Array[String],
                                     constVals: Array[String], required: StructType,
                                     conf: org.apache.hadoop.conf.Configuration =
                                       new org.apache.hadoop.conf.Configuration(),
-                                    rgBounds: RowGroupBounds = RowGroupBounds())
+                                    rgBounds: RowGroupBounds = RowGroupBounds(),
+                                    dvKeyCol: String = null,
+                                    dvKeys: Array[Long] = Array.empty)
     extends PartitionReader[ColumnarBatch] {
 
   /** Single-constant convenience (the change feed's `_version` slot). */
@@ -142,6 +144,33 @@ final class VersionedColumnarReader(file: String, constCols: Array[String],
     new org.apache.hadoop.fs.Path(file), conf))
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
   private val createdBy = reader.getFooter.getFileMetaData.getCreatedBy
+
+  // DELETION-VECTOR mask (r17): a DV'd file no longer de-vectorizes the
+  // whole scan — the deleted keys subtract DURING the columnar fill.
+  // The key column decodes once per batch into a scratch array (its own
+  // dedicated ColumnReader — a required-field key fills its vector FROM
+  // the scratch, never from a second reader over the same pages), the
+  // mask compacts every other column's writes, and masked values decode
+  // into a slot the next kept row overwrites — no reliance on decoder
+  // skip semantics. DV keys are integral by the store's contract.
+  private val dvSet: java.util.HashSet[java.lang.Long] =
+    if (dvKeys.isEmpty) null
+    else {
+      val s = new java.util.HashSet[java.lang.Long](dvKeys.length * 2)
+      dvKeys.foreach(k => s.add(k))
+      s
+    }
+  private val dvKeyIdx: Int =
+    if (dvSet == null) -1
+    else (0 until fileSchema.getColumns.size).find(i =>
+      fileSchema.getColumns.get(i).getPath()(0) == dvKeyCol).getOrElse(
+      throw new IllegalStateException(
+        s"DV key column $dvKeyCol absent from $file"))
+  private val dvKeyInt32: Boolean = dvSet != null && {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    fileSchema.getColumns.get(dvKeyIdx).getPrimitiveType
+      .getPrimitiveTypeName == PrimitiveTypeName.INT32
+  }
 
   // Per required field: Some(descriptor index into fileSchema's columns)
   // when the file carries it; None = constant or NULL backfill.
@@ -247,7 +276,17 @@ final class VersionedColumnarReader(file: String, constCols: Array[String],
         ColumnarRead.decodedRowGroups.incrementAndGet()
         val store = new ColumnReadStoreImpl(pages,
           new GroupRecordConverter(fileSchema).getRootConverter, fileSchema, createdBy)
+        // the DV key gets ONE dedicated reader; a required key field
+        // fills from its scratch values instead of a second reader over
+        // the same page store
+        keyReader =
+          if (dvSet == null) null
+          else store.getColumnReader(fileSchema.getColumns.get(dvKeyIdx))
+        keyMaxDef =
+          if (dvSet == null) 0
+          else fileSchema.getColumns.get(dvKeyIdx).getMaxDefinitionLevel
         readers = fieldPlans.map {
+          case Right(idx) if dvSet != null && idx == dvKeyIdx => null
           case Right(idx) => store.getColumnReader(fileSchema.getColumns.get(idx))
           case Left(_) => null
         }
@@ -265,13 +304,67 @@ final class VersionedColumnarReader(file: String, constCols: Array[String],
     false
   }
 
+  // Fill strategy for a REQUIRED key field served from the scratch
+  // decode (DV'd files): integral logical types only, by the DV contract.
+  private val keyFillers: Array[(OnHeapColumnVector, Int, Long) => Unit] =
+    fieldPlans.zip(required.fields).map {
+      case (Right(idx), f) if dvSet != null && idx == dvKeyIdx =>
+        f.dataType match {
+          case LongType => (vec, o, v) => vec.putLong(o, v)
+          case IntegerType => (vec, o, v) => vec.putInt(o, v.toInt)
+          case ShortType => (vec, o, v) => vec.putShort(o, v.toShort)
+          case ByteType => (vec, o, v) => vec.putByte(o, v.toByte)
+          case other => throw new IllegalStateException(
+            s"DV key field ${f.name} has non-integral type $other")
+        }
+      case _ => null
+    }
+
+  private var keyReader: ColumnReader = _
+  private var keyMaxDef = 0
+  // per-batch scratch (allocated once): decoded key values + keep mask
+  private val keyVals = new Array[Long](ColumnarRead.BatchRows)
+  private val keyNulls = new Array[Boolean](ColumnarRead.BatchRows)
+  private val keepMask = new Array[Boolean](ColumnarRead.BatchRows)
+
   override def next(): Boolean = {
     while (rowsLeftInGroup == 0L) if (!nextRowGroup()) return false
     val n = math.min(ColumnarRead.BatchRows.toLong, rowsLeftInGroup).toInt
+    var kept = n
+    if (dvSet != null) {
+      kept = 0
+      var i = 0
+      while (i < n) {
+        if (keyReader.getCurrentDefinitionLevel < keyMaxDef) {
+          keyNulls(i) = true; keepMask(i) = true // null key: never in a DV
+        } else {
+          val v = if (dvKeyInt32) keyReader.getInteger.toLong else keyReader.getLong
+          keyVals(i) = v; keyNulls(i) = false
+          keepMask(i) = !dvSet.contains(v)
+        }
+        if (keepMask(i)) kept += 1
+        keyReader.consume()
+        i += 1
+      }
+    }
     var fi = 0
     while (fi < fieldPlans.length) {
       fieldPlans(fi) match {
         case Left(_) => ()
+        case Right(idx) if dvSet != null && idx == dvKeyIdx =>
+          // the key field serves from the scratch decode
+          val vec = writable(fi)
+          val fill = keyFillers(fi)
+          vec.reset()
+          var i = 0
+          var o = 0
+          while (i < n) {
+            if (keepMask(i)) {
+              if (keyNulls(i)) vec.putNull(o) else fill(vec, o, keyVals(i))
+              o += 1
+            }
+            i += 1
+          }
         case Right(_) =>
           val cr = readers(fi)
           val maxDef = maxDefs(fi)
@@ -279,16 +372,25 @@ final class VersionedColumnarReader(file: String, constCols: Array[String],
           val fill = fillers(fi)
           vec.reset()
           var i = 0
+          var o = 0
           while (i < n) {
-            if (cr.getCurrentDefinitionLevel < maxDef) vec.putNull(i)
-            else fill(cr, vec, i)
+            // masked rows still DECODE (into the slot the next kept row
+            // overwrites) — the page cursor advances uniformly without
+            // relying on unread-value skip semantics
+            if (dvSet == null || keepMask(i)) {
+              if (cr.getCurrentDefinitionLevel < maxDef) vec.putNull(o)
+              else fill(cr, vec, o)
+              o += 1
+            } else if (cr.getCurrentDefinitionLevel >= maxDef) {
+              fill(cr, vec, o) // overwritten by the next kept row
+            }
             cr.consume()
             i += 1
           }
       }
       fi += 1
     }
-    batch.setNumRows(n)
+    batch.setNumRows(kept)
     rowsLeftInGroup -= n
     true
   }

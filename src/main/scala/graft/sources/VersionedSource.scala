@@ -527,12 +527,21 @@ final class VersionedScan(path: String, version: Int, full: StructType,
         c -> stringEq.get(c).map(e => if (e < v) e else v).getOrElse(v) },
       isNull = nullCols, isNotNull = notNullCols,
       aliases = aliases)
-    // Columnar only when no surviving entry carries a deletion vector —
-    // runtime filters can only SHRINK the set, so a static no-DV verdict
-    // stays valid at execution.
+    // DV'd files stay vectorized (r17): the columnar reader applies the
+    // deletion-vector mask during its fill, so a single small DV no
+    // longer de-vectorizes the whole scan. Requires an integral stats
+    // key (the DV key contract); non-integral-keyed DV scans keep the
+    // row path. Runtime filters can only SHRINK the survivor set, so a
+    // static verdict stays valid at execution.
+    val dvColumnarOk = {
+      import org.apache.spark.sql.types._
+      statsKey.exists(k => full.fieldNames.contains(k) &&
+        Set[DataType](ByteType, ShortType, IntegerType, LongType)
+          .contains(full(k).dataType))
+    }
     new VersionedReaderFactory(GroupRows.withAliases(required, aliases),
       GroupRows.withAliases(full, aliases),
-      columnarOk = !survivors.exists(_.dv.isDefined),
+      columnarOk = !survivors.exists(_.dv.isDefined) || dvColumnarOk,
       rgBounds = rgBounds)
   }
 }
@@ -567,9 +576,8 @@ final class VersionedReaderFactory(required: StructType, full: StructType,
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[VersionedPartition]
-    require(p.dvKeys.isEmpty, s"columnar read planned for DV'd file ${p.file}")
     new VersionedColumnarReader(p.file, p.constCols, p.constVals, required,
-      conf.value, rgBounds)
+      conf.value, rgBounds, p.dvKeyCol, p.dvKeys)
   }
 }
 

@@ -302,7 +302,7 @@ class LakeSqlSpec extends SparkSpec {
     assert(after(8L) == 888L, "the competing merge must survive the failed optimize")
   }
 
-  test("columnar DSv2 read: multi-batch files, NULLs, evolution backfill, and DV'd scans fall back to the row path") {
+  test("columnar DSv2 read: multi-batch files, NULLs, evolution backfill, and DV'd scans stay vectorized via the fill-time mask") {
     val tbl = Files.createTempDirectory("colread").toString + "/t"
     // 10k rows in ONE file → three 4096-row batches; s NULL every 7th row
     val df = spark.range(0, 10000).selectExpr("id AS k",
@@ -327,13 +327,25 @@ class LakeSqlSpec extends SparkSpec {
     val evolved = spark.read.format("graft.sources.VersionedSource").load(tbl)
     assert(evolved.filter(col("k") === 1L).select("note").head().isNullAt(0))
     assert(evolved.filter(col("k") === 20000L).select("note").head().getString(0) == "note1")
-    // a DV anywhere in the scan drops the WHOLE scan to the row path
-    // (Spark needs a uniform columnar answer), same results
-    Versioned.deleteKeys(spark, tbl, Seq(3L))
+    // a DV no longer de-vectorizes the scan (r17): the columnar reader
+    // subtracts the deleted keys DURING its fill — plan stays columnar,
+    // results identical to the row path's
+    Versioned.deleteKeys(spark, tbl, Seq(3L, 7000L))
     val dvScan = spark.read.format("graft.sources.VersionedSource").load(tbl)
-    assert(!dvScan.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
-      "DV'd scan must use the row reader")
-    assert(dvScan.count() == 10000L) // 10001 rows minus the deleted key
+    assert(dvScan.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "DV'd integral-keyed scan must stay vectorized")
+    assert(dvScan.count() == 9999L) // 10001 rows minus the two deleted keys
+    assert(dvScan.filter(col("k").isin(3L, 7000L)).count() == 0,
+      "deleted keys must not be served")
+    // the key itself projected OUT: the mask still applies (the key
+    // decodes from its own dedicated reader)
+    assert(dvScan.select("s").count() == 9999L)
+    // and with the key projected IN alongside strings + the evolved
+    // column, every surviving row is exact
+    val sample = dvScan.filter(col("k") >= 6998L && col("k") <= 7002L)
+      .select("k", "s").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sample == Set((6998L, "s6998"), (6999L, "s6999"),
+      (7001L, "s7001"), (7002L, "s7002")), s"got $sample")
   }
 
   test("TableTailSource: batch parity, appended-files-only micro-batches, exactly-once restart, non-append commits fail the stream") {
