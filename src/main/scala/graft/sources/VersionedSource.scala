@@ -105,7 +105,8 @@ final class VersionedScanBuilder(path: String, version: Int, full: StructType,
                                  statsCols: Seq[String] = Seq.empty,
                                  planListener: Option[Seq[Versioned.EntryView] => Unit] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = full
   // Conservative planning bounds per column: inclusive [lo, hi] for
@@ -164,6 +165,7 @@ final class VersionedScanBuilder(path: String, version: Int, full: StructType,
       case IsNotNull(c) => notNullCols += c
       case _ => ()
     }
+    sawFilters ||= filters.nonEmpty
     filters // ALL residual: pruning is planning-only, Spark re-applies rows
   }
   override def pushedFilters(): Array[Filter] = Array.empty
@@ -171,10 +173,85 @@ final class VersionedScanBuilder(path: String, version: Int, full: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new VersionedScan(path, version, full, required, statsKey, statsKey2,
-      statsCols, longBounds, stringEq, stringLo, stringHi,
-      nullCols, notNullCols, planListener)
+  // METADATA-ONLY COUNT(*) (the Delta/Iceberg metadata-count shortcut):
+  // an unfiltered global count is answered from the manifest's per-file
+  // row counts minus each file's deletion-vector key count — zero data
+  // files opened, on a 100 TB table the difference between a full scan
+  // and a driver-side sum. Pushed only when it is provably exact: no
+  // filter of ANY kind reached the scan (every filter stays residual
+  // here, so a filtered count can never be served this way), no grouping,
+  // every entry file-granular with a recorded row count. Spark only
+  // attempts aggregate pushdown when no data filters remain, and the
+  // count scan implements no runtime filtering, so the sum cannot be
+  // silently narrowed after planning.
+  private var sawFilters = false
+  private var pushedCount: Option[(Long, Int)] = None // (count, #count cols)
+
+  private def manifestCount: Option[Long] = {
+    if (sawFilters) return None
+    val spark = SparkSession.active
+    val es = Versioned.entriesOf(spark, path, version)
+    if (es.isEmpty) Some(0L)
+    else if (es.forall(_.file.isDefined))
+      Versioned.fileRowCounts(spark, path, version,
+        es.map(e => (e.partDir, e.file.get)).toSet)
+    else None
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]) &&
+      manifestCount.isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    supportCompletePushDown(agg) && {
+      pushedCount = manifestCount.map((_, agg.aggregateExpressions.length))
+      pushedCount.isDefined
+    }
+
+  override def build(): Scan = pushedCount match {
+    case Some((n, width)) => new ManifestCountScan(path, version, n, width)
+    case None =>
+      new VersionedScan(path, version, full, required, statsKey, statsKey2,
+        statsCols, longBounds, stringEq, stringLo, stringHi,
+        nullCols, notNullCols, planListener)
+  }
+}
+
+/** The COUNT(*) answer served from manifest metadata alone: one
+  * partition, one row, no data file opened.
+  */
+final class ManifestCountScan(path: String, version: Int, count: Long,
+                              width: Int) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    (0 until width).map(i => org.apache.spark.sql.types.StructField(
+      s"count_$i", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftManifestCount path=$path v$version count=$count"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ManifestCountPartition(count, width))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestCountReaderFactory
+}
+
+final case class ManifestCountPartition(count: Long, width: Int)
+    extends InputPartition
+
+final class ManifestCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ManifestCountPartition]
+    new PartitionReader[InternalRow] {
+      private var served = false
+      override def next(): Boolean = { val r = !served; served = true; r }
+      override def get(): InternalRow =
+        new GenericInternalRow(Array.fill[Any](p.width)(p.count))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** One parquet file plus the partition-column constants its directory

@@ -334,12 +334,16 @@ class LakeSqlSpec extends SparkSpec {
     val dvScan = spark.read.format("graft.sources.VersionedSource").load(tbl)
     assert(dvScan.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
       "DV'd integral-keyed scan must stay vectorized")
-    assert(dvScan.count() == 9999L) // 10001 rows minus the two deleted keys
+    // collect() forces DATA reads (an unfiltered count() is answered
+    // from the manifest); the mask must subtract both deleted keys
+    assert(dvScan.collect().length == 9999) // 10001 rows minus 2 deleted
     assert(dvScan.filter(col("k").isin(3L, 7000L)).count() == 0,
       "deleted keys must not be served")
     // the key itself projected OUT: the mask still applies (the key
     // decodes from its own dedicated reader)
-    assert(dvScan.select("s").count() == 9999L)
+    assert(dvScan.select("s").collect().length == 9999)
+    // and the metadata count agrees with the mask's arithmetic
+    assert(dvScan.count() == 9999L)
     // and with the key projected IN alongside strings + the evolved
     // column, every surviving row is exact
     val sample = dvScan.filter(col("k") >= 6998L && col("k") <= 7002L)

@@ -874,7 +874,9 @@ class SourcesSpec extends SparkSpec {
       def src = spark.read.format("graft.sources.VersionedSource").load(tbl)
       assert(src.rdd.getNumPartitions == 1, "want exactly one planned file")
       ColumnarRead.decodedRowGroups.set(0); ColumnarRead.skippedRowGroups.set(0)
-      assert(src.count() == 20000)
+      // k >= 0 keeps this a DATA read (an unfiltered count would be
+      // answered from the manifest and decode nothing)
+      assert(src.filter(col("k") >= 0).count() == 20000)
       val totalGroups = ColumnarRead.decodedRowGroups.get
       assert(totalGroups >= 4, s"need several row groups, got $totalGroups")
       assert(ColumnarRead.skippedRowGroups.get == 0)
@@ -902,6 +904,46 @@ class SourcesSpec extends SparkSpec {
       if (oldBlock == null) hc.unset("parquet.block.size")
       else hc.set("parquet.block.size", oldBlock)
     }
+  }
+
+  test("metadata-only COUNT(*): unfiltered counts come from the manifest (DV-exact), filters and groupings fall back to data") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("vcnt").toString
+    val tbl = s"$tmp/table"
+    val rows = (1L to 500L).map(k => (k, k * 2, (k % 4).toString))
+    Versioned.publish(spark, tbl,
+      rows.toDF("k", "v", "p").repartitionByRange(4, col("k")),
+      partCol = Some("p"), fileStatsKey = Some("k"))
+    Versioned.deleteKeys(spark, tbl, Seq(7L, 8L, 9L))
+    def src = spark.read.format("graft.sources.VersionedSource").load(tbl)
+    // the unfiltered global count plans the manifest scan — no data file
+    val cnt = src.count()
+    assert(cnt == 497L)
+    val plan = src.groupBy().count().queryExecution.executedPlan.toString
+    assert(plan.contains("GraftManifestCount"),
+      s"count must be served from the manifest:\n$plan")
+    // SQL surface through a temp view, time travel included
+    src.createOrReplaceTempView("vcnt_t")
+    assert(spark.sql("SELECT count(*) FROM vcnt_t").head().getLong(0) == 497L)
+    assert(spark.read.format("graft.sources.VersionedSource")
+      .option("versionAsOf", "1").load(tbl).count() == 500L)
+    // a FILTERED count must NOT ride the shortcut (filters stay residual
+    // here, so a metadata answer would be wrong) — and stays exact
+    val filtered = src.filter(col("k") <= 100)
+    assert(!filtered.groupBy().count().queryExecution.executedPlan.toString
+      .contains("GraftManifestCount"))
+    assert(filtered.count() == 97L) // 100 minus deleted 7,8,9
+    // grouped counts fall back too
+    assert(!src.groupBy("p").count().queryExecution.executedPlan.toString
+      .contains("GraftManifestCount"))
+    // a DIR-granular table has no per-file row counts: data path
+    val t2 = s"$tmp/table2"
+    Versioned.publish(spark, t2, rows.toDF("k", "v", "p"), partCol = Some("p"))
+    val src2 = spark.read.format("graft.sources.VersionedSource").load(t2)
+    assert(!src2.groupBy().count().queryExecution.executedPlan.toString
+      .contains("GraftManifestCount"))
+    assert(src2.count() == 500L)
   }
 
   test("string-range partition pruning: directory values compare raw, null leaves obey bounds and null-ness") {
