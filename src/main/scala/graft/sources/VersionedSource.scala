@@ -173,47 +173,102 @@ final class VersionedScanBuilder(path: String, version: Int, full: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  // METADATA-ONLY COUNT(*) (the Delta/Iceberg metadata-count shortcut):
-  // an unfiltered global count is answered from the manifest's per-file
-  // row counts minus each file's deletion-vector key count — zero data
-  // files opened, on a 100 TB table the difference between a full scan
-  // and a driver-side sum. Pushed only when it is provably exact: no
-  // filter of ANY kind reached the scan (every filter stays residual
-  // here, so a filtered count can never be served this way), no grouping,
-  // every entry file-granular with a recorded row count. Spark only
-  // attempts aggregate pushdown when no data filters remain, and the
-  // count scan implements no runtime filtering, so the sum cannot be
-  // silently narrowed after planning.
+  // METADATA-ONLY aggregates (the Delta/Iceberg metadata shortcut): an
+  // unfiltered global COUNT(*) is the manifest's per-file row counts
+  // minus each file's deletion-vector key count, and MIN/MAX of the
+  // STATS KEY is the extremum of the recorded per-file bounds — zero
+  // data files opened, on a 100 TB table the difference between a full
+  // scan and a driver-side fold. Pushed only when PROVABLY exact:
+  //  - no filter of ANY kind reached the scan (every filter stays
+  //    residual here, so a filtered aggregate can never be served from
+  //    metadata; Spark additionally only attempts aggregate pushdown
+  //    with zero remaining data filters), no grouping;
+  //  - COUNT needs file-granular entries with recorded row counts;
+  //  - MIN/MAX need an INTEGRAL or DATE key (the identity/epoch-day
+  //    surrogate — a string key's 8-byte prefix is lossy), bounds on
+  //    every entry, and NO deletion vectors anywhere (a DV could have
+  //    deleted the extremum row; the count stays exact under DVs, the
+  //    extrema do not).
+  // The metadata scan implements no runtime filtering, so the answer
+  // cannot be silently narrowed after planning.
   private var sawFilters = false
-  private var pushedCount: Option[(Long, Int)] = None // (count, #count cols)
+  private var pushedMeta: Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] = None
+
+  private lazy val metaEntries = Versioned.entriesOf(SparkSession.active, path, version)
 
   private def manifestCount: Option[Long] = {
     if (sawFilters) return None
-    val spark = SparkSession.active
-    val es = Versioned.entriesOf(spark, path, version)
+    val es = metaEntries
     if (es.isEmpty) Some(0L)
     else if (es.forall(_.file.isDefined))
-      Versioned.fileRowCounts(spark, path, version,
+      Versioned.fileRowCounts(SparkSession.active, path, version,
         es.map(e => (e.partDir, e.file.get)).toSet)
     else None
   }
 
+  /** (internal min value, internal max value, output type) of the stats
+    * key from manifest bounds — None unless provably exact.
+    */
+  private def manifestKeyExtrema: Option[(Any, Any, org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    if (sawFilters) return None
+    val k = statsKey.getOrElse(return None)
+    if (!full.fieldNames.contains(k)) return None
+    val dt = full(k).dataType
+    val es = metaEntries
+    if (es.isEmpty) return None // empty table: MIN/MAX are NULL — let the data path answer
+    if (!es.forall(e => e.file.isDefined && e.kmin.isDefined && e.kmax.isDefined &&
+        e.dv.isEmpty)) return None
+    val lo = es.map(_.kmin.get).min
+    val hi = es.map(_.kmax.get).max
+    dt match {
+      case LongType => Some((lo, hi, dt))
+      case IntegerType => Some((lo.toInt, hi.toInt, dt))
+      case ShortType => Some((lo.toShort, hi.toShort, dt))
+      case ByteType => Some((lo.toByte, hi.toByte, dt))
+      case DateType => Some((lo.toInt, hi.toInt, dt)) // epoch days = Spark's internal date
+      case _ => None // string surrogate is lossy; never answer from it
+    }
+  }
+
+  private def metaAnswers(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty)
+      return None
+    def keyRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference =>
+          statsKey.contains(nr.fieldNames().mkString("."))
+        case _ => false
+      }
+    val answers = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        manifestCount.map(n => (n: Any, org.apache.spark.sql.types.LongType
+          : org.apache.spark.sql.types.DataType))
+      case m: Min if keyRef(m.column) =>
+        manifestKeyExtrema.map { case (lo, _, dt) => (lo, dt) }
+      case m: Max if keyRef(m.column) =>
+        manifestKeyExtrema.map { case (_, hi, dt) => (hi, dt) }
+      case _ => None
+    }
+    if (answers.forall(_.isDefined)) Some(answers.map(_.get)) else None
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(
-        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]) &&
-      manifestCount.isDefined
+    metaAnswers(agg).isDefined
 
   override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    supportCompletePushDown(agg) && {
-      pushedCount = manifestCount.map((_, agg.aggregateExpressions.length))
-      pushedCount.isDefined
-    }
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    pushedMeta = metaAnswers(agg)
+    pushedMeta.isDefined
+  }
 
-  override def build(): Scan = pushedCount match {
-    case Some((n, width)) => new ManifestCountScan(path, version, n, width)
+  override def build(): Scan = pushedMeta match {
+    case Some(answers) => new ManifestAggScan(path, version, answers)
     case None =>
       new VersionedScan(path, version, full, required, statsKey, statsKey2,
         statsCols, longBounds, stringEq, stringLo, stringHi,
@@ -221,34 +276,34 @@ final class VersionedScanBuilder(path: String, version: Int, full: StructType,
   }
 }
 
-/** The COUNT(*) answer served from manifest metadata alone: one
+/** Aggregate answers served from manifest metadata alone: one
   * partition, one row, no data file opened.
   */
-final class ManifestCountScan(path: String, version: Int, count: Long,
-                              width: Int) extends Scan with Batch {
+final class ManifestAggScan(path: String, version: Int,
+                            answers: Seq[(Any, org.apache.spark.sql.types.DataType)])
+    extends Scan with Batch {
   override def readSchema(): StructType = StructType(
-    (0 until width).map(i => org.apache.spark.sql.types.StructField(
-      s"count_$i", org.apache.spark.sql.types.LongType, nullable = false)))
+    answers.zipWithIndex.map { case ((_, dt), i) =>
+      org.apache.spark.sql.types.StructField(s"agg_$i", dt, nullable = false) })
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftManifestCount path=$path v$version count=$count"
+    s"GraftManifestAgg path=$path v$version " +
+      s"values=${answers.map(_._1).mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(ManifestCountPartition(count, width))
+    Array(ManifestAggPartition(answers.map(_._1).toArray))
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestCountReaderFactory
+    new ManifestAggReaderFactory
 }
 
-final case class ManifestCountPartition(count: Long, width: Int)
-    extends InputPartition
+final case class ManifestAggPartition(values: Array[Any]) extends InputPartition
 
-final class ManifestCountReaderFactory extends PartitionReaderFactory {
+final class ManifestAggReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[ManifestCountPartition]
+    val p = partition.asInstanceOf[ManifestAggPartition]
     new PartitionReader[InternalRow] {
       private var served = false
       override def next(): Boolean = { val r = !served; served = true; r }
-      override def get(): InternalRow =
-        new GenericInternalRow(Array.fill[Any](p.width)(p.count))
+      override def get(): InternalRow = new GenericInternalRow(p.values)
       override def close(): Unit = ()
     }
   }

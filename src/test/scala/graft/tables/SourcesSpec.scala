@@ -921,28 +921,50 @@ class SourcesSpec extends SparkSpec {
     val cnt = src.count()
     assert(cnt == 497L)
     val plan = src.groupBy().count().queryExecution.executedPlan.toString
-    assert(plan.contains("GraftManifestCount"),
+    assert(plan.contains("GraftManifestAgg"),
       s"count must be served from the manifest:\n$plan")
     // SQL surface through a temp view, time travel included
     src.createOrReplaceTempView("vcnt_t")
     assert(spark.sql("SELECT count(*) FROM vcnt_t").head().getLong(0) == 497L)
     assert(spark.read.format("graft.sources.VersionedSource")
       .option("versionAsOf", "1").load(tbl).count() == 500L)
+    // MIN/MAX of the stats key: metadata-exact ONLY while no DV exists
+    // (a DV could have deleted the extremum) — v1 serves them from
+    // bounds, the DV'd latest falls back to data and stays exact
+    val v1 = spark.read.format("graft.sources.VersionedSource")
+      .option("versionAsOf", "1").load(tbl)
+    val mmPlan = v1.groupBy().agg(
+        org.apache.spark.sql.functions.min("k"),
+        org.apache.spark.sql.functions.max("k"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(mmPlan.contains("GraftManifestAgg"),
+      s"min/max/count must be served from the manifest on v1:\n$mmPlan")
+    assert(v1.agg(org.apache.spark.sql.functions.min("k"),
+      org.apache.spark.sql.functions.max("k")).head().toSeq == Seq(1L, 500L))
+    assert(!src.groupBy().agg(org.apache.spark.sql.functions.min("k"))
+      .queryExecution.executedPlan.toString.contains("GraftManifestAgg"),
+      "a DV'd version must not serve extrema from bounds")
+    assert(src.agg(org.apache.spark.sql.functions.min("k")).head().getLong(0) == 1L)
     // a FILTERED count must NOT ride the shortcut (filters stay residual
     // here, so a metadata answer would be wrong) — and stays exact
     val filtered = src.filter(col("k") <= 100)
     assert(!filtered.groupBy().count().queryExecution.executedPlan.toString
-      .contains("GraftManifestCount"))
+      .contains("GraftManifestAgg"))
     assert(filtered.count() == 97L) // 100 minus deleted 7,8,9
     // grouped counts fall back too
     assert(!src.groupBy("p").count().queryExecution.executedPlan.toString
-      .contains("GraftManifestCount"))
+      .contains("GraftManifestAgg"))
+    // min/max of a NON-key column falls back (no recorded bounds)
+    assert(!src.groupBy().agg(org.apache.spark.sql.functions.max("v"))
+      .queryExecution.executedPlan.toString.contains("GraftManifestAgg"))
+    assert(src.agg(org.apache.spark.sql.functions.max("v")).head().getLong(0) == 1000L)
     // a DIR-granular table has no per-file row counts: data path
     val t2 = s"$tmp/table2"
     Versioned.publish(spark, t2, rows.toDF("k", "v", "p"), partCol = Some("p"))
     val src2 = spark.read.format("graft.sources.VersionedSource").load(t2)
     assert(!src2.groupBy().count().queryExecution.executedPlan.toString
-      .contains("GraftManifestCount"))
+      .contains("GraftManifestAgg"))
     assert(src2.count() == 500L)
   }
 
