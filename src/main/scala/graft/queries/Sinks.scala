@@ -2420,7 +2420,37 @@ object Sinks {
          |ORDER BY phase, o_year""".stripMargin)
   }
 
+  /** q246 — METADATA-ONLY AGGREGATES (`SupportsPushDownAggregates` on
+    * the DSv2 connector, the Delta/Iceberg metadata shortcut): an
+    * unfiltered `SELECT count(*), min(key), max(key)` is answered from
+    * the manifest alone — per-file row counts and the recorded key
+    * bounds — with ZERO data files opened (phase 1 plans one
+    * metadata row; SourcesSpec pins the plan marker and every fallback).
+    * Phase 2 is the same aggregate FILTERED to one year — filters stay
+    * residual in this source, so the shortcut provably cannot serve it
+    * and the data path answers. The oracle replays both phases
+    * relationally: the hash match proves the metadata answer equals the
+    * scan's.
+    */
+  def metadataAggregates(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = ordersVersionedFiles(spark, dir)
+    val view = s"graft_magg_${dirTag(dir)}"
+    spark.read.format("graft.sources.VersionedSource")
+      .option("versionAsOf", "1").load(tbl)
+      .createOrReplaceTempView(view)
+    spark.sql(
+      s"""SELECT '1_meta' AS phase, count(*) AS n,
+         |       min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+         |FROM $view
+         |UNION ALL
+         |SELECT '2_filtered' AS phase, count(*) AS n,
+         |       min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+         |FROM $view WHERE o_year = 1996
+         |ORDER BY phase""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_metadata_aggregates" -> metadataAggregates _,
     "q243_merge_not_matched_by_source" -> mergeMirrorSync _,
     "q244_null_count_skipping" -> nullStatsSkipping _,
     "q245_sql_widen_column" -> sqlWidenColumn _,
@@ -2475,6 +2505,22 @@ object Sinks {
   )
 
   val oracles: Map[String, String] = Map(
+    // The metadata answer must equal the relational aggregate exactly —
+    // phase 1 is served from manifest counts/bounds, phase 2 from data.
+    "q246_metadata_aggregates" ->
+      """WITH tgt AS (SELECT o_orderkey,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders)
+        |SELECT '1_meta' AS phase, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(o_orderkey) AS BIGINT) AS min_k,
+        |       CAST(max(o_orderkey) AS BIGINT) AS max_k
+        |FROM tgt
+        |UNION ALL
+        |SELECT '2_filtered' AS phase, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(o_orderkey) AS BIGINT) AS min_k,
+        |       CAST(max(o_orderkey) AS BIGINT) AS max_k
+        |FROM tgt WHERE o_year = 1996
+        |ORDER BY phase""".stripMargin,
     // Mirror-sync replayed relationally: keep-set upserted (with the
     // %10=1 bump), keys absent from the source (%10 in 3,7) deleted by
     // the NOT-MATCHED-BY-SOURCE clause, the 2003 batch inserted.
