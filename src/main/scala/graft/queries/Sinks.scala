@@ -2449,7 +2449,62 @@ object Sinks {
          |ORDER BY phase""".stripMargin)
   }
 
+  /** q247 — PARTITION EVOLUTION (`Versioned.evolvePartitioning` /
+    * `CALL sys.evolve_partitioning`, the Iceberg evolve-spec idea on the
+    * manifest store): the spec changes HEADER-ONLY — v1-era files keep
+    * their `o_year=…` layout and keep serving through their own
+    * directory structure, while the post-evolution INSERT lands nested
+    * `o_year=…/o_prio=…` immediately. While layouts are mixed, SQL
+    * row-level DML stays available (entry-identity splice — the DELETE
+    * here runs as a copy-on-write rewrite because `canDeleteWhere`
+    * declines mixed tables) and value-scoped DML refuses loudly
+    * (SourcesSpec pins the refusal); `CALL sys.repartition` then
+    * rewrites every file into the current spec and value-scoped DML
+    * resumes. The final aggregate reads the normalized table plus a
+    * pruned (year, prio) slice; the oracle replays the whole lifecycle
+    * relationally.
+    */
+  def partitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val cat = lakeCatalog(spark, dir)
+    val tbl = s"$cat.sqlns.orders_evo"
+    val view = s"graft_evo_src_${dirTag(dir)}"
+    orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_price_c"),
+      col("o_orderpriority").as("o_prio"),
+      year(col("o_orderdate")).as("o_year"))
+      .createOrReplaceTempView(view)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sqlns")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(
+      s"""CREATE TABLE $tbl (
+         |  o_orderkey BIGINT, o_custkey BIGINT, o_price_c BIGINT,
+         |  o_prio STRING, o_year INT)
+         |PARTITIONED BY (o_year) TBLPROPERTIES ('statskey' = 'o_orderkey')
+         |""".stripMargin)
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM $view WHERE o_year <= 1998")
+    spark.sql(s"CALL $cat.sys.evolve_partitioning('sqlns.orders_evo', 'o_year,o_prio')")
+    // post-evolution ingest lands nested immediately; DML while MIXED
+    // rides the evolution-safe row-level path
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM $view WHERE o_year >= 1999")
+    spark.sql(s"DELETE FROM $tbl WHERE o_year = 1996 AND o_prio = '3-MEDIUM'")
+    spark.sql(s"CALL $cat.sys.repartition('sqlns.orders_evo')")
+    spark.sql(
+      s"""SELECT '1_years' AS phase, CAST(o_year AS STRING) AS grp,
+         |       count(*) AS n, sum(o_custkey) AS sum_cust,
+         |       sum(o_price_c) AS sum_price_c
+         |FROM $tbl GROUP BY o_year
+         |UNION ALL
+         |SELECT '2_slice' AS phase, o_prio AS grp,
+         |       count(*) AS n, sum(o_custkey) AS sum_cust,
+         |       sum(o_price_c) AS sum_price_c
+         |FROM $tbl WHERE o_year = 1997 AND o_prio = '1-URGENT'
+         |GROUP BY o_prio
+         |ORDER BY phase, grp""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_partition_evolution" -> partitionEvolution _,
     "q246_metadata_aggregates" -> metadataAggregates _,
     "q243_merge_not_matched_by_source" -> mergeMirrorSync _,
     "q244_null_count_skipping" -> nullStatsSkipping _,
@@ -2505,6 +2560,29 @@ object Sinks {
   )
 
   val oracles: Map[String, String] = Map(
+    // The evolution lifecycle replayed relationally: both ingests land,
+    // the mixed-state DELETE removes exactly its (year, prio) cell, and
+    // the repartition rewrite changes nothing.
+    "q247_partition_evolution" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c,
+        |         o_orderpriority AS o_prio,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+        |       FROM orders),
+        |v AS (SELECT * FROM b
+        |      WHERE NOT (o_year = 1996 AND o_prio = '3-MEDIUM'))
+        |SELECT '1_years' AS phase, CAST(o_year AS VARCHAR) AS grp,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM v GROUP BY 1, 2
+        |UNION ALL
+        |SELECT '2_slice' AS phase, o_prio AS grp,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+        |FROM v WHERE o_year = 1997 AND o_prio = '1-URGENT' GROUP BY 1, 2
+        |ORDER BY phase, grp""".stripMargin,
     // The metadata answer must equal the relational aggregate exactly —
     // phase 1 is served from manifest counts/bounds, phase 2 from data.
     "q246_metadata_aggregates" ->

@@ -366,7 +366,11 @@ final class VersionedCatalogTable(path: String, pinned: Option[Int])
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     pinned.isEmpty && filters.forall(FilterColumns.toColumn(_).isDefined) &&
-      Versioned.partColOf(spark, path, resolvedV).isDefined
+      Versioned.partColOf(spark, path, resolvedV).isDefined &&
+      // mid-partition-evolution: the value-scoped delete would splice
+      // wrongly — declining routes Spark to the row-level rewrite
+      // DELETE, which splices by entry identity and is evolution-safe
+      Versioned.hasUniformLayout(spark, path, resolvedV)
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(pinned.isEmpty, "cannot delete from a time-travelled table")
     val predicate = filters.flatMap(FilterColumns.toColumn)

@@ -33,7 +33,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[sources] object GraftProcedures {
   val names: Seq[String] =
-    Seq("optimize", "zorder", "vacuum", "restore", "history", "table_changes")
+    Seq("optimize", "zorder", "vacuum", "restore", "history", "table_changes",
+      "evolve_partitioning", "repartition")
 
   def load(resolve: String => String, name: String): UnboundProcedure =
     name.toLowerCase match {
@@ -43,6 +44,8 @@ private[sources] object GraftProcedures {
       case "restore" => new RestoreProc(resolve)
       case "history" => new HistoryProc(resolve)
       case "table_changes" => new TableChangesProc(resolve)
+      case "evolve_partitioning" => new EvolvePartitioningProc(resolve)
+      case "repartition" => new RepartitionProc(resolve)
       case other => throw new IllegalArgumentException(
         s"unknown procedure $other — available: ${names.mkString(", ")}")
     }
@@ -173,6 +176,46 @@ final class HistoryProc(resolve: String => String) extends GraftProc(resolve) {
     val df = Versioned.history(spark, pathOf(input.getUTF8String(0).toString))
     java.util.Collections.singletonList(GraftProcedures.RowsScan(df.schema,
       df.queryExecution.executedPlan.executeCollect()): Scan).iterator()
+  }
+}
+
+/** `CALL sys.evolve_partitioning(tbl, partition_by)` — header-only
+  * partition-spec change ([[Versioned.evolvePartitioning]]): new writes
+  * lay out by the new spec immediately, old entries keep serving
+  * through their own recorded structure; value-scoped DML refuses while
+  * mixed, `CALL sys.repartition` normalizes.
+  */
+final class EvolvePartitioningProc(resolve: String => String)
+    extends GraftProc(resolve) {
+  override def name(): String = "evolve_partitioning"
+  override def description(): String =
+    "change the partition spec header-only; new writes use it immediately"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    GraftProcedures.in("tbl", StringType),
+    GraftProcedures.in("partition_by", StringType))
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val path = pathOf(input.getUTF8String(0).toString)
+    val v = Versioned.evolvePartitioning(spark, path,
+      input.getUTF8String(1).toString)
+    GraftProcedures.one(StructType(Seq(StructField("version", IntegerType))), v)
+  }
+}
+
+/** `CALL sys.repartition(tbl)` — rewrite the whole table into the
+  * CURRENT partition spec ([[Versioned.repartitionTable]]): ends a
+  * partition evolution's mixed state; content identical.
+  */
+final class RepartitionProc(resolve: String => String)
+    extends GraftProc(resolve) {
+  override def name(): String = "repartition"
+  override def description(): String =
+    "rewrite every file into the current partition spec"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    GraftProcedures.in("tbl", StringType))
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val path = pathOf(input.getUTF8String(0).toString)
+    val v = Versioned.repartitionTable(spark, path)
+    GraftProcedures.one(StructType(Seq(StructField("version", IntegerType))), v)
   }
 }
 

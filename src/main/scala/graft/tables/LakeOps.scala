@@ -1143,6 +1143,145 @@ object Versioned {
   private[graft] def partColsOf(spec: String): Seq[String] =
     spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** The column list a partition dir ENCODES (`y=1995/src=web` → y,src) —
+    * each entry carries its own layout, which is what makes partition
+    * evolution readable: post-evolution entries and pre-evolution ones
+    * coexist, each decoded by its own directory structure.
+    */
+  private def entryLayout(partDir: String): Seq[String] =
+    if (partDir == "-") Seq.empty
+    else partDir.split('/').toSeq.map(_.takeWhile(_ != '='))
+
+  /** True iff every entry of `v` is laid out by the CURRENT `#partcol`
+    * header — i.e. the table is NOT mid-partition-evolution. Partition-
+    * VALUE-scoped DML demands this (its touched-set splice keys on the
+    * header's dir names); entry-identity-scoped SQL row-level DML does
+    * not and stays available while mixed.
+    */
+  def hasUniformLayout(spark: SparkSession, tablePath: String, v: Int): Boolean = {
+    val (fsys, table) = fs(spark, tablePath)
+    val entries = readManifest(fsys, table, v)
+    val header = headerLine(fsys, table, v, "#partcol\t").map(partColsOf)
+      .orElse(entries.collectFirst {
+        case e if e.partDir != "-" => entryLayout(e.partDir) })
+      .getOrElse(Seq.empty)
+    entries.forall(e => e.partDir == "-" || entryLayout(e.partDir) == header)
+  }
+
+  /** Refuse a partition-VALUE-scoped operation on a mixed-layout table:
+    * its touched-set splice matches entries by the CURRENT header's dir
+    * names, so a pre-evolution entry could be spliced while its rows were
+    * also rewritten (duplication) or dropped while only partially read
+    * (loss). SQL row-level DML (entry-identity splice) and the full
+    * rewrites (zorder / repartitionTable) stay available while mixed.
+    */
+  private def requireUniformLayout(fsys: FileSystem, table: Path, base: Int,
+                                   baseEntries: Seq[Entry], what: String): Unit = {
+    // Pre-header tables (no #partcol recorded) derive the reference from
+    // the first partitioned entry — exactly partColOf's fallback; only a
+    // real evolution (which always writes the header) can mix layouts.
+    val header = headerLine(fsys, table, base, "#partcol\t").map(partColsOf)
+      .orElse(baseEntries.collectFirst {
+        case e if e.partDir != "-" => entryLayout(e.partDir) })
+      .getOrElse(Seq.empty)
+    baseEntries.find(e => e.partDir != "-" && entryLayout(e.partDir) != header)
+      .foreach(e => throw new IllegalStateException(
+        s"$what on $table: entry ${e.partDir} is laid out by " +
+          s"(${entryLayout(e.partDir).mkString(",")}) but the table is now " +
+          s"partitioned by (${header.mkString(",")}) — mid-partition-evolution; " +
+          "rewrite to the current layout first (Versioned.repartitionTable / " +
+          "CALL sys.repartition) or use SQL row-level DML, which splices by " +
+          "entry identity and is evolution-safe"))
+  }
+
+  /** PARTITION EVOLUTION (the Iceberg evolve-spec idea re-derived on the
+    * manifest store): a header-only commit changes `#partcol` — files
+    * are never rewritten. NEW writes lay out by the new spec immediately
+    * (appends, INSERTs, streaming epochs all derive their layout from
+    * the header); pre-evolution entries keep serving through their own
+    * recorded directory structure — every read path decodes partition
+    * constants PER ENTRY, partition pruning applies per entry's own
+    * levels, and columns that moved between dir-encoding and file bytes
+    * resolve by name either way. Honest limits: partition-VALUE-scoped
+    * DML (merge/deleteWhere/updateWhere and the maintenance rewrites)
+    * refuses LOUDLY while layouts are mixed — its splice keys on dir
+    * names — until [[repartitionTable]] normalizes; SQL row-level
+    * MERGE/UPDATE/DELETE (entry-identity splice) keeps working
+    * throughout. Time travel before the evolution serves the old spec.
+    */
+  def evolvePartitioning(spark: SparkSession, tablePath: String,
+                         newPartCol: String,
+                         expectedLatest: Option[Int] = None): Int = {
+    val (fsys, table) = fs(spark, tablePath)
+    val base = latestVersion(spark, tablePath)
+    require(base >= 1, s"$tablePath has no committed version")
+    val baseSchema = readSchemaLine(fsys, table, base).getOrElse(
+      throw new IllegalArgumentException(
+        s"v$base of $tablePath records no schema — republish once to record one"))
+    val newCols = partColsOf(newPartCol)
+    require(newCols.nonEmpty, "evolvePartitioning: empty partition spec")
+    newCols.foreach { c =>
+      require(baseSchema.fieldNames.contains(c),
+        s"partition column $c not in ${baseSchema.fieldNames.mkString(",")}")
+      require(partitionableTypes.contains(baseSchema(c).dataType),
+        s"partition column $c: type ${baseSchema(c).dataType} renders " +
+          "format-dependent directory names; use int/long/string/boolean")
+    }
+    val oldCols = headerLine(fsys, table, base, "#partcol\t")
+      .toSeq.flatMap(partColsOf)
+    require(newCols != oldCols,
+      s"table is already partitioned by (${newCols.mkString(",")})")
+    commit(fsys, table, spark, readManifest(fsys, table, base),
+      expectedLatest.orElse(Some(base)), Seq.empty,
+      schema = Some(baseSchema),
+      statsKey = headerLine(fsys, table, base, "#statskey\t"),
+      statsKey2 = headerLine(fsys, table, base, "#statskey2\t"),
+      statsCols = headerLine(fsys, table, base, "#statscols\t")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty),
+      partColHeader = Some(newPartCol),
+      constraints = constraintLines(fsys, table, base),
+      op = s"EVOLVE_PARTITIONING(${oldCols.mkString(",")}->${newCols.mkString(",")})")
+  }
+
+  /** Rewrite the WHOLE table into the current `#partcol` layout — the
+    * normalization that ends a partition evolution's mixed state (and
+    * re-establishes full stats granularity on every file). Content is
+    * identical by construction; the commit pins the base.
+    */
+  def repartitionTable(spark: SparkSession, tablePath: String,
+                       expectedLatest: Option[Int] = None): Int = {
+    val (fsys, table) = fs(spark, tablePath)
+    val base = latestVersion(spark, tablePath)
+    require(base >= 1, s"$tablePath has no committed version")
+    val spec = headerLine(fsys, table, base, "#partcol\t").getOrElse(
+      throw new IllegalArgumentException(
+        s"$tablePath records no partition column — nothing to repartition to"))
+    val cols = partColsOf(spec)
+    val baseSchema = readSchemaLine(fsys, table, base)
+    val statsKey = headerLine(fsys, table, base, "#statskey\t")
+    val (key2, xcols) = statsDimsOf(fsys, table, base)
+    val df = readAt(spark, tablePath, base)
+    // cluster inside each cell by the stats key so the fresh per-file
+    // bounds come out range-tight, the layout every skipping tier rides
+    val shaped = statsKey match {
+      case Some(k) => df.repartitionByRange(
+        (cols :+ k).map(col): _*).sortWithinPartitions((cols :+ k).map(col): _*)
+      case None => df
+    }
+    val dd = newDataDir(fsys, table)
+    shaped.write.mode(SaveMode.ErrorIfExists)
+      .partitionBy(cols: _*).parquet(dd.toString)
+    val entries = statsKey match {
+      case Some(k) =>
+        fileStatsOf(spark, table, dd, k, stats2Col = key2, extraCols = xcols)
+      case None => listPartDirs(fsys, dd, cols.length).map(Entry(_, dd.getName))
+    }
+    commit(fsys, table, spark, entries, expectedLatest.orElse(Some(base)), Seq(dd),
+      schema = baseSchema, statsKey = statsKey, statsKey2 = key2,
+      statsCols = xcols, partColHeader = Some(spec),
+      constraints = constraintLines(fsys, table, base), op = "REPARTITION")
+  }
+
   /** Leaf partition dirs of a freshly written data dir, as RELATIVE
     * paths `a=1/b=x`, one level per partition column.
     */
@@ -1568,6 +1707,7 @@ object Versioned {
     }
     val base = fromVersion.getOrElse(latestVersion(spark, tablePath))
     val baseEntries = readManifest(fsys, table, base)
+    requireUniformLayout(fsys, table, base, baseEntries, "merge")
     val target = readAt(spark, tablePath, base)
     // Schema evolution (the Delta mergeSchema contract): the source may
     // carry MORE columns than the target — the new version's schema gains
@@ -1754,6 +1894,7 @@ object Versioned {
     val (fsys, table) = fs(spark, tablePath)
     val base = fromVersion.getOrElse(latestVersion(spark, tablePath))
     val baseEntries = readManifest(fsys, table, base)
+    requireUniformLayout(fsys, table, base, baseEntries, "deleteWhere")
     val target = readAt(spark, tablePath, base)
     val isMatch = coalesce(predicate, lit(false)) // NULL predicate = keep
     val partCols = partColsOf(partCol)
@@ -1820,6 +1961,7 @@ object Versioned {
     val (fsys, table) = fs(spark, tablePath)
     val base = fromVersion.getOrElse(latestVersion(spark, tablePath))
     val baseEntries = readManifest(fsys, table, base)
+    requireUniformLayout(fsys, table, base, baseEntries, "updateWhere")
     val target = readAt(spark, tablePath, base)
     val unknown = assignments.keySet -- target.columns.toSet
     require(unknown.isEmpty,
@@ -2012,6 +2154,7 @@ object Versioned {
     }
     val base = fromVersion.getOrElse(latestVersion(spark, tablePath))
     val baseEntries = readManifest(fsys, table, base)
+    requireUniformLayout(fsys, table, base, baseEntries, "mergeByFiles")
     require(baseEntries.forall(_.file.isDefined),
       s"mergeByFiles needs a file-granular base — publish with fileStatsKey")
     // The pruning below reads each entry's [kmin, kmax] as stats ON
@@ -3056,6 +3199,7 @@ object Versioned {
     val (fsys, table) = fs(spark, tablePath)
     val base = latestVersion(spark, tablePath)
     val baseEntries = readManifest(fsys, table, base)
+    requireUniformLayout(fsys, table, base, baseEntries, "compactFiles")
     require(baseEntries.forall(_.file.isDefined),
       "compactFiles needs a file-granular table (publish with fileStatsKey)")
     // Spliced entries keep their old stats, so the recorded stats column
@@ -3124,6 +3268,7 @@ object Versioned {
     val (fsys, table) = fs(spark, tablePath)
     val base = latestVersion(spark, tablePath)
     val baseEntries = readManifest(fsys, table, base)
+    requireUniformLayout(fsys, table, base, baseEntries, "optimizeTable")
     require(baseEntries.forall(e => e.file.isDefined && e.nrows.isDefined),
       "optimizeTable needs a file-granular base with per-file row counts " +
         "(publish with fileStatsKey on r14+, or compact/merge once to refresh stats)")

@@ -906,6 +906,73 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("partition evolution: header-only spec change, mixed-layout reads, row-level DML while mixed, value-DML refusal, repartition normalizes") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val wh = Files.createTempDirectory("gevo").toString
+    spark.conf.set("spark.sql.catalog.gevo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gevo.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gevo.ns")
+    spark.sql(
+      """CREATE TABLE gevo.ns.t (k BIGINT, v BIGINT, r STRING, y BIGINT)
+        |PARTITIONED BY (y) TBLPROPERTIES ('statskey' = 'k')""".stripMargin)
+    val path = s"$wh/ns/t"
+    // 40 rows: y in 1995/1996 × r in a/b, r is a DATA column under (y)
+    (for { y <- Seq(1995L, 1996L); r <- Seq("a", "b"); i <- 1 to 10 }
+      yield ((y - 1990) * 100 + (if (r == "a") 0 else 50) + i, i.toLong, r, y))
+      .toDF("k", "v", "r", "y").createOrReplaceTempView("gevo_seed")
+    spark.sql("INSERT INTO gevo.ns.t SELECT * FROM gevo_seed")
+    // EVOLVE the spec header-only: files untouched
+    val vE = spark.sql("CALL gevo.sys.evolve_partitioning('ns.t', 'y,r')")
+      .head().getInt(0)
+    assert(Versioned.partColOf(spark, path, vE).contains("y,r"))
+    assert(!Versioned.hasUniformLayout(spark, path, vE))
+    // value-scoped DML refuses LOUDLY while layouts are mixed
+    val err = intercept[IllegalStateException](Versioned.deleteWhere(
+      spark, path, col("y") === 1995L, "y,r"))
+    assert(err.getMessage.contains("mid-partition-evolution"), err.getMessage)
+    // a NEW insert lands in the nested layout immediately
+    spark.sql("INSERT INTO gevo.ns.t SELECT 200 + id AS k, id AS v, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS r, CAST(1997 AS BIGINT) AS y " +
+      "FROM range(0, 20)")
+    val latest1 = Versioned.latestVersion(spark, path)
+    val dirs = Versioned.fileEntriesOf(spark, path, latest1).map(_._1).toSet
+    assert(dirs.exists(_.matches("y=1997/r=[ab]")), s"new layout missing: $dirs")
+    assert(dirs.exists(_.matches("y=199[56]")), s"old layout missing: $dirs")
+    // mixed reads: exact on either dimension; r prunes NEW entries only
+    // (old entries decode r from file bytes and stay planned — residual
+    // filters keep them exact)
+    def src = spark.read.format("graft.sources.VersionedSource").load(path)
+    assert(src.filter(col("r") === "a").count() == 30) // 20 old + 10 new
+    val all = src.rdd.getNumPartitions
+    assert(src.filter(col("y") === 1997L && col("r") === "b")
+      .rdd.getNumPartitions < all)
+    assert(src.filter(col("y") === 1997L && col("r") === "b").count() == 10)
+    // SQL row-level DML is evolution-safe (entry-identity splice):
+    // UPDATE while mixed
+    spark.sql("UPDATE gevo.ns.t SET v = 999 WHERE k = 501")
+    assert(spark.sql("SELECT v FROM gevo.ns.t WHERE k = 501")
+      .head().getLong(0) == 999L)
+    // SQL DELETE while mixed: canDeleteWhere declines (mixed) and Spark
+    // routes to the row-level rewrite — exact
+    spark.sql("DELETE FROM gevo.ns.t WHERE y = 1995 AND r = 'b'")
+    assert(spark.sql("SELECT count(*) FROM gevo.ns.t").head().getLong(0) == 50)
+    // REPARTITION normalizes every file into the current spec
+    spark.sql("CALL gevo.sys.repartition('ns.t')")
+    val vR = Versioned.latestVersion(spark, path)
+    assert(Versioned.hasUniformLayout(spark, path, vR))
+    assert(Versioned.fileEntriesOf(spark, path, vR)
+      .forall(_._1.matches("y=\\d+/r=[ab]")))
+    assert(spark.sql("SELECT count(*) FROM gevo.ns.t").head().getLong(0) == 50)
+    assert(spark.sql("SELECT sum(v) FROM gevo.ns.t WHERE k = 501")
+      .head().getLong(0) == 999L)
+    // value-scoped DML works again after normalization
+    Versioned.deleteWhere(spark, path, col("y") === 1996L && col("r") === "a", "y,r")
+    assert(spark.sql("SELECT count(*) FROM gevo.ns.t").head().getLong(0) == 40)
+    // time travel BEFORE the evolution serves the old spec
+    assert(Versioned.partColOf(spark, path, 2).contains("y"))
+  }
+
   test("metadata-only COUNT(*): unfiltered counts come from the manifest (DV-exact), filters and groupings fall back to data") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
