@@ -54,7 +54,7 @@ class SinksSpec extends SparkSpec {
     assert(out.collect().toSeq == direct.collect().toSeq)
     def parts(d: String) = new java.io.File(d)
       .listFiles().count(f => f.getName.startsWith("part-"))
-    val sfx = java.lang.Integer.toHexString(sfDir.hashCode)
+    val sfx = Sinks.dirTag(sfDir)
     val tmp = sys.props("java.io.tmpdir")
     val staged = parts(s"$tmp/graft_smallfiles_$sfx")
     val compacted = parts(s"$tmp/graft_compacted_$sfx")
@@ -92,7 +92,7 @@ class SinksSpec extends SparkSpec {
 
   test("gzip text staging really writes .gz shards and the read parallelizes") {
     Sinks.gzipTextRoundtrip(spark, sfDir).collect()
-    val sfx = java.lang.Integer.toHexString(sfDir.hashCode)
+    val sfx = Sinks.dirTag(sfDir)
     val files = new java.io.File(sys.props("java.io.tmpdir"), s"graft_gztext_$sfx")
       .listFiles().filter(_.getName.startsWith("part-"))
     assert(files.length == 8, s"expected 8 shards, got ${files.length}")
@@ -349,7 +349,7 @@ class SinksSpec extends SparkSpec {
   test("q213 streaming CDC merge is replay-idempotent: a second delivery adds no versions, changes no rows") {
     val first = Sinks.streamCdcMerge(spark, sfDir).collect().toSeq
     val tbl = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_cdc_vt_${java.lang.Integer.toHexString(sfDir.hashCode)}").getPath
+      s"graft_cdc_vt_${Sinks.dirTag(sfDir)}").getPath
     val vAfterFirst = Versioned.latestVersion(spark, tbl)
     assert(vAfterFirst >= 2, "the stream should have published merged versions")
     // full redelivery: the same three batches stream again; every tag is
@@ -801,7 +801,7 @@ class SinksSpec extends SparkSpec {
   test("q225 CDC replication: the replica converges to the primary row-for-row under per-version idempotence tags") {
     import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit, md5}
     Sinks.cdcReplication(spark, sfDir).collect()
-    val sfx = java.lang.Integer.toHexString(sfDir.hashCode)
+    val sfx = Sinks.dirTag(sfDir)
     val tmp = sys.props("java.io.tmpdir")
     val srcTbl = s"$tmp/graft_rcf_vt_$sfx"
     val dstTbl = s"$tmp/graft_repl_vt_$sfx"
