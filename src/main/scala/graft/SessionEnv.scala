@@ -11,7 +11,12 @@ import org.apache.spark.sql.SparkSession
 object SessionEnv {
   def applyMaster(b: SparkSession.Builder, cpus: String): SparkSession.Builder = {
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // Local-filesystem writes must not fork a chmod process per file
+    // create/mkdir (no libhadoop here — see graft.sources.FastLocalFs).
+    // Behaviour is otherwise identical (checksums kept); scheme-scoped to
+    // file://, so nothing changes for any other filesystem.
     val withMaster = b.master(master)
+      .config("spark.hadoop.fs.file.impl", "graft.sources.FastLocalFileSystem")
     if (!master.startsWith("local-cluster")) withMaster
     else {
       // Forked executor JVMs need our classes + the JDK17 module opens.

@@ -436,6 +436,24 @@ object Versioned {
     * reads by the checkpoint rule.
     */
   private def readManifest(fsys: FileSystem, table: Path, v: Int): Seq[Entry] = {
+    val p = manifestPath(table, v)
+    obsKey(fsys, p) match {
+      case Some(key) =>
+        val hit = entriesMemo.get(key)
+        if (hit != null) hit
+        else {
+          val res = readManifestUncached(fsys, table, v)
+          if (entriesMemo.size > EntriesMemoMax) entriesMemo.clear()
+          entriesMemo.put(key, res)
+          res
+        }
+      // missing file: fall through for the canonical "does not exist (or
+      // was vacuumed)" error from manifestBody
+      case None => readManifestUncached(fsys, table, v)
+    }
+  }
+
+  private def readManifestUncached(fsys: FileSystem, table: Path, v: Int): Seq[Entry] = {
     val body = manifestBody(fsys, table, v)
     val textOwn = body.filterNot(_.startsWith("#")).map(parseEntry)
     // Parquet-checkpoint manifests hold their entries in a sidecar
@@ -496,16 +514,11 @@ object Versioned {
   /** The idempotence tag a version was committed with, if any (the first
     * manifest line, `#tag\t<value>`).
     */
-  private def readTag(fsys: FileSystem, table: Path, v: Int): Option[String] = {
-    val p = manifestPath(table, v)
-    if (!fsys.exists(p)) return None
-    val in = fsys.open(p)
-    val first = try {
-      val br = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
-      Option(br.readLine())
-    } finally in.close()
-    first.filter(_.startsWith("#tag\t")).map(_.substring("#tag\t".length))
-  }
+  private def readTag(fsys: FileSystem, table: Path, v: Int): Option[String] =
+    // The tag is always the FIRST header line when present (commit writes
+    // it first); reading it through the memoized header block turns
+    // taggedVersion's O(versions) per-file opens into stat calls.
+    headerLine(fsys, table, v, "#tag\t")
 
   /** The logical schema version `v` was committed with (`#schema\t<json>`
     * manifest line). Absent on pre-r14 manifests — readers then serve
@@ -528,15 +541,28 @@ object Versioned {
   private def headerLines(fsys: FileSystem, table: Path, v: Int,
                           prefix: String): Seq[String] = {
     val p = manifestPath(table, v)
-    if (!fsys.exists(p)) return Seq.empty
-    val in = fsys.open(p)
-    try {
-      val br = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
-      Iterator.continually(br.readLine()).takeWhile(l => l != null && l.startsWith("#"))
-        .filter(_.startsWith(prefix))
-        .map(_.substring(prefix.length))
-        .toList
-    } finally in.close()
+    obsKey(fsys, p) match {
+      case None => Seq.empty
+      case Some(key) =>
+        val block = {
+          val hit = headerMemo.get(key)
+          if (hit != null) hit
+          else {
+            val in = fsys.open(p)
+            val b = try {
+              val br = new java.io.BufferedReader(
+                new java.io.InputStreamReader(in, "UTF-8"))
+              Iterator.continually(br.readLine())
+                .takeWhile(l => l != null && l.startsWith("#"))
+                .toList
+            } finally in.close()
+            if (headerMemo.size > HeaderMemoMax) headerMemo.clear()
+            headerMemo.put(key, b)
+            b
+          }
+        }
+        block.filter(_.startsWith(prefix)).map(_.substring(prefix.length))
+    }
   }
 
   private def readSchemaLine(fsys: FileSystem, table: Path, v: Int)
@@ -590,6 +616,31 @@ object Versioned {
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
 
+  // Manifest OBSERVATION memos, same immutability argument: a manifest is
+  // never rewritten in place (exclusive create; vacuum only unlinks), so
+  // any parsed form may be cached keyed on the exact (path, length, mtime)
+  // observation — a deleted-and-recreated path presents a new observation
+  // and misses. headerMemo holds the leading `#` block (every headerLine
+  // call used to re-open the file — DML lifecycles read 6+ headers per
+  // commit); entriesMemo holds the RESOLVED entry list of a version (a
+  // delta-chain resolution used to cost ≤ MaxChainDepth file reads per
+  // call, on every readAt/merge/commit planning pass). Both are cleared
+  // wholesale on overflow and by invalidateCommittedMemo, alongside the
+  // committed memo, on deleteTree-and-rebuild paths.
+  private val HeaderMemoMax = 65536
+  private val EntriesMemoMax = 4096
+  private val headerMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private val entriesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Entry]]()
+
+  /** (path, length, mtime) observation key of `p`, None when missing. */
+  private def obsKey(fsys: FileSystem, p: Path): Option[String] =
+    try {
+      val st = fsys.getFileStatus(p)
+      Some(s"$p#${st.getLen}#${st.getModificationTime}")
+    } catch { case _: java.io.FileNotFoundException => None }
+
   /** Drop memoized committed verdicts for manifests under `tablePath`.
     * The memo key is (path, length, mtime); a deleteTree + republish that
     * recreates the same manifest paths can — on filesystems with coarse
@@ -604,6 +655,10 @@ object Versioned {
     // scheme ("file:/tmp/...") while callers pass the raw local path.
     val it = committedMemo.iterator()
     while (it.hasNext) if (it.next().contains(tablePath)) it.remove()
+    val hit = headerMemo.keySet.iterator()
+    while (hit.hasNext) if (hit.next().contains(tablePath)) hit.remove()
+    val eit = entriesMemo.keySet.iterator()
+    while (eit.hasNext) if (eit.next().contains(tablePath)) eit.remove()
   }
 
   private def isCommitted(fsys: FileSystem, table: Path, v: Int): Boolean = {

@@ -19,6 +19,8 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // same no-chmod-fork local FS as the runtime entry points
+      .config("spark.hadoop.fs.file.impl", "graft.sources.FastLocalFileSystem")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(s)
