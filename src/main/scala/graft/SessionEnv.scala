@@ -17,6 +17,15 @@ object SessionEnv {
     // file://, so nothing changes for any other filesystem.
     val withMaster = b.master(master)
       .config("spark.hadoop.fs.file.impl", "graft.sources.FastLocalFileSystem")
+      // Manifest-scoped reads hand Spark an EXPLICIT bounded file list
+      // (the versioned store's readEntries), yet InMemoryFileIndex turns
+      // any >32-path read into a distributed LISTING JOB (~70-200 ms of
+      // scheduling for what is one driver stat() per known leaf path).
+      // Delta/Iceberg list from their own manifests on the driver for the
+      // same reason. 512 keeps sub-checkpoint-sized reads driver-side and
+      // still falls back to the parallel job for genuinely huge path sets;
+      // deployments can override the conf either way.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
     if (!master.startsWith("local-cluster")) withMaster
     else {
       // Forked executor JVMs need our classes + the JDK17 module opens.

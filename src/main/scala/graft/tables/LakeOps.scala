@@ -1,7 +1,7 @@
 package graft.tables
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -264,6 +264,25 @@ object Versioned {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** Plan-receipt hook: with GRAFT_PLAN_DUMP=<dir> set, the DML operators
+    * write the formatted physical plan of each internal DataFrame they
+    * execute (discovery scan, rewrite, …) to numbered files there — the
+    * audit artifact for optimization rounds (a DML operator's cost lives
+    * in these imperative-path plans, which the query-level `.explain` of
+    * the declared query never shows). Zero cost when unset.
+    */
+  private val planDumpDir: Option[String] = sys.env.get("GRAFT_PLAN_DUMP")
+  private val planDumpSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def dumpPlan(tag: String, df: DataFrame): Unit =
+    planDumpDir.foreach { d =>
+      val n = planDumpSeq.incrementAndGet()
+      val p = java.nio.file.Paths.get(d, f"$n%03d_$tag.txt")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
   private def manifestDir(table: Path) = new Path(table, "_manifests")
   private def manifestPath(table: Path, v: Int) = new Path(manifestDir(table), s"$v.txt")
 
@@ -511,8 +530,9 @@ object Versioned {
     chainBaseOf(fsys, table, v)
   }
 
-  /** The idempotence tag a version was committed with, if any (the first
-    * manifest line, `#tag\t<value>`).
+  /** The idempotence tag a version was committed with, if any — a
+    * `#tag\t<value>` line in the leading header block (commit() emits it
+    * first, but any header position satisfies this read).
     */
   private def readTag(fsys: FileSystem, table: Path, v: Int): Option[String] =
     // The tag is always the FIRST header line when present (commit writes
@@ -598,10 +618,16 @@ object Versioned {
     val (fsys, table) = fs(spark, tablePath)
     val md = manifestDir(table)
     if (!fsys.exists(md)) return None
+    // Descending walk with early exit: the semantics are "the HIGHEST
+    // committed version carrying the tag", so the first hit from the top
+    // is the answer — a replayed batch's tag is almost always among the
+    // newest commits, turning the former every-version header probe
+    // (O(versions) stat+memo lookups per idempotence check, and streaming
+    // replays check per micro-batch) into a short suffix walk.
     fsys.listStatus(md).toSeq
       .flatMap(_.getPath.getName.stripSuffix(".txt").toIntOption)
-      .filter(v => isCommitted(fsys, table, v) && readTag(fsys, table, v).contains(tag))
-      .sorted.lastOption
+      .sorted(Ordering[Int].reverse)
+      .find(v => isCommitted(fsys, table, v) && readTag(fsys, table, v).contains(tag))
   }
 
   // Committed-manifest memo: a committed manifest's BYTES are immutable
@@ -645,10 +671,12 @@ object Versioned {
     * The memo key is (path, length, mtime); a deleteTree + republish that
     * recreates the same manifest paths can — on filesystems with coarse
     * mtime granularity — present an equal-length IN-FLIGHT claim that
-    * false-positives as committed (readManifest still demands the
-    * #commit terminator, so the failure is loud, but latestVersion can
-    * transiently report an uncommitted version). Rebuild paths call this
-    * after deleting a table tree so recreated paths are re-verified.
+    * false-positives as committed. Since r17 the parsed entry list is
+    * memoized on the same observation key, so such a collision would not
+    * merely be transient: a stale entriesMemo hit could silently serve
+    * the previous incarnation's entries. Every deleteTree-and-rebuild
+    * path therefore calls this to drop ALL three memos (committed,
+    * header, entries) for the table before recreating it.
     */
   private[graft] def invalidateCommittedMemo(tablePath: String): Unit = {
     // contains, not startsWith: memoized paths carry the FileSystem
@@ -1781,36 +1809,21 @@ object Versioned {
     partCols.foreach(c => require(partitionableTypes.contains(target.schema(c).dataType),
       s"partition column $c has a non-path-stable type"))
 
-    val src = applyPrecedence(source, keyCol, allowedOps = Seq("U", "D", "I", "K"))
+    // CDC batch: ONE driver collect validates ops/keys/duplicates,
+    // resolves precedence, and yields every batch-side decision input
+    // (key, op, the source row's partition values) as metadata — the
+    // former dup-check job, per-key window Exchange, and the batch side
+    // of three discovery joins all collapse into it (§2.4).
+    val (batchRows, winnerOps, src) = collectBatch(spark, source, keyCol,
+      extraCols = partCols, allowedOps = Seq("U", "D", "I", "K"))
     val keyed = src.select((col(keyCol).as("_sk") +: col("_op").as("_sop") +:
       dataCols.map(c => col(c).as(s"_s_$c"))): _*)
 
-    // Touched partitions: where a matched U/D row lives in the TARGET
-    // (an update may also MOVE the row), where an updated row lands, and
-    // where inserts land. Distinct over a bounded CDC batch → a small
-    // list, collected as metadata and broadcast into the pruning semi-join.
-    // Multi-column layouts track every level (one _tpN per column).
-    val tpCols = partCols.indices.map(i => s"_tp$i")
-    def asTp(cs: Seq[Column]) = cs.zip(tpCols).map { case (c, n) => c.as(n) }
-    val matchedParts = target.join(
-        keyed.filter(col("_sop").isin("U", "D")), col(keyCol) === col("_sk"))
-      .select(asTp(partCols.map(col)): _*)
-    val landingParts = keyed.filter(col("_sop") === "U")
-      .join(target.select(col(keyCol)), col("_sk") === col(keyCol), "left_semi")
-      .select(asTp(partCols.map(c => col(s"_s_$c"))): _*)
-    val insertParts = keyed.filter(col("_sop") === "I")
-      .join(target.select(col(keyCol)), col("_sk") === col(keyCol), "left_anti")
-      .select(asTp(partCols.map(c => col(s"_s_$c"))): _*)
-    // WHEN NOT MATCHED BY SOURCE: validate the clause's assignments, and
-    // add the partitions holding any target row with NO source key (plus,
-    // for an updating clause, the partitions those rows move to). The
-    // discovery anti-join scans the target once — the clause's inherent
-    // cost ("absent from the source" is undecidable without looking at
-    // every row) — but the REWRITE stays scoped to partitions actually
-    // holding unmatched rows: a source covering every key adds nothing.
     def nmsApplied(df: DataFrame, as: Map[String, Column]): DataFrame =
       df.select(target.columns.map(c =>
         as.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+    val nmsUpdate: Option[Map[String, Column]] = notMatchedBySource.collect {
+      case NotMatchedBySource.Update(as) => as }
     notMatchedBySource.foreach {
       case NotMatchedBySource.Update(as) =>
         val unknown = as.keySet -- target.columns.toSet
@@ -1823,70 +1836,145 @@ object Versioned {
             s"(got ${shaped.schema.simpleString} vs ${target.schema.simpleString})")
       case NotMatchedBySource.Delete => ()
     }
-    val unmatchedSrcParts: Seq[DataFrame] = notMatchedBySource match {
-      case None => Seq.empty
-      case Some(nms) =>
-        val unmatched = target.join(broadcast(keyed.select(col("_sk"))),
-          col(keyCol) === col("_sk"), "left_anti")
-        val from = unmatched.select(asTp(partCols.map(col)): _*)
-        nms match {
-          case NotMatchedBySource.Delete => Seq(from)
-          case NotMatchedBySource.Update(as) =>
-            Seq(from, nmsApplied(unmatched, as).select(asTp(partCols.map(col)): _*))
-        }
-    }
-    val touchedRows = (Seq(matchedParts, landingParts, insertParts) ++
-      unmatchedSrcParts).reduce(_.union(_))
-      .distinct().collect()
-    val touchedDirs = touchedRows
-      .map(r => partDirName(partCols, partCols.indices.map(r.get))).toSet
-    val touched = spark.createDataFrame(
-      java.util.Arrays.asList(touchedRows: _*), matchedParts.schema)
 
-    // New content of the touched partitions only. Surviving target rows
+    // Touched-partition discovery: ONE scan of the target — its only
+    // inherent cost ("which of my rows carry a batch key", plus, under
+    // NOT MATCHED BY SOURCE, "which partitions hold source-less rows") —
+    // key-probed by a PUSHED In filter for driver-sized batches (row-
+    // group skipping reaches the scan) or a broadcast join beyond
+    // [[IsinMaxKeys]]. Where updated rows land, where inserts land, and
+    // which matched keys carry U/D are pure batch-metadata math on the
+    // driver. (Formerly: three target joins unioned + a distinct
+    // Exchange, with the source plan replanned under each branch.)
+    val tpCols = partCols.indices.map(i => s"_tp$i")
+    def asTp(cs: Seq[Column]) = cs.zip(tpCols).map { case (c, n) => c.as(n) }
+    val keyDt = target.schema(keyCol).dataType
+    val batchKeys = batchRows.map(_.get(0)).toSeq.distinct
+    val nPart = partCols.length
+    // (matched keys, per-partition matched key sets, partitions holding
+    // source-less rows [NMS only])
+    val (matchedKeys, matchedByPart, nmsFromVals) =
+      if (notMatchedBySource.isEmpty) {
+        val probe = target.select((col(keyCol).as("_mk") +:
+          asTp(partCols.map(col))): _*)
+        val disc = filterByKeys(spark, probe, col("_mk"), keyDt, batchKeys,
+          keep = true)
+        dumpPlan("merge_discovery", disc)
+        val rows = disc.collect()
+        val byPart = rows.groupBy(r => (1 to nPart).map(r.get): Seq[Any]).toSeq
+          .map { case (pv, rs) => (pv, rs.map(r => normKey(r.get(0))).toSet) }
+        (byPart.iterator.flatMap(_._2).toSet, byPart, Seq.empty[Seq[Any]])
+      } else {
+        // The clause's inherent full pass ("absent from the source" is
+        // undecidable without looking at every row) doubles as the match
+        // probe: one aggregate returns, per partition, the row count, the
+        // matched count and the matched keys (bounded by the batch).
+        val (df0, mk) = withMatchedKey(spark, target, col(keyCol), keyDt, batchKeys)
+        val disc = df0.groupBy(asTp(partCols.map(col)): _*)
+          .agg(count(lit(1)).as("_n"), count(mk).as("_nm"),
+            collect_set(mk).as("_mks"))
+        dumpPlan("merge_discovery", disc)
+        val rows = disc.collect()
+        val byPart = rows.toSeq
+          .map(r => ((0 until nPart).map(r.get): Seq[Any],
+            r.getSeq[Any](nPart + 2).map(normKey).toSet))
+          .filter(_._2.nonEmpty)
+        val unmatchedParts = rows.toSeq
+          .filter(r => r.getLong(nPart) > r.getLong(nPart + 1))
+          .map(r => (0 until nPart).map(r.get): Seq[Any])
+        (byPart.iterator.flatMap(_._2).toSet, byPart, unmatchedParts)
+      }
+    val udKeys: Set[Any] = batchRows.iterator
+      .filter(r => r.getString(1) == "U" || r.getString(1) == "D")
+      .map(r => normKey(r.get(0))).toSet
+    val matchedPartsVals: Seq[Seq[Any]] =
+      matchedByPart.collect { case (pv, ks) if ks.exists(udKeys) => pv }
+    def srcParts(r: Row): Seq[Any] = (2 until 2 + nPart).map(r.get)
+    val landingVals: Seq[Seq[Any]] = batchRows.iterator
+      .filter(r => r.getString(1) == "U" && matchedKeys(normKey(r.get(0))))
+      .map(srcParts).toSeq
+    val insertRowsMeta = batchRows.filter(r =>
+      r.getString(1) == "I" && !matchedKeys(normKey(r.get(0))))
+    val insertVals: Seq[Seq[Any]] = insertRowsMeta.map(srcParts).toSeq
+    // NMS Update may MOVE source-less rows: only assignments to a
+    // partition column can — then (and only then) the landing partitions
+    // need one more pass evaluating the assignments on the unmatched rows.
+    val nmsLandingVals: Seq[Seq[Any]] = nmsUpdate match {
+      case Some(as) if partCols.exists(as.contains) =>
+        val unmatched = filterByKeys(spark, target, col(keyCol), keyDt,
+          batchKeys, keep = false)
+        nmsApplied(unmatched, as).select(asTp(partCols.map(col)): _*)
+          .distinct().collect().toSeq.map(r => (0 until nPart).map(r.get))
+      case _ => Seq.empty
+    }
+    // Distinct by RENDERED dir name (the same String.valueOf rendering
+    // Spark's writer uses — int-vs-long boxing across target/source rows
+    // collapses), one representative value tuple per dir for the pruning
+    // predicate.
+    val touchedValsByDir = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Any]]
+    (matchedPartsVals ++ landingVals ++ insertVals ++ nmsFromVals ++ nmsLandingVals)
+      .foreach(vs => touchedValsByDir.getOrElseUpdate(partDirName(partCols, vs), vs))
+    val touchedDirs: Set[String] = touchedValsByDir.keySet.toSet
+
+    // New content of the touched partitions only, scoped by a LITERAL
+    // partition predicate (planning-time partition pruning — the former
+    // broadcast semi-join against the collected dir values resolved to
+    // the same rows one exchange later). Surviving target rows
     // NULL-backfill any newly added columns; updated/inserted rows carry
-    // the source's values for them.
-    val scoped = target.join(broadcast(touched),
-      partCols.zip(tpCols).map { case (c, n) => col(c) === col(n) }
-        .reduce(_ && _), "left_semi")
+    // the source's values for them. One select over the scoped join
+    // replaces the former survivors/updated/not-matched-by-source
+    // branches (three replans of the same join, unioned): per-column
+    // when/otherwise produces the identical multiset in one pass, and
+    // inserts need no target anti-join at all — the unmatched I keys are
+    // already driver metadata from the discovery.
+    val pruning =
+      if (touchedValsByDir.isEmpty) lit(false)
+      else touchedValsByDir.values.map(vs =>
+        partCols.zip(vs).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
+        .reduce(_ || _)
+    val scoped = target.filter(pruning)
     val joined = scoped.join(broadcast(keyed), col(keyCol) === col("_sk"), "left")
+    val isU = col("_sop") === "U"
     // With a NOT-MATCHED-BY-SOURCE clause, source-less rows no longer
-    // survive untouched: Delete drops them, Update rewrites them below.
+    // survive untouched: Delete drops them, Update rewrites them.
     // Matched K (membership-only) and matched-I noise always survive.
     val keepCond =
       if (notMatchedBySource.isEmpty)
         col("_sop").isNull || col("_sop").isin("I", "K")
+      else if (nmsUpdate.isDefined)
+        col("_sop").isin("I", "K") || col("_sop").isNull
       else col("_sop").isin("I", "K")
-    val survivors = newCols.foldLeft(
-        joined.filter(keepCond).select(target.columns.map(col): _*)
-      )((d, c) => d.withColumn(c, lit(null).cast(source.schema(c).dataType)))
-      .select(dataCols.map(col): _*)
-    val updated = joined.filter(col("_sop") === "U")
-      .select(dataCols.map(c => col(s"_s_$c").as(c)): _*)
-    val inserts = keyed.filter(col("_sop") === "I")
-      .join(target.select(col(keyCol)), col("_sk") === col(keyCol), "left_anti")
-      .select(dataCols.map(c => col(s"_s_$c").as(c)): _*)
-    val nmsUpdatedRows: Option[DataFrame] = notMatchedBySource match {
-      case Some(NotMatchedBySource.Update(as)) =>
-        val u = nmsApplied(joined.filter(col("_sop").isNull)
-          .select(target.columns.map(col): _*), as)
-        Some(newCols.foldLeft(u)((d, c) =>
-            d.withColumn(c, lit(null).cast(source.schema(c).dataType)))
-          .select(dataCols.map(col): _*))
-      case _ => None
-    }
-    val rewrite = (Seq(survivors, updated, inserts) ++ nmsUpdatedRows)
-      .reduce(_.unionByName(_))
+    def survivorVal(c: String): Column =
+      if (!target.columns.contains(c)) lit(null).cast(source.schema(c).dataType)
+      else nmsUpdate.flatMap(_.get(c)) match {
+        case Some(assigned) => when(col("_sop").isNull, assigned).otherwise(col(c))
+        case None => col(c)
+      }
+    def imageCols: Seq[Column] = dataCols.map(c =>
+      when(isU, col(s"_s_$c")).otherwise(survivorVal(c)).as(c))
+    val rewritten = joined.filter(keepCond || isU).select(imageCols: _*)
+    val insertKeys = insertRowsMeta.map(_.get(0)).toSeq.distinct
+    val iRows = keyed.filter(col("_sop") === "I")
+    val insertsSrc =
+      if (insertKeys.size == batchRows.count(_.getString(1) == "I")) iRows
+      else filterByKeys(spark, iRows, col("_sk"), keyDt, insertKeys, keep = true)
+    val inserts = insertsSrc.select(dataCols.map(c => col(s"_s_$c").as(c)): _*)
+    val rewrite = rewritten.unionByName(inserts)
 
     val cons = constraintLines(fsys, table, base)
-    validateConstraints((Seq(updated, inserts) ++ nmsUpdatedRows)
-      .reduce(_.unionByName(_)), cons)
+    if (cons.nonEmpty) {
+      val changed = joined.filter(isU ||
+          (if (nmsUpdate.isDefined) col("_sop").isNull else lit(false)))
+        .select(imageCols: _*)
+      validateConstraints(changed.unionByName(inserts), cons)
+    }
     // A file-granular base keeps its granularity: rewritten partitions get
     // fresh per-file stats on the recorded stats key, so compaction /
     // optimize / stats-pruned reads keep working after a partition merge.
     val baseStatsKey = headerLine(fsys, table, base, "#statskey\t")
       .filter(_ => baseEntries.nonEmpty && baseEntries.forall(_.file.isDefined))
     val dd = newDataDir(fsys, table)
+    dumpPlan("merge_rewrite", rewrite)
     rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partCols: _*).parquet(dd.toString)
     val written = listPartDirs(fsys, dd, partCols.length)
     require(written.toSet.subsetOf(touchedDirs),
@@ -1902,13 +1990,15 @@ object Versioned {
         val preCond =
           if (notMatchedBySource.isEmpty) col("_sop").isin("U", "D")
           else col("_sop").isin("U", "D") || col("_sop").isNull
-        val preImages = newCols.foldLeft(
-            joined.filter(preCond)
-              .select(target.columns.map(col): _*)
-          )((d, c) => d.withColumn(c, lit(null).cast(source.schema(c).dataType)))
-          .select(dataCols.map(col): _*)
-        Some(writeChangeFeed(fsys, table, preImages,
-          (Seq(updated, inserts) ++ nmsUpdatedRows).reduce(_.unionByName(_))))
+        val preImages = joined.filter(preCond)
+          .select(dataCols.map(c =>
+            (if (target.columns.contains(c)) col(c)
+             else lit(null).cast(source.schema(c).dataType)).as(c)): _*)
+        val postImages = joined.filter(isU ||
+            (if (nmsUpdate.isDefined) col("_sop").isNull else lit(false)))
+          .select(imageCols: _*)
+          .unionByName(inserts)
+        Some(writeChangeFeed(fsys, table, preImages, postImages))
       }
     // Splice: untouched entries ride the base manifest; touched partitions
     // are served from the fresh dir; an emptied partition appears nowhere.
@@ -1959,20 +2049,21 @@ object Versioned {
       .select(asTp(partCols.map(col)): _*)
       .distinct().collect()
     if (touchedRows.isEmpty && !recordChanges) return base // nothing matches
-    val touchedDirs = touchedRows
-      .map(r => partDirName(partCols, partCols.indices.map(r.get))).toSet
-    val touched = spark.createDataFrame(
-      java.util.Arrays.asList(touchedRows: _*),
-      org.apache.spark.sql.types.StructType(partCols.zip(tpCols).map {
-        case (c, n) => org.apache.spark.sql.types.StructField(n, target.schema(c).dataType)
-      }))
-    val scoped = target.join(broadcast(touched),
-      partCols.zip(tpCols).map { case (c, n) => col(c) === col(n) }
-        .reduce(_ && _), "left_semi")
+    val touchedVals = touchedRows.toSeq.map(r => partCols.indices.map(r.get))
+    val touchedDirs = touchedVals.map(partDirName(partCols, _)).toSet
+    // Literal partition predicate from the collected values: planning-time
+    // partition pruning, where the former broadcast semi-join resolved to
+    // the same rows one exchange later.
+    val scoped = target.filter(
+      if (touchedVals.isEmpty) lit(false)
+      else touchedVals.map(vs =>
+        partCols.zip(vs).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
+        .reduce(_ || _))
     val rewrite = scoped.filter(!isMatch)
     val baseStatsKey = headerLine(fsys, table, base, "#statskey\t")
       .filter(_ => baseEntries.nonEmpty && baseEntries.forall(_.file.isDefined))
     val dd = newDataDir(fsys, table)
+    dumpPlan("deletewhere_rewrite", rewrite)
     rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partCols: _*).parquet(dd.toString)
     val written = listPartDirs(fsys, dd, partCols.length)
     require(written.toSet.subsetOf(touchedDirs),
@@ -2033,22 +2124,22 @@ object Versioned {
     val dstParts = applied(target.filter(isMatch)).select(asTp(partCols.map(col)): _*)
     val touchedRows = srcParts.union(dstParts).distinct().collect()
     if (touchedRows.isEmpty && !recordChanges) return base
-    val touchedDirs = touchedRows
-      .map(r => partDirName(partCols, partCols.indices.map(r.get))).toSet
-    val touched = spark.createDataFrame(
-      java.util.Arrays.asList(touchedRows: _*),
-      org.apache.spark.sql.types.StructType(partCols.zip(tpCols).map {
-        case (c, n) => org.apache.spark.sql.types.StructField(n, target.schema(c).dataType)
-      }))
-    val scoped = target.join(broadcast(touched),
-      partCols.zip(tpCols).map { case (c, n) => col(c) === col(n) }
-        .reduce(_ && _), "left_semi")
+    val touchedVals = touchedRows.toSeq.map(r => partCols.indices.map(r.get))
+    val touchedDirs = touchedVals.map(partDirName(partCols, _)).toSet
+    // Same literal-predicate scoping as deleteWhere (partition pruning at
+    // planning time instead of a broadcast semi-join).
+    val scoped = target.filter(
+      if (touchedVals.isEmpty) lit(false)
+      else touchedVals.map(vs =>
+        partCols.zip(vs).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
+        .reduce(_ || _))
     val updated = applied(scoped.filter(isMatch))
     require(updated.schema.map(f => (f.name, f.dataType)) ==
         target.schema.map(f => (f.name, f.dataType)),
       "updateWhere: assignments must preserve column types " +
         s"(got ${updated.schema.simpleString} vs ${target.schema.simpleString})")
     val rewrite = scoped.filter(!isMatch).unionByName(updated)
+    dumpPlan("updatewhere_rewrite", rewrite)
     val cons = constraintLines(fsys, table, base)
     validateConstraints(updated, cons)
     val baseStatsKey = headerLine(fsys, table, base, "#statskey\t")
@@ -2242,16 +2333,17 @@ object Versioned {
       s"mergeByFiles prunes on ordered key stats; $keyCol is " +
         s"${target.schema(keyCol).dataType} — use an integral, string, or date column")
 
-    val src = applyPrecedence(source, keyCol)
+    // ONE driver collect validates the batch and resolves precedence
+    // (formerly a validation job + per-key window Exchange + a second
+    // collect); its (key, op) pairs are driver metadata. Keys encode to
+    // (range surrogate, bloom key) probe pairs ([[KeyEnc]]) so the same
+    // manifest pruning covers integral, string, and date keys; membership
+    // is still decided by real key equality below.
+    val (batchRows, _, src) = collectBatch(spark, source, keyCol,
+      extraCols = Seq.empty, allowedOps = Seq("U", "D", "I"))
     val keyed = src.select((col(keyCol).as("_sk") +: col("_op").as("_sop") +:
       dataCols.map(c => col(c).as(s"_s_$c"))): _*)
-    // The CDC batch is bounded: its (key, op) pairs are driver metadata.
-    // applyPrecedence already rejected NULL keys. Keys encode to (range
-    // surrogate, bloom key) probe pairs ([[KeyEnc]]) so the same manifest
-    // pruning covers integral, string, and date keys; membership is still
-    // decided by real key equality in the joins below.
-    val batch = src.select(col(keyCol), col("_op")).collect()
-      .map(r => (KeyEnc.probeOf(r.get(0)), r.getString(1)))
+    val batch = batchRows.map(r => (KeyEnc.probeOf(r.get(0)), r.getString(1)))
     val udKeys = batch.collect { case (p, op) if op == "U" || op == "D" => p }.sortBy(_._1)
     val iKeys = batch.collect { case (p, "I") => p }.sortBy(_._1)
     // Range probe against SORTED keys: O(|files| log |keys|) instead of the
@@ -2266,41 +2358,53 @@ object Versioned {
     val checkSet = baseEntries.filterNot(rewriteKeys)
       .filter(coversAnyKey(_, iKeys))
 
-    // Rows that can possibly match ANY batch key: the membership universe
-    // for both the update join and the insert anti-join.
-    val affected =
-      if (rewriteSet.isEmpty && checkSet.isEmpty) None
-      else Some(readEntries(spark, table, rewriteSet ++ checkSet))
-    val inserts = {
-      val iRows = keyed.filter(col("_sop") === "I")
-      val unmatched = affected match {
-        case Some(a) => iRows.join(a.select(col(keyCol)),
-          col("_sk") === col(keyCol), "left_anti")
-        case None => iRows
+    // Matched-I membership: ONE scan of the files whose stats cover an I
+    // key, with the key probe PUSHED into the scan (row-group skipping
+    // prunes it further), collected as driver metadata. The former
+    // anti-join made the rewrite job itself scan the whole check set;
+    // now the rewrite reads exactly the rewrite set, and inserts are a
+    // driver-side filter of the batch.
+    val keyDt = target.schema(keyCol).dataType
+    val iKeyVals = batchRows.filter(_.getString(1) == "I").map(_.get(0)).toSeq
+    val matchedIKeys: Set[Any] =
+      if (iKeyVals.isEmpty || (rewriteSet.isEmpty && checkSet.isEmpty)) Set.empty
+      else {
+        val aff = readAligned(rewriteSet ++ checkSet).select(col(keyCol))
+        val m = filterByKeys(spark, aff, col(keyCol), keyDt, iKeyVals, keep = true)
+        dumpPlan("mergebyfiles_imembership", m)
+        m.collect().iterator.map(r => normKey(r.get(0))).toSet
       }
-      unmatched.select(dataCols.map(c => col(s"_s_$c").as(c)): _*)
-    }
+    val insertKeys = iKeyVals.filterNot(v => matchedIKeys(normKey(v)))
+    val iRows = keyed.filter(col("_sop") === "I")
+    val insertsSrc =
+      if (insertKeys.size == iKeyVals.size) iRows
+      else filterByKeys(spark, iRows, col("_sk"), keyDt, insertKeys, keep = true)
+    val inserts = insertsSrc.select(dataCols.map(c => col(s"_s_$c").as(c)): _*)
     val joinedOpt =
       if (rewriteSet.isEmpty) None
       else Some(readAligned(rewriteSet)
         .join(broadcast(keyed), col(keyCol) === col("_sk"), "left"))
-    val updatedImgs = joinedOpt.map(_.filter(col("_sop") === "U")
-      .select(dataCols.map(c => col(s"_s_$c").as(c)): _*))
+    // Survivors and updated images in ONE pass over the rewrite-set join
+    // (per-column when/otherwise — the former two branches replanned the
+    // join twice and unioned).
+    val isU = col("_sop") === "U"
     val rewrite = joinedOpt match {
       case None => inserts
       case Some(joined) =>
-        val survivors = newCols.foldLeft(
-            joined.filter(col("_sop").isNull || col("_sop") === "I")
-              .select(target.columns.map(col): _*)
-          )((d, c) => d.withColumn(c, lit(null).cast(source.schema(c).dataType)))
-          .select(dataCols.map(col): _*)
-        survivors.unionByName(updatedImgs.get).unionByName(inserts)
+        joined.filter(col("_sop").isNull || col("_sop") === "I" || isU)
+          .select(dataCols.map(c => when(isU, col(s"_s_$c")).otherwise(
+            if (target.columns.contains(c)) col(c)
+            else lit(null).cast(source.schema(c).dataType)).as(c)): _*)
+          .unionByName(inserts)
     }
 
+    def updatedImgs = joinedOpt.map(_.filter(isU)
+      .select(dataCols.map(c => col(s"_s_$c").as(c)): _*))
     val cons = constraintLines(fsys, table, base)
-    validateConstraints(
+    if (cons.nonEmpty) validateConstraints(
       updatedImgs.map(_.unionByName(inserts)).getOrElse(inserts), cons)
     val dd = newDataDir(fsys, table)
+    dumpPlan("mergebyfiles_rewrite", rewrite)
     rewrite.write.mode(SaveMode.ErrorIfExists).partitionBy(partColsOf(partCol): _*).parquet(dd.toString)
     // Recompute EVERY recorded stats dimension for the rewritten files in
     // the one stats scan — z-order 2-D bounds and N-dim xstats survive a
@@ -2930,36 +3034,125 @@ object Versioned {
   private def partDirName(cols: Seq[String], values: Seq[Any]): String =
     cols.zip(values).map { case (c, v) => partDirName(c, v) }.mkString("/")
 
-  /** Per key keep one source row by op precedence D > U > I > K; reject
-    * two rows with the same (key, op) — no silent image-picking — and any
-    * op outside `allowedOps`. A NULL merge key is rejected here too (same
-    * validation job): NULL never equals anything, so a null-keyed op
-    * could neither match nor be pruned — it would surface later as a bare
-    * NPE in the stats collect.
+  /** Integral driver-side values normalize to Long so key sets collected
+    * from differently-typed source/target columns compare by VALUE — the
+    * same coercion Column `===` applies inside a plan.
     */
-  private def applyPrecedence(source: DataFrame, keyCol: String,
-                              allowedOps: Seq[String] = Seq("U", "D", "I")): DataFrame = {
-    val dup = source.groupBy(col(keyCol), col("_op"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1 || col(keyCol).isNull ||
-        !col("_op").isin(allowedOps.map(lit(_)): _*))
-      .limit(1).collect()
-    require(dup.isEmpty, if (dup.nonEmpty && dup.head.isNullAt(0))
-      s"merge: source batch carries a NULL $keyCol — merge keys must be non-null"
-    else if (dup.nonEmpty && !allowedOps.contains(dup.head.getString(1)))
-      s"merge: source batch carries _op=${dup.head.get(1)} — " +
-        s"allowed: ${allowedOps.mkString(",")}"
-    else
-      s"merge: source batch carries ${dup.head.getLong(2)} rows for " +
-        s"($keyCol=${dup.head.get(0)}, _op=${dup.head.get(1)}) — at most one " +
-        "row per (key, op) is allowed")
-    val prec = when(col("_op") === "D", 3)
-      .when(col("_op") === "U", 2)
-      .when(col("_op") === "I", 1).otherwise(0)
-    source.withColumn("_prec", prec)
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col(keyCol)).orderBy(col("_prec").desc)))
-      .filter(col("_rn") === 1).drop("_prec", "_rn")
+  private def normKey(v: Any): Any = v match {
+    case b: java.lang.Byte => java.lang.Long.valueOf(b.longValue)
+    case s: java.lang.Short => java.lang.Long.valueOf(s.longValue)
+    case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue)
+    case other => other
+  }
+
+  /** Largest key set rendered as an In expression: below it the predicate
+    * PUSHES to the parquet scan (row-group skipping does the pruning);
+    * above it a broadcast (semi/anti) join keeps literal trees out of the
+    * plan. The batch is driver metadata either way by the merge contract.
+    */
+  private val IsinMaxKeys = 4096
+
+  private def keysDf(spark: SparkSession, dt: org.apache.spark.sql.types.DataType,
+                     keys: Seq[Any]): DataFrame = {
+    val boxed = dt match {
+      case t if KeyEnc.Integral.contains(t) => keys.map {
+        case n: java.lang.Number => java.lang.Long.valueOf(n.longValue)
+        case other => other
+      }
+      case _ => keys
+    }
+    val boxedDt = dt match {
+      case t if KeyEnc.Integral.contains(t) => org.apache.spark.sql.types.LongType
+      case other => other
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(boxed.map(Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_gqk", boxedDt))))
+  }
+
+  /** Rows of `df` whose `keyExpr` is (keep) / is not (!keep) one of
+    * `keys`: an In filter below [[IsinMaxKeys]] (pushed to the scan), a
+    * broadcast semi/anti join above it. `keyExpr` must be non-null on
+    * every row (merge keys are, by validation) — the negated In, like the
+    * anti join's null semantics, is only equivalent under that contract.
+    */
+  private def filterByKeys(spark: SparkSession, df: DataFrame, keyExpr: Column,
+                           dt: org.apache.spark.sql.types.DataType,
+                           keys: Seq[Any], keep: Boolean): DataFrame =
+    if (keys.isEmpty) { if (keep) df.filter(lit(false)) else df }
+    else if (keys.size <= IsinMaxKeys)
+      df.filter(if (keep) keyExpr.isin(keys: _*) else !keyExpr.isin(keys: _*))
+    else df.join(broadcast(keysDf(spark, dt, keys)), keyExpr === col("_gqk"),
+      if (keep) "left_semi" else "left_anti")
+
+  /** (df′, matchedKey): `matchedKey` evaluates to `keyExpr` when it is one
+    * of `keys`, NULL otherwise — an In expression below [[IsinMaxKeys]], a
+    * broadcast left-outer join column above it (keys are distinct, so the
+    * join preserves row multiplicity).
+    */
+  private def withMatchedKey(spark: SparkSession, df: DataFrame, keyExpr: Column,
+                             dt: org.apache.spark.sql.types.DataType,
+                             keys: Seq[Any]): (DataFrame, Column) =
+    if (keys.isEmpty) (df, lit(null).cast(dt))
+    else if (keys.size <= IsinMaxKeys)
+      (df, when(keyExpr.isin(keys: _*), keyExpr))
+    else (df.join(broadcast(keysDf(spark, dt, keys)), keyExpr === col("_gqk"),
+      "left_outer"), col("_gqk"))
+
+  /** ONE driver pass over the bounded CDC batch: collect (key, _op, the
+    * listed extra columns), validate — allowed ops, NULL keys, duplicate
+    * (key, op) rows (no silent image-picking) — and resolve per-key op
+    * precedence D > U > I > K. This replaces the former validation job
+    * plus per-key window (an Exchange re-planned under every downstream
+    * evaluation of the source): the batch is driver metadata by the merge
+    * contract — every caller already broadcasts it whole into the rewrite
+    * join — so every decision derivable from the batch alone is made
+    * here, once. Returns (winning rows' collected metadata, normalized
+    * key → winning op, source filtered to winners — the source itself
+    * when no key carries two ops, the common case).
+    */
+  private def collectBatch(spark: SparkSession, source: DataFrame,
+                           keyCol: String, extraCols: Seq[String],
+                           allowedOps: Seq[String])
+      : (Array[Row], Map[Any, String], DataFrame) = {
+    val all = source.select((col(keyCol) +: col("_op") +:
+      extraCols.map(col(_))): _*).collect()
+    all.foreach { r =>
+      require(!r.isNullAt(0),
+        s"merge: source batch carries a NULL $keyCol — merge keys must be non-null")
+      require(!r.isNullAt(1) && allowedOps.contains(r.getString(1)),
+        s"merge: source batch carries _op=${r.get(1)} — " +
+          s"allowed: ${allowedOps.mkString(",")}")
+    }
+    val byKeyOp = all.groupBy(r => (normKey(r.get(0)), r.getString(1)))
+    byKeyOp.find(_._2.length > 1).foreach { case ((k, op), rs) =>
+      require(rs.length == 1,
+        s"merge: source batch carries ${rs.length} rows for " +
+          s"($keyCol=$k, _op=$op) — at most one row per (key, op) is allowed")
+    }
+    val prec = Map("D" -> 3, "U" -> 2, "I" -> 1).withDefaultValue(0)
+    val winners: Map[Any, String] = all.groupBy(r => normKey(r.get(0)))
+      .map { case (k, rs) => k -> rs.map(_.getString(1)).maxBy(prec) }
+    val multiOp = winners.size < byKeyOp.size
+    val winnerRows =
+      if (!multiOp) all
+      else all.filter(r => winners(normKey(r.get(0))) == r.getString(1))
+    val src =
+      if (!multiOp) source
+      else {
+        // Rare multi-op batch: keep each key's winning row via a broadcast
+        // of the driver-known winner set, not a window sort of the source.
+        val wdf = spark.createDataFrame(
+          java.util.Arrays.asList(winnerRows.map(r =>
+            Row(r.get(0), r.getString(1))).toSeq: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("_wk", source.schema(keyCol).dataType),
+            org.apache.spark.sql.types.StructField("_wop", org.apache.spark.sql.types.StringType))))
+        source.join(broadcast(wdf),
+          col(keyCol) === col("_wk") && col("_op") === col("_wop"), "left_semi")
+      }
+    (winnerRows, winners, src)
   }
 
   /** (added, removed) row counts from `fromV` to `toV`, by full-row
