@@ -2138,8 +2138,13 @@ object Sinks {
       col("o_orderpriority"),
       year(col("o_orderdate")).as("o_year"))
     val y95 = base.filter(col("o_year") === 1995)
-    val mm = y95.agg(min("o_orderkey"), max("o_orderkey")).head()
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    // base count + 1995 key bounds in ONE scan (the count feeds the
+    // validity check below; it used to be its own job)
+    val mm = base.agg(count(lit(1)),
+      min(when(col("o_year") === 1995, col("o_orderkey"))),
+      max(when(col("o_year") === 1995, col("o_orderkey")))).head()
+    val baseCount = mm.getLong(0)
+    val (lo, hi) = (mm.getLong(1), mm.getLong(2))
     // 4% bands (1/25 of the key space): wide enough that no band is empty
     // even at sf0.001's sparse orderkeys
     def cut(i: Long) = lo + (hi - lo + 1) * i / 25
@@ -2152,14 +2157,25 @@ object Sinks {
       band(7).withColumn("o_orderkey", col("o_orderkey") + 300000000L)
         .withColumn("o_orderpriority", lit("8-CDC"))
         .withColumn("o_year", lit(1999)).select(col("*"), op("I")))
+    // All three band-min tags in ONE scan of 1995 (formerly one job per
+    // band); base.count() was folded into the bounds agg above.
+    def bandCond(i: Long) =
+      col("o_orderkey") >= cut(i) && col("o_orderkey") < cut(i + 1)
     val valid = try {
       Versioned.latestVersion(spark, tbl) >= 1 &&
         Versioned.fileEntriesOf(spark, tbl, 1).nonEmpty &&
-        Versioned.readAt(spark, tbl, 1).count() == base.count() &&
-        batches.forall { b =>
-          val m = b.agg(min("o_orderkey")).head()
-          m.isNullAt(0) || // empty band: no batch, no tag to require
-            Versioned.taggedVersion(spark, tbl, "band_" + m.getLong(0)).isDefined
+        Versioned.readAt(spark, tbl, 1).count() == baseCount && {
+          val mins = y95.agg(
+            min(when(bandCond(5), col("o_orderkey"))),
+            min(when(bandCond(6), col("o_orderkey"))),
+            // the insert batch ships its keys shifted +300M, so its tag is
+            // the shifted min
+            min(when(bandCond(7), col("o_orderkey") + 300000000L))).head()
+          (0 to 2).forall { i =>
+            mins.isNullAt(i) || // empty band: no batch, no tag to require
+              Versioned.taggedVersion(spark, tbl,
+                "band_" + mins.getLong(i)).isDefined
+          }
         }
     } catch { case _: Exception => false }
     if (!valid) {
@@ -2187,10 +2203,12 @@ object Sinks {
     val q = spark.readStream.schema(sch)
       .option("header", "true").option("maxFilesPerTrigger", 1).csv(stage)
       .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
-        if (!b.isEmpty) {
-          val t = "band_" + b.agg(min("o_orderkey")).head().getLong(0)
+        // one agg answers both "empty?" and the tag (min is NULL on an
+        // empty batch) — half the per-epoch driver jobs
+        val m = b.agg(min("o_orderkey")).head()
+        if (!m.isNullAt(0)) {
           Versioned.mergeByFiles(spark, tbl, b, "o_orderkey", "o_year",
-            tag = Some(t))
+            tag = Some("band_" + m.getLong(0)))
           ()
         }
       }.start()
@@ -2231,10 +2249,22 @@ object Sinks {
         when(col("o_orderkey") % 10 === 1, col("o_price_c") + 100)
           .otherwise(col("o_price_c")))
       .unionByName(base.filter((col("o_orderkey") % 10).isin(5, 6)))
+    // Both source-side expected counts in ONE scan (v2's rows are a
+    // filter of v1's plus the 5/6 residues — pure count arithmetic), and
+    // v1's row count reused as the diff baseline instead of a third
+    // store-count job: the validation just proved store-v1 == c1, and a
+    // restage publishes exactly v1df (count c1) — identical value, two
+    // fewer jobs per invocation.
+    val kmod = col("o_orderkey") % 10
+    val cRow = base.agg(
+      count(when(kmod < 5, lit(1))).as("c1"),
+      (count(when(kmod < 5 && kmod =!= 4, lit(1))) +
+        count(when(kmod.isin(5, 6), lit(1)))).as("c2")).head()
+    val (c1, c2) = (cRow.getLong(0), cRow.getLong(1))
     val valid = try {
       Versioned.latestVersion(spark, tbl) == 2 &&
-        Versioned.readAt(spark, tbl, 1).count() == v1df.count() &&
-        Versioned.readAt(spark, tbl, 2).count() == v2df.count()
+        Versioned.readAt(spark, tbl, 1).count() == c1 &&
+        Versioned.readAt(spark, tbl, 2).count() == c2
     } catch { case _: Exception => false }
     val (ver1, ver2) =
       if (valid) (1, 2)
@@ -2249,8 +2279,7 @@ object Sinks {
              sum("o_price_c").as("sum_price_c"))
         .select(lit(v).as("ver"), col("n_rows"), col("sum_cust"),
           col("sum_price_c"), lit(added).as("n_added"), lit(removed).as("n_removed"))
-    val n1 = Versioned.readAt(spark, tbl, ver1).count()
-    summarize(ver1, n1, 0L).unionByName(summarize(ver2, a2, r2)).orderBy("ver")
+    summarize(ver1, c1, 0L).unionByName(summarize(ver2, a2, r2)).orderBy("ver")
   }
 
   /** q243 — MERGE `WHEN NOT MATCHED BY SOURCE` (full-sync/mirror merge,

@@ -1343,23 +1343,50 @@ object Versioned {
     val baseSchema = readSchemaLine(fsys, table, base)
     val statsKey = headerLine(fsys, table, base, "#statskey\t")
     val (key2, xcols) = statsDimsOf(fsys, table, base)
-    val df = readAt(spark, tablePath, base)
-    // cluster inside each cell by the stats key so the fresh per-file
-    // bounds come out range-tight, the layout every skipping tier rides
-    val shaped = statsKey match {
-      case Some(k) => df.repartitionByRange(
-        (cols :+ k).map(col): _*).sortWithinPartitions((cols :+ k).map(col): _*)
-      case None => df
-    }
-    val dd = newDataDir(fsys, table)
-    shaped.write.mode(SaveMode.ErrorIfExists)
-      .partitionBy(cols: _*).parquet(dd.toString)
-    val entries = statsKey match {
-      case Some(k) =>
-        fileStatsOf(spark, table, dd, k, stats2Col = key2, extraCols = xcols)
-      case None => listPartDirs(fsys, dd, cols.length).map(Entry(_, dd.getName))
-    }
-    commit(fsys, table, spark, entries, expectedLatest.orElse(Some(base)), Seq(dd),
+    val baseEntries = readManifest(fsys, table, base)
+    // Files ALREADY in the current spec at full recorded stats
+    // granularity splice unchanged (§6: a normalization owes work only
+    // to pre-evolution files — post-evolution ingests already conform;
+    // rewriting them re-shuffles identical bytes). A DV'd file is
+    // rewritten so the normalization keeps its materialize-DVs-away
+    // property; "-" (unpartitioned snapshot) entries never conform.
+    def conforms(e: Entry): Boolean =
+      entryLayout(e.partDir) == cols && e.dv.isEmpty &&
+        (statsKey.isEmpty || (e.file.isDefined && e.kmin.isDefined &&
+          e.kmax.isDefined && e.nrows.isDefined &&
+          (key2.isEmpty || (e.k2min.isDefined && e.k2max.isDefined)) &&
+          (xcols.isEmpty || e.xstats.isDefined)))
+    val (keep, rewriteEs) = baseEntries.partition(conforms)
+    val (dirs, fresh) =
+      if (rewriteEs.isEmpty) (Seq.empty[Path], Seq.empty[Entry])
+      else {
+        // Subset read with readAt's full treatment (per-entry layout
+        // decode, column mapping, schema alignment).
+        val df = {
+          val raw = readEntries(spark, table, rewriteEs)
+          val mapped = applyColMap(raw, colMapOf(fsys, table, base)
+            .filter { case (l, _) => baseSchema.forall(_.fieldNames.contains(l)) })
+          baseSchema.map(alignTo(mapped, _)).getOrElse(mapped)
+        }
+        // cluster inside each cell by the stats key so the fresh per-file
+        // bounds come out range-tight, the layout every skipping tier rides
+        val shaped = statsKey match {
+          case Some(k) => df.repartitionByRange(
+            (cols :+ k).map(col): _*).sortWithinPartitions((cols :+ k).map(col): _*)
+          case None => df
+        }
+        val dd = newDataDir(fsys, table)
+        dumpPlan("repartition_rewrite", shaped)
+        shaped.write.mode(SaveMode.ErrorIfExists)
+          .partitionBy(cols: _*).parquet(dd.toString)
+        val es = statsKey match {
+          case Some(k) =>
+            fileStatsOf(spark, table, dd, k, stats2Col = key2, extraCols = xcols)
+          case None => listPartDirs(fsys, dd, cols.length).map(Entry(_, dd.getName))
+        }
+        (Seq(dd), es)
+      }
+    commit(fsys, table, spark, keep ++ fresh, expectedLatest.orElse(Some(base)), dirs,
       schema = baseSchema, statsKey = statsKey, statsKey2 = key2,
       statsCols = xcols, partColHeader = Some(spec),
       constraints = constraintLines(fsys, table, base), op = "REPARTITION")
