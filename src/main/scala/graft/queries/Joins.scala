@@ -108,7 +108,15 @@ object Joins {
     val o = orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"),
         explode(sequence(lit(0), lit(salts - 1))).as("salt"))
-    l.join(o, col("l_orderkey") === col("o_orderkey") && l("salt") === o("salt"))
+    // Pin the SHUFFLED hash join (§3.1): the whole point of salting is to
+    // spread hot keys over (key, salt) reducers, so the join must keep its
+    // shuffle shape. Left to itself, AQE demotes this to a broadcast at
+    // bench scale — the driver then serializes the ×S EXPLODED build side
+    // into a hashed relation (measured: ~0.7 s single-threaded stall per
+    // invocation), which is both slower here and the opposite of the
+    // at-scale plan this operator demonstrates.
+    l.hint("SHUFFLE_HASH")
+      .join(o, col("l_orderkey") === col("o_orderkey") && l("salt") === o("salt"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
