@@ -50,4 +50,21 @@ class SkewJoinSpec extends SparkSpec {
         s"expected AQE to mark the skewed join:\n$plan")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("q82's salted join keeps its shuffled-hash shape (no AQE broadcast demotion)") {
+    // The operator demonstrates salting: spreading a hot key over
+    // (key, salt) reducers. That only demonstrates anything if the join
+    // KEEPS its shuffle shape — left alone, AQE demotes it to a broadcast
+    // at test/bench scale and the driver serializes the xS exploded build
+    // side into a hashed relation per invocation. The SHUFFLE_HASH pin is
+    // asserted here so a regression cannot silently reintroduce the
+    // demotion.
+    val df = Joins.joinSalted(spark, sfDir)
+    assert(df.collect().nonEmpty)
+    val plan = GraftSqlBridge.executedPlan(df).toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected the salted join to stay a ShuffledHashJoin:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"salted join was demoted to a broadcast:\n$plan")
+  }
 }

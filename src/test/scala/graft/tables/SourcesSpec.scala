@@ -957,10 +957,20 @@ class SourcesSpec extends SparkSpec {
     // routes to the row-level rewrite — exact
     spark.sql("DELETE FROM gevo.ns.t WHERE y = 1995 AND r = 'b'")
     assert(spark.sql("SELECT count(*) FROM gevo.ns.t").head().getLong(0) == 50)
-    // REPARTITION normalizes every file into the current spec
+    // REPARTITION normalizes every file into the current spec — and
+    // SPLICES files already conforming (post-evolution ingests/rewrites
+    // keep their identity: same partDir/dataDir/file in the new version,
+    // no byte-identical re-shuffle)
+    val vPre = Versioned.latestVersion(spark, path)
+    val conformingPre = Versioned.fileEntriesOf(spark, path, vPre)
+      .filter(_._1.matches("y=\\d+/r=[ab]")).toSet
+    assert(conformingPre.nonEmpty, "test shape: some entries already conform")
     spark.sql("CALL gevo.sys.repartition('ns.t')")
     val vR = Versioned.latestVersion(spark, path)
     assert(Versioned.hasUniformLayout(spark, path, vR))
+    val entriesPost = Versioned.fileEntriesOf(spark, path, vR).toSet
+    assert(conformingPre.subsetOf(entriesPost),
+      s"conforming entries must splice unchanged; lost: ${conformingPre -- entriesPost}")
     assert(Versioned.fileEntriesOf(spark, path, vR)
       .forall(_._1.matches("y=\\d+/r=[ab]")))
     assert(spark.sql("SELECT count(*) FROM gevo.ns.t").head().getLong(0) == 50)
