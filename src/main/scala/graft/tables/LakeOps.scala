@@ -1841,7 +1841,7 @@ object Versioned {
     // (key, op, the source row's partition values) as metadata — the
     // former dup-check job, per-key window Exchange, and the batch side
     // of three discovery joins all collapse into it (§2.4).
-    val (batchRows, winnerOps, src) = collectBatch(spark, source, keyCol,
+    val (batchRows, src) = collectBatch(spark, source, keyCol,
       extraCols = partCols, allowedOps = Seq("U", "D", "I", "K"))
     val keyed = src.select((col(keyCol).as("_sk") +: col("_op").as("_sop") +:
       dataCols.map(c => col(c).as(s"_s_$c"))): _*)
@@ -1917,12 +1917,21 @@ object Versioned {
     val matchedPartsVals: Seq[Seq[Any]] =
       matchedByPart.collect { case (pv, ks) if ks.exists(udKeys) => pv }
     def srcParts(r: Row): Seq[Any] = (2 until 2 + nPart).map(r.get)
-    val landingVals: Seq[Seq[Any]] = batchRows.iterator
+    // Landing/insert partitions dedupe by VALUE TUPLE before any string
+    // rendering: a mirror-sync batch is table-sized, its distinct
+    // partitions are not — per-row partDirName rendering showed up in
+    // driver stack samples.
+    def distinctVals(it: Iterator[Seq[Any]]): Seq[Seq[Any]] = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Any]]
+      it.foreach(seen += _)
+      seen.toSeq
+    }
+    val landingVals: Seq[Seq[Any]] = distinctVals(batchRows.iterator
       .filter(r => r.getString(1) == "U" && matchedKeys(normKey(r.get(0))))
-      .map(srcParts).toSeq
+      .map(srcParts))
     val insertRowsMeta = batchRows.filter(r =>
       r.getString(1) == "I" && !matchedKeys(normKey(r.get(0))))
-    val insertVals: Seq[Seq[Any]] = insertRowsMeta.map(srcParts).toSeq
+    val insertVals: Seq[Seq[Any]] = distinctVals(insertRowsMeta.iterator.map(srcParts))
     // NMS Update may MOVE source-less rows: only assignments to a
     // partition column can — then (and only then) the landing partitions
     // need one more pass evaluating the assignments on the unmatched rows.
@@ -2366,7 +2375,7 @@ object Versioned {
     // (range surrogate, bloom key) probe pairs ([[KeyEnc]]) so the same
     // manifest pruning covers integral, string, and date keys; membership
     // is still decided by real key equality below.
-    val (batchRows, _, src) = collectBatch(spark, source, keyCol,
+    val (batchRows, src) = collectBatch(spark, source, keyCol,
       extraCols = Seq.empty, allowedOps = Seq("U", "D", "I"))
     val keyed = src.select((col(keyCol).as("_sk") +: col("_op").as("_sop") +:
       dataCols.map(c => col(c).as(s"_s_$c"))): _*)
@@ -3135,36 +3144,45 @@ object Versioned {
     * evaluation of the source): the batch is driver metadata by the merge
     * contract — every caller already broadcasts it whole into the rewrite
     * join — so every decision derivable from the batch alone is made
-    * here, once. Returns (winning rows' collected metadata, normalized
-    * key → winning op, source filtered to winners — the source itself
-    * when no key carries two ops, the common case).
+    * here, once. Returns (winning rows' collected metadata, source
+    * filtered to winners — the source itself when no key carries two
+    * ops, the common case).
     */
   private def collectBatch(spark: SparkSession, source: DataFrame,
                            keyCol: String, extraCols: Seq[String],
                            allowedOps: Seq[String])
-      : (Array[Row], Map[Any, String], DataFrame) = {
+      : (Array[Row], DataFrame) = {
     val all = source.select((col(keyCol) +: col("_op") +:
       extraCols.map(col(_))): _*).collect()
+    // Single pass: validate, detect duplicate (key, op), and track per-key
+    // op bitmasks (D=1,U=2,I=4,K=8 — precedence = lowest set bit wins in
+    // D>U>I>K order). Table-sized mirror batches make per-row allocation
+    // visible in driver stacks, so no intermediate groupBy maps.
+    val opsSeen = new java.util.HashMap[Any, Integer](all.length * 2)
+    var multiOp = false
     all.foreach { r =>
       require(!r.isNullAt(0),
         s"merge: source batch carries a NULL $keyCol — merge keys must be non-null")
-      require(!r.isNullAt(1) && allowedOps.contains(r.getString(1)),
+      val op = if (r.isNullAt(1)) null else r.getString(1)
+      require(op != null && allowedOps.contains(op),
         s"merge: source batch carries _op=${r.get(1)} — " +
           s"allowed: ${allowedOps.mkString(",")}")
-    }
-    val byKeyOp = all.groupBy(r => (normKey(r.get(0)), r.getString(1)))
-    byKeyOp.find(_._2.length > 1).foreach { case ((k, op), rs) =>
-      require(rs.length == 1,
-        s"merge: source batch carries ${rs.length} rows for " +
+      val bit = op match { case "D" => 1 case "U" => 2 case "I" => 4 case _ => 8 }
+      val k = normKey(r.get(0))
+      val prev: Int = opsSeen.getOrDefault(k, 0)
+      require((prev & bit) == 0,
+        s"merge: source batch carries 2 rows for " +
           s"($keyCol=$k, _op=$op) — at most one row per (key, op) is allowed")
+      if (prev != 0) multiOp = true
+      opsSeen.put(k, prev | bit)
     }
-    val prec = Map("D" -> 3, "U" -> 2, "I" -> 1).withDefaultValue(0)
-    val winners: Map[Any, String] = all.groupBy(r => normKey(r.get(0)))
-      .map { case (k, rs) => k -> rs.map(_.getString(1)).maxBy(prec) }
-    val multiOp = winners.size < byKeyOp.size
+    def winnerOf(bits: Int): String =
+      if ((bits & 1) != 0) "D" else if ((bits & 2) != 0) "U"
+      else if ((bits & 4) != 0) "I" else "K"
     val winnerRows =
       if (!multiOp) all
-      else all.filter(r => winners(normKey(r.get(0))) == r.getString(1))
+      else all.filter(r =>
+        winnerOf(opsSeen.get(normKey(r.get(0)))) == r.getString(1))
     val src =
       if (!multiOp) source
       else {
@@ -3179,7 +3197,7 @@ object Versioned {
         source.join(broadcast(wdf),
           col(keyCol) === col("_wk") && col("_op") === col("_wop"), "left_semi")
       }
-    (winnerRows, winners, src)
+    (winnerRows, src)
   }
 
   /** (added, removed) row counts from `fromV` to `toV`, by full-row
