@@ -806,6 +806,23 @@ class SourcesSpec extends SparkSpec {
       rows.filter(_._3 == 1997).map(_._1).sorted,
       "exactly the source-less rows must be flagged")
     assert(Versioned.read(spark, t2).count() == rows.length)
+    // 4) the UPDATE variant ASSIGNING THE PARTITION COLUMN: unmatched
+    //    rows MOVE — both the partitions they leave and the partition
+    //    they land in must be in the rewrite scope (the assignment-
+    //    landing pass only runs in this case)
+    val t3 = s"$tmp/table3"
+    Versioned.publish(spark, t3, rows.toDF("k", "v", "y"),
+      partCol = Some("y"), fileStatsKey = Some("k"))
+    val v3b = Versioned.merge(spark, t3, srcAll, "k", "y",
+      notMatchedBySource = Some(Versioned.NotMatchedBySource.Update(
+        Map("v" -> lit(-1L), "y" -> lit(2001)))))
+    val moved = Versioned.read(spark, t3).filter(col("y") === 2001)
+      .as[(Long, Long, Int)].collect()
+    assert(moved.forall(_._2 == -1L) && moved.map(_._1).sorted.toSeq ==
+      rows.filter(_._3 == 1997).map(_._1).sorted,
+      "source-less rows must move to the assigned partition with the flag")
+    assert(Versioned.read(spark, t3).filter(col("y") === 1997).count() == 0)
+    assert(Versioned.read(spark, t3).count() == rows.length)
     // type-changing assignments and unknown ops are refused loudly
     val err = intercept[IllegalArgumentException](Versioned.merge(spark, t2,
       srcAll, "k", "y",
