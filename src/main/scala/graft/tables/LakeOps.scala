@@ -462,8 +462,12 @@ object Versioned {
         if (hit != null) hit
         else {
           val res = readManifestUncached(fsys, table, v)
-          if (entriesMemo.size > EntriesMemoMax) entriesMemo.clear()
-          entriesMemo.put(key, res)
+          if (entriesMemo.size > EntriesMemoMax ||
+              entriesMemoCount.get > EntriesMemoMaxEntries) {
+            entriesMemo.clear(); entriesMemoCount.set(0)
+          }
+          if (entriesMemo.put(key, res) == null)
+            entriesMemoCount.addAndGet(res.size.toLong)
           res
         }
       // missing file: fall through for the canonical "does not exist (or
@@ -659,6 +663,15 @@ object Versioned {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
   private val entriesMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Entry]]()
+  // Bound entriesMemo by TOTAL cached entry count, not map size: a
+  // delta-chain resolution caches every base version's fully
+  // materialized list (no structural sharing), so 4096 versions of a
+  // large checkpointed table would otherwise hold O(versions × entries)
+  // driver heap between overflow clears (r17 review advice). The counter
+  // may over-estimate after selective invalidation — that only clears
+  // earlier, never later.
+  private val EntriesMemoMaxEntries = 2000000L
+  private val entriesMemoCount = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** (path, length, mtime) observation key of `p`, None when missing. */
   private def obsKey(fsys: FileSystem, p: Path): Option[String] =
